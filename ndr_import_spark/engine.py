@@ -1,0 +1,142 @@
+"""Engine — the UniversalImporterHelper-equivalent orchestrator.
+
+Reference flow (lib/ndr_import/universal_importer_helper.rb:48-83):
+enumerate files (through archives) → match mapping by filename/tablename
+pattern → build reader options from the mapping → tabulate → transform →
+union same-canonical_name streams.
+
+Spark flow: `Engine.run(mappings, path)` → per (file-set, mapping):
+read_tables → prepare (header/footer/last_data_column) → kind-specific
+tabulation (fixed-width substrings, non-tabular sessionization, xml
+flatten) → compiled record pipeline → `unionByName` per canonical_name.
+Returns {canonical_name → records DataFrame}.
+
+Strict mode mirrors the reference's raise-on-error behaviour (header
+mismatch raises at plan time; presence/width errors raise on first
+occurrence). At scale, pass strict=False and route `_errors` to a sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ndr_import_spark.operators import compiler
+from ndr_import_spark.operators.fixed_width import tabulate_fixed_width
+from ndr_import_spark.operators.header import prepare_table
+from ndr_import_spark.plans.model import TableMapping
+from ndr_import_spark.plans.yaml_loader import load_mappings
+from ndr_import_spark.sources.registry import read_tables
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, strict: bool = True):
+        self.spark = spark
+        self.strict = strict
+
+    def run(
+        self,
+        mappings: list[TableMapping] | TableMapping | str,
+        path: str | list[str],
+        fmt: str | None = None,
+    ) -> dict[str, DataFrame]:
+        """Execute mappings over files → {canonical_name: records DataFrame}."""
+        if isinstance(mappings, str):
+            mappings = load_mappings(mappings)
+        if isinstance(mappings, TableMapping):
+            mappings = [mappings]
+
+        out: dict[str, list[DataFrame]] = {}
+        for mapping in mappings:
+            reader_options = self._reader_options(mapping)
+            resolved_fmt = fmt or mapping.format
+            for tablename, df in read_tables(self.spark, path, resolved_fmt, reader_options):
+                if not self._table_matches(mapping, df, tablename):
+                    continue
+                records = self.transform(mapping, df)
+                name = mapping.canonical_name or tablename or "table"
+                out.setdefault(name, []).append(records)
+
+        return {
+            name: dfs[0] if len(dfs) == 1 else self._union_all(dfs)
+            for name, dfs in out.items()
+        }
+
+    def transform(self, mapping: TableMapping, df: DataFrame) -> DataFrame:
+        """Tabulate + compile one table; mirrors Table#transform."""
+        if mapping.kind == "non_tabular":
+            from ndr_import_spark.operators.nontabular import tabulate_non_tabular
+            cells_df = tabulate_non_tabular(df, mapping)
+            records = compiler.compile_records(mapping, cells_df, strict=self.strict)
+        elif mapping.kind == "xml":
+            from ndr_import_spark.operators.xml_table import transform_xml_table
+            records = transform_xml_table(df, mapping, strict=self.strict)
+        else:
+            if mapping.kind == "fixed_width":
+                df = tabulate_fixed_width(df, mapping)
+            cell_fn = None
+            if "cells_map" in df.columns:
+                cell_fn = compiler.hash_cell_fn()
+                if self.strict:
+                    self._check_unmapped_keys(df, mapping)
+            df, mapping = prepare_table(df, mapping)
+            records = compiler.compile_records(mapping, df, cell_for=cell_fn, strict=self.strict)
+
+        if self.strict:
+            err = compiler.first_error(records)
+            if err is not None:
+                from ndr_import_spark.plans.model import MissingFieldError
+                if err.endswith("can't be blank"):
+                    raise MissingFieldError(err[: -len(" can't be blank")])
+                raise ValueError(err)
+        return records
+
+    # -- helpers -------------------------------------------------------------
+
+    @staticmethod
+    def _reader_options(mapping: TableMapping) -> dict:
+        opts: dict = {}
+        if mapping.columns and mapping.kind in ("tabular",):
+            opts["expected_columns"] = len(mapping.columns)
+        if mapping.delimiter:
+            opts["col_sep"] = mapping.delimiter
+        if mapping.liberal_parsing:
+            opts["liberal_parsing"] = True
+        if mapping.file_password:
+            opts["file_password"] = mapping.file_password
+        if mapping.xml_record_xpath:
+            opts["xml_record_xpath"] = mapping.xml_record_xpath
+        if mapping.slurp:
+            opts["slurp"] = True
+        return opts
+
+    @staticmethod
+    def _table_matches(mapping: TableMapping, df: DataFrame, tablename: str | None) -> bool:
+        if mapping.filename_pattern is None and mapping.tablename_pattern is None:
+            return True
+        files = [r["source_file"] for r in df.select("source_file").distinct().limit(100).collect()]
+        return all(mapping.matches(f, tablename) for f in files) if files else True
+
+    def _check_unmapped_keys(self, df: DataFrame, mapping: TableMapping) -> None:
+        """PdfForm::Table parity: unmapped hash-row keys raise
+        (pdf_form/table.rb:47-54 UnmappedDataError)."""
+        from ndr_import_spark.plans.model import UnmappedDataError
+        mapped = {
+            c.column for c in mapping.columns if isinstance(c.column, str)
+        }
+        keys = {
+            r["k"]
+            for r in df.select(F.explode(F.map_keys(F.col("cells_map"))).alias("k"))
+            .distinct()
+            .collect()
+        }
+        unmapped = keys - mapped
+        if unmapped:
+            raise UnmappedDataError(f"Unmapped data: {sorted(unmapped)}")
+
+    @staticmethod
+    def _union_all(dfs: list[DataFrame]) -> DataFrame:
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out

@@ -1,0 +1,272 @@
+"""Non-tabular sessionization — multi-line text → record cells.
+
+Reference: lib/ndr_import/non_tabular/table.rb (+record.rb, line.rb,
+column_mapping.rb). A line stream is partitioned into records by
+`start_line_pattern` / optional `end_line_pattern`, then each record's line
+array is tabulated into cells by per-column line selection (int / range /
+RegexpRange) + capture-regex chains.
+
+Spark shape:
+
+1. running-sum session ids over `Window.partitionBy(source_file)
+   .orderBy(row_index)` (the reference's state machine is a prefix-sum:
+   ``session = Σ is_start``, in-record = paired start/end counting);
+2. `groupBy(source_file, session)` + `sort_array(collect_list(...))` →
+   ordered per-record line arrays — ONE shuffle keyed by (file, record);
+3. tabulation compiles to higher-order array functions (filter/slice/
+   transform/array_join) — JVM-side, no UDF; RegexpRange resolves via
+   `array_position` over per-line match flags.
+
+Scale note: the per-file window is the one order-dependent stage; at 100 TB
+the strategy is start-pattern-aligned splits (mapPartitions with boundary
+stitching) — records themselves are small, and stage 2+ scales freely.
+
+Parity notes: lines are rstripped on ingest (line.rb:18); removed lines
+(remove_lines page headers/footers) never enter records; the trailing
+record is DISCARDED unless `end_in_a_record` (table.rb#process_end_of_record);
+records are re-indexed by record ordinal (the tabulated array is what
+Table#transform enumerates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ndr_import_spark.plans.model import (
+    ColumnMapping,
+    MappingError,
+    RegexpRange,
+    TableMapping,
+)
+
+
+def _matches(col: Column, pattern, equality_for_str: bool = False) -> Column:
+    """String patterns compare per Ruby semantics; regexes via rlike."""
+    from ndr_import_spark.plans.yaml_loader import RubyRegexp
+    if isinstance(pattern, RubyRegexp) or not equality_for_str:
+        return col.rlike(str(pattern))
+    return col == F.lit(str(pattern))
+
+
+def _flag_removed_lines(df: DataFrame, mapping: TableMapping, w) -> DataFrame:
+    """remove_lines: k-line window equality/regex match flags all k lines
+    (table.rb#remove_unwanted_lines)."""
+    if not isinstance(mapping.remove_lines, dict):
+        return df.withColumn("_removed", F.lit(False))
+    for name, patterns in mapping.remove_lines.items():
+        # match-start flag: lines i..i+k-1 equal the k patterns
+        starts = F.lit(True)
+        for j, pat in enumerate(patterns):
+            nxt = F.lead(F.col("value"), j).over(w)
+            starts = starts & F.coalesce(_matches(nxt, pat, equality_for_str=True), F.lit(False))
+        df = df.withColumn(f"_ms_{name}", starts)
+        # a line is removed when any of the previous k-1 lines started a match
+        group_removed = F.lit(False)
+        for s in range(len(patterns)):
+            group_removed = group_removed | F.coalesce(
+                F.lag(F.col(f"_ms_{name}"), s).over(w), F.lit(False)
+            )
+        df = df.withColumn(f"_rm_{name}", group_removed).drop(f"_ms_{name}")
+    total = F.lit(False)
+    for name in mapping.remove_lines:
+        total = total | F.col(f"_rm_{name}")
+    df = df.withColumn("_removed", total)
+    return df.drop(*[f"_rm_{n}" for n in mapping.remove_lines])
+
+
+def sessionize(df: DataFrame, mapping: TableMapping) -> DataFrame:
+    """lines (source_file,row_index,value) → per-record line arrays.
+
+    Output: (source_file, row_index [record ordinal], lines array<string>).
+    """
+    w = Window.partitionBy("source_file").orderBy("row_index")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("source_file")
+
+    df = df.withColumn("value", F.regexp_replace(F.col("value"), r"\s+$", ""))
+    df = _flag_removed_lines(df, mapping, w)
+
+    is_start = F.col("value").rlike(mapping.start_line_pattern)
+    has_end = mapping.end_line_pattern is not None
+    is_end = (
+        (~is_start) & F.col("value").rlike(mapping.end_line_pattern)
+        if has_end
+        else F.lit(False)
+    )
+    virtual = 1 if mapping.start_in_a_record else 0
+
+    df = (
+        df.withColumn("_is_start", is_start)
+        .withColumn("_is_end", is_end)
+        .withColumn("_s_incl", F.sum(F.col("_is_start").cast("int")).over(w_cum) + F.lit(virtual))
+        .withColumn("_e_incl", F.sum(F.col("_is_end").cast("int")).over(w_cum))
+    )
+    df = df.withColumn(
+        "_s_excl", F.col("_s_incl") - F.col("_is_start").cast("int")
+    ).withColumn("_e_excl", F.col("_e_incl") - F.col("_is_end").cast("int"))
+    # in-record *before* this line (state-machine prefix counting)
+    df = df.withColumn("_in_before", F.col("_s_excl") > F.col("_e_excl"))
+
+    if has_end:
+        # start-before-end is a MappingError (table.rb#start_record)
+        clash = df.filter(F.col("_is_start") & F.col("_in_before")).limit(1).count()
+        if clash:
+            raise MappingError("Start of new record found before end of current record")
+
+    df = df.withColumn("_session", F.col("_s_incl"))
+    captured = F.when(F.col("_removed"), F.lit(False)).otherwise(
+        F.when(F.col("_is_start"), F.lit(bool(mapping.capture_start_line)))
+        .when(F.col("_is_end"), F.lit(bool(mapping.capture_end_line)) & F.col("_in_before"))
+        .otherwise(F.col("_in_before"))
+    )
+    df = df.withColumn("_captured", captured)
+
+    # which sessions are emitted?
+    last_session = F.max("_session").over(w_all)
+    in_record_at_eof = F.last(
+        F.col("_s_incl") > F.col("_e_incl"), ignorenulls=False
+    ).over(w_all.orderBy("row_index").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+
+    if has_end:
+        session_closed = F.max(F.col("_is_end") & F.col("_in_before")).over(
+            Window.partitionBy("source_file", "_session")
+        )
+        emit = session_closed | (
+            (F.col("_session") == last_session)
+            & F.lit(bool(mapping.end_in_a_record))
+            & in_record_at_eof
+        )
+    else:
+        emit = (F.col("_session") != last_session) | F.lit(bool(mapping.end_in_a_record))
+    emit = emit & (F.col("_session") >= 1)
+    df = df.withColumn("_emit", emit)
+
+    grouped = (
+        df.filter(F.col("_emit"))
+        .groupBy("source_file", "_session")
+        .agg(
+            F.min("row_index").alias("_first_line"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("row_index").alias("n"),
+                        F.col("value").alias("v"),
+                        F.col("_captured").alias("c"),
+                    )
+                )
+            ).alias("_all_lines"),
+        )
+    )
+    grouped = grouped.withColumn(
+        "lines",
+        F.transform(
+            F.filter(F.col("_all_lines"), lambda x: x["c"]), lambda x: x["v"]
+        ),
+    )
+    # record ordinal per file (what Table#transform's index means here)
+    w_ord = Window.partitionBy("source_file").orderBy("_first_line")
+    grouped = grouped.withColumn("row_index", (F.row_number().over(w_ord) - 1).cast("long"))
+    return grouped.select("source_file", "row_index", "lines")
+
+
+# ---------------------------------------------------------------------------
+# tabulation (record.rb#tabulate + column_mapping.rb)
+# ---------------------------------------------------------------------------
+
+def _ruby_index(arr: Column, i: int) -> Column:
+    """Ruby Array#[int] — negative from end, out-of-range → NULL."""
+    n = F.size(arr)
+    if i >= 0:
+        return F.when(F.lit(i) < n, F.element_at(arr, i + 1))
+    return F.when(n + i >= 0, F.element_at(arr, i))
+
+
+def _ruby_slice(arr: Column, b: Column, e: Column, excl: bool) -> Column:
+    """Ruby Array#[b..e] with negative-index resolution → array (may be empty).
+
+    Returns NULL when b is out of range (Ruby returns nil)."""
+    n = F.size(arr)
+    b_res = F.when(b < 0, n + b).otherwise(b)
+    e_res = F.when(e < 0, n + e).otherwise(e)
+    if excl:
+        e_res = e_res - 1
+    e_res = F.least(e_res, n - 1)
+    length = F.greatest(e_res - b_res + 1, F.lit(0))
+    ok = (b_res >= 0) & (b_res <= n)
+    return F.when(ok, F.slice(arr, b_res + 1, length))
+
+
+def _regexp_index(arr: Column, pattern) -> Column:
+    """0-based index of first line matching `pattern`; NULL when no match
+    (RegexpRange::PatternMatchError parity)."""
+    if isinstance(pattern, int):
+        return F.lit(pattern)
+    flags = F.transform(arr, lambda x: x.rlike(str(pattern)))
+    pos = F.array_position(flags, F.lit(True))  # 1-based, 0 when absent
+    return F.when(pos > 0, pos - 1)
+
+
+def _selected_lines(lines: Column, cm: ColumnMapping) -> Column:
+    sel = cm.lines
+    if isinstance(sel, int):
+        single = _ruby_index(lines, sel)
+        return F.when(single.isNotNull(), F.array(single)).otherwise(
+            F.array().cast("array<string>")
+        )
+    if isinstance(sel, range):
+        # python range from !ruby/range loader: inclusive already resolved
+        return F.coalesce(
+            _ruby_slice(lines, F.lit(sel.start), F.lit(sel.stop - 1), excl=False),
+            F.array().cast("array<string>"),
+        )
+    if isinstance(sel, RegexpRange):
+        b = _regexp_index(lines, sel.begin)
+        e = _regexp_index(lines, sel.end)
+        # PatternMatchError → NULL cell (record.rb rescue)
+        return F.when(
+            b.isNotNull() & e.isNotNull(), _ruby_slice(lines, b, e, excl=sel.excl)
+        )
+    raise MappingError(f"Unsupported non_tabular_cell lines: {sel!r}")
+
+
+def _capture_chain(line: Column, captures) -> Column:
+    """Replace the line with capture group 1, recursively per pattern
+    (column_mapping.rb#capture_value); no match → NULL; result stripped."""
+    value = line
+    patterns = captures if isinstance(captures, list) else [captures]
+    for pat in patterns:
+        p = str(pat)
+        value = F.when(value.rlike(p), F.regexp_extract(value, p, 1))
+    return F.trim(value)
+
+
+def tabulate_cells(lines: Column, columns: list[ColumnMapping]) -> Column:
+    """record line-array → cells array<string> in column order."""
+    cells = []
+    for cm in columns:
+        if cm.lines is None or cm.capture is None:
+            raise MappingError(
+                f"Non-tabular cell for {cm.column or cm.standard_mapping!r} "
+                "must declare lines and capture"
+            )
+        selected = _selected_lines(lines, cm)
+        captured = F.transform(selected, lambda ln: _capture_chain(ln, cm.capture))
+        if cm.preserve_blank_lines:
+            kept = F.filter(captured, lambda v: v.isNotNull())
+        else:
+            kept = F.filter(captured, lambda v: v.isNotNull() & (F.trim(v) != ""))
+        joined = F.array_join(kept, cm.join or "")
+        # RegexpRange miss → NULL cell: selected itself is NULL in that case
+        cells.append(F.when(selected.isNotNull(), joined))
+    return F.array(*cells)
+
+
+def tabulate_non_tabular(df: DataFrame, mapping: TableMapping) -> DataFrame:
+    """Full pipeline: lines → sessionized records → cells DataFrame."""
+    records = sessionize(df, mapping)
+    return records.select(
+        "source_file",
+        "row_index",
+        tabulate_cells(F.col("lines"), mapping.columns).alias("cells"),
+    )

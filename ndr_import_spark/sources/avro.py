@@ -1,0 +1,61 @@
+"""Avro reader (reference: lib/ndr_import/file/avro.rb — DataFileReader,
+emits a header row of field names then stringified values; Avro::Table
+declares header_lines=1).
+
+Uses the spark-avro data source when its jar is on the classpath; otherwise
+raises with a clear message (no fastavro in this environment). Parity quirk:
+a synthetic field-name row is prepended at row_index 0 so Avro::Table's
+header consumption works unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ndr_import_spark.sources.common import attach_row_index, list_input_files
+from ndr_import_spark.sources.registry import Registry
+
+
+def avro_available(spark: SparkSession) -> bool:
+    try:
+        spark.read.format("avro").load("/nonexistent-avro-probe")
+    except Exception as exc:  # noqa: BLE001
+        msg = str(exc)
+        if "Failed to find data source" in msg or "AVRO" in msg and "data source" in msg.lower():
+            return False
+    return True
+
+
+def read_avro(
+    spark: SparkSession, path: str | list[str], options: dict
+) -> list[tuple[str | None, DataFrame]]:
+    files = list_input_files(spark, path)
+    try:
+        df = spark.read.format("avro").load(files)
+    except Exception as exc:  # noqa: BLE001
+        if "Failed to find data source" in str(exc):
+            raise NotImplementedError(
+                "spark-avro jar not on classpath; add org.apache.spark:spark-avro "
+                "via spark.jars.packages (no fastavro fallback in this env)"
+            ) from exc
+        raise
+
+    names = df.columns
+    # stringify every value (avro.rb:26 `avro_row.values.map(&:to_s)`);
+    # logicalType date arrives as DateType → ISO strings, matching the
+    # reference's daysafter-from-epoch scaffolding expectations.
+    data = df.select(
+        F.input_file_name().alias("source_file"),
+        F.array(*[F.col(c).cast("string") for c in names]).alias("cells"),
+    )
+    data = attach_row_index(data).withColumn("row_index", F.col("row_index") + 1)
+
+    header = spark.createDataFrame(
+        [(f, 0, names) for f in sorted({r["source_file"] for r in data.select("source_file").distinct().collect()})],
+        "source_file string, row_index long, cells array<string>",
+    )
+    return [(None, header.unionByName(data.select("source_file", "row_index", "cells")))]
+
+
+Registry.register(read_avro, "avro")

@@ -1,0 +1,81 @@
+"""PDF text reader (reference: lib/ndr_import/file/pdf.rb — page text split
+into line rows).
+
+No pdf library in this environment: the Spark plumbing (binaryFile scan →
+Arrow-batched extraction UDF → line rows) is real; the text extraction is a
+best-effort stdlib fallback for uncompressed text streams, otherwise
+NotImplementedError. Inject a real extractor via `set_pdf_parser`.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ndr_import_spark.sources.common import attach_row_index, list_input_files
+from ndr_import_spark.sources.registry import Registry
+
+_pdf_parser = None
+
+
+def set_pdf_parser(fn) -> None:
+    """Inject a real parser (bytes → full text) when a pdf lib is available."""
+    global _pdf_parser
+    _pdf_parser = fn
+
+
+def _fallback_extract(data: bytes) -> str:
+    """Minimal extraction: inflate streams, pull text-show operators."""
+    chunks: list[str] = []
+    for m in re.finditer(rb"stream\r?\n(.*?)endstream", data, flags=re.S):
+        raw = m.group(1)
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:
+            pass
+        for tm in re.finditer(rb"\((.*?)(?<!\\)\)\s*Tj|\[(.*?)\]\s*TJ", raw, flags=re.S):
+            seg = tm.group(1) or tm.group(2) or b""
+            parts = re.findall(rb"\((.*?)(?<!\\)\)", seg) if tm.group(2) else [seg]
+            for p in parts:
+                chunks.append(p.decode("latin-1"))
+        if chunks and not chunks[-1].endswith("\n"):
+            chunks.append("\n")
+    text = "".join(chunks)
+    if not text.strip():
+        raise NotImplementedError(
+            "PDF text extraction needs a pdf library (stubbed; plumbing is "
+            "real — inject one via sources.pdf.set_pdf_parser)"
+        )
+    return text
+
+
+@pandas_udf("string")
+def _pdf_text_udf(blobs: pd.Series) -> pd.Series:
+    def one(b):
+        if b is None:
+            return None
+        data = bytes(b)
+        if _pdf_parser is not None:
+            return _pdf_parser(data)
+        return _fallback_extract(data)
+    return blobs.map(one)
+
+
+def read_pdf(
+    spark: SparkSession, path: str | list[str], options: dict
+) -> list[tuple[str | None, DataFrame]]:
+    files = list_input_files(spark, path)
+    binary = spark.read.format("binaryFile").load(files)
+    lines = binary.select(
+        F.col("path").alias("source_file"),
+        F.explode(F.split(_pdf_text_udf(F.col("content")), "\n")).alias("value"),
+    )
+    return [(None, attach_row_index(lines))]
+
+
+Registry.register(read_pdf, "pdf")
