@@ -1,0 +1,325 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Net-new scale operators (BASELINE.json north_star). Design for 100 TB:
+
+* exact: one hash-keyed groupBy (map-side partial agg; AQE handles skew);
+* MinHash/LSH: signatures are a narrow per-row map (k md5-based minima over
+  character shingles); candidate generation shuffles on BAND KEYS only —
+  each band bucket is tiny, so the self-join never goes quadratic in the
+  corpus, only within buckets;
+* SimHash: 64-bit signature per row, narrow; near-dup = same signature or
+  banded Hamming buckets;
+* n-gram Jaccard verification runs only on LSH candidates.
+
+Hashes are md5-hex→bigint so a DuckDB oracle can reproduce values exactly
+(both sides: ``cast('0x'||substr(md5(x),1,15) as bigint)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ndr_import_spark.operators.textstats import normalize_text
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 60-bit integer hash, reproducible in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hash-groupBy exact dedup over normalised text.
+
+    Returns (content_hash, n_docs, canonical_id) for groups with n>1."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative of each content hash (deterministic,
+    unlike dropDuplicates which keeps an arbitrary row)."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    w = df.select("*", h.alias("_h"))
+    keep = w.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, [ "_h", id_col ], "inner").drop("_h")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Character n-gram shingle set over normalised text (distinct).
+
+    NOTE: `text` is captured inside the transform lambda, so its expression
+    is re-evaluated PER ARRAY ELEMENT (Catalyst inlines single-use aliases
+    even into lambda bodies). Pass an attribute (a materialised column),
+    not a regex-heavy expression — see _shingle_base for the pattern."""
+    norm = normalize_text(text)
+    length = F.length(norm)
+    starts = F.sequence(F.lit(1), F.greatest(length - n + 1, F.lit(1)))
+    return F.array_distinct(F.transform(starts, lambda i: F.substring(norm, i, n)))
+
+
+def _shingle_base(df: DataFrame, text_col: str, id_col: str, persist: bool) -> DataFrame:
+    """(_id, _norm) projection, persisted so the normalisation regexes run
+    once per row instead of once per shingle × once per plan-subtree (the
+    LSH plan references the shingle set 4×: both join sides + both verify
+    sides). At cluster scale this is the usual 'materialise signatures
+    before the self-join' step; MEMORY_AND_DISK spills instead of OOMing."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        normalize_text(F.col(text_col)).alias("_norm"),
+    )
+    if persist:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    return base
+
+
+def _shingles_from_norm(norm: Column, n: int) -> Column:
+    """Char n-grams of an already-normalised ATTRIBUTE column (cheap to
+    re-evaluate per element, unlike a regex expression)."""
+    starts = F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1)))
+    return F.array_distinct(F.transform(starts, lambda i: F.substring(norm, i, n)))
+
+
+MINHASH_P = 1073741789  # largest prime < 2^30: keeps a*h+b inside int64
+
+
+def minhash_perm_consts(k: int, salt: str) -> list[tuple[int, int]]:
+    """Deterministic (a, b) affine-permutation constants for k MinHash
+    permutations, derived from md5 so a DuckDB oracle can embed the same
+    literals. Shared driver-side helper — not per-row work."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"{salt}a{i}".encode()).hexdigest()[:7], 16) % MINHASH_P
+        b = int(hashlib.md5(f"{salt}b{i}".encode()).hexdigest()[:7], 16) % MINHASH_P
+        out.append((a | 1, b))
+    return out
+
+
+def _affine_perm(a: int, b: int):
+    """Closure-captured constants (a `lambda h, a=a:` default would make
+    PySpark pass the array index INTO the lambda, corrupting the hash)."""
+    def f(h: Column) -> Column:
+        return (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    return f
+
+
+def shingle_hashes(sh: Column) -> Column:
+    """Hash each shingle ONCE to a 30-bit int; the k permutations are then
+    pure arithmetic (k·|sh| multiply-adds instead of k·|sh| md5 calls —
+    the difference between 70 s and 4 s at 5k docs, and between feasible
+    and not at 100 TB)."""
+    return F.transform(sh, lambda s: md5_long(s).bitwiseAND(F.lit((1 << 30) - 1)))
+
+
+def minhash_signature(text: Column, k: int = 16, shingle_n: int = 5) -> Column:
+    """k-permutation MinHash over char shingles → array<long>[k]."""
+    hs = shingle_hashes(char_shingles(text, shingle_n))
+    sigs = [
+        F.array_min(F.transform(hs, _affine_perm(a, b)))
+        for a, b in minhash_perm_consts(k, "mh")
+    ]
+    return F.array(*sigs)
+
+
+def _banded_jaccard_pairs(
+    shingled: DataFrame,
+    k: int,
+    bands: int,
+    salt: str,
+    verify_threshold: float | None,
+) -> DataFrame:
+    """Shared LSH core over a (_id, _sh) DataFrame.
+
+    MinHash signature (k salted-md5 minima over `_sh`) → `bands` band-keys
+    (md5 of each signature slice) → explode → self-join on (band, key)
+    (bucket-local, never corpus-quadratic) → distinct id pairs → exact
+    Jaccard verification by joining the per-doc shingle sets back by id —
+    shingles are computed PER DOC, never per candidate pair.
+
+    At cluster scale: the band-key join shuffles only (band, key, id); the
+    verification join shuffles ids + shingle arrays for candidates only.
+    The (_id, _sh, _hs) intermediate is persisted: the plan references the
+    shingle set four times (both join sides + both verify sides), and the
+    16 permutation expressions would otherwise each re-run the per-shingle
+    md5 pass (captured expressions re-evaluate per reference).
+    """
+    from pyspark import StorageLevel
+
+    hashed = shingled.select(
+        "_id", "_sh", shingle_hashes(F.col("_sh")).alias("_hs")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rows = k // bands
+    sigs = [
+        F.array_min(F.transform(F.col("_hs"), _affine_perm(a, b)))
+        for a, b in minhash_perm_consts(k, salt)
+    ]
+    with_sig = hashed.select("_id", F.array(*sigs).alias("_sig"))
+
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col("_sig")[b * rows + i].cast("string") for i in range(rows)],
+                )
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    banded = with_sig.select("_id", F.explode(band_structs).alias("bk")).select(
+        "_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "key"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    a = hashed.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    b = hashed.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    verified = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size(F.array_union(F.col("_sha"), F.col("_shb")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # filter on the raw ratio, then round for presentation (rounding first
+    # would admit pairs just under the threshold)
+    out = verified.select("id_a", "id_b", jac.alias("_jac"))
+    if verify_threshold is not None:
+        out = out.filter(F.col("_jac") >= verify_threshold)
+    return out.select("id_a", "id_b", F.round(F.col("_jac"), 5).alias("jaccard"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    verify_threshold: float | None = 0.6,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH over char shingles.
+
+    With k=16/bands=4 (4 rows per band) a pair of similarity s becomes a
+    candidate with p = 1-(1-s^4)^4 — steep around s≈0.6, which keeps false
+    candidates (and the verify join) small on template-heavy corpora.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    base = _shingle_base(df, text_col, id_col, persist=True)
+    shingled = base.select(
+        "_id", _shingles_from_norm(F.col("_norm"), shingle_n).alias("_sh")
+    )
+    return _banded_jaccard_pairs(shingled, k, bands, "mh", verify_threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """`bits`-bit SimHash over word tokens (md5-derived bit planes).
+
+    bit j of the signature = sign of Σ_tokens (±1 by bit j of token hash).
+    16 bits keeps the per-row cost at one hash per token (bit-tested 16×)
+    while remaining a real locality-sensitive signature.
+    """
+    toks = F.filter(F.split(normalize_text(text), " "), lambda t: t != F.lit(""))
+    th = F.transform(toks, lambda t: md5_long(t))
+
+    def _voter(mask: Column):
+        def merge(acc: Column, h: Column) -> Column:
+            return acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+        return merge
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        mask = F.lit(2 ** j).cast("long")
+        vote = F.aggregate(th, F.lit(0), _voter(mask))
+        out = out + F.when(vote > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Docs sharing an identical SimHash signature (coarse near-dup)."""
+    s = simhash(F.col(text_col), bits).alias("simhash")
+    return (
+        df.select(s, F.col(id_col))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, blocked)
+# ---------------------------------------------------------------------------
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram set over normalised text (space-joined)."""
+    toks = F.filter(F.split(normalize_text(text), " "), lambda t: t != F.lit(""))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def _word_ngrams_from_norm(norm: Column, n: int) -> Column:
+    """Word n-grams of an already-normalised attribute column."""
+    toks = F.filter(F.split(norm, " "), lambda t: t != F.lit(""))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+    threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs with banded-MinHash blocking.
+
+    Word n-grams are far more selective than char shingles on template
+    corpora (length-band or single-hash blocking degenerates there: common
+    shingles dominate the min and buckets go quadratic). k=8/bands=2 gives
+    p = 1-(1-s^4)^2 candidate recall with tiny buckets; exact Jaccard then
+    verifies on the per-doc n-gram sets joined back by id."""
+    base = _shingle_base(df, text_col, id_col, persist=True)
+    shingled = base.select(
+        "_id", _word_ngrams_from_norm(F.col("_norm"), ngram_n).alias("_sh")
+    )
+    return _banded_jaccard_pairs(shingled, k, bands, "ng", threshold)

@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+Net-new (BASELINE.json north_star). The image/audio decode libraries are not
+in this container, so the DECODE STEP IS STUBBED behind `set_image_decoder`/
+`set_audio_decoder` (deterministic fake available for tests); everything
+Spark-side is real: schema, Arrow-batched `mapInPandas` plumbing, batch
+shapes, partition sizing.
+
+Design for 100 TB: binary payloads ride in parquet binary columns (or
+pointers to object-store keys); decode/feature-extract runs in
+`mapInPandas` so one task streams record batches without materialising the
+partition; metadata lives in sibling typed columns so filters prune without
+touching bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),      # image | audio | video
+    T.StructField("mime", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+_image_decoder = None
+_audio_decoder = None
+
+
+def set_image_decoder(fn) -> None:
+    """bytes → (width, height, pixel-feature list[float])."""
+    global _image_decoder
+    _image_decoder = fn
+
+
+def set_audio_decoder(fn) -> None:
+    global _audio_decoder
+    _audio_decoder = fn
+
+
+def deterministic_fake_decoder(data: bytes) -> tuple[int, int, list[float]]:
+    """Test decoder: md5-derived 'pixels' — deterministic, library-free."""
+    h = hashlib.md5(data or b"").digest()
+    w = 4 + h[0] % 4
+    ht = 4 + h[1] % 4
+    feats = [b / 255.0 for b in h]
+    return w, ht, feats
+
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, width int, height int, feature array<double>"
+)
+
+
+def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow record batches).
+
+    Raises NotImplementedError per-batch when no decoder is injected — the
+    plumbing (schema, batching, partitioning) is the tested surface.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoder = _image_decoder
+        for pdf in batches:
+            if decoder is None:
+                raise NotImplementedError(
+                    "No media decoder in this environment; inject one via "
+                    "multimodal.set_image_decoder (deterministic_fake_decoder "
+                    "available for tests)"
+                )
+            out = {"media_id": [], "kind": [], "width": [], "height": [], "feature": []}
+            for _, row in pdf.iterrows():
+                w, h, feats = decoder(row["payload"])
+                out["media_id"].append(row["media_id"])
+                out["kind"].append(row["kind"])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["feature"].append(feats)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per planned frame —
+    pure-Column fan-out (no decode needed to size the work), used to
+    partition decode work evenly before the expensive UDF stage."""
+    n_frames = F.greatest((F.col("duration_ms") / every_ms).cast("int"), F.lit(1))
+    return df.select(
+        "media_id",
+        "kind",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
+    ).withColumn("ts_ms", F.col("frame_no") * every_ms)
+
+
+def synth_media_df(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media table for tests (no external files)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.md5(f"media{i}".encode()).digest() * 4
+        kind = ["image", "audio", "video"][i % 3]
+        rows.append((i, kind, f"{kind}/fake", 64, 48, 2000 + i * 10, bytearray(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

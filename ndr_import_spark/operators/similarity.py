@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float/double>).
+
+Net-new scale operators (BASELINE.json north_star):
+
+* brute-force cosine top-k — `zip_with`/`aggregate` dot products, pure
+  Catalyst; queries are broadcast so the scan stays embarrassingly parallel;
+* LSH (random-hyperplane sign buckets) — deterministic md5-derived
+  hyperplanes, narrow signature map + bucket-key shuffle: the 100 TB path
+  (compare only within buckets);
+* IVF-style coarse quantisation — assign each vector to the nearest of k
+  deterministic centroid seeds; probe only matching cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ndr_import_spark.operators.dedup import md5_long
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against the
+    corpus, window top-k per query. Deterministic tie-break on corpus id.
+
+    Returns (query_id, vec_id, cos, rank)."""
+    joined = df.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 5).alias("cos"),
+    ).filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def hyperplane_signature(vec: Column, dim: int, planes: int = 16) -> Column:
+    """`planes`-bit sign signature under deterministic ±1 hyperplanes.
+
+    Hyperplane p's component for dimension i is +1 iff bit0 of
+    md5('hp{p}:{i}') — reproducible anywhere (incl. a DuckDB oracle)."""
+    out = F.lit(0).cast("long")
+    for p in range(planes):
+        signs = [
+            1 if (_md5_bit(f"hp{p}:{i}")) else -1
+            for i in range(dim)
+        ]
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(proj > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def _md5_bit(s: str) -> bool:
+    import hashlib
+    return bool(int(hashlib.md5(s.encode()).hexdigest()[14], 16) & 1)
+
+
+def lsh_bucket_candidates(
+    df: DataFrame,
+    dim: int,
+    planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Bucket by hyperplane signature; candidate pairs share a bucket.
+
+    Returns (id_a, id_b, cos) for in-bucket pairs — the scale path where a
+    full cross-join is impossible."""
+    sig = hyperplane_signature(F.col(vec_col), dim, planes)
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig"))
+    left = base.alias("l")
+    right = base.alias("r")
+    return (
+        left.join(right, "_sig")
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.round(cosine(F.col("l._v"), F.col("r._v")), 5).alias("cos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style coarse quantisation
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    n_cells: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest deterministic pseudo-centroid.
+
+    Centroid c's components are md5-derived values in [-1,1] — a stand-in
+    for trained centroids (k-means training is a separate offline job);
+    the *query path* (probe only matching cells) is the real scale
+    mechanism being exercised."""
+    best_cell = F.lit(0)
+    best_score = F.lit(-1e18)
+    for c in range(n_cells):
+        comps = [_md5_unit(f"ivf{c}:{i}") for i in range(dim)]
+        centroid = F.array(*[F.lit(v) for v in comps])
+        score = dot(F.col(vec_col), centroid)
+        better = score > best_score
+        best_cell = F.when(better, F.lit(c)).otherwise(best_cell)
+        best_score = F.when(better, score).otherwise(best_score)
+    return df.withColumn("ivf_cell", best_cell)
+
+
+def _md5_unit(s: str) -> float:
+    import hashlib
+    return (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 0xFFFFFFFF) * 2 - 1

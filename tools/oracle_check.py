@@ -1,0 +1,129 @@
+"""Local replica of the driver's duckdb-oracle correctness gate.
+
+Runs every queries() entry on Spark and its oracle_sql() on DuckDB over the
+same parquet tables; compares row count, column names, and order-insensitive
+values (sorted columns, sorted rows, stringified cells).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from datetime import date, datetime
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.1f}"
+        return repr(round(v, 9))
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            f = float(v)
+            return f"{f:.1f}" if f == int(f) else repr(round(f, 9))
+    except ImportError:
+        pass
+    return str(v)
+
+
+def rows_to_canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(canon(r[i]) for i in order))
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {type(e).__name__} {str(e)[:200]}")
+            failures += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"rows-only {name}: {len(srows)} rows (no oracle)")
+            continue
+        try:
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
+            failures += 1
+            continue
+
+        sc, sr = rows_to_canon(scols, srows)
+        oc, orr = rows_to_canon(ocols, orows)
+        if sc != oc:
+            print(f"FAIL {name}: schema mismatch\n  spark: {sc}\n  duck:  {oc}")
+            failures += 1
+            continue
+        if len(sr) != len(orr):
+            print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(orr)}")
+            failures += 1
+            continue
+        diffs = [i for i, (a, b) in enumerate(zip(sr, orr)) if a != b]
+        if diffs:
+            i = diffs[0]
+            print(f"FAIL {name}: {len(diffs)}/{len(sr)} rows differ; first at {i}:")
+            print(f"  cols:  {sc}")
+            print(f"  spark: {sr[i]}")
+            print(f"  duck:  {orr[i]}")
+            failures += 1
+        else:
+            print(f"OK   {name}: {len(sr)} rows match")
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
