@@ -176,6 +176,175 @@ FROM (
 """
 
 
+_NONTAB_MAPPING = """
+klass: OrderDoc
+start_line_pattern: !ruby/regexp /^ORDER/
+end_line_pattern: !ruby/regexp /^--END--/
+capture_start_line: true
+remove_lines:
+  pageheader:
+  - 'PAGE 1'
+columns:
+- column: order_line
+  non_tabular_cell:
+    lines: 0
+    capture: !ruby/regexp /^ORDER (\\d+)$/
+  mappings:
+  - field: order_key
+- column: cust_line
+  non_tabular_cell:
+    lines: 1
+    capture: !ruby/regexp '/^CUST: (.*)$/'
+  mappings:
+  - field: cust_key
+- column: status_line
+  non_tabular_cell:
+    lines: !ruby/object:RegexpRange
+      begin: !ruby/regexp /^STATUS/
+      end: !ruby/regexp /^PRIORITY/
+      excl: true
+    capture: !ruby/regexp '/^STATUS: (.*)$/'
+  mappings:
+  - field: status
+- column: priority_line
+  non_tabular_cell:
+    lines: 3
+    capture: !ruby/regexp '/^PRIORITY: (.*)$/'
+  mappings:
+  - field: priority
+"""
+
+
+def q_nontabular_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-tabular sessionization end-to-end: a synthetic multi-line report
+    built from orders (6 lines/order incl. a removed page header) is
+    partitioned into records (start/end patterns), page headers dropped via
+    remove_lines, cells tabulated by int lines + RegexpRange + capture
+    regexes, then the standard mapper emits records. The oracle is the
+    orders table itself — the pipeline must reconstruct it exactly.
+
+    Covers SURVEY §2.4 (reference lib/ndr_import/non_tabular/*)."""
+    from ndr_import_spark.operators.compiler import compile_records
+    from ndr_import_spark.operators.nontabular import tabulate_non_tabular
+    from ndr_import_spark.plans.yaml_loader import load_mapping
+
+    orders = _t(spark, sf_dir, "orders")
+    lines = (
+        orders.select(
+            F.col("o_orderkey"),
+            F.posexplode(
+                F.array(
+                    F.concat(F.lit("ORDER "), F.col("o_orderkey").cast("string")),
+                    F.lit("PAGE 1"),
+                    F.concat(F.lit("CUST: "), F.col("o_custkey").cast("string")),
+                    F.concat(F.lit("STATUS: "), F.col("o_orderstatus")),
+                    F.concat(F.lit("PRIORITY: "), F.col("o_orderpriority")),
+                    F.lit("--END--"),
+                )
+            ).alias("pos", "value"),
+        )
+        .select(
+            # shard into 32 "files": sessionization parallelism comes from the
+            # per-file window partitioning (records never span files)
+            F.concat(
+                F.lit("orders-"), (F.col("o_orderkey") % 32).cast("string"), F.lit(".txt")
+            ).alias("source_file"),
+            (F.col("o_orderkey") * 6 + F.col("pos")).alias("row_index"),
+            "value",
+        )
+    )
+    mapping = load_mapping(_NONTAB_MAPPING)
+    cells_df = tabulate_non_tabular(lines, mapping, strict=False)
+    records = compile_records(mapping, cells_df, strict=False)
+    f = F.col("fields")
+    return records.select(
+        F.element_at(f, F.lit("order_key")).cast("long").alias("o_orderkey"),
+        F.element_at(f, F.lit("cust_key")).cast("long").alias("o_custkey"),
+        F.element_at(f, F.lit("status")).alias("status"),
+        F.element_at(f, F.lit("priority")).alias("priority"),
+    )
+
+
+_ORACLE_NONTABULAR = """
+SELECT o_orderkey, o_custkey, o_orderstatus AS status, o_orderpriority AS priority
+FROM orders
+"""
+
+
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML table operator end-to-end: part rows serialised to XML record
+    strings, parsed with Spark's native from_xml into structs, cells
+    extracted by compiled xpath navigation (element text + attribute +
+    nested path), validated for unmapped leaves, then mapped to records.
+    Oracle = the part table itself.
+
+    Covers SURVEY §2.5 (reference lib/ndr_import/xml/table.rb)."""
+    from ndr_import_spark.operators.xml_table import transform_xml_table
+    from ndr_import_spark.plans.yaml_loader import load_mapping
+
+    part = _t(spark, sf_dir, "part")
+    xml = F.concat(
+        F.lit("<part><id>"), F.col("p_partkey").cast("string"), F.lit("</id>"),
+        F.lit('<name brand="'), F.col("p_brand"), F.lit('">'),
+        F.col("p_name"), F.lit("</name>"),
+        F.lit("<detail><type>"), F.col("p_type"), F.lit("</type>"),
+        F.lit("<size>"), F.col("p_size").cast("string"), F.lit("</size></detail>"),
+        F.lit("</part>"),
+    )
+    schema = ("id STRING, name STRUCT<_VALUE: STRING, _brand: STRING>, "
+              "detail STRUCT<type: STRING, size: STRING>")
+    parsed = part.select(
+        F.lit("part.xml").alias("source_file"),
+        F.col("p_partkey").cast("long").alias("row_index"),
+        F.from_xml(xml, schema).alias("r"),
+    ).select("source_file", "row_index", "r.*")
+
+    mapping = load_mapping(
+        """
+klass: PartRecord
+columns:
+- column: id
+  mappings:
+  - field: part_key
+- column: name
+  mappings:
+  - field: part_name
+- column: name
+  rawtext_name: name_brand
+  xml_cell:
+    attribute: brand
+  mappings:
+  - field: brand
+- column: type
+  xml_cell:
+    relative_path: detail
+  mappings:
+  - field: part_type
+- column: size
+  xml_cell:
+    relative_path: detail
+  mappings:
+  - field: part_size
+"""
+    )
+    records = transform_xml_table(parsed, mapping, strict=True)
+    f = F.col("fields")
+    return records.select(
+        F.element_at(f, F.lit("part_key")).cast("long").alias("p_partkey"),
+        F.element_at(f, F.lit("brand")).alias("brand"),
+        F.element_at(f, F.lit("part_name")).alias("part_name"),
+        F.element_at(f, F.lit("part_type")).alias("part_type"),
+        F.element_at(f, F.lit("part_size")).cast("int").alias("part_size"),
+    )
+
+
+_ORACLE_XML = """
+SELECT p_partkey, p_brand AS brand, p_name AS part_name, p_type AS part_type,
+       p_size AS part_size
+FROM part
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational / analytical queries (Spark SQL surface over records)
 # ---------------------------------------------------------------------------
@@ -753,6 +922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_supplier_volume": q5_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "nontabular_extract": q_nontabular_extract,
+        "xml_extract": q_xml_extract,
         "events_sessionize": q_events_sessionize,
         "events_daily_stats": q_events_daily_stats,
         "events_top_users": q_events_top_users,
@@ -776,6 +947,8 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": _ORACLE_Q3,
         "q5_supplier_volume": _ORACLE_Q5,
         "q6_forecast_revenue": _ORACLE_Q6,
+        "nontabular_extract": _ORACLE_NONTABULAR,
+        "xml_extract": _ORACLE_XML,
         "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
         "events_daily_stats": _ORACLE_EVENTS_DAILY,
         "events_top_users": _ORACLE_EVENTS_TOP_USERS,

@@ -66,7 +66,7 @@ class Engine:
         """Tabulate + compile one table; mirrors Table#transform."""
         if mapping.kind == "non_tabular":
             from ndr_import_spark.operators.nontabular import tabulate_non_tabular
-            cells_df = tabulate_non_tabular(df, mapping)
+            cells_df = tabulate_non_tabular(df, mapping, strict=self.strict)
             records = compiler.compile_records(mapping, cells_df, strict=self.strict)
         elif mapping.kind == "xml":
             from ndr_import_spark.operators.xml_table import transform_xml_table

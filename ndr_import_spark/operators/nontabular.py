@@ -75,10 +75,14 @@ def _flag_removed_lines(df: DataFrame, mapping: TableMapping, w) -> DataFrame:
     return df.drop(*[f"_rm_{n}" for n in mapping.remove_lines])
 
 
-def sessionize(df: DataFrame, mapping: TableMapping) -> DataFrame:
+def sessionize(df: DataFrame, mapping: TableMapping, strict: bool = True) -> DataFrame:
     """lines (source_file,row_index,value) → per-record line arrays.
 
     Output: (source_file, row_index [record ordinal], lines array<string>).
+
+    strict=True runs the start-before-end MappingError probe (an extra
+    Spark job executing the window stack twice) — parity mode; disable in
+    throughput paths with well-formed patterns.
     """
     w = Window.partitionBy("source_file").orderBy("row_index")
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -108,7 +112,7 @@ def sessionize(df: DataFrame, mapping: TableMapping) -> DataFrame:
     # in-record *before* this line (state-machine prefix counting)
     df = df.withColumn("_in_before", F.col("_s_excl") > F.col("_e_excl"))
 
-    if has_end:
+    if has_end and strict:
         # start-before-end is a MappingError (table.rb#start_record)
         clash = df.filter(F.col("_is_start") & F.col("_in_before")).limit(1).count()
         if clash:
@@ -262,9 +266,9 @@ def tabulate_cells(lines: Column, columns: list[ColumnMapping]) -> Column:
     return F.array(*cells)
 
 
-def tabulate_non_tabular(df: DataFrame, mapping: TableMapping) -> DataFrame:
+def tabulate_non_tabular(df: DataFrame, mapping: TableMapping, strict: bool = True) -> DataFrame:
     """Full pipeline: lines → sessionized records → cells DataFrame."""
-    records = sessionize(df, mapping)
+    records = sessionize(df, mapping, strict=strict)
     return records.select(
         "source_file",
         "row_index",

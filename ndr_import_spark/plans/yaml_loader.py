@@ -78,7 +78,7 @@ def _regexp_range_constructor(loader: yaml.Loader, node: yaml.Node) -> RegexpRan
     return RegexpRange(begin=d.get("begin"), end=d.get("end"), excl=bool(d.get("excl", False)))
 
 
-def _ruby_object_constructor(tag_suffix: str, loader: yaml.Loader, node: yaml.Node) -> Any:
+def _ruby_object_constructor(loader: yaml.Loader, tag_suffix: str, node: yaml.Node) -> Any:
     d = loader.construct_mapping(node, deep=True)
     if tag_suffix == "RegexpRange":
         return RegexpRange(begin=d.get("begin"), end=d.get("end"), excl=bool(d.get("excl", False)))

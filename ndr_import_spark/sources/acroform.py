@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import MapType, StringType
 
 from ndr_import_spark.sources.common import list_input_files
 from ndr_import_spark.sources.registry import Registry
@@ -42,7 +43,7 @@ def _fallback_fields(data: bytes) -> dict[str, str]:
     return fields
 
 
-@pandas_udf("map<string,string>")
+@pandas_udf(MapType(StringType(), StringType()))
 def _acroform_udf(blobs: pd.Series) -> pd.Series:
     def one(b):
         if b is None:

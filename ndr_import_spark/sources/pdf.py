@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 from ndr_import_spark.sources.common import attach_row_index, list_input_files
 from ndr_import_spark.sources.registry import Registry
@@ -54,7 +55,7 @@ def _fallback_extract(data: bytes) -> str:
     return text
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def _pdf_text_udf(blobs: pd.Series) -> pd.Series:
     def one(b):
         if b is None:

@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 
 def _extract_docx_text(data: bytes) -> str:
@@ -63,7 +64,7 @@ def set_doc_parser(fn) -> None:
     _doc_parser = fn
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def _word_text_udf(blobs: pd.Series) -> pd.Series:
     def one(b):
         if b is None:
