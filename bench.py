@@ -46,6 +46,10 @@ def main() -> int:
     except ValueError:
         sf = -1.0
 
+    # warm up the JVM/executors + Arrow paths so per-query numbers reflect
+    # steady state, not first-job startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entry_mod.queries().items():

@@ -252,19 +252,23 @@ def simhash(text: Column, bits: int = 16) -> Column:
     """
     toks = F.filter(F.split(normalize_text(text), " "), lambda t: t != F.lit(""))
     th = F.transform(toks, lambda t: md5_long(t))
-
-    def _voter(mask: Column):
-        def merge(acc: Column, h: Column) -> Column:
-            return acc + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1))
-
-        return merge
-
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        mask = F.lit(2 ** j).cast("long")
-        vote = F.aggregate(th, F.lit(0), _voter(mask))
-        out = out + F.when(vote > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    zeros = F.array(*[F.lit(0)] * bits)
+    # ONE aggregate pass: per token, vote ±1 on every bit plane (separate
+    # per-bit aggregates would re-run the md5 token pass `bits` times)
+    votes = F.aggregate(
+        th,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    bits_set = F.zip_with(
+        votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(bits_set, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def simhash_duplicate_groups(

@@ -86,7 +86,6 @@ def sessionize(df: DataFrame, mapping: TableMapping, strict: bool = True) -> Dat
     """
     w = Window.partitionBy("source_file").orderBy("row_index")
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy("source_file")
 
     df = df.withColumn("value", F.regexp_replace(F.col("value"), r"\s+$", ""))
     df = _flag_removed_lines(df, mapping, w)
@@ -125,32 +124,21 @@ def sessionize(df: DataFrame, mapping: TableMapping, strict: bool = True) -> Dat
         .otherwise(F.col("_in_before"))
     )
     df = df.withColumn("_captured", captured)
+    df = df.withColumn(
+        "_closes", (F.col("_is_end") & F.col("_in_before")).cast("int")
+    )
 
-    # which sessions are emitted?
-    last_session = F.max("_session").over(w_all)
-    in_record_at_eof = F.last(
-        F.col("_s_incl") > F.col("_e_incl"), ignorenulls=False
-    ).over(w_all.orderBy("row_index").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-
-    if has_end:
-        session_closed = F.max(F.col("_is_end") & F.col("_in_before")).over(
-            Window.partitionBy("source_file", "_session")
-        )
-        emit = session_closed | (
-            (F.col("_session") == last_session)
-            & F.lit(bool(mapping.end_in_a_record))
-            & in_record_at_eof
-        )
-    else:
-        emit = (F.col("_session") != last_session) | F.lit(bool(mapping.end_in_a_record))
-    emit = emit & (F.col("_session") >= 1)
-    df = df.withColumn("_emit", emit)
-
+    # Group FIRST (one shuffle keyed by (file, session)), then decide which
+    # sessions to emit on the grouped rows — orders of magnitude fewer rows
+    # than per-line whole-partition windows. A session is closed iff it
+    # contains a real end line; the trailing session is in-record at EOF iff
+    # it is not closed (every session >= 1 contains exactly one start).
     grouped = (
-        df.filter(F.col("_emit"))
+        df.filter(F.col("_session") >= 1)
         .groupBy("source_file", "_session")
         .agg(
             F.min("row_index").alias("_first_line"),
+            F.max("_closes").alias("_closed"),
             F.sort_array(
                 F.collect_list(
                     F.struct(
@@ -162,6 +150,17 @@ def sessionize(df: DataFrame, mapping: TableMapping, strict: bool = True) -> Dat
             ).alias("_all_lines"),
         )
     )
+
+    last_session = F.max("_session").over(Window.partitionBy("source_file"))
+    if has_end:
+        emit = (F.col("_closed") == 1) | (
+            (F.col("_session") == last_session)
+            & F.lit(bool(mapping.end_in_a_record))
+            & (F.col("_closed") == 0)
+        )
+    else:
+        emit = (F.col("_session") != last_session) | F.lit(bool(mapping.end_in_a_record))
+    grouped = grouped.withColumn("_emit", emit).filter(F.col("_emit"))
     grouped = grouped.withColumn(
         "lines",
         F.transform(
