@@ -483,6 +483,45 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-0
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order at the
+    event time. Union+window formulation — one shuffle on the key, no
+    range-join explosion (operators/asof.py). Right side deduped to one row
+    per (custkey, orderdate) for deterministic ties on both engines."""
+    from ndr_import_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        orders,
+        left_on="ts",
+        right_on="o_orderdate",
+        left_by="user_id",
+        right_by="o_custkey",
+        how="inner",
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("o_orderkey"), F.col("o_orderdate").cast("date").alias("o_orderdate")
+    ).orderBy("event_id")
+
+
+_ORACLE_ASOF = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, o.o_orderkey, cast(o.o_orderdate as date) AS o_orderdate
+FROM events e ASOF JOIN o
+ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min idle) — the same prefix-sum pattern
     as the non-tabular record partitioner, on the events stream table."""
@@ -860,6 +899,94 @@ SELECT * FROM (
 """
 
 
+def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed similarity pairs — the 100 TB ANN path: random-hyperplane
+    sign signatures (deterministic md5-derived planes), compare only within
+    buckets; no cross-join anywhere."""
+    from ndr_import_spark.operators.similarity import lsh_bucket_candidates
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return lsh_bucket_candidates(emb, dim=64, planes=10, threshold=0.25).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _oracle_ann_lsh(planes: int = 10, dim: int = 64, thr: float = 0.25) -> str:
+    from ndr_import_spark.operators.similarity import _md5_bit
+
+    def plane(p: int) -> str:
+        arr = "[" + ",".join(
+            "1.0" if _md5_bit(f"hp{p}:{i}") else "-1.0" for i in range(dim)
+        ) + "]"
+        return f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {2 ** p} ELSE 0 END)"
+
+    sig = " + ".join(plane(p) for p in range(planes))
+    cos = ("list_dot_product(l.v, r.v) / "
+           "(sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))")
+    return f"""
+WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+sigs AS (SELECT vec_id, v, {sig} AS sig FROM e)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b, round({cos}, 5) AS cos
+FROM sigs l JOIN sigs r ON l.sig = r.sig AND l.vec_id < r.vec_id
+WHERE {cos} >= {thr}
+ORDER BY id_a, id_b
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary media table → Arrow-batched
+    mapInPandas decode (deterministic md5 fake standing in for the image
+    lib) → per-kind feature stats. The oracle reconstructs the md5-derived
+    'pixels' in SQL, proving the batch plumbing is lossless."""
+    from ndr_import_spark.operators import multimodal as MM
+
+    MM.set_image_decoder(MM.deterministic_fake_decoder)
+    media = MM.synth_media_df(spark, 256)
+    feats = MM.extract_features(media)
+    mean_feat = F.aggregate(
+        F.col("feature"), F.lit(0.0), lambda a, x: a + x
+    ) / F.size(F.col("feature"))
+    return (
+        feats.select(
+            "kind",
+            F.col("width").cast("double").alias("w"),
+            F.col("height").cast("double").alias("h"),
+            mean_feat.alias("mf"),
+        )
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("w"), 5).alias("avg_w"),
+            F.round(F.avg("h"), 5).alias("avg_h"),
+            F.round(F.avg("mf"), 5).alias("avg_feat"),
+        )
+        .orderBy("kind")
+    )
+
+
+_ORACLE_MULTIMODAL = """
+WITH m AS (SELECT unnest(range(256)) AS i),
+d AS (
+  SELECT i,
+    CASE cast(i % 3 as int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    md5('media' || i) AS h
+  FROM m
+), f AS (
+  SELECT i, kind,
+    cast(4 + (cast(('0x' || substring(h, 1, 2)) as int) % 4) as double) AS w,
+    cast(4 + (cast(('0x' || substring(h, 3, 2)) as int) % 4) as double) AS ht,
+    list_sum(list_transform(range(16),
+      j -> cast(('0x' || substring(h, j * 2 + 1, 2)) as int) / 255.0)) / 16.0 AS mf
+  FROM d
+)
+SELECT kind, count(*) AS n, round(avg(w), 5) AS avg_w, round(avg(ht), 5) AS avg_h,
+       round(avg(mf), 5) AS avg_feat
+FROM f GROUP BY kind ORDER BY kind
+"""
+
+
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norms — grouped vector aggregation via
     element-wise array folding (posexplode-free, stays vectorised)."""
@@ -924,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "nontabular_extract": q_nontabular_extract,
         "xml_extract": q_xml_extract,
+        "asof_join": q_asof_join,
         "events_sessionize": q_events_sessionize,
         "events_daily_stats": q_events_daily_stats,
         "events_top_users": q_events_top_users,
@@ -935,6 +1063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_filter": q_quality_filter,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
+        "multimodal_features": q_multimodal_features,
         "embedding_label_centroids": q_embedding_label_centroids,
     }
 
@@ -949,6 +1079,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": _ORACLE_Q6,
         "nontabular_extract": _ORACLE_NONTABULAR,
         "xml_extract": _ORACLE_XML,
+        "asof_join": _ORACLE_ASOF,
         "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
         "events_daily_stats": _ORACLE_EVENTS_DAILY,
         "events_top_users": _ORACLE_EVENTS_TOP_USERS,
@@ -960,5 +1091,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _oracle_lang_id(),
         "quality_filter": _oracle_quality(),
         "ann_cosine_topk": _ORACLE_ANN,
+        "ann_lsh_pairs": _oracle_ann_lsh(),
+        "multimodal_features": _ORACLE_MULTIMODAL,
         "embedding_label_centroids": _ORACLE_CENTROIDS,
     }

@@ -51,11 +51,15 @@ def set_audio_decoder(fn) -> None:
 
 
 def deterministic_fake_decoder(data: bytes) -> tuple[int, int, list[float]]:
-    """Test decoder: md5-derived 'pixels' — deterministic, library-free."""
-    h = hashlib.md5(data or b"").digest()
-    w = 4 + h[0] % 4
-    ht = 4 + h[1] % 4
-    feats = [b / 255.0 for b in h]
+    """Test decoder: reads the first 16 payload bytes as 'pixels' —
+    deterministic, library-free, and reproducible by an SQL oracle (the
+    payload bytes are the contract; no re-hashing)."""
+    b = bytes(data or b"")
+    if len(b) < 16:
+        b = (b + bytes(16))[:16]
+    w = 4 + b[0] % 4
+    ht = 4 + b[1] % 4
+    feats = [x / 255.0 for x in b[:16]]
     return w, ht, feats
 
 
@@ -71,8 +75,12 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
     plumbing (schema, batching, partitioning) is the tested surface.
     """
 
+    # capture the decoder at PLAN time: executors re-import this module in a
+    # fresh interpreter, so reading the global inside the UDF would always
+    # see None there
+    decoder = _image_decoder
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decoder = _image_decoder
         for pdf in batches:
             if decoder is None:
                 raise NotImplementedError(

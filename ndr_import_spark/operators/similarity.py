@@ -100,24 +100,29 @@ def lsh_bucket_candidates(
     planes: int = 12,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    threshold: float | None = None,
 ) -> DataFrame:
     """Bucket by hyperplane signature; candidate pairs share a bucket.
 
     Returns (id_a, id_b, cos) for in-bucket pairs — the scale path where a
-    full cross-join is impossible."""
+    full cross-join is impossible. `threshold` filters on the raw cosine
+    (rounding happens after, for presentation)."""
     sig = hyperplane_signature(F.col(vec_col), dim, planes)
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_sig"))
     left = base.alias("l")
     right = base.alias("r")
-    return (
+    pairs = (
         left.join(right, "_sig")
         .filter(F.col("l._id") < F.col("r._id"))
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
-            F.round(cosine(F.col("l._v"), F.col("r._v")), 5).alias("cos"),
+            cosine(F.col("l._v"), F.col("r._v")).alias("_cos"),
         )
     )
+    if threshold is not None:
+        pairs = pairs.filter(F.col("_cos") >= threshold)
+    return pairs.select("id_a", "id_b", F.round(F.col("_cos"), 5).alias("cos"))
 
 
 # ---------------------------------------------------------------------------
@@ -135,17 +140,28 @@ def ivf_assign(
     Centroid c's components are md5-derived values in [-1,1] — a stand-in
     for trained centroids (k-means training is a separate offline job);
     the *query path* (probe only matching cells) is the real scale
-    mechanism being exercised."""
-    best_cell = F.lit(0)
-    best_score = F.lit(-1e18)
-    for c in range(n_cells):
-        comps = [_md5_unit(f"ivf{c}:{i}") for i in range(dim)]
-        centroid = F.array(*[F.lit(v) for v in comps])
-        score = dot(F.col(vec_col), centroid)
-        better = score > best_score
-        best_cell = F.when(better, F.lit(c)).otherwise(best_cell)
-        best_score = F.when(better, score).otherwise(best_score)
-    return df.withColumn("ivf_cell", best_cell)
+    mechanism being exercised.
+
+    Compiled as a scores array + array_position argmax (ties → lowest cell
+    id); a when-chain fold would nest every prior score into the next
+    comparison (exponential expression growth)."""
+    scores = F.array(*[
+        dot(
+            F.col(vec_col),
+            F.array(*[F.lit(_md5_unit(f"ivf{c}:{i}")) for i in range(dim)]),
+        )
+        for c in range(n_cells)
+    ])
+    # singleton-array transform = evaluate `scores` once, argmax on the
+    # (cheap) lambda variable
+    cell = F.element_at(
+        F.transform(
+            F.array(scores),
+            lambda s: (F.array_position(s, F.array_max(s)) - 1).cast("int"),
+        ),
+        1,
+    )
+    return df.withColumn("ivf_cell", cell)
 
 
 def _md5_unit(s: str) -> float:

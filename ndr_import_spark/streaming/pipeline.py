@@ -1,0 +1,154 @@
+"""Structured Streaming surface: the record pipeline as a continuous query.
+
+The reference gem is batch-only (lazy Enumerators over closed files —
+`lib/ndr_import/table.rb:47-61`); this module is the net-new streaming
+counterpart the north-star asks for. Design:
+
+* the compiled mapping pipeline (`operators.compiler.compile_records`) is a
+  pure narrow map (select + explode), so it applies to a streaming
+  DataFrame unchanged — same code path for batch and streaming;
+* ORDER-DEPENDENT features (header/footer consumption, `row_identifier:
+  index`, non-tabular sessionization across file order) are rejected at
+  plan time: a stream has no stable file order. Headers are handled by
+  schema instead (`header_lines: 1` → column names come from the declared
+  mapping, `skipFirstRow`-style handling belongs to the batch path);
+* late data: `windowed_stats` = watermark + tumbling window (state is
+  dropped `delay` after the window closes); `session_window_stats` =
+  native `session_window` gap sessions — the streaming twin of the batch
+  gap-sessionization in `__spark_entry__.q_events_sessionize`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ndr_import_spark.operators import compiler
+from ndr_import_spark.plans.model import MappingError, TableMapping
+
+
+def _cells_schema(n_cols: int) -> T.StructType:
+    return T.StructType(
+        [T.StructField(f"c{i}", T.StringType()) for i in range(n_cols)]
+    )
+
+
+def stream_tables(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    mapping: TableMapping,
+    options: dict | None = None,
+) -> DataFrame:
+    """readStream wrapper → the compiler's cells contract
+    (source_file, row_index, cells array<string>).
+
+    Streaming has no per-file line order: `row_index` is NULL (order-
+    dependent mapping features are rejected in `stream_records`). The
+    declared mapping supplies the schema — no inference job on a stream.
+    """
+    options = dict(options or {})
+    n = len(mapping.columns)
+    reader = spark.readStream
+    if fmt in ("csv", "delimited"):
+        sep = options.pop("col_sep", mapping.delimiter or ",")
+        df = (
+            reader.schema(_cells_schema(n))
+            .options(sep=sep, header=str(bool(mapping.header_lines)).lower(), **options)
+            .csv(path)
+        )
+        cells = F.array(*[F.col(f"c{i}").cast("string") for i in range(n)])
+    elif fmt == "jsonl":
+        names = [c.column if isinstance(c.column, str) else f"c{i}"
+                 for i, c in enumerate(mapping.columns)]
+        schema = T.StructType([T.StructField(nm, T.StringType()) for nm in names])
+        df = reader.schema(schema).options(**options).json(path)
+        cells = F.array(*[F.col(nm).cast("string") for nm in names])
+    elif fmt in ("txt", "text"):
+        df = reader.options(**options).text(path)
+        cells = F.array(F.col("value"))
+    else:
+        raise MappingError(f"Streaming not supported for format: {fmt}")
+
+    return df.select(
+        F.lit(path).alias("source_file"),
+        F.lit(None).cast("long").alias("row_index"),
+        cells.alias("cells"),
+    )
+
+
+def stream_records(
+    mapping: TableMapping, cells_stream: DataFrame, strict: bool = False
+) -> DataFrame:
+    """Compiled record pipeline over a streaming cells DataFrame.
+
+    Rejects order-dependent mapping features (no stable order on a stream):
+    footer_lines, row_identifier: index, non-tabular sessionization.
+    """
+    if mapping.kind == "non_tabular":
+        raise MappingError(
+            "non-tabular sessionization is order-dependent; batch only "
+            "(stream into files, then run the batch sessionizer per file)"
+        )
+    if mapping.footer_lines:
+        raise MappingError("footer_lines is order-dependent; batch only")
+    if mapping.row_identifier == "index":
+        raise MappingError("row_identifier: index is order-dependent; use uuid")
+    return compiler.compile_records(mapping, cells_stream, strict=strict)
+
+
+def windowed_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window_duration: str = "1 hour",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — late rows beyond the
+    watermark are dropped and window state is reclaimed (bounded state at
+    100 TB/day stream rates)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("double")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Native session-window gap sessionization — the streaming twin of the
+    batch prefix-sum sessionizer. State per open session, closed `gap`
+    after the last event (plus watermark slack)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("double")).alias("total_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )

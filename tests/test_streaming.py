@@ -1,0 +1,131 @@
+"""Structured Streaming pipeline tests: file-source stream → compiled record
+pipeline → memory sink; watermarked window + session-window aggregations."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndr_import_spark.plans.model import MappingError
+from ndr_import_spark.plans.yaml_loader import load_mapping
+from ndr_import_spark.streaming import (
+    session_window_stats,
+    stream_records,
+    stream_tables,
+    windowed_stats,
+)
+
+MAPPING_YAML = """
+klass: Patient
+header_lines: 1
+columns:
+- column: nhs_no
+  rawtext_name: nhsnumber
+  mappings:
+  - field: nhsnumber
+    clean: :nhsnumber
+- column: name
+  mappings:
+  - field: name
+    clean: :name
+"""
+
+
+class TestStreamRecords:
+    def test_csv_stream_to_records(self, spark):
+        tmp = tempfile.mkdtemp()
+        try:
+            with open(f"{tmp}/a.csv", "w") as f:
+                f.write("nhs_no,name\n012 345 6789,anna.belle smith\n555,bob\n")
+            mapping = load_mapping(MAPPING_YAML)
+            cells = stream_tables(spark, tmp, "csv", mapping)
+            assert cells.isStreaming
+            records = stream_records(mapping, cells)
+            name = f"recs_{uuid.uuid4().hex[:8]}"
+            q = (
+                records.writeStream.format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            rows = spark.sql(f"select * from {name}").collect()
+            assert len(rows) == 2
+            by_nhs = {dict(r.fields).get("nhsnumber") for r in rows}
+            assert by_nhs == {"0123456789", "555"}
+            assert all(r.klass == "Patient" for r in rows)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_order_dependent_features_rejected(self, spark):
+        footer = load_mapping(MAPPING_YAML + "footer_lines: 2\n")
+        with pytest.raises(MappingError):
+            stream_records(footer, None)
+        idx = load_mapping(MAPPING_YAML + "row_identifier: index\n")
+        with pytest.raises(MappingError):
+            stream_records(idx, None)
+
+
+class TestWindows:
+    def _event_stream(self, spark, tmp):
+        with open(f"{tmp}/events.json", "w") as f:
+            f.write(
+                '{"user_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0, "event_type": "a"}\n'
+                '{"user_id": 1, "ts": "2024-01-01T00:10:00", "value": 2.0, "event_type": "a"}\n'
+                '{"user_id": 1, "ts": "2024-01-01T02:00:00", "value": 4.0, "event_type": "b"}\n'
+                '{"user_id": 2, "ts": "2024-01-01T00:05:00", "value": 8.0, "event_type": "a"}\n'
+            )
+        schema = "user_id long, ts timestamp, value double, event_type string"
+        return spark.readStream.schema(schema).json(tmp)
+
+    def test_windowed_stats(self, spark):
+        tmp = tempfile.mkdtemp()
+        try:
+            stats = windowed_stats(self._event_stream(spark, tmp))
+            name = f"win_{uuid.uuid4().hex[:8]}"
+            q = (
+                stats.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            rows = {
+                (r.window_start.isoformat(), r.event_type): (r.n, r.sum_value)
+                for r in spark.sql(f"select * from {name}").collect()
+            }
+            assert rows[("2024-01-01T00:00:00", "a")] == (3, 11.0)
+            assert rows[("2024-01-01T02:00:00", "b")] == (1, 4.0)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_session_window_stats(self, spark):
+        tmp = tempfile.mkdtemp()
+        try:
+            stats = session_window_stats(self._event_stream(spark, tmp))
+            name = f"sess_{uuid.uuid4().hex[:8]}"
+            q = (
+                stats.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            rows = spark.sql(f"select * from {name}").collect()
+            # user 1: two sessions (00:00-00:10 gap < 30m, then 02:00); user 2: one
+            per_user = {}
+            for r in rows:
+                per_user.setdefault(r.user_id, []).append((r.n_events, r.total_value))
+            assert sorted(per_user[1]) == [(1, 4.0), (2, 3.0)]
+            assert per_user[2] == [(1, 8.0)]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
