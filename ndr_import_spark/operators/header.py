@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ndr_import_spark.plans.model import MappingError, TableMapping
-from ndr_import_spark.plans.yaml_loader import RubyRegexp
+from ndr_import_spark.plans.yaml_loader import RubyRegexp, python_re
 
 
 class HeaderError(ValueError):
@@ -54,7 +54,7 @@ def validate_header(df: DataFrame, mapping: TableMapping) -> TableMapping:
             for row in rows:
                 cells = row["cells"] or []
                 if col_idx < len(cells) and cells[col_idx] is not None:
-                    if re.search(str(cm.column), cells[col_idx]):
+                    if re.search(python_re(cm.column), cells[col_idx]):
                         cm.column = cells[col_idx]
                         cm.raw["column"] = cells[col_idx]
                         break
@@ -118,8 +118,12 @@ def apply_last_data_column(df: DataFrame, mapping: TableMapping) -> DataFrame:
 
 
 def prepare_table(df: DataFrame, mapping: TableMapping) -> tuple[DataFrame, TableMapping]:
-    """validate header → skip header/footer → truncate columns."""
+    """truncate columns → validate header → skip header/footer.
+
+    Truncation runs FIRST: the reference applies `last_data_column` to every
+    line including header candidates (table.rb:55-57), so a header wider
+    than the mapping still validates after truncation."""
+    df = apply_last_data_column(df, mapping)
     mapping = validate_header(df, mapping)
     df = skip_header_footer(df, mapping)
-    df = apply_last_data_column(df, mapping)
     return df, mapping

@@ -19,6 +19,11 @@ from dataclasses import dataclass, field as dc_field
 from typing import Any
 
 
+def _python_re(pattern) -> str:
+    """`\\z` end-of-string anchor is `\\Z` in Python re (Java keeps \\z)."""
+    return str(pattern).replace("\\z", "\\Z")
+
+
 class MappingError(ValueError):
     """Invalid mapping declaration (reference: NdrImport::MappingError)."""
 
@@ -339,10 +344,10 @@ class TableMapping:
         """File/table routing (table.rb:39-42)."""
         import os
         base = os.path.basename(filename)
-        if self.filename_pattern and not re.search(self.filename_pattern, base):
+        if self.filename_pattern and not re.search(_python_re(self.filename_pattern), base):
             return False
         if tablename is not None and self.tablename_pattern:
-            return re.search(self.tablename_pattern, tablename) is not None
+            return re.search(_python_re(self.tablename_pattern), tablename) is not None
         return True
 
     def all_klasses(self) -> list[str]:

@@ -35,6 +35,13 @@ _RUBY_CLASS_KINDS = {
 }
 
 
+def python_re(pattern: str) -> str:
+    """Translate Java/Ruby-only anchors for driver-side `re` use (`\\z` end-
+    of-string is `\\Z` in Python). Spark-side `rlike` consumes the pattern
+    unchanged (Java supports both)."""
+    return str(pattern).replace("\\z", "\\Z")
+
+
 class RubyRegexp(str):
     """A regex loaded from ``!ruby/regexp /.../flags`` — behaves as its pattern
     string (with inline flags) but remembers it was declared as a regexp, which
