@@ -98,6 +98,10 @@ class Engine:
         opts: dict = {}
         if mapping.columns and mapping.kind in ("tabular",):
             opts["expected_columns"] = len(mapping.columns)
+        if mapping.format:
+            # archives resolve members by the MAPPING's format, not the
+            # member extension (universal_importer_helper.rb:58-66)
+            opts["inner_format"] = mapping.format
         if mapping.delimiter:
             opts["col_sep"] = mapping.delimiter
         if mapping.liberal_parsing:

@@ -78,11 +78,44 @@ def probe_encoding(path: str, default: str = "UTF-8") -> str:
         return "UTF-16BE"
     if prefix.startswith(b"\xef\xbb\xbf"):
         return "UTF-8"
+    # BOM-less UTF-16: ASCII text has every other byte NUL (text.rb's
+    # mode-probing equivalent) — NULs on odd offsets ⇒ LE, even ⇒ BE
+    if prefix:
+        sample = prefix[:4096]
+        odd_nuls = sample[1::2].count(0)
+        even_nuls = sample[0::2].count(0)
+        half = max(len(sample) // 2, 1)
+        if odd_nuls > half * 0.7:
+            return "UTF-16LE"
+        if even_nuls > half * 0.7:
+            return "UTF-16BE"
     try:
         prefix.decode("utf-8")
         return "UTF-8"
     except UnicodeDecodeError:
         return "windows-1252"
+
+
+# cp1252 0x80-0x9F printables; iso-8859-1 decodes those bytes to C1 control
+# chars (Spark's CSV charset whitelist has iso-8859-1 but not windows-1252,
+# so we read latin-1 and remap the 27 differing characters)
+_CP1252_FROM = "".join(chr(b) for b in range(0x80, 0xA0))
+_CP1252_TO = "".join(bytes([b]).decode("cp1252", errors="replace") for b in range(0x80, 0xA0))
+
+
+def spark_charset(encoding: str) -> str:
+    """Map a probed encoding to one Spark's CSV reader accepts."""
+    if encoding.lower().replace("-", "") in ("windows1252", "cp1252"):
+        return "iso-8859-1"
+    return encoding
+
+
+def cp1252_fixup(col, encoding: str):
+    """Remap C1 control chars to their cp1252 printables after an
+    iso-8859-1 read of windows-1252 bytes."""
+    if encoding.lower().replace("-", "") not in ("windows1252", "cp1252"):
+        return col
+    return F.translate(col, _CP1252_FROM, _CP1252_TO)
 
 
 def rtrim_nulls(arr):

@@ -17,9 +17,11 @@ from pyspark.sql import functions as F
 
 from ndr_import_spark.sources.common import (
     attach_row_index,
+    cp1252_fixup,
     list_input_files,
     probe_encoding,
     rtrim_nulls,
+    spark_charset,
     strip_bom,
 )
 from ndr_import_spark.sources.registry import Registry
@@ -35,7 +37,7 @@ def read_delimited(
 
     reader = (
         spark.read.option("sep", sep)
-        .option("encoding", encoding)
+        .option("encoding", spark_charset(encoding))
         .option("header", "false")
         .option("inferSchema", "false")
         .option("mode", "PERMISSIVE")
@@ -43,6 +45,11 @@ def read_delimited(
     )
     if liberal:
         reader = reader.option("unescapedQuoteHandling", "STOP_AT_CLOSING_QUOTE")
+    if not spark_charset(encoding).lower().startswith("utf-8"):
+        # explicit lineSep is encoded IN the charset; the default splits on
+        # raw \n bytes, which lands mid-character in UTF-16 (UTF-8 keeps the
+        # default so CRLF files still chomp both bytes)
+        reader = reader.option("lineSep", "\n")
     # Spark sizes the schema by sampling and SILENTLY DROPS extra columns in
     # PERMISSIVE mode — the reference raises "Line has too many columns".
     # When the caller knows the mapping width, parse with slack columns so
@@ -69,8 +76,11 @@ def read_delimited(
         "row_index",
         F.transform(
             F.col("_cells_raw"),
-            lambda c, i: F.when(i == 0, strip_bom(F.coalesce(c, F.lit("")))).otherwise(
-                F.coalesce(c, F.lit(""))
+            lambda c, i: cp1252_fixup(
+                F.when(i == 0, strip_bom(F.coalesce(c, F.lit("")))).otherwise(
+                    F.coalesce(c, F.lit(""))
+                ),
+                encoding,
             ),
         ).alias("cells"),
     )

@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 
 from ndr_import_spark.sources.common import (
     attach_row_index,
+    cp1252_fixup,
     list_input_files,
     probe_encoding,
+    spark_charset,
     strip_bom,
 )
 from ndr_import_spark.sources.registry import Registry
@@ -29,13 +31,16 @@ def read_lines_df(spark: SparkSession, files: list[str], encoding: str | None = 
         df = (
             spark.read.option("sep", "\u0001")
             .option("quote", "\u0000")
-            .option("encoding", enc)
+            .option("encoding", spark_charset(enc))
+            # explicit lineSep is encoded IN the charset; the default splits
+            # on raw \n bytes, which lands mid-character in UTF-16
+            .option("lineSep", "\n")
             .option("header", "false")
             .csv(files)
         )
         df = df.select(
             F.input_file_name().alias("source_file"),
-            F.coalesce(F.col(df.columns[0]), F.lit("")).alias("value"),
+            F.regexp_replace(cp1252_fixup(F.coalesce(F.col(df.columns[0]), F.lit("")), enc), "\r$", "").alias("value"),
         )
     df = attach_row_index(df)
     return df.select(
