@@ -88,15 +88,16 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
                     "multimodal.set_image_decoder (deterministic_fake_decoder "
                     "available for tests)"
                 )
-            out = {"media_id": [], "kind": [], "width": [], "height": [], "feature": []}
-            for _, row in pdf.iterrows():
-                w, h, feats = decoder(row["payload"])
-                out["media_id"].append(row["media_id"])
-                out["kind"].append(row["kind"])
-                out["width"].append(w)
-                out["height"].append(h)
-                out["feature"].append(feats)
-            yield pd.DataFrame(out)
+            decoded = [decoder(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "feature": [d[2] for d in decoded],
+                }
+            )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
