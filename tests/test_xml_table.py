@@ -1,0 +1,173 @@
+"""XML table operator tests (reference test/xml/table_test.rb:13-77 shapes):
+attribute vs inner-text cells, relative paths, repeated elements → '' on
+multi-match, empty nodes exempt from mapping, UnmappedXpathError.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndr_import_spark.operators.xml_table import (
+    UnmappedXpathError,
+    build_xpath,
+    transform_xml_table,
+)
+from ndr_import_spark.plans.yaml_loader import load_mapping
+
+SAMPLE_XML_ONE = (
+    "<record>"
+    '<no_relative_path value="A value"/>'
+    "<no_path_or_att>Another value</no_path_or_att>"
+    "<demographics>"
+    "<demographics_1>AAA</demographics_1>"
+    "<address><address_line1>Address</address_line1>"
+    "<address_line1>Address 2</address_line1></address>"
+    '<demographics_2 code="03">Inner text</demographics_2>'
+    "</demographics>"
+    "<pathology><pathology_date_1>2018-01-01</pathology_date_1>"
+    "<pathology_date_2/></pathology>"
+    "</record>"
+)
+
+SCHEMA = (
+    "no_relative_path STRUCT<_value: STRING>, "
+    "no_path_or_att STRING, "
+    "demographics STRUCT<"
+    "demographics_1: STRING, "
+    "address: STRUCT<address_line1: ARRAY<STRING>>, "
+    "demographics_2: STRUCT<_VALUE: STRING, _code: STRING>>, "
+    "pathology STRUCT<pathology_date_1: STRING, pathology_date_2: STRING>"
+)
+
+MAPPING_YAML = """
+klass: SomeTestKlass
+columns:
+- column: no_relative_path
+  xml_cell:
+    attribute: value
+  mappings:
+  - field: no_relative_path
+- column: no_path_or_att
+  mappings:
+  - field: no_path_or_att
+- column: demographics_1
+  xml_cell:
+    relative_path: demographics
+  mappings:
+  - field: demographics_1
+- column: address_line1
+  xml_cell:
+    relative_path: demographics/address
+  mappings:
+  - field: address_line1
+- column: demographics_2
+  xml_cell:
+    relative_path: demographics
+  mappings:
+  - field: demographics_2
+- column: demographics_2
+  rawtext_name: demographics_2_code
+  xml_cell:
+    relative_path: demographics
+    attribute: code
+  mappings:
+  - field: demographics_2_code
+- column: pathology_date_1
+  xml_cell:
+    relative_path: pathology
+  mappings:
+  - field: date1
+- column: pathology_date_2
+  xml_cell:
+    relative_path: pathology
+  mappings:
+  - field: date2
+"""
+
+
+def parsed_df(spark, xml_strings):
+    rows = [(f"f.xml", i, x) for i, x in enumerate(xml_strings)]
+    df = spark.createDataFrame(rows, "source_file string, row_index long, xml string")
+    return df.select(
+        "source_file", "row_index", F.from_xml("xml", SCHEMA).alias("r")
+    ).select("source_file", "row_index", "r.*")
+
+
+class TestXmlCells:
+    def test_build_xpath(self):
+        mapping = load_mapping(MAPPING_YAML)
+        xpaths = [build_xpath(c) for c in mapping.columns]
+        assert xpaths == [
+            "no_relative_path/@value",
+            "no_path_or_att",
+            "demographics/demographics_1",
+            "demographics/address/address_line1",
+            "demographics/demographics_2",
+            "demographics/demographics_2/@code",
+            "pathology/pathology_date_1",
+            "pathology/pathology_date_2",
+        ]
+
+    def test_cell_extraction(self, spark):
+        mapping = load_mapping(MAPPING_YAML)
+        df = parsed_df(spark, [SAMPLE_XML_ONE])
+        records = transform_xml_table(df, mapping, strict=True)
+        rows = records.collect()
+        assert len(rows) == 1
+        fields = dict(rows[0].fields)
+        assert fields["no_relative_path"] == "A value"
+        assert fields["no_path_or_att"] == "Another value"
+        assert fields["demographics_1"] == "AAA"
+        # two address_line1 elements → multi-match ⇒ '' (xml/table.rb:93),
+        # and blank values drop from fields
+        assert "address_line1" not in fields
+        assert fields["demographics_2"] == "Inner text"
+        assert fields["demographics_2_code"] == "03"
+        assert fields["date1"] == "2018-01-01"
+        # empty node → no value
+        assert "date2" not in fields
+
+    def test_single_repeat_still_extracts(self, spark):
+        xml = SAMPLE_XML_ONE.replace(
+            "<address_line1>Address</address_line1>"
+            "<address_line1>Address 2</address_line1>",
+            "<address_line1>Only one</address_line1>",
+        )
+        mapping = load_mapping(MAPPING_YAML)
+        records = transform_xml_table(parsed_df(spark, [xml]), mapping, strict=True)
+        fields = dict(records.collect()[0].fields)
+        assert fields["address_line1"] == "Only one"
+
+    def test_unmapped_xpath_error(self, spark):
+        mapping = load_mapping(MAPPING_YAML)
+        # drop the pathology_date_1 mapping → populated leaf unmapped
+        mapping.columns = [
+            c for c in mapping.columns
+            if build_xpath(c) != "pathology/pathology_date_1"
+        ]
+        with pytest.raises(UnmappedXpathError) as e:
+            transform_xml_table(parsed_df(spark, [SAMPLE_XML_ONE]), mapping, strict=True)
+        assert "pathology/pathology_date_1" in str(e.value)
+
+    def test_empty_nodes_need_no_mapping(self, spark):
+        mapping = load_mapping(MAPPING_YAML)
+        # pathology_date_2 is empty in the sample: removing its mapping is fine
+        mapping.columns = [
+            c for c in mapping.columns
+            if build_xpath(c) != "pathology/pathology_date_2"
+        ]
+        records = transform_xml_table(parsed_df(spark, [SAMPLE_XML_ONE]), mapping, strict=True)
+        assert records.count() == 1
+
+    def test_non_strict_skips_validation(self, spark):
+        mapping = load_mapping(MAPPING_YAML)
+        mapping.columns = mapping.columns[:2]
+        records = transform_xml_table(
+            parsed_df(spark, [SAMPLE_XML_ONE]), mapping, strict=False
+        )
+        fields = dict(records.collect()[0].fields)
+        assert fields == {
+            "no_relative_path": "A value",
+            "no_path_or_att": "Another value",
+        }
