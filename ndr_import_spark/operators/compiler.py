@@ -310,7 +310,10 @@ def _fields_map(
 
 def default_cell_fn(cells_col: str = "cells") -> CellFn:
     def fn(cm: ColumnMapping, idx: int) -> Column:
-        return F.col(cells_col)[idx]
+        # F.get, not [idx]: rows shorter than the mapping yield nil cells in
+        # the reference (mapper.rb:94-99); GetArrayItem THROWS under Spark
+        # 4's default ANSI mode
+        return F.get(F.col(cells_col), F.lit(idx))
     return fn
 
 

@@ -1,0 +1,57 @@
+"""Record sinks and the reference-shaped iterator surface.
+
+The reference gem has NO sinks — it yields `(klass, fields, index)` tuples
+to caller code (README.md:38-48). Parity surface here:
+
+* `iter_records` — the same tuple stream, driver-side, via
+  `toLocalIterator` (one partition in memory at a time, not a full
+  collect);
+* `write_records` — the Spark-native sink: partitioned parquet keyed by
+  klass (partition pruning for per-entity consumers downstream);
+* `write_errors` — the quarantine channel for non-strict runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def iter_records(records: DataFrame) -> Iterator[tuple[str, dict, int]]:
+    """Yield `(klass, fields, index)` like NdrImport::Table#transform.
+
+    `fields` mirrors the reference shape: mapped fields plus a
+    ``rawtext`` sub-dict. Streams partition-by-partition (no full
+    driver materialisation).
+    """
+    ordered = records.orderBy("source_file", "row_index", "klass")
+    for row in ordered.toLocalIterator():
+        fields = dict(row["fields"])
+        fields["rawtext"] = dict(row["rawtext"])
+        yield row["klass"], fields, row["row_index"]
+
+
+def write_records(
+    records: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = ("klass",),
+) -> None:
+    """Partitioned columnar sink — klass partitioning gives downstream
+    per-entity consumers partition pruning for free."""
+    writer = records.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_errors(
+    records: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """Quarantine sink: rows whose `_errors` channel is non-empty (the
+    at-scale alternative to strict raise-on-first-error)."""
+    errs = records.filter(F.size(F.col("_errors")) > 0)
+    errs.write.mode(mode).format(fmt).save(path)
