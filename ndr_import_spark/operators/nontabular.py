@@ -38,6 +38,7 @@ from ndr_import_spark.plans.model import (
     MappingError,
     RegexpRange,
     TableMapping,
+    UTF8CoercionError,
 )
 
 
@@ -111,11 +112,25 @@ def sessionize(df: DataFrame, mapping: TableMapping, strict: bool = True) -> Dat
     # in-record *before* this line (state-machine prefix counting)
     df = df.withColumn("_in_before", F.col("_s_excl") > F.col("_e_excl"))
 
-    if has_end and strict:
-        # start-before-end is a MappingError (table.rb#start_record)
-        clash = df.filter(F.col("_is_start") & F.col("_in_before")).limit(1).count()
-        if clash:
+    if strict:
+        # ONE probe job for both parity errors: start-before-end
+        # (table.rb#start_record) and UTF-8 coercion failure (junk bytes
+        # survive the encoding fallbacks as U+FFFD — table.rb:75-82)
+        clash_cond = (
+            (F.col("_is_start") & F.col("_in_before")).cast("int")
+            if has_end
+            else F.lit(0)
+        )
+        probe = df.agg(
+            F.max(clash_cond).alias("clash"),
+            F.max(F.col("value").contains("�").cast("int")).alias("bad_utf8"),
+        ).collect()[0]
+        if has_end and probe["clash"]:
             raise MappingError("Start of new record found before end of current record")
+        if probe["bad_utf8"]:
+            raise UTF8CoercionError(
+                "Line contains bytes that survive no encoding fallback"
+            )
 
     df = df.withColumn("_session", F.col("_s_incl"))
     captured = F.when(F.col("_removed"), F.lit(False)).otherwise(

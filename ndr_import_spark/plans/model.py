@@ -39,6 +39,12 @@ class MissingFieldError(ValueError):
         self.field_name = field_name
 
 
+class UTF8CoercionError(ValueError):
+    """reference: NdrImport::NonTabular::Table UTF8 coercion failure
+    (non_tabular/table.rb:75-82) — junk bytes survive every encoding
+    fallback."""
+
+
 class UnmappedDataError(ValueError):
     """Unmapped hash-row key (reference: NdrImport::UnmappedDataError)."""
 
