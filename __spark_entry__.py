@@ -483,6 +483,70 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-0
 """
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation (ROLLUP flag → flag+status → grand total) —
+    one pass with partial aggregation at every level."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def q_setops_steady_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: suppliers shipping in BOTH 1995 and 1996 (INTERSECT)
+    minus above-average-volume suppliers (EXCEPT; the threshold is an
+    aggregate of the data itself, so the query is scale-invariant)."""
+    li = _t(spark, sf_dir, "lineitem")
+    y95 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    ).select("l_suppkey")
+    y96 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_suppkey")
+    per_supp = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    avg_cnt = per_supp.agg(F.avg("cnt").alias("avg_cnt"))
+    busy = (
+        per_supp.crossJoin(F.broadcast(avg_cnt))
+        .filter(F.col("cnt") > F.col("avg_cnt"))
+        .select("l_suppkey")
+    )
+    return y95.intersect(y96).exceptAll(busy).orderBy("l_suppkey")
+
+
+_ORACLE_SETOPS = """
+SELECT l_suppkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+INTERSECT
+SELECT l_suppkey FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+EXCEPT
+SELECT l_suppkey FROM lineitem GROUP BY l_suppkey
+HAVING count(*) > (SELECT cast(count(*) as double) / count(distinct l_suppkey) FROM lineitem)
+ORDER BY l_suppkey
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event matched to the user's most recent order at the
     event time. Union+window formulation — one shuffle on the key, no
@@ -1051,6 +1115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "nontabular_extract": q_nontabular_extract,
         "xml_extract": q_xml_extract,
+        "rollup_revenue": q_rollup_revenue,
+        "setops_steady_suppliers": q_setops_steady_suppliers,
         "asof_join": q_asof_join,
         "events_sessionize": q_events_sessionize,
         "events_daily_stats": q_events_daily_stats,
@@ -1079,6 +1145,8 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": _ORACLE_Q6,
         "nontabular_extract": _ORACLE_NONTABULAR,
         "xml_extract": _ORACLE_XML,
+        "rollup_revenue": _ORACLE_ROLLUP,
+        "setops_steady_suppliers": _ORACLE_SETOPS,
         "asof_join": _ORACLE_ASOF,
         "events_sessionize": _ORACLE_EVENTS_SESSIONIZE,
         "events_daily_stats": _ORACLE_EVENTS_DAILY,
