@@ -27,6 +27,37 @@ def row_tag_from_xpath(xml_record_xpath: str) -> str:
     return (xml_record_xpath or "record").rstrip("/").split("/")[-1]
 
 
+# XML control chars (reference ndr_support UTF8Encoding::CONTROL_CHARACTERS):
+# C0 minus tab/newline/carriage-return, plus DEL
+_CONTROL_CODES = [c for c in range(0x00, 0x20) if c not in (0x09, 0x0A, 0x0D)] + [0x7F]
+
+
+def escape_control_chars(col: F.Column) -> F.Column:
+    """Escape control chars and their entity references to literal '0xNN'
+    text before parse (reference lib/ndr_import/xml/control_char_escaper.rb;
+    behaviour pinned by test/xml/control_char_escaper_test.rb: raw \\x1c →
+    '0x1c', '&#28;'/'&#x1C;' → '0x1c', non-control and nonsense references
+    untouched)."""
+    for c in _CONTROL_CODES:
+        lit = f"0x{c:02x}"
+        col = F.regexp_replace(col, f"\\x{{{c:02X}}}", lit)
+        col = F.regexp_replace(col, f"&#0*{c};", lit)
+        col = F.regexp_replace(col, f"(?i)&#x0*{c:x};", lit)
+    return col
+
+
+def escape_control_chars_str(data: str) -> str:
+    """Driver-side twin of :func:`escape_control_chars`."""
+    import re as _re
+
+    for c in _CONTROL_CODES:
+        lit = f"0x{c:02x}"
+        data = data.replace(chr(c), lit)
+        data = _re.sub(f"&#0*{c};", lit, data)
+        data = _re.sub(f"(?i)&#x0*{c:x};", lit, data)
+    return data
+
+
 def read_xml(
     spark: SparkSession, path: str | list[str], options: dict
 ) -> list[tuple[str | None, DataFrame]]:
