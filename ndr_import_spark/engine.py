@@ -70,6 +70,8 @@ class Engine:
             records = compiler.compile_records(mapping, cells_df, strict=self.strict)
         elif mapping.kind == "xml":
             from ndr_import_spark.operators.xml_table import transform_xml_table
+            if mapping.xml_file_metadata:
+                self._assign_file_metadata(df, mapping)
             records = transform_xml_table(df, mapping, strict=self.strict)
         else:
             if mapping.kind == "fixed_width":
@@ -92,6 +94,25 @@ class Engine:
         return records
 
     # -- helpers -------------------------------------------------------------
+
+    @staticmethod
+    def _assign_file_metadata(df: DataFrame, mapping: TableMapping) -> None:
+        """Evaluate per-file metadata xpaths on the driver and assign
+        `mapping.table_metadata` (universal_importer_helper.rb parity:
+        'should assign metadata to table when extracting')."""
+        from ndr_import_spark.sources.xmlfile import file_metadata
+
+        files = [
+            r["source_file"]
+            for r in df.select("source_file").distinct().limit(100).collect()
+        ]
+        meta: dict = {}
+        for f in files:
+            local = f[7:] if f.startswith("file://") else f
+            # one entry set per file; later files overwrite (reference
+            # mutates the shared table object per file)
+            meta.update(file_metadata(local, mapping.xml_file_metadata))
+        mapping.table_metadata = meta
 
     @staticmethod
     def _reader_options(mapping: TableMapping) -> dict:

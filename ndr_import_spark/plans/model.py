@@ -255,6 +255,9 @@ class TableMapping:
     xml_record_xpath: str | None = None
     pattern_match_record_xpath: bool = False
     xml_file_metadata: dict | None = None
+    # assigned by the engine after per-file metadata xpath evaluation
+    # (universal_importer_helper parity: 'should assign metadata to table')
+    table_metadata: dict | None = None
     yield_xml_record: bool = False
     raw: dict = dc_field(default_factory=dict)
 
