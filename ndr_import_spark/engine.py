@@ -72,7 +72,18 @@ class Engine:
             from ndr_import_spark.operators.xml_table import transform_xml_table
             if mapping.xml_file_metadata:
                 self._assign_file_metadata(df, mapping)
-            records = transform_xml_table(df, mapping, strict=self.strict)
+            wants_augmentation = any(
+                (c.xml_cell or {}).get("multiple") is not None
+                or (c.xml_cell or {}).get("build_new_record") is not None
+                for c in mapping.columns
+            )
+            if wants_augmentation:
+                from ndr_import_spark.operators.xml_augment import (
+                    transform_xml_table_augmented,
+                )
+                records = transform_xml_table_augmented(df, mapping, strict=self.strict)
+            else:
+                records = transform_xml_table(df, mapping, strict=self.strict)
         else:
             if mapping.kind == "fixed_width":
                 df = tabulate_fixed_width(df, mapping)
