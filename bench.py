@@ -64,6 +64,9 @@ def main() -> int:
         timings[name] = round(dt, 4)
         if dt == dt:  # not NaN
             total += dt
+        # each query is measured standalone: drop persisted intermediates so
+        # earlier queries' caches don't pressure later ones
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -121,4 +121,6 @@ def synth_media_df(spark, n: int = 64) -> DataFrame:
         payload = hashlib.md5(f"media{i}".encode()).digest() * 4
         kind = ["image", "audio", "video"][i % 3]
         rows.append((i, kind, f"{kind}/fake", 64, 48, 2000 + i * 10, bytearray(payload)))
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # a tiny table over default parallelism would spin up one Arrow python
+    # worker per partition for a handful of rows each
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
