@@ -934,6 +934,86 @@ FROM scored WHERE quality >= 0.5 GROUP BY source ORDER BY source
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline stage: exact-dedup (keep min-id
+    representative) → quality threshold → language filter → per-source
+    corpus stats. One narrow plan plus a single dedup shuffle."""
+    from ndr_import_spark.operators import textstats as ts
+    from ndr_import_spark.operators.dedup import drop_exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = drop_exact_duplicates(docs)
+    scored = kept.select(
+        "doc_id",
+        "source",
+        ts.quality_score(F.col("text")).alias("quality"),
+        ts.detect_language(F.col("text")).alias("pred_lang"),
+        ts.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return (
+        scored.filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 5).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_corpus_pipeline() -> str:
+    from ndr_import_spark.operators.textstats import STOPWORDS
+
+    toks = ("list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '), "
+            "x -> x <> '')")
+    # quality (same formula as _oracle_quality)
+    quality = """
+    round((least(cast(len(toks) as double) / 20.0, 1.0)
+      + CASE WHEN len(toks) > 0 AND
+          cast(list_sum(list_transform(toks, x -> length(x))) as double) / len(toks) >= 3 AND
+          cast(list_sum(list_transform(toks, x -> length(x))) as double) / len(toks) <= 10
+          THEN 1.0 ELSE 0.5 END
+      + 1.0 - least((CASE WHEN length(text) > 0 THEN
+          cast(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) as double) / length(text)
+          ELSE 0 END) * 4, 1.0)
+      + CASE WHEN length(text) > 0 THEN
+          cast(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) as double) / length(text)
+          ELSE 0 END) / 4, 5)
+    """
+    counts = ", ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ws) + "], t))) AS c_" + lang
+        for lang, ws in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    arr = "[" + ", ".join(f"c_{lang}" for lang in langs) + "]"
+    lang_lits = "[" + ", ".join(f"'{lang}'" for lang in langs) + "]"
+    pred = (f"CASE WHEN list_max({arr}) > 0 THEN "
+            f"{lang_lits}[list_position({arr}, list_max({arr}))] ELSE 'und' END")
+    return f"""
+WITH hashed AS (
+  SELECT *, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+  FROM documents
+), kept AS (
+  SELECT * FROM hashed
+  WHERE (h, doc_id) IN (SELECT (h, min(doc_id)) FROM hashed GROUP BY h)
+), t AS (
+  SELECT doc_id, source, text, {toks} AS toks FROM kept
+), scored AS (
+  SELECT doc_id, source, len(toks) AS n_tokens, {quality} AS quality, {counts}
+  FROM t
+), lang AS (
+  SELECT doc_id, source, n_tokens, quality, {pred} AS pred_lang FROM scored
+)
+SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(avg(quality), 5) AS avg_quality
+FROM lang
+WHERE quality >= 0.5 AND pred_lang = 'en'
+GROUP BY source ORDER BY source
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 4 vectors as queries."""
     from ndr_import_spark.operators.similarity import cosine_topk
@@ -1128,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "quality_filter": q_quality_filter,
+        "corpus_pipeline": q_corpus_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "multimodal_features": q_multimodal_features,
@@ -1158,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _ORACLE_TEXT_STATS,
         "lang_id": _oracle_lang_id(),
         "quality_filter": _oracle_quality(),
+        "corpus_pipeline": _oracle_corpus_pipeline(),
         "ann_cosine_topk": _ORACLE_ANN,
         "ann_lsh_pairs": _oracle_ann_lsh(),
         "multimodal_features": _ORACLE_MULTIMODAL,

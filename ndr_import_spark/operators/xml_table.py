@@ -140,6 +140,23 @@ def validate_xpaths(df: DataFrame, mapping: TableMapping) -> None:
         raise UnmappedXpathError(", ".join(sorted(populated)))
 
 
+def group_records_per_element(records: DataFrame) -> DataFrame:
+    """`yield_xml_record` parity (xml/table.rb:47-53): all records produced
+    from one XML element grouped into a single row holding an array of
+    (klass, fields, rawtext) structs."""
+    collected = F.collect_list(
+        F.struct(F.col("klass"), F.col("fields"), F.col("rawtext"))
+    )
+    # sort_array cannot order structs containing maps; compare on klass
+    ordered = F.array_sort(
+        collected,
+        lambda a, b: F.when(a["klass"] < b["klass"], -1)
+        .when(a["klass"] > b["klass"], 1)
+        .otherwise(0),
+    )
+    return records.groupBy("source_file", "row_index").agg(ordered.alias("records"))
+
+
 def transform_xml_table(df: DataFrame, mapping: TableMapping, strict: bool = True) -> DataFrame:
     """XML records DataFrame → standard records (klass, fields, rawtext...)."""
     if strict:
