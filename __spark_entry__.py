@@ -1131,6 +1131,44 @@ FROM f GROUP BY kind ORDER BY kind
 """
 
 
+def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantisation: nearest deterministic pseudo-centroid per
+    vector (argmax of 16 dot products), per-cell occupancy stats — the
+    probe-only-matching-cells ANN scale path's build side."""
+    from ndr_import_spark.operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assigned = ivf_assign(emb, n_cells=16, dim=64)
+    return (
+        assigned.groupBy("ivf_cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("ivf_cell")
+    )
+
+
+def _oracle_ivf(n_cells: int = 16, dim: int = 64) -> str:
+    from ndr_import_spark.operators.similarity import _md5_unit
+
+    dots = ", ".join(
+        "list_dot_product(v, ["
+        + ",".join(repr(_md5_unit(f"ivf{c}:{i}")) for i in range(dim))
+        + f"]) AS s{c}"
+        for c in range(n_cells)
+    )
+    arr = "[" + ", ".join(f"s{c}" for c in range(n_cells)) + "]"
+    return f"""
+WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+scored AS (SELECT vec_id, {dots} FROM e),
+assigned AS (
+  SELECT vec_id, list_position({arr}, list_max({arr})) - 1 AS ivf_cell FROM scored
+)
+SELECT ivf_cell, count(*) AS n, min(vec_id) AS min_vec_id
+FROM assigned GROUP BY ivf_cell ORDER BY ivf_cell
+"""
+
+
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norms — grouped vector aggregation via
     element-wise array folding (posexplode-free, stays vectorised)."""
@@ -1212,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "multimodal_features": q_multimodal_features,
+        "ivf_cells": q_ivf_cells,
         "embedding_label_centroids": q_embedding_label_centroids,
     }
 
@@ -1243,5 +1282,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ORACLE_ANN,
         "ann_lsh_pairs": _oracle_ann_lsh(),
         "multimodal_features": _ORACLE_MULTIMODAL,
+        "ivf_cells": _oracle_ivf(),
         "embedding_label_centroids": _ORACLE_CENTROIDS,
     }
