@@ -57,17 +57,20 @@ def _flag_removed_lines(df: DataFrame, mapping: TableMapping, w) -> DataFrame:
         return df.withColumn("_removed", F.lit(False))
     for name, patterns in mapping.remove_lines.items():
         # match-start flag: lines i..i+k-1 equal the k patterns
+        # (lead/lag with offset 0 are identity — keep them out of the
+        # window operator so single-pattern groups stay window-free)
         starts = F.lit(True)
         for j, pat in enumerate(patterns):
-            nxt = F.lead(F.col("value"), j).over(w)
+            nxt = F.col("value") if j == 0 else F.lead(F.col("value"), j).over(w)
             starts = starts & F.coalesce(_matches(nxt, pat, equality_for_str=True), F.lit(False))
         df = df.withColumn(f"_ms_{name}", starts)
         # a line is removed when any of the previous k-1 lines started a match
         group_removed = F.lit(False)
         for s in range(len(patterns)):
-            group_removed = group_removed | F.coalesce(
-                F.lag(F.col(f"_ms_{name}"), s).over(w), F.lit(False)
+            prev = (
+                F.col(f"_ms_{name}") if s == 0 else F.lag(F.col(f"_ms_{name}"), s).over(w)
             )
+            group_removed = group_removed | F.coalesce(prev, F.lit(False))
         df = df.withColumn(f"_rm_{name}", group_removed).drop(f"_ms_{name}")
     total = F.lit(False)
     for name in mapping.remove_lines:
@@ -100,11 +103,13 @@ def sessionize(df: DataFrame, mapping: TableMapping, strict: bool = True) -> Dat
     )
     virtual = 1 if mapping.start_in_a_record else 0
 
-    df = (
-        df.withColumn("_is_start", is_start)
-        .withColumn("_is_end", is_end)
-        .withColumn("_s_incl", F.sum(F.col("_is_start").cast("int")).over(w_cum) + F.lit(virtual))
-        .withColumn("_e_incl", F.sum(F.col("_is_end").cast("int")).over(w_cum))
+    # both running sums in ONE select → a single Window operator (chained
+    # withColumn produces dependent projections the planner won't merge)
+    df = df.withColumn("_is_start", is_start).withColumn("_is_end", is_end)
+    df = df.select(
+        "*",
+        (F.sum(F.col("_is_start").cast("int")).over(w_cum) + F.lit(virtual)).alias("_s_incl"),
+        F.sum(F.col("_is_end").cast("int")).over(w_cum).alias("_e_incl"),
     )
     df = df.withColumn(
         "_s_excl", F.col("_s_incl") - F.col("_is_start").cast("int")
