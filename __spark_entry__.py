@@ -22,17 +22,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects — read nanos as long and convert to micros timestamps."""
-    try:
-        df = _t(spark, sf_dir, "events")
-        df.schema  # force analysis
-        if dict(df.dtypes)["ts"] == "timestamp":
-            return df
-    except Exception:  # noqa: BLE001
-        pass
+    reader rejects — set nanosAsLong BEFORE the first read (no failed-job
+    probe) and truncate nanos→micros with integer `div` (a double `/ 1000`
+    would wobble ±1 µs at 1.7e18 ns, diverging from DuckDB's exact
+    nanos→micros truncation)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    df = _t(spark, sf_dir, "events")
+    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -591,8 +589,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the non-tabular record partitioner, on the events stream table."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # Exact microsecond gap (unix_micros ↔ DuckDB epoch_us): whole-second
+    # truncation here vs fractional epoch() in the oracle disagrees whenever
+    # a true gap lands in (1800, 1801) s — every ts in the table carries
+    # sub-second precision.
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = ev.withColumn("_new", new_session).withColumn(
         "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
@@ -609,18 +611,22 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_EVENTS_SESSIONIZE = """
 WITH gaps AS (
-  SELECT user_id, event_id, value,
+  SELECT user_id, ts, event_id, value,
     CASE WHEN lag(ts) OVER w IS NULL
-          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS _new
+          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS _new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, event_id, value,
-    sum(_new) OVER (PARTITION BY user_id ORDER BY event_id
+    sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS UNBOUNDED PRECEDING) AS session_id
   FROM gaps
 )
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events,
+SELECT user_id,
+       -- cast: DuckDB windowed sum over int is HUGEINT, which pandas/arrow
+       -- renders as float64 ("3.0" vs Spark's "3") and breaks the value hash
+       cast(max(session_id) as bigint) AS n_sessions, count(*) AS n_events,
        cast(sum(cast(value as decimal(18,4))) as double) AS total_value
 FROM sess GROUP BY user_id ORDER BY user_id
 """
@@ -899,7 +905,11 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality") >= 0.5)
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"),
-             F.round(F.avg("quality"), 5).alias("avg_quality"))
+             # Exact decimal sum ÷ count: avg(double) sums in partition order,
+             # so its last ulp — and thus round(,5) on a .000005 boundary —
+             # is nondeterministic across engines/partitionings.
+             (F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+              / F.count(F.lit(1))).alias("avg_quality"))
         .orderBy("source")
     )
 
@@ -929,7 +939,8 @@ WITH t AS (
          round((length_ok + word_ok + punct_ok + alpha_ok) / 4, 5) AS quality
   FROM parts
 )
-SELECT source, count(*) AS n_kept, round(avg(quality), 5) AS avg_quality
+SELECT source, count(*) AS n_kept,
+       cast(sum(cast(quality as decimal(18,6))) as double) / count(*) AS avg_quality
 FROM scored WHERE quality >= 0.5 GROUP BY source ORDER BY source
 """
 
@@ -956,7 +967,9 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("quality"), 5).alias("avg_quality"),
+            # Same determinism rationale as q_quality_filter.
+            (F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_quality"),
         )
         .orderBy("source")
     )
@@ -1006,8 +1019,10 @@ WITH hashed AS (
 ), lang AS (
   SELECT doc_id, source, n_tokens, quality, {pred} AS pred_lang FROM scored
 )
-SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-       round(avg(quality), 5) AS avg_quality
+SELECT source, count(*) AS n_docs,
+       -- cast: DuckDB sum(int) is HUGEINT → float64 via pandas → hash break
+       cast(sum(n_tokens) as bigint) AS total_tokens,
+       cast(sum(cast(quality as decimal(18,6))) as double) / count(*) AS avg_quality
 FROM lang
 WHERE quality >= 0.5 AND pred_lang = 'en'
 GROUP BY source ORDER BY source
@@ -1104,7 +1119,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("w"), 5).alias("avg_w"),
             F.round(F.avg("h"), 5).alias("avg_h"),
-            F.round(F.avg("mf"), 5).alias("avg_feat"),
+            # Decimal-sum ÷ count: same determinism rationale as
+            # q_quality_filter (per-row mf is a float fold; avg over raw
+            # doubles is summation-order-sensitive).
+            (F.sum(F.col("mf").cast("decimal(18,6)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_feat"),
         )
         .orderBy("kind")
     )
@@ -1126,7 +1145,7 @@ d AS (
   FROM d
 )
 SELECT kind, count(*) AS n, round(avg(w), 5) AS avg_w, round(avg(ht), 5) AS avg_h,
-       round(avg(mf), 5) AS avg_feat
+       cast(sum(cast(mf as decimal(18,6))) as double) / count(*) AS avg_feat
 FROM f GROUP BY kind ORDER BY kind
 """
 

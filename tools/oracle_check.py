@@ -24,9 +24,11 @@ def canon(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        # Full precision on purpose: stricter than the driver so that any
+        # engine-level float nondeterminism fails HERE first.
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.1f}"
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, datetime):
         return v.isoformat()
     if isinstance(v, date):
@@ -93,6 +95,15 @@ def main():
             print(f"rows-only {name}: {len(srows)} rows (no oracle)")
             continue
         try:
+            rel = con.sql(sql)
+            # HUGEINT (any int sum in DuckDB) degrades to float64 through the
+            # pandas/arrow bridge ("3.0" vs Spark's "3") and breaks the
+            # driver's value hash even when fetchall() values are equal.
+            huge = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t)]
+            if huge:
+                print(f"FAIL {name}: oracle emits HUGEINT cols {huge}; add cast(... as bigint)")
+                failures += 1
+                continue
             res = con.execute(sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
