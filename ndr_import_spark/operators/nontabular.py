@@ -8,18 +8,24 @@ RegexpRange) + capture-regex chains.
 
 Spark shape:
 
-1. running-sum session ids over `Window.partitionBy(source_file)
-   .orderBy(row_index)` (the reference's state machine is a prefix-sum:
-   ``session = Σ is_start``, in-record = paired start/end counting);
-2. `groupBy(source_file, session)` + `sort_array(collect_list(...))` →
+1. running-sum session ids via chunked two-level prefix sums
+   (`operators/prefix.py`: within-chunk windows partitioned by
+   ``(source_file, row_index div chunk)`` + a tiny per-chunk offset table
+   joined back) — the reference's state machine is a prefix-sum:
+   ``session = Σ is_start``, in-record = paired start/end counting.
+   Parallelism scales with line count, never one-reducer-per-file;
+2. multi-line `remove_lines` lookahead/lookback runs in the same chunked
+   windows, with boundary "ghost" copies of the ≤k−1 rows nearest each
+   chunk edge providing cross-chunk context (dropped after flagging);
+3. `groupBy(source_file, session)` + `sort_array(collect_list(...))` →
    ordered per-record line arrays — ONE shuffle keyed by (file, record);
-3. tabulation compiles to higher-order array functions (filter/slice/
+4. tabulation compiles to higher-order array functions (filter/slice/
    transform/array_join) — JVM-side, no UDF; RegexpRange resolves via
    `array_position` over per-line match flags.
 
-Scale note: the per-file window is the one order-dependent stage; at 100 TB
-the strategy is start-pattern-aligned splits (mapPartitions with boundary
-stitching) — records themselves are small, and stage 2+ scales freely.
+The record ordinal and per-file last-session are likewise tiny-aggregate
+joins, not whole-file windows — no stage in this pipeline funnels a file
+into a single task.
 
 Parity notes: lines are rstripped on ingest (line.rb:18); removed lines
 (remove_lines page headers/footers) never enter records; the trailing
@@ -33,6 +39,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ndr_import_spark.operators.prefix import (
+    DEFAULT_CHUNK,
+    chunked_inclusive_sums,
+)
 from ndr_import_spark.plans.model import (
     ColumnMapping,
     MappingError,
@@ -79,20 +89,66 @@ def _flag_removed_lines(df: DataFrame, mapping: TableMapping, w) -> DataFrame:
     return df.drop(*[f"_rm_{n}" for n in mapping.remove_lines])
 
 
-def sessionize(df: DataFrame, mapping: TableMapping, strict: bool = True) -> DataFrame:
+def _remove_lines_lookahead(mapping: TableMapping) -> int:
+    """Max lead/lag distance a multi-line remove_lines group needs."""
+    if not isinstance(mapping.remove_lines, dict):
+        return 0
+    return max((len(p) - 1 for p in mapping.remove_lines.values()), default=0)
+
+
+def sessionize(
+    df: DataFrame,
+    mapping: TableMapping,
+    strict: bool = True,
+    chunk: int = DEFAULT_CHUNK,
+) -> DataFrame:
     """lines (source_file,row_index,value) → per-record line arrays.
 
     Output: (source_file, row_index [record ordinal], lines array<string>).
 
-    strict=True runs the start-before-end MappingError probe (an extra
-    Spark job executing the window stack twice) — parity mode; disable in
-    throughput paths with well-formed patterns.
+    strict=True runs the start-before-end MappingError probe — an extra
+    Spark job, but over the same chunk-parallel plan (when no
+    end_line_pattern exists the probe degenerates to a narrow UTF-8 scan
+    with no window at all). Disable in throughput paths with well-formed
+    patterns.
+
+    `chunk` bounds the rows a single within-chunk window task sorts; see
+    operators/prefix.py for the scale rationale.
     """
-    w = Window.partitionBy("source_file").orderBy("row_index")
-    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    look = _remove_lines_lookahead(mapping)
+    if chunk <= look:
+        raise MappingError(
+            f"chunk ({chunk}) must exceed the remove_lines lookahead ({look})"
+        )
 
     df = df.withColumn("value", F.regexp_replace(F.col("value"), r"\s+$", ""))
-    df = _flag_removed_lines(df, mapping, w)
+    df_narrow = df  # pre-window frame for the windowless probe path
+
+    df = df.withColumn("_ck", F.expr(f"row_index div {chunk}"))
+    if look == 0 or not isinstance(mapping.remove_lines, dict):
+        # single-line patterns compile window-free; the spec is unused
+        w_g = Window.partitionBy("source_file", "_ck").orderBy("row_index")
+        df = _flag_removed_lines(df, mapping, w_g)
+    else:
+        # cross-chunk context for bounded lead/lag: copy the `look` rows
+        # nearest each chunk edge into the neighbouring chunk as ghosts —
+        # they supply lookahead values / lag flags, then drop out
+        pos = F.col("row_index") % chunk
+        base = df.withColumn("_ghost", F.lit(False))
+        ghosts_prev = (
+            df.filter((pos < look) & (F.col("_ck") > 0))
+            .withColumn("_ck", F.col("_ck") - 1)
+            .withColumn("_ghost", F.lit(True))
+        )
+        ghosts_next = (
+            df.filter(pos >= chunk - look)
+            .withColumn("_ck", F.col("_ck") + 1)
+            .withColumn("_ghost", F.lit(True))
+        )
+        aug = base.unionByName(ghosts_prev).unionByName(ghosts_next)
+        w_g = Window.partitionBy("source_file", "_ck").orderBy("row_index")
+        aug = _flag_removed_lines(aug, mapping, w_g)
+        df = aug.filter(~F.col("_ghost")).drop("_ghost")
 
     is_start = F.col("value").rlike(mapping.start_line_pattern)
     has_end = mapping.end_line_pattern is not None
@@ -103,13 +159,23 @@ def sessionize(df: DataFrame, mapping: TableMapping, strict: bool = True) -> Dat
     )
     virtual = 1 if mapping.start_in_a_record else 0
 
-    # both running sums in ONE select → a single Window operator (chained
-    # withColumn produces dependent projections the planner won't merge)
     df = df.withColumn("_is_start", is_start).withColumn("_is_end", is_end)
-    df = df.select(
-        "*",
-        (F.sum(F.col("_is_start").cast("int")).over(w_cum) + F.lit(virtual)).alias("_s_incl"),
-        F.sum(F.col("_is_end").cast("int")).over(w_cum).alias("_e_incl"),
+    df, file_totals = chunked_inclusive_sums(
+        df.drop("_ck"),
+        "source_file",
+        "row_index",
+        {
+            "_s_raw": F.col("_is_start").cast("int"),
+            "_e_incl": F.col("_is_end").cast("int"),
+        },
+        chunk=chunk,
+        return_part_totals=True,
+    )
+    df = df.withColumn("_s_incl", F.col("_s_raw") + F.lit(virtual)).drop("_s_raw")
+    # per-file last session id, free from the per-chunk totals (one row per
+    # file): total starts + virtual
+    last_by_file = file_totals.select(
+        "source_file", (F.col("_s_raw") + F.lit(virtual)).alias("_last_session")
     )
     df = df.withColumn(
         "_s_excl", F.col("_s_incl") - F.col("_is_start").cast("int")
@@ -120,18 +186,19 @@ def sessionize(df: DataFrame, mapping: TableMapping, strict: bool = True) -> Dat
     if strict:
         # ONE probe job for both parity errors: start-before-end
         # (table.rb#start_record) and UTF-8 coercion failure (junk bytes
-        # survive the encoding fallbacks as U+FFFD — table.rb:75-82)
-        clash_cond = (
-            (F.col("_is_start") & F.col("_in_before")).cast("int")
-            if has_end
-            else F.lit(0)
-        )
-        probe = df.agg(
-            F.max(clash_cond).alias("clash"),
-            F.max(F.col("value").contains("�").cast("int")).alias("bad_utf8"),
-        ).collect()[0]
-        if has_end and probe["clash"]:
-            raise MappingError("Start of new record found before end of current record")
+        # survive the encoding fallbacks as U+FFFD — table.rb:75-82).
+        # Without an end pattern a clash is impossible, so the probe plan
+        # is the pre-window df — a narrow scan, no shuffle.
+        bad_utf8 = F.max(F.col("value").contains("�").cast("int")).alias("bad_utf8")
+        if has_end:
+            clash_cond = (F.col("_is_start") & F.col("_in_before")).cast("int")
+            probe = df.agg(F.max(clash_cond).alias("clash"), bad_utf8).collect()[0]
+            if probe["clash"]:
+                raise MappingError(
+                    "Start of new record found before end of current record"
+                )
+        else:
+            probe = df_narrow.agg(bad_utf8).collect()[0]
         if probe["bad_utf8"]:
             raise UTF8CoercionError(
                 "Line contains bytes that survive no encoding fallback"
@@ -171,7 +238,11 @@ def sessionize(df: DataFrame, mapping: TableMapping, strict: bool = True) -> Dat
         )
     )
 
-    last_session = F.max("_session").over(Window.partitionBy("source_file"))
+    # per-file last session via the tiny per-file totals join — NOT a
+    # whole-file window (that would funnel every record of a file into one
+    # task). One row per file; AQE broadcasts it.
+    grouped = grouped.join(last_by_file, "source_file")
+    last_session = F.col("_last_session")
     if has_end:
         emit = (F.col("_closed") == 1) | (
             (F.col("_session") == last_session)
@@ -187,9 +258,14 @@ def sessionize(df: DataFrame, mapping: TableMapping, strict: bool = True) -> Dat
             F.filter(F.col("_all_lines"), lambda x: x["c"]), lambda x: x["v"]
         ),
     )
-    # record ordinal per file (what Table#transform's index means here)
-    w_ord = Window.partitionBy("source_file").orderBy("_first_line")
-    grouped = grouped.withColumn("row_index", (F.row_number().over(w_ord) - 1).cast("long"))
+    # record ordinal per file (what Table#transform's index means here):
+    # in well-formed input sessions 1..last are ALL emitted up to the tail
+    # (an unclosed non-final session would be a start-before-end clash,
+    # which the reference always raises on), so the ordinal is simply
+    # session−1 — pure arithmetic, no extra pass or shuffle. On malformed
+    # input under strict=False (where the reference has no defined
+    # behaviour) ordinals stay monotone but may skip values.
+    grouped = grouped.withColumn("row_index", (F.col("_session") - 1).cast("long"))
     return grouped.select("source_file", "row_index", "lines")
 
 
@@ -285,11 +361,28 @@ def tabulate_cells(lines: Column, columns: list[ColumnMapping]) -> Column:
     return F.array(*cells)
 
 
-def tabulate_non_tabular(df: DataFrame, mapping: TableMapping, strict: bool = True) -> DataFrame:
-    """Full pipeline: lines → sessionized records → cells DataFrame."""
-    records = sessionize(df, mapping, strict=strict)
+def tabulate_non_tabular(
+    df: DataFrame,
+    mapping: TableMapping,
+    strict: bool = True,
+    chunk: int = DEFAULT_CHUNK,
+) -> DataFrame:
+    """Full pipeline: lines → sessionized records → cells DataFrame.
+
+    `cells` is emitted through a one-element explode on purpose: the
+    tabulation expression is a regex-heavy CodegenFallback tree, and the
+    downstream mapper references `cells` once per column per klass.
+    CollapseProject would inline (= re-evaluate) the whole tree at every
+    reference — measured 4-5× on the end-to-end pipeline. A Generate node
+    evaluates the generator exactly once per row and materialises `cells`
+    as a plain attribute, and CollapseProject cannot merge through it.
+    No data is buffered: explode of a single-element array is row-for-row.
+    """
+    records = sessionize(df, mapping, strict=strict, chunk=chunk)
     return records.select(
         "source_file",
         "row_index",
-        tabulate_cells(F.col("lines"), mapping.columns).alias("cells"),
+        F.explode(
+            F.array(tabulate_cells(F.col("lines"), mapping.columns))
+        ).alias("cells"),
     )

@@ -80,9 +80,12 @@ def capture_all_yaml(**table_opts):
     return _y.safe_dump(doc)
 
 
-def run_rawtext_one(spark, lines, yaml_text, strict=True):
+def run_rawtext_one(spark, lines, yaml_text, strict=True, chunk=None):
     """Run the pipeline, return the per-record rawtext['one'] list in record
     order."""
+    from ndr_import_spark.operators.prefix import DEFAULT_CHUNK
+
+    chunk = chunk or DEFAULT_CHUNK
     mapping = load_mapping(yaml_text)
     # safe_dump writes the range as a dict; convert to a python range
     for cm in mapping.columns:
@@ -95,7 +98,7 @@ def run_rawtext_one(spark, lines, yaml_text, strict=True):
             else:
                 cm.lines = range(b, e if excl else e + 1)
     df = lines_df(spark, lines)
-    cells = tabulate_non_tabular(df, mapping, strict=strict)
+    cells = tabulate_non_tabular(df, mapping, strict=strict, chunk=chunk)
     records = compile_records(mapping, cells, strict=False)
     rows = (
         records.orderBy("row_index")
@@ -335,3 +338,102 @@ columns:
 """
         results = run_rawtext_one(spark, lines, yaml_text)
         assert results == ["one two"]
+
+
+MULTILINE_REMOVE_YAML = """
+klass: SomeTestKlass
+start_line_pattern: '^-{6}$'
+remove_lines:
+  footer:
+  - !ruby/regexp /^-- footer$/
+  - !ruby/regexp /^page \\d+ --$/
+columns:
+- column: one
+  non_tabular_cell:
+    lines: !ruby/object:RegexpRange
+      begin: 0
+      end: -1
+      excl: false
+    capture: '^(.*)$'
+    join: ' '
+"""
+
+MULTILINE_REMOVE_LINES = [
+    "------",
+    "one",
+    "-- footer",
+    "page 1 --",
+    "two",
+    "------",
+    "three",
+    "-- footer",  # NOT followed by the page line → kept
+    "four",
+    "------",
+    "tail",
+]
+
+
+class TestChunkedStitching:
+    """The chunked prefix-sum must be invariant under chunk size — every
+    alignment of chunk boundaries vs record/remove-group boundaries."""
+
+    @pytest.mark.parametrize("chunk", [1, 2, 3, 5, 7])
+    def test_matrix_invariant_under_chunking(self, spark, chunk):
+        baseline = run_rawtext_one(spark, SIMPLE_DIVIDER, capture_all_yaml())
+        assert baseline == run_rawtext_one(
+            spark, SIMPLE_DIVIDER, capture_all_yaml(), chunk=chunk
+        )
+
+    @pytest.mark.parametrize("chunk", [2, 3, 4])
+    def test_start_end_invariant_under_chunking(self, spark, chunk):
+        yaml_text = capture_all_yaml(
+            start_line_pattern="^----- START -----$",
+            end_line_pattern="^------ END ------$",
+        )
+        baseline = run_rawtext_one(spark, START_END_DIVIDERS, yaml_text)
+        assert baseline == run_rawtext_one(
+            spark, START_END_DIVIDERS, yaml_text, chunk=chunk
+        )
+
+    @pytest.mark.parametrize("chunk", [2, 3, 4, 5])
+    def test_multiline_remove_group_across_chunk_edges(self, spark, chunk):
+        # 2-line remove group ⇒ ghost rows stitch lead/lag across chunk
+        # boundaries; chunk sweep covers every boundary alignment
+        results = run_rawtext_one(
+            spark, MULTILINE_REMOVE_LINES, MULTILINE_REMOVE_YAML, chunk=chunk
+        )
+        assert results == ["one two", "three -- footer four"]
+
+    def test_multiline_remove_group_single_chunk_baseline(self, spark):
+        results = run_rawtext_one(spark, MULTILINE_REMOVE_LINES, MULTILINE_REMOVE_YAML)
+        assert results == ["one two", "three -- footer four"]
+
+    @pytest.mark.parametrize("chunk", [2, 4])
+    def test_multi_file_independence(self, spark, chunk):
+        rows = []
+        for f, lines in (("a.txt", SIMPLE_DIVIDER), ("b.txt", SIMPLE_DIVIDER[:6])):
+            rows.extend((f, i, ln) for i, ln in enumerate(lines))
+        df = spark.createDataFrame(
+            rows, "source_file string, row_index long, value string"
+        )
+        mapping = load_mapping(capture_all_yaml())
+        recs = sessionize(df, mapping, strict=False, chunk=chunk)
+        got = {
+            (r.source_file, r.row_index): list(r.lines) for r in recs.collect()
+        }
+        # a.txt: records 222, 333 (first partial + trailing discarded);
+        # b.txt: lines 0-5 → one full record (222 ... up to next divider? no
+        # further divider → trailing discarded) → only record 222's session
+        # is closed by the line-5 divider... session 1 = rows 3-4 ("222",
+        # text) closed by row 5 divider
+        assert (("a.txt", 0) in got) and (("a.txt", 1) in got)
+        assert got[("a.txt", 0)][0] == "222"
+        assert got[("a.txt", 1)][0] == "333"
+        assert got[("b.txt", 0)][0] == "222"
+        assert len([k for k in got if k[0] == "b.txt"]) == 1
+
+    def test_chunk_must_exceed_lookahead(self, spark):
+        df = lines_df(spark, MULTILINE_REMOVE_LINES)
+        mapping = load_mapping(MULTILINE_REMOVE_YAML)
+        with pytest.raises(MappingError):
+            sessionize(df, mapping, strict=False, chunk=1)
