@@ -714,13 +714,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_banded_jaccard(sh_expr: str, pre_cte: str, salt: str, k: int,
                            bands: int, thr: float) -> str:
     """Shared DuckDB replica of dedup._banded_jaccard_pairs: shingle-hash
-    once, k affine permutations, banded keys, exact-Jaccard verify."""
+    once (distinct 30-bit ints), k affine permutations, banded keys,
+    exact-Jaccard verify over the hashed shingle sets (matching the Spark
+    side, which never ships string shingles into the verify join)."""
     from ndr_import_spark.operators.dedup import MINHASH_P, minhash_perm_consts
 
     rows = k // bands
     consts = minhash_perm_consts(k, salt)
-    hs = ("list_transform(sh, s -> cast(('0x' || substring(md5(s), 1, 15)) as bigint) "
-          f"& {(1 << 30) - 1})")
+    hs = ("list_distinct(list_transform(sh, s -> "
+          "cast(('0x' || substring(md5(s), 1, 15)) as bigint) "
+          f"& {(1 << 30) - 1}))")
     sig_items = ", ".join(
         f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
         for a, b in consts
@@ -742,13 +745,13 @@ pairs AS (
   FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
 )
 SELECT p.id_a, p.id_b,
-  round(cast(len(list_intersect(a.sh, b.sh)) as double) /
-        len(list_distinct(list_concat(a.sh, b.sh))), 5) AS jaccard
+  round(cast(len(list_intersect(a.hs, b.hs)) as double) /
+        len(list_distinct(list_concat(a.hs, b.hs))), 5) AS jaccard
 FROM pairs p
-JOIN shingled a ON a.doc_id = p.id_a
-JOIN shingled b ON b.doc_id = p.id_b
-WHERE cast(len(list_intersect(a.sh, b.sh)) as double) /
-      len(list_distinct(list_concat(a.sh, b.sh))) >= {thr}
+JOIN hashed a ON a.doc_id = p.id_a
+JOIN hashed b ON b.doc_id = p.id_b
+WHERE cast(len(list_intersect(a.hs, b.hs)) as double) /
+      len(list_distinct(list_concat(a.hs, b.hs))) >= {thr}
 ORDER BY id_a, id_b
 """
 

@@ -75,28 +75,44 @@ def char_shingles(text: Column, n: int = 5) -> Column:
     return F.array_distinct(F.transform(starts, lambda i: F.substring(norm, i, n)))
 
 
-def _shingle_base(df: DataFrame, text_col: str, id_col: str, persist: bool) -> DataFrame:
-    """(_id, _norm) projection, persisted so the normalisation regexes run
-    once per row instead of once per shingle × once per plan-subtree (the
-    LSH plan references the shingle set 4×: both join sides + both verify
-    sides). At cluster scale this is the usual 'materialise signatures
-    before the self-join' step; MEMORY_AND_DISK spills instead of OOMing."""
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        normalize_text(F.col(text_col)).alias("_norm"),
-    )
-    if persist:
-        from pyspark import StorageLevel
+def _shingle_base(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(_id, _norm) with `_norm` materialised as a real attribute.
 
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    return base
+    `_norm` is emitted through a one-element explode on purpose: the
+    shingling lambdas downstream CAPTURE the norm column (substring(norm,
+    i, n) per element), and CollapseProject inlines single-use aliases
+    into lambda bodies — the normalisation regexes would re-run once per
+    shingle instead of once per row (measured 5× on the whole LSH
+    pipeline). A Generate node evaluates the generator exactly once per
+    row and cannot be collapsed through; no data is buffered (row-for-row,
+    unlike a persist, which would materialise the corpus).
+
+    If the source has fewer partitions than the cluster has cores, the
+    (id, text) projection is repartitioned first: the shingle+hash stage
+    is the pipeline's CPU hot spot, and a small parquet file (one split)
+    would otherwise pin it to a single task. The shuffle moves only the
+    two projected columns, once; on a real corpus (splits ≥ cores) it is
+    skipped entirely."""
+    proj = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() < parallelism:
+        proj = proj.repartition(parallelism)
+    return proj.select(
+        "_id",
+        F.explode(F.array(normalize_text(F.col("_text")))).alias("_norm"),
+    )
 
 
 def _shingles_from_norm(norm: Column, n: int) -> Column:
     """Char n-grams of an already-normalised ATTRIBUTE column (cheap to
-    re-evaluate per element, unlike a regex expression)."""
+    re-evaluate per element, unlike a regex expression).
+
+    NOT deduplicated: array_distinct over a few-hundred-element STRING
+    array is a nested-loop equality scan (measured as the single hottest
+    expression in the LSH pipeline); the caller dedupes the 30-bit hashes
+    instead, which is equivalent set semantics at ~10× less cost."""
     starts = F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1)))
-    return F.array_distinct(F.transform(starts, lambda i: F.substring(norm, i, n)))
+    return F.transform(starts, lambda i: F.substring(norm, i, n))
 
 
 MINHASH_P = 1073741789  # largest prime < 2^30: keeps a*h+b inside int64
@@ -159,17 +175,26 @@ def _banded_jaccard_pairs(
     shingles are computed PER DOC, never per candidate pair.
 
     At cluster scale: the band-key join shuffles only (band, key, id); the
-    verification join shuffles ids + shingle arrays for candidates only.
-    The (_id, _sh, _hs) intermediate is persisted: the plan references the
-    shingle set four times (both join sides + both verify sides), and the
-    16 permutation expressions would otherwise each re-run the per-shingle
-    md5 pass (captured expressions re-evaluate per reference).
+    verification join shuffles ids + HASHED shingle sets (int arrays) for
+    candidates only — the string shingles never leave the map side. Exact
+    Jaccard runs on the distinct 30-bit shingle hashes: identical to
+    string-set Jaccard up to md5 collisions (P ≈ |A∪B|²/2³¹ per pair,
+    far below the threshold's discrimination), for ~10× fewer shuffled
+    bytes than n-char string arrays. The (_id, _hs) intermediate is
+    persisted: the plan references the shingle-hash set four times (both
+    join sides + both verify sides), and the 16 permutation expressions
+    would otherwise each re-run the per-shingle md5 pass (captured
+    expressions re-evaluate per reference).
     """
     from pyspark import StorageLevel
 
+    # DESER level on purpose: the serialized-columnar cache encoder is ~5×
+    # slower than object storage for nested array<long> columns (measured
+    # 3.8 s vs 0.7 s to build at sf0.1) and the cache is read only a few
+    # times before unpersist; spills to disk under pressure either way.
     hashed = shingled.select(
-        "_id", "_sh", shingle_hashes(F.col("_sh")).alias("_hs")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        "_id", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
+    ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     rows = k // bands
     sigs = [
         F.array_min(F.transform(F.col("_hs"), _affine_perm(a, b)))
@@ -201,8 +226,8 @@ def _banded_jaccard_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    a = hashed.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
-    b = hashed.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    a = hashed.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_sha"))
+    b = hashed.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_shb"))
     verified = pairs.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     union = F.size(F.array_union(F.col("_sha"), F.col("_shb")))
@@ -232,7 +257,7 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    base = _shingle_base(df, text_col, id_col, persist=True)
+    base = _shingle_base(df, text_col, id_col)
     shingled = base.select(
         "_id", _shingles_from_norm(F.col("_norm"), shingle_n).alias("_sh")
     )
@@ -297,13 +322,14 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     )
 
 
-def _word_ngrams_from_norm(norm: Column, n: int) -> Column:
-    """Word n-grams of an already-normalised attribute column."""
-    toks = F.filter(F.split(norm, " "), lambda t: t != F.lit(""))
+def _word_ngrams_from_toks(toks: Column, n: int) -> Column:
+    """Word n-grams of an already-tokenised ATTRIBUTE column (the n-gram
+    lambda captures `toks` — slice per element — so the token split must
+    be a materialised attribute, not an expression, or it re-runs once
+    per n-gram). Not deduplicated — the caller dedupes the hashes (see
+    _shingles_from_norm)."""
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
-    return F.array_distinct(
-        F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
 
 
 def ngram_jaccard_pairs(
@@ -321,9 +347,15 @@ def ngram_jaccard_pairs(
     corpora (length-band or single-hash blocking degenerates there: common
     shingles dominate the min and buckets go quadratic). k=8/bands=2 gives
     p = 1-(1-s^4)^2 candidate recall with tiny buckets; exact Jaccard then
-    verifies on the per-doc n-gram sets joined back by id."""
-    base = _shingle_base(df, text_col, id_col, persist=True)
-    shingled = base.select(
-        "_id", _word_ngrams_from_norm(F.col("_norm"), ngram_n).alias("_sh")
+    verifies on the per-doc n-gram hash sets joined back by id."""
+    base = _shingle_base(df, text_col, id_col)
+    toked = base.select(
+        "_id",
+        F.explode(
+            F.array(F.filter(F.split(F.col("_norm"), " "), lambda t: t != F.lit("")))
+        ).alias("_toks"),
+    )
+    shingled = toked.select(
+        "_id", _word_ngrams_from_toks(F.col("_toks"), ngram_n).alias("_sh")
     )
     return _banded_jaccard_pairs(shingled, k, bands, "ng", threshold)
