@@ -85,10 +85,29 @@ def _regexp_range_constructor(loader: yaml.Loader, node: yaml.Node) -> RegexpRan
     return RegexpRange(begin=d.get("begin"), end=d.get("end"), excl=bool(d.get("excl", False)))
 
 
+def _hoist_non_tabular_row(d: dict) -> dict:
+    """`non_tabular_row:` legacy variant (non_tabular/mapping.rb:7-35):
+    the NON_TABULAR_OPTIONS live nested under that key instead of at table
+    level. Hoist them; a missing/None value or a nested dict without a
+    start_line_pattern raises (mapping.rb:14-20 + table.rb mandatory
+    start_line_pattern, pinned by test/non_tabular/mapping_test.rb)."""
+    from ndr_import_spark.plans.model import NON_TABULAR_OPTIONS, MappingError
+
+    nested = d.pop("non_tabular_row", None)
+    if not isinstance(nested, dict):
+        raise MappingError("Mapping is missing a non_tabular_row")
+    for key in NON_TABULAR_OPTIONS:
+        if nested.get(key) is not None:
+            d[key] = nested[key]
+    return d
+
+
 def _ruby_object_constructor(loader: yaml.Loader, tag_suffix: str, node: yaml.Node) -> Any:
     d = loader.construct_mapping(node, deep=True)
     if tag_suffix == "RegexpRange":
         return RegexpRange(begin=d.get("begin"), end=d.get("end"), excl=bool(d.get("excl", False)))
+    if tag_suffix == "NdrImport::NonTabular::Mapping":
+        return TableMapping.from_dict(_hoist_non_tabular_row(d), kind="non_tabular")
     kind = _RUBY_CLASS_KINDS.get(tag_suffix)
     if kind is not None:
         return TableMapping.from_dict(d, kind=kind)
@@ -113,6 +132,9 @@ def _kind_for_dict(d: dict) -> str:
     explicit = d.pop("type", None)
     if explicit:
         return str(explicit)
+    if "non_tabular_row" in d:
+        _hoist_non_tabular_row(d)
+        return "non_tabular"
     if d.get("start_line_pattern") or d.get("format") in ("nontabular", "non_tabular"):
         return "non_tabular"
     if d.get("xml_record_xpath") or d.get("format") == "xml_table":

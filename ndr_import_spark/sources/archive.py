@@ -47,22 +47,21 @@ def read_zip(spark: SparkSession, path: str | list[str], options: dict):
 
 
 def read_seven_zip(spark: SparkSession, path: str | list[str], options: dict):
-    try:
-        import py7zr  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "7z expansion needs py7zr (not in this environment); the zip path "
-            "demonstrates the same driver-side expand-and-recurse flow"
-        ) from exc
+    """7z expansion (seven_zip.rb:10-70): extract members matching `pattern`
+    (basename-only, per the reference's path-stripping), honour `password`
+    (7zAES-256), recurse each member through the registry."""
+    from ndr_import_spark.sources.sevenzip import expand_seven_zip
+
     files = list_input_files(spark, path)
-    dest = options.get("unzip_path") or os.path.join(os.getcwd(), ".tmp", "unzip")
-    os.makedirs(dest, exist_ok=True)
     tables = []
     for f in files:
-        with py7zr.SevenZipFile(f, password=options.get("password")) as zf:
-            zf.extractall(dest)
-            for name in zf.getnames():
-                tables.extend(read_tables(spark, os.path.join(dest, name), None, options))
+        for extracted in expand_seven_zip(
+            f,
+            pattern=options.get("pattern"),
+            unzip_path=options.get("unzip_path"),
+            password=options.get("password"),
+        ):
+            tables.extend(read_tables(spark, extracted, options.get("inner_format"), options))
     return tables
 
 

@@ -1,0 +1,536 @@
+"""Minimal 7z container reader — stdlib `lzma` + `zlib`, with AES-256
+decryption via the `cryptography` package when a password is supplied.
+
+Replaces the py7zr-gated stub so the `7z` format (reference:
+lib/ndr_import/file/seven_zip.rb:10-70, fixture test/resources/normal.7z)
+works in this environment. Implements the public 7z container layout
+(7zFormat.txt from the 7-Zip/LZMA SDK): signature + start header, plain or
+LZMA-compressed ("encoded") metadata header, folders as linear coder
+chains, substream splitting, and the FilesInfo name/empty-stream tables.
+
+Supported coders: Copy (00), LZMA1 (030101), LZMA2 (21), Delta (03),
+BCJ x86 (03030103 / 04), and 7zAES-256-SHA256 (06f10701). Bind graphs are
+restricted to linear chains (what 7z/p7zip emit for normal archives);
+anything exotic raises with the codec id in the message.
+
+Driver-side by design: archives yield FILES which re-enter the registry,
+mirroring the reference's expand-and-recurse flow (zip.rb does the same).
+Extraction volume is bounded by archive size, not corpus size — at 100 TB
+the unpacked members become the distributed inputs; the container walk
+itself is metadata-scale.
+"""
+
+from __future__ import annotations
+
+import lzma
+import os
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+MAGIC = b"7z\xbc\xaf\x27\x1c"
+
+K_END = 0x00
+K_HEADER = 0x01
+K_ARCHIVE_PROPERTIES = 0x02
+K_ADDITIONAL_STREAMS = 0x03
+K_MAIN_STREAMS = 0x04
+K_FILES_INFO = 0x05
+K_PACK_INFO = 0x06
+K_UNPACK_INFO = 0x07
+K_SUBSTREAMS_INFO = 0x08
+K_SIZE = 0x09
+K_CRC = 0x0A
+K_FOLDER = 0x0B
+K_CODERS_UNPACK_SIZE = 0x0C
+K_NUM_UNPACK_STREAM = 0x0D
+K_EMPTY_STREAM = 0x0E
+K_EMPTY_FILE = 0x0F
+K_ANTI = 0x10
+K_NAME = 0x11
+K_ENCODED_HEADER = 0x17
+K_DUMMY = 0x19
+
+COPY = b"\x00"
+DELTA = b"\x03"
+LZMA1 = b"\x03\x01\x01"
+BCJ_X86 = (b"\x03\x03\x01\x03", b"\x04")
+LZMA2 = b"\x21"
+AES256 = b"\x06\xf1\x07\x01"
+
+
+class SevenZipError(ValueError):
+    pass
+
+
+class _Reader:
+    """Cursor over a bytes buffer with 7z primitive decoders."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def byte(self) -> int:
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
+
+    def bytes(self, n: int) -> bytes:
+        out = self.data[self.pos:self.pos + n]
+        if len(out) != n:
+            raise SevenZipError("Truncated 7z header")
+        self.pos += n
+        return out
+
+    def number(self) -> int:
+        """7z variable-length number: leading bits of the first byte select
+        how many little-endian extra bytes follow."""
+        first = self.byte()
+        mask = 0x80
+        value = 0
+        for i in range(8):
+            if first & mask == 0:
+                high = first & (mask - 1)
+                return value | (high << (8 * i))
+            value |= self.byte() << (8 * i)
+            mask >>= 1
+        return value
+
+    def bitfield(self, count: int) -> list[bool]:
+        """MSB-first bit vector."""
+        out: list[bool] = []
+        b = 0
+        mask = 0
+        for _ in range(count):
+            if mask == 0:
+                b = self.byte()
+                mask = 0x80
+            out.append(bool(b & mask))
+            mask >>= 1
+        return out
+
+    def optional_bitfield(self, count: int) -> list[bool]:
+        """AllAreDefined byte, then either implicit all-true or a bitfield."""
+        if self.byte() != 0:
+            return [True] * count
+        return self.bitfield(count)
+
+
+@dataclass
+class _Coder:
+    codec_id: bytes
+    props: bytes
+    num_in: int = 1
+    num_out: int = 1
+
+
+@dataclass
+class _Folder:
+    coders: list[_Coder] = field(default_factory=list)
+    bind_pairs: list[tuple[int, int]] = field(default_factory=list)
+    packed_indices: list[int] = field(default_factory=list)
+    unpack_sizes: list[int] = field(default_factory=list)
+
+    def output_stream_index(self) -> int:
+        bound_out = {out for _in, out in self.bind_pairs}
+        for i in range(len(self.unpack_sizes)):
+            if i not in bound_out:
+                return i
+        raise SevenZipError("Folder has no unbound output stream")
+
+    def unpack_size(self) -> int:
+        return self.unpack_sizes[self.output_stream_index()]
+
+
+def _parse_folder(r: _Reader) -> _Folder:
+    f = _Folder()
+    num_coders = r.number()
+    total_in = 0
+    total_out = 0
+    for _ in range(num_coders):
+        flags = r.byte()
+        id_size = flags & 0x0F
+        codec_id = r.bytes(id_size)
+        num_in = num_out = 1
+        if flags & 0x10:  # complex coder
+            num_in = r.number()
+            num_out = r.number()
+        props = b""
+        if flags & 0x20:
+            props = r.bytes(r.number())
+        if flags & 0x80:
+            raise SevenZipError("Alternative coder methods are unsupported")
+        f.coders.append(_Coder(codec_id, props, num_in, num_out))
+        total_in += num_in
+        total_out += num_out
+    for _ in range(total_out - 1):
+        f.bind_pairs.append((r.number(), r.number()))
+    num_packed = total_in - len(f.bind_pairs)
+    if num_packed == 1:
+        bound_in = {i for i, _o in f.bind_pairs}
+        f.packed_indices = [i for i in range(total_in) if i not in bound_in]
+    else:
+        f.packed_indices = [r.number() for _ in range(num_packed)]
+    return f
+
+
+@dataclass
+class _StreamsInfo:
+    pack_pos: int = 0
+    pack_sizes: list[int] = field(default_factory=list)
+    folders: list[_Folder] = field(default_factory=list)
+    # per folder: number of substreams + their sizes
+    num_unpack_streams: list[int] = field(default_factory=list)
+    substream_sizes: list[int] = field(default_factory=list)
+
+
+def _parse_streams_info(r: _Reader) -> _StreamsInfo:
+    info = _StreamsInfo()
+    while True:
+        prop = r.number()
+        if prop == K_END:
+            break
+        if prop == K_PACK_INFO:
+            info.pack_pos = r.number()
+            n = r.number()
+            while True:
+                p = r.number()
+                if p == K_END:
+                    break
+                if p == K_SIZE:
+                    info.pack_sizes = [r.number() for _ in range(n)]
+                elif p == K_CRC:
+                    defined = r.optional_bitfield(n)
+                    r.bytes(4 * sum(defined))
+                else:
+                    raise SevenZipError(f"Unexpected PackInfo property {p:#x}")
+        elif prop == K_UNPACK_INFO:
+            if r.number() != K_FOLDER:
+                raise SevenZipError("UnpackInfo must start with kFolder")
+            num_folders = r.number()
+            if r.byte() != 0:
+                raise SevenZipError("External folder data is unsupported")
+            info.folders = [_parse_folder(r) for _ in range(num_folders)]
+            if r.number() != K_CODERS_UNPACK_SIZE:
+                raise SevenZipError("Missing kCodersUnpackSize")
+            for f in info.folders:
+                n_out = sum(c.num_out for c in f.coders)
+                f.unpack_sizes = [r.number() for _ in range(n_out)]
+            while True:
+                p = r.number()
+                if p == K_END:
+                    break
+                if p == K_CRC:
+                    defined = r.optional_bitfield(num_folders)
+                    r.bytes(4 * sum(defined))
+                else:
+                    raise SevenZipError(f"Unexpected UnpackInfo property {p:#x}")
+        elif prop == K_SUBSTREAMS_INFO:
+            info.num_unpack_streams = [1] * len(info.folders)
+            sizes_read = False
+            while True:
+                p = r.number()
+                if p == K_END:
+                    break
+                if p == K_NUM_UNPACK_STREAM:
+                    info.num_unpack_streams = [r.number() for _ in info.folders]
+                elif p == K_SIZE:
+                    # sizes for all but the last substream of each folder
+                    info.substream_sizes = []
+                    for fi, f in enumerate(info.folders):
+                        cnt = info.num_unpack_streams[fi]
+                        if cnt == 0:
+                            continue
+                        sizes = [r.number() for _ in range(cnt - 1)]
+                        sizes.append(f.unpack_size() - sum(sizes))
+                        info.substream_sizes.extend(sizes)
+                    sizes_read = True
+                elif p == K_CRC:
+                    total = sum(info.num_unpack_streams)
+                    defined = r.optional_bitfield(total)
+                    r.bytes(4 * sum(defined))
+                else:
+                    raise SevenZipError(f"Unexpected SubStreams property {p:#x}")
+            if not sizes_read:
+                info.substream_sizes = []
+                for fi, f in enumerate(info.folders):
+                    if info.num_unpack_streams[fi] == 1:
+                        info.substream_sizes.append(f.unpack_size())
+                    elif info.num_unpack_streams[fi] != 0:
+                        raise SevenZipError("Missing substream sizes")
+        else:
+            raise SevenZipError(f"Unexpected StreamsInfo property {prop:#x}")
+    if not info.num_unpack_streams:
+        info.num_unpack_streams = [1] * len(info.folders)
+        info.substream_sizes = [f.unpack_size() for f in info.folders]
+    return info
+
+
+def _aes_key(password: str, salt: bytes, cycles_power: int) -> bytes:
+    """7zAES key derivation: SHA-256 over salt+password(UTF-16LE)+counter,
+    iterated 2^cycles_power times (cycles_power 0x3F means plain concat)."""
+    import hashlib
+
+    pw = password.encode("utf-16-le")
+    if cycles_power == 0x3F:
+        key = (salt + pw + b"\x00" * 32)[:32]
+        return key
+    h = hashlib.sha256()
+    for i in range(1 << cycles_power):
+        h.update(salt + pw + struct.pack("<Q", i))
+    return h.digest()
+
+
+def _decode_coder(coder: _Coder, data: bytes, out_size: int, password: str | None) -> bytes:
+    cid = coder.codec_id
+    if cid == COPY:
+        return data[:out_size]
+    if cid == LZMA2:
+        if len(coder.props) != 1:
+            raise SevenZipError("LZMA2 coder expects 1 property byte")
+        p = coder.props[0]
+        if p > 40:
+            raise SevenZipError(f"Invalid LZMA2 dictionary property {p}")
+        dict_size = 0xFFFFFFFF if p == 40 else (2 | (p & 1)) << (p // 2 + 11)
+        dec = lzma.LZMADecompressor(
+            format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_LZMA2, "dict_size": max(dict_size, 4096)}],
+        )
+        return dec.decompress(data, max_length=out_size)
+    if cid == LZMA1:
+        if len(coder.props) != 5:
+            raise SevenZipError("LZMA1 coder expects 5 property bytes")
+        d = coder.props[0]
+        lc, r0 = d % 9, d // 9
+        lp, pb = r0 % 5, r0 // 5
+        dict_size = struct.unpack("<I", coder.props[1:5])[0]
+        dec = lzma.LZMADecompressor(
+            format=lzma.FORMAT_RAW,
+            filters=[{
+                "id": lzma.FILTER_LZMA1,
+                "lc": lc, "lp": lp, "pb": pb, "dict_size": max(dict_size, 4096),
+            }],
+        )
+        return dec.decompress(data, max_length=out_size)
+    if cid == DELTA:
+        dist = (coder.props[0] + 1) if coder.props else 1
+        out = bytearray(data[:out_size])
+        for i in range(dist, len(out)):
+            out[i] = (out[i] + out[i - dist]) & 0xFF
+        return bytes(out)
+    if cid in BCJ_X86:
+        raise SevenZipError("BCJ-filtered 7z members are unsupported")
+    if cid == AES256:
+        if password is None:
+            raise SevenZipError("7z archive is encrypted and no password was given")
+        try:
+            from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+        except ImportError as exc:  # pragma: no cover - env gate
+            raise NotImplementedError(
+                "7zAES decryption needs the 'cryptography' package"
+            ) from exc
+        props = coder.props
+        b0 = props[0]
+        cycles = b0 & 0x3F
+        salt_size = iv_size = 0
+        off = 1
+        if b0 & 0xC0:
+            b1 = props[1]
+            off = 2
+            salt_size = ((b0 >> 7) & 1) + (b1 >> 4)
+            iv_size = ((b0 >> 6) & 1) + (b1 & 0x0F)
+        salt = props[off:off + salt_size]
+        iv = props[off + salt_size:off + salt_size + iv_size].ljust(16, b"\x00")
+        key = _aes_key(password, salt, cycles)
+        n = len(data) - (len(data) % 16)
+        dec = Cipher(algorithms.AES(key), modes.CBC(iv)).decryptor()
+        return (dec.update(data[:n]) + dec.finalize())[:out_size]
+    raise SevenZipError(f"Unsupported 7z codec id {cid.hex()}")
+
+
+def _decode_folder(folder: _Folder, packed: list[bytes], password: str | None) -> bytes:
+    """Decode a linear coder chain: start from the packed stream feeding the
+    chain's first coder, apply coders along bind pairs to the final output."""
+    if len(packed) != 1:
+        # Multi-input folders (e.g. BCJ2) are not linear chains
+        raise SevenZipError("Only single-packed-stream folders are supported")
+    # Map global in/out stream indices to coders
+    in_base: list[int] = []
+    out_base: list[int] = []
+    ti = to = 0
+    for c in folder.coders:
+        in_base.append(ti)
+        out_base.append(to)
+        ti += c.num_in
+        to += c.num_out
+    # the packed stream enters at folder.packed_indices[0]
+    in_index = folder.packed_indices[0]
+    data = packed[0]
+    bind_by_out = {out: inp for inp, out in folder.bind_pairs}
+    for _ in range(len(folder.coders) + 1):
+        ci = next(
+            i for i, c in enumerate(folder.coders)
+            if in_base[i] <= in_index < in_base[i] + c.num_in
+        )
+        coder = folder.coders[ci]
+        out_index = out_base[ci]
+        data = _decode_coder(coder, data, folder.unpack_sizes[out_index], password)
+        if out_index == folder.output_stream_index():
+            return data
+        in_index = bind_by_out[out_index]
+    raise SevenZipError("Coder chain did not terminate")
+
+
+@dataclass
+class SevenZipMember:
+    name: str
+    data: bytes
+
+
+def extract_7z_bytes(blob: bytes, password: str | None = None) -> list[SevenZipMember]:
+    if blob[:6] != MAGIC:
+        raise SevenZipError("Not a 7z archive (bad signature)")
+    next_off, next_size, next_crc = struct.unpack("<QQI", blob[12:32])
+    header = blob[32 + next_off:32 + next_off + next_size]
+    if len(header) != next_size:
+        raise SevenZipError("Truncated 7z archive")
+    if zlib.crc32(header) != next_crc:
+        raise SevenZipError("7z header CRC mismatch")
+
+    r = _Reader(header)
+    prop = r.number()
+    if prop == K_ENCODED_HEADER:
+        info = _parse_streams_info(r)
+        packed = _packed_streams(blob, info)
+        decoded = b"".join(
+            _decode_folder(f, [packed[i]], password)
+            for i, f in enumerate(info.folders)
+        )
+        r = _Reader(decoded)
+        prop = r.number()
+    if prop != K_HEADER:
+        raise SevenZipError(f"Expected kHeader, got {prop:#x}")
+
+    streams: _StreamsInfo | None = None
+    names: list[str] = []
+    empty_stream: list[bool] = []
+    empty_file: list[bool] = []
+    num_files = 0
+    while True:
+        prop = r.number()
+        if prop == K_END:
+            break
+        if prop == K_MAIN_STREAMS:
+            streams = _parse_streams_info(r)
+        elif prop == K_FILES_INFO:
+            num_files = r.number()
+            empty_stream = [False] * num_files
+            while True:
+                p = r.number()
+                if p == K_END:
+                    break
+                size = r.number()
+                end = r.pos + size
+                if p == K_EMPTY_STREAM:
+                    empty_stream = r.bitfield(num_files)
+                elif p == K_EMPTY_FILE:
+                    empty_file = r.bitfield(sum(empty_stream))
+                elif p == K_NAME:
+                    if r.byte() != 0:
+                        raise SevenZipError("External names are unsupported")
+                    # NUL-terminated UTF-16LE names; walk code units (a
+                    # byte-level split on 00 00 would break on chars whose
+                    # low byte is 0x00)
+                    names = _split_utf16_names(r.bytes(size - 1))
+                r.pos = end
+        elif prop == K_ARCHIVE_PROPERTIES:
+            while True:
+                p = r.number()
+                if p == K_END:
+                    break
+                r.bytes(r.number())
+        else:
+            raise SevenZipError(f"Unexpected header property {prop:#x}")
+
+    # decode folders → substreams → files
+    contents: list[bytes] = []
+    if streams is not None:
+        packed = _packed_streams(blob, streams)
+        pi = 0
+        sub_iter = iter(streams.substream_sizes)
+        for fi, folder in enumerate(streams.folders):
+            n_packed = len(folder.packed_indices)
+            folder_packed = packed[pi:pi + n_packed]
+            pi += n_packed
+            data = _decode_folder(folder, folder_packed, password)
+            offset = 0
+            for _ in range(streams.num_unpack_streams[fi]):
+                size = next(sub_iter)
+                contents.append(data[offset:offset + size])
+                offset += size
+
+    out: list[SevenZipMember] = []
+    ci = 0
+    ei = 0
+    for i in range(num_files):
+        name = names[i] if i < len(names) else f"member_{i}"
+        if empty_stream[i]:
+            is_file = ei < len(empty_file) and empty_file[ei]
+            ei += 1
+            if is_file:
+                out.append(SevenZipMember(name, b""))
+            # else: directory entry — skip
+        else:
+            out.append(SevenZipMember(name, contents[ci]))
+            ci += 1
+    return out
+
+
+def _split_utf16_names(raw: bytes) -> list[str]:
+    names = []
+    start = 0
+    i = 0
+    while i + 1 < len(raw) or i < len(raw):
+        if raw[i:i + 2] == b"\x00\x00":
+            names.append(raw[start:i].decode("utf-16-le"))
+            start = i + 2
+        i += 2
+    return names
+
+
+def _packed_streams(blob: bytes, info: _StreamsInfo) -> list[bytes]:
+    base = 32 + info.pack_pos
+    out = []
+    for size in info.pack_sizes:
+        out.append(blob[base:base + size])
+        base += size
+    return out
+
+
+def extract_7z(path: str, password: str | None = None) -> list[SevenZipMember]:
+    with open(path, "rb") as fh:
+        return extract_7z_bytes(fh.read(), password)
+
+
+def expand_seven_zip(
+    path: str,
+    pattern: str | None = None,
+    unzip_path: str | None = None,
+    password: str | None = None,
+) -> list[str]:
+    """Extract members (basename only, like the reference's SECURE note at
+    seven_zip.rb:44-46) matching `pattern` into `unzip_path`."""
+    import re
+
+    dest = unzip_path or os.path.join(os.getcwd(), ".tmp", "unzip")
+    os.makedirs(dest, exist_ok=True)
+    out = []
+    for member in extract_7z(path, password):
+        name = os.path.basename(member.name.replace("\\", "/"))
+        if not name or (pattern and not re.search(pattern, name)):
+            continue
+        target = os.path.join(dest, name)
+        with open(target, "wb") as fh:
+            fh.write(member.data)
+        out.append(target)
+    return out

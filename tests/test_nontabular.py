@@ -437,3 +437,47 @@ class TestChunkedStitching:
         mapping = load_mapping(MULTILINE_REMOVE_YAML)
         with pytest.raises(MappingError):
             sessionize(df, mapping, strict=False, chunk=1)
+
+
+class TestNonTabularRowVariant:
+    """`non_tabular_row:` legacy mapping shape (non_tabular/mapping.rb:7-35,
+    pinned by test/non_tabular/mapping_test.rb)."""
+
+    def test_hoists_nested_options(self):
+        m = load_mapping(
+            "non_tabular_row:\n"
+            "  start_line_pattern: !ruby/regexp /^START/\n"
+            "  capture_start_line: true\n"
+            "klass: Rec\ncolumns:\n- column: one\n"
+        )
+        assert m.kind == "non_tabular"
+        assert str(m.start_line_pattern) == "^START"
+        assert m.capture_start_line is True
+
+    def test_ruby_tagged_mapping_class(self):
+        m = load_mapping(
+            "--- !ruby/object:NdrImport::NonTabular::Mapping\n"
+            "non_tabular_row:\n"
+            "  start_line_pattern: !ruby/regexp /\\A-*\\z/\n"
+            "klass: Rec\ncolumns:\n- column: one\n"
+        )
+        assert m.kind == "non_tabular"
+        assert str(m.start_line_pattern) == "\\A-*\\z"
+
+    def test_missing_non_tabular_row_raises(self):
+        with pytest.raises(MappingError):
+            load_mapping(
+                "--- !ruby/object:NdrImport::NonTabular::Mapping\n"
+                "klass: Rec\ncolumns:\n- column: one\n"
+            )
+
+    def test_none_non_tabular_row_raises(self):
+        with pytest.raises(MappingError):
+            load_mapping("non_tabular_row:\nklass: Rec\ncolumns:\n- column: one\n")
+
+    def test_nested_without_start_pattern_raises(self):
+        with pytest.raises(MappingError):
+            load_mapping(
+                "non_tabular_row:\n  capture_start_line: true\n"
+                "klass: Rec\ncolumns:\n- column: one\n"
+            )
