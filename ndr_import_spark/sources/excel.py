@@ -132,17 +132,40 @@ def read_excel(
     spark: SparkSession, path: str | list[str], options: dict
 ) -> list[tuple[str | None, DataFrame]]:
     files = list_input_files(spark, path)
+    password = options.get("file_password")
     tables: list[tuple[str | None, DataFrame]] = []
     for f in files:
         with open(f, "rb") as fh:
             data = fh.read()
         if data[:4] != b"PK\x03\x04":
             if data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
-                raise NotImplementedError(
-                    "Legacy OLE .xls needs a binary parser (xlrd not in env); "
-                    ".xlsx (incl. mislabelled as .xls) is fully supported"
+                from ndr_import_spark.sources.ooxml_crypto import (
+                    decrypt_ooxml,
+                    is_encrypted_ooxml,
                 )
-            raise ValueError(f"Not an Excel file: {f}")
+
+                if is_encrypted_ooxml(data):
+                    # password-protected xlsx: OLE wrapper around the zip
+                    # (office_file_helper.rb:11-17, excel.rb:103-110)
+                    if not password:
+                        raise ValueError(
+                            f"Excel file {f} is password-protected; supply "
+                            "file_password in the mapping"
+                        )
+                    data = decrypt_ooxml(data, password)
+                else:
+                    # legacy BIFF8 .xls (excel.rb:55-77)
+                    from ndr_import_spark.sources.legacy_office import parse_xls
+
+                    for sheet_name, rows in parse_xls(data):
+                        df = spark.createDataFrame(
+                            [(f, i, r) for i, r in enumerate(rows)],
+                            "source_file string, row_index long, cells array<string>",
+                        )
+                        tables.append((sheet_name, df))
+                    continue
+            else:
+                raise ValueError(f"Not an Excel file: {f}")
         for sheet_name, rows in parse_xlsx(data):
             df = spark.createDataFrame(
                 [(f, i, r) for i, r in enumerate(rows)],

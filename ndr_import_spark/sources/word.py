@@ -1,10 +1,12 @@
 """Word .doc/.docx extraction (reference: lib/ndr_import/file/word.rb,
 docx.rb; in-cell decode mapper.rb:281-311).
 
-The container has no python-docx/antiword; the Spark-side plumbing (binary
-column in, text column out via an Arrow-batched pandas UDF) is real, the
-actual binary parse is STUBBED: .docx (a zip) gets a minimal pure-stdlib
-paragraph extractor, legacy .doc raises NotImplementedError.
+Pure-stdlib parsing end-to-end: .docx paragraphs via zipfile + regex over
+word/document.xml; legacy OLE .doc via the piece-table extractor in
+`sources.legacy_office`; password-protected docx via
+`sources.ooxml_crypto` (file_password, docx.rb:21-30). Extraction runs in
+an Arrow-batched pandas UDF over a binaryFile scan — the per-file blobs
+distribute across executors, only text rows come back.
 """
 
 from __future__ import annotations
@@ -40,17 +42,29 @@ def _extract_docx_text(data: bytes) -> str:
     return "\n".join(paragraphs)
 
 
-def _extract_word_text(data: bytes | None) -> str | None:
+def _extract_word_text(data: bytes | None, password: str | None = None) -> str | None:
     if data is None:
         return None
     if data[:4] == b"PK\x03\x04":  # OOXML container → .docx path
         return _extract_docx_text(data)
     if data[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
-        # Legacy OLE .doc — needs msworddoc-extractor equivalent, not in env.
-        raise NotImplementedError(
-            "Legacy .doc text extraction requires an OLE parser (stubbed; "
-            "plumbing is real — supply a parser via sources.word.set_doc_parser)"
+        from ndr_import_spark.sources.ooxml_crypto import (
+            decrypt_ooxml,
+            is_encrypted_ooxml,
         )
+
+        if is_encrypted_ooxml(data):
+            # password-protected docx: OLE wrapper around the zip
+            # (office_file_helper.rb:11-17, docx.rb:21-30)
+            if not password:
+                raise ValueError(
+                    "Word file is password-protected; supply file_password"
+                )
+            return _extract_docx_text(decrypt_ooxml(data, password))
+        # legacy OLE .doc (word.rb:11-30) — piece-table text extraction
+        from ndr_import_spark.sources.legacy_office import extract_doc_text
+
+        return extract_doc_text(data)
     # treat as already-text
     return data.decode("utf-8", errors="replace")
 
@@ -64,15 +78,24 @@ def set_doc_parser(fn) -> None:
     _doc_parser = fn
 
 
-@pandas_udf(StringType())
-def _word_text_udf(blobs: pd.Series) -> pd.Series:
-    def one(b):
-        if b is None:
-            return None
-        if _doc_parser is not None and bytes(b)[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
-            return _doc_parser(bytes(b))
-        return _extract_word_text(bytes(b))
-    return blobs.map(one)
+def make_word_text_udf(password: str | None = None):
+    """Arrow-batched extractor UDF; `password` is captured at plan time
+    (it is per-mapping, not per-row — docx.rb:21-30)."""
+
+    @pandas_udf(StringType())
+    def _udf(blobs: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            if _doc_parser is not None and bytes(b)[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+                return _doc_parser(bytes(b))
+            return _extract_word_text(bytes(b), password)
+        return blobs.map(one)
+
+    return _udf
+
+
+_word_text_udf = make_word_text_udf()
 
 
 def word_doc_text_column(col: Column) -> Column:
