@@ -2,14 +2,13 @@
 acroform_reader.rb — the form's field-name→value hash becomes a single
 hash-shaped row; non-widget fields rejected, duplicate names rejected).
 
-The binaryFile → pandas-UDF plumbing is real; AcroForm field extraction
-needs a pdf library → stdlib best-effort over uncompressed field dicts,
-else NotImplementedError (inject via `set_acroform_parser`).
+Field extraction is pure stdlib via `sources.pdf_graph` (xref/object
+streams, Flate, object graph walk) — no PDF library needed; a custom
+parser can still be injected via `set_acroform_parser`. binaryFile scan →
+Arrow-batched pandas UDF → one hash row per file.
 """
 
 from __future__ import annotations
-
-import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -28,19 +27,14 @@ def set_acroform_parser(fn) -> None:
     _acroform_parser = fn
 
 
-def _fallback_fields(data: bytes) -> dict[str, str]:
-    fields: dict[str, str] = {}
-    for m in re.finditer(rb"/T\s*\((.*?)\)(?:(?!/T\s*\().)*?/V\s*\((.*?)\)", data, flags=re.S):
-        name = m.group(1).decode("latin-1")
-        if name in fields:
-            raise ValueError(f"Duplicate form field name: {name}")
-        fields[name] = m.group(2).decode("latin-1")
-    if not fields:
-        raise NotImplementedError(
-            "AcroForm extraction needs a pdf library (stubbed; plumbing is "
-            "real — inject one via sources.acroform.set_acroform_parser)"
-        )
-    return fields
+def _fallback_fields(data: bytes) -> dict[str, str | None]:
+    from ndr_import_spark.sources.pdf_graph import PdfError, acroform_fields
+
+    try:
+        return acroform_fields(data)
+    except PdfError as exc:
+        # acro_form.rb:17-19 wraps extraction failures
+        raise ValueError(f"Failed to read file as an AcroForm PDF: {exc}") from exc
 
 
 @pandas_udf(MapType(StringType(), StringType()))
