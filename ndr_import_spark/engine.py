@@ -142,6 +142,8 @@ class Engine:
             opts["file_password"] = mapping.file_password
         if mapping.xml_record_xpath:
             opts["xml_record_xpath"] = mapping.xml_record_xpath
+        if getattr(mapping, "pattern_match_record_xpath", False):
+            opts["pattern_match_record_xpath"] = True
         if mapping.slurp:
             opts["slurp"] = True
         return opts

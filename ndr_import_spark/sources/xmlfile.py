@@ -58,12 +58,35 @@ def escape_control_chars_str(data: str) -> str:
     return data
 
 
-def read_xml(
-    spark: SparkSession, path: str | list[str], options: dict
-) -> list[tuple[str | None, DataFrame]]:
-    files = list_input_files(spark, path)
-    row_tag = row_tag_from_xpath(options.get("xml_record_xpath", "record"))
-    df = (
+def matching_record_tags(files: list[str], name_regex: str) -> list[str]:
+    """Driver pre-scan for `pattern_match_record_xpath` (xml.rb:87-95):
+    the record "xpath" is a Ruby regex matched against the names of the
+    root's child elements. Streams each file with iterparse, looks only at
+    depth-1 names (bounded work: one pass over tags, no DOM), returns the
+    distinct matching names in first-seen order."""
+    import re as _re
+
+    from ndr_import_spark.plans.yaml_loader import python_re
+
+    pat = _re.compile(python_re(name_regex))
+    seen: list[str] = []
+    for f in files:
+        local = f[7:] if f.startswith("file://") else f
+        depth = 0
+        for event, el in ET.iterparse(local, events=("start", "end")):
+            if event == "start":
+                depth += 1
+                if depth == 2:
+                    name = el.tag.rsplit("}", 1)[-1]
+                    if pat.search(name) and name not in seen:
+                        seen.append(name)
+            else:
+                depth -= 1
+    return seen
+
+
+def _read_row_tag(spark: SparkSession, files: list[str], row_tag: str) -> DataFrame:
+    return (
         spark.read.format("xml")
         .option("rowTag", row_tag)
         .option("attributePrefix", "_")
@@ -71,6 +94,31 @@ def read_xml(
         .option("mode", "PERMISSIVE")
         .load(files)
     )
+
+
+def read_xml(
+    spark: SparkSession, path: str | list[str], options: dict
+) -> list[tuple[str | None, DataFrame]]:
+    files = list_input_files(spark, path)
+    if options.get("pattern_match_record_xpath"):
+        tags = matching_record_tags(files, options.get("xml_record_xpath", ""))
+        if not tags:
+            # no matching element names → zero records (xml_test.rb:65-88)
+            df = spark.createDataFrame(
+                [], "source_file string, row_index long"
+            )
+            return [(None, df)]
+        parts = []
+        for tag in tags:
+            part = _read_row_tag(spark, files, tag)
+            part = part.withColumn("source_file", F.input_file_name())
+            parts.append(attach_row_index(part))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        return [(None, df)]
+    row_tag = row_tag_from_xpath(options.get("xml_record_xpath", "record"))
+    df = _read_row_tag(spark, files, row_tag)
     df = df.withColumn("source_file", F.input_file_name())
     df = attach_row_index(df)
     return [(None, df)]

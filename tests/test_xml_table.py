@@ -171,3 +171,83 @@ class TestXmlCells:
             "no_relative_path": "A value",
             "no_path_or_att": "Another value",
         }
+
+
+class TestPatternMatchRecordXpath:
+    """pattern_match_record_xpath: record tags matched by NAME REGEX
+    (xml.rb:87-95; behaviour matrix test/file/xml_test.rb:37-88)."""
+
+    XML = (
+        "<root>"
+        "<record><a>1</a><b>x</b></record>"
+        "<other><c>no</c></other>"
+        "<record><a>2</a><b>y</b></record>"
+        "</root>"
+    )
+
+    def _write(self, tmp_path):
+        p = tmp_path / "sample.xml"
+        p.write_text(self.XML)
+        return str(p)
+
+    def test_matching_pattern_yields_records(self, spark, tmp_path):
+        from ndr_import_spark.sources.xmlfile import read_xml
+
+        tables = read_xml(
+            spark,
+            self._write(tmp_path),
+            {"pattern_match_record_xpath": True, "xml_record_xpath": r"\Arecord\z"},
+        )
+        rows = tables[0][1].orderBy("row_index").collect()
+        assert len(rows) == 2
+        assert [r["a"] for r in rows] == [1, 2]
+
+    def test_non_matching_pattern_yields_nothing(self, spark, tmp_path):
+        from ndr_import_spark.sources.xmlfile import read_xml
+
+        tables = read_xml(
+            spark,
+            self._write(tmp_path),
+            {
+                "pattern_match_record_xpath": True,
+                "xml_record_xpath": r"\Anon_matching_record\z",
+            },
+        )
+        assert tables[0][1].count() == 0
+
+    def test_multiple_matching_tags_union(self, spark, tmp_path):
+        from ndr_import_spark.sources.xmlfile import read_xml
+
+        p = tmp_path / "multi.xml"
+        p.write_text(
+            "<root>"
+            "<record_a><x>1</x></record_a>"
+            "<record_b><y>2</y></record_b>"
+            "</root>"
+        )
+        tables = read_xml(
+            spark,
+            str(p),
+            {"pattern_match_record_xpath": True, "xml_record_xpath": r"\Arecord_"},
+        )
+        df = tables[0][1]
+        assert df.count() == 2
+        assert {"x", "y"} <= set(df.columns)
+
+    def test_engine_threads_option(self):
+        from ndr_import_spark.engine import Engine
+        from ndr_import_spark.plans.yaml_loader import load_mapping
+
+        mapping = load_mapping(
+            "format: xml_table\n"
+            "pattern_match_record_xpath: true\n"
+            "xml_record_xpath: '\\Arecord\\z'\n"
+            "klass: Rec\n"
+            "columns:\n"
+            "- column: a\n"
+            "  klass: Rec\n"
+            "  mappings: [{field: a}]\n"
+        )
+        opts = Engine._reader_options(mapping)
+        assert opts["pattern_match_record_xpath"] is True
+        assert opts["xml_record_xpath"] == "\\Arecord\\z"
