@@ -51,9 +51,10 @@ class Engine:
             reader_options = self._reader_options(mapping)
             resolved_fmt = fmt or mapping.format
             for tablename, df in read_tables(self.spark, path, resolved_fmt, reader_options):
-                if not self._table_matches(mapping, df, tablename):
+                routed = self._route_files(df, mapping, mappings, tablename)
+                if routed is None:
                     continue
-                records = self.transform(mapping, df)
+                records = self.transform(mapping, routed)
                 name = mapping.canonical_name or tablename or "table"
                 out.setdefault(name, []).append(records)
 
@@ -113,9 +114,11 @@ class Engine:
         'should assign metadata to table when extracting')."""
         from ndr_import_spark.sources.xmlfile import file_metadata
 
+        # uncapped: one row per file (metadata-scale); a cap would silently
+        # skip metadata for file 101+
         files = [
             r["source_file"]
-            for r in df.select("source_file").distinct().limit(100).collect()
+            for r in df.select("source_file").distinct().collect()
         ]
         meta: dict = {}
         for f in files:
@@ -149,11 +152,38 @@ class Engine:
         return opts
 
     @staticmethod
-    def _table_matches(mapping: TableMapping, df: DataFrame, tablename: str | None) -> bool:
-        if mapping.filename_pattern is None and mapping.tablename_pattern is None:
-            return True
-        files = [r["source_file"] for r in df.select("source_file").distinct().limit(100).collect()]
-        return all(mapping.matches(f, tablename) for f in files) if files else True
+    def _route_files(
+        df: DataFrame,
+        mapping: TableMapping,
+        mappings: list[TableMapping],
+        tablename: str | None,
+    ) -> DataFrame | None:
+        """Per-file mapping routing, first-match-wins.
+
+        The reference assigns each file to the FIRST mapping whose
+        filename/tablename pattern matches (get_table_mapping,
+        universal_importer_helper.rb:42-44); a file matching no mapping is
+        skipped. Returns the frame filtered to this mapping's files, or
+        None when none route here. The distinct-file collect is UNCAPPED
+        on purpose: it is metadata-scale (one row per file, via a
+        column-pruned scan), and a cap would silently unroute file 101.
+        """
+        if all(
+            m.filename_pattern is None and m.tablename_pattern is None
+            for m in mappings
+        ):
+            return df  # no patterns anywhere: every mapping sees every file
+        files = [r["source_file"] for r in df.select("source_file").distinct().collect()]
+        mine = []
+        for f in files:
+            first = next((m for m in mappings if m.matches(f, tablename)), None)
+            if first is mapping:
+                mine.append(f)
+        if not mine:
+            return None
+        if len(mine) == len(files):
+            return df
+        return df.filter(F.col("source_file").isin(mine))
 
     def _check_unmapped_keys(self, df: DataFrame, mapping: TableMapping) -> None:
         """PdfForm::Table parity: unmapped hash-row keys raise

@@ -162,9 +162,11 @@ def clean(col: Column, cleaners: list[str] | str) -> Column:
     for name in cleaners:
         fn = CLEANERS.get(str(name).lstrip(":").lower())
         if fn is None:
-            # Unknown cleaner: pass value through unchanged (defensive; the
-            # reference would raise inside ndr_support — strict mode callers
-            # should validate cleaner names at plan time).
-            continue
+            # the reference raises inside ndr_support (String#clean with an
+            # unknown symbol is a NoMethodError); raising at plan-compile
+            # time stops a typo'd cleaner from silently shipping wrong data
+            raise ValueError(
+                f"Unknown cleaner {str(name)!r}; known: {sorted(CLEANERS)}"
+            )
         c = fn(c)
     return F.when(~blank(col), c)

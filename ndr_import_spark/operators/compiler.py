@@ -82,11 +82,17 @@ def _mapped_value(original: Column, fm: FieldMapping) -> Column:
     if fm.clean is not None:
         return clean(original, fm.clean)
     if fm.map is not None:
-        pairs: list[Column] = []
+        # Hash#fetch(value, value) parity (mapper.rb:219): a key mapped to
+        # null yields nil (the field is then blank-dropped), NOT the string
+        # 'None' and NOT fall-through — so compile a when-chain rather than
+        # a map literal (map lookups can't distinguish null-value from
+        # key-absent).
+        chain = None
         for k, v in fm.map.items():
-            pairs.extend([F.lit(str(k)), F.lit(str(v))])
-        lookup = F.create_map(*pairs)
-        return F.coalesce(F.element_at(lookup, original), original)
+            val = F.lit(None).cast("string") if v is None else F.lit(str(v))
+            cond = original == F.lit(str(k))
+            chain = F.when(cond, val) if chain is None else chain.when(cond, val)
+        return chain.otherwise(original) if chain is not None else original
     if fm.match is not None:
         extracted = F.regexp_extract(original, fm.match, 1)
         return F.when(original.rlike(fm.match), F.trim(extracted))

@@ -49,7 +49,10 @@ def cells_from_fixed_width(line: Column, mapping: TableMapping) -> Column:
 
 def tabulate_fixed_width(df: DataFrame, mapping: TableMapping) -> DataFrame:
     """lines DataFrame (source_file,row_index,value) → cells DataFrame."""
-    line = F.col("value") if "value" in df.columns else F.col("cells")[0]
+    # F.get, not [0]: GetArrayItem THROWS on an empty cells array under
+    # Spark 4's default ANSI mode; F.get yields NULL (the compiler makes
+    # the same choice for cell access)
+    line = F.col("value") if "value" in df.columns else F.get(F.col("cells"), F.lit(0))
     return df.select(
         "source_file", "row_index", cells_from_fixed_width(line, mapping).alias("cells")
     )

@@ -97,6 +97,13 @@ def parse_xlsx(data: bytes) -> list[tuple[str, list[list[str]]]]:
         sroot = ET.fromstring(zf.read(target))
         rows: list[list[str]] = []
         for row_el in sroot.iter(f"{{{_NS['m']}}}row"):
+            # writers omit fully-empty rows from the sheet XML; the 'r'
+            # attribute is 1-based — emit empty rows for the gap so row
+            # indices stay dense (header_lines/footer_lines alignment)
+            r_attr = row_el.get("r")
+            if r_attr and r_attr.isdigit():
+                while len(rows) < int(r_attr) - 1:
+                    rows.append([])
             cells: list[str] = []
             for c in row_el.findall("m:c", _NS):
                 ref = c.get("r") or ""

@@ -99,6 +99,15 @@ def _read_row_tag(spark: SparkSession, files: list[str], row_tag: str) -> DataFr
 def read_xml(
     spark: SparkSession, path: str | list[str], options: dict
 ) -> list[tuple[str | None, DataFrame]]:
+    """One row per record-xpath match.
+
+    `slurp` (whole-doc DOM vs streaming cursor, file/xml.rb:20-35) is
+    accepted and needs no branch here: it only changes HOW the reference
+    iterates (memory strategy), never the yielded records — the Spark
+    reader streams rowTag tokens either way, and whole-doc concerns
+    (metadata xpaths, pattern-matched record tags) are handled by bounded
+    driver pre-parses (`file_metadata`, `matching_record_tags`).
+    """
     files = list_input_files(spark, path)
     if options.get("pattern_match_record_xpath"):
         tags = matching_record_tags(files, options.get("xml_record_xpath", ""))

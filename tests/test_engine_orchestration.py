@@ -95,3 +95,50 @@ class TestXmlEngineFlow:
         fields = sorted(dict(r.fields)["name"] for r in records.collect())
         assert fields == ["alpha", "beta"]
         assert mapping.table_metadata == {"batch_id": "B42"}
+
+
+OVERLAP_MAPPING = """
+- canonical_name: first
+  klass: A
+  filename_pattern: !ruby/regexp /\\.csv\\z/i
+  columns:
+  - column: name
+    mappings: [{field: name}]
+- canonical_name: second
+  klass: B
+  filename_pattern: !ruby/regexp /people/
+  columns:
+  - column: name
+    mappings: [{field: name}]
+"""
+
+
+class TestFirstMatchRouting:
+    def test_overlapping_patterns_first_mapping_wins(self, spark, tmp):
+        # universal_importer_helper.rb:42-44: each file goes to the FIRST
+        # matching mapping only — overlapping patterns must not duplicate
+        with open(f"{tmp}/people.csv", "w") as f:
+            f.write("name\nann\nbob\n")
+        mappings = load_mappings(OVERLAP_MAPPING)
+        engine = Engine(spark)
+        out = engine.run(mappings, f"{tmp}/people.csv", fmt="csv")
+        # both patterns match people.csv; only the first mapping applies
+        assert set(out) == {"first"}
+        assert out["first"].count() == 3
+
+    def test_mixed_files_route_per_file(self, spark, tmp):
+        # a mixed batch must not be all-or-nothing: each file routes to its
+        # own first-matching mapping
+        with open(f"{tmp}/people.dat", "w") as f:
+            f.write("name\nann\n")
+        with open(f"{tmp}/other.csv", "w") as f:
+            f.write("name\ncarol\ndan\n")
+        mappings = load_mappings(OVERLAP_MAPPING)
+        engine = Engine(spark)
+        out = engine.run(
+            mappings, [f"{tmp}/people.dat", f"{tmp}/other.csv"], fmt="csv"
+        )
+        # other.csv → 'first' (.csv pattern); people.dat → 'second' (people)
+        assert set(out) == {"first", "second"}
+        assert out["first"].count() == 3
+        assert out["second"].count() == 2

@@ -104,3 +104,36 @@ class TestXlsx:
         sh.copy(xlsx_path, xls)
         tables = read_tables(spark, xls, "xls", {})
         assert {name for name, _ in tables} == {"Sheet1", "Totals"}
+
+
+GAP_SHEET = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<sheetData>
+<row r="1"><c r="A1" t="inlineStr"><is><t>first</t></is></c></row>
+<row r="4"><c r="A4" t="inlineStr"><is><t>fourth</t></is></c></row>
+</sheetData></worksheet>"""
+
+
+class TestRowGaps:
+    def test_omitted_rows_keep_indices_dense(self, tmp_path):
+        """Writers omit fully-empty rows; the 'r' attribute must re-align
+        row indices so header/footer counting matches the reference's
+        enumeration (roo iterates the declared grid)."""
+        from ndr_import_spark.sources.excel import parse_xlsx
+
+        p = tmp_path / "gap.xlsx"
+        with zipfile.ZipFile(p, "w") as zf:
+            zf.writestr("[Content_Types].xml", CONTENT_TYPES)
+            zf.writestr(
+                "xl/workbook.xml",
+                WORKBOOK.replace(
+                    '<sheet name="Totals" sheetId="2" r:id="rId2"/>', ""
+                ),
+            )
+            zf.writestr("xl/_rels/workbook.xml.rels", WORKBOOK_RELS)
+            zf.writestr("xl/sharedStrings.xml", SHARED_STRINGS)
+            zf.writestr("xl/styles.xml", STYLES)
+            zf.writestr("xl/worksheets/sheet1.xml", GAP_SHEET)
+        sheets = parse_xlsx(p.read_bytes())
+        rows = sheets[0][1]
+        assert rows == [["first"], [], [], ["fourth"]]

@@ -376,3 +376,22 @@ class TestStandardMapping:
         encoded = base64.b64encode("hello world".encode()).decode()
         out = run_mapped_line(spark, [encoded], yml)
         assert out["decoded"] == "hello world"
+
+
+class TestMapNullAndUnknownCleaner:
+    def test_map_to_null_drops_field(self, spark):
+        # mapper.rb:219 Hash#fetch: a key mapped to YAML null yields nil →
+        # the field is blank-dropped, NOT the string 'None'
+        assert one_field(spark, "X", "    map:\n      'X':") is None
+
+    def test_map_null_other_keys_still_map(self, spark):
+        frag = "    map:\n      'X':\n      'A': '1'"
+        assert one_field(spark, "A", frag) == "1"
+        assert one_field(spark, "X", frag) is None
+        assert one_field(spark, "B", frag) == "B"
+
+    def test_unknown_cleaner_raises_at_compile(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="Unknown cleaner"):
+            one_field(spark, "x", "    clean: :no_such_cleaner")

@@ -231,3 +231,21 @@ class TestRegistry:
         fmts = Registry.formats()
         for f in ["csv", "delimited", "jsonl", "vcf", "zip", "txt"]:
             assert f in fmts
+
+
+class TestTrailingEmptyCells:
+    def test_trailing_empty_cell_preserved(self, spark, tmp):
+        # 'a,b,' has a genuine third '' cell (delimited_rows yields it);
+        # only Spark's ragged-row NULL padding may be trimmed
+        p = f"{tmp}/trail.csv"
+        with open(p, "w") as f:
+            f.write("a,b,\nx,y,z\n")
+        [(_, df)] = read_tables(spark, p, "csv", {})
+        assert collect_cells(df) == [["a", "b", ""], ["x", "y", "z"]]
+
+    def test_ragged_short_row_stays_short(self, spark, tmp):
+        p = f"{tmp}/ragged.csv"
+        with open(p, "w") as f:
+            f.write("a,b,c\nx\n")
+        [(_, df)] = read_tables(spark, p, "csv", {})
+        assert collect_cells(df) == [["a", "b", "c"], ["x"]]
