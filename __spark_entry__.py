@@ -1191,6 +1191,92 @@ FROM assigned GROUP BY ivf_cell ORDER BY ivf_cell
 """
 
 
+def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF probe path: one deterministic Lloyd round (argmax-dot
+    assignment → per-dimension means rounded to 6dp) refines the md5
+    pseudo-seeds, then top-5 cosine neighbours are searched ONLY within
+    each query's cell (nprobe=1) — the cell equi-join that replaces the
+    corpus cross-join at 100 TB. Training runs as a Spark job during plan
+    construction (one narrow posexplode + map-side-combined mean;
+    n_cells×dim rows reach the driver)."""
+    from ndr_import_spark.operators.similarity import (
+        ivf_probe_topk,
+        ivf_train_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    centroids = ivf_train_centroids(emb, n_cells=16, dim=64, iters=1)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_probe_topk(emb, queries, centroids, k=5).orderBy("query_id", "rank")
+
+
+def _oracle_ivf_probe(n_cells: int = 16, dim: int = 64, k: int = 5) -> str:
+    """DuckDB replica incl. the training round: seed assignment (literal
+    seed lists), per-(cell,dim) rounded means with empty cells keeping
+    their seed, relational re-assignment, cell-local cosine top-k. Means
+    round to 6dp on both engines, and ranking uses the 5dp-rounded cosine
+    with id tie-break, so no float last-ulp can flip the result."""
+    from ndr_import_spark.operators.similarity import seed_centroids
+
+    seeds = seed_centroids(n_cells, dim)
+    dots = ", ".join(
+        "list_dot_product(v, [" + ",".join(repr(w) for w in c) + f"]) AS s{ci}"
+        for ci, c in enumerate(seeds)
+    )
+    arr = "[" + ", ".join(f"s{c}" for c in range(n_cells)) + "]"
+    seed_rows = ", ".join(
+        f"({ci}, {i + 1}, {w!r})" for ci, c in enumerate(seeds) for i, w in enumerate(c)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+seeds(cell, i, w) AS (VALUES {seed_rows}),
+scored0 AS (SELECT vec_id, v, {dots} FROM e),
+a0 AS (
+  SELECT vec_id, v, list_position({arr}, list_max({arr})) - 1 AS cell FROM scored0
+),
+c1 AS (
+  SELECT cell, i, round(avg(v[i]), 6) AS w
+  FROM a0, range(1, {dim + 1}) t(i)
+  GROUP BY cell, i
+),
+c1f AS (
+  SELECT s.cell, s.i, coalesce(c1.w, s.w) AS w
+  FROM seeds s LEFT JOIN c1 ON c1.cell = s.cell AND c1.i = s.i
+),
+s1 AS (
+  SELECT e.vec_id, c.cell, sum(e.v[c.i] * c.w) AS s
+  FROM e, c1f c GROUP BY e.vec_id, c.cell
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM s1
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT a.vec_id AS query_id, e.v AS qv, a.cell
+  FROM a1 a JOIN e USING (vec_id) WHERE a.vec_id < 5
+),
+pairs AS (
+  SELECT q.query_id, a.vec_id,
+         round(list_dot_product(e2.v, q.qv) /
+               (sqrt(list_dot_product(e2.v, e2.v)) * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cos
+  FROM a1 a JOIN e e2 USING (vec_id)
+  JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM pairs
+) WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norms — grouped vector aggregation via
     element-wise array folding (posexplode-free, stays vectorised)."""
@@ -1273,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "multimodal_features": q_multimodal_features,
         "ivf_cells": q_ivf_cells,
+        "ivf_probe_topk": q_ivf_probe_topk,
         "embedding_label_centroids": q_embedding_label_centroids,
     }
 
@@ -1305,5 +1392,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_pairs": _oracle_ann_lsh(),
         "multimodal_features": _ORACLE_MULTIMODAL,
         "ivf_cells": _oracle_ivf(),
+        "ivf_probe_topk": _oracle_ivf_probe(),
         "embedding_label_centroids": _ORACLE_CENTROIDS,
     }

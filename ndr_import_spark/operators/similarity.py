@@ -167,3 +167,101 @@ def ivf_assign(
 def _md5_unit(s: str) -> float:
     import hashlib
     return (int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 0xFFFFFFFF) * 2 - 1
+
+
+def seed_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic md5-derived centroid seeds in [-1, 1]^dim."""
+    return [[_md5_unit(f"ivf{c}:{i}") for i in range(dim)] for c in range(n_cells)]
+
+
+def _assign_to_centroids(
+    df: DataFrame, centroids: list[list[float]], vec_col: str
+) -> DataFrame:
+    """argmax-dot cell assignment against literal centroids (ties → lowest
+    cell id; same argmax-as-array mechanism as ivf_assign)."""
+    scores = F.array(*[
+        dot(F.col(vec_col), F.array(*[F.lit(float(w)) for w in c]))
+        for c in centroids
+    ])
+    cell = F.element_at(
+        F.transform(
+            F.array(scores),
+            lambda s: (F.array_position(s, F.array_max(s)) - 1).cast("int"),
+        ),
+        1,
+    )
+    return df.withColumn("ivf_cell", cell)
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    dim: int = 64,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> list[list[float]]:
+    """Deterministic Lloyd iterations as a Spark job → centroid literals.
+
+    Each round: assign every vector to its argmax-dot cell, then recompute
+    each centroid as the per-dimension mean of its members (posexplode →
+    (cell, dim) partial-aggregated mean: ONE narrow explode + one
+    map-side-combined shuffle per round; only n_cells×dim tiny rows ever
+    reach the driver). Means are rounded to `round_dp` decimals so the
+    trained literals are bit-reproducible across engines (a raw float avg
+    varies in the last ulp with partition order); empty cells keep their
+    previous centroid. Seeds are the md5-derived pseudo-centroids."""
+    centroids = seed_centroids(n_cells, dim)
+    for _ in range(iters):
+        assigned = _assign_to_centroids(df, centroids, vec_col)
+        rows = (
+            assigned.select("ivf_cell", F.posexplode(F.col(vec_col)).alias("i", "x"))
+            .groupBy("ivf_cell", "i")
+            .agg(F.round(F.avg("x"), round_dp).alias("w"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        for r in rows:
+            new[r["ivf_cell"]][r["i"]] = float(r["w"])
+        centroids = new
+    return centroids
+
+
+def ivf_probe_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF probe path: top-k cosine neighbours searching ONLY the query's
+    cell (nprobe=1) — the 100 TB ANN mechanism, where the cell equi-join
+    replaces the corpus cross-join. Queries are tiny → broadcast; the
+    corpus side shuffles nothing (broadcast hash join on ivf_cell after a
+    narrow assignment projection).
+
+    Returns (query_id, vec_id, cos, rank) with the same ranking contract
+    as cosine_topk (desc cosine, id tie-break)."""
+    corpus = _assign_to_centroids(df, centroids, vec_col)
+    probes = _assign_to_centroids(
+        queries.withColumnRenamed(query_vec_col, "_qv"), centroids, "_qv"
+    )
+    joined = corpus.join(
+        F.broadcast(probes.select(query_id_col, "_qv", "ivf_cell")), "ivf_cell"
+    ).filter(F.col(query_id_col) != F.col(id_col))
+    # rank on the ROUNDED cosine (like cosine_topk): near-ties then break
+    # deterministically on id in any engine, instead of on last-ulp noise
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), 5).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
