@@ -3,9 +3,10 @@ emits a header row of field names then stringified values; Avro::Table
 declares header_lines=1).
 
 Uses the spark-avro data source when its jar is on the classpath; otherwise
-raises with a clear message (no fastavro in this environment). Parity quirk:
-a synthetic field-name row is prepended at row_index 0 so Avro::Table's
-header consumption works unchanged.
+falls back to the pure-stdlib OCF decoder in `sources.avro_ocf`
+(driver-side — fine for the reference's small Avro feeds; the jar is the
+distributed path). Parity quirk: a synthetic field-name row is prepended at
+row_index 0 so Avro::Table's header consumption works unchanged.
 """
 
 from __future__ import annotations
@@ -34,12 +35,23 @@ def read_avro(
     try:
         df = spark.read.format("avro").load(files)
     except Exception as exc:  # noqa: BLE001
-        if "Failed to find data source" in str(exc):
-            raise NotImplementedError(
-                "spark-avro jar not on classpath; add org.apache.spark:spark-avro "
-                "via spark.jars.packages (no fastavro fallback in this env)"
-            ) from exc
-        raise
+        if "Failed to find data source" not in str(exc):
+            raise
+        # no spark-avro jar: decode driver-side with the stdlib OCF reader
+        # (sources/avro_ocf.py) — the jar remains the distributed path and
+        # wins automatically when present
+        from ndr_import_spark.sources.avro_ocf import ocf_rows
+
+        tables = []
+        for f in files:
+            local = f[7:] if f.startswith("file://") else f
+            rows = ocf_rows(local)
+            tdf = spark.createDataFrame(
+                [(f, i, r) for i, r in enumerate(rows)],
+                "source_file string, row_index long, cells array<string>",
+            )
+            tables.append((None, tdf))
+        return tables
 
     names = df.columns
     # stringify every value (avro.rb:26 `avro_row.values.map(&:to_s)`);
