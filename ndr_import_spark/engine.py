@@ -71,6 +71,25 @@ class Engine:
             records = compiler.compile_records(mapping, cells_df, strict=self.strict)
         elif mapping.kind == "xml":
             from ndr_import_spark.operators.xml_table import transform_xml_table
+            if self.strict and mapping.xml_record_xpath and not getattr(
+                mapping, "pattern_match_record_xpath", False
+            ):
+                # streaming nesting guard (xml_streaming.rb:20-28): a record
+                # element nested in another of the same name would be
+                # silently swallowed by the rowTag tokenizer — refuse, as
+                # the reference does
+                from ndr_import_spark.sources.xmlfile import (
+                    check_no_nested_row_tags,
+                    row_tag_from_xpath,
+                )
+
+                files = [
+                    r["source_file"]
+                    for r in df.select("source_file").distinct().collect()
+                ]
+                check_no_nested_row_tags(
+                    files, row_tag_from_xpath(mapping.xml_record_xpath)
+                )
             if mapping.xml_file_metadata:
                 self._assign_file_metadata(df, mapping)
             wants_augmentation = any(

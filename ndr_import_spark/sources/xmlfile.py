@@ -58,6 +58,39 @@ def escape_control_chars_str(data: str) -> str:
     return data
 
 
+class NestingError(ValueError):
+    """Same-name nested record elements (xml_streaming.rb:20-28).
+
+    Spark's rowTag tokenizer would silently swallow the inner record into
+    the outer one — exactly the data-loss the reference's streaming cursor
+    refuses to risk — so strict mode performs the same refusal."""
+
+
+def check_no_nested_row_tags(files: list[str], row_tag: str) -> None:
+    """Strict-parity guard: raise NestingError if a record element nests
+    inside another of the same name (pinned by
+    test/helpers/file/xml_streaming_test.rb:47-56). Driver-side iterparse,
+    one pass over tags per file — strict mode is the small-data parity
+    mode; at scale run strict=False and validate feeds upstream."""
+    for f in files:
+        local = f[7:] if f.startswith("file://") else f
+        open_count = 0
+        for event, el in ET.iterparse(local, events=("start", "end")):
+            name = el.tag.rsplit("}", 1)[-1]
+            if name != row_tag:
+                continue
+            if event == "start":
+                open_count += 1
+                if open_count > 1:
+                    raise NestingError(
+                        f"Element '{row_tag}' was found nested inside another "
+                        "of the same type. This is not accessible, and a "
+                        "known limitation of XmlStreaming."
+                    )
+            else:
+                open_count -= 1
+
+
 def matching_record_tags(files: list[str], name_regex: str) -> list[str]:
     """Driver pre-scan for `pattern_match_record_xpath` (xml.rb:87-95):
     the record "xpath" is a Ruby regex matched against the names of the

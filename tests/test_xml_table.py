@@ -251,3 +251,43 @@ class TestPatternMatchRecordXpath:
         opts = Engine._reader_options(mapping)
         assert opts["pattern_match_record_xpath"] is True
         assert opts["xml_record_xpath"] == "\\Arecord\\z"
+
+
+class TestNestingGuard:
+    """Streaming nesting guard (xml_streaming.rb:20-28; behaviour pinned by
+    test/helpers/file/xml_streaming_test.rb:47-56)."""
+
+    def test_nested_same_name_raises(self, tmp_path):
+        from ndr_import_spark.sources.xmlfile import (
+            NestingError,
+            check_no_nested_row_tags,
+        )
+
+        p = tmp_path / "nested.xml"
+        p.write_text("<nodes><node><node></node></node></nodes>")
+        with pytest.raises(NestingError, match="Element 'node' was found"):
+            check_no_nested_row_tags([str(p)], "node")
+
+    def test_sibling_same_name_ok(self, tmp_path):
+        from ndr_import_spark.sources.xmlfile import check_no_nested_row_tags
+
+        p = tmp_path / "flat.xml"
+        p.write_text("<nodes><node></node><node></node></nodes>")
+        check_no_nested_row_tags([str(p)], "node")
+
+    def test_engine_strict_guard(self, spark, tmp_path):
+        from ndr_import_spark.engine import Engine
+        from ndr_import_spark.sources.xmlfile import NestingError
+
+        p = tmp_path / "nested.xml"
+        p.write_text(
+            "<root><record><a>1</a><record><a>2</a></record></record></root>"
+        )
+        mapping = (
+            "format: xml_table\n"
+            "xml_record_xpath: record\n"
+            "klass: Rec\n"
+            "columns:\n- column: a\n  mappings: [{field: a}]\n"
+        )
+        with pytest.raises(NestingError):
+            Engine(spark).run(mapping, str(p), fmt="xml")
