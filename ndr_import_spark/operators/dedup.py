@@ -141,6 +141,24 @@ def _affine_perm(a: int, b: int):
     return f
 
 
+def minhash_signatures_column(hs: Column, k: int, salt: str) -> Column:
+    """k MinHash minima as ONE nested transform over a literal (a, b)
+    const array — the generated code is k-fold smaller than k separate
+    array_min(transform(...)) expressions (Janino compile time dominated
+    the cold run), while the per-element arithmetic is identical, so
+    signatures (and every oracle) are bit-identical."""
+    consts = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+        for a, b in minhash_perm_consts(k, salt)
+    ])
+    return F.transform(
+        consts,
+        lambda c: F.array_min(
+            F.transform(hs, lambda h: (c["a"] * h + c["b"]) % F.lit(MINHASH_P))
+        ),
+    )
+
+
 def shingle_hashes(sh: Column) -> Column:
     """Hash each shingle ONCE to a 30-bit int; the k permutations are then
     pure arithmetic (k·|sh| multiply-adds instead of k·|sh| md5 calls —
@@ -150,13 +168,13 @@ def shingle_hashes(sh: Column) -> Column:
 
 
 def minhash_signature(text: Column, k: int = 16, shingle_n: int = 5) -> Column:
-    """k-permutation MinHash over char shingles → array<long>[k]."""
+    """k-permutation MinHash over char shingles → array<long>[k].
+
+    Convenience form over an expression input; the LSH pipeline uses
+    minhash_signatures_column over a materialised _hs attribute instead
+    (an expression collection re-evaluates per permutation)."""
     hs = shingle_hashes(char_shingles(text, shingle_n))
-    sigs = [
-        F.array_min(F.transform(hs, _affine_perm(a, b)))
-        for a, b in minhash_perm_consts(k, "mh")
-    ]
-    return F.array(*sigs)
+    return minhash_signatures_column(hs, k, "mh")
 
 
 def _banded_jaccard_pairs(
@@ -196,11 +214,9 @@ def _banded_jaccard_pairs(
         "_id", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
     ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     rows = k // bands
-    sigs = [
-        F.array_min(F.transform(F.col("_hs"), _affine_perm(a, b)))
-        for a, b in minhash_perm_consts(k, salt)
-    ]
-    with_sig = hashed.select("_id", F.array(*sigs).alias("_sig"))
+    with_sig = hashed.select(
+        "_id", minhash_signatures_column(F.col("_hs"), k, salt).alias("_sig")
+    )
 
     band_structs = F.array(*[
         F.struct(

@@ -69,24 +69,33 @@ def hyperplane_signature(vec: Column, dim: int, planes: int = 16) -> Column:
     """`planes`-bit sign signature under deterministic ±1 hyperplanes.
 
     Hyperplane p's component for dimension i is +1 iff bit0 of
-    md5('hp{p}:{i}') — reproducible anywhere (incl. a DuckDB oracle)."""
-    out = F.lit(0).cast("long")
-    for p in range(planes):
-        signs = [
-            1 if (_md5_bit(f"hp{p}:{i}")) else -1
-            for i in range(dim)
-        ]
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(s)) for s in signs]),
-                lambda x, s: x * s,
-            ),
+    md5('hp{p}:{i}') — reproducible anywhere (incl. a DuckDB oracle).
+
+    Compiled as one nested transform over a 2-D plane-matrix literal
+    (generated code ~planes-fold smaller than per-plane expressions; the
+    per-plane fold arithmetic is unchanged, so signatures are
+    bit-identical). 2^p weights come from exact double pow (p < 53)."""
+    matrix = F.array(*[
+        F.array(*[
+            F.lit(1.0 if _md5_bit(f"hp{p}:{i}") else -1.0) for i in range(dim)
+        ])
+        for p in range(planes)
+    ])
+    projs = F.transform(
+        matrix,
+        lambda pl: F.aggregate(
+            F.zip_with(vec, pl, lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        )
-        out = out + F.when(proj > 0, F.lit(2 ** p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+        ),
+    )
+    bits = F.transform(
+        projs,
+        lambda pr, i: F.when(pr > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)
 
 
 def _md5_bit(s: str) -> bool:
@@ -145,23 +154,7 @@ def ivf_assign(
     Compiled as a scores array + array_position argmax (ties → lowest cell
     id); a when-chain fold would nest every prior score into the next
     comparison (exponential expression growth)."""
-    scores = F.array(*[
-        dot(
-            F.col(vec_col),
-            F.array(*[F.lit(_md5_unit(f"ivf{c}:{i}")) for i in range(dim)]),
-        )
-        for c in range(n_cells)
-    ])
-    # singleton-array transform = evaluate `scores` once, argmax on the
-    # (cheap) lambda variable
-    cell = F.element_at(
-        F.transform(
-            F.array(scores),
-            lambda s: (F.array_position(s, F.array_max(s)) - 1).cast("int"),
-        ),
-        1,
-    )
-    return df.withColumn("ivf_cell", cell)
+    return _assign_to_centroids(df, seed_centroids(n_cells, dim), vec_col)
 
 
 def _md5_unit(s: str) -> float:
@@ -178,11 +171,17 @@ def _assign_to_centroids(
     df: DataFrame, centroids: list[list[float]], vec_col: str
 ) -> DataFrame:
     """argmax-dot cell assignment against literal centroids (ties → lowest
-    cell id; same argmax-as-array mechanism as ivf_assign)."""
-    scores = F.array(*[
-        dot(F.col(vec_col), F.array(*[F.lit(float(w)) for w in c]))
-        for c in centroids
+    cell id; same argmax-as-array mechanism as ivf_assign).
+
+    The centroid matrix is ONE 2-D array literal scored by a nested
+    transform, not n_cells copies of the dot expression — generated code
+    shrinks ~n_cells-fold (Janino compile time was the dominant cost of
+    the probe query), while the arithmetic (sequential fold per centroid)
+    is unchanged, so oracle values are bit-identical."""
+    matrix = F.array(*[
+        F.array(*[F.lit(float(w)) for w in c]) for c in centroids
     ])
+    scores = F.transform(matrix, lambda c: dot(F.col(vec_col), c))
     cell = F.element_at(
         F.transform(
             F.array(scores),
