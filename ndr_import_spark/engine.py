@@ -107,6 +107,12 @@ class Engine:
         else:
             if mapping.kind == "fixed_width":
                 df = tabulate_fixed_width(df, mapping)
+            elif "value" in df.columns and "cells" not in df.columns:
+                # line-oriented sources (text/doc/docx/pdf) yield one string
+                # per row; under a tabular mapping each line is a one-cell
+                # row (the reference pairs these sources with non-tabular
+                # mappings — this is the tabular superset)
+                df = df.withColumn("cells", F.array(F.col("value")))
             cell_fn = None
             if "cells_map" in df.columns:
                 cell_fn = compiler.hash_cell_fn()

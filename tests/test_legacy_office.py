@@ -151,3 +151,68 @@ class TestReaders:
         )
         rows = tables[0][1].orderBy("row_index").collect()
         assert any("Hello world" in r.value for r in rows)
+
+
+class TestEngineE2E:
+    """Full Engine.run over the real binary fixtures — reader + header
+    validation + mapper in one pass (universal-importer shape)."""
+
+    def test_xls_mapping(self, spark):
+        import ndr_import_spark as nis
+
+        mapping = (
+            "canonical_name: wb\n"
+            "klass: Rec\n"
+            "columns:\n"
+            "- column: a\n  mappings: [{field: a}]\n"
+            "- column: b\n  mappings: [{field: b}]\n"
+        )
+        out = nis.Engine(spark).run(
+            mapping, os.path.join(RES, "sample_xls.xls"), fmt="xls"
+        )
+        rows = out["wb"].orderBy("row_index").collect()
+        assert [dict(r.fields) for r in rows] == [
+            {"a": "1A", "b": "1B"},
+            {"a": "2A", "b": "2B"},
+        ]
+
+    def test_password_docx_mapping(self, spark):
+        import ndr_import_spark as nis
+
+        mapping = (
+            "canonical_name: doc\n"
+            "file_password: salad\n"
+            "klass: Line\n"
+            "columns:\n"
+            "- column: line\n  mappings: [{field: text}]\n"
+        )
+        out = nis.Engine(spark).run(
+            mapping,
+            os.path.join(RES, "password_protected_hello_world.docx"),
+            fmt="docx",
+        )
+        rows = out["doc"].collect()
+        texts = [dict(r.fields).get("text", "") for r in rows]
+        assert any("Hello world" in t for t in texts)
+
+    def test_acroform_mapping(self, spark):
+        import ndr_import_spark as nis
+
+        cols = "".join(
+            f"- column: '{name}'\n  mappings: [{{field: f{i}}}]\n"
+            for i, name in enumerate(
+                ["Group3", "Textbox1_required", "Textbox2_required",
+                 "List Box_required", "Dropdown_required", "Textbox1_optional",
+                 "Textbox2_optional", "List Box_optional", "Dropdown_optional",
+                 "Date_required", "Date__optional",
+                 "Textbox3_numerical_required", "Textbox3_numerical_optional"]
+            )
+        )
+        mapping = f"canonical_name: form\nformat: acroform\nklass: Form\ncolumns:\n{cols}"
+        out = nis.Engine(spark).run(
+            mapping, os.path.join(RES, "acro_form.pdf"), fmt="acroform"
+        )
+        rows = out["form"].collect()
+        assert len(rows) == 1
+        fields = dict(rows[0].fields)
+        assert fields["f3"] == "3" and fields["f4"] == "3"
