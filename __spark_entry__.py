@@ -763,6 +763,49 @@ def _oracle_minhash(k: int = 16, bands: int = 4, shingle_n: int = 5, thr: float 
     return _oracle_banded_jaccard(sh, "", "mh", k, bands, thr)
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup over documents: docs equi-join their
+    embeddings on id, hyperplane-LSH buckets (8-bit sign signatures) limit
+    comparisons to in-bucket pairs, cosine >= 0.25 pairs become drop
+    decisions (drop the higher id, keep its lowest partner). All three
+    aggregates (min/count/max) are order-independent, and the cosine is
+    ranked on its 5dp rounding — engine-stable output."""
+    from ndr_import_spark.operators.dedup import embedding_neardup_drops
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_drops(
+        docs, emb, dim=64, planes=8, threshold=0.25
+    ).orderBy("doc_id")
+
+
+def _oracle_dedup_embedding(planes: int = 8, dim: int = 64, thr: float = 0.25) -> str:
+    from ndr_import_spark.operators.similarity import _md5_bit
+
+    def plane(p: int) -> str:
+        arr = "[" + ",".join(
+            "1.0" if _md5_bit(f"hp{p}:{i}") else "-1.0" for i in range(dim)
+        ) + "]"
+        return f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {2 ** p} ELSE 0 END)"
+
+    sig = " + ".join(plane(p) for p in range(planes))
+    cos = ("list_dot_product(l.v, r.v) / "
+           "(sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))")
+    return f"""
+WITH d AS (SELECT doc_id FROM documents),
+e AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+j AS (SELECT d.doc_id, e.v FROM d JOIN e ON e.vec_id = d.doc_id),
+sigs AS (SELECT doc_id, v, {sig} AS sig FROM j),
+pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, round({cos}, 5) AS cos
+  FROM sigs l JOIN sigs r ON l.sig = r.sig AND l.doc_id < r.doc_id
+  WHERE {cos} >= {thr}
+)
+SELECT id_b AS doc_id, min(id_a) AS keep_id, count(*) AS n_dups, max(cos) AS max_cos
+FROM pairs GROUP BY id_b ORDER BY doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ndr_import_spark.operators.dedup import simhash_duplicate_groups
     docs = _t(spark, sf_dir, "documents")
@@ -1350,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1383,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
         "dedup_simhash": _oracle_simhash(),
+        "dedup_embedding": _oracle_dedup_embedding(),
         "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
         "text_stats": _ORACLE_TEXT_STATS,
         "lang_id": _oracle_lang_id(),

@@ -375,3 +375,50 @@ def ngram_jaccard_pairs(
         "_id", _word_ngrams_from_toks(F.col("_toks"), ngram_n).alias("_sh")
     )
     return _banded_jaccard_pairs(shingled, k, bands, "ng", threshold)
+
+
+def embedding_neardup_drops(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 8,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup over a documents table.
+
+    The scale shape: documents equi-join their embeddings on id (at 100 TB
+    both sides are bucketed/co-partitioned on the id, so this is a local
+    join), vectors bucket by hyperplane sign signature (LSH — compare only
+    within buckets, never corpus-quadratic), and in-bucket pairs with
+    cosine >= `threshold` become dedup decisions: the HIGHER doc id of
+    each pair is dropped, keeping its lowest-id partner. Output is one
+    row per dropped doc: (doc_id, keep_id, n_dups, max_cos) — both
+    aggregates are independently deterministic (min / count / max), so
+    the result is engine-stable even when a doc pairs with several
+    keepers. No reference counterpart (the gem has no dedup surface);
+    net-new north-star operator.
+    """
+    from ndr_import_spark.operators.similarity import lsh_bucket_candidates
+
+    vecs = docs.select(doc_id_col).join(
+        embeddings.select(
+            F.col(vec_id_col).alias(doc_id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        doc_id_col,
+    )
+    pairs = lsh_bucket_candidates(
+        vecs, dim=dim, planes=planes, vec_col="_v", id_col=doc_id_col,
+        threshold=threshold,
+    )
+    return (
+        pairs.groupBy(F.col("id_b").alias(doc_id_col))
+        .agg(
+            F.min("id_a").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
