@@ -603,7 +603,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("session_id").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            # Scaled-integer output: the decimal sum is exact on both engines,
+            # and emitting it as bigint 1e-4 units keeps every hashed value an
+            # integer — immune to any float canonicalization in the harness.
+            (F.sum(F.col("value").cast("decimal(18,4)")) * 10000)
+            .cast("long")
+            .alias("total_value_e4"),
         )
         .orderBy("user_id")
     )
@@ -627,7 +632,7 @@ SELECT user_id,
        -- cast: DuckDB windowed sum over int is HUGEINT, which pandas/arrow
        -- renders as float64 ("3.0" vs Spark's "3") and breaks the value hash
        cast(max(session_id) as bigint) AS n_sessions, count(*) AS n_events,
-       cast(sum(cast(value as decimal(18,4))) as double) AS total_value
+       cast(sum(cast(value as decimal(18,4))) * 10000 as bigint) AS total_value_e4
 FROM sess GROUP BY user_id ORDER BY user_id
 """
 
@@ -1013,10 +1018,15 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            # Same determinism rationale as q_quality_filter.
-            (F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
-             / F.count(F.lit(1))).alias("avg_quality"),
+            ((F.sum(F.col("quality").cast("decimal(18,6)")) * 1000000)
+             .cast("long")).alias("_sum_q6"),
         )
+        # Scaled-integer mean: exact decimal sum in 1e-6 units, integer-
+        # divided by the count. Both operands are positive integers on both
+        # engines, so Spark DIV and DuckDB // agree exactly and the hashed
+        # value is a bigint — no float canonicalization exposure.
+        .withColumn("avg_quality_e6", F.expr("_sum_q6 DIV n_docs"))
+        .drop("_sum_q6")
         .orderBy("source")
     )
 
@@ -1068,7 +1078,8 @@ WITH hashed AS (
 SELECT source, count(*) AS n_docs,
        -- cast: DuckDB sum(int) is HUGEINT → float64 via pandas → hash break
        cast(sum(n_tokens) as bigint) AS total_tokens,
-       cast(sum(cast(quality as decimal(18,6))) as double) / count(*) AS avg_quality
+       cast(sum(cast(quality as decimal(18,6))) * 1000000 as bigint)
+            // count(*) AS avg_quality_e6
 FROM lang
 WHERE quality >= 0.5 AND pred_lang = 'en'
 GROUP BY source ORDER BY source
