@@ -21,15 +21,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects — set nanosAsLong BEFORE the first read (no failed-job
-    probe) and truncate nanos→micros with integer `div` (a double `/ 1000`
-    would wobble ±1 µs at 1.7e18 ns, diverging from DuckDB's exact
-    nanos→micros truncation)."""
+    """events.parquet has carried either TIMESTAMP(NANOS) (older generator:
+    Spark rejects it without nanosAsLong, which then surfaces it as a LONG
+    of nanos) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (current
+    generator: reads natively as TIMESTAMP_NTZ).  Normalise both to an NTZ
+    micro-precision column so downstream queries are tz-independent —
+    exactly how DuckDB sees the same file (naive TIMESTAMP)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = _t(spark, sf_dir, "events")
-    if dict(df.dtypes)["ts"] in ("bigint", "long"):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dt = dict(df.dtypes)["ts"]
+    if dt in ("bigint", "long"):
+        # nanos→micros with integer `div` (a double `/ 1000` would wobble
+        # ±1 µs at 1.7e18 ns, diverging from DuckDB's exact truncation)
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
     return df
 
 
@@ -589,13 +595,16 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the non-tabular record partitioner, on the events stream table."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # Exact microsecond gap (unix_micros ↔ DuckDB epoch_us): whole-second
+    # Exact microsecond gap (timestampdiff ↔ DuckDB epoch_us): whole-second
     # truncation here vs fractional epoch() in the oracle disagrees whenever
     # a true gap lands in (1800, 1801) s — every ts in the table carries
-    # sub-second precision.
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # sub-second precision.  timestampdiff (not unix_micros, which rejects
+    # TIMESTAMP_NTZ) is calendar arithmetic — exact and tz-independent on
+    # the NTZ column, matching DuckDB's naive-timestamp subtraction.
+    prev = F.lag("ts").over(w)
+    gap = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
     new_session = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
-    sess = ev.withColumn("_new", new_session).withColumn(
+    sess = ev.withColumn("_prev_ts", prev).withColumn("_new", new_session).withColumn(
         "session_id", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return (
