@@ -96,24 +96,18 @@ def _remove_lines_lookahead(mapping: TableMapping) -> int:
     return max((len(p) - 1 for p in mapping.remove_lines.values()), default=0)
 
 
-def sessionize(
+def _sessionized_lines(
     df: DataFrame,
     mapping: TableMapping,
     strict: bool = True,
     chunk: int = DEFAULT_CHUNK,
-) -> DataFrame:
-    """lines (source_file,row_index,value) → per-record line arrays.
+) -> tuple[DataFrame, DataFrame]:
+    """Per-line sessionization state: the shared first phase of
+    `sessionize` and the fused `tabulate_non_tabular` path.
 
-    Output: (source_file, row_index [record ordinal], lines array<string>).
-
-    strict=True runs the start-before-end MappingError probe — an extra
-    Spark job, but over the same chunk-parallel plan (when no
-    end_line_pattern exists the probe degenerates to a narrow UTF-8 scan
-    with no window at all). Disable in throughput paths with well-formed
-    patterns.
-
-    `chunk` bounds the rows a single within-chunk window task sorts; see
-    operators/prefix.py for the scale rationale.
+    Returns ``(per_line, last_by_file)`` where per_line carries
+    (source_file, row_index, value, _session, _captured, _closes) and
+    last_by_file is one tiny row per file with `_last_session`.
     """
     look = _remove_lines_lookahead(mapping)
     if chunk <= look:
@@ -214,36 +208,46 @@ def sessionize(
     df = df.withColumn(
         "_closes", (F.col("_is_end") & F.col("_in_before")).cast("int")
     )
+    return df, last_by_file
 
-    # Group FIRST (one shuffle keyed by (file, session)), then decide which
-    # sessions to emit on the grouped rows — orders of magnitude fewer rows
-    # than per-line whole-partition windows. A session is closed iff it
-    # contains a real end line; the trailing session is in-record at EOF iff
-    # it is not closed (every session >= 1 contains exactly one start).
-    grouped = (
-        df.filter(F.col("_session") >= 1)
+
+def _group_sessions(
+    per_line: DataFrame, extra_fields: list[Column] | None = None
+) -> DataFrame:
+    """Group FIRST (one shuffle keyed by (file, session)), then decide which
+    sessions to emit on the grouped rows — orders of magnitude fewer rows
+    than per-line whole-partition windows. The collected struct's first
+    field is the line number so `sort_array` restores line order."""
+    fields = [
+        F.col("row_index").alias("n"),
+        F.col("_captured").alias("c"),
+        *(extra_fields or [F.col("value").alias("v")]),
+    ]
+    return (
+        per_line.filter(F.col("_session") >= 1)
         .groupBy("source_file", "_session")
         .agg(
             F.min("row_index").alias("_first_line"),
             F.max("_closes").alias("_closed"),
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        F.col("row_index").alias("n"),
-                        F.col("value").alias("v"),
-                        F.col("_captured").alias("c"),
-                    )
-                )
-            ).alias("_all_lines"),
+            F.sort_array(F.collect_list(F.struct(*fields))).alias("_all_lines"),
         )
     )
 
-    # per-file last session via the tiny per-file totals join — NOT a
-    # whole-file window (that would funnel every record of a file into one
-    # task). One row per file; AQE broadcasts it.
+
+def _emit_records(
+    grouped: DataFrame, mapping: TableMapping, last_by_file: DataFrame
+) -> DataFrame:
+    """Emit-filter grouped sessions and assign record ordinals.
+
+    A session is closed iff it contains a real end line; the trailing
+    session is in-record at EOF iff it is not closed (every session >= 1
+    contains exactly one start). The per-file last session comes from the
+    tiny per-file totals join — NOT a whole-file window (that would funnel
+    every record of a file into one task). One row per file; AQE
+    broadcasts it."""
     grouped = grouped.join(last_by_file, "source_file")
     last_session = F.col("_last_session")
-    if has_end:
+    if mapping.end_line_pattern is not None:
         emit = (F.col("_closed") == 1) | (
             (F.col("_session") == last_session)
             & F.lit(bool(mapping.end_in_a_record))
@@ -252,12 +256,6 @@ def sessionize(
     else:
         emit = (F.col("_session") != last_session) | F.lit(bool(mapping.end_in_a_record))
     grouped = grouped.withColumn("_emit", emit).filter(F.col("_emit"))
-    grouped = grouped.withColumn(
-        "lines",
-        F.transform(
-            F.filter(F.col("_all_lines"), lambda x: x["c"]), lambda x: x["v"]
-        ),
-    )
     # record ordinal per file (what Table#transform's index means here):
     # in well-formed input sessions 1..last are ALL emitted up to the tail
     # (an unclosed non-final session would be a start-before-end clash,
@@ -265,7 +263,37 @@ def sessionize(
     # session−1 — pure arithmetic, no extra pass or shuffle. On malformed
     # input under strict=False (where the reference has no defined
     # behaviour) ordinals stay monotone but may skip values.
-    grouped = grouped.withColumn("row_index", (F.col("_session") - 1).cast("long"))
+    return grouped.withColumn("row_index", (F.col("_session") - 1).cast("long"))
+
+
+def sessionize(
+    df: DataFrame,
+    mapping: TableMapping,
+    strict: bool = True,
+    chunk: int = DEFAULT_CHUNK,
+) -> DataFrame:
+    """lines (source_file,row_index,value) → per-record line arrays.
+
+    Output: (source_file, row_index [record ordinal], lines array<string>).
+
+    strict=True runs the start-before-end MappingError probe — an extra
+    Spark job, but over the same chunk-parallel plan (when no
+    end_line_pattern exists the probe degenerates to a narrow UTF-8 scan
+    with no window at all). Disable in throughput paths with well-formed
+    patterns.
+
+    `chunk` bounds the rows a single within-chunk window task sorts; see
+    operators/prefix.py for the scale rationale.
+    """
+    per_line, last_by_file = _sessionized_lines(df, mapping, strict=strict, chunk=chunk)
+    grouped = _group_sessions(per_line)
+    grouped = _emit_records(grouped, mapping, last_by_file)
+    grouped = grouped.withColumn(
+        "lines",
+        F.transform(
+            F.filter(F.col("_all_lines"), lambda x: x["c"]), lambda x: x["v"]
+        ),
+    )
     return grouped.select("source_file", "row_index", "lines")
 
 
@@ -361,6 +389,51 @@ def tabulate_cells(lines: Column, columns: list[ColumnMapping]) -> Column:
     return F.array(*cells)
 
 
+def _fused_regexp_index(cls: Column, pattern, flag_field: str) -> Column:
+    """0-based index of the first captured line whose precomputed rlike
+    flag (`flag_field`) is true; NULL when no match (PatternMatchError
+    parity). Int patterns are literal indexes."""
+    if isinstance(pattern, int):
+        return F.lit(pattern)
+    flags = F.transform(cls, lambda x: x[flag_field])
+    pos = F.array_position(flags, F.lit(True))  # 1-based, 0 when absent
+    return F.when(pos > 0, pos - 1)
+
+
+def _fused_cell(cls: Column, cm: ColumnMapping, ci: int) -> Column:
+    """One cell from the captured-line struct array, using the per-line
+    PRE-computed capture value (field ``p{ci}``) and RegexpRange match
+    flags (``b{ci}``/``e{ci}``) — no regex runs after the shuffle."""
+    sel = cm.lines
+    if isinstance(sel, int):
+        single = _ruby_index(cls, sel)
+        caps = F.when(single.isNotNull(), F.array(single[f"p{ci}"])).otherwise(
+            F.array().cast("array<string>")
+        )
+    elif isinstance(sel, range):
+        sliced = _ruby_slice(cls, F.lit(sel.start), F.lit(sel.stop - 1), excl=False)
+        caps = F.coalesce(
+            F.transform(sliced, lambda x: x[f"p{ci}"]),
+            F.array().cast("array<string>"),
+        )
+    elif isinstance(sel, RegexpRange):
+        b = _fused_regexp_index(cls, sel.begin, f"b{ci}")
+        e = _fused_regexp_index(cls, sel.end, f"e{ci}")
+        # PatternMatchError → NULL cell (record.rb rescue)
+        sliced = F.when(
+            b.isNotNull() & e.isNotNull(), _ruby_slice(cls, b, e, excl=sel.excl)
+        )
+        caps = F.when(sliced.isNotNull(), F.transform(sliced, lambda x: x[f"p{ci}"]))
+    else:
+        raise MappingError(f"Unsupported non_tabular_cell lines: {sel!r}")
+    if cm.preserve_blank_lines:
+        kept = F.filter(caps, lambda v: v.isNotNull())
+    else:
+        kept = F.filter(caps, lambda v: v.isNotNull() & (F.trim(v) != ""))
+    joined = F.array_join(kept, cm.join or "")
+    return F.when(caps.isNotNull(), joined)
+
+
 def tabulate_non_tabular(
     df: DataFrame,
     mapping: TableMapping,
@@ -369,20 +442,56 @@ def tabulate_non_tabular(
 ) -> DataFrame:
     """Full pipeline: lines → sessionized records → cells DataFrame.
 
-    `cells` is emitted through a one-element explode on purpose: the
-    tabulation expression is a regex-heavy CodegenFallback tree, and the
-    downstream mapper references `cells` once per column per klass.
-    CollapseProject would inline (= re-evaluate) the whole tree at every
-    reference — measured 4-5× on the end-to-end pipeline. A Generate node
-    evaluates the generator exactly once per row and materialises `cells`
-    as a plain attribute, and CollapseProject cannot merge through it.
-    No data is buffered: explode of a single-element array is row-for-row.
+    Fused plan: capture-chain regexes and RegexpRange begin/end rlike
+    flags are evaluated PER LINE before the (file, session) shuffle —
+    flat string columns inside whole-stage codegen — so the post-shuffle
+    record assembly touches no regex at all. The interpreted
+    higher-order-function work that remains (slice / element_at /
+    array_position / a field-projection transform over an already-short
+    struct array) is regex-free and O(record length). Versus evaluating
+    `tabulate_cells` on collected line arrays this cut the steady-state
+    end-to-end time ~3× at sf0.1 and removes the raw line text from the
+    shuffle payload entirely (only capture results travel).
+
+    Both `_cls` (captured-line structs) and `cells` are materialised
+    through one-element explodes on purpose: the downstream mapper
+    references `cells` once per column per klass, and CollapseProject
+    would inline (= re-evaluate) the whole tree at every reference —
+    measured 4-5× on the end-to-end pipeline. A Generate node evaluates
+    the generator exactly once per row and materialises the value as a
+    plain attribute. No data is buffered: explode of a single-element
+    array is row-for-row.
     """
-    records = sessionize(df, mapping, strict=strict, chunk=chunk)
-    return records.select(
+    columns = mapping.columns
+    for cm in columns:
+        if cm.lines is None or cm.capture is None:
+            raise MappingError(
+                f"Non-tabular cell for {cm.column or cm.standard_mapping!r} "
+                "must declare lines and capture"
+            )
+    per_line, last_by_file = _sessionized_lines(df, mapping, strict=strict, chunk=chunk)
+    extra: list[Column] = []
+    for ci, cm in enumerate(columns):
+        extra.append(_capture_chain(F.col("value"), cm.capture).alias(f"p{ci}"))
+        if isinstance(cm.lines, RegexpRange):
+            if not isinstance(cm.lines.begin, int):
+                extra.append(
+                    F.col("value").rlike(str(cm.lines.begin)).alias(f"b{ci}")
+                )
+            if not isinstance(cm.lines.end, int):
+                extra.append(F.col("value").rlike(str(cm.lines.end)).alias(f"e{ci}"))
+    grouped = _group_sessions(per_line, extra_fields=extra)
+    emitted = _emit_records(grouped, mapping, last_by_file)
+    rec = emitted.select(
         "source_file",
         "row_index",
         F.explode(
-            F.array(tabulate_cells(F.col("lines"), mapping.columns))
-        ).alias("cells"),
+            F.array(F.filter(F.col("_all_lines"), lambda x: x["c"]))
+        ).alias("_cls"),
+    )
+    cells = [_fused_cell(F.col("_cls"), cm, ci) for ci, cm in enumerate(columns)]
+    return rec.select(
+        "source_file",
+        "row_index",
+        F.explode(F.array(F.array(*cells))).alias("cells"),
     )
