@@ -1386,6 +1386,199 @@ ORDER BY c.label
 
 
 # ---------------------------------------------------------------------------
+# corpus-preparation operators (training-data pipeline stages)
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any word 4-gram
+    with the held-out eval slice (doc_id % 50 == 0). The eval side's
+    distinct gram keys are broadcast; the corpus explodes its grams into a
+    broadcast-hash LEFT SEMI join — the corpus is scanned once and never
+    shuffles."""
+    from ndr_import_spark.operators.corpus import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return ngram_decontaminate(corpus, eval_set, n=4).orderBy("doc_id")
+
+
+_ORACLE_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS wds
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(wds) - 2, 1)),
+                               i -> array_to_string(wds[i:i+3], ' '))) AS gram
+  FROM w
+), ev AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+)
+SELECT DISTINCT g.doc_id
+FROM g JOIN ev USING (gram)
+WHERE g.doc_id % 50 <> 0
+ORDER BY doc_id
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a synthesised contact-block suffix (the corpus
+    text itself is clean): per-doc email/phone/digit-run counts plus an
+    md5 of the redacted text. Pure regexp_replace chain — narrow, no
+    shuffle."""
+    from ndr_import_spark.operators.corpus import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or +1-555-"),
+            (F.col("doc_id") % 10000).cast("string"),
+            F.lit(" acct "),
+            (F.col("doc_id") + 900000000).cast("string"),
+        ).alias("text"),
+    )
+    out = pii_scrub(with_pii)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("redacted")).alias("red_md5"),
+        "n_emails",
+        "n_phones",
+        "n_numbers",
+    ).orderBy("doc_id")
+
+
+def _oracle_pii() -> str:
+    from ndr_import_spark.operators.corpus import _PII_PATTERNS
+
+    (email, _), (phone, _), (num, _) = _PII_PATTERNS
+    email_s, phone_s, num_s = (p.replace("'", "''") for p in (email, phone, num))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id || '@mail.example or +1-555-' ||
+    (doc_id % 10000) || ' acct ' || (doc_id + 900000000) AS s0
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+    len(regexp_extract_all(s0, '{email_s}')) AS n_emails,
+    regexp_replace(s0, '{email_s}', '[EMAIL]', 'g') AS s
+  FROM t
+), s2 AS (
+  SELECT doc_id, n_emails,
+    len(regexp_extract_all(s, '{phone_s}')) AS n_phones,
+    regexp_replace(s, '{phone_s}', '[PHONE]', 'g') AS s
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_emails, n_phones,
+    len(regexp_extract_all(s, '{num_s}')) AS n_numbers,
+    regexp_replace(s, '{num_s}', '[NUMBER]', 'g') AS s
+  FROM s2
+)
+SELECT doc_id, md5(s) AS red_md5, n_emails, n_phones, n_numbers
+FROM s3 ORDER BY doc_id
+"""
+
+
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap: best 3 documents per source by n_chars (ties →
+    ascending doc_id) — crawl-domain downsampling. One shuffle on source
+    + bounded top-k window."""
+    from ndr_import_spark.operators.corpus import per_source_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        per_source_cap(docs, k=3, score=F.col("n_chars"))
+        .select("doc_id", "source", "score")
+        .orderBy("source", "doc_id")
+    )
+
+
+_ORACLE_PER_SOURCE_CAP = """
+SELECT doc_id, source, score FROM (
+  SELECT doc_id, source, n_chars AS score,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+) WHERE rk <= 3 ORDER BY source, doc_id
+"""
+
+
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (duplicate word-3-gram fraction,
+    Gopher-style quality signal) — top 20 most repetitive documents.
+    Narrow per-row arrays, no UDF; only the final top-k sorts."""
+    from ndr_import_spark.operators.corpus import repetition_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.round(repetition_score(F.col("text"), 3), 5).alias("rep")
+        )
+        .orderBy(F.desc("rep"), "doc_id")
+        .limit(20)
+    )
+
+
+_ORACLE_REPETITION = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS wds
+  FROM documents
+), g AS (
+  SELECT doc_id, list_transform(range(1, greatest(len(wds) - 1, 1)),
+                                i -> array_to_string(wds[i:i+2], ' ')) AS grams
+  FROM w
+)
+SELECT doc_id,
+  round(CASE WHEN len(grams) > 0
+        THEN 1.0 - cast(len(list_distinct(grams)) as double) / len(grams)
+        ELSE 0.0 END, 5) AS rep
+FROM g ORDER BY rep DESC, doc_id LIMIT 20
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (md5-bucket mod 10,
+    8/1/1): stable across engines, partitionings and corpus growth —
+    unlike randomSplit. Narrow projection + tiny aggregate."""
+    from ndr_import_spark.operators.corpus import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    split = hash_split(docs, {"train": 8, "val": 1, "test": 1})
+    return (
+        split.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("split")
+    )
+
+
+_ORACLE_HASH_SPLIT = """
+WITH h AS (
+  SELECT doc_id, md5('split:' || doc_id) AS hx FROM documents
+), nibs AS (
+  SELECT doc_id,
+    (CASE WHEN ascii(substr(hx,1,1)) >= 97 THEN ascii(substr(hx,1,1)) - 87 ELSE ascii(substr(hx,1,1)) - 48 END) * 4096 +
+    (CASE WHEN ascii(substr(hx,2,1)) >= 97 THEN ascii(substr(hx,2,1)) - 87 ELSE ascii(substr(hx,2,1)) - 48 END) * 256 +
+    (CASE WHEN ascii(substr(hx,3,1)) >= 97 THEN ascii(substr(hx,3,1)) - 87 ELSE ascii(substr(hx,3,1)) - 48 END) * 16 +
+    (CASE WHEN ascii(substr(hx,4,1)) >= 97 THEN ascii(substr(hx,4,1)) - 87 ELSE ascii(substr(hx,4,1)) - 48 END) AS bucket
+  FROM h
+), lab AS (
+  SELECT doc_id, CASE WHEN bucket % 10 < 8 THEN 'train'
+                      WHEN bucket % 10 < 9 THEN 'val'
+                      ELSE 'test' END AS split
+  FROM nibs
+)
+SELECT split, count(*) AS n, min(doc_id) AS min_doc_id
+FROM lab GROUP BY split ORDER BY split
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -1425,6 +1618,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cells": q_ivf_cells,
         "ivf_probe_topk": q_ivf_probe_topk,
         "embedding_label_centroids": q_embedding_label_centroids,
+        "decontaminate": q_decontaminate,
+        "pii_scrub": q_pii_scrub,
+        "per_source_cap": q_per_source_cap,
+        "repetition_score": q_repetition_score,
+        "hash_split": q_hash_split,
     }
 
 
@@ -1459,4 +1657,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cells": _oracle_ivf(),
         "ivf_probe_topk": _oracle_ivf_probe(),
         "embedding_label_centroids": _ORACLE_CENTROIDS,
+        "decontaminate": _ORACLE_DECONTAMINATE,
+        "pii_scrub": _oracle_pii(),
+        "per_source_cap": _ORACLE_PER_SOURCE_CAP,
+        "repetition_score": _ORACLE_REPETITION,
+        "hash_split": _ORACLE_HASH_SPLIT,
     }

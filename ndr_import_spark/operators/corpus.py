@@ -1,0 +1,217 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+Net-new scale operators (no reference counterpart; the reference stops at
+record extraction — these are the downstream corpus stages a 100 TB
+training-data pipeline needs):
+
+* benchmark decontamination — flag corpus documents sharing any word
+  n-gram with an evaluation set (the standard train/test-overlap guard);
+* PII redaction — deterministic regex scrub (emails, phone-ish numbers,
+  long digit runs) with per-document redaction counts;
+* per-source cap — keep only the best-k documents per source/domain
+  (crawl-dump downsampling);
+* repetition score — duplicate-n-gram fraction inside each document
+  (Gopher-style quality signal);
+* deterministic split — stable hash-based train/val/test assignment.
+
+All five are pure DataFrame/Column compositions — no UDFs, no
+driver-side loops; every shuffle is keyed and commented.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# word n-grams
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined word n-grams of `text` (whitespace-split).
+
+    Shorter-than-n documents yield an empty array. Built from
+    slice-and-join over the split array — stays JVM-side."""
+    words = F.split(F.trim(text), r"\s+")
+    count = F.size(words) - F.lit(n - 1)
+    # sequence(1, 0) DESCENDS in Spark — guard the shorter-than-n case
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Documents of `corpus` that share at least one word `n`-gram with any
+    document of `eval_set` — the training/benchmark overlap
+    (decontamination) check.
+
+    Plan shape (100 TB): the eval side is orders of magnitude smaller than
+    the corpus, so its distinct n-gram set is built first and broadcast;
+    the corpus side then left-semi-joins its exploded n-grams against it —
+    the corpus is scanned ONCE, nothing corpus-sized shuffles (broadcast
+    hash semi-join), and the final distinct aggregates only the matched
+    ids. Grams are md5-prefixed to a compact join key: at petabyte scale
+    you never want to shuffle raw 5-gram strings, and a 2^-64 collision
+    only ever *adds* a candidate (decontamination over-flags, never
+    under-flags).
+
+    Returns (doc_id) — distinct contaminated ids.
+    """
+    gram_key = lambda g: F.unhex(F.substring(F.md5(g), 1, 16))  # noqa: E731
+    eval_grams = (
+        eval_set.select(F.explode(word_ngrams(F.col(text_col), n)).alias("_g"))
+        .select(gram_key(F.col("_g")).alias("_gk"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+    ).select(id_col, gram_key(F.col("_g")).alias("_gk"))
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "_gk", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# deterministic, conservative patterns: emails; dashed/dotted phone
+# numbers; runs of 9+ digits (account-number-shaped). Order matters:
+# emails first so their digit runs are already masked when the number
+# pass runs. Patterns deliberately use no lookaround so the same strings
+# run identically under Java regex (Spark) and RE2 (DuckDB oracle).
+_PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}[-. ]?\d{0,4}", "[PHONE]"),
+    (r"\d{9,}", "[NUMBER]"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub email / phone-ish / long-digit-run substrings with typed
+    placeholder tokens. Pure `regexp_replace` chain — whole-stage codegen,
+    no shuffle, linear scan per document."""
+    out = text
+    for pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact PII and report per-document counts.
+
+    Returns (id, redacted, n_emails, n_phones, n_numbers) where counts are
+    occurrences replaced per pattern class. Counting uses the same chained
+    order as redaction (each count runs on the text AFTER the previous
+    class was masked) so counts and output agree."""
+    stage = F.col(text_col)
+    counts = []
+    for (pat, repl), name in zip(_PII_PATTERNS, ("n_emails", "n_phones", "n_numbers")):
+        counts.append(F.size(F.regexp_extract_all(stage, F.lit(pat), 0)).alias(name))
+        stage = F.regexp_replace(stage, pat, repl)
+    return df.select(F.col(id_col), stage.alias("redacted"), *counts)
+
+
+# ---------------------------------------------------------------------------
+# per-source cap (crawl downsampling)
+# ---------------------------------------------------------------------------
+
+
+def per_source_cap(
+    df: DataFrame,
+    k: int,
+    score: Column,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the `k` best documents per source by `score` (ties broken on
+    ascending id for determinism) — the standard per-domain cap that stops
+    one crawl domain from dominating a training mix.
+
+    One hash-shuffle on source + an in-partition top-k window. Skewed
+    mega-domains at 100 TB: AQE skew-split handles the exchange; the
+    window itself is a bounded-heap top-k per key (rank <= k prunes
+    eagerly under whole-stage codegen)."""
+    w = Window.partitionBy(source_col).orderBy(F.desc("_score"), F.col(id_col))
+    return (
+        df.withColumn("_score", score)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+        .withColumnRenamed("_score", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def repetition_score(text: Column, n: int = 3) -> Column:
+    """Fraction of word `n`-grams that are duplicates of an earlier one in
+    the same document: ``1 - distinct/total`` (0.0 for docs shorter than
+    n). Narrow per-row computation — no shuffle, no UDF."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total > 0, 1.0 - distinct.cast("double") / total.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic split
+# ---------------------------------------------------------------------------
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, int],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row a stable split label by md5(salt:id) mod total
+    weight — reproducible on any engine/cluster size, immune to partition
+    order (unlike `randomSplit`), and stable under corpus growth: a
+    document keeps its split when other documents are added or removed.
+
+    `weights` maps label -> integer weight, e.g. {"train": 98, "val": 1,
+    "test": 1}. Narrow projection, no shuffle.
+
+    The bucket is the first 4 md5 hex nibbles decoded arithmetically
+    (ascii-of-char) — 16 uniform bits, computed with only `md5`/
+    `substring`/`ascii`, which every engine (incl. the DuckDB oracle)
+    evaluates identically."""
+    total = sum(weights.values())
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+
+    def nib(pos: int) -> Column:
+        a = F.ascii(F.substring(h, pos, 1))
+        return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+    bucket = (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)) % total
+    thresholds: list[tuple[int, str]] = []
+    acc = 0
+    for label, wt in weights.items():
+        acc += wt
+        thresholds.append((acc, label))
+    expr = None
+    for upper, label in thresholds:
+        cond = bucket < upper
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return df.withColumn("split", expr)

@@ -1,0 +1,135 @@
+"""Corpus-preparation operators (operators/corpus.py): decontamination,
+PII scrub, per-source cap, repetition score, deterministic split."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ndr_import_spark.operators.corpus import (
+    hash_split,
+    ngram_decontaminate,
+    per_source_cap,
+    pii_scrub,
+    repetition_score,
+    word_ngrams,
+)
+
+
+class TestWordNgrams:
+    def test_basic_and_short(self, spark):
+        df = spark.createDataFrame(
+            [("a b c d",), ("a b",), ("",), ("  padded   words  ",)], "text string"
+        )
+        rows = df.select(word_ngrams(F.col("text"), 3).alias("g")).collect()
+        assert rows[0]["g"] == ["a b c", "b c d"]
+        assert rows[1]["g"] == []  # shorter than n
+        assert rows[2]["g"] == []
+        rows2 = df.select(word_ngrams(F.col("text"), 2).alias("g")).collect()
+        assert rows2[3]["g"] == ["padded words"]  # multi-space split, trimmed
+
+
+class TestDecontaminate:
+    def test_overlap_flags_and_clean_passes(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),  # shares 4-gram with eval
+                (2, "completely different words here now"),
+                (3, "quick brown fox jumps again"),  # shares too
+            ],
+            "doc_id long, text string",
+        )
+        eval_set = spark.createDataFrame(
+            [(100, "see the quick brown fox jumps high")], "doc_id long, text string"
+        )
+        out = ngram_decontaminate(corpus, eval_set, n=4)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+
+    def test_no_overlap_empty(self, spark):
+        corpus = spark.createDataFrame([(1, "alpha beta gamma delta")], "doc_id long, text string")
+        eval_set = spark.createDataFrame([(2, "one two three four")], "doc_id long, text string")
+        assert ngram_decontaminate(corpus, eval_set, n=4).count() == 0
+
+
+class TestPiiScrub:
+    def test_email_phone_number(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "write to john.doe+x@example.co.uk today"),
+                (2, "call +44-555-1234 or 020 7946 0958 now"),
+                (3, "account 123456789012 is overdrawn"),
+                (4, "no pii at all here"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert rows[1]["redacted"] == "write to [EMAIL] today"
+        assert rows[1]["n_emails"] == 1
+        assert "[PHONE]" in rows[2]["redacted"]
+        assert rows[2]["n_phones"] >= 1
+        assert rows[3]["redacted"] == "account [NUMBER] is overdrawn"
+        assert rows[3]["n_numbers"] == 1
+        assert rows[4]["redacted"] == "no pii at all here"
+        assert (rows[4]["n_emails"], rows[4]["n_phones"], rows[4]["n_numbers"]) == (0, 0, 0)
+
+    def test_email_digits_not_double_counted(self, spark):
+        # digits inside an email must be masked by the email pass first
+        df = spark.createDataFrame(
+            [(1, "mail 123456789ab@example.com ok")], "doc_id long, text string"
+        )
+        row = pii_scrub(df).collect()[0]
+        assert row["n_emails"] == 1 and row["n_numbers"] == 0
+        assert row["redacted"] == "mail [EMAIL] ok"
+
+
+class TestPerSourceCap:
+    def test_top_k_with_ties(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a", 10),
+                (2, "a", 30),
+                (3, "a", 30),
+                (4, "a", 20),
+                (5, "b", 5),
+            ],
+            "doc_id long, source string, n_chars long",
+        )
+        out = per_source_cap(df, k=2, score=F.col("n_chars"))
+        kept = sorted((r["source"], r["doc_id"]) for r in out.collect())
+        # source a: scores 30(doc2), 30(doc3) — tie broken on ascending id
+        assert kept == [("a", 2), ("a", 3), ("b", 5)]
+        assert "score" in out.columns
+
+
+class TestRepetitionScore:
+    def test_scores(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a b a b a b"),   # grams: ab a,ba b,ab a,ba b -> 4 total 2 distinct
+                (2, "w x y z"),        # all distinct
+                (3, "tiny"),           # shorter than n -> 0.0
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r["rep"] for r in df.select(
+            "doc_id", F.round(repetition_score(F.col("text"), 2), 5).alias("rep")
+        ).collect()}
+        assert rows[1] == pytest.approx(1 - 2 / 5)
+        assert rows[2] == 0.0
+        assert rows[3] == 0.0
+
+
+class TestHashSplit:
+    def test_deterministic_and_complete(self, spark):
+        df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+        out = hash_split(df, {"train": 8, "val": 1, "test": 1})
+        counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert sum(counts.values()) == 500
+        assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+        # stability: same assignment on recompute and under corpus growth
+        first = {r["doc_id"]: r["split"] for r in out.collect()}
+        grown = hash_split(
+            spark.createDataFrame([(i,) for i in range(1000)], "doc_id long"),
+            {"train": 8, "val": 1, "test": 1},
+        )
+        second = {r["doc_id"]: r["split"] for r in grown.collect()}
+        assert all(second[k] == v for k, v in first.items())
