@@ -1,5 +1,6 @@
 from ndr_import_spark.streaming.pipeline import (
     session_window_stats,
+    stateful_stream_dedup,
     stream_records,
     stream_tables,
     windowed_stats,
@@ -10,4 +11,5 @@ __all__ = [
     "stream_records",
     "windowed_stats",
     "session_window_stats",
+    "stateful_stream_dedup",
 ]

@@ -126,6 +126,67 @@ def windowed_stats(
     )
 
 
+def stateful_stream_dedup(
+    df: DataFrame,
+    key_col: str = "fingerprint",
+    id_col: str = "doc_id",
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming exact-dedup with keyed state: the first document seen per
+    `key_col` (content fingerprint) is emitted, every later duplicate —
+    within or across micro-batches — is dropped. The custom-stateful
+    counterpart of the batch `operators.dedup.exact_duplicates` for a
+    continuously arriving corpus.
+
+    Implemented with `applyInPandasWithState` (Arrow-batched, grouped
+    keyed state): one hash shuffle on the fingerprint, then per-key state
+    is a single boolean. Within a micro-batch the winner is the min id
+    (arrival order inside a batch is not deterministic; min is). At
+    stream scale the state store grows one entry per distinct document —
+    set `state_timeout_ms` (processing-time timeout) to reclaim entries
+    for keys idle longer than the window in which re-crawls realistically
+    arrive; a re-seen key after reclaim re-emits, which for dedup is the
+    standard bounded-state trade.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField(id_col, T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def dedup_fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = pdf[id_col].min()
+                best = m if best is None else min(best, m)
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        if not state.exists and best is not None:
+            state.update((True,))
+            import pandas as pd
+
+            yield pd.DataFrame({key_col: [key[0]], id_col: [int(best)]})
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        df.select(key_col, F.col(id_col).cast("long").alias(id_col))
+        .groupBy(key_col)
+        .applyInPandasWithState(dedup_fn, out_schema, state_schema, "append", timeout)
+    )
+
+
 def session_window_stats(
     events: DataFrame,
     ts_col: str = "ts",

@@ -14,6 +14,7 @@ from ndr_import_spark.plans.model import MappingError
 from ndr_import_spark.plans.yaml_loader import load_mapping
 from ndr_import_spark.streaming import (
     session_window_stats,
+    stateful_stream_dedup,
     stream_records,
     stream_tables,
     windowed_stats,
@@ -103,6 +104,55 @@ class TestWindows:
             }
             assert rows[("2024-01-01T00:00:00", "a")] == (3, 11.0)
             assert rows[("2024-01-01T02:00:00", "b")] == (1, 4.0)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_stateful_stream_dedup_across_batches(self, spark):
+        tmp = tempfile.mkdtemp()
+        try:
+            data = f"{tmp}/data"
+            import os
+
+            os.makedirs(data)
+            # maxFilesPerTrigger=1 → each file is its own micro-batch, so
+            # the duplicate key in b2 exercises CROSS-batch keyed state
+            with open(f"{data}/b1.json", "w") as f:
+                f.write(
+                    '{"fingerprint": "aaa", "doc_id": 7}\n'
+                    '{"fingerprint": "aaa", "doc_id": 3}\n'
+                    '{"fingerprint": "bbb", "doc_id": 5}\n'
+                )
+            with open(f"{data}/b2.json", "w") as f:
+                f.write(
+                    '{"fingerprint": "aaa", "doc_id": 1}\n'
+                    '{"fingerprint": "ccc", "doc_id": 9}\n'
+                )
+            schema = "fingerprint string, doc_id long"
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .json(data)
+            )
+            deduped = stateful_stream_dedup(stream)
+            name = f"dedup_{uuid.uuid4().hex[:8]}"
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{tmp}/_ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            rows = spark.sql(f"select * from {name}").collect()
+            by_key: dict[str, list[int]] = {}
+            for r in rows:
+                by_key.setdefault(r.fingerprint, []).append(r.doc_id)
+            # exactly ONE emission per key; min id wins inside its batch
+            assert sorted(by_key) == ["aaa", "bbb", "ccc"]
+            assert all(len(v) == 1 for v in by_key.values())
+            assert by_key["bbb"] == [5] and by_key["ccc"] == [9]
+            assert by_key["aaa"][0] in (1, 3)  # whichever batch ran first
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
