@@ -212,24 +212,33 @@ def _sessionized_lines(
 
 
 def _group_sessions(
-    per_line: DataFrame, extra_fields: list[Column] | None = None
+    per_line: DataFrame,
+    extra_fields: list[Column] | None = None,
+    captured_only: bool = False,
 ) -> DataFrame:
     """Group FIRST (one shuffle keyed by (file, session)), then decide which
     sessions to emit on the grouped rows — orders of magnitude fewer rows
     than per-line whole-partition windows. The collected struct's first
-    field is the line number so `sort_array` restores line order."""
-    fields = [
-        F.col("row_index").alias("n"),
-        F.col("_captured").alias("c"),
-        *(extra_fields or [F.col("value").alias("v")]),
-    ]
+    field is the line number so `sort_array` restores line order.
+
+    With `captured_only` the non-captured lines never enter the collected
+    array at all (collect_list drops the NULL structs), shrinking the
+    shuffle payload and removing the post-shuffle captured filter; the
+    session-close bookkeeping still sees every line through the `_closes`
+    aggregate."""
+    fields = [F.col("row_index").alias("n")]
+    if not captured_only:
+        fields.append(F.col("_captured").alias("c"))
+    fields.extend(extra_fields or [F.col("value").alias("v")])
+    struct = F.struct(*fields)
+    if captured_only:
+        struct = F.when(F.col("_captured"), struct)
     return (
         per_line.filter(F.col("_session") >= 1)
         .groupBy("source_file", "_session")
         .agg(
-            F.min("row_index").alias("_first_line"),
             F.max("_closes").alias("_closed"),
-            F.sort_array(F.collect_list(F.struct(*fields))).alias("_all_lines"),
+            F.sort_array(F.collect_list(struct)).alias("_all_lines"),
         )
     )
 
@@ -368,6 +377,20 @@ def _capture_chain(line: Column, captures) -> Column:
     return F.trim(value)
 
 
+def _capture_chain_blankdrop(line: Column, captures) -> Column:
+    """`_capture_chain` minus the NULL-vs-'' distinction: one
+    `regexp_extract` per pattern (half the regex evaluations of the
+    rlike+extract pair). regexp_extract yields '' on no-match, so a missed
+    line and an empty capture group both land on '' — indistinguishable
+    from NULL to the blank-dropping cell filter, which is the only
+    consumer when `preserve_blank_lines` is off (the default)."""
+    value = line
+    patterns = captures if isinstance(captures, list) else [captures]
+    for pat in patterns:
+        value = F.regexp_extract(value, str(pat), 1)
+    return F.trim(value)
+
+
 def tabulate_cells(lines: Column, columns: list[ColumnMapping]) -> Column:
     """record line-array → cells array<string> in column order."""
     cells = []
@@ -400,10 +423,19 @@ def _fused_regexp_index(cls: Column, pattern, flag_field: str) -> Column:
     return F.when(pos > 0, pos - 1)
 
 
-def _fused_cell(cls: Column, cm: ColumnMapping, ci: int) -> Column:
+def _fused_cell(
+    cls: Column, cm: ColumnMapping, ci: int, rr: Column | None = None
+) -> Column:
     """One cell from the captured-line struct array, using the per-line
     PRE-computed capture value (field ``p{ci}``) and RegexpRange match
-    flags (``b{ci}``/``e{ci}``) — no regex runs after the shuffle."""
+    flags (``b{ci}``/``e{ci}``) — no regex runs after the shuffle.
+
+    For RegexpRange columns the begin/end indexes are read from the
+    materialised ``rr`` struct (fields ``b{ci}``/``e{ci}``): Catalyst
+    expression trees cannot share subexpressions, so referencing the
+    array_position-over-transform index Column directly would inline (=
+    re-evaluate) it at every one of its ~20 uses inside the Ruby-slice
+    bounds arithmetic."""
     sel = cm.lines
     if isinstance(sel, int):
         single = _ruby_index(cls, sel)
@@ -417,8 +449,8 @@ def _fused_cell(cls: Column, cm: ColumnMapping, ci: int) -> Column:
             F.array().cast("array<string>"),
         )
     elif isinstance(sel, RegexpRange):
-        b = _fused_regexp_index(cls, sel.begin, f"b{ci}")
-        e = _fused_regexp_index(cls, sel.end, f"e{ci}")
+        b = rr[f"b{ci}"] if rr is not None else _fused_regexp_index(cls, sel.begin, f"b{ci}")
+        e = rr[f"e{ci}"] if rr is not None else _fused_regexp_index(cls, sel.end, f"e{ci}")
         # PatternMatchError → NULL cell (record.rb rescue)
         sliced = F.when(
             b.isNotNull() & e.isNotNull(), _ruby_slice(cls, b, e, excl=sel.excl)
@@ -470,26 +502,60 @@ def tabulate_non_tabular(
                 "must declare lines and capture"
             )
     per_line, last_by_file = _sessionized_lines(df, mapping, strict=strict, chunk=chunk)
+    # captures/flags are computed per line BUT only for captured lines
+    # (when(_captured, ...)): removed/page-furniture lines never pay the
+    # regex, and the collected struct skips them entirely
     extra: list[Column] = []
     for ci, cm in enumerate(columns):
-        extra.append(_capture_chain(F.col("value"), cm.capture).alias(f"p{ci}"))
+        chain = (
+            _capture_chain(F.col("value"), cm.capture)
+            if cm.preserve_blank_lines
+            else _capture_chain_blankdrop(F.col("value"), cm.capture)
+        )
+        extra.append(F.when(F.col("_captured"), chain).alias(f"p{ci}"))
         if isinstance(cm.lines, RegexpRange):
             if not isinstance(cm.lines.begin, int):
                 extra.append(
-                    F.col("value").rlike(str(cm.lines.begin)).alias(f"b{ci}")
+                    F.when(
+                        F.col("_captured"), F.col("value").rlike(str(cm.lines.begin))
+                    ).alias(f"b{ci}")
                 )
             if not isinstance(cm.lines.end, int):
-                extra.append(F.col("value").rlike(str(cm.lines.end)).alias(f"e{ci}"))
-    grouped = _group_sessions(per_line, extra_fields=extra)
+                extra.append(
+                    F.when(
+                        F.col("_captured"), F.col("value").rlike(str(cm.lines.end))
+                    ).alias(f"e{ci}")
+                )
+    grouped = _group_sessions(per_line, extra_fields=extra, captured_only=True)
     emitted = _emit_records(grouped, mapping, last_by_file)
     rec = emitted.select(
         "source_file",
         "row_index",
-        F.explode(
-            F.array(F.filter(F.col("_all_lines"), lambda x: x["c"]))
-        ).alias("_cls"),
+        F.explode(F.array(F.col("_all_lines"))).alias("_cls"),
     )
-    cells = [_fused_cell(F.col("_cls"), cm, ci) for ci, cm in enumerate(columns)]
+    # materialise each RegexpRange column's begin/end index ONCE through a
+    # Generate barrier (same rationale as _cls/cells: Catalyst would
+    # otherwise inline the array_position-over-transform index at every
+    # reference inside the slice-bounds arithmetic — measured ~20x)
+    rr_fields: list[Column] = []
+    for ci, cm in enumerate(columns):
+        if isinstance(cm.lines, RegexpRange):
+            rr_fields.append(
+                _fused_regexp_index(F.col("_cls"), cm.lines.begin, f"b{ci}").alias(f"b{ci}")
+            )
+            rr_fields.append(
+                _fused_regexp_index(F.col("_cls"), cm.lines.end, f"e{ci}").alias(f"e{ci}")
+            )
+    rr = None
+    if rr_fields:
+        rec = rec.select(
+            "source_file",
+            "row_index",
+            "_cls",
+            F.explode(F.array(F.struct(*rr_fields))).alias("_rr"),
+        )
+        rr = F.col("_rr")
+    cells = [_fused_cell(F.col("_cls"), cm, ci, rr) for ci, cm in enumerate(columns)]
     return rec.select(
         "source_file",
         "row_index",
