@@ -19,6 +19,22 @@ from pyspark.sql import functions as F
 from ndr_import_spark.operators.dedup import md5_long
 
 
+def _matrix_literal(rows: list[list[float]]) -> Column:
+    """2-D double-array literal built from ONE parsed SQL expression.
+
+    Element-wise construction (`F.array(F.array(F.lit(w)...))`) costs one
+    py4j round-trip per element — ~1.4 s of driver time for a 16x64
+    matrix, paid at every plan build. A single `F.expr` string is one
+    round-trip and parses JVM-side; `CAST('<repr>' AS DOUBLE)` survives
+    constant folding with exact repr->parseDouble round-tripping (a bare
+    SQL decimal literal would be DECIMAL-typed, not double)."""
+    inner = ",".join(
+        "array(" + ",".join(f"CAST('{w!r}' AS DOUBLE)" for w in r) + ")"
+        for r in rows
+    )
+    return F.expr(f"array({inner})")
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
@@ -75,10 +91,8 @@ def hyperplane_signature(vec: Column, dim: int, planes: int = 16) -> Column:
     (generated code ~planes-fold smaller than per-plane expressions; the
     per-plane fold arithmetic is unchanged, so signatures are
     bit-identical). 2^p weights come from exact double pow (p < 53)."""
-    matrix = F.array(*[
-        F.array(*[
-            F.lit(1.0 if _md5_bit(f"hp{p}:{i}") else -1.0) for i in range(dim)
-        ])
+    matrix = _matrix_literal([
+        [1.0 if _md5_bit(f"hp{p}:{i}") else -1.0 for i in range(dim)]
         for p in range(planes)
     ])
     projs = F.transform(
@@ -178,9 +192,7 @@ def _assign_to_centroids(
     shrinks ~n_cells-fold (Janino compile time was the dominant cost of
     the probe query), while the arithmetic (sequential fold per centroid)
     is unchanged, so oracle values are bit-identical."""
-    matrix = F.array(*[
-        F.array(*[F.lit(float(w)) for w in c]) for c in centroids
-    ])
+    matrix = _matrix_literal([[float(w) for w in c] for c in centroids])
     scores = F.transform(matrix, lambda c: dot(F.col(vec_col), c))
     cell = F.element_at(
         F.transform(
