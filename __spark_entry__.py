@@ -1385,6 +1385,78 @@ ORDER BY c.label
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q10-shaped: revenue lost to returned items per customer, top
+    20. lineitem ⋈ orders is a SHUFFLE join on purpose — both are fact
+    tables, so at 100 TB neither side broadcasts (AQE picks broadcast
+    anyway when a filtered side happens to fit); customer/nation dims
+    broadcast; the returnflag filter pushes to the parquet scan."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_ORACLE_Q10 = """
+SELECT c_custkey, c_name, n_name,
+  cast(sum(cast(cast(l_extendedprice as decimal(18,2)) *
+      (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4)))
+      as double) AS revenue
+FROM lineitem, orders, customer, nation
+WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q18-shaped: orders whose total quantity exceeds a threshold —
+    the per-order aggregate is a semi-join filter (aggregate THEN join, so
+    only qualifying keys re-join the fact), not a correlated subquery."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("double")).alias("total_qty"))
+        .filter(F.col("total_qty") > 100)
+    )
+    return (
+        big.join(F.broadcast(orders), big.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.round("total_qty", 5).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+_ORACLE_Q18 = """
+SELECT o_orderkey, o_custkey, o_orderdate, round(total_qty, 5) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(cast(l_quantity as double)) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(cast(l_quantity as double)) > 100
+) big JOIN orders ON big.l_orderkey = o_orderkey
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus-preparation operators (training-data pipeline stages)
 # ---------------------------------------------------------------------------
@@ -1595,6 +1667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_supplier_volume": q5_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q18_large_orders": q18_large_orders,
         "nontabular_extract": q_nontabular_extract,
         "xml_extract": q_xml_extract,
         "rollup_revenue": q_rollup_revenue,
@@ -1634,6 +1708,8 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": _ORACLE_Q3,
         "q5_supplier_volume": _ORACLE_Q5,
         "q6_forecast_revenue": _ORACLE_Q6,
+        "q10_returned_items": _ORACLE_Q10,
+        "q18_large_orders": _ORACLE_Q18,
         "nontabular_extract": _ORACLE_NONTABULAR,
         "xml_extract": _ORACLE_XML,
         "rollup_revenue": _ORACLE_ROLLUP,
