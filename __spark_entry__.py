@@ -1614,6 +1614,66 @@ FROM g ORDER BY rep DESC, doc_id LIMIT 20
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking (16-word windows, 4-word overlap)
+    with provenance — context-window preparation. Explode of start
+    positions + slice/join fused into one codegen stage; no shuffle."""
+    from ndr_import_spark.operators.corpus import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_words=16, overlap=4).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+_ORACLE_CHUNKS = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wds FROM documents
+), n AS (
+  SELECT doc_id, wds, len(wds) AS nw,
+         1 + cast(ceil(greatest(len(wds) - 16, 0) / 12.0) as int) AS n_chunks
+  FROM w
+), c AS (
+  SELECT doc_id, wds, unnest(range(0, n_chunks)) AS chunk_id FROM n
+)
+SELECT doc_id, chunk_id,
+  len(wds[chunk_id * 12 + 1 : chunk_id * 12 + 16]) AS n_words,
+  array_to_string(wds[chunk_id * 12 + 1 : chunk_id * 12 + 16], ' ') AS chunk
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top 25 tokens by document frequency and total
+    count — one explode + one map-side-combined aggregate (partial counts
+    per task, tiny final shuffle on token)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), "tok")
+        .limit(25)
+    )
+
+
+_ORACLE_VOCAB = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+)
+SELECT tok, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM t GROUP BY tok ORDER BY n_total DESC, tok LIMIT 25
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (md5-bucket mod 10,
     8/1/1): stable across engines, partitionings and corpus growth —
@@ -1697,6 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_cap": q_per_source_cap,
         "repetition_score": q_repetition_score,
         "hash_split": q_hash_split,
+        "chunk_documents": q_chunk_documents,
+        "vocab_top_tokens": q_vocab_top_tokens,
     }
 
 
@@ -1738,4 +1800,6 @@ def oracle_sql() -> dict[str, str]:
         "per_source_cap": _ORACLE_PER_SOURCE_CAP,
         "repetition_score": _ORACLE_REPETITION,
         "hash_split": _ORACLE_HASH_SPLIT,
+        "chunk_documents": _ORACLE_CHUNKS,
+        "vocab_top_tokens": _ORACLE_VOCAB,
     }

@@ -206,6 +206,61 @@ def repetition_score(text: Column, n: int = 3) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_words: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks with provenance
+    — the standard context-window preparation stage for training/RAG.
+
+    Chunk k covers words [k*stride, k*stride + chunk_words) with
+    ``stride = chunk_words - overlap``; the last chunk is the remainder
+    (never empty, never duplicated: a document emits ceil-style windows
+    until one reaches the end). Pure explode of start positions + slice
+    and join in the post-Generate projection (whole-stage codegen, the
+    carried words array is fused away) — no UDF, no shuffle; output rows
+    carry (doc_id, chunk_id, n_words, chunk).
+    """
+    if overlap >= chunk_words:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_words ({chunk_words})")
+    stride = chunk_words - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    # number of chunks: 1 + ceil(max(n - chunk_words, 0) / stride)
+    extra = F.greatest(n - F.lit(chunk_words), F.lit(0))
+    n_chunks = (
+        F.lit(1) + F.ceil(extra.cast("double") / F.lit(stride)).cast("int")
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            words.alias("_w"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(
+                F.col("_w"), F.col("chunk_id") * stride + 1, chunk_words
+            ).alias("_cw"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(F.col("_cw")).alias("n_words"),
+            F.array_join(F.col("_cw"), " ").alias("chunk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # deterministic split
 # ---------------------------------------------------------------------------
 

@@ -5,6 +5,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from ndr_import_spark.operators.corpus import (
+    chunk_documents,
     hash_split,
     ngram_decontaminate,
     per_source_cap,
@@ -115,6 +116,47 @@ class TestRepetitionScore:
         assert rows[1] == pytest.approx(1 - 2 / 5)
         assert rows[2] == 0.0
         assert rows[3] == 0.0
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, spark):
+        text = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = chunk_documents(df, chunk_words=4, overlap=2).orderBy("chunk_id").collect()
+        # stride 2: starts 0,2,4,6 -> 1 + ceil((10-4)/2) = 4 chunks
+        assert [r["chunk"] for r in rows] == [
+            "w0 w1 w2 w3",
+            "w2 w3 w4 w5",
+            "w4 w5 w6 w7",
+            "w6 w7 w8 w9",
+        ]
+        assert [r["n_words"] for r in rows] == [4, 4, 4, 4]
+
+    def test_short_doc_single_chunk(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        rows = chunk_documents(df, chunk_words=8, overlap=2).collect()
+        assert len(rows) == 1
+        assert rows[0]["chunk"] == "a b c" and rows[0]["n_words"] == 3
+
+    def test_ragged_tail(self, spark):
+        text = " ".join(f"w{i}" for i in range(9))
+        rows = (
+            chunk_documents(
+                spark.createDataFrame([(1, text)], "doc_id long, text string"),
+                chunk_words=4,
+                overlap=0,
+            )
+            .orderBy("chunk_id")
+            .collect()
+        )
+        # starts 0,4,8 -> last chunk is the 1-word remainder
+        assert [r["n_words"] for r in rows] == [4, 4, 1]
+        assert rows[-1]["chunk"] == "w8"
+
+    def test_rejects_bad_overlap(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_words=4, overlap=4)
 
 
 class TestHashSplit:
