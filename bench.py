@@ -70,14 +70,18 @@ def _run_single(name: str, sf_dir: str, cpus: str) -> int:
         fn(spark, sf_dir).count()
         out["cold"] = round(time.perf_counter() - t0, 4)
         steady = []
-        for i in range(2):
+        for i in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             steady.append(time.perf_counter() - t0)
-            # sub-second steady runs don't need a second noise sample —
-            # worst-case absolute error is small and the suite has 34 forks
+            # sample-count scales with magnitude: sub-second queries take
+            # one steady sample (absolute noise is small), multi-second
+            # queries take up to three — single-run noise measured up to
+            # 40% on this box, and the heavies dominate the suite total
             if i == 0 and steady[0] <= 1.0:
+                break
+            if i == 1 and steady[1] <= 2.0:
                 break
         out["sec"] = round(min(steady), 4)
     except Exception as e:  # noqa: BLE001

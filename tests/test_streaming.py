@@ -156,6 +156,45 @@ class TestWindows:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_corpus_columns_compose_on_streams(self, spark):
+        """The corpus/text column functions are pure Column expressions, so
+        the same code path runs on a stream: quality + repetition +
+        fingerprint computed per micro-batch, then keyed-state dedup."""
+        from ndr_import_spark.operators.corpus import repetition_score
+        from ndr_import_spark.operators.textstats import fingerprint, quality_score
+
+        tmp = tempfile.mkdtemp()
+        try:
+            with open(f"{tmp}/docs.json", "w") as f:
+                f.write(
+                    '{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"}\n'
+                    '{"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog"}\n'
+                    '{"doc_id": 3, "text": "spam spam spam spam spam spam"}\n'
+                )
+            stream = spark.readStream.schema("doc_id long, text string").json(tmp)
+            scored = stream.select(
+                "doc_id",
+                fingerprint(F.col("text")).alias("fingerprint"),
+                F.round(quality_score(F.col("text")), 5).alias("quality"),
+                F.round(repetition_score(F.col("text"), 2), 5).alias("rep"),
+            )
+            deduped = stateful_stream_dedup(scored)
+            name = f"corpus_{uuid.uuid4().hex[:8]}"
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{tmp}/_ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            rows = spark.sql(f"select * from {name}").collect()
+            # docs 1 and 2 share a fingerprint -> one survivor (min id)
+            assert sorted(r.doc_id for r in rows) == [1, 3]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def test_session_window_stats(self, spark):
         tmp = tempfile.mkdtemp()
         try:
