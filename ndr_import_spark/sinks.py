@@ -55,3 +55,25 @@ def write_errors(
     at-scale alternative to strict raise-on-first-error)."""
     errs = records.filter(F.size(F.col("_errors")) > 0)
     errs.write.mode(mode).format(fmt).save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: tuple[str, ...],
+    n_buckets: int = 32,
+    sort_by: tuple[str, ...] = (),
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: co-locates rows by ``bucket_by`` so
+    later equi-joins/aggregations on those keys run EXCHANGE-FREE (both
+    sides pre-hashed into the same bucket layout — the shuffle is paid
+    once at write time, then amortised over every downstream join; the
+    standard layout for a 100 TB fact table joined repeatedly on its
+    key). Spark bucketing requires saveAsTable (bucket metadata lives in
+    the catalog, not the files)."""
+    writer = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

@@ -10,7 +10,12 @@ import zipfile
 import pytest
 
 from ndr_import_spark import Engine
-from ndr_import_spark.sinks import iter_records, write_errors, write_records
+from ndr_import_spark.sinks import (
+    iter_records,
+    write_bucketed,
+    write_errors,
+    write_records,
+)
 
 MAPPING_YAML = """
 klass: Patient
@@ -95,6 +100,48 @@ DOCX_DOCUMENT_XML = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <w:p><w:r><w:t>Three in fact</w:t></w:r></w:p>
 </w:body></w:document>
 """
+
+
+class TestBucketedWrite:
+    def test_bucket_join_is_exchange_free(self, spark, tmp):
+        """Two tables bucketed on the same key join with ZERO Exchange
+        nodes — the shuffle was paid once at write time (the co-located
+        fact-table layout for repeated joins at 100 TB)."""
+        import uuid
+
+        import pyspark.sql.functions as F
+
+        suffix = uuid.uuid4().hex[:8]
+        ta, tb = f"bk_a_{suffix}", f"bk_b_{suffix}"
+        try:
+            orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+            li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+            write_bucketed(
+                orders, ta, ("o_orderkey",), n_buckets=4, sort_by=("o_orderkey",)
+            )
+            write_bucketed(
+                li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                tb,
+                ("o_orderkey",),
+                n_buckets=4,
+                sort_by=("o_orderkey",),
+            )
+            a = spark.table(ta)
+            b = spark.table(tb)
+            # disable auto-broadcast so the join would otherwise shuffle
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                joined = a.join(b, "o_orderkey").groupBy("o_orderstatus").agg(
+                    F.sum("l_quantity").alias("qty")
+                )
+                plan = joined._jdf.queryExecution().executedPlan().toString()
+                assert "Exchange hashpartitioning(o_orderkey" not in plan
+                assert joined.count() == 3  # one row per order status
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        finally:
+            for t in (ta, tb):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 class TestDocx:
