@@ -1340,6 +1340,45 @@ SELECT query_id, vec_id, cos, rank FROM (
 """
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding corpus with
+    per-vector scale + reconstruction error — the 4x storage/IO squeeze
+    before ANN indexing. Narrow per-row arrays, no shuffle."""
+    from ndr_import_spark.operators.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.aggregate(
+            F.transform(F.col("qvec"), F.abs), F.lit(0), lambda a, b: a + b
+        ).alias("q_l1"),
+        F.round(F.col("recon_err"), 5).alias("recon_err"),
+    ).orderBy("vec_id")
+
+
+_ORACLE_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e
+), q AS (
+  SELECT vec_id, v, amax,
+         list_transform(v, x -> cast(round(x * 127 / amax) as int)) AS qv
+  FROM s
+)
+SELECT vec_id,
+  round(amax, 6) AS scale,
+  cast(list_sum(list_transform(qv, x -> abs(x))) as bigint) AS q_l1,
+  round(sqrt(list_sum(list_transform(list_zip(v, qv),
+        p -> pow(p[1] - p[2] * amax / 127.0, 2)))), 5) AS recon_err
+FROM q ORDER BY vec_id
+"""
+
+
 def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid norms — grouped vector aggregation via
     element-wise array folding (posexplode-free, stays vectorised)."""
@@ -1751,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ivf_cells": q_ivf_cells,
         "ivf_probe_topk": q_ivf_probe_topk,
+        "quantize_embeddings": q_quantize_embeddings,
         "embedding_label_centroids": q_embedding_label_centroids,
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
@@ -1794,6 +1834,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _ORACLE_MULTIMODAL,
         "ivf_cells": _oracle_ivf(),
         "ivf_probe_topk": _oracle_ivf_probe(),
+        "quantize_embeddings": _ORACLE_QUANTIZE,
         "embedding_label_centroids": _ORACLE_CENTROIDS,
         "decontaminate": _ORACLE_DECONTAMINATE,
         "pii_scrub": _oracle_pii(),

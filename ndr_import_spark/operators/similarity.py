@@ -238,6 +238,52 @@ def ivf_train_centroids(
     return centroids
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: ``q = round(127 *
+    v / max|v|)`` plus the per-row scale — the standard 4x storage/IO cut
+    for an ANN corpus (at 100 TB the float32 -> int8 squeeze is usually
+    the difference between an index that fits on NVMe and one that
+    doesn't). Adds a reconstruction-error column so a pipeline can gate
+    on quantization quality.
+
+    Narrow per-row arrays, no shuffle. The scale is emitted FIRST through
+    a Generate barrier: the quantize and error expressions reference it
+    per element, and Catalyst would otherwise inline the array_max fold
+    at every reference."""
+    amax = F.array_max(F.transform(F.col(vec_col), F.abs))
+    base = df.select(
+        id_col,
+        F.col(vec_col).alias("_v"),
+        F.explode(F.array(F.when(amax > 0, amax))).alias("_scale"),
+    )
+    q = F.transform(
+        F.col("_v"), lambda x: F.round(x * 127.0 / F.col("_scale")).cast("int")
+    )
+    base = base.select(
+        id_col, "_v", "_scale", F.explode(F.array(q)).alias("_q")
+    )
+    err2 = F.aggregate(
+        F.zip_with(
+            F.col("_v"),
+            F.col("_q"),
+            lambda v, qi: (v - qi * F.col("_scale") / 127.0)
+            * (v - qi * F.col("_scale") / 127.0),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return base.select(
+        id_col,
+        F.col("_q").alias("qvec"),
+        F.col("_scale").alias("scale"),
+        F.sqrt(err2).alias("recon_err"),
+    )
+
+
 def ivf_probe_topk(
     df: DataFrame,
     queries: DataFrame,
