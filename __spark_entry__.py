@@ -389,15 +389,18 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """customer ⋈ orders ⋈ lineitem; small dims broadcast; top-10."""
+    """customer ⋈ orders ⋈ lineitem, top-10. No broadcast hints on
+    purpose: all three are fact-scale tables at 100 TB, so the joins must
+    be plannable as shuffle joins — AQE auto-broadcasts whichever
+    filtered side happens to fit at a given scale factor."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -421,7 +424,10 @@ LIMIT 10
 
 def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier — the
-    multi-join path; all dims broadcast, single fact shuffle."""
+    multi-join path. Broadcast hints only on the TRUE dims (nation,
+    region — bounded row counts at any scale); orders/customer/supplier
+    grow with the corpus, so their joins stay plannable as shuffle joins
+    and AQE auto-broadcasts whichever side fits at a given SF."""
     region = _t(spark, sf_dir, "region")
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
@@ -431,9 +437,9 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .filter(cust.c_nationkey == sup.s_nationkey)
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -1426,10 +1432,11 @@ ORDER BY c.label
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-q10-shaped: revenue lost to returned items per customer, top
-    20. lineitem ⋈ orders is a SHUFFLE join on purpose — both are fact
-    tables, so at 100 TB neither side broadcasts (AQE picks broadcast
-    anyway when a filtered side happens to fit); customer/nation dims
-    broadcast; the returnflag filter pushes to the parquet scan."""
+    20. lineitem ⋈ orders ⋈ customer are SHUFFLE joins on purpose — all
+    fact-scale tables, so at 100 TB no side broadcasts (AQE picks
+    broadcast anyway when a filtered side happens to fit); only the
+    bounded nation dim is hinted; the returnflag filter pushes to the
+    parquet scan."""
     nation = _t(spark, sf_dir, "nation")
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -1441,7 +1448,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_returnflag") == "R")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
@@ -1475,7 +1482,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 100)
     )
     return (
-        big.join(F.broadcast(orders), big.l_orderkey == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .select(
             "o_orderkey",
             "o_custkey",
