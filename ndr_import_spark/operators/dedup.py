@@ -115,6 +115,32 @@ def _shingles_from_norm(norm: Column, n: int) -> Column:
     return F.transform(starts, lambda i: F.substring(norm, i, n))
 
 
+_LIVE_CACHE: list[DataFrame] = []
+
+
+def _evict_then_persist(df: DataFrame) -> DataFrame:
+    """Persist `df` (MEMORY_AND_DISK_DESER), evicting the PREVIOUS banded
+    call's cache first.
+
+    The pair-finder returns a lazy DataFrame, so its cache cannot be
+    unpersisted inside the call (the action hasn't run yet); the next
+    banded-dedup call is the earliest point the previous corpus cache is
+    provably dead. This bounds live cache to ONE corpus per session —
+    without it, a long-lived session (e.g. the correctness driver running
+    39 queries in one SparkSession) accumulates every corpus it ever
+    deduped and pays eviction churn on later queries."""
+    from pyspark import StorageLevel
+
+    while _LIVE_CACHE:
+        try:
+            _LIVE_CACHE.pop().unpersist(blocking=False)
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+    df = df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    _LIVE_CACHE.append(df)
+    return df
+
+
 MINHASH_P = 1073741789  # largest prime < 2^30: keeps a*h+b inside int64
 
 
@@ -204,15 +230,19 @@ def _banded_jaccard_pairs(
     would otherwise each re-run the per-shingle md5 pass (captured
     expressions re-evaluate per reference).
     """
-    from pyspark import StorageLevel
-
     # DESER level on purpose: the serialized-columnar cache encoder is ~5×
     # slower than object storage for nested array<long> columns (measured
     # 3.8 s vs 0.7 s to build at sf0.1) and the cache is read only a few
-    # times before unpersist; spills to disk under pressure either way.
-    hashed = shingled.select(
-        "_id", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
-    ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    # times before eviction; spills to disk under pressure either way.
+    # Measured alternatives at sf0.1/local[32]: no persist (relying on
+    # ReuseExchange) = 10.5 s steady vs 3.4 s persisted — the four plan
+    # references do NOT canonicalise to one exchange, so the persist is a
+    # 3× win, and _evict_then_persist bounds the cache to one corpus.
+    hashed = _evict_then_persist(
+        shingled.select(
+            "_id", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
+        )
+    )
     rows = k // bands
     with_sig = hashed.select(
         "_id", minhash_signatures_column(F.col("_hs"), k, salt).alias("_sig")
