@@ -1370,10 +1370,13 @@ _ORACLE_QUANTIZE = """
 WITH e AS (
   SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings
 ), s AS (
-  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e
+  SELECT vec_id, v,
+         coalesce(list_max(list_transform(v, x -> abs(x))), 0) AS amax
+  FROM e
 ), q AS (
   SELECT vec_id, v, amax,
-         list_transform(v, x -> cast(round(x * 127 / amax) as int)) AS qv
+         list_transform(v, x -> cast(round(
+             x * 127 / CASE WHEN amax > 0 THEN amax ELSE 1 END) as int)) AS qv
   FROM s
 )
 SELECT vec_id,
@@ -1720,6 +1723,39 @@ FROM t GROUP BY tok ORDER BY n_total DESC, tok LIMIT 25
 """
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over a deliberately hot group key:
+    `lang` has a handful of values, so a plain groupBy funnels each
+    language's partials into one reducer. Phase 1 groups by (lang, salt)
+    — pmod(hash(doc_id), 16) spreads even identical rows — phase 2
+    merges ≤16 partial rows per language. Results are exact integers, so
+    the oracle is the plain GROUP BY (the salt changes the shuffle shape,
+    never the result). See operators/skew.py; AQE cannot split a
+    hash-aggregate key, which is why this exists."""
+    from ndr_import_spark.operators.skew import salted_agg
+
+    docs = _t(spark, sf_dir, "documents")
+    return salted_agg(
+        docs.select("lang", "n_chars", "doc_id"),
+        ["lang"],
+        {
+            "n_docs": ("doc_id", "count"),
+            "sum_chars": ("n_chars", "sum"),
+            "min_chars": ("n_chars", "min"),
+            "max_chars": ("n_chars", "max"),
+        },
+        salt_buckets=16,
+        salt=F.pmod(F.hash(F.col("doc_id")), F.lit(16)),
+    ).orderBy("lang")
+
+
+_ORACLE_SKEW_SALTED_AGG = """
+SELECT lang, count(doc_id) AS n_docs, cast(sum(n_chars) AS bigint) AS sum_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (md5-bucket mod 10,
     8/1/1): stable across engines, partitionings and corpus growth —
@@ -1802,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "per_source_cap": q_per_source_cap,
+        "skew_salted_agg": q_skew_salted_agg,
         "repetition_score": q_repetition_score,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
@@ -1846,6 +1883,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _ORACLE_DECONTAMINATE,
         "pii_scrub": _oracle_pii(),
         "per_source_cap": _ORACLE_PER_SOURCE_CAP,
+        "skew_salted_agg": _ORACLE_SKEW_SALTED_AGG,
         "repetition_score": _ORACLE_REPETITION,
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,

@@ -167,22 +167,44 @@ def per_source_cap(
     score: Column,
     source_col: str = "source",
     id_col: str = "doc_id",
+    score_col: str = "score",
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Keep the `k` best documents per source by `score` (ties broken on
     ascending id for determinism) — the standard per-domain cap that stops
     one crawl domain from dominating a training mix.
 
-    One hash-shuffle on source + an in-partition top-k window. Skewed
-    mega-domains at 100 TB: AQE skew-split handles the exchange; the
-    window itself is a bounded-heap top-k per key (rank <= k prunes
-    eagerly under whole-stage codegen)."""
-    w = Window.partitionBy(source_col).orderBy(F.desc("_score"), F.col(id_col))
+    Two-phase top-k so a hot mega-domain never funnels into one reducer
+    (AQE cannot split a window's key): phase 1 salts each row by
+    ``pmod(hash(id), salt_buckets)`` — the id is unique, so even fully
+    duplicate rows spread — and keeps the per-(source, salt) top-k; phase
+    2 re-ranks the at-most ``salt_buckets * k`` survivors per source.
+    Phase 1's window partitions are ~1/salt_buckets of a domain; phase
+    2's are bounded by salt_buckets*k rows regardless of corpus size.
+    Exactness: the global top-k per source (under the same total order
+    desc score, asc id) is a subset of the union of per-salt top-ks.
+
+    The scored column is emitted as `score_col`; a pre-existing column of
+    that name (or of the internal temp names) raises rather than silently
+    producing a duplicate/ambiguous column."""
+    clash = sorted({score_col, "_psc_salt", "_psc_rk"} & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"per_source_cap output/temp column(s) {clash} already exist in "
+            f"the input; pass score_col= a fresh name or rename the input"
+        )
+    order = [F.desc(score_col), F.col(id_col)]
+    w1 = Window.partitionBy(source_col, "_psc_salt").orderBy(*order)
+    w2 = Window.partitionBy(source_col).orderBy(*order)
     return (
-        df.withColumn("_score", score)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
-        .withColumnRenamed("_score", "score")
+        df.withColumn(score_col, score)
+        .withColumn("_psc_salt", F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets)))
+        .withColumn("_psc_rk", F.row_number().over(w1))
+        .filter(F.col("_psc_rk") <= k)
+        .drop("_psc_salt", "_psc_rk")
+        .withColumn("_psc_rk", F.row_number().over(w2))
+        .filter(F.col("_psc_rk") <= k)
+        .drop("_psc_rk")
     )
 
 

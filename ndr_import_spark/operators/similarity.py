@@ -253,15 +253,21 @@ def quantize_embeddings(
     Narrow per-row arrays, no shuffle. The scale is emitted FIRST through
     a Generate barrier: the quantize and error expressions reference it
     per element, and Catalyst would otherwise inline the array_max fold
-    at every reference."""
+    at every reference.
+
+    All-zero (or empty) vectors get scale 0.0 with an all-zero qvec and
+    recon_err 0.0 — the divide uses a guarded divisor of 1.0 so no NULL
+    ever propagates into downstream ANN stages (dequantization q*scale/127
+    is exact either way)."""
     amax = F.array_max(F.transform(F.col(vec_col), F.abs))
     base = df.select(
         id_col,
         F.col(vec_col).alias("_v"),
-        F.explode(F.array(F.when(amax > 0, amax))).alias("_scale"),
+        F.explode(F.array(F.coalesce(amax, F.lit(0.0)))).alias("_scale"),
     )
+    safe = F.when(F.col("_scale") > 0, F.col("_scale")).otherwise(F.lit(1.0))
     q = F.transform(
-        F.col("_v"), lambda x: F.round(x * 127.0 / F.col("_scale")).cast("int")
+        F.col("_v"), lambda x: F.round(x * 127.0 / safe).cast("int")
     )
     base = base.select(
         id_col, "_v", "_scale", F.explode(F.array(q)).alias("_q")

@@ -22,12 +22,34 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _default_salt(df: DataFrame, salt_buckets: int) -> Column:
+    """Deterministic per-row salt: pmod(hash(<all columns>), n).
+
+    Deterministic on purpose — `spark_partition_id` or `rand()` would be
+    nondeterministic under task retries. LIMITATION: rows that are full
+    duplicates hash identically, so a hot key made of *identical* rows
+    does not spread; pass `salt=` a finer expression (e.g. hash of a
+    unique id, or `pmod(hash(id), n)`) in that case. MapType columns are
+    excluded (F.hash cannot analyse them)."""
+    cols = [
+        F.col(f.name)
+        for f in df.schema.fields
+        if not f.dataType.typeName().startswith("map")
+    ]
+    if not cols:
+        raise ValueError(
+            "default salt needs at least one non-map column; pass salt= explicitly"
+        )
+    return F.pmod(F.hash(*cols), F.lit(salt_buckets))
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
     aggs: dict[str, tuple[str, str]],
     salt_buckets: int = 32,
     salt_col: str = "_salt",
+    salt: Column | None = None,
 ) -> DataFrame:
     """Two-phase aggregation for skewed group keys.
 
@@ -38,16 +60,16 @@ def salted_agg(
     reducers and map-side combine still applies; phase 2 merges the
     per-salt partials, at most `salt_buckets` rows per key.
 
-    The salt is a deterministic hash of the whole row's monotonically
-    varying id — `spark_partition_id` XOR a per-row counter would be
-    nondeterministic under retries; `pmod(hash(all key+value cols), n)`
-    is stable for a given row."""
+    `salt` overrides the default whole-row hash (see `_default_salt` for
+    its duplicate-row limitation); any deterministic int expression in
+    [0, salt_buckets) works — hash of a unique id is the usual choice."""
     mergers = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     firsts = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
     for name, (_src, fn) in aggs.items():
         if fn not in mergers:
             raise ValueError(f"salted_agg supports {sorted(mergers)}, got {fn!r}")
-    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    if salt is None:
+        salt = _default_salt(df, salt_buckets)
     phase1 = (
         df.withColumn(salt_col, salt)
         .groupBy(*keys, salt_col)
@@ -64,6 +86,7 @@ def salted_join(
     on: Sequence[str],
     salt_buckets: int = 16,
     how: str = "inner",
+    salt: Column | None = None,
 ) -> DataFrame:
     """Equi-join resilient to hot keys on the (large) `left` side.
 
@@ -75,10 +98,13 @@ def salted_join(
 
     Use when the right side is too large to broadcast but small enough to
     replicate n-fold; `how` supports inner/left joins (semantics preserved
-    because every left row matches exactly one replica salt)."""
+    because every left row matches exactly one replica salt). `salt`
+    overrides the default whole-row hash (see `_default_salt` for its
+    duplicate-row limitation)."""
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
-    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    if salt is None:
+        salt = _default_salt(left, salt_buckets)
     lsalted = left.withColumn("_salt", salt)
     rsalted = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -99,6 +99,48 @@ class TestPerSourceCap:
         assert kept == [("a", 2), ("a", 3), ("b", 5)]
         assert "score" in out.columns
 
+    def test_hot_source_matches_single_window(self, spark):
+        # one mega-source (900 rows) + 50 singletons: the salted two-phase
+        # top-k must be row-identical to the naive single-window cap
+        rows = [(i, "hot", i % 97) for i in range(900)] + [
+            (1000 + i, f"s{i}", i) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+        out = per_source_cap(df, k=5, score=F.col("n_chars"), salt_buckets=8)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.col("doc_id"))
+        naive = (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("doc_id", "source", F.col("n_chars").alias("score"))
+        )
+        got = sorted(map(tuple, out.select("doc_id", "source", "score").collect()))
+        want = sorted(map(tuple, naive.collect()))
+        assert got == want
+
+    def test_phase1_window_is_salted(self, spark):
+        # the first (corpus-sized) window must partition by (source, salt):
+        # a window keyed on source alone funnels a hot domain to one task
+        df = spark.createDataFrame(
+            [(1, "a", 10)], "doc_id long, source string, n_chars long"
+        )
+        plan = (
+            per_source_cap(df, k=1, score=F.col("n_chars"))
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        first_window = plan[plan.rindex("Window") :]  # innermost = phase 1
+        assert "_psc_salt" in first_window
+
+    def test_rejects_column_collision(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 10, 0.5)], "doc_id long, source string, n_chars long, score double"
+        )
+        with pytest.raises(ValueError, match="score"):
+            per_source_cap(df, k=1, score=F.col("n_chars"))
+        out = per_source_cap(df, k=1, score=F.col("n_chars"), score_col="cap_score")
+        assert out.columns.count("cap_score") == 1
+
 
 class TestRepetitionScore:
     def test_scores(self, spark):

@@ -78,3 +78,29 @@ def test_docs_without_embeddings_are_ignored(spark):
     )
     out = embedding_neardup_drops(docs, emb, dim=DIM, planes=4, threshold=0.9)
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+class TestQuantizeEmbeddings:
+    def test_zero_and_empty_vectors_quantize_to_zero(self, spark):
+        # an all-zero vector must yield scale 0, all-zero qvec, err 0 —
+        # never NULLs that propagate into downstream ANN stages
+        from ndr_import_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [
+                (1, [0.0, 0.0, 0.0]),
+                (2, []),
+                (3, [2.0, -4.0, 1.0]),
+            ],
+            "vec_id int, embedding array<double>",
+        )
+        rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+        assert rows[1]["scale"] == 0.0
+        assert rows[1]["qvec"] == [0, 0, 0]
+        assert rows[1]["recon_err"] == 0.0
+        assert rows[2]["scale"] == 0.0
+        assert rows[2]["qvec"] == []
+        assert rows[2]["recon_err"] == 0.0
+        assert rows[3]["scale"] == 4.0
+        assert rows[3]["qvec"] == [64, -127, 32]
+        assert rows[3]["recon_err"] is not None and rows[3]["recon_err"] < 0.1

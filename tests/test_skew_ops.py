@@ -49,6 +49,36 @@ class TestSaltedAgg:
         with pytest.raises(ValueError):
             salted_agg(skewed, ["k"], {"a": ("v", "avg")})
 
+    def test_custom_salt_spreads_duplicate_rows(self, spark):
+        # fully identical rows defeat the default whole-row-hash salt; a
+        # caller-provided unique-id salt must still give correct results
+        # AND actually spread the hot key across phase-1 groups
+        dup = spark.createDataFrame([("hot", 7)] * 100, "k string, v long")
+        with_id = dup.withColumn("rid", F.monotonically_increasing_id())
+        out = salted_agg(
+            with_id.select("k", "v", "rid"),
+            ["k"],
+            {"s": ("v", "sum"), "c": ("v", "count")},
+            salt_buckets=8,
+            salt=F.pmod(F.hash(F.col("rid")), F.lit(8)),
+        ).collect()
+        assert [(r["k"], r["s"], r["c"]) for r in out] == [("hot", 700, 100)]
+        # phase-1 spread check: the same salt expression yields >1 bucket
+        n_buckets = (
+            with_id.select(F.pmod(F.hash(F.col("rid")), F.lit(8)).alias("b"))
+            .distinct()
+            .count()
+        )
+        assert n_buckets > 1
+
+    def test_default_salt_skips_map_columns(self, spark):
+        # F.hash cannot analyse MapType; the default salt must exclude it
+        df = spark.createDataFrame(
+            [("a", 1, {"x": "y"})], "k string, v long, m map<string,string>"
+        )
+        out = salted_agg(df, ["k"], {"s": ("v", "sum")}, salt_buckets=4).collect()
+        assert [(r["k"], r["s"]) for r in out] == [("a", 1)]
+
 
 class TestSaltedJoin:
     def test_inner_matches_plain(self, spark, skewed):
