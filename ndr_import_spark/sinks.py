@@ -19,15 +19,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def iter_records(records: DataFrame) -> Iterator[tuple[str, dict, int]]:
+def iter_records(
+    records: DataFrame, ordered: bool = True
+) -> Iterator[tuple[str, dict, int]]:
     """Yield `(klass, fields, index)` like NdrImport::Table#transform.
 
     `fields` mirrors the reference shape: mapped fields plus a
     ``rawtext`` sub-dict. Streams partition-by-partition (no full
     driver materialisation).
+
+    PARITY/DEBUG SURFACE ONLY — the default reference-ordered stream is
+    a full global sort plus a single-threaded driver pull; at scale use
+    `write_records` (distributed, partitioned) and let the consumer read
+    the parquet. Pass ``ordered=False`` to skip the sort and stream in
+    partition order (still one partition in driver memory at a time).
     """
-    ordered = records.orderBy("source_file", "row_index", "klass")
-    for row in ordered.toLocalIterator():
+    if ordered:
+        records = records.orderBy("source_file", "row_index", "klass")
+    for row in records.toLocalIterator():
         fields = dict(row["fields"])
         fields["rawtext"] = dict(row["rawtext"])
         yield row["klass"], fields, row["row_index"]

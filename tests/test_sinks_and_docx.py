@@ -59,6 +59,19 @@ class TestIterRecords:
             "name": "anna.belle smith",
         }
 
+    def test_unordered_fast_path_same_records(self, spark, tmp):
+        # ordered=False skips the global sort (scale fast path): same
+        # record multiset, order unspecified
+        records = make_records(spark, tmp)
+        ordered = sorted(
+            (k, i, f["nhsnumber"]) for k, f, i in iter_records(records)
+        )
+        unordered = sorted(
+            (k, i, f["nhsnumber"])
+            for k, f, i in iter_records(records, ordered=False)
+        )
+        assert unordered == ordered
+
 
 class TestWriteRecords:
     def test_partitioned_parquet_roundtrip(self, spark, tmp):
