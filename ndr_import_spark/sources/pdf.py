@@ -1,10 +1,20 @@
 """PDF text reader (reference: lib/ndr_import/file/pdf.rb — page text split
 into line rows).
 
-No pdf library in this environment: the Spark plumbing (binaryFile scan →
-Arrow-batched extraction UDF → line rows) is real; the text extraction is a
-best-effort stdlib fallback for uncompressed text streams, otherwise
-NotImplementedError. Inject a real extractor via `set_pdf_parser`.
+Extraction order per file (inside an Arrow-batched pandas UDF over a
+binaryFile scan):
+
+1. an injected parser (`set_pdf_parser`) if the deployment has a real
+   PDF library;
+2. the stdlib content-stream extractor (`sources.pdf_text`): object graph
+   + page tree + text operators + font decoding + pdf-reader-style grid
+   layout — handles real-world office-tool PDFs, pinned byte-exact
+   against the reference's pdf-reader fixture expectations;
+3. a regex scrape of Tj/TJ operators for stream fragments that are not a
+   well-formed PDF (no xref), matching the old best-effort behaviour.
+
+Unreadable files raise (reference parity: pdf.rb:23-24 "Failed to read
+... as a PDF").
 """
 
 from __future__ import annotations
@@ -30,6 +40,18 @@ def set_pdf_parser(fn) -> None:
     _pdf_parser = fn
 
 
+def _extract(data: bytes) -> str:
+    """Full-file text: per-page content-stream extraction, else the regex
+    scrape for PDF-ish fragments without a valid xref."""
+    from ndr_import_spark.sources.pdf_graph import PdfError
+    from ndr_import_spark.sources.pdf_text import extract_text_pages
+
+    try:
+        return "\n".join(extract_text_pages(data))
+    except (PdfError, ValueError, KeyError, TypeError, EOFError):
+        return _fallback_extract(data)
+
+
 def _fallback_extract(data: bytes) -> str:
     """Minimal extraction: inflate streams, pull text-show operators."""
     chunks: list[str] = []
@@ -48,10 +70,8 @@ def _fallback_extract(data: bytes) -> str:
             chunks.append("\n")
     text = "".join(chunks)
     if not text.strip():
-        raise NotImplementedError(
-            "PDF text extraction needs a pdf library (stubbed; plumbing is "
-            "real — inject one via sources.pdf.set_pdf_parser)"
-        )
+        # reference parity (pdf.rb:23-24): unreadable files raise
+        raise ValueError("Failed to read file as a PDF")
     return text
 
 
@@ -63,7 +83,7 @@ def _pdf_text_udf(blobs: pd.Series) -> pd.Series:
         data = bytes(b)
         if _pdf_parser is not None:
             return _pdf_parser(data)
-        return _fallback_extract(data)
+        return _extract(data)
     return blobs.map(one)
 
 

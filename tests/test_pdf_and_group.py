@@ -32,8 +32,9 @@ class TestPdfFallback:
         assert "Hello world" in text
         assert "line two" in text
 
-    def test_garbage_raises_not_implemented(self):
-        with pytest.raises(NotImplementedError):
+    def test_garbage_raises(self):
+        # reference parity: unreadable files raise (pdf.rb:23-24)
+        with pytest.raises(ValueError):
             _fallback_extract(b"%PDF-1.4 no streams here")
 
     def test_reader_yields_line_rows(self, spark):
