@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-Net-new (BASELINE.json north_star). The image/audio decode libraries are not
-in this container, so the DECODE STEP IS STUBBED behind `set_image_decoder`/
-`set_audio_decoder` (deterministic fake available for tests); everything
-Spark-side is real: schema, Arrow-batched `mapInPandas` plumbing, batch
-shapes, partition sizing.
+Net-new (BASELINE.json north_star). Image decode is REAL for PNG payloads
+(stdlib codec in functions/png.py — inflate, unfilter, grid features); other
+image formats and audio need an injected decoder (`set_image_decoder`/
+`set_audio_decoder`; deterministic fake available for tests). Everything
+Spark-side is real either way: schema, Arrow-batched `mapInPandas`
+plumbing, batch shapes, partition sizing.
 
 Design for 100 TB: binary payloads ride in parquet binary columns (or
 pointers to object-store keys); decode/feature-extract runs in
@@ -71,8 +72,10 @@ FEATURE_SCHEMA = (
 def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow record batches).
 
-    Raises NotImplementedError per-batch when no decoder is injected — the
-    plumbing (schema, batching, partitioning) is the tested surface.
+    PNG payloads decode with the stdlib codec by default; an injected
+    decoder (`set_image_decoder`) takes precedence for other formats.
+    Non-PNG payloads with no injected decoder raise NotImplementedError
+    per batch.
     """
 
     # capture the decoder at PLAN time: executors re-import this module in a
@@ -80,15 +83,22 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
     # see None there
     decoder = _image_decoder
 
+    def one(payload):
+        if decoder is not None:
+            return decoder(payload)
+        from ndr_import_spark.functions.png import is_png, png_image_decoder
+
+        if payload is not None and is_png(bytes(payload)):
+            return png_image_decoder(bytes(payload))
+        raise NotImplementedError(
+            "Non-PNG media needs an injected decoder; use "
+            "multimodal.set_image_decoder (deterministic_fake_decoder "
+            "available for tests)"
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder is None:
-                raise NotImplementedError(
-                    "No media decoder in this environment; inject one via "
-                    "multimodal.set_image_decoder (deterministic_fake_decoder "
-                    "available for tests)"
-                )
-            decoded = [decoder(p) for p in pdf["payload"]]
+            decoded = [one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,

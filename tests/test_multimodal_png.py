@@ -1,0 +1,165 @@
+"""Stdlib PNG codec + real-bytes multimodal decode path.
+
+The multimodal operator decodes genuine PNG payloads end-to-end through
+mapInPandas with no injected decoder (functions/png.py); other formats
+still require injection.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from ndr_import_spark.functions.png import (
+    PngError,
+    decode_png,
+    encode_png,
+    grid_features,
+    is_png,
+    png_image_decoder,
+)
+
+
+def gradient_rgb(w: int, h: int) -> bytes:
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            out += bytes(((x * 37) % 256, (y * 53) % 256, (x * y) % 256))
+    return bytes(out)
+
+
+def refilter(raw_rows: list[bytes], ftype: int, channels: int) -> bytes:
+    """Forward-apply a PNG filter so decode must invert it."""
+    stride = len(raw_rows[0])
+    prev = bytes(stride)
+    out = bytearray()
+    for row in raw_rows:
+        filt = bytearray([ftype])
+        for i in range(stride):
+            left = row[i - channels] if i >= channels else 0
+            up = prev[i]
+            ul = prev[i - channels] if i >= channels else 0
+            if ftype == 1:
+                filt.append((row[i] - left) & 0xFF)
+            elif ftype == 2:
+                filt.append((row[i] - up) & 0xFF)
+            elif ftype == 3:
+                filt.append((row[i] - ((left + up) >> 1)) & 0xFF)
+            elif ftype == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                filt.append((row[i] - pred) & 0xFF)
+            else:
+                filt.append(row[i])
+        out += filt
+        prev = row
+    return bytes(out)
+
+
+def png_with_filter(w: int, h: int, rgb: bytes, ftype: int) -> bytes:
+    """Re-pack encode_png output with a chosen scanline filter."""
+    stride = w * 3
+    rows = [rgb[y * stride:(y + 1) * stride] for y in range(h)]
+    scan = refilter(rows, ftype, 3)
+    sig = encode_png(w, h, rgb)
+    # splice: reuse IHDR from the encoder, replace IDAT
+    ihdr_end = 8 + 12 + 13
+    idat = zlib.compress(scan)
+    chunk = (
+        struct.pack(">I", len(idat))
+        + b"IDAT"
+        + idat
+        + struct.pack(">I", zlib.crc32(b"IDAT" + idat) & 0xFFFFFFFF)
+    )
+    iend = sig[-12:]
+    return sig[:ihdr_end] + chunk + iend
+
+
+class TestPngCodec:
+    def test_roundtrip_filter0(self):
+        rgb = gradient_rgb(8, 6)
+        blob = encode_png(8, 6, rgb)
+        assert is_png(blob)
+        w, h, ch, px = decode_png(blob)
+        assert (w, h, ch) == (8, 6, 3)
+        assert px == rgb
+
+    @pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+    def test_all_filters_invert(self, ftype):
+        rgb = gradient_rgb(7, 5)
+        blob = png_with_filter(7, 5, rgb, ftype)
+        w, h, ch, px = decode_png(blob)
+        assert px == rgb
+
+    def test_grayscale(self):
+        # hand-build a colour-type-0 PNG
+        w, h = 4, 3
+        grey = bytes((x * 17 + y * 29) % 256 for y in range(h) for x in range(w))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        scan = b"".join(b"\x00" + grey[y * w:(y + 1) * w] for y in range(h))
+        blob = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+        )
+        got = decode_png(blob)
+        assert got == (w, h, 1, grey)
+
+    def test_rejects_garbage_and_interlace(self):
+        with pytest.raises(PngError):
+            decode_png(b"JFIF not a png")
+        rgb = gradient_rgb(4, 4)
+        blob = bytearray(encode_png(4, 4, rgb))
+        blob[8 + 8 + 12] = 1  # IHDR interlace byte
+        with pytest.raises(PngError):
+            decode_png(bytes(blob))
+
+    def test_grid_features_shape_and_range(self):
+        rgb = gradient_rgb(16, 16)
+        feats = grid_features(16, 16, 3, rgb)
+        assert len(feats) == 16
+        assert all(0.0 <= f <= 1.0 for f in feats)
+        # solid white image → all cells 1.0
+        white = bytes([255]) * (4 * 4 * 3)
+        assert grid_features(4, 4, 3, white) == [1.0] * 16
+
+
+class TestSparkPngDecode:
+    def test_extract_features_real_png_no_injection(self, spark):
+        from ndr_import_spark.operators import multimodal as MM
+
+        MM.set_image_decoder(None)  # ensure the default (PNG) path runs
+        rows = []
+        for i in range(12):
+            w, h = 4 + i % 3, 3 + i % 4
+            blob = encode_png(w, h, gradient_rgb(w, h))
+            rows.append((i, "image", "image/png", w, h, 0, bytearray(blob)))
+        df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).coalesce(2)
+        got = {
+            r["media_id"]: r for r in MM.extract_features(df).collect()
+        }
+        for i in range(12):
+            w, h = 4 + i % 3, 3 + i % 4
+            ew, eh, efeat = png_image_decoder(encode_png(w, h, gradient_rgb(w, h)))
+            assert (got[i]["width"], got[i]["height"]) == (ew, eh) == (w, h)
+            assert got[i]["feature"] == pytest.approx(efeat)
+
+    def test_non_png_without_decoder_raises(self, spark):
+        from ndr_import_spark.operators import multimodal as MM
+
+        MM.set_image_decoder(None)
+        df = spark.createDataFrame(
+            [(1, "image", "image/jpeg", 2, 2, 0, bytearray(b"\xff\xd8notpng"))],
+            MM.MEDIA_SCHEMA,
+        )
+        with pytest.raises(Exception, match="decoder"):
+            MM.extract_features(df).collect()
