@@ -1723,6 +1723,96 @@ FROM t GROUP BY tok ORDER BY n_total DESC, tok LIMIT 25
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: banded-MinHash pairs → connected
+    components (iterative min-label propagation, one shuffle join + one
+    min-aggregate per round, rounds = graph diameter) → per-doc cluster
+    assignment with member counts. Pairwise output alone cannot collapse
+    an a~b~c chain; this is the operator that turns similarity into
+    dedup decisions at corpus scale."""
+    from ndr_import_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=16, bands=4, verify_threshold=0.5)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        comp.join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "component", "n_members")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_dedup_clusters() -> str:
+    pairs_sql = _oracle_minhash().replace("ORDER BY id_a, id_b", "")
+    return f"""
+WITH RECURSIVE p AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach(node, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m
+),
+comp AS (SELECT node AS doc_id, min(m) AS component FROM reach GROUP BY node)
+SELECT c.doc_id, c.component, s.n_members
+FROM comp c
+JOIN (SELECT component, count(*) AS n_members FROM comp GROUP BY component) s
+  USING (component)
+ORDER BY c.doc_id
+"""
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact passage dedup (keep-first): 32-word windows,
+    md5 keep-first decision as one min-aggregate on the hash (no corpus
+    window), clean text rebuilt per doc. Reports only docs that lost at
+    least one passage plus their clean-text md5."""
+    from ndr_import_spark.operators.corpus import passage_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        passage_dedup(docs, passage_words=32)
+        .filter(F.col("n_kept") < F.col("n_passages"))
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_PASSAGE_DEDUP = """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS wds FROM documents
+), n AS (
+  SELECT doc_id, wds,
+         1 + cast(ceil(greatest(len(wds) - 32, 0) / 32.0) as int) AS n_chunks
+  FROM w
+), c AS (
+  SELECT doc_id, wds, unnest(range(0, n_chunks)) AS chunk_id FROM n
+), ch AS (
+  SELECT doc_id, chunk_id,
+         array_to_string(wds[chunk_id * 32 + 1 : chunk_id * 32 + 32], ' ') AS chunk
+  FROM c
+), h AS (
+  SELECT doc_id, chunk_id, chunk, md5(chunk) AS hx,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_id) AS rk
+  FROM ch
+), agg AS (
+  SELECT doc_id,
+         count(*) AS n_passages,
+         cast(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) as bigint) AS n_kept,
+         md5(coalesce(string_agg(CASE WHEN rk = 1 THEN chunk END, ' ' ORDER BY chunk_id), '')) AS clean_md5
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, n_passages, n_kept, clean_md5
+FROM agg WHERE n_kept < n_passages ORDER BY doc_id
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over a deliberately hot group key:
     `lang` has a handful of values, so a plain groupBy funnels each
@@ -1821,6 +1911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": q_events_top_users,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
+        "passage_dedup": q_passage_dedup,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1866,6 +1958,8 @@ def oracle_sql() -> dict[str, str]:
         "events_top_users": _ORACLE_EVENTS_TOP_USERS,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
+        "dedup_clusters": _oracle_dedup_clusters(),
+        "passage_dedup": _ORACLE_PASSAGE_DEDUP,
         "dedup_simhash": _oracle_simhash(),
         "dedup_embedding": _oracle_dedup_embedding(),
         "dedup_ngram_jaccard": _oracle_ngram_jaccard(),

@@ -283,6 +283,64 @@ def chunk_documents(
 
 
 # ---------------------------------------------------------------------------
+# cross-document passage dedup
+# ---------------------------------------------------------------------------
+
+
+def passage_dedup(
+    df: DataFrame,
+    passage_words: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document EXACT passage dedup with keep-first semantics — the
+    C4/RefinedWeb-style stage that strips boilerplate passages repeated
+    across a crawl (navigation blocks, license footers) while keeping
+    their first occurrence.
+
+    Documents split into non-overlapping `passage_words` word windows
+    (reusing `chunk_documents`), each passage hashes to md5, and the
+    globally-first occurrence (minimum (doc_id, chunk_id)) of each hash
+    is kept. Per document the output reports passage counts and the md5
+    of the deduplicated text (kept passages re-joined in order).
+
+    Plan shape at 100 TB: explode is narrow; the keep-first decision is
+    ONE map-side-combined min-aggregate on the passage hash (never a
+    window over the corpus); the rebuild groups by doc id — both shuffles
+    are on high-cardinality keys, no skew funnel. Passage text never
+    shuffles twice: the hash join back is on the compact md5 key.
+
+    Returns (doc_id, n_passages, n_kept, clean_md5) ordered by nothing —
+    callers sort."""
+    chunks = chunk_documents(
+        df, chunk_words=passage_words, overlap=0, text_col=text_col, id_col=id_col
+    )
+    hashed = chunks.select(
+        id_col, "chunk_id", "chunk", F.md5(F.col("chunk")).alias("_h")
+    )
+    first = hashed.groupBy("_h").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("chunk_id").alias("c"))
+        ).alias("_k")
+    )
+    flagged = hashed.join(first, "_h").withColumn(
+        "_keep",
+        (F.col(id_col) == F.col("_k.d")) & (F.col("chunk_id") == F.col("_k.c")),
+    )
+    kept_structs = F.collect_list(
+        F.when(F.col("_keep"), F.struct(F.col("chunk_id"), F.col("chunk")))
+    )
+    clean = F.concat_ws(
+        " ", F.transform(F.array_sort(kept_structs), lambda s: s["chunk"])
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # deterministic split
 # ---------------------------------------------------------------------------
 

@@ -407,6 +407,73 @@ def ngram_jaccard_pairs(
     return _banded_jaccard_pairs(shingled, k, bands, "ng", threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected near-duplicate pair list —
+    the step that turns pairwise similarity into CLUSTER decisions (a doc
+    chain a~b~c must collapse to one representative even though (a, c)
+    was never compared).
+
+    Iterative min-label propagation: every node starts labelled with its
+    own id; each round, labels flow across edges and every node keeps the
+    minimum seen. Per round that is ONE shuffle join (symmetric edges ×
+    labels) plus one map-side-combined min-aggregate; rounds needed =
+    graph diameter, which for near-dup clusters is tiny (template families
+    are near-cliques). Each round's labels are `localCheckpoint`-ed:
+    iterative plans MUST truncate lineage, not merely cache — the labels
+    frame appears twice per round (join side + union side), so the
+    un-truncated logical plan doubles every iteration (2^rounds nodes:
+    a 19-round chain OOMed the driver in Catalyst before any data moved).
+    On a fault-tolerant cluster run, swap localCheckpoint for
+    `checkpoint()` with a checkpoint dir (localCheckpoint trades executor-
+    loss resilience for speed); for graphs with long chains swap the
+    propagation step for large-star/small-star (O(log n) rounds) — the
+    shuffle shape per round is identical.
+
+    Convergence probe: labels only ever DECREASE, so an unchanged
+    sum(component) ⟺ fixpoint — no extra comparison join.
+
+    Returns (node, component) for every node that appears in `pairs`,
+    where component = the minimum doc id reachable.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
+    for _ in range(max_iterations):
+        msgs = edges.join(labels, F.col("dst") == F.col("node")).select(
+            F.col("src").alias("node"), F.col("component")
+        )
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        s = new.agg(F.sum("component").alias("s")).collect()[0]["s"]
+        labels = new
+        if s == prev_sum:
+            break
+        prev_sum = s
+    edges.unpersist(blocking=False)
+    return labels
+
+
 def embedding_neardup_drops(
     docs: DataFrame,
     embeddings: DataFrame,

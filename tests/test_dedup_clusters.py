@@ -1,0 +1,80 @@
+"""Connected-components clustering + cross-document passage dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ndr_import_spark.operators.corpus import passage_dedup
+from ndr_import_spark.operators.dedup import connected_components
+
+
+class TestConnectedComponents:
+    def _comp(self, spark, edges):
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {
+            r["node"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+
+    def test_chain_collapses_to_min(self, spark):
+        # 1-2, 2-3, 3-4: never-compared (1,4) must share a component
+        got = self._comp(spark, [(1, 2), (2, 3), (3, 4)])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    def test_multiple_components(self, spark):
+        got = self._comp(spark, [(5, 9), (9, 7), (20, 30), (40, 41), (41, 40)])
+        assert got == {5: 5, 9: 5, 7: 5, 20: 20, 30: 20, 40: 40, 41: 40}
+
+    def test_long_chain_within_iteration_budget(self, spark):
+        # a 20-node path needs ~19 propagation rounds worst-case from one
+        # end; min-label flows from node 0 so diameter bounds rounds
+        edges = [(i, i + 1) for i in range(19)]
+        got = self._comp(spark, edges)
+        assert set(got.values()) == {0}
+        assert len(got) == 20
+
+    def test_empty_pairs(self, spark):
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert connected_components(pairs).count() == 0
+
+
+class TestPassageDedup:
+    def test_repeated_passage_kept_once(self, spark):
+        boiler = " ".join(f"w{i}" for i in range(4))
+        df = spark.createDataFrame(
+            [
+                (1, boiler + " unique one"),
+                (2, boiler + " unique two"),
+                (3, "totally different text here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in passage_dedup(df, passage_words=4).collect()
+        }
+        # doc 1: passages [boiler, 'unique one'] both first-seen
+        assert out[1]["n_passages"] == 2 and out[1]["n_kept"] == 2
+        # doc 2: boiler passage already seen in doc 1 -> dropped
+        assert out[2]["n_passages"] == 2 and out[2]["n_kept"] == 1
+        assert out[3]["n_kept"] == out[3]["n_passages"]
+
+    def test_within_document_repeat_dropped(self, spark):
+        p = "a b c d"
+        df = spark.createDataFrame(
+            [(1, f"{p} {p}")], "doc_id long, text string"
+        )
+        row = passage_dedup(df, passage_words=4).collect()[0]
+        assert row["n_passages"] == 2
+        assert row["n_kept"] == 1
+
+    def test_clean_md5_matches_rebuilt_text(self, spark):
+        import hashlib
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h")], "doc_id long, text string"
+        )
+        row = passage_dedup(df, passage_words=4).collect()[0]
+        expect = hashlib.md5(b"a b c d e f g h").hexdigest()
+        assert row["clean_md5"] == expect
