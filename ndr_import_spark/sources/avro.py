@@ -7,6 +7,13 @@ falls back to the pure-stdlib OCF decoder in `sources.avro_ocf`
 (driver-side — fine for the reference's small Avro feeds; the jar is the
 distributed path). Parity quirk: a synthetic field-name row is prepended at
 row_index 0 so Avro::Table's header consumption works unchanged.
+
+ENVIRONMENT NOTE: this build/test container has no spark-avro jar, so the
+`spark.read.format("avro")` branch (lines 36, 56-70) is exercised only by
+inspection here — the stdlib OCF fallback is the fixture-tested path
+(tests/test_avro_ocf.py). On a cluster with the jar, the jar branch wins
+automatically; its row/stringify semantics mirror the fallback's, which IS
+pinned against the reference's fake_dids.avro fixture.
 """
 
 from __future__ import annotations
