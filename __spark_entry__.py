@@ -1813,6 +1813,117 @@ FROM agg WHERE n_kept < n_passages ORDER BY doc_id
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: explode → map-side-combined
+    (doc, term) counts → term document-frequency aggregate → broadcast
+    corpus size → per-doc top-k window (doc-id partitions, bounded by
+    per-doc vocab — no skew funnel). Ranking happens on the ROUNDED
+    score so engine ulp differences cannot flip ranks."""
+    from ndr_import_spark.operators.corpus import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3).orderBy("doc_id", "term")
+
+
+_ORACLE_TFIDF = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * ln(cast(n.n as double) / d.df), 5) AS score
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score FROM ranked WHERE rk <= 3
+ORDER BY doc_id, term
+"""
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (data-mixing stage): keep 50% of
+    'en' docs, 25% of 'de', everything else — decided by a 16-bit md5
+    bucket of (salt, id), so the sample is identical on any engine,
+    partitioning, or cluster size, and nested across rates. Narrow
+    filter, no shuffle; the summary aggregate is the only exchange."""
+    from ndr_import_spark.operators.corpus import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = deterministic_sample(
+        docs, {"en": 0.5, "de": 0.25}, strata_col="lang", default_fraction=1.0
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_SAMPLE = """
+WITH h AS (
+  SELECT *, md5('sample:' || doc_id) AS hx FROM documents
+), nib AS (
+  SELECT *,
+    (CASE WHEN ascii(substring(hx, 1, 1)) >= 97 THEN ascii(substring(hx, 1, 1)) - 87 ELSE ascii(substring(hx, 1, 1)) - 48 END) * 4096 +
+    (CASE WHEN ascii(substring(hx, 2, 1)) >= 97 THEN ascii(substring(hx, 2, 1)) - 87 ELSE ascii(substring(hx, 2, 1)) - 48 END) * 256 +
+    (CASE WHEN ascii(substring(hx, 3, 1)) >= 97 THEN ascii(substring(hx, 3, 1)) - 87 ELSE ascii(substring(hx, 3, 1)) - 48 END) * 16 +
+    (CASE WHEN ascii(substring(hx, 4, 1)) >= 97 THEN ascii(substring(hx, 4, 1)) - 87 ELSE ascii(substring(hx, 4, 1)) - 48 END) AS bucket
+  FROM h
+), kept AS (
+  SELECT * FROM nib
+  WHERE bucket < (CASE lang WHEN 'en' THEN 32768 WHEN 'de' THEN 16384 ELSE 65536 END)
+)
+SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id,
+       cast(sum(n_chars) as bigint) AS sum_chars
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (12 h gap) over the event stream: one
+    shuffle on user, lag + running-sum windows share a single sort.
+    Output is per-session stats — the batch twin of the streaming
+    session-window pipeline."""
+    from ndr_import_spark.operators.sessions import session_stats
+
+    events = _t(spark, sf_dir, "events")
+    return session_stats(events, gap_seconds=43200).orderBy("user_id", "session_no")
+
+
+_ORACLE_SESSIONS = """
+WITH o AS (
+  SELECT user_id, event_id, ts, floor(epoch(ts)) AS es,
+         lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+  FROM events
+), f AS (
+  SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es > 43200 THEN 1 ELSE 0 END AS nf
+  FROM o
+), s AS (
+  SELECT *, cast(sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_no
+  FROM f
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       cast(max(es) - min(es) as bigint) AS duration_s
+FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over a deliberately hot group key:
     `lang` has a handful of values, so a plain groupBy funnels each
@@ -1931,6 +2042,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "per_source_cap": q_per_source_cap,
         "skew_salted_agg": q_skew_salted_agg,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "deterministic_sample": q_deterministic_sample,
+        "sessionize_events": q_sessionize_events,
         "repetition_score": q_repetition_score,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
@@ -1978,6 +2092,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _oracle_pii(),
         "per_source_cap": _ORACLE_PER_SOURCE_CAP,
         "skew_salted_agg": _ORACLE_SKEW_SALTED_AGG,
+        "tfidf_top_terms": _ORACLE_TFIDF,
+        "deterministic_sample": _ORACLE_SAMPLE,
+        "sessionize_events": _ORACLE_SESSIONS,
         "repetition_score": _ORACLE_REPETITION,
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,

@@ -341,6 +341,98 @@ def passage_dedup(
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF term scoring
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-`k` characteristic terms per document by TF-IDF
+    (``tf * ln(N / df)``), ties broken on term ascending.
+
+    Plan shape at 100 TB: one explode + one (doc, term) count aggregate
+    (map-side combined — term counts collapse inside each scan task), one
+    term-level document-frequency aggregate, and a broadcast-joined
+    corpus size. The per-doc top-k window partitions on doc id (vocab
+    per document is bounded, no skew funnel). The DF table is
+    term-cardinality-sized — large but shuffled once; the (doc, term)
+    side joins it on the term hash.
+
+    Returns (doc_id, term, tf, df, score) with score rounded to 5dp.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 5),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.col("term")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(id_col, "term", "tf", "df", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixing stage that
+    up/down-weights sources in a training mix reproducibly.
+
+    A row is kept iff its 16-bit md5 bucket (same arithmetic as
+    `hash_split`) is below ``fraction * 65536`` for its stratum. Unlike
+    `DataFrame.sample`, the decision depends only on (salt, id): stable
+    across runs, partitionings, cluster sizes, and corpus growth, and a
+    document sampled at 0.25 is a subset of the same document set sampled
+    at 0.5 (nested samples — the property mix experiments need).
+    Narrow projection, no shuffle."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+
+    def nib(pos: int) -> Column:
+        a = F.ascii(F.substring(h, pos, 1))
+        return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+    bucket = nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+    thresh = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        lit = F.lit(int(frac * 65536))
+        thresh = F.when(cond, lit) if thresh is None else thresh.when(cond, lit)
+    thresh = (
+        F.lit(int(default_fraction * 65536))
+        if thresh is None
+        else thresh.otherwise(F.lit(int(default_fraction * 65536)))
+    )
+    return df.filter(bucket < thresh)
+
+
+# ---------------------------------------------------------------------------
 # deterministic split
 # ---------------------------------------------------------------------------
 
