@@ -1,0 +1,83 @@
+"""Physical-plan audits: the scale properties the operators claim must be
+visible in `.explain` — filter pushdown, column pruning, broadcast
+semi-joins, no cartesian products, narrow compiled mappings.
+
+These tests pin the PLAN, not the result: a refactor that silently turns
+a broadcast semi-join into a shuffled join or drops a pushed filter still
+returns correct rows at sf0.01 but dies at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+class TestScanPushdown:
+    def test_q6_filters_reach_parquet_scan(self, spark):
+        p = plan(entry.queries()["q6_forecast_revenue"](spark, SF_DIR))
+        assert "PushedFilters: [" in p
+        # at least one real pushed predicate, not an empty list
+        assert "PushedFilters: []" not in p.split("PushedFilters:", 1)[1][:200]
+
+    def test_q6_column_pruning(self, spark):
+        p = plan(entry.queries()["q6_forecast_revenue"](spark, SF_DIR))
+        # q6 needs 4 lineitem columns; the scan schema must not include
+        # untouched wide columns like l_comment
+        read_schema = p.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+        assert "l_comment" not in read_schema
+        assert "l_extendedprice" in read_schema
+
+
+class TestJoinShapes:
+    def test_decontaminate_broadcast_semi_join(self, spark):
+        p = plan(entry.queries()["decontaminate"](spark, SF_DIR))
+        assert "LeftSemi" in p
+        assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+    def test_no_cartesian_in_dedup_family(self, spark):
+        for name in ["dedup_minhash", "dedup_ngram_jaccard", "ann_lsh_pairs",
+                     "dedup_embedding"]:
+            p = plan(entry.queries()[name](spark, SF_DIR), "simple")
+            assert "CartesianProduct" not in p, name
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+
+class TestNarrowPipelines:
+    def test_compiled_mapping_has_no_exchange(self, spark):
+        # the YAML->select compiler must stay a narrow projection: zero
+        # shuffles between parquet scan and records
+        p = plan(entry.queries()["map_clean_fields"](spark, SF_DIR), "simple")
+        body = p.split("AdaptiveSparkPlan", 1)[-1]
+        # the only allowed Exchange is the final presentation orderBy
+        n_exchanges = body.count("Exchange")
+        n_sorts = body.count("rangepartitioning")
+        assert n_exchanges <= 1
+        if n_exchanges == 1:
+            assert n_sorts >= 1  # it is the orderBy, not a shuffle join
+
+    def test_chunking_is_shuffle_free(self, spark):
+        from ndr_import_spark.operators.corpus import chunk_documents
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        p = plan(chunk_documents(docs), "simple")
+        assert "Exchange" not in p
+
+    def test_text_profile_is_shuffle_free(self, spark):
+        from ndr_import_spark.operators.textstats import text_profile
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        p = plan(text_profile(docs), "simple")
+        assert "Exchange" not in p
+        assert "BatchScan" in p or "FileScan" in p or "Scan parquet" in p
