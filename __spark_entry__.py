@@ -1924,6 +1924,49 @@ FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
 """
 
 
+def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: events against 50 overlapping 12-hour
+    analysis windows. A bare BETWEEN join plans as a nested-loop product
+    (O(points × intervals)); bucketization turns it into a plain hash
+    equi-join on the hour bucket + an exact refine — linear shuffle,
+    output-bounded candidates. See operators/rangejoin.py."""
+    from ndr_import_spark.operators.rangejoin import range_join
+
+    events = _t(spark, sf_dir, "events")
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    windows = (
+        spark.range(50)
+        .select(
+            F.col("id").alias("window_id"),
+            F.timestamp_add("HOUR", (F.col("id") * 14).cast("int"), base).alias("ws"),
+            F.timestamp_add("HOUR", (F.col("id") * 14 + 12).cast("int"), base).alias("we"),
+        )
+    )
+    joined = range_join(events, windows, "ts", "ws", "we", bucket_seconds=3600)
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("window_id")
+    )
+
+
+_ORACLE_RANGE_JOIN = """
+WITH w AS (
+  SELECT i AS window_id,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 14) HOUR AS ws,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 14 + 12) HOUR AS we
+  FROM range(0, 50) t(i)
+)
+SELECT w.window_id, count(*) AS n_events, count(DISTINCT e.user_id) AS n_users
+FROM w JOIN events e
+  ON floor(epoch(e.ts)) >= epoch(w.ws) AND floor(epoch(e.ts)) < epoch(w.we)
+GROUP BY w.window_id ORDER BY w.window_id
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over a deliberately hot group key:
     `lang` has a handful of values, so a plain groupBy funnels each
@@ -2045,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "deterministic_sample": q_deterministic_sample,
         "sessionize_events": q_sessionize_events,
+        "range_join_windows": q_range_join_windows,
         "repetition_score": q_repetition_score,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
@@ -2095,6 +2139,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _ORACLE_TFIDF,
         "deterministic_sample": _ORACLE_SAMPLE,
         "sessionize_events": _ORACLE_SESSIONS,
+        "range_join_windows": _ORACLE_RANGE_JOIN,
         "repetition_score": _ORACLE_REPETITION,
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
