@@ -1967,6 +1967,65 @@ GROUP BY w.window_id ORDER BY w.window_id
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version-wins snapshot merge over orders: every 10th order
+    arrives again as a v2 status update, every 100th as a tombstone
+    delete. One shuffle of base ∪ updates on the key + in-partition
+    top-1 (bucketed base would shuffle only the update batch). Output is
+    a per-status reconciliation summary."""
+    from ndr_import_spark.operators.upsert import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.lit(1).alias("version"),
+        F.lit(False).alias("deleted"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.lit(2).alias("version"),
+            (F.col("o_orderkey") % 100 == 0).alias("deleted"),
+        )
+    )
+    merged = merge_upsert(
+        orders, updates, ["o_orderkey"], "version", tombstone_col="deleted"
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_ORACLE_MERGE_UPSERT = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, 1 AS version, false AS deleted FROM orders
+), upd AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, 2 AS version,
+         (o_orderkey % 100 = 0) AS deleted
+  FROM orders WHERE o_orderkey % 10 = 0
+), tagged AS (
+  SELECT *, 0 AS src FROM base UNION ALL SELECT *, 1 AS src FROM upd
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+            ORDER BY version DESC, src DESC) AS rk
+  FROM tagged
+), merged AS (
+  SELECT * FROM ranked WHERE rk = 1 AND NOT deleted
+)
+SELECT o_orderstatus, count(*) AS n,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       cast(sum(o_orderkey) as bigint) AS key_sum
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over a deliberately hot group key:
     `lang` has a handful of values, so a plain groupBy funnels each
@@ -2089,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q_deterministic_sample,
         "sessionize_events": q_sessionize_events,
         "range_join_windows": q_range_join_windows,
+        "merge_upsert": q_merge_upsert,
         "repetition_score": q_repetition_score,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
@@ -2140,6 +2200,7 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": _ORACLE_SAMPLE,
         "sessionize_events": _ORACLE_SESSIONS,
         "range_join_windows": _ORACLE_RANGE_JOIN,
+        "merge_upsert": _ORACLE_MERGE_UPSERT,
         "repetition_score": _ORACLE_REPETITION,
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
