@@ -1,6 +1,7 @@
 from ndr_import_spark.streaming.pipeline import (
     session_window_stats,
     stateful_stream_dedup,
+    stream_decontaminate,
     stream_records,
     stream_tables,
     windowed_stats,
@@ -12,4 +13,5 @@ __all__ = [
     "windowed_stats",
     "session_window_stats",
     "stateful_stream_dedup",
+    "stream_decontaminate",
 ]

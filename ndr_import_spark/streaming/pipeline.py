@@ -187,6 +187,55 @@ def stateful_stream_dedup(
     )
 
 
+def stream_decontaminate(
+    doc_stream: DataFrame,
+    eval_set,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop streaming documents sharing any word `n`-gram with a STATIC
+    evaluation set — the continuous-ingestion twin of
+    `operators.corpus.ngram_decontaminate`.
+
+    The eval side is collected once at plan time into a frozenset of
+    md5-prefix gram keys (benchmarks are tiny next to the corpus) and
+    closure-shipped to every task; the stream side checks membership in
+    an Arrow-batched mapInPandas — STATELESS, so no watermark or state
+    store is needed (a stream-side semi-join + distinct would require
+    aggregation state; a non-equi stream-static join plans per-row
+    nested loops). Same over-flag-only md5 collision semantics as the
+    batch operator.
+
+    `eval_set` may be a static DataFrame with `text_col` or an iterable
+    of strings."""
+    import hashlib
+    from collections.abc import Iterator as _It
+
+    def grams_of(text: str) -> set[bytes]:
+        words = [w for w in (text or "").strip().split() if w]
+        return {
+            hashlib.md5(" ".join(words[i:i + n]).encode()).digest()[:8]
+            for i in range(len(words) - n + 1)
+        }
+
+    if isinstance(eval_set, DataFrame):
+        texts = [r[0] for r in eval_set.select(text_col).collect()]
+    else:
+        texts = list(eval_set)
+    eval_grams = frozenset().union(*[grams_of(t) for t in texts]) if texts else frozenset()
+
+    schema = doc_stream.schema
+
+    def clean(batches: _It) -> _It:
+        for pdf in batches:
+            mask = [
+                not (grams_of(t) & eval_grams) for t in pdf[text_col]
+            ]
+            yield pdf[mask]
+
+    return doc_stream.mapInPandas(clean, schema)
+
+
 def session_window_stats(
     events: DataFrame,
     ts_col: str = "ts",

@@ -218,3 +218,63 @@ class TestWindows:
             assert per_user[2] == [(1, 8.0)]
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamDecontaminate:
+    def test_contaminated_docs_dropped(self, spark):
+        from ndr_import_spark.streaming import stream_decontaminate
+
+        tmp = tempfile.mkdtemp()
+        try:
+            clean_text = "totally novel words nobody benchmarked ever before now"
+            dirty_text = "the quick brown fox jumps over the lazy dog today"
+            with open(f"{tmp}/docs.json", "w") as f:
+                f.write(
+                    f'{{"doc_id": 1, "text": "{clean_text}"}}\n'
+                    f'{{"doc_id": 2, "text": "{dirty_text}"}}\n'
+                )
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .json(tmp)
+            )
+            eval_set = ["xx the quick brown fox jumps yy"]
+            cleaned = stream_decontaminate(stream, eval_set, n=5)
+            assert cleaned.isStreaming
+            name = f"decon_{uuid.uuid4().hex[:8]}"
+            q = (
+                cleaned.writeStream.format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            rows = spark.sql(f"select doc_id from {name}").collect()
+            assert [r["doc_id"] for r in rows] == [1]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_static_dataframe_eval_side(self, spark):
+        from ndr_import_spark.streaming import stream_decontaminate
+
+        tmp = tempfile.mkdtemp()
+        try:
+            with open(f"{tmp}/docs.json", "w") as f:
+                f.write('{"doc_id": 7, "text": "alpha beta gamma delta epsilon zeta"}\n')
+            stream = (
+                spark.readStream.schema("doc_id long, text string").json(tmp)
+            )
+            eval_df = spark.createDataFrame(
+                [("alpha beta gamma delta epsilon",)], "text string"
+            )
+            cleaned = stream_decontaminate(stream, eval_df, n=5)
+            name = f"decon_{uuid.uuid4().hex[:8]}"
+            q = (
+                cleaned.writeStream.format("memory")
+                .queryName(name).trigger(availableNow=True).start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            assert spark.sql(f"select * from {name}").count() == 0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
