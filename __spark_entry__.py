@@ -1894,10 +1894,11 @@ FROM kept GROUP BY lang ORDER BY lang
 
 
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (12 h gap) over the event stream: one
-    shuffle on user, lag + running-sum windows share a single sort.
-    Output is per-session stats — the batch twin of the streaming
-    session-window pipeline."""
+    """Gap-based sessionization (12 h gap) over the event stream via the
+    reusable operators/sessions.py module: one shuffle on user, lag +
+    running-sum windows share a single sort. Emits PER-SESSION stats
+    (vs `events_sessionize`, the inline per-user session-count rollup);
+    batch twin of the streaming session-window pipeline."""
     from ndr_import_spark.operators.sessions import session_stats
 
     events = _t(spark, sf_dir, "events")
