@@ -2027,6 +2027,157 @@ FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the full training-data preparation pipeline
+    in ONE lazy plan: exact dedup (min-id representative) → MinHash-LSH
+    near-dup CLUSTER drop (connected components, keep each cluster's
+    representative) → benchmark decontamination (broadcast semi-join)
+    → deterministic train/val/test split → per-split corpus stats.
+    Every stage is the oracle-gated operator tested standalone; this
+    query pins that they compose."""
+    from ndr_import_spark.operators.corpus import hash_split, ngram_decontaminate
+    from ndr_import_spark.operators.dedup import (
+        connected_components,
+        drop_exact_duplicates,
+        minhash_lsh_pairs,
+    )
+    from ndr_import_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+
+    kept = drop_exact_duplicates(corpus)
+    pairs = minhash_lsh_pairs(kept, k=16, bands=4, verify_threshold=0.5)
+    comp = connected_components(pairs)
+    neardup_drops = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept2 = kept.join(neardup_drops, "doc_id", "left_anti")
+    contaminated = ngram_decontaminate(kept2, eval_set, n=4)
+    clean = kept2.join(contaminated, "doc_id", "left_anti")
+    split = hash_split(clean, {"train": 8, "val": 1, "test": 1})
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(F.col("text"))).alias("total_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+def _oracle_training_mix() -> str:
+    from ndr_import_spark.operators.dedup import MINHASH_P, minhash_perm_consts
+
+    # -- MinHash pairs over the exact-deduped corpus (mirrors
+    #    _oracle_banded_jaccard with a keep1 pre-CTE) --
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    sh = (f"list_distinct(list_transform(range(1, greatest(length({norm}) - 5 + 1, 1) + 1), "
+          f"i -> substring({norm}, i, 5)))")
+    hs = ("list_distinct(list_transform(sh, s -> "
+          "cast(('0x' || substring(md5(s), 1, 15)) as bigint) "
+          f"& {(1 << 30) - 1}))")
+    consts = minhash_perm_consts(16, "mh")
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in consts
+    )
+    band_keys = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(array_to_string(sig[{b * 4 + 1}:{(b + 1) * 4}], ',')) AS key FROM sigs"
+        for b in range(4)
+    )
+    pairs_sql = f"""
+WITH corpus AS (
+  SELECT * FROM documents WHERE doc_id % 50 <> 0
+), hx AS (
+  SELECT *, md5({norm}) AS ch FROM corpus
+), keep1x AS (
+  SELECT *, min(doc_id) OVER (PARTITION BY ch) AS mn FROM hx
+), t AS (
+  SELECT doc_id, text FROM keep1x WHERE doc_id = mn
+), shingled AS (
+  SELECT doc_id, {sh} AS sh FROM t
+), hashed AS (
+  SELECT doc_id, sh, {hs} AS hs FROM shingled
+), sigs AS (
+  SELECT doc_id, [{sig_items}] AS sig FROM hashed
+), banded AS ({band_keys}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT p.id_a, p.id_b
+FROM cand p
+JOIN hashed a ON a.doc_id = p.id_a
+JOIN hashed b ON b.doc_id = p.id_b
+WHERE cast(len(list_intersect(a.hs, b.hs)) as double) /
+      len(list_distinct(list_concat(a.hs, b.hs))) >= 0.5
+"""
+    nibs = " + ".join(
+        f"(CASE WHEN ascii(substring(hx, {i}, 1)) >= 97 THEN ascii(substring(hx, {i}, 1)) - 87 "
+        f"ELSE ascii(substring(hx, {i}, 1)) - 48 END) * {m}"
+        for i, m in ((1, 4096), (2, 256), (3, 16), (4, 1))
+    )
+    return f"""
+WITH RECURSIVE p AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
+),
+reach(node, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m
+),
+comp AS (SELECT node, min(m) AS component FROM reach GROUP BY node),
+drops AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+corpus2 AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+hx2 AS (SELECT *, md5({norm}) AS ch FROM corpus2),
+keep1b AS (
+  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY ch) AS mn FROM hx2)
+  WHERE doc_id = mn
+),
+kept2 AS (
+  SELECT * FROM keep1b WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+),
+wrds AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS wds
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(wds) - 2, 1)),
+                               i -> array_to_string(wds[i:i+3], ' '))) AS gram
+  FROM wrds
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+contaminated AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN ev USING (gram)
+  WHERE g.doc_id IN (SELECT doc_id FROM kept2)
+),
+clean AS (
+  SELECT * FROM kept2 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+labeled AS (
+  SELECT *,
+    CASE WHEN ({nibs.replace('hx', "md5('split:' || doc_id)")}) % 10 < 8 THEN 'train'
+         WHEN ({nibs.replace('hx', "md5('split:' || doc_id)")}) % 10 < 9 THEN 'val'
+         ELSE 'test' END AS split
+  FROM clean
+)
+SELECT split, count(*) AS n_docs,
+  cast(sum(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> ''))) as bigint) AS total_tokens,
+  cast(sum(n_chars) as bigint) AS sum_chars,
+  min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM labeled GROUP BY split ORDER BY split
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over a deliberately hot group key:
     `lang` has a handful of values, so a plain groupBy funnels each
@@ -2145,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "per_source_cap": q_per_source_cap,
         "skew_salted_agg": q_skew_salted_agg,
+        "training_mix": q_training_mix,
         "tfidf_top_terms": q_tfidf_top_terms,
         "deterministic_sample": q_deterministic_sample,
         "sessionize_events": q_sessionize_events,
@@ -2197,6 +2349,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _oracle_pii(),
         "per_source_cap": _ORACLE_PER_SOURCE_CAP,
         "skew_salted_agg": _ORACLE_SKEW_SALTED_AGG,
+        "training_mix": _oracle_training_mix(),
         "tfidf_top_terms": _ORACLE_TFIDF,
         "deterministic_sample": _ORACLE_SAMPLE,
         "sessionize_events": _ORACLE_SESSIONS,
