@@ -2178,6 +2178,118 @@ FROM labeled GROUP BY split ORDER BY split
 """
 
 
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view → click → purchase): each stage's
+    timestamp is the user's earliest qualifying event AFTER the previous
+    stage. Three sequential min-aggregations joined on the user key —
+    every shuffle is user-keyed, no window over the whole stream, and
+    each stage input is pre-filtered to one event type (predicate reaches
+    the scan). Returns per-stage reach counts."""
+    events = _t(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame | None, etype: str, out: str) -> DataFrame:
+        ev = events.filter(F.col("event_type") == etype).select(
+            "user_id", F.col("ts").alias("_ts")
+        )
+        if prev is None:
+            return ev.groupBy("user_id").agg(F.min("_ts").alias(out))
+        joined = ev.join(prev, "user_id").filter(F.col("_ts") > F.col(prev.columns[-1]))
+        return joined.groupBy("user_id").agg(F.min("_ts").alias(out)).join(
+            prev, "user_id"
+        ).select("user_id", *prev.columns[1:], out)
+
+    s1 = stage(None, "view", "t_view")
+    s2 = stage(s1, "click", "t_click")
+    s3 = stage(s2, "purchase", "t_purchase")
+    n1 = s1.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(1).alias("stage"), F.lit("view").alias("event"), "n"
+    )
+    n2 = s2.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(2).alias("stage"), F.lit("click_after_view").alias("event"), "n"
+    )
+    n3 = s3.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit(3).alias("stage"), F.lit("purchase_after_click").alias("event"), "n"
+    )
+    return n1.unionByName(n2).unionByName(n3).orderBy("stage")
+
+
+_ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage, 'view' AS event, count(*) AS n FROM s1
+UNION ALL
+SELECT 2, 'click_after_view', count(*) FROM s2
+UNION ALL
+SELECT 3, 'purchase_after_click', count(*) FROM s3
+ORDER BY stage
+"""
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth over per-user daily activity: 7-row moving
+    event count, cumulative events, rank of the day within the user, and
+    lead/lag day deltas — one user-keyed shuffle feeding four frames over
+    the same sort order (Spark evaluates them in a single Window node
+    chain). Integer measures only, so the oracle hashes exactly."""
+    events = _t(spark, sf_dir, "events")
+    daily = (
+        events.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        daily.select(
+            "user_id",
+            "day",
+            "n_events",
+            F.sum("n_events").over(w.rowsBetween(-6, 0)).alias("mov7"),
+            F.sum("n_events").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cum_events"),
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.desc("n_events"), "day")
+            ).alias("busy_rank"),
+            F.datediff(
+                F.coalesce(F.lead("day").over(w), F.col("day")), F.col("day")
+            ).alias("days_to_next"),
+        )
+        .filter(F.col("busy_rank") <= 5)
+        .orderBy("user_id", "day")
+    )
+
+
+_ORACLE_WINDOW_ANALYTICS = """
+WITH daily AS (
+  SELECT user_id, cast(ts AS date) AS day, count(*) AS n_events
+  FROM events GROUP BY user_id, cast(ts AS date)
+), win AS (
+  SELECT user_id, day, n_events,
+    cast(sum(n_events) OVER (PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) as bigint) AS mov7,
+    cast(sum(n_events) OVER (PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_events,
+    row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC, day) AS busy_rank,
+    date_diff('day', day, coalesce(lead(day) OVER (PARTITION BY user_id ORDER BY day), day)) AS days_to_next
+  FROM daily
+)
+SELECT user_id, day, n_events, mov7, cum_events, busy_rank,
+       cast(days_to_next as int) AS days_to_next
+FROM win WHERE busy_rank <= 5 ORDER BY user_id, day
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over a deliberately hot group key:
     `lang` has a handful of values, so a plain groupBy funnels each
@@ -2297,6 +2409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_cap": q_per_source_cap,
         "skew_salted_agg": q_skew_salted_agg,
         "training_mix": q_training_mix,
+        "funnel_analysis": q_funnel_analysis,
+        "window_analytics": q_window_analytics,
         "tfidf_top_terms": q_tfidf_top_terms,
         "deterministic_sample": q_deterministic_sample,
         "sessionize_events": q_sessionize_events,
@@ -2350,6 +2464,8 @@ def oracle_sql() -> dict[str, str]:
         "per_source_cap": _ORACLE_PER_SOURCE_CAP,
         "skew_salted_agg": _ORACLE_SKEW_SALTED_AGG,
         "training_mix": _oracle_training_mix(),
+        "funnel_analysis": _ORACLE_FUNNEL,
+        "window_analytics": _ORACLE_WINDOW_ANALYTICS,
         "tfidf_top_terms": _ORACLE_TFIDF,
         "deterministic_sample": _ORACLE_SAMPLE,
         "sessionize_events": _ORACLE_SESSIONS,
