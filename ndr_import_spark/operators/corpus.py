@@ -360,7 +360,10 @@ def tfidf_top_terms(
     corpus size. The per-doc top-k window partitions on doc id (vocab
     per document is bounded, no skew funnel). The DF table is
     term-cardinality-sized — large but shuffled once; the (doc, term)
-    side joins it on the term hash.
+    side joins it on the term hash. The corpus-size attach plans as a
+    BroadcastNestedLoopJoin with a ONE-ROW broadcast side — that is the
+    correct scalar-attach shape (a `count() over ()` window would funnel
+    everything through one partition instead).
 
     Returns (doc_id, term, tf, df, score) with score rounded to 5dp.
     """

@@ -53,6 +53,21 @@ class TestJoinShapes:
             assert "CartesianProduct" not in p, name
             assert "BroadcastNestedLoopJoin" not in p, name
 
+    def test_composed_pipelines_no_cartesian(self, spark):
+        for name in ["training_mix", "funnel_analysis", "window_analytics",
+                     "range_join_windows", "merge_upsert"]:
+            p = plan(entry.queries()[name](spark, SF_DIR), "simple")
+            assert "CartesianProduct" not in p, name
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+    def test_tfidf_scalar_attach_is_broadcast(self, spark):
+        # the corpus-size attach is a 1-row broadcast BNLJ by design;
+        # the guard is that the broadcast is present (not a shuffle) and
+        # nothing else degenerates to a cartesian product
+        p = plan(entry.queries()["tfidf_top_terms"](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p
+        assert "BroadcastExchange" in p
+
 
 class TestNarrowPipelines:
     def test_compiled_mapping_has_no_exchange(self, spark):
