@@ -849,6 +849,48 @@ FROM sigs GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash
 """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash Hamming pairs (32-bit signature, 4 bands, distance
+    ≤ 3): exact recall by pigeonhole, (band, slice) self-join only,
+    bit_count(xor) verification on 8-byte signatures."""
+    from ndr_import_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs).orderBy("id_a", "id_b")
+
+
+def _oracle_simhash_pairs(bits: int = 32, bands: int = 4, maxd: int = 3) -> str:
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    toks = f"list_filter(string_split({norm}, ' '), t -> t <> '')"
+    th = f"list_transform({toks}, t -> cast(('0x' || substring(md5(t), 1, 15)) as bigint))"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> {j}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN cast({2**j} as bigint) ELSE 0 END)"
+        for j in range(bits)
+    )
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_keys = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {b * width}) & {mask} AS key FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH hashed AS (SELECT doc_id, {th} AS th FROM documents),
+sigs AS (SELECT doc_id, {bit_terms} AS simhash FROM hashed),
+banded AS ({band_keys}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT c.id_a, c.id_b, bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM cand c
+JOIN sigs a ON a.doc_id = c.id_a
+JOIN sigs b ON b.doc_id = c.id_b
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {maxd}
+ORDER BY id_a, id_b
+"""
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ndr_import_spark.operators.dedup import ngram_jaccard_pairs
     docs = _t(spark, sf_dir, "documents")
@@ -2391,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "passage_dedup": q_passage_dedup,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
@@ -2446,6 +2489,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _oracle_dedup_clusters(),
         "passage_dedup": _ORACLE_PASSAGE_DEDUP,
         "dedup_simhash": _oracle_simhash(),
+        "dedup_simhash_pairs": _oracle_simhash_pairs(),
         "dedup_embedding": _oracle_dedup_embedding(),
         "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
         "text_stats": _ORACLE_TEXT_STATS,

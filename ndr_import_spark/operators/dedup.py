@@ -355,6 +355,71 @@ def simhash_duplicate_groups(
     )
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by banded SimHash Hamming distance — the
+    signature-space complement of MinHash (captures token-frequency
+    similarity rather than set overlap).
+
+    The `bits`-bit signature splits into `bands` equal slices; candidate
+    pairs share at least one exact slice (pigeonhole: any pair with
+    Hamming distance < `bands` MUST agree on some slice, so recall is
+    exact for ``max_distance <= bands - 1``; keep that inequality when
+    tuning). The slice self-join shuffles only (band, key, id) — never
+    corpus-quadratic — and verification joins the 8-byte signatures back
+    by id: ``bit_count(xor)`` per candidate, the cheapest verify in the
+    dedup family.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if max_distance > bands - 1:
+        raise ValueError(
+            f"banded recall is exact only for max_distance <= bands - 1 "
+            f"(got distance {max_distance}, bands {bands})"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    base = _evict_then_persist(
+        df.select(
+            F.col(id_col).alias("_id"),
+            # Generate barrier: the signature expression is referenced by
+            # every band plus both verify sides (see _shingle_base)
+            F.explode(F.array(simhash(F.col(text_col), bits))).alias("_sig"),
+        )
+    )
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("_sig"), b * width).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    banded = base.select("_id", F.explode(band_structs).alias("bk")).select(
+        "_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "key"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_siga"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sigb"))
+    dist = F.bit_count(F.col("_siga").bitwiseXOR(F.col("_sigb")))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", dist.alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, blocked)
 # ---------------------------------------------------------------------------

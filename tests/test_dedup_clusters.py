@@ -78,3 +78,35 @@ class TestPassageDedup:
         row = passage_dedup(df, passage_words=4).collect()[0]
         expect = hashlib.md5(b"a b c d e f g h").hexdigest()
         assert row["clean_md5"] == expect
+
+
+class TestSimhashHammingPairs:
+    def test_near_identical_docs_pair_up(self, spark):
+        from ndr_import_spark.operators.dedup import simhash_hamming_pairs
+
+        # a wide-vocabulary base keeps per-bit votes away from zero, so a
+        # one-token drift flips at most a few signature bits
+        base = " ".join(f"tok{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base),                      # identical -> distance 0
+                (3, base + " iota"),            # tiny drift (1 bit here)
+                (4, "completely different words nothing shared here at all"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_hamming_pairs(df, max_distance=3).collect()
+        }
+        assert pairs.get((1, 2)) == 0
+        assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+        assert not any(4 in p for p in pairs)
+
+    def test_recall_guard(self, spark):
+        from ndr_import_spark.operators.dedup import simhash_hamming_pairs
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="bands - 1"):
+            simhash_hamming_pairs(df, bands=4, max_distance=4)
