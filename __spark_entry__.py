@@ -1155,6 +1155,51 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def q_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-domain inner-product top-5: quantize the corpus once, search
+    with integer dot products over 4x smaller vectors — exact integer
+    arithmetic end-to-end, so ranks are engine-exact (the float path's
+    rescoring would run on the survivors only)."""
+    from ndr_import_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_ip_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb).select("vec_id", "qvec")
+    queries = q.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("query_qvec")
+    )
+    return quantized_ip_topk(q, queries, k=5).orderBy("query_id", "rank")
+
+
+_ORACLE_ANN_QUANTIZED = """
+WITH e AS (
+  SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         coalesce(list_max(list_transform(v, x -> abs(x))), 0) AS amax
+  FROM e
+), q AS (
+  SELECT vec_id, list_transform(v, x -> cast(round(
+             x * 127 / CASE WHEN amax > 0 THEN amax ELSE 1 END) as bigint)) AS qv
+  FROM s
+), qs AS (
+  SELECT vec_id AS query_id, qv AS qqv FROM q WHERE vec_id < 4
+), scored AS (
+  SELECT qs.query_id, q.vec_id,
+         cast(list_dot_product(q.qv, qs.qqv) as bigint) AS int_dot
+  FROM q, qs WHERE qs.query_id <> q.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY int_dot DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, int_dot, rank FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 _ORACLE_ANN = """
 WITH emb AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 4),
@@ -2441,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "corpus_pipeline": q_corpus_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "multimodal_features": q_multimodal_features,
         "ivf_cells": q_ivf_cells,
@@ -2497,6 +2543,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": _oracle_quality(),
         "corpus_pipeline": _oracle_corpus_pipeline(),
         "ann_cosine_topk": _ORACLE_ANN,
+        "ann_quantized_topk": _ORACLE_ANN_QUANTIZED,
         "ann_lsh_pairs": _oracle_ann_lsh(),
         "multimodal_features": _ORACLE_MULTIMODAL,
         "ivf_cells": _oracle_ivf(),

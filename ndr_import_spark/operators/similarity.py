@@ -77,6 +77,46 @@ def cosine_topk(
     )
 
 
+def quantized_ip_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_qvec_col: str = "query_qvec",
+) -> DataFrame:
+    """Inner-product top-k in the INT8-QUANTIZED domain: the search path
+    that makes `quantize_embeddings` pay off — integer dot products over
+    4× smaller vectors, exact integer arithmetic (no float accumulation
+    order to worry about), broadcast query set, per-query top-k window.
+    Rank is on (int_dot, id): fully deterministic and engine-exact. The
+    caller rescales by scale_a·scale_b/127² (or rescores survivors with
+    full-precision vectors) downstream.
+
+    Returns (query_id, vec_id, int_dot, rank)."""
+    joined = df.crossJoin(F.broadcast(queries))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(qvec_col),
+            F.col(query_qvec_col),
+            lambda a, b: (a * b).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col), dot.alias("int_dot")
+    ).filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("int_dot").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # random-hyperplane LSH
 # ---------------------------------------------------------------------------
