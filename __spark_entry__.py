@@ -2377,6 +2377,36 @@ FROM win WHERE busy_rank <= 5 ORDER BY user_id, day
 """
 
 
+def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type exact value percentiles (p50/p90/p99). Spark's exact
+    `percentile` interpolates identically to DuckDB's quantile_cont
+    (verified bit-equal), so the oracle hashes exactly. Exact percentile
+    buffers each group's values — fine for bounded groups like
+    event_type; at 100 TB per-key percentiles switch to
+    `approx_percentile` (t-digest, mergeable partial aggs) and trade
+    determinism for bounded memory."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 5).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 5).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 5).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_PERCENTILES = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 5) AS p50,
+       round(quantile_cont(value, 0.9), 5) AS p90,
+       round(quantile_cont(value, 0.99), 5) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase aggregation over a deliberately hot group key:
     `lang` has a handful of values, so a plain groupBy funnels each
@@ -2499,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": q_skew_salted_agg,
         "training_mix": q_training_mix,
         "funnel_analysis": q_funnel_analysis,
+        "events_value_percentiles": q_events_value_percentiles,
         "window_analytics": q_window_analytics,
         "tfidf_top_terms": q_tfidf_top_terms,
         "deterministic_sample": q_deterministic_sample,
@@ -2556,6 +2587,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_agg": _ORACLE_SKEW_SALTED_AGG,
         "training_mix": _oracle_training_mix(),
         "funnel_analysis": _ORACLE_FUNNEL,
+        "events_value_percentiles": _ORACLE_PERCENTILES,
         "window_analytics": _ORACLE_WINDOW_ANALYTICS,
         "tfidf_top_terms": _ORACLE_TFIDF,
         "deterministic_sample": _ORACLE_SAMPLE,
