@@ -2477,6 +2477,449 @@ FROM lab GROUP BY split ORDER BY split
 
 
 # ---------------------------------------------------------------------------
+# relational breadth: the remaining TPC-H query SHAPES, adapted to the
+# trimmed testdata schema (no partsupp / commitdate / shipmode columns).
+# Each exercises a distinct Catalyst pattern: non-equi semi join (q4),
+# double-dim self-join (q7), conditional-aggregate share (q8), outer-join
+# distribution (q13), promo share (q14), scalar-subquery max (q15),
+# distinct + anti join (q16), correlated-avg rewrite (q17), disjunctive
+# predicate join (q19), scalar-threshold + anti join (q22).
+# ---------------------------------------------------------------------------
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _rev() -> F.Column:
+    return (_dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast("decimal(28,4)")
+
+
+def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q4-shaped: orders in a quarter having at least one lineitem
+    shipped after the order date, counted per priority. The EXISTS is a
+    LEFT SEMI join on the equi key with the non-equi shipdate predicate
+    evaluated inside the join — one shuffle, no duplication of orders
+    regardless of lineitem fan-out (semi join short-circuits)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q7-shaped: bilateral trade volume between two nations by
+    ship year. The nation dim joins twice under different roles — both
+    broadcast (bounded dim); the symmetric nation-pair filter lands on
+    the broadcast outputs, fact joins stay shuffle-plannable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_ORACLE_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  cast(extract(year FROM l_shipdate) AS int) AS l_year,
+  cast(sum(cast(cast(l_extendedprice as decimal(18,2)) *
+      (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4)))
+      as double) AS revenue
+FROM lineitem, supplier, orders, customer, nation n1, nation n2
+WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q8-shaped: NATION_5's share of ECONOMY-part revenue sold
+    into ASIA customers per order year. Share = conditional decimal sum /
+    total decimal sum, both exact, divided as doubles (bit-deterministic
+    across engines). part filter pushes to the scan before the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_cust = nation.select(F.col("n_nationkey").alias("nc_key"),
+                           F.col("n_regionkey").alias("nc_region"))
+    n_supp = nation.select(F.col("n_nationkey").alias("ns_key"),
+                           F.col("n_name").alias("supp_nation"))
+    rev = _rev()
+    zero = F.lit(0).cast("decimal(28,4)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(region), F.col("nc_region") == region.r_regionkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("ns_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(zero))
+            .cast("double").alias("nation_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+        .withColumn("mkt_share", F.col("nation_rev") / F.col("total_rev"))
+        .orderBy("o_year")
+    )
+
+
+_ORACLE_Q8 = """
+WITH flat AS (
+  SELECT cast(extract(year FROM o_orderdate) AS int) AS o_year,
+    cast(cast(l_extendedprice as decimal(18,2)) *
+      (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4)) AS rev,
+    ns.n_name AS supp_nation
+  FROM lineitem, part, supplier, orders, customer, nation nc, nation ns, region
+  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey AND c_nationkey = nc.n_nationkey
+    AND nc.n_regionkey = r_regionkey AND s_nationkey = ns.n_nationkey
+    AND r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+  cast(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE cast(0 as decimal(28,4)) END) as double) AS nation_rev,
+  cast(sum(rev) as double) AS total_rev,
+  cast(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE cast(0 as decimal(28,4)) END) as double)
+    / cast(sum(rev) as double) AS mkt_share
+FROM flat GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q13-shaped: distribution of customers by order count, with
+    the orders filter in the OUTER join condition (customers with zero
+    qualifying orders must survive with c_count = 0). Two aggregations,
+    both map-side-combinable; the outer join shuffles once on custkey."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_ORACLE_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q14-shaped: fraction of one month's revenue from PROMO
+    parts. Single join + conditional aggregate; the shipdate filter
+    prunes lineitem at the scan, part projects two columns only."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _rev()
+    zero = F.lit(0).cast("decimal(28,4)")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double").alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+        .withColumn("promo_share",
+                    F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"))
+    )
+
+
+_ORACLE_Q14 = """
+SELECT
+  cast(sum(CASE WHEN p_type = 'PROMO'
+    THEN cast(cast(l_extendedprice as decimal(18,2)) *
+      (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4))
+    ELSE cast(0 as decimal(28,4)) END) as double) AS promo_rev,
+  cast(sum(cast(cast(l_extendedprice as decimal(18,2)) *
+      (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4)))
+      as double) AS total_rev,
+  100.0 * cast(sum(CASE WHEN p_type = 'PROMO'
+    THEN cast(cast(l_extendedprice as decimal(18,2)) *
+      (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4))
+    ELSE cast(0 as decimal(28,4)) END) as double)
+    / cast(sum(cast(cast(l_extendedprice as decimal(18,2)) *
+      (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4)))
+      as double) AS promo_share
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q15-shaped: supplier(s) with the maximum quarterly revenue.
+    The scalar subquery (max over the aggregate) becomes a 1-row
+    broadcast cross join against the same aggregate — the revenue agg is
+    computed once per branch on exact decimals, so the equality filter
+    is deterministic. No window over an unpartitioned frame (which would
+    single-task at scale)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_rev()).alias("total"))
+    )
+    mx = revenue.agg(F.max("total").alias("mx"))
+    return (
+        revenue.join(F.broadcast(mx), revenue.total == mx.mx)
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total").cast("double").alias("total_rev"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_ORACLE_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey, sum(cast(cast(l_extendedprice as decimal(18,2)) *
+      (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, cast(total as double) AS total_rev
+FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+WHERE total = (SELECT max(total) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q16-shaped: distinct supplier counts per (brand, type,
+    size), with lineitem's observed (part, supplier) pairs standing in
+    for partsupp and negative-balance suppliers excluded via a broadcast
+    ANTI join (the NOT IN). The distinct-pairs reduction happens BEFORE
+    the part join, shrinking the fact side by the per-part fan-out."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad_sup = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(bad_sup), pairs.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+_ORACLE_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q17_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q17-shaped: revenue from orders below 20% of a part's
+    average quantity. The correlated AVG subquery is rewritten as
+    aggregate-then-join (one extra shuffle on partkey instead of a
+    per-row subquery), and the `qty < 0.2 * avg` comparison is done in
+    EXACT integer-scaled decimals (5*qty*cnt < sum_qty) so no float
+    threshold can flip rows between engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("ap"))
+        .agg(F.sum(_dec("l_quantity")).alias("sq"), F.count(F.lit(1)).alias("cn"))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("ap"))
+        .filter(_dec("l_quantity") * F.lit(5) * F.col("cn") < F.col("sq"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+_ORACLE_Q17 = """
+WITH agg AS (
+  SELECT l_partkey AS ap, sum(cast(l_quantity as decimal(18,2))) AS sq, count(*) AS cn
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT cast(sum(cast(l_extendedprice as decimal(18,2))) as double) / 7.0 AS avg_yearly,
+       count(*) AS n_small
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN agg ON ap = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND cast(l_quantity as decimal(18,2)) * 5 * cn < sq
+"""
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q19-shaped: revenue under three OR'd brand/size/quantity
+    branches. The disjunction stays a single equi join on partkey with
+    the OR residual as a post-join filter — Catalyst additionally
+    extracts the common l_quantity/p_size bounds for pushdown; no
+    union-of-three-joins rewrite needed."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    brand = F.col("p_brand")
+    cond = (
+        ((brand == "Brand#12") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#2") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#21") & size.between(1, 15) & qty.between(20, 30))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_ORACLE_Q19 = """
+SELECT
+  cast(sum(cast(cast(l_extendedprice as decimal(18,2)) *
+      (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4)))
+      as double) AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q22-shaped: above-average-balance customers with no order
+    since 1999, per market segment. The global-average threshold is a
+    1-row broadcast cross join (sum-decimal / count, so both engines
+    derive the identical double); the NOT EXISTS is a broadcast-able
+    LEFT ANTI join on the pre-filtered orders projection."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
+        .select("o_custkey")
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    thresh = pos.agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_ORACLE_Q22 = """
+WITH thresh AS (
+  SELECT cast(sum(cast(c_acctbal as decimal(18,2))) as double) / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS numcust,
+       cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg_bal FROM thresh)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -2495,6 +2938,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_items": q10_returned_items,
         "q18_large_orders": q18_large_orders,
+        "q4_priority_semi": q4_priority_semi,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q13_order_distribution": q13_order_distribution,
+        "q14_promo_share": q14_promo_share,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_variety": q16_supplier_variety,
+        "q17_small_order_revenue": q17_small_order_revenue,
+        "q19_disjunctive": q19_disjunctive,
+        "q22_dormant_customers": q22_dormant_customers,
         "nontabular_extract": q_nontabular_extract,
         "xml_extract": q_xml_extract,
         "rollup_revenue": q_rollup_revenue,
@@ -2553,6 +3006,16 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": _ORACLE_Q6,
         "q10_returned_items": _ORACLE_Q10,
         "q18_large_orders": _ORACLE_Q18,
+        "q4_priority_semi": _ORACLE_Q4,
+        "q7_volume_shipping": _ORACLE_Q7,
+        "q8_market_share": _ORACLE_Q8,
+        "q13_order_distribution": _ORACLE_Q13,
+        "q14_promo_share": _ORACLE_Q14,
+        "q15_top_supplier": _ORACLE_Q15,
+        "q16_supplier_variety": _ORACLE_Q16,
+        "q17_small_order_revenue": _ORACLE_Q17,
+        "q19_disjunctive": _ORACLE_Q19,
+        "q22_dormant_customers": _ORACLE_Q22,
         "nontabular_extract": _ORACLE_NONTABULAR,
         "xml_extract": _ORACLE_XML,
         "rollup_revenue": _ORACLE_ROLLUP,
