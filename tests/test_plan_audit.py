@@ -60,6 +60,53 @@ class TestJoinShapes:
             assert "CartesianProduct" not in p, name
             assert "BroadcastNestedLoopJoin" not in p, name
 
+    def test_q4_semi_join_carries_non_equi_residual(self, spark):
+        # the EXISTS compiles to ONE LeftSemi hash join on the equi key
+        # with l_shipdate > o_orderdate as its residual — not a full join
+        # + distinct (which would duplicate orders by lineitem fan-out)
+        p = plan(entry.queries()["q4_priority_semi"](spark, SF_DIR), "simple")
+        assert "LeftSemi" in p
+        assert "CartesianProduct" not in p
+        assert "Distinct" not in p and "distinct" not in p
+
+    def test_q16_excluded_suppliers_are_anti_joined(self, spark):
+        p = plan(entry.queries()["q16_supplier_variety"](spark, SF_DIR), "simple")
+        assert "LeftAnti" in p
+        assert "CartesianProduct" not in p
+
+    def test_q17_threshold_join_no_cartesian(self, spark):
+        # correlated-avg rewrite: aggregate-then-join on partkey; the
+        # exact-decimal threshold rides the join as a residual condition
+        p = plan(entry.queries()["q17_small_order_revenue"](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_q19_disjunction_stays_single_equi_join(self, spark):
+        # three OR branches must NOT become a union of three joins; the
+        # common quantity/size bounds are extracted and pushed to the scan
+        p = plan(entry.queries()["q19_disjunctive"](spark, SF_DIR))
+        assert "Union" not in p
+        assert "CartesianProduct" not in p
+        pushed = p.split("PushedFilters:", 1)[1][:400]
+        assert "GreaterThanOrEqual(l_quantity,1.0)" in pushed
+
+    def test_q22_threshold_is_one_row_broadcast(self, spark):
+        # scalar-subquery threshold: the only nested-loop join allowed is
+        # the deliberate 1-row broadcast cross join; the NOT EXISTS must
+        # be a LeftAnti hash join
+        p = plan(entry.queries()["q22_dormant_customers"](spark, SF_DIR), "simple")
+        assert "LeftAnti" in p
+        assert p.count("BroadcastNestedLoopJoin") <= 1
+        assert "CartesianProduct" not in p
+
+    def test_relational_breadth_filters_push_to_scans(self, spark):
+        for name in ["q7_volume_shipping", "q8_market_share", "q14_promo_share",
+                     "q15_top_supplier"]:
+            p = plan(entry.queries()[name](spark, SF_DIR))
+            assert "PushedFilters: [" in p, name
+            first = p.split("PushedFilters:", 1)[1][:200]
+            assert "PushedFilters: []" not in first, name
+
     def test_tfidf_scalar_attach_is_broadcast(self, spark):
         # the corpus-size attach is a 1-row broadcast BNLJ by design;
         # the guard is that the broadcast is present (not a shuffle) and
