@@ -2920,6 +2920,150 @@ ORDER BY c_mktsegment
 
 
 # ---------------------------------------------------------------------------
+# profiling / warehouse-maintenance breadth: portable sketch, controlled
+# moments, SCD2 history, explicit-values pivot
+# ---------------------------------------------------------------------------
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable KMV distinct sketch per event type, with the exact
+    count riding the same dedup shuffle for error validation. k=32 <
+    150 distinct users, so the estimator genuinely estimates."""
+    from ndr_import_spark.operators.sketches import kmv_distinct
+
+    ev = _events(spark, sf_dir)
+    return kmv_distinct(ev, "user_id", ["event_type"], k=32, salt_buckets=8).orderBy("event_type")
+
+
+_ORACLE_KMV = """
+WITH pairs AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), hashed AS (
+  SELECT event_type,
+    ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM pairs
+), ranked AS (
+  SELECT event_type, h,
+    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+), kmin AS (
+  SELECT event_type, max(h) AS kth_min_hash,
+         CAST(count(*) AS INT) AS sketch_k
+  FROM ranked WHERE rn <= 32 GROUP BY event_type
+), exact AS (
+  SELECT event_type, count(*) AS exact_distinct FROM pairs GROUP BY event_type
+)
+SELECT kmin.event_type, exact_distinct, sketch_k, kth_min_hash,
+  CASE WHEN sketch_k < 32 THEN CAST(sketch_k AS DOUBLE)
+       ELSE (31.0 * 1152921504606846976.0) / CAST(kth_min_hash AS DOUBLE)
+  END AS kmv_estimate
+FROM kmin JOIN exact ON kmin.event_type = exact.event_type
+ORDER BY kmin.event_type
+"""
+
+
+def q_grouped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerically-controlled moment aggregates per market segment: mean,
+    sample variance and stddev derived from EXACT decimal power sums
+    (sum x, sum x²), collapsed to doubles only at the end — so both
+    engines perform the identical final float arithmetic (sqrt is IEEE
+    correctly-rounded, hence bit-stable) instead of each using its own
+    streaming-variance recurrence. One map-side-combinable aggregation."""
+    cust = _t(spark, sf_dir, "customer")
+    d = F.col("c_acctbal").cast("decimal(18,2)")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d).alias("_s1"),
+            F.sum((d * d).cast("decimal(38,4)")).alias("_s2"),
+        )
+        .select(
+            "c_mktsegment",
+            "n",
+            (F.col("_s1").cast("double") / F.col("n")).alias("mean_bal"),
+            (
+                (F.col("_s2").cast("double")
+                 - F.col("_s1").cast("double") * F.col("_s1").cast("double") / F.col("n"))
+                / (F.col("n") - F.lit(1))
+            ).alias("var_bal"),
+            F.sqrt(
+                (F.col("_s2").cast("double")
+                 - F.col("_s1").cast("double") * F.col("_s1").cast("double") / F.col("n"))
+                / (F.col("n") - F.lit(1))
+            ).alias("std_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_ORACLE_MOMENTS = """
+WITH sums AS (
+  SELECT c_mktsegment, count(*) AS n,
+    sum(cast(c_acctbal as decimal(18,2))) AS s1,
+    sum(cast(cast(c_acctbal as decimal(18,2)) * cast(c_acctbal as decimal(18,2)) as decimal(38,4))) AS s2
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+  cast(s1 as double) / n AS mean_bal,
+  (cast(s2 as double) - cast(s1 as double) * cast(s1 as double) / n) / (n - 1) AS var_bal,
+  sqrt((cast(s2 as double) - cast(s1 as double) * cast(s1 as double) / n) / (n - 1)) AS std_bal
+FROM sums ORDER BY c_mktsegment
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history from the purchase change log: each
+    purchase opens a validity interval closed by the user's next
+    purchase; event_id breaks timestamp ties deterministically."""
+    from ndr_import_spark.operators.upsert import scd2_from_changes
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return scd2_from_changes(
+        ev, ["user_id"], "ts", "event_id", ["event_id", "value"]
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
+_ORACLE_SCD2 = """
+SELECT user_id, ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current,
+  event_id, value
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY user_id, valid_from, event_id
+"""
+
+
+def q_pivot_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type matrix via pivot with EXPLICIT values — no
+    driver-side distinct job to discover columns (which at 100 TB is a
+    full extra scan), and a stable output schema for the sink."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    pv = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # absent (day, type) combos pivot to NULL; the contract is a dense count matrix
+    return pv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    ).orderBy("day").limit(14)
+
+
+_ORACLE_PIVOT = """
+SELECT CAST(ts AS DATE) AS day,
+  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events
+GROUP BY day ORDER BY day LIMIT 14
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -2948,6 +3092,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_order_revenue": q17_small_order_revenue,
         "q19_disjunctive": q19_disjunctive,
         "q22_dormant_customers": q22_dormant_customers,
+        "kmv_distinct": q_kmv_distinct,
+        "grouped_moments": q_grouped_moments,
+        "scd2_history": q_scd2_history,
+        "pivot_daily_events": q_pivot_daily_events,
         "nontabular_extract": q_nontabular_extract,
         "xml_extract": q_xml_extract,
         "rollup_revenue": q_rollup_revenue,
@@ -3016,6 +3164,10 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_order_revenue": _ORACLE_Q17,
         "q19_disjunctive": _ORACLE_Q19,
         "q22_dormant_customers": _ORACLE_Q22,
+        "kmv_distinct": _ORACLE_KMV,
+        "grouped_moments": _ORACLE_MOMENTS,
+        "scd2_history": _ORACLE_SCD2,
+        "pivot_daily_events": _ORACLE_PIVOT,
         "nontabular_extract": _ORACLE_NONTABULAR,
         "xml_extract": _ORACLE_XML,
         "rollup_revenue": _ORACLE_ROLLUP,

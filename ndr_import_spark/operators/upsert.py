@@ -52,3 +52,37 @@ def merge_upsert(
             ~F.coalesce(F.col(tombstone_col), F.lit(False))
         )
     return latest
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log: each
+    change opens a validity interval [valid_from, valid_to) closed by the
+    key's next change; the latest change per key has valid_to NULL and
+    is_current true. `tiebreak_col` makes same-timestamp ordering
+    deterministic (required for cross-engine reproducibility).
+
+    Plan shape at 100 TB: ONE shuffle of the change log on the key; the
+    lead() window and the is_current flag ride the same partitioning.
+    Per-key history length bounds each window task, so only a key whose
+    OWN change count is pathological can slow a task — group-size skew,
+    which AQE handles, not key-funnel skew.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return (
+        changes.withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+        .select(
+            *key_cols,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            "is_current",
+            *attr_cols,
+        )
+    )
