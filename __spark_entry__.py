@@ -2924,6 +2924,53 @@ ORDER BY c_mktsegment
 # moments, SCD2 history, explicit-values pivot
 # ---------------------------------------------------------------------------
 
+def q21_sole_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q21-shaped: suppliers who were the STRICTLY latest shipper
+    in multi-supplier finished orders — EXISTS (another supplier in the
+    order) plus NOT EXISTS (another supplier shipping as late). Both
+    correlations compile to hash joins on the orderkey with the
+    supplier/shipdate predicates as residuals: a LEFT SEMI and a LEFT
+    ANTI over the same shuffled key — no per-row subquery execution,
+    and the three lineitem branches cost one scan each with only
+    (orderkey, suppkey, shipdate) read."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = _t(spark, sf_dir, "supplier")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"),
+                   F.col("l_shipdate").alias("d3"))
+    return (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey)
+        .join(l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+              "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3"))
+              & (F.col("d3") >= F.col("l_shipdate")),
+              "left_anti")
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_ORACLE_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate >= l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable KMV distinct sketch per event type, with the exact
     count riding the same dedup shuffle for error validation. k=32 <
@@ -3063,6 +3110,73 @@ GROUP BY day ORDER BY day LIMIT 14
 """
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    `props` column and aggregate it per event type. `get_json_object`
+    stays JVM-side (Jackson, whole-stage codegen) — no Python in the hot
+    path; the alternative `from_json` with an explicit schema is the
+    production choice when most keys are consumed, but for one key a
+    path extraction avoids materialising the full struct."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_JSON = """
+SELECT event_type,
+  count(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k,
+  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+  min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS beyond ROLLUP: (flag, status), (flag), (status), ()
+    in ONE aggregation pass with partial aggregation at every level —
+    four separate groupBys would scan lineitem four times. grouping_id
+    disambiguates the NULL-as-total rows from genuine NULL keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+               count(*) AS n_items
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                                (l_linestatus), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+  CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+  count(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                        (l_linestatus), ())
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3096,6 +3210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_moments": q_grouped_moments,
         "scd2_history": q_scd2_history,
         "pivot_daily_events": q_pivot_daily_events,
+        "json_props_stats": q_json_props_stats,
+        "grouping_sets_revenue": q_grouping_sets_revenue,
+        "q21_sole_latest_shipper": q21_sole_latest_shipper,
         "nontabular_extract": q_nontabular_extract,
         "xml_extract": q_xml_extract,
         "rollup_revenue": q_rollup_revenue,
@@ -3168,6 +3285,9 @@ def oracle_sql() -> dict[str, str]:
         "grouped_moments": _ORACLE_MOMENTS,
         "scd2_history": _ORACLE_SCD2,
         "pivot_daily_events": _ORACLE_PIVOT,
+        "json_props_stats": _ORACLE_JSON,
+        "grouping_sets_revenue": _ORACLE_GROUPING_SETS,
+        "q21_sole_latest_shipper": _ORACLE_Q21,
         "nontabular_extract": _ORACLE_NONTABULAR,
         "xml_extract": _ORACLE_XML,
         "rollup_revenue": _ORACLE_ROLLUP,

@@ -42,9 +42,11 @@ def kmv_distinct(
     """Per group: exact distinct count alongside the KMV estimate, its
     k-th minimum hash and the sketch size actually used (min(k, distinct)).
 
-    The exact count rides the same dedup shuffle (it is free once the
-    pairs are distinct), so callers get estimator error for validation
-    without a second pass.
+    The exact count is a VALIDATION extra: it consumes the distinct
+    pairs a second time (a map-side-combinable count per group). A
+    production profiling pass at 100 TB drops it — the estimate is the
+    product; keeping it here lets the oracle gate and callers measure
+    estimator error directly.
     """
     if k < 2:
         raise ValueError("kmv_distinct requires k >= 2")
