@@ -86,3 +86,35 @@ def write_bucketed(
     if sort_by:
         writer = writer.sortBy(*sort_by)
     writer.saveAsTable(table)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_by: tuple[str, ...],
+    n_files: int | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Data-skipping layout sink: range-partition + sort rows by
+    ``sort_by`` before writing, so each parquet row group covers a
+    NARROW, non-overlapping key range and its footer min/max statistics
+    let later scans with a ``sort_by`` predicate skip whole row groups
+    and files (Spark pushes min/max filters to the parquet reader).
+
+    This is the scan-side complement to `write_bucketed`: bucketing
+    kills the JOIN shuffle, sorted layout kills SELECTIVE-SCAN I/O — at
+    100 TB a point/range query on the sort key reads a few row groups
+    instead of the whole table. `repartitionByRange` gives globally
+    disjoint per-file ranges (a plain sortWithinPartitions would leave
+    every file spanning the full key domain).
+    """
+    if not sort_by:
+        raise ValueError("write_sorted requires at least one sort column")
+    cols = [F.col(c) for c in sort_by]
+    ranged = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    ranged.sortWithinPartitions(*cols).write.mode(mode).format(fmt).save(path)

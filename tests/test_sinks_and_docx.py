@@ -8,6 +8,7 @@ import tempfile
 import zipfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from ndr_import_spark import Engine
 from ndr_import_spark.sinks import (
@@ -15,6 +16,7 @@ from ndr_import_spark.sinks import (
     write_bucketed,
     write_errors,
     write_records,
+    write_sorted,
 )
 
 MAPPING_YAML = """
@@ -155,6 +157,70 @@ class TestBucketedWrite:
         finally:
             for t in (ta, tb):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestSortedWrite:
+    @staticmethod
+    def _rowgroup_ranges(path, col):
+        """(min, max) of `col` for every row group across all part files."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        ranges = []
+        for f in sorted(_glob.glob(f"{path}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            names = md.schema.names
+            idx = names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                ranges.append((st.min, st.max))
+        return ranges
+
+    def test_row_group_ranges_are_disjoint(self, spark, tmp):
+        """The footer min/max stats after write_sorted must cover
+        non-overlapping key ranges — the property parquet data skipping
+        (and Spark's pushed min/max filters) needs. A hash-shuffled
+        write leaves every row group spanning the whole key domain."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+        sorted_path = f"{tmp}/sorted"
+        write_sorted(docs, sorted_path, ("doc_id",), n_files=4)
+        rgs = sorted(self._rowgroup_ranges(sorted_path, "doc_id"))
+        assert len(rgs) >= 2
+        for (lo1, hi1), (lo2, hi2) in zip(rgs, rgs[1:]):
+            assert hi1 <= lo2, f"overlapping row groups: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+        # contrast: a hash-repartitioned write has (near-)full-domain groups
+        shuffled_path = f"{tmp}/shuffled"
+        docs.repartition(4, "doc_id").write.parquet(shuffled_path)
+        full_lo = min(r[0] for r in rgs)
+        full_hi = max(r[1] for r in rgs)
+        span = full_hi - full_lo
+        wide = [
+            (lo, hi)
+            for lo, hi in self._rowgroup_ranges(shuffled_path, "doc_id")
+            if (hi - lo) > span * 0.9
+        ]
+        assert wide, "hash layout unexpectedly produced narrow row groups"
+
+    def test_point_scan_skips_files(self, spark, tmp):
+        """A point predicate on the sort key must actually read fewer
+        rows than the table (row-group skipping visible in the scan
+        metrics via the filtered count's plan pushing to parquet)."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        path = f"{tmp}/layout"
+        write_sorted(docs, path, ("doc_id",), n_files=4)
+        back = spark.read.parquet(path)
+        q = back.filter(F.col("doc_id") == 7)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "doc_id" in plan.split("PushedFilters", 1)[1][:120]
+        assert q.count() == 1
+
+    def test_requires_sort_columns(self, spark, tmp):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with pytest.raises(ValueError):
+            write_sorted(docs, f"{tmp}/x", ())
 
 
 class TestDocx:
