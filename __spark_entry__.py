@@ -3177,6 +3177,89 @@ ORDER BY gid, l_returnflag, l_linestatus
 """
 
 
+def q_trailing_window_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per event type, the trailing-7-day sum and
+    row count over daily totals — a RANGE BETWEEN INTERVAL frame, which
+    unlike a ROWS frame follows the calendar through gaps in the data.
+    Partitioned by event_type so the window parallelises across groups
+    (an unpartitioned time window would single-task at 100 TB); daily
+    pre-aggregation shrinks the window input to days×types rows."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("day_value"))
+    )
+    daily.createOrReplaceTempView("ev_daily")
+    return spark.sql(
+        """
+        SELECT event_type, day,
+               CAST(day_value AS double) AS day_value,
+               CAST(sum(day_value) OVER w AS double) AS trailing_7d_value,
+               count(*) OVER w AS trailing_7d_days
+        FROM ev_daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY CAST(day AS timestamp)
+                     RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        ORDER BY event_type, day
+        """
+    )
+
+
+_ORACLE_TRAILING = """
+WITH ev_daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(value AS decimal(18,2))) AS day_value
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day,
+       CAST(day_value AS double) AS day_value,
+       CAST(sum(day_value) OVER w AS double) AS trailing_7d_value,
+       count(*) OVER w AS trailing_7d_days
+FROM ev_daily
+WINDOW w AS (PARTITION BY event_type ORDER BY CAST(day AS timestamp)
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+ORDER BY event_type, day
+"""
+
+
+def q_melt_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): part's numeric attributes melted into
+    (attr, val) rows then profiled per attribute. melt is a Generate —
+    purely narrow, no shuffle until the profiling aggregate."""
+    part = _t(spark, sf_dir, "part")
+    long = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    ).melt(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="attr",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("attr")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+            F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("sum_val"),
+        )
+        .orderBy("attr")
+    )
+
+
+_ORACLE_MELT = """
+WITH long AS (
+  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part
+)
+SELECT attr, count(*) AS n, min(val) AS min_val, max(val) AS max_val,
+       CAST(sum(CAST(val AS decimal(18,2))) AS double) AS sum_val
+FROM long GROUP BY attr ORDER BY attr
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3213,6 +3296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "q21_sole_latest_shipper": q21_sole_latest_shipper,
+        "trailing_window_revenue": q_trailing_window_revenue,
+        "melt_part_attrs": q_melt_part_attrs,
         "nontabular_extract": q_nontabular_extract,
         "xml_extract": q_xml_extract,
         "rollup_revenue": q_rollup_revenue,
@@ -3288,6 +3373,8 @@ def oracle_sql() -> dict[str, str]:
         "json_props_stats": _ORACLE_JSON,
         "grouping_sets_revenue": _ORACLE_GROUPING_SETS,
         "q21_sole_latest_shipper": _ORACLE_Q21,
+        "trailing_window_revenue": _ORACLE_TRAILING,
+        "melt_part_attrs": _ORACLE_MELT,
         "nontabular_extract": _ORACLE_NONTABULAR,
         "xml_extract": _ORACLE_XML,
         "rollup_revenue": _ORACLE_ROLLUP,
