@@ -2134,13 +2134,19 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_set = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
 
-    kept = drop_exact_duplicates(corpus)
+    # kept feeds the shingle pipeline AND the post-cluster anti join;
+    # kept2 feeds decontamination AND the final anti join. A lazy
+    # localCheckpoint materialises each once (first action) and reuses
+    # the stored partitions for every later consumer — unlike persist()
+    # there is no cache-registry entry to leak: the blocks are released
+    # by the ContextCleaner when the query's plan is garbage-collected.
+    kept = drop_exact_duplicates(corpus).localCheckpoint(eager=False)
     pairs = minhash_lsh_pairs(kept, k=16, bands=4, verify_threshold=0.5)
     comp = connected_components(pairs)
     neardup_drops = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    kept2 = kept.join(neardup_drops, "doc_id", "left_anti")
+    kept2 = kept.join(neardup_drops, "doc_id", "left_anti").localCheckpoint(eager=False)
     contaminated = ngram_decontaminate(kept2, eval_set, n=4)
     clean = kept2.join(contaminated, "doc_id", "left_anti")
     split = hash_split(clean, {"train": 8, "val": 1, "test": 1})
