@@ -3266,6 +3266,65 @@ FROM long GROUP BY attr ORDER BY attr
 """
 
 
+_ERROR_MAPPING = """
+klass: CustomerCheck
+columns:
+- column: c_name
+  mappings:
+  - field: name
+    validates:
+      presence: true
+- column: c_mktsegment
+  mappings:
+  - field: machinery_free_segment
+    replace:
+      'MACHINERY': ''
+    validates:
+      presence: true
+"""
+
+
+def q_map_validation_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The validation ERROR CHANNEL through the oracle gate: a presence
+    validation fires after a replace blanks MACHINERY segments, and the
+    per-row `_errors` array is exploded and aggregated per message. At
+    scale this is the quarantine path (`sinks.write_errors`) — errors are
+    data, not exceptions, so one bad feed row cannot kill a 100 TB job.
+    Reference parity: mapper validation semantics
+    (lib/ndr_import/mapper.rb mapped_value/validate) with the gem's
+    \"<field> can't be blank\" message."""
+    from ndr_import_spark.operators.compiler import compile_records
+    from ndr_import_spark.plans.yaml_loader import load_mapping
+
+    customer = _t(spark, sf_dir, "customer")
+    cells_df = customer.select(
+        F.lit("customer.parquet").alias("source_file"),
+        F.col("c_custkey").cast("long").alias("row_index"),
+        F.array(
+            F.col("c_name").cast("string"),
+            F.col("c_mktsegment").cast("string"),
+        ).alias("cells"),
+    )
+    records = compile_records(load_mapping(_ERROR_MAPPING), cells_df, strict=False)
+    return (
+        records.select("row_index", F.explode(F.col("_errors")).alias("error"))
+        .groupBy("error")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("row_index").alias("first_row"),
+        )
+        .orderBy("error")
+    )
+
+
+_ORACLE_MAP_ERRORS = """
+SELECT 'machinery_free_segment can''t be blank' AS error,
+       count(*) AS n_rows, min(c_custkey) AS first_row
+FROM customer
+WHERE c_mktsegment = 'MACHINERY'
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3304,6 +3363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_latest_shipper": q21_sole_latest_shipper,
         "trailing_window_revenue": q_trailing_window_revenue,
         "melt_part_attrs": q_melt_part_attrs,
+        "map_validation_errors": q_map_validation_errors,
         "nontabular_extract": q_nontabular_extract,
         "xml_extract": q_xml_extract,
         "rollup_revenue": q_rollup_revenue,
@@ -3381,6 +3441,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_sole_latest_shipper": _ORACLE_Q21,
         "trailing_window_revenue": _ORACLE_TRAILING,
         "melt_part_attrs": _ORACLE_MELT,
+        "map_validation_errors": _ORACLE_MAP_ERRORS,
         "nontabular_extract": _ORACLE_NONTABULAR,
         "xml_extract": _ORACLE_XML,
         "rollup_revenue": _ORACLE_ROLLUP,
