@@ -3325,6 +3325,91 @@ WHERE c_mktsegment = 'MACHINERY'
 """
 
 
+def q_purchase_id_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: contiguous runs of event_ids within the purchase
+    stream (the sequence-integrity check a feed-completeness monitor
+    runs). The textbook rewrite (id − row_number constant per island)
+    needs a window over the WHOLE stream in one global order — a single
+    task at 100 TB. This implementation detects only the BOUNDARIES with
+    two self anti joins (id−1 absent ⇒ run start; id+1 absent ⇒ run
+    end — hash-partitioned shuffles, fully parallel) and ranks just the
+    boundary rows to pair starts with ends: the unpartitioned window
+    runs over n_islands rows, not n_events (for pathological
+    alternating sequences swap the ranking for the chunked prefix-sum
+    machinery in operators/prefix.py — same contract)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    ids = ev.select("event_id").distinct()
+    succ = ids.select((F.col("event_id") + 1).alias("event_id"))
+    pred = ids.select((F.col("event_id") - 1).alias("event_id"))
+    starts = ids.join(succ, "event_id", "left_anti")  # id-1 missing
+    ends = ids.join(pred, "event_id", "left_anti")    # id+1 missing
+    w = Window.orderBy("event_id")
+    s = starts.select(F.col("event_id").alias("run_start"),
+                      F.row_number().over(w).alias("rn"))
+    e = ends.select(F.col("event_id").alias("run_end"),
+                    F.row_number().over(w).alias("rn"))
+    runs = s.join(e, "rn").withColumn(
+        "run_len", F.col("run_end") - F.col("run_start") + 1
+    )
+    return runs.agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").alias("longest_run"),
+        F.sum(F.when(F.col("run_len") == 1, 1).otherwise(0)).alias("singletons"),
+        F.min("run_start").alias("first_id"),
+        F.max("run_end").alias("last_id"),
+    )
+
+
+_ORACLE_ISLANDS = """
+WITH isl AS (
+  SELECT event_id,
+         event_id - row_number() OVER (ORDER BY event_id) AS grp
+  FROM events WHERE event_type = 'purchase'
+), runs AS (
+  SELECT grp, count(*) AS run_len,
+         min(event_id) AS run_start, max(event_id) AS run_end
+  FROM isl GROUP BY grp
+)
+SELECT count(*) AS n_islands,
+       max(run_len) AS longest_run,
+       CAST(sum(CASE WHEN run_len = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singletons,
+       min(run_start) AS first_id, max(run_end) AS last_id
+FROM runs
+"""
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values — floor bucketing is a
+    narrow map + one combinable aggregate (the profile primitive; at
+    100 TB the same plan shape computes per-column histograms for query
+    optimisation or drift monitoring in one pass)."""
+    ev = _events(spark, sf_dir)
+    width = 10.0
+    bucket = F.floor(F.col("value") / F.lit(width)).cast("int")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .withColumn("bucket_start", F.col("bucket") * F.lit(width))
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_HISTOGRAM = """
+SELECT CAST(floor(value / 10.0) AS INT) AS bucket,
+       count(*) AS n, min(value) AS lo, max(value) AS hi,
+       CAST(floor(value / 10.0) AS INT) * 10.0 AS bucket_start
+FROM events
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3364,6 +3449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_window_revenue": q_trailing_window_revenue,
         "melt_part_attrs": q_melt_part_attrs,
         "map_validation_errors": q_map_validation_errors,
+        "purchase_id_islands": q_purchase_id_islands,
+        "value_histogram": q_value_histogram,
         "nontabular_extract": q_nontabular_extract,
         "xml_extract": q_xml_extract,
         "rollup_revenue": q_rollup_revenue,
@@ -3442,6 +3529,8 @@ def oracle_sql() -> dict[str, str]:
         "trailing_window_revenue": _ORACLE_TRAILING,
         "melt_part_attrs": _ORACLE_MELT,
         "map_validation_errors": _ORACLE_MAP_ERRORS,
+        "purchase_id_islands": _ORACLE_ISLANDS,
+        "value_histogram": _ORACLE_HISTOGRAM,
         "nontabular_extract": _ORACLE_NONTABULAR,
         "xml_extract": _ORACLE_XML,
         "rollup_revenue": _ORACLE_ROLLUP,
