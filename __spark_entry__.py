@@ -3410,6 +3410,52 @@ ORDER BY bucket
 """
 
 
+def q_nation_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group WITHOUT a window: max over an ordered struct
+    (acctbal, −custkey) is ONE map-side-combinable aggregate — partial
+    maxima merge associatively, so a hot nation costs nothing extra,
+    versus a row_number window that must co-locate every row of the
+    group before ranking. Tie-break is deterministic: highest balance,
+    then lowest custkey."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    best = (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("c_acctbal").alias("bal"),
+                    (-F.col("c_custkey")).alias("neg_key"),
+                )
+            ).alias("top")
+        )
+        .select(
+            "c_nationkey",
+            (-F.col("top.neg_key")).cast("bigint").alias("top_custkey"),
+            F.col("top.bal").alias("top_acctbal"),
+        )
+    )
+    return (
+        best.join(F.broadcast(nation), best.c_nationkey == nation.n_nationkey)
+        .select("n_name", "top_custkey", "top_acctbal")
+        .orderBy("n_name")
+    )
+
+
+_ORACLE_TOP_CUSTOMER = """
+WITH ranked AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+)
+SELECT n_name, c_custkey AS top_custkey, c_acctbal AS top_acctbal
+FROM ranked JOIN nation ON c_nationkey = n_nationkey
+WHERE rn = 1
+ORDER BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3451,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_validation_errors": q_map_validation_errors,
         "purchase_id_islands": q_purchase_id_islands,
         "value_histogram": q_value_histogram,
+        "nation_top_customer": q_nation_top_customer,
         "nontabular_extract": q_nontabular_extract,
         "xml_extract": q_xml_extract,
         "rollup_revenue": q_rollup_revenue,
@@ -3531,6 +3578,7 @@ def oracle_sql() -> dict[str, str]:
         "map_validation_errors": _ORACLE_MAP_ERRORS,
         "purchase_id_islands": _ORACLE_ISLANDS,
         "value_histogram": _ORACLE_HISTOGRAM,
+        "nation_top_customer": _ORACLE_TOP_CUSTOMER,
         "nontabular_extract": _ORACLE_NONTABULAR,
         "xml_extract": _ORACLE_XML,
         "rollup_revenue": _ORACLE_ROLLUP,
