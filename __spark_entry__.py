@@ -3457,6 +3457,232 @@ ORDER BY n_name
 
 
 # ---------------------------------------------------------------------------
+# batch-shape / retrieval / overlap operators (operators/packing.py,
+# operators/retrieval.py, operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+# shared DuckDB fragment: engine-portable token list (matches
+# textstats.tokens: lowercase, whitespace split, empties dropped)
+_SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+# shared DuckDB fragment: 16-bit md5 bucket of ('<salt>:' || doc_id) —
+# identical arithmetic to packing.md5_bucket16
+def _sql_bucket16(salt: str) -> str:
+    nib = (
+        "(CASE WHEN ascii(substr(md5('{s}:' || doc_id), {p}, 1)) >= 97 "
+        "THEN ascii(substr(md5('{s}:' || doc_id), {p}, 1)) - 87 "
+        "ELSE ascii(substr(md5('{s}:' || doc_id), {p}, 1)) - 48 END)"
+    )
+    return " + ".join(
+        f"{nib.format(s=salt, p=p)} * {w}"
+        for p, w in ((1, 4096), (2, 256), (3, 16), (4, 1))
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-pretraining batch
+    assembly stage): documents ordered within md5 hash shards, token
+    streams concatenated, cut every 512 tokens; each document lands in
+    the pack holding its first token. Per-pack summary out. The ONLY wide
+    op is a running-sum window partitioned by the uniform shard — shard
+    count is the 100 TB parallelism knob, and assignment is bit-identical
+    on any cluster size."""
+    from ndr_import_spark.operators.packing import pack_sequences
+    from ndr_import_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    packed = pack_sequences(
+        docs, "n_tok", capacity=512, num_shards=8, salt="pack"
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+def _oracle_pack_sequences() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, len({_SQL_TOKS}) AS n_tok,
+         ({_sql_bucket16("pack")}) % 8 AS shard
+  FROM documents
+), cum AS (
+  SELECT shard, doc_id, n_tok,
+    COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM tok
+)
+SELECT shard, CAST(cumb // 512 AS BIGINT) AS pack_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_tokens, min(doc_id) AS first_doc
+FROM cum GROUP BY shard, cumb // 512 ORDER BY shard, pack_id
+"""
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pad-to-power-of-two batching waste profile: per length bucket
+    (smallest power of two >= token count, computed with pure integer
+    bit-length arithmetic — no float log2), document count, real tokens,
+    padded tokens and waste fraction. The evidence table for choosing
+    packing over padding. Narrow projection + one tiny aggregate."""
+    from ndr_import_spark.operators.packing import length_bucket_stats
+    from ndr_import_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        token_count(F.col("text")).alias("n_tok")
+    )
+    return length_bucket_stats(docs, "n_tok")
+
+
+_ORACLE_LENGTH_BUCKETS = f"""
+WITH t AS (
+  SELECT greatest(len({_SQL_TOKS}), 1) AS n_tok FROM documents
+), b AS (
+  SELECT n_tok,
+    CASE WHEN n_tok = 1 THEN 1
+         ELSE (1::BIGINT << length(bin(n_tok - 1))) END AS bucket
+  FROM t
+), g AS (
+  SELECT bucket, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n_docs, sum_tokens,
+  CAST(bucket * n_docs AS BIGINT) AS padded_tokens,
+  CAST(bucket * n_docs - sum_tokens AS BIGINT) AS waste_tokens,
+  round(CAST(bucket * n_docs - sum_tokens AS DOUBLE) / (bucket * n_docs), 5)
+    AS waste_frac
+FROM g ORDER BY bucket
+"""
+
+
+_BM25_TERMS = ["spark", "hash", "window"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed query over the
+    corpus — targeted corpus search for curation. The corpus-side explode
+    is filtered to the query terms BEFORE the (doc, term) shuffle; corpus
+    scalars (N, avgdl) ride a 1-row broadcast; top-k is the bounded
+    two-phase rank. Ranking key is (score rounded 6dp DESC, doc_id) so
+    the cut is engine-deterministic."""
+    from ndr_import_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=15)
+
+
+def _oracle_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({_SQL_TOKS}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ({terms}) GROUP BY doc_id, tok
+), dft AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT t.doc_id, CAST(count(*) AS INT) AS n_terms_hit,
+    round(sum(
+      ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+      * t.tf * 2.2
+      / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+    ), 6) AS score
+  FROM tf t JOIN dft d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_terms_hit, score FROM scored
+ORDER BY score DESC, doc_id LIMIT 15
+"""
+
+
+def q_vocab_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources, estimated from
+    portable KMV sketches (Beyer et al. 2007): per-source k-min sketch of
+    the distinct-token hash set, pair Jaccard from the k smallest of the
+    sketch union — plus the exact Jaccard the estimator is validated
+    against. At 100 TB the raw vocabularies never meet: only k-row
+    sketches are joined."""
+    from ndr_import_spark.operators.sketches import kmv_jaccard
+    from ndr_import_spark.operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    toks = docs.select(
+        F.col("source"), F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return kmv_jaccard(toks, "tok", "source", k=128).orderBy(
+        "split_a", "split_b"
+    )
+
+
+_ORACLE_VOCAB_OVERLAP = f"""
+WITH pairs AS (
+  SELECT DISTINCT source AS split, unnest({_SQL_TOKS}) AS tok
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+), hashed AS (
+  SELECT split, ('0x' || substr(md5('kmv:' || tok), 1, 15))::BIGINT AS h
+  FROM pairs
+), ranked AS (
+  SELECT split, h, row_number() OVER (PARTITION BY split ORDER BY h) AS rn
+  FROM hashed
+), sketch AS (
+  SELECT split, h FROM ranked WHERE rn <= 128
+), names AS (
+  SELECT x.split AS split_a, y.split AS split_b
+  FROM (SELECT DISTINCT split FROM sketch) x,
+       (SELECT DISTINCT split FROM sketch) y
+  WHERE x.split < y.split
+), grams AS (  -- per-pair union with membership flags
+  SELECT split_a, split_b, h,
+         max(in_a) AS in_a, max(in_b) AS in_b
+  FROM (
+    SELECT n.split_a, n.split_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM names n JOIN sketch s ON s.split = n.split_a
+    UNION ALL
+    SELECT n.split_a, n.split_b, s.h, 0 AS in_a, 1 AS in_b
+    FROM names n JOIN sketch s ON s.split = n.split_b
+  ) GROUP BY split_a, split_b, h
+), est AS (
+  SELECT split_a, split_b,
+         CAST(count(*) AS INT) AS k_used,
+         CAST(sum(in_a * in_b) AS INT) AS n_both
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY split_a, split_b ORDER BY h) AS rn
+    FROM grams
+  ) WHERE rn <= 128 GROUP BY split_a, split_b
+), sizes AS (
+  SELECT split, count(*) AS n FROM pairs GROUP BY split
+), inter AS (
+  SELECT a.split AS split_a, b.split AS split_b, count(*) AS n_inter
+  FROM pairs a JOIN pairs b ON a.tok = b.tok AND a.split < b.split
+  GROUP BY a.split, b.split
+)
+SELECT e.split_a, e.split_b, e.k_used, e.n_both,
+  round(CAST(e.n_both AS DOUBLE) / e.k_used, 6) AS jaccard_est,
+  round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+        / (sa.n + sb.n - COALESCE(i.n_inter, 0)), 6) AS exact_jaccard
+FROM est e
+JOIN sizes sa ON sa.split = e.split_a
+JOIN sizes sb ON sb.split = e.split_b
+LEFT JOIN inter i ON i.split_a = e.split_a AND i.split_b = e.split_b
+ORDER BY e.split_a, e.split_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -3543,6 +3769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
+        "pack_sequences": q_pack_sequences,
+        "length_buckets": q_length_buckets,
+        "bm25_search": q_bm25_search,
+        "vocab_overlap_kmv": q_vocab_overlap_kmv,
     }
 
 
@@ -3624,4 +3854,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,
+        "pack_sequences": _oracle_pack_sequences(),
+        "length_buckets": _ORACLE_LENGTH_BUCKETS,
+        "bm25_search": _oracle_bm25(),
+        "vocab_overlap_kmv": _ORACLE_VOCAB_OVERLAP,
     }

@@ -90,3 +90,135 @@ def kmv_distinct(
         .withColumn("kmv_estimate", est)
         .select(*group_cols, "exact_distinct", "sketch_k", "kth_min_hash", "kmv_estimate")
     )
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    key_col: str,
+    split_col: str,
+    k: int = 256,
+    salt_buckets: int = 16,
+    prefix: str = "kmv:",
+) -> DataFrame:
+    """Pairwise Jaccard similarity between the key-sets of every pair of
+    splits, estimated from portable KMV sketches — the corpus-overlap
+    probe a training pipeline runs between crawl snapshots / data splits
+    (vocabulary overlap, near-identical-dump detection) without ever
+    shuffling the raw key sets against each other.
+
+    Estimator (Beyer et al. 2007): build the k-min sketch of each split;
+    for a pair (A, B), take the k smallest hashes of sketch(A) ∪ sketch(B)
+    and count how many are in both sketches — J ≈ |both| / k_used. Exact
+    per-pair Jaccard is computed alongside (from distinct (split, key)
+    pairs — the thing production drops) so callers and the oracle gate can
+    measure estimator error directly.
+
+    Plan shape at 100 TB: one dedup shuffle of (split, hash) pairs, the
+    bounded two-phase per-split k-min (no reducer ranks more than
+    ~1/salt_buckets of a split), then all pair arithmetic happens on
+    sketches of <= k rows per split — tiny, broadcast-joinable.
+
+    Returns one row per unordered split pair:
+    (split_a, split_b, k_used, n_both, jaccard_est, exact_jaccard).
+    """
+    if k < 2:
+        raise ValueError("kmv_jaccard requires k >= 2")
+    hash60 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(prefix), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    pairs = (
+        df.select(F.col(split_col).alias("_split"), F.col(key_col))
+        .distinct()
+        .withColumn("_h", hash60)
+    )
+    # bounded two-phase k-min per split (same shape as kmv_distinct)
+    salted = pairs.withColumn("_salt", F.pmod(F.col("_h"), F.lit(salt_buckets)))
+    w1 = Window.partitionBy("_split", "_salt").orderBy("_h")
+    w2 = Window.partitionBy("_split").orderBy("_h")
+    sketch = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= k)
+        .select("_split", "_h")
+    )
+    # per-pair union of the two sketches with membership flags; sketches
+    # are <= k rows per split, so every join below is sketch-sized
+    splits_a = sketch.select(F.col("_split").alias("split_a"), F.col("_h").alias("_ha"))
+    splits_b = sketch.select(F.col("_split").alias("split_b"), F.col("_h").alias("_hb"))
+    pair_names = (
+        sketch.select("_split").distinct().alias("x")
+        .crossJoin(sketch.select("_split").distinct().alias("y"))
+        .select(
+            F.col("x._split").alias("split_a"), F.col("y._split").alias("split_b")
+        )
+        .filter(F.col("split_a") < F.col("split_b"))
+    )
+    hashes_a = pair_names.join(splits_a, "split_a").select(
+        "split_a", "split_b", F.col("_ha").alias("_h"), F.lit(1).alias("_in_a")
+    )
+    hashes_b = pair_names.join(splits_b, "split_b").select(
+        "split_a", "split_b", F.col("_hb").alias("_h"), F.lit(1).alias("_in_b")
+    )
+    merged = (
+        hashes_a.join(hashes_b, ["split_a", "split_b", "_h"], "outer")
+        .select(
+            "split_a",
+            "split_b",
+            "_h",
+            F.coalesce(F.col("_in_a"), F.lit(0)).alias("_in_a"),
+            F.coalesce(F.col("_in_b"), F.lit(0)).alias("_in_b"),
+        )
+    )
+    wpair = Window.partitionBy("split_a", "split_b").orderBy("_h")
+    est = (
+        merged.withColumn("_rn", F.row_number().over(wpair))
+        .filter(F.col("_rn") <= k)
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("k_used"),
+            F.sum(F.col("_in_a") * F.col("_in_b")).cast("int").alias("n_both"),
+        )
+        .withColumn(
+            "jaccard_est",
+            F.round(F.col("n_both").cast("double") / F.col("k_used"), 6),
+        )
+    )
+    # exact per-pair Jaccard for validation (production drops this branch)
+    ka = pairs.select(F.col("_split").alias("split_a"), key_col)
+    kb = pairs.select(F.col("_split").alias("split_b"), key_col)
+    inter = (
+        ka.join(kb, key_col)
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("_n_inter"))
+    )
+    sizes = pairs.groupBy("_split").agg(F.count(F.lit(1)).alias("_n"))
+    exact = (
+        est.select("split_a", "split_b")
+        .join(
+            F.broadcast(sizes.select(F.col("_split").alias("split_a"), F.col("_n").alias("_na"))),
+            "split_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_split").alias("split_b"), F.col("_n").alias("_nb"))),
+            "split_b",
+        )
+        .join(inter, ["split_a", "split_b"], "left")
+        .select(
+            "split_a",
+            "split_b",
+            F.round(
+                F.coalesce(F.col("_n_inter"), F.lit(0)).cast("double")
+                / (F.col("_na") + F.col("_nb") - F.coalesce(F.col("_n_inter"), F.lit(0))),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return est.join(exact, ["split_a", "split_b"]).select(
+        "split_a", "split_b", "k_used", "n_both", "jaccard_est", "exact_jaccard"
+    )
