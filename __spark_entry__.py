@@ -3682,6 +3682,177 @@ ORDER BY e.split_a, e.split_b
 """
 
 
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 mixture design per source: sampling weights
+    proportional to sqrt(source tokens), expected token draws from a
+    fixed budget, oversample ratios. sqrt (not pow) so the weights are
+    IEEE-correctly-rounded — bit-identical on every engine. One
+    aggregate to source cardinality; the corpus never shuffles."""
+    from ndr_import_spark.operators.corpus import temperature_mix_weights
+    from ndr_import_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).alias("n_tok")
+    )
+    return temperature_mix_weights(
+        docs, "source", "n_tok", token_budget=1_000_000
+    ).orderBy("source")
+
+
+_ORACLE_MIX_TEMPERATURE = f"""
+WITH t AS (
+  SELECT source, len({_SQL_TOKS}) AS n_tok FROM documents
+), sizes AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM t GROUP BY source
+), z AS (
+  SELECT CAST(sum(CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS z
+  FROM sizes
+)
+SELECT source, n_tokens,
+  round(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS weight,
+  round(sqrt(CAST(n_tokens AS DOUBLE)) / z * 1000000.0, 2) AS expected_tokens,
+  round(round(sqrt(CAST(n_tokens AS DOUBLE)) / z * 1000000.0, 2) / n_tokens, 6)
+    AS oversample_ratio
+FROM sizes CROSS JOIN z ORDER BY source
+"""
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage probe: per-source out-of-vocabulary rate
+    against the corpus-global top-200 token vocabulary (frequency desc,
+    token asc ties). One explode feeds both aggregates; the elected
+    vocab is broadcast — the (source, token) frame never joins anything
+    corpus-sized."""
+    from ndr_import_spark.operators.corpus import oov_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    return oov_rate(docs, vocab_size=200)
+
+
+_ORACLE_OOV_RATE = f"""
+WITH toks AS (
+  SELECT source, unnest({_SQL_TOKS}) AS tok FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT 200
+  )
+), per AS (
+  SELECT source, tok, count(*) AS n FROM toks GROUP BY source, tok
+)
+SELECT source,
+  CAST(sum(n) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN n ELSE 0 END)
+       AS BIGINT) AS n_oov,
+  round(CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN n ELSE 0 END)
+             AS DOUBLE) / sum(n), 6) AS oov_rate
+FROM per GROUP BY source ORDER BY source
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus maintenance: diff two simulated crawl
+    snapshots (old = ids ∉ 17k+3, new = ids ∉ 19k+5, every 7th doc's
+    text revised) by content hash. Both sides project to (id, md5) at
+    scan — full rows never shuffle — then ONE full-outer equi-join on
+    the id, co-locatable via bucketing at 100 TB. Per-status counts +
+    id ranges out."""
+    from ndr_import_spark.operators.snapshot import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 3)
+    new = docs.filter(F.col("doc_id") % 19 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    d = snapshot_diff(old, new)
+    return (
+        d.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("status")
+    )
+
+
+_ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 17 <> 3
+), new AS (
+  SELECT doc_id,
+    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+  FROM documents WHERE doc_id % 19 <> 5
+), j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+    CASE WHEN o.h IS NULL THEN 'added'
+         WHEN n.h IS NULL THEN 'removed'
+         WHEN o.h <> n.h THEN 'changed'
+         ELSE 'unchanged' END AS status
+  FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT status, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM j GROUP BY status ORDER BY status
+"""
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token-ratio quality signal rolled up per language: average
+    TTR (5dp), low-diversity document count (TTR < 0.5 — boilerplate
+    suspects), total docs. Narrow per-doc arithmetic + one tiny
+    aggregate; complements the n-gram repetition score."""
+    from ndr_import_spark.operators.textstats import type_token_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    # per-doc TTR rounded then held as exact decimal so the group SUM is
+    # order-independent (float sums are not); double division only at the end
+    per_doc = docs.select(
+        "lang",
+        F.round(type_token_ratio(F.col("text")), 9)
+        .cast("decimal(12,9)")
+        .alias("ttr"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ttr").alias("_s"),
+            F.sum(F.when(F.col("ttr") < 0.5, 1).otherwise(0)).alias("n_low_diversity"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_docs").cast("double"), 5
+            ).alias("avg_ttr"),
+            "n_low_diversity",
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_LEXICAL_DIVERSITY = f"""
+WITH t AS (
+  SELECT lang, {_SQL_TOKS} AS toks FROM documents
+), ttr AS (
+  SELECT lang,
+    CAST(round(CASE WHEN len(toks) > 0
+          THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+          ELSE 1.0 END, 9) AS DECIMAL(12,9)) AS ttr
+  FROM t
+)
+SELECT lang, count(*) AS n_docs,
+  round(CAST(sum(ttr) AS DOUBLE) / count(*), 5) AS avg_ttr,
+  CAST(sum(CASE WHEN ttr < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_low_diversity
+FROM ttr GROUP BY lang ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3773,6 +3944,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": q_length_buckets,
         "bm25_search": q_bm25_search,
         "vocab_overlap_kmv": q_vocab_overlap_kmv,
+        "mix_temperature": q_mix_temperature,
+        "oov_rate": q_oov_rate,
+        "snapshot_diff": q_snapshot_diff,
+        "lexical_diversity": q_lexical_diversity,
     }
 
 
@@ -3858,4 +4033,8 @@ def oracle_sql() -> dict[str, str]:
         "length_buckets": _ORACLE_LENGTH_BUCKETS,
         "bm25_search": _oracle_bm25(),
         "vocab_overlap_kmv": _ORACLE_VOCAB_OVERLAP,
+        "mix_temperature": _ORACLE_MIX_TEMPERATURE,
+        "oov_rate": _ORACLE_OOV_RATE,
+        "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
+        "lexical_diversity": _ORACLE_LEXICAL_DIVERSITY,
     }

@@ -476,3 +476,116 @@ def hash_split(
         cond = bucket < upper
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     return df.withColumn("split", expr)
+
+
+# ---------------------------------------------------------------------------
+# mixture design
+# ---------------------------------------------------------------------------
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    token_budget: int,
+) -> DataFrame:
+    """Temperature-weighted sampling design for a training mixture: each
+    group's sampling weight is proportional to sqrt(group tokens)
+    (temperature T = 0.5 — the standard up-weight-the-tail multilingual
+    mix), normalised over groups; the plan reports each group's expected
+    token draw from `token_budget` and its oversample ratio (draws /
+    available — >1 means the group repeats epochs).
+
+    sqrt rather than a general pow(n, 1/T) because IEEE-754 sqrt is
+    correctly rounded on every engine — the weights are bit-reproducible,
+    which a regression-gated pipeline wants from its mixing stage.
+
+    Plan shape at 100 TB: one map-side-combinable aggregate to group
+    sizes (group-cardinality rows), then all mixture arithmetic happens
+    on that tiny frame against a 1-row broadcast total. The corpus is
+    read once and never shuffled."""
+    sizes = df.groupBy(group_col).agg(F.sum(F.col(size_col)).alias("n_tokens"))
+    # normaliser summed as exact decimal over 6dp-rounded sqrts: float sums
+    # are order-dependent across partitions; this one is bit-reproducible
+    total = sizes.agg(
+        F.sum(
+            F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("_z")
+    )
+    return (
+        sizes.crossJoin(F.broadcast(total))
+        .withColumn(
+            "weight",
+            F.round(F.sqrt(F.col("n_tokens").cast("double")) / F.col("_z"), 6),
+        )
+        .withColumn(
+            "expected_tokens",
+            F.round(
+                F.sqrt(F.col("n_tokens").cast("double"))
+                / F.col("_z")
+                * F.lit(float(token_budget)),
+                2,
+            ),
+        )
+        .withColumn(
+            "oversample_ratio",
+            F.round(F.col("expected_tokens") / F.col("n_tokens"), 6),
+        )
+        .select(group_col, "n_tokens", "weight", "expected_tokens", "oversample_ratio")
+    )
+
+
+# ---------------------------------------------------------------------------
+# out-of-vocabulary profiling
+# ---------------------------------------------------------------------------
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group out-of-vocabulary rate against the corpus-global
+    top-`vocab_size` token vocabulary (ties broken on token ascending) —
+    the tokenizer-coverage probe run before committing a vocab.
+
+    Plan shape at 100 TB: one explode feeding TWO map-side-combinable
+    aggregates — (token) counts for the vocabulary and (group, token)
+    counts for the per-group tallies. The elected vocabulary is
+    vocab_size rows, broadcast into a LEFT SEMI-style membership flag;
+    the corpus-scale (group, token) frame is never joined to anything
+    bigger than the broadcast vocab."""
+    from ndr_import_spark.operators.textstats import tokens
+
+    toks = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok")
+    )
+    per_group = toks.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("_n"))
+    flagged = per_group.join(
+        F.broadcast(vocab.withColumn("_in_vocab", F.lit(1))), "tok", "left"
+    )
+    return (
+        flagged.groupBy("grp")
+        .agg(
+            F.sum("_n").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), F.col("_n")).otherwise(F.lit(0))).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6),
+        )
+        .withColumnRenamed("grp", group_col)
+        .orderBy(group_col)
+    )

@@ -154,3 +154,15 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         detect_language(t).alias("pred_lang"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def type_token_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens (1.0 for empty text by
+    convention — an empty document is not 'repetitive'). Narrow, pure
+    Column; the machine-generated-boilerplate quality signal that
+    complements the n-gram repetition score."""
+    t = tokens(text)
+    return F.when(
+        F.size(t) > 0,
+        F.size(F.array_distinct(t)).cast("double") / F.size(t),
+    ).otherwise(F.lit(1.0))

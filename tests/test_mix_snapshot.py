@@ -1,0 +1,83 @@
+"""Mixture design, OOV profiling, snapshot diff, lexical diversity
+(corpus.temperature_mix_weights / corpus.oov_rate, operators/snapshot.py,
+textstats.type_token_ratio)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from ndr_import_spark.operators.corpus import oov_rate, temperature_mix_weights
+from ndr_import_spark.operators.snapshot import snapshot_diff
+from ndr_import_spark.operators.textstats import type_token_ratio
+
+
+class TestTemperatureMixWeights:
+    def test_sqrt_weighting_and_budget(self, spark):
+        df = spark.createDataFrame(
+            [("big", 900), ("small", 100)], "src string, n long"
+        )
+        out = {
+            r["src"]: r
+            for r in temperature_mix_weights(df, "src", "n", 1000).collect()
+        }
+        # sqrt weighting: 30 vs 10 -> 0.75 / 0.25 (tail up-weighted from
+        # the raw 0.9 / 0.1)
+        assert out["big"]["weight"] == pytest.approx(0.75, abs=1e-6)
+        assert out["small"]["weight"] == pytest.approx(0.25, abs=1e-6)
+        assert out["small"]["expected_tokens"] == pytest.approx(250.0, abs=0.01)
+        # the small source must repeat epochs: 250 draws from 100 tokens
+        assert out["small"]["oversample_ratio"] == pytest.approx(2.5, abs=1e-5)
+        assert out["big"]["oversample_ratio"] < 1
+
+
+class TestOovRate:
+    def test_vocab_election_and_rates(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("a", "common common common rare1"),
+                ("b", "common rare2 rare3 rare4"),
+            ],
+            "source string, text string",
+        )
+        out = {
+            r["source"]: r for r in oov_rate(df, vocab_size=1).collect()
+        }
+        # vocab = {common}; a: 1/4 oov, b: 3/4 oov
+        assert out["a"]["n_tokens"] == 4 and out["a"]["n_oov"] == 1
+        assert out["b"]["oov_rate"] == pytest.approx(0.75, abs=1e-6)
+
+    def test_tie_break_on_token(self, spark):
+        df = spark.createDataFrame(
+            [("a", "zz aa zz aa")], "source string, text string"
+        )
+        out = oov_rate(df, vocab_size=1).collect()[0]
+        # equal frequency: 'aa' wins the tie -> 'zz' is OOV
+        assert out["n_oov"] == 2
+
+
+class TestSnapshotDiff:
+    def test_all_statuses(self, spark):
+        old = spark.createDataFrame(
+            [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(2, "two"), (3, "three CHANGED"), (4, "four")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+        assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+class TestTypeTokenRatio:
+    def test_values(self, spark):
+        df = spark.createDataFrame(
+            [("a b c d",), ("a a a a",), ("",)], "text string"
+        )
+        got = [
+            r["t"]
+            for r in df.select(type_token_ratio(F.col("text")).alias("t")).collect()
+        ]
+        assert got[0] == pytest.approx(1.0)
+        assert got[1] == pytest.approx(0.25)
+        assert got[2] == pytest.approx(1.0)  # empty-text convention
