@@ -143,3 +143,45 @@ class TestNarrowPipelines:
         p = plan(text_profile(docs), "simple")
         assert "Exchange" not in p
         assert "BatchScan" in p or "FileScan" in p or "Scan parquet" in p
+
+
+class TestNewOperatorPlanShapes:
+    def test_pack_sequences_single_data_shuffle(self, spark):
+        # one Exchange partitions by shard for the window; the group-by
+        # (shard, pack) aggregate must NOT re-shuffle (grouping contains
+        # the partition key) — only the final orderBy may add exchanges
+        p = plan(entry.queries()["pack_sequences"](spark, SF_DIR), "simple")
+        pre_sort = p.split("Sort", 1)[0]
+        assert pre_sort.count("Exchange") <= 1, p
+
+    def test_bm25_corpus_side_not_force_broadcast(self, spark):
+        # tiny frames (term DF, 1-row stats) broadcast; the doc-length
+        # frame carries no hint so it stays shuffle-plannable at scale
+        p = plan(entry.queries()["bm25_search"](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p
+        assert "BroadcastExchange" in p
+
+    def test_oov_vocab_is_broadcast(self, spark):
+        p = plan(entry.queries()["oov_rate"](spark, SF_DIR), "simple")
+        assert "BroadcastExchange" in p
+        assert "CartesianProduct" not in p
+
+    def test_snapshot_diff_shuffles_hashes_not_text(self, spark):
+        # the full-outer join must move only (doc_id, md5) — the text
+        # column is hashed at scan time and must not appear in any
+        # exchange's output schema
+        df = entry.queries()["snapshot_diff"](spark, SF_DIR)
+        p = plan(df, "formatted")
+        for chunk in p.split("\n\n"):
+            if chunk.strip().startswith("(") and "Exchange" in chunk.split("\n")[0]:
+                assert "text#" not in chunk, chunk
+
+    def test_mix_temperature_no_corpus_shuffle_after_agg(self, spark):
+        # after the per-source aggregate, everything is group-cardinality:
+        # no exchange may carry the raw token column
+        p = plan(entry.queries()["mix_temperature"](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p
+
+    def test_kmv_overlap_no_cartesian(self, spark):
+        p = plan(entry.queries()["vocab_overlap_kmv"](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p
