@@ -3853,6 +3853,103 @@ FROM ttr GROUP BY lang ORDER BY lang
 """
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile (n/mean/std/min/max per coordinate)
+    — the normalisation-design pass before index build or quantisation.
+    One posexplode into a width-keyed aggregate (64 keys, each with
+    exactly n rows — skew-proof by construction); mean/std from exact
+    decimal power sums collapsed to doubles at the end."""
+    from ndr_import_spark.operators.similarity import embedding_dim_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dim_stats(emb)
+
+
+_ORACLE_DIM_STATS = """
+WITH flat AS (
+  SELECT unnest(range(0, len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+), r AS (
+  SELECT dim, v, CAST(round(v, 7) AS DECIMAL(20,7)) AS rv FROM flat
+), sums AS (
+  SELECT dim, count(*) AS n,
+    sum(rv) AS s1,
+    sum(CAST(rv * rv AS DECIMAL(38,14))) AS s2,
+    round(min(v), 7) AS min_v, round(max(v), 7) AS max_v
+  FROM r GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim, n,
+  round(CAST(s1 AS DOUBLE) / n, 6) AS mean_v,
+  round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+             / (n - 1)), 6) AS std_v,
+  min_v, max_v
+FROM sums ORDER BY dim
+"""
+
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal rolled up per language: per-doc
+    mean unigram surprisal under the corpus's own unigram distribution
+    (CCNet-style filter stand-in), then per-lang decimal-sum average and
+    both tail counts. The (doc, token) stream equi-joins the probability
+    table on the token — keyed, scalable; only the 1-row token total is
+    broadcast."""
+    from ndr_import_spark.operators.corpus import unigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = unigram_surprisal(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    s = F.col("surprisal").cast("decimal(20,6)")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(s).cast("double") / F.count(F.lit(1)).cast("double"), 5
+            ).alias("avg_surprisal"),
+            F.sum(F.when(F.col("surprisal") < 4.0, 1).otherwise(0)).alias(
+                "n_low"
+            ),
+            F.sum(F.when(F.col("surprisal") > 7.0, 1).otherwise(0)).alias(
+                "n_high"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_SURPRISAL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), counts AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+), total AS (
+  SELECT sum(n) AS total FROM counts
+), lnp AS (
+  SELECT tok,
+    CAST(round(-ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)), 9)
+         AS DECIMAL(20,9)) AS nlp
+  FROM counts CROSS JOIN total
+), per_doc AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+    round(CAST(sum(l.nlp) AS DOUBLE) / count(*), 6) AS surprisal
+  FROM toks t JOIN lnp l USING (tok) GROUP BY t.doc_id
+), with_empty AS (
+  SELECT d.doc_id, d.lang,
+    COALESCE(p.surprisal, 0.0) AS surprisal
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT lang, count(*) AS n_docs,
+  round(CAST(sum(CAST(surprisal AS DECIMAL(20,6))) AS DOUBLE) / count(*), 5)
+    AS avg_surprisal,
+  CAST(sum(CASE WHEN surprisal < 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+  CAST(sum(CASE WHEN surprisal > 7.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+FROM with_empty GROUP BY lang ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3948,6 +4045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "snapshot_diff": q_snapshot_diff,
         "lexical_diversity": q_lexical_diversity,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "unigram_surprisal": q_unigram_surprisal,
     }
 
 
@@ -4037,4 +4136,6 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate": _ORACLE_OOV_RATE,
         "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
         "lexical_diversity": _ORACLE_LEXICAL_DIVERSITY,
+        "embedding_dim_stats": _ORACLE_DIM_STATS,
+        "unigram_surprisal": _ORACLE_SURPRISAL,
     }

@@ -589,3 +589,74 @@ def oov_rate(
         .withColumnRenamed("grp", group_col)
         .orderBy(group_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram surprisal (perplexity-proxy quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram surprisal (-mean ln p(token), nats) under
+    the corpus's own unigram distribution — the cheap stand-in for the
+    LM-perplexity quality filter (CCNet-style): boilerplate full of
+    ultra-common tokens scores LOW, natural prose scores mid, garbage
+    full of rare tokens scores HIGH. Callers threshold both tails.
+
+    Plan shape at 100 TB: one explode feeding (a) the token-count
+    aggregate that defines p(t) (vocabulary-sized, shuffled once) and
+    (b) the (doc, token) occurrence stream, which joins the probability
+    table on the token hash — a keyed equi-join that scales with data,
+    no broadcast of anything corpus-sized. Per-doc sums use decimal
+    arithmetic over 9dp-rounded ln p so the result is order-independent.
+
+    Returns (id, n_tokens, surprisal) with surprisal rounded to 6dp;
+    empty documents get surprisal 0.0.
+    """
+    from ndr_import_spark.operators.textstats import tokens
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    counts = toks.groupBy("_t").agg(F.count(F.lit(1)).alias("_n"))
+    total = counts.agg(F.sum("_n").alias("_total"))
+    lnp = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "_t",
+            F.round(
+                -F.log(F.col("_n").cast("double") / F.col("_total").cast("double")),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("_nlp"),
+        )
+    )
+    per_doc = (
+        toks.join(lnp, "_t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_nlp").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.col("_s").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("surprisal"),
+        )
+    )
+    # empty documents never appear in `toks`; restore them at 0.0
+    empties = (
+        df.select(F.col(id_col))
+        .join(per_doc.select(id_col), id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit(0).cast("bigint").alias("n_tokens"),
+            F.lit(0.0).alias("surprisal"),
+        )
+    )
+    return per_doc.unionByName(empties)

@@ -368,3 +368,56 @@ def ivf_probe_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos", "rank")
     )
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    round_dp: int = 7,
+) -> DataFrame:
+    """Per-dimension profile of an embedding column — n, mean, sample std,
+    min, max for every coordinate — the normalisation/whitening-design
+    pass run before index build or quantisation.
+
+    One posexplode Generate feeding a single map-side-combinable
+    aggregate keyed by dimension (dim cardinality = vector width, so the
+    shuffle is width-sized regardless of corpus size; no skew possible —
+    every key holds exactly n rows). Mean/std come from EXACT decimal
+    power sums of values rounded to `round_dp` (float32 inputs carry <7
+    significant decimal digits, so the rounding is below input noise) and
+    collapse to doubles only at the end — the same order-independent
+    arithmetic as the moment aggregates, bit-stable across engines and
+    repartitionings."""
+    v = F.col("_v").cast("double")
+    rounded = F.round(v, round_dp).cast("decimal(20,7)")
+    return (
+        df.select(F.posexplode(F.col(vec_col)).alias("dim", "_v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(rounded).alias("_s1"),
+            F.sum((rounded * rounded).cast("decimal(38,14)")).alias("_s2"),
+            F.round(F.min(v), round_dp).alias("min_v"),
+            F.round(F.max(v), round_dp).alias("max_v"),
+        )
+        .select(
+            "dim",
+            "n",
+            F.round(F.col("_s1").cast("double") / F.col("n"), 6).alias("mean_v"),
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("_s2").cast("double")
+                        - F.col("_s1").cast("double")
+                        * F.col("_s1").cast("double")
+                        / F.col("n")
+                    )
+                    / (F.col("n") - F.lit(1))
+                ),
+                6,
+            ).alias("std_v"),
+            "min_v",
+            "max_v",
+        )
+        .orderBy("dim")
+    )

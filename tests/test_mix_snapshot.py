@@ -81,3 +81,42 @@ class TestTypeTokenRatio:
         assert got[0] == pytest.approx(1.0)
         assert got[1] == pytest.approx(0.25)
         assert got[2] == pytest.approx(1.0)  # empty-text convention
+
+
+class TestEmbeddingDimStats:
+    def test_values(self, spark):
+        from ndr_import_spark.operators.similarity import embedding_dim_stats
+
+        df = spark.createDataFrame(
+            [([1.0, 10.0],), ([3.0, 20.0],), ([5.0, 30.0],)],
+            "embedding array<float>",
+        )
+        rows = {r["dim"]: r for r in embedding_dim_stats(df).collect()}
+        assert rows[0]["n"] == 3
+        assert rows[0]["mean_v"] == pytest.approx(3.0)
+        assert rows[0]["std_v"] == pytest.approx(2.0)  # var=(4+0+4)/2=4
+        assert rows[1]["min_v"] == pytest.approx(10.0)
+        assert rows[1]["max_v"] == pytest.approx(30.0)
+
+
+class TestUnigramSurprisal:
+    def test_common_scores_low_rare_scores_high(self, spark):
+        from ndr_import_spark.operators.corpus import unigram_surprisal
+
+        df = spark.createDataFrame(
+            [
+                (1, "the the the the"),
+                (2, "the zyzzyva"),
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in unigram_surprisal(df).collect()}
+        # p(the)=5/6, p(zyzzyva)=1/6
+        p_the, p_z = 5 / 6, 1 / 6
+        assert out[1]["surprisal"] == pytest.approx(-math.log(p_the), abs=1e-5)
+        assert out[2]["surprisal"] == pytest.approx(
+            (-math.log(p_the) - math.log(p_z)) / 2, abs=1e-5
+        )
+        assert out[2]["surprisal"] > out[1]["surprisal"]
+        assert out[3]["n_tokens"] == 0 and out[3]["surprisal"] == 0.0
