@@ -3950,6 +3950,81 @@ FROM with_empty GROUP BY lang ORDER BY lang
 """
 
 
+def q_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: per (event_type, hour), z-score of
+    the hourly event count against the trailing-24-hour baseline
+    (calendar RANGE frame EXCLUDING the current hour, so the anomaly
+    cannot suppress its own baseline). Counts are integers, so the
+    baseline power sums are EXACT bigints — the z collapses to double in
+    one final expression, bit-stable on any engine. Hourly
+    pre-aggregation shrinks the window input to hours×types rows;
+    partitioned by event_type so the window parallelises."""
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hourly.createOrReplaceTempView("ev_hourly")
+    return spark.sql(
+        """
+        WITH base AS (
+          SELECT event_type, hour, n,
+                 count(*) OVER w AS base_hours,
+                 sum(n) OVER w AS s1,
+                 sum(n * n) OVER w AS s2
+          FROM ev_hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                       RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                                 AND INTERVAL 1 HOUR PRECEDING)
+        ), stats AS (
+          -- CASE evaluates lazily, so the divisions only run when
+          -- base_hours >= 6 (hence base_hours - 1 > 0)
+          SELECT event_type, hour, n, base_hours,
+                 CASE WHEN base_hours >= 6
+                      THEN CAST(s1 AS DOUBLE) / base_hours END AS mu,
+                 CASE WHEN base_hours >= 6
+                      THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / base_hours)
+                           / (base_hours - 1) END AS var
+          FROM base
+        )
+        SELECT event_type, hour, n, base_hours,
+               round(CASE WHEN var > 0 THEN (n - mu) / sqrt(var) END, 5) AS z,
+               CASE WHEN var > 0 AND abs((n - mu) / sqrt(var)) > 2.0
+                    THEN 1 ELSE 0 END AS is_anomaly
+        FROM stats ORDER BY event_type, hour
+        """
+    )
+
+
+_ORACLE_EVENT_ANOMALIES = """
+WITH ev_hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY event_type, hour
+), base AS (
+  SELECT event_type, hour, n,
+         count(*) OVER w AS base_hours,
+         CAST(sum(n) OVER w AS BIGINT) AS s1,
+         CAST(sum(n * n) OVER w AS BIGINT) AS s2
+  FROM ev_hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                         AND INTERVAL 1 HOUR PRECEDING)
+), stats AS (
+  SELECT event_type, hour, n, base_hours,
+         CASE WHEN base_hours >= 6
+              THEN CAST(s1 AS DOUBLE) / base_hours END AS mu,
+         CASE WHEN base_hours >= 6
+              THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / base_hours)
+                   / (base_hours - 1) END AS var
+  FROM base
+)
+SELECT event_type, hour, n, base_hours,
+       round(CASE WHEN var > 0 THEN (n - mu) / sqrt(var) END, 5) AS z,
+       CASE WHEN var > 0 AND abs((n - mu) / sqrt(var)) > 2.0
+            THEN 1 ELSE 0 END AS is_anomaly
+FROM stats ORDER BY event_type, hour
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4047,6 +4122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "embedding_dim_stats": q_embedding_dim_stats,
         "unigram_surprisal": q_unigram_surprisal,
+        "event_rate_anomalies": q_event_rate_anomalies,
     }
 
 
@@ -4138,4 +4214,5 @@ def oracle_sql() -> dict[str, str]:
         "lexical_diversity": _ORACLE_LEXICAL_DIVERSITY,
         "embedding_dim_stats": _ORACLE_DIM_STATS,
         "unigram_surprisal": _ORACLE_SURPRISAL,
+        "event_rate_anomalies": _ORACLE_EVENT_ANOMALIES,
     }

@@ -120,3 +120,35 @@ class TestUnigramSurprisal:
         )
         assert out[2]["surprisal"] > out[1]["surprisal"]
         assert out[3]["n_tokens"] == 0 and out[3]["surprisal"] == 0.0
+
+
+class TestEventRateAnomalies:
+    def test_spike_is_flagged(self, spark):
+        import datetime as dt
+        import __spark_entry__ as entry_mod
+
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        # varying 4-6 events/hour baseline (zero-variance baselines are
+        # unscorable by design), with a 50-event spike at hour 40
+        for h in range(48):
+            n = 50 if h == 40 else 4 + (h % 3)
+            for i in range(n):
+                rows.append((eid, base + dt.timedelta(hours=h, seconds=i), 1,
+                             "click", 1.0, "{}"))
+                eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.parquet(os.path.join(tmp, "events.parquet"))
+            out = entry_mod.queries()["event_rate_anomalies"](spark, tmp)
+            flagged = [r for r in out.collect() if r["is_anomaly"] == 1]
+        assert len(flagged) == 1
+        assert flagged[0]["n"] == 50
+        assert flagged[0]["hour"].hour == (base + dt.timedelta(hours=40)).hour
+        assert flagged[0]["z"] > 2
