@@ -4025,6 +4025,75 @@ FROM stats ORDER BY event_type, hour
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a simulated ingest batch (ids ≡ 7 mod 10)
+    probed against the existing corpus — existing×existing pairs are
+    never re-derived, and with the shared permutation salt a production
+    deployment probes a STORED (band, key) index instead of re-shingling
+    the corpus. Returns verified (new_id, old_id, jaccard) pairs."""
+    from ndr_import_spark.operators.dedup import incremental_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 7)
+    old = docs.filter(F.col("doc_id") % 10 != 7)
+    return incremental_neardup_pairs(
+        old, new, k=16, bands=4, verify_threshold=0.5
+    ).orderBy("new_id", "old_id")
+
+
+def _oracle_incremental_dedup(
+    k: int = 16, bands: int = 4, shingle_n: int = 5, thr: float = 0.5
+) -> str:
+    from ndr_import_spark.operators.dedup import MINHASH_P, minhash_perm_consts
+
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    sh = (
+        f"list_distinct(list_transform(range(1, greatest(length({norm}) - {shingle_n} + 1, 1) + 1), "
+        f"i -> substring({norm}, i, {shingle_n})))"
+    )
+    rows = k // bands
+    consts = minhash_perm_consts(k, "mh")
+    hs = (
+        "list_distinct(list_transform(sh, s -> "
+        "cast(('0x' || substring(md5(s), 1, 15)) as bigint) "
+        f"& {(1 << 30) - 1}))"
+    )
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in consts
+    )
+    band_keys = " UNION ALL ".join(
+        f"SELECT doc_id, is_new, {b} AS band, "
+        f"md5(array_to_string(sig[{b * rows + 1}:{(b + 1) * rows}], ',')) AS key FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END AS is_new,
+         {sh} AS sh
+  FROM documents
+), hashed AS (
+  SELECT doc_id, is_new, {hs} AS hs FROM shingled
+), sigs AS (
+  SELECT doc_id, is_new, [{sig_items}] AS sig FROM hashed
+), banded AS ({band_keys}),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS old_id
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.is_new = 1 AND r.is_new = 0
+)
+SELECT p.new_id, p.old_id,
+  round(cast(len(list_intersect(a.hs, b.hs)) as double) /
+        len(list_distinct(list_concat(a.hs, b.hs))), 5) AS jaccard
+FROM pairs p
+JOIN hashed a ON a.doc_id = p.new_id
+JOIN hashed b ON b.doc_id = p.old_id
+WHERE cast(len(list_intersect(a.hs, b.hs)) as double) /
+      len(list_distinct(list_concat(a.hs, b.hs))) >= {thr}
+ORDER BY new_id, old_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4123,6 +4192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "unigram_surprisal": q_unigram_surprisal,
         "event_rate_anomalies": q_event_rate_anomalies,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -4215,4 +4285,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_stats": _ORACLE_DIM_STATS,
         "unigram_surprisal": _ORACLE_SURPRISAL,
         "event_rate_anomalies": _ORACLE_EVENT_ANOMALIES,
+        "incremental_dedup": _oracle_incremental_dedup(),
     }

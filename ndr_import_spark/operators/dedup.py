@@ -584,3 +584,101 @@ def embedding_neardup_drops(
             F.max("cos").alias("max_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup (new batch vs existing corpus)
+# ---------------------------------------------------------------------------
+
+
+def incremental_neardup_pairs(
+    existing: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    verify_threshold: float | None = 0.5,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs between a NEW ingest batch and the EXISTING
+    corpus — the production shape for continuously-refreshed corpora:
+    existing×existing pairs are never re-derived, only new→existing (and
+    the caller chains `minhash_lsh_pairs(new)` for new×new).
+
+    Ids must be disjoint across the two sides (true of any append-only
+    ingest). Both sides use the SAME permutation salt as the batch
+    pipeline, so a production deployment stores each ingest's (band, key)
+    index and shingle-hash sets once (bucketed by band key) and this
+    probe degenerates to an equi-join against the stored index — the
+    existing corpus's TEXT is never re-read, let alone re-shingled. Here
+    both sides are built in one pass over old ∪ new with a side flag so
+    the pipeline shares one shingle stage and one cache.
+
+    Returns (new_id, old_id, jaccard) — jaccard over hashed shingle sets,
+    verified exactly, threshold-filtered like the batch pair finder.
+    """
+    tagged = existing.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text"), F.lit(0).alias("_new")
+    ).unionByName(
+        new.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_text"), F.lit(1).alias("_new")
+        )
+    )
+    parallelism = tagged.sparkSession.sparkContext.defaultParallelism
+    if tagged.rdd.getNumPartitions() < parallelism:
+        tagged = tagged.repartition(parallelism)
+    # same Generate barrier as _shingle_base: one normalisation per row
+    base = tagged.select(
+        "_id", "_new", F.explode(F.array(normalize_text(F.col("_text")))).alias("_norm")
+    )
+    shingled = base.select(
+        "_id", "_new", _shingles_from_norm(F.col("_norm"), shingle_n).alias("_sh")
+    )
+    hashed = _evict_then_persist(
+        shingled.select(
+            "_id", "_new", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
+        )
+    )
+    rows = k // bands
+    with_sig = hashed.select(
+        "_id", "_new", minhash_signatures_column(F.col("_hs"), k, "mh").alias("_sig")
+    )
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col("_sig")[b * rows + i].cast("string") for i in range(rows)],
+                )
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    banded = with_sig.select("_id", "_new", F.explode(band_structs).alias("bk")).select(
+        "_id", "_new", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    pairs = (
+        banded.filter(F.col("_new") == 1)
+        .alias("l")
+        .join(banded.filter(F.col("_new") == 0).alias("r"), ["band", "key"])
+        .select(F.col("l._id").alias("new_id"), F.col("r._id").alias("old_id"))
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    a = hashed.filter(F.col("_new") == 1).select(
+        F.col("_id").alias("new_id"), F.col("_hs").alias("_sha")
+    )
+    b = hashed.filter(F.col("_new") == 0).select(
+        F.col("_id").alias("old_id"), F.col("_hs").alias("_shb")
+    )
+    verified = pairs.join(a, "new_id").join(b, "old_id")
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size(F.array_union(F.col("_sha"), F.col("_shb")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    out = verified.select("new_id", "old_id", jac.alias("_jac"))
+    if verify_threshold is not None:
+        out = out.filter(F.col("_jac") >= verify_threshold)
+    return out.select(
+        "new_id", "old_id", F.round(F.col("_jac"), 5).alias("jaccard")
+    )

@@ -152,3 +152,34 @@ class TestEventRateAnomalies:
         assert flagged[0]["n"] == 50
         assert flagged[0]["hour"].hour == (base + dt.timedelta(hours=40)).hour
         assert flagged[0]["z"] > 2
+
+
+class TestIncrementalDedup:
+    def test_new_probes_old_only(self, spark):
+        from ndr_import_spark.operators.dedup import incremental_neardup_pairs
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        old = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base + " tail"),          # near-dup of 1 (old x old)
+                (3, "completely different content about spark shuffles"),
+            ],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (100, base + " slightly"),     # near-dup of 1 and 2
+                (101, "nothing like anything seen before in any corpus"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = incremental_neardup_pairs(
+            old, new, verify_threshold=0.5
+        ).collect()
+        got = {(r["new_id"], r["old_id"]) for r in rows}
+        assert (100, 1) in got and (100, 2) in got
+        # old x old near-dup pair (1, 2) must NOT be re-derived
+        assert all(nid >= 100 for nid, _ in got)
+        assert all(oid < 100 for _, oid in got)
+        assert all(r["jaccard"] >= 0.5 for r in rows)
