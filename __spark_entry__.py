@@ -4094,6 +4094,75 @@ ORDER BY new_id, old_id
 """
 
 
+def q_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit: a simulated takedown list (ids ≡ 13
+    mod 97) propagated across the corpus, its chunk table (provenance
+    doc_id), its embedding table, and the exact-dup group table (groups
+    whose canonical representative is deleted must re-elect). Each
+    artifact scans once and LEFT-joins the distinct delete list — keyed,
+    no forced broadcast, so a mass takedown stays shuffle-plannable."""
+    from ndr_import_spark.operators.corpus import chunk_documents
+    from ndr_import_spark.operators.dedup import exact_duplicate_groups
+    from ndr_import_spark.operators.snapshot import delete_cascade
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    deletes = docs.filter(F.col("doc_id") % 97 == 13).select("doc_id")
+    chunks = chunk_documents(docs, chunk_words=64, overlap=16)
+    groups = exact_duplicate_groups(docs)
+    return delete_cascade(
+        deletes,
+        [
+            ("chunks", chunks, "doc_id"),
+            ("dedup_groups", groups, "canonical_id"),
+            ("documents", docs, "doc_id"),
+            ("embeddings", emb, "vec_id"),
+        ],
+    ).orderBy("artifact")
+
+
+_ORACLE_DELETE_PROPAGATION = f"""
+WITH dels AS (
+  SELECT doc_id FROM documents WHERE doc_id % 97 = 13
+), tok AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_words
+  FROM documents
+), chunks AS (
+  SELECT doc_id,
+    1 + CAST(ceil(greatest(n_words - 64, 0) / 48.0) AS BIGINT) AS n_chunks
+  FROM tok
+), groups AS (
+  SELECT min(doc_id) AS canonical_id
+  FROM (SELECT doc_id,
+          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+        FROM documents)
+  GROUP BY h HAVING count(*) > 1
+), rows AS (
+  SELECT 'chunks' AS artifact,
+    CAST(COALESCE(sum(n_chunks), 0) AS BIGINT) AS n_before,
+    CAST(COALESCE(sum(CASE WHEN doc_id IN (SELECT doc_id FROM dels)
+             THEN n_chunks ELSE 0 END), 0) AS BIGINT) AS n_removed
+  FROM chunks
+  UNION ALL
+  SELECT 'dedup_groups', count(*),
+    CAST(COALESCE(sum(CASE WHEN canonical_id IN (SELECT doc_id FROM dels)
+             THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM groups
+  UNION ALL
+  SELECT 'documents', count(*),
+    CAST(COALESCE(sum(CASE WHEN doc_id % 97 = 13 THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'embeddings', count(*),
+    CAST(COALESCE(sum(CASE WHEN vec_id IN (SELECT doc_id FROM dels)
+             THEN 1 ELSE 0 END), 0) AS BIGINT)
+  FROM embeddings
+)
+SELECT artifact, n_before, n_removed, n_before - n_removed AS n_after
+FROM rows ORDER BY artifact
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4193,6 +4262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": q_unigram_surprisal,
         "event_rate_anomalies": q_event_rate_anomalies,
         "incremental_dedup": q_incremental_dedup,
+        "delete_propagation": q_delete_propagation,
     }
 
 
@@ -4286,4 +4356,5 @@ def oracle_sql() -> dict[str, str]:
         "unigram_surprisal": _ORACLE_SURPRISAL,
         "event_rate_anomalies": _ORACLE_EVENT_ANOMALIES,
         "incremental_dedup": _oracle_incremental_dedup(),
+        "delete_propagation": _ORACLE_DELETE_PROPAGATION,
     }

@@ -42,3 +42,50 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(F.col("_id").alias(id_col), status.alias("status"))
+
+
+def delete_cascade(
+    deletes: DataFrame,
+    artifacts: list[tuple[str, DataFrame, str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Right-to-erasure impact report: for every derived artifact, how
+    many rows reference a deleted source document and must go.
+
+    `artifacts` is [(name, frame, provenance_col)] — e.g. the corpus
+    itself, its chunk table, its embedding table, its dedup-group table.
+    Returns one row per artifact: (artifact, n_before, n_removed,
+    n_after), the audit record a takedown pipeline logs before running
+    the actual anti-join deletes.
+
+    Plan shape at 100 TB: each artifact is scanned once and LEFT-joins
+    the distinct delete list on its provenance key — keyed equi-joins
+    with no forced broadcast (delete lists are usually tiny and AQE will
+    broadcast them, but a court-ordered mass takedown stays
+    shuffle-plannable). The per-artifact summaries are 1-row aggregates
+    unioned driver-side — plan-level composition, zero extra actions."""
+    d = (
+        deletes.select(F.col(id_col).alias("_del"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    parts = []
+    for name, df, key in artifacts:
+        flagged = df.join(
+            d.withColumnRenamed("_del", key), key, "left"
+        )
+        parts.append(
+            flagged.agg(
+                F.count(F.lit(1)).alias("n_before"),
+                F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_removed"),
+            ).select(
+                F.lit(name).alias("artifact"),
+                "n_before",
+                "n_removed",
+                (F.col("n_before") - F.col("n_removed")).alias("n_after"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -183,3 +183,36 @@ class TestIncrementalDedup:
         assert all(nid >= 100 for nid, _ in got)
         assert all(oid < 100 for _, oid in got)
         assert all(r["jaccard"] >= 0.5 for r in rows)
+
+
+class TestDeleteCascade:
+    def test_counts_per_artifact(self, spark):
+        from ndr_import_spark.operators.snapshot import delete_cascade
+
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+        )
+        chunks = spark.createDataFrame(
+            [(i % 5, i) for i in range(20)], "doc_id long, chunk_id long"
+        )
+        deletes = docs.filter(F.col("doc_id").isin(2, 3)).select("doc_id")
+        out = {
+            r["artifact"]: r
+            for r in delete_cascade(
+                deletes, [("documents", docs, "doc_id"), ("chunks", chunks, "doc_id")]
+            ).collect()
+        }
+        assert out["documents"]["n_before"] == 10
+        assert out["documents"]["n_removed"] == 2
+        assert out["documents"]["n_after"] == 8
+        # chunks: doc_ids 0-4 each appear 4 times; deleting 2,3 removes 8
+        assert out["chunks"]["n_removed"] == 8
+        assert out["chunks"]["n_after"] == 12
+
+    def test_empty_delete_list(self, spark):
+        from ndr_import_spark.operators.snapshot import delete_cascade
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        empty = docs.filter(F.col("doc_id") < 0).select("doc_id")
+        row = delete_cascade(empty, [("documents", docs, "doc_id")]).collect()[0]
+        assert row["n_removed"] == 0 and row["n_after"] == 1
