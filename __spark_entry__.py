@@ -4163,6 +4163,100 @@ FROM rows ORDER BY artifact
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: each content group keeps its
+    highest-quality member (rounded score, id tiebreak) instead of an
+    arbitrary or min-id row — elected with a map-side-combinable
+    ordered-struct MAX, no window, no skew funnel. Summary per lang."""
+    from ndr_import_spark.operators.dedup import drop_exact_duplicates_by_quality
+    from ndr_import_spark.operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = drop_exact_duplicates_by_quality(docs, quality_score(F.col("text")))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_DEDUP_KEEP_BEST = f"""
+WITH t AS (
+  SELECT *, {_SQL_TOKS} AS toks,
+    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+  FROM documents
+), scored AS (
+  SELECT *, round((
+      least(len(toks) / 20.0, 1.0)
+    + (CASE WHEN len(toks) > 0 AND
+            CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+              BETWEEN 3 AND 10
+       THEN 1.0 ELSE 0.5 END)
+    + (1.0 - least((CASE WHEN length(text) > 0 THEN
+         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+         / length(text) ELSE 0 END) * 4, 1.0))
+    + (CASE WHEN length(text) > 0 THEN
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         / length(text) ELSE 0 END)
+  ) / 4, 5) AS q
+  FROM t
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY h
+                               ORDER BY round(q, 9) DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id, max(doc_id) AS max_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM ranked WHERE rn = 1 GROUP BY lang ORDER BY lang
+"""
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase mining: top-50 adjacent-word collocations by PMI (min pair
+    count 5) — tokenizer-vocabulary / word2phrase input. Bigrams are the
+    lambda-free zip-struct explode counted by one combinable aggregate;
+    unigram attach joins pair-cardinality frames; only 1-row totals
+    broadcast."""
+    from ndr_import_spark.operators.corpus import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, k=50)
+
+
+_ORACLE_PMI = f"""
+WITH toks AS (
+  SELECT {_SQL_TOKS} AS ts FROM documents
+), uni AS (
+  SELECT w, count(*) AS nu FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+), tu AS (
+  SELECT CAST(sum(nu) AS BIGINT) AS tu FROM uni
+), bigs AS (
+  SELECT w1, w2, count(*) AS nb FROM (
+    SELECT unnest(ts[1:len(ts)-1]) AS w1, unnest(ts[2:len(ts)]) AS w2
+    FROM toks WHERE len(ts) >= 2
+  ) GROUP BY w1, w2
+), tb AS (
+  SELECT CAST(sum(nb) AS BIGINT) AS tb FROM bigs
+)
+SELECT b.w1, b.w2, b.nb AS n_pair,
+  round(ln((CAST(b.nb AS DOUBLE) / tb.tb)
+           / ((CAST(u1.nu AS DOUBLE) / tu.tu) * (CAST(u2.nu AS DOUBLE) / tu.tu))), 6)
+    AS pmi
+FROM bigs b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN tu CROSS JOIN tb
+WHERE b.nb >= 5
+ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC
+LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4263,6 +4357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rate_anomalies": q_event_rate_anomalies,
         "incremental_dedup": q_incremental_dedup,
         "delete_propagation": q_delete_propagation,
+        "dedup_keep_best": q_dedup_keep_best,
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -4357,4 +4453,6 @@ def oracle_sql() -> dict[str, str]:
         "event_rate_anomalies": _ORACLE_EVENT_ANOMALIES,
         "incremental_dedup": _oracle_incremental_dedup(),
         "delete_propagation": _ORACLE_DELETE_PROPAGATION,
+        "dedup_keep_best": _ORACLE_DEDUP_KEEP_BEST,
+        "pmi_collocations": _ORACLE_PMI,
     }

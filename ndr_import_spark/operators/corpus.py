@@ -660,3 +660,88 @@ def unigram_surprisal(
         )
     )
     return per_doc.unionByName(empties)
+
+
+# ---------------------------------------------------------------------------
+# collocation mining (PMI)
+# ---------------------------------------------------------------------------
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-`k` adjacent-word collocations by pointwise mutual information
+    — the phrase-mining pass that feeds tokenizer vocabulary building and
+    word2phrase-style phrase merging.
+
+    PMI(a, b) = ln( p(ab) / (p(a) p(b)) ) with p from corpus counts
+    (bigrams over total bigrams, unigrams over total unigrams); pairs
+    below `min_count` occurrences are dropped before scoring (rare-pair
+    PMI is degenerate). Ranking is (rounded PMI desc, pair asc) so the
+    cut is engine-deterministic.
+
+    Plan shape at 100 TB: the bigram stream is the zip-struct explode
+    (lambda-free codegen), counted by ONE map-side-combinable aggregate;
+    unigram counts ride a second aggregate over the same scan; the two
+    1-row totals broadcast, and the per-pair unigram attach joins the
+    bigram-vocabulary frame (already collapsed to pair cardinality)
+    against the unigram vocabulary — nothing corpus-sized shuffles twice.
+    Top-k via TakeOrderedAndProject over the min_count-filtered pairs."""
+    toks = df.select(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
+        .alias("_ts")
+    )
+    # adjacent pairs via zip of the array with its own tail — codegen, no lambda-capture re-evaluation issues (slice operands are attributes)
+    exploded = toks.select(F.explode(F.col("_ts")).alias("_w"))
+    uni = exploded.groupBy("_w").agg(F.count(F.lit(1)).alias("_nu"))
+    total_uni = uni.agg(F.sum("_nu").alias("_tu"))
+    n = F.size(F.col("_ts"))
+    pairs = (
+        df.select(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+            ).alias("_ts")
+        )
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_ts"), 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice(F.col("_ts"), 2, F.greatest(n - 1, F.lit(0))),
+                )
+            ).alias("_bg")
+        )
+        .select(
+            F.col("_bg").getField("0").alias("w1"),
+            F.col("_bg").getField("1").alias("w2"),
+        )
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_nb"))
+    total_big = big.agg(F.sum("_nb").alias("_tb"))
+    scored = (
+        big.filter(F.col("_nb") >= min_count)
+        .join(F.broadcast(total_big))
+        .join(uni.select(F.col("_w").alias("w1"), F.col("_nu").alias("_n1")), "w1")
+        .join(uni.select(F.col("_w").alias("w2"), F.col("_nu").alias("_n2")), "w2")
+        .join(F.broadcast(total_uni))
+        .select(
+            "w1",
+            "w2",
+            F.col("_nb").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("_nb").cast("double") / F.col("_tb"))
+                    / (
+                        (F.col("_n1").cast("double") / F.col("_tu"))
+                        * (F.col("_n2").cast("double") / F.col("_tu"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)

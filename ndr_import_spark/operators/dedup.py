@@ -682,3 +682,36 @@ def incremental_neardup_pairs(
     return out.select(
         "new_id", "old_id", F.round(F.col("_jac"), 5).alias("jaccard")
     )
+
+
+def drop_exact_duplicates_by_quality(
+    df: DataFrame,
+    score: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping each content group's HIGHEST-`score` member
+    (ties broken on ascending id) — the production election rule: when a
+    crawl yields the same text from several sources, keep the copy whose
+    metadata/quality is best, not an arbitrary or merely lowest-id row.
+
+    Same single-shuffle shape as `drop_exact_duplicates`: the winner per
+    content hash is elected with an ordered-struct MAX aggregate
+    ((score, -id) lexicographic), which is map-side combinable — no
+    window, no per-group sort, no skew funnel (a billion-copy boilerplate
+    group still reduces via partial aggregates). The rounded score makes
+    the election engine-deterministic."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    w = df.select("*", h.alias("_h"), F.round(score, 9).alias("_q"))
+    keep = (
+        w.groupBy("_h")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_q").alias("q"), (-F.col(id_col)).alias("neg_id")
+                )
+            ).alias("_top")
+        )
+        .select("_h", (-F.col("_top.neg_id")).cast("long").alias(id_col))
+    )
+    return w.join(keep, ["_h", id_col], "inner").drop("_h", "_q")

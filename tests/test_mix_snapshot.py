@@ -216,3 +216,48 @@ class TestDeleteCascade:
         empty = docs.filter(F.col("doc_id") < 0).select("doc_id")
         row = delete_cascade(empty, [("documents", docs, "doc_id")]).collect()[0]
         assert row["n_removed"] == 0 and row["n_after"] == 1
+
+
+class TestDedupKeepBest:
+    def test_highest_score_wins(self, spark):
+        from ndr_import_spark.operators.dedup import (
+            drop_exact_duplicates_by_quality,
+        )
+
+        # ids 1 and 2 share content (normalised); 2 has the higher score
+        df = spark.createDataFrame(
+            [(1, "Hello World", 0.3), (2, "hello world", 0.9), (3, "other", 0.1)],
+            "doc_id long, text string, s double",
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in drop_exact_duplicates_by_quality(df, F.col("s")).collect()
+        )
+        assert kept == [2, 3]
+
+    def test_tie_breaks_on_min_id(self, spark):
+        from ndr_import_spark.operators.dedup import (
+            drop_exact_duplicates_by_quality,
+        )
+
+        df = spark.createDataFrame(
+            [(5, "same", 0.5), (4, "same", 0.5)], "doc_id long, text string, s double"
+        )
+        kept = [r["doc_id"] for r in
+                drop_exact_duplicates_by_quality(df, F.col("s")).collect()]
+        assert kept == [4]
+
+
+class TestPmiCollocations:
+    def test_collocation_ranks_top(self, spark):
+        from ndr_import_spark.operators.corpus import pmi_collocations
+
+        # "new york" always adjacent; filler words scattered
+        rows = [("new york is big and new york is old",)] * 3 + [
+            ("and is big old and big is old",)
+        ] * 3
+        df = spark.createDataFrame(rows, "text string")
+        out = pmi_collocations(df, min_count=5, k=3).collect()
+        assert (out[0]["w1"], out[0]["w2"]) == ("new", "york")
+        assert out[0]["n_pair"] == 6
+        assert out[0]["pmi"] > 0
