@@ -4257,6 +4257,88 @@ LIMIT 50
 """
 
 
+def q_decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination provenance (the audit trail behind `decontaminate`'s
+    drop list): per contaminated corpus doc, how many eval docs it
+    overlaps, distinct shared 4-grams, and the first matching eval id.
+    Eval (gram, id) pairs broadcast; only matching grams reach the
+    aggregate."""
+    from ndr_import_spark.operators.corpus import decontaminate_report
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate_report(corpus, eval_set, n=4).orderBy("doc_id")
+
+
+_ORACLE_DECONTAMINATE_REPORT = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS wds
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(wds) - 2, 1)),
+                               i -> array_to_string(wds[i:i+3], ' '))) AS gram
+  FROM w
+), ev AS (
+  SELECT DISTINCT doc_id AS eid, gram FROM g WHERE doc_id % 50 = 0
+), m AS (
+  SELECT g.doc_id, ev.eid, g.gram
+  FROM g JOIN ev USING (gram)
+  WHERE g.doc_id % 50 <> 0
+)
+SELECT doc_id,
+  count(DISTINCT eid) AS n_eval_docs,
+  count(DISTINCT gram) AS n_shared_grams,
+  min(eid) AS first_eval_id
+FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the release-note headline numbers (volume,
+    cardinalities, exact-dup surplus, empties) as (metric, value) rows —
+    two combinable aggregates over one narrow projection, constant-size
+    output."""
+    from ndr_import_spark.operators.corpus import corpus_card
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_card(docs)
+
+
+_ORACLE_CORPUS_CARD = f"""
+WITH per AS (
+  SELECT doc_id, lang, source,
+    len({_SQL_TOKS}) AS nt,
+    length(text) AS nc,
+    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+  FROM documents
+), base AS (
+  SELECT count(*) AS n_docs,
+    CAST(sum(nt) AS BIGINT) AS n_tokens,
+    CAST(sum(nc) AS BIGINT) AS n_chars,
+    count(DISTINCT lang) AS n_langs,
+    count(DISTINCT source) AS n_sources,
+    count(DISTINCT h) AS n_unique_contents,
+    CAST(COALESCE(sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS n_empty
+  FROM per
+)
+SELECT metric, value FROM (
+  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
+  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM base
+  UNION ALL SELECT 'n_chars', CAST(n_chars AS DOUBLE) FROM base
+  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM base
+  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM base
+  UNION ALL SELECT 'n_unique_contents', CAST(n_unique_contents AS DOUBLE) FROM base
+  UNION ALL SELECT 'n_empty', CAST(n_empty AS DOUBLE) FROM base
+  UNION ALL SELECT 'n_exact_dup_surplus',
+    CAST(n_docs - n_unique_contents AS DOUBLE) FROM base
+) ORDER BY metric
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4359,6 +4441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_propagation": q_delete_propagation,
         "dedup_keep_best": q_dedup_keep_best,
         "pmi_collocations": q_pmi_collocations,
+        "decontaminate_report": q_decontaminate_report,
+        "corpus_card": q_corpus_card,
     }
 
 
@@ -4455,4 +4539,6 @@ def oracle_sql() -> dict[str, str]:
         "delete_propagation": _ORACLE_DELETE_PROPAGATION,
         "dedup_keep_best": _ORACLE_DEDUP_KEEP_BEST,
         "pmi_collocations": _ORACLE_PMI,
+        "decontaminate_report": _ORACLE_DECONTAMINATE_REPORT,
+        "corpus_card": _ORACLE_CORPUS_CARD,
     }

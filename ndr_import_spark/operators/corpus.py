@@ -745,3 +745,112 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(k)
+
+
+def decontaminate_report(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contamination PROVENANCE: for each contaminated corpus document,
+    how many eval documents it overlaps, how many distinct shared
+    n-grams, and the smallest matching eval id — the audit trail a
+    release review wants alongside `ngram_decontaminate`'s drop list
+    (which eval benchmark leaked, and how badly, not just "drop it").
+
+    Same 100 TB shape as the drop-list variant: the eval side's
+    (gram-key, eval-id) pairs are built once and broadcast (still
+    eval-sized); the corpus gram stream INNER-joins it map-side, so only
+    matching grams — contamination-sized, not corpus-sized — reach the
+    per-document aggregate. Distinct counts run on the compact md5 keys.
+    """
+    gram_key = lambda g: F.unhex(F.substring(F.md5(g), 1, 16))  # noqa: E731
+    eval_grams = (
+        exploded_word_ngrams(eval_set, text_col, id_col, n)
+        .select(
+            F.col(id_col).alias("_eid"), gram_key(F.col("_g")).alias("_gk")
+        )
+        .distinct()
+    )
+    corpus_grams = exploded_word_ngrams(corpus, text_col, id_col, n).select(
+        id_col, gram_key(F.col("_g")).alias("_gk")
+    )
+    matched = corpus_grams.join(F.broadcast(eval_grams), "_gk")
+    return (
+        matched.groupBy(id_col)
+        .agg(
+            F.countDistinct("_eid").alias("n_eval_docs"),
+            F.countDistinct("_gk").alias("n_shared_grams"),
+            F.min("_eid").alias("first_eval_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# dataset card
+# ---------------------------------------------------------------------------
+
+
+def corpus_card(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One-pass dataset card: the headline numbers a corpus release
+    publishes — document/token/char volume, language and source
+    cardinalities, exact-duplicate surplus, and empty-document count —
+    as (metric, value) rows.
+
+    Everything derives from TWO map-side-combinable aggregates (one over
+    a narrow per-doc projection, one over content-hash groups) cross-
+    composed driver-side into a constant-size result. No window, no
+    join wider than the 1-row summaries."""
+    from ndr_import_spark.operators.textstats import normalize_text, token_count
+
+    per_doc = df.select(
+        F.col(id_col),
+        F.col("lang"),
+        F.col("source"),
+        token_count(F.col(text_col)).alias("_nt"),
+        F.length(F.col(text_col)).alias("_nc"),
+        F.md5(normalize_text(F.col(text_col))).alias("_h"),
+    )
+    base = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum("_nc").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("_h").alias("n_unique_contents"),
+        F.sum(F.when(F.col("_nt") == 0, 1).otherwise(0)).alias("n_empty"),
+    )
+    rows = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("metric"),
+                        F.col(name).cast("double").alias("value"),
+                    )
+                    for name in [
+                        "n_docs",
+                        "n_tokens",
+                        "n_chars",
+                        "n_langs",
+                        "n_sources",
+                        "n_unique_contents",
+                        "n_empty",
+                    ]
+                ]
+                + [
+                    F.struct(
+                        F.lit("n_exact_dup_surplus").alias("metric"),
+                        (F.col("n_docs") - F.col("n_unique_contents"))
+                        .cast("double")
+                        .alias("value"),
+                    )
+                ]
+            )
+        ).alias("kv")
+    ).select(F.col("kv.metric").alias("metric"), F.col("kv.value").alias("value"))
+    return rows.orderBy("metric")

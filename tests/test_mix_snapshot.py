@@ -261,3 +261,52 @@ class TestPmiCollocations:
         assert (out[0]["w1"], out[0]["w2"]) == ("new", "york")
         assert out[0]["n_pair"] == 6
         assert out[0]["pmi"] > 0
+
+
+class TestDecontaminateReport:
+    def test_provenance_counts(self, spark):
+        from ndr_import_spark.operators.corpus import decontaminate_report
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over lazy dogs"),
+                (2, "entirely unrelated text with novel words"),
+            ],
+            "doc_id long, text string",
+        )
+        eval_set = spark.createDataFrame(
+            [
+                (100, "the quick brown fox runs"),
+                (101, "quick brown fox jumps high"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = decontaminate_report(corpus, eval_set, n=4).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # doc 1 shares 'the quick brown fox' with 100 and
+        # 'quick brown fox jumps' with 101
+        assert r["doc_id"] == 1
+        assert r["n_eval_docs"] == 2
+        assert r["n_shared_grams"] == 2
+        assert r["first_eval_id"] == 100
+
+
+class TestCorpusCard:
+    def test_metrics(self, spark):
+        from ndr_import_spark.operators.corpus import corpus_card
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta", "en", "s1"),
+                (2, "ALPHA  beta", "en", "s2"),   # same normalised content
+                (3, "", "de", "s1"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        out = {r["metric"]: r["value"] for r in corpus_card(df).collect()}
+        assert out["n_docs"] == 3.0
+        assert out["n_langs"] == 2.0 and out["n_sources"] == 2.0
+        assert out["n_unique_contents"] == 2.0
+        assert out["n_exact_dup_surplus"] == 1.0
+        assert out["n_empty"] == 1.0
