@@ -185,3 +185,30 @@ class TestNewOperatorPlanShapes:
     def test_kmv_overlap_no_cartesian(self, spark):
         p = plan(entry.queries()["vocab_overlap_kmv"](spark, SF_DIR), "simple")
         assert "CartesianProduct" not in p
+
+
+class TestLatestOperatorPlanShapes:
+    def test_decontaminate_report_eval_side_broadcast(self, spark):
+        p = plan(entry.queries()["decontaminate_report"](spark, SF_DIR), "simple")
+        assert "BroadcastExchange" in p
+        assert "CartesianProduct" not in p
+
+    def test_corpus_card_no_join_no_window(self, spark):
+        p = plan(entry.queries()["corpus_card"](spark, SF_DIR), "simple")
+        assert "Window" not in p
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+    def test_pmi_no_cartesian_and_topk_is_take_ordered(self, spark):
+        p = plan(entry.queries()["pmi_collocations"](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p
+        assert "TakeOrderedAndProject" in p  # top-k, not a global sort
+
+    def test_dedup_keep_best_no_window(self, spark):
+        # the election is an aggregate, not a row_number window
+        p = plan(entry.queries()["dedup_keep_best"](spark, SF_DIR), "simple")
+        assert "Window" not in p
+
+    def test_incremental_dedup_no_cartesian(self, spark):
+        p = plan(entry.queries()["incremental_dedup"](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
