@@ -65,5 +65,52 @@ def read_seven_zip(spark: SparkSession, path: str | list[str], options: dict):
     return tables
 
 
+def expand_tar(
+    path: str, pattern: str | None = None, unzip_path: str | None = None
+) -> list[str]:
+    """Extract tar members (plain / .tar.gz / .tar.bz2 / .tar.xz — the
+    stdlib sniffs the compression) matching `pattern` on basename into
+    `unzip_path`, mirroring the zip flow. Beyond the reference's zip/7z
+    surface: crawl dumps and dataset releases overwhelmingly ship as
+    tarballs. Members are vetted against path traversal before write."""
+    import tarfile
+
+    dest = unzip_path or os.path.join(os.getcwd(), ".tmp", "unzip")
+    os.makedirs(dest, exist_ok=True)
+    out: list[str] = []
+    with tarfile.open(path, "r:*") as tf:
+        for member in tf.getmembers():
+            if not member.isfile():
+                continue
+            name = os.path.basename(member.name)
+            # refuse traversal-shaped member names outright
+            if not name or name in (".", ".."):
+                continue
+            if pattern and not re.search(pattern, name):
+                continue
+            target = os.path.join(dest, name)
+            src = tf.extractfile(member)
+            if src is None:
+                continue
+            with src, open(target, "wb") as dst:
+                dst.write(src.read())
+            out.append(target)
+    return out
+
+
+def read_tar(spark: SparkSession, path: str | list[str], options: dict):
+    files = list_input_files(spark, path)
+    tables = []
+    for f in files:
+        for extracted in expand_tar(
+            f, options.get("pattern"), options.get("unzip_path")
+        ):
+            tables.extend(
+                read_tables(spark, extracted, options.get("inner_format"), options)
+            )
+    return tables
+
+
 Registry.register(read_zip, "zip")
 Registry.register(read_seven_zip, "7z")
+Registry.register(read_tar, "tar", "tgz")

@@ -1,0 +1,77 @@
+"""Tar expansion (sources/archive.py::read_tar) and transparent gzip
+text/CSV reading through the delimited reader."""
+
+import gzip
+import os
+import tarfile
+
+import pytest
+
+from ndr_import_spark.sources.registry import read_tables
+
+
+def _make_tar(tmp, name, compression=""):
+    csv1 = os.path.join(tmp, "a.csv")
+    csv2 = os.path.join(tmp, "b.csv")
+    skipme = os.path.join(tmp, "notes.txt")
+    with open(csv1, "w") as f:
+        f.write("x,y\n1,2\n3,4\n")
+    with open(csv2, "w") as f:
+        f.write("x,y\n5,6\n")
+    with open(skipme, "w") as f:
+        f.write("not a csv\n")
+    tar_path = os.path.join(tmp, name)
+    mode = "w" if not compression else f"w:{compression}"
+    with tarfile.open(tar_path, mode) as tf:
+        tf.add(csv1, arcname="a.csv")
+        tf.add(csv2, arcname="sub/dir/b.csv")
+        tf.add(skipme, arcname="notes.txt")
+    return tar_path
+
+
+class TestTar:
+    def test_plain_tar_pattern_and_recursion(self, spark, tmp_path):
+        tar_path = _make_tar(str(tmp_path), "bundle.tar")
+        tables = read_tables(
+            spark,
+            tar_path,
+            options={
+                "pattern": r"\.csv$",
+                "unzip_path": str(tmp_path / "out"),
+                "inner_format": "csv",
+            },
+        )
+        # two csv members (nested dir flattened by basename), txt skipped
+        assert len(tables) == 2
+        total = sum(df.count() for _, df in tables)
+        assert total == 5  # 3 + 2 rows including headers
+
+    def test_tar_gz_via_explicit_format(self, spark, tmp_path):
+        tar_path = _make_tar(str(tmp_path), "bundle.tar.gz", compression="gz")
+        tables = read_tables(
+            spark,
+            tar_path,
+            fmt="tar",  # .tar.gz outer extension is 'gz'; callers pass fmt
+            options={
+                "pattern": r"a\.csv$",
+                "unzip_path": str(tmp_path / "out2"),
+                "inner_format": "csv",
+            },
+        )
+        assert len(tables) == 1
+        assert tables[0][1].count() == 3
+
+
+class TestGzipCsv:
+    def test_spark_reads_csv_gz_transparently(self, spark, tmp_path):
+        # single-file gzip needs no expansion: Spark's text/csv readers
+        # decompress .gz at scan time (non-splittable -> one task per
+        # file, which is why archives of many small files beat one giant
+        # .gz at cluster scale)
+        p = tmp_path / "data.csv.gz"
+        with gzip.open(p, "wt") as f:
+            f.write("x,y\n1,2\n3,4\n")
+        tables = read_tables(spark, str(p), fmt="csv", options={})
+        assert len(tables) == 1
+        df = tables[0][1]
+        assert df.count() == 3  # header + 2 data rows in the cells contract
