@@ -3542,11 +3542,15 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_LENGTH_BUCKETS = f"""
 WITH t AS (
-  SELECT greatest(len({_SQL_TOKS}), 1) AS n_tok FROM documents
+  -- bucket clamps to >= 1 (a zero-token doc still pads to a 1-slot);
+  -- sum_tokens must stay RAW so waste counts the empty doc's padding
+  SELECT len({_SQL_TOKS}) AS n_tok,
+         greatest(len({_SQL_TOKS}), 1) AS n_clamped
+  FROM documents
 ), b AS (
   SELECT n_tok,
-    CASE WHEN n_tok = 1 THEN 1
-         ELSE (1::BIGINT << length(bin(n_tok - 1))) END AS bucket
+    CASE WHEN n_clamped = 1 THEN 1
+         ELSE (1::BIGINT << length(bin(n_clamped - 1))) END AS bucket
   FROM t
 ), g AS (
   SELECT bucket, count(*) AS n_docs,

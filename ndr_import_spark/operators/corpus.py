@@ -74,6 +74,14 @@ def exploded_word_ngrams(
     )
 
 
+def gram_key(g: Column) -> Column:
+    """Compact 64-bit binary join key for a word n-gram — md5-prefixed so
+    petabyte-scale gram joins never shuffle raw strings. Shared by the
+    decontamination drop list and its provenance report: both MUST use
+    the same key or they would disagree about what is contaminated."""
+    return F.unhex(F.substring(F.md5(g), 1, 16))
+
+
 def ngram_decontaminate(
     corpus: DataFrame,
     eval_set: DataFrame,
@@ -97,7 +105,6 @@ def ngram_decontaminate(
 
     Returns (doc_id) — distinct contaminated ids.
     """
-    gram_key = lambda g: F.unhex(F.substring(F.md5(g), 1, 16))  # noqa: E731
     eval_grams = (
         exploded_word_ngrams(eval_set, text_col, id_col, n)
         .select(gram_key(F.col("_g")).alias("_gk"))
@@ -415,13 +422,9 @@ def deterministic_sample(
     document sampled at 0.25 is a subset of the same document set sampled
     at 0.5 (nested samples — the property mix experiments need).
     Narrow projection, no shuffle."""
-    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    from ndr_import_spark.operators.packing import md5_bucket16
 
-    def nib(pos: int) -> Column:
-        a = F.ascii(F.substring(h, pos, 1))
-        return F.when(a >= 97, a - 87).otherwise(a - 48)
-
-    bucket = nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+    bucket = md5_bucket16(F.col(id_col), salt)
     thresh = None
     for stratum, frac in fractions.items():
         cond = F.col(strata_col) == stratum
@@ -458,14 +461,10 @@ def hash_split(
     (ascii-of-char) — 16 uniform bits, computed with only `md5`/
     `substring`/`ascii`, which every engine (incl. the DuckDB oracle)
     evaluates identically."""
+    from ndr_import_spark.operators.packing import md5_bucket16
+
     total = sum(weights.values())
-    h = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
-
-    def nib(pos: int) -> Column:
-        a = F.ascii(F.substring(h, pos, 1))
-        return F.when(a >= 97, a - 87).otherwise(a - 48)
-
-    bucket = (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)) % total
+    bucket = md5_bucket16(F.col(id_col), salt) % total
     thresholds: list[tuple[int, str]] = []
     acc = 0
     for label, wt in weights.items():
@@ -694,29 +693,23 @@ def pmi_collocations(
         F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
         .alias("_ts")
     )
-    # adjacent pairs via zip of the array with its own tail — codegen, no lambda-capture re-evaluation issues (slice operands are attributes)
     exploded = toks.select(F.explode(F.col("_ts")).alias("_w"))
     uni = exploded.groupBy("_w").agg(F.count(F.lit(1)).alias("_nu"))
     total_uni = uni.agg(F.sum("_nu").alias("_tu"))
+    # adjacent pairs via zip of the token array with its own tail —
+    # lambda-free codegen, built from the SAME toks projection as the
+    # unigram side (one tokenisation definition, not two)
     n = F.size(F.col("_ts"))
-    pairs = (
-        df.select(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
-            ).alias("_ts")
-        )
-        .select(
-            F.explode(
-                F.arrays_zip(
-                    F.slice(F.col("_ts"), 1, F.greatest(n - 1, F.lit(0))),
-                    F.slice(F.col("_ts"), 2, F.greatest(n - 1, F.lit(0))),
-                )
-            ).alias("_bg")
-        )
-        .select(
-            F.col("_bg").getField("0").alias("w1"),
-            F.col("_bg").getField("1").alias("w2"),
-        )
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_ts"), 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(F.col("_ts"), 2, F.greatest(n - 1, F.lit(0))),
+            )
+        ).alias("_bg")
+    ).select(
+        F.col("_bg").getField("0").alias("w1"),
+        F.col("_bg").getField("1").alias("w2"),
     )
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_nb"))
     total_big = big.agg(F.sum("_nb").alias("_tb"))
@@ -766,7 +759,6 @@ def decontaminate_report(
     matching grams — contamination-sized, not corpus-sized — reach the
     per-document aggregate. Distinct counts run on the compact md5 keys.
     """
-    gram_key = lambda g: F.unhex(F.substring(F.md5(g), 1, 16))  # noqa: E731
     eval_grams = (
         exploded_word_ngrams(eval_set, text_col, id_col, n)
         .select(
@@ -807,13 +799,16 @@ def corpus_card(
     join wider than the 1-row summaries."""
     from ndr_import_spark.operators.textstats import normalize_text, token_count
 
+    # NULL text counts as an empty document (otherwise NULL hashes fall
+    # out of countDistinct and fabricate phantom duplicate surplus)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     per_doc = df.select(
         F.col(id_col),
         F.col("lang"),
         F.col("source"),
-        token_count(F.col(text_col)).alias("_nt"),
-        F.length(F.col(text_col)).alias("_nc"),
-        F.md5(normalize_text(F.col(text_col))).alias("_h"),
+        token_count(txt).alias("_nt"),
+        F.length(txt).alias("_nc"),
+        F.md5(normalize_text(txt)).alias("_h"),
     )
     base = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -203,6 +203,58 @@ def minhash_signature(text: Column, k: int = 16, shingle_n: int = 5) -> Column:
     return minhash_signatures_column(hs, k, "mh")
 
 
+def _band_keys(hashed: DataFrame, k: int, bands: int, salt: str,
+               carry: list[str] | None = None) -> DataFrame:
+    """(_id, [carry...], band, key) band-key rows from a (_id, _hs) frame:
+    k MinHash minima sliced into `bands` md5 band keys, exploded. THE
+    single definition of the band-key scheme — the batch self-join and the
+    incremental new→old probe must bucket identically or a stored index
+    would be unprobeable."""
+    rows = k // bands
+    with_sig = hashed.select(
+        "_id", *(carry or []),
+        minhash_signatures_column(F.col("_hs"), k, salt).alias("_sig"),
+    )
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col("_sig")[b * rows + i].cast("string") for i in range(rows)],
+                )
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    return with_sig.select(
+        "_id", *(carry or []), F.explode(band_structs).alias("bk")
+    ).select(
+        "_id", *(carry or []),
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+
+
+def _verify_jaccard(pairs: DataFrame, hashed_a: DataFrame, hashed_b: DataFrame,
+                    a_col: str, b_col: str,
+                    verify_threshold: float | None) -> DataFrame:
+    """Exact-Jaccard verification over hashed shingle sets for candidate
+    pairs: join the per-doc `_hs` sets back by id on both sides, filter on
+    the RAW ratio, round for presentation (rounding first would admit
+    pairs just under the threshold). Shared by the batch and incremental
+    pair finders — the threshold/rounding rule lives here once."""
+    a = hashed_a.select(F.col("_id").alias(a_col), F.col("_hs").alias("_sha"))
+    b = hashed_b.select(F.col("_id").alias(b_col), F.col("_hs").alias("_shb"))
+    verified = pairs.join(a, a_col).join(b, b_col)
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size(F.array_union(F.col("_sha"), F.col("_shb")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    out = verified.select(a_col, b_col, jac.alias("_jac"))
+    if verify_threshold is not None:
+        out = out.filter(F.col("_jac") >= verify_threshold)
+    return out.select(a_col, b_col, F.round(F.col("_jac"), 5).alias("jaccard"))
+
+
 def _banded_jaccard_pairs(
     shingled: DataFrame,
     k: int,
@@ -243,27 +295,7 @@ def _banded_jaccard_pairs(
             "_id", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
         )
     )
-    rows = k // bands
-    with_sig = hashed.select(
-        "_id", minhash_signatures_column(F.col("_hs"), k, salt).alias("_sig")
-    )
-
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[F.col("_sig")[b * rows + i].cast("string") for i in range(rows)],
-                )
-            ).alias("key"),
-        )
-        for b in range(bands)
-    ])
-    banded = with_sig.select("_id", F.explode(band_structs).alias("bk")).select(
-        "_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
-
+    banded = _band_keys(hashed, k, bands, salt)
     pairs = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "key"])
@@ -271,19 +303,7 @@ def _banded_jaccard_pairs(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-
-    a = hashed.select(F.col("_id").alias("id_a"), F.col("_hs").alias("_sha"))
-    b = hashed.select(F.col("_id").alias("id_b"), F.col("_hs").alias("_shb"))
-    verified = pairs.join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
-    union = F.size(F.array_union(F.col("_sha"), F.col("_shb")))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    # filter on the raw ratio, then round for presentation (rounding first
-    # would admit pairs just under the threshold)
-    out = verified.select("id_a", "id_b", jac.alias("_jac"))
-    if verify_threshold is not None:
-        out = out.filter(F.col("_jac") >= verify_threshold)
-    return out.select("id_a", "id_b", F.round(F.col("_jac"), 5).alias("jaccard"))
+    return _verify_jaccard(pairs, hashed, hashed, "id_a", "id_b", verify_threshold)
 
 
 def minhash_lsh_pairs(
@@ -640,25 +660,7 @@ def incremental_neardup_pairs(
             "_id", "_new", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
         )
     )
-    rows = k // bands
-    with_sig = hashed.select(
-        "_id", "_new", minhash_signatures_column(F.col("_hs"), k, "mh").alias("_sig")
-    )
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[F.col("_sig")[b * rows + i].cast("string") for i in range(rows)],
-                )
-            ).alias("key"),
-        )
-        for b in range(bands)
-    ])
-    banded = with_sig.select("_id", "_new", F.explode(band_structs).alias("bk")).select(
-        "_id", "_new", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    banded = _band_keys(hashed, k, bands, "mh", carry=["_new"])
     pairs = (
         banded.filter(F.col("_new") == 1)
         .alias("l")
@@ -666,21 +668,13 @@ def incremental_neardup_pairs(
         .select(F.col("l._id").alias("new_id"), F.col("r._id").alias("old_id"))
         .dropDuplicates(["new_id", "old_id"])
     )
-    a = hashed.filter(F.col("_new") == 1).select(
-        F.col("_id").alias("new_id"), F.col("_hs").alias("_sha")
-    )
-    b = hashed.filter(F.col("_new") == 0).select(
-        F.col("_id").alias("old_id"), F.col("_hs").alias("_shb")
-    )
-    verified = pairs.join(a, "new_id").join(b, "old_id")
-    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
-    union = F.size(F.array_union(F.col("_sha"), F.col("_shb")))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    out = verified.select("new_id", "old_id", jac.alias("_jac"))
-    if verify_threshold is not None:
-        out = out.filter(F.col("_jac") >= verify_threshold)
-    return out.select(
-        "new_id", "old_id", F.round(F.col("_jac"), 5).alias("jaccard")
+    return _verify_jaccard(
+        pairs,
+        hashed.filter(F.col("_new") == 1),
+        hashed.filter(F.col("_new") == 0),
+        "new_id",
+        "old_id",
+        verify_threshold,
     )
 
 

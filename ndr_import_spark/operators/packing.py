@@ -35,8 +35,10 @@ from pyspark.sql import functions as F
 
 
 def md5_bucket16(id_col: Column, salt: str) -> Column:
-    """16 uniform bits from md5(salt:id) — the engine-portable hash used
-    across the corpus operators (see `corpus.hash_split`)."""
+    """16 uniform bits from md5(salt:id) — THE canonical engine-portable
+    bucket hash; `corpus.deterministic_sample` / `corpus.hash_split` and
+    the packing shard all import this one implementation so every DuckDB
+    oracle replica stays bit-identical to a single definition."""
     h = F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string")))
 
     def nib(pos: int) -> Column:

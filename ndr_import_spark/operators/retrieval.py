@@ -46,51 +46,72 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("bm25_topk requires at least one query term")
-    lengths = docs.select(
-        F.col(id_col), token_count(F.col(text_col)).alias("_dl")
+    lterms = [t.lower() for t in terms]
+    # ONE corpus scan: explode tokens once, then a single combinable
+    # aggregate per document yields the doc length AND every query term's
+    # tf as pivoted columns (the term list is tiny and literal). The only
+    # other corpus touch is a count-only scan for N (column-pruned, no
+    # tokenisation) so empty documents still count toward N and avgdl.
+    exploded = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     )
-    # 1-row corpus stats, broadcast into every row
-    stats = lengths.agg(
-        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
-    )
-    tf = (
-        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
-        .filter(F.col("_t").isin([t.lower() for t in terms]))
-        .groupBy(id_col, "_t")
-        .agg(F.count(F.lit(1)).alias("_tf"))
-    )
-    # document frequency per term: (id, term) pairs are distinct already
-    df_t = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
-    scored = (
-        tf.join(F.broadcast(df_t), "_t")
-        .join(lengths, id_col)
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "_idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("_n") - F.col("_df") + F.lit(0.5))
-                / (F.col("_df") + F.lit(0.5))
-            ),
+    # per_doc is consumed twice (corpus stats + scoring); the lazy
+    # localCheckpoint materialises it once on first action and reuses the
+    # stored partitions — same multi-consumer pattern as training_mix
+    per_doc = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_dl"),
+        *[
+            F.sum(F.when(F.col("_t") == t, 1).otherwise(0)).alias(f"_tf{i}")
+            for i, t in enumerate(lterms)
+        ],
+    ).localCheckpoint(eager=False)
+    n_total = docs.select(F.col(id_col)).agg(F.count(F.lit(1)).alias("_n"))
+    # ONE auxiliary aggregate yields the token total (== sum of per-doc
+    # dl; empty docs add 0) AND every term's document frequency
+    aux = (
+        per_doc.agg(
+            F.sum("_dl").alias("_sumdl"),
+            *[
+                F.sum(F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0)).alias(
+                    f"_df{i}"
+                )
+                for i in range(len(lterms))
+            ],
         )
-        .withColumn(
-            "_s",
-            F.col("_idf")
-            * F.col("_tf")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("_avgdl", F.col("_sumdl").cast("double") / F.col("_n"))
+    )
+    joined = per_doc.crossJoin(F.broadcast(aux))
+
+    def term_score(i: int):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        s = (
+            idf
+            * tf
             * F.lit(k1 + 1.0)
             / (
-                F.col("_tf")
+                tf
                 + F.lit(k1)
-                * (
-                    F.lit(1.0 - b)
-                    + F.lit(b) * F.col("_dl") / F.col("_avgdl")
-                )
-            ),
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+            )
         )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
-            F.round(F.sum("_s"), 6).alias("score"),
+        return F.when(F.col(f"_tf{i}") > 0, s).otherwise(F.lit(0.0))
+
+    hits = sum(
+        (F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0) for i in range(len(lterms))),
+        F.lit(0),
+    )
+    total = sum((term_score(i) for i in range(len(lterms))), F.lit(0.0))
+    scored = (
+        joined.withColumn("n_terms_hit", hits.cast("int"))
+        .filter(F.col("n_terms_hit") > 0)
+        .select(
+            id_col, "n_terms_hit", F.round(total, 6).alias("score")
         )
     )
     # bounded two-phase top-k: per-salt partial rank, then rank the

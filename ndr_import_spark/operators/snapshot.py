@@ -28,17 +28,25 @@ def snapshot_diff(
     """Per-document change status between two corpus snapshots:
     'added' (only in new), 'removed' (only in old), 'changed' (both, but
     content hash differs), 'unchanged'. Returns (id, status)."""
+    # presence comes from explicit side markers, NOT hash nullability —
+    # a present row whose text is NULL must not masquerade as added/removed
     o = old.select(
-        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_ho")
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("_ho"),
+        F.lit(1).alias("_po"),
     )
     n = new.select(
-        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_hn")
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("_hn"),
+        F.lit(1).alias("_pn"),
     )
     joined = o.join(n, "_id", "full")
     status = (
-        F.when(F.col("_ho").isNull(), F.lit("added"))
-        .when(F.col("_hn").isNull(), F.lit("removed"))
-        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        F.when(F.col("_po").isNull(), F.lit("added"))
+        .when(F.col("_pn").isNull(), F.lit("removed"))
+        # null-safe equality: NULL text on both sides is "unchanged",
+        # NULL on exactly one side is "changed"
+        .when(~F.col("_ho").eqNullSafe(F.col("_hn")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(F.col("_id").alias(id_col), status.alias("status"))
@@ -64,6 +72,8 @@ def delete_cascade(
     broadcast them, but a court-ordered mass takedown stays
     shuffle-plannable). The per-artifact summaries are 1-row aggregates
     unioned driver-side — plan-level composition, zero extra actions."""
+    if not artifacts:
+        raise ValueError("delete_cascade requires at least one artifact")
     d = (
         deletes.select(F.col(id_col).alias("_del"))
         .distinct()

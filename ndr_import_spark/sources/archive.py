@@ -83,12 +83,23 @@ def expand_tar(
             if not member.isfile():
                 continue
             name = os.path.basename(member.name)
-            # refuse traversal-shaped member names outright
             if not name or name in (".", ".."):
                 continue
             if pattern and not re.search(pattern, name):
                 continue
-            target = os.path.join(dest, name)
+            # preserve the member's directory structure (unlike zip, whose
+            # basename flattening mirrors the reference): sharded dumps
+            # legitimately repeat basenames (part-0/data.csv,
+            # part-1/data.csv) and flattening would silently overwrite.
+            # Normalise and re-anchor the path so ../ and absolute member
+            # names cannot escape dest.
+            rel = os.path.normpath(member.name).lstrip("/")
+            if rel.startswith("..") or os.path.isabs(rel):
+                continue
+            target = os.path.join(dest, rel)
+            if os.path.commonpath([os.path.abspath(target), os.path.abspath(dest)]) != os.path.abspath(dest):
+                continue
+            os.makedirs(os.path.dirname(target) or dest, exist_ok=True)
             src = tf.extractfile(member)
             if src is None:
                 continue

@@ -68,6 +68,18 @@ class TestSnapshotDiff:
         out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
         assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
 
+    def test_null_text_presence(self, spark):
+        # a present row with NULL text must not masquerade as added/removed
+        old = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(1, None), (2, "now filled"), (3, None)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+        assert out == {1: "unchanged", 2: "changed", 3: "changed"}
+
 
 class TestTypeTokenRatio:
     def test_values(self, spark):

@@ -41,10 +41,33 @@ class TestTar:
                 "inner_format": "csv",
             },
         )
-        # two csv members (nested dir flattened by basename), txt skipped
+        # two csv members (nested dirs preserved), txt skipped
         assert len(tables) == 2
         total = sum(df.count() for _, df in tables)
         assert total == 5  # 3 + 2 rows including headers
+
+    def test_duplicate_basenames_do_not_overwrite(self, spark, tmp_path):
+        import tarfile as tarmod
+
+        a = tmp_path / "a.csv"
+        b = tmp_path / "b.csv"
+        a.write_text("x\n1\n")
+        b.write_text("x\n2\n3\n")
+        tar_path = tmp_path / "shards.tar"
+        with tarmod.open(tar_path, "w") as tf:
+            tf.add(a, arcname="part-0/data.csv")
+            tf.add(b, arcname="part-1/data.csv")
+        tables = read_tables(
+            spark,
+            str(tar_path),
+            options={
+                "unzip_path": str(tmp_path / "out3"),
+                "inner_format": "csv",
+            },
+        )
+        assert len(tables) == 2
+        # both shards survive: 2 + 3 rows (incl. headers)
+        assert sum(df.count() for _, df in tables) == 5
 
     def test_tar_gz_via_explicit_format(self, spark, tmp_path):
         tar_path = _make_tar(str(tmp_path), "bundle.tar.gz", compression="gz")
