@@ -4343,6 +4343,70 @@ SELECT metric, value FROM (
 """
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer budgeting per language: BPE-ish piece counts (word
+    chunks of <=4 chars + punctuation marks) against characters and
+    whitespace tokens — the fertility table that prices a corpus in
+    tokens before committing a tokenizer. All counts are integers, so
+    the per-lang sums are exact and every ratio is one deterministic
+    final division. Narrow projection + one tiny aggregate."""
+    from ndr_import_spark.operators.textstats import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.length("text").alias("_nc"),
+        token_count(F.col("text")).alias("_nw"),
+        bpe_ish_token_count(F.col("text")).alias("_nb"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nc").alias("sum_chars"),
+            F.sum("_nw").alias("sum_ws_tokens"),
+            F.sum("_nb").alias("sum_bpe_tokens"),
+        )
+        .withColumn(
+            "chars_per_bpe_token",
+            F.round(
+                F.col("sum_chars").cast("double") / F.col("sum_bpe_tokens"), 5
+            ),
+        )
+        .withColumn(
+            "pieces_per_word",
+            F.round(
+                F.col("sum_bpe_tokens").cast("double") / F.col("sum_ws_tokens"),
+                5,
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_ORACLE_TOKENIZER_FERTILITY = f"""
+WITH per AS (
+  SELECT lang, length(text) AS nc,
+    len({_SQL_TOKS}) AS nw,
+    list_sum(list_transform(
+      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+      w -> CAST(ceil(length(w) / 4.0) AS INT)
+    )) + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS nb
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(nc) AS BIGINT) AS sum_chars,
+  CAST(sum(nw) AS BIGINT) AS sum_ws_tokens,
+  CAST(sum(nb) AS BIGINT) AS sum_bpe_tokens,
+  round(CAST(sum(nc) AS DOUBLE) / sum(nb), 5) AS chars_per_bpe_token,
+  round(CAST(sum(nb) AS DOUBLE) / sum(nw), 5) AS pieces_per_word
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4447,6 +4511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "decontaminate_report": q_decontaminate_report,
         "corpus_card": q_corpus_card,
+        "tokenizer_fertility": q_tokenizer_fertility,
     }
 
 
@@ -4545,4 +4610,5 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": _ORACLE_PMI,
         "decontaminate_report": _ORACLE_DECONTAMINATE_REPORT,
         "corpus_card": _ORACLE_CORPUS_CARD,
+        "tokenizer_fertility": _ORACLE_TOKENIZER_FERTILITY,
     }
