@@ -4407,6 +4407,45 @@ FROM per GROUP BY lang ORDER BY lang
 """
 
 
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling fingerprints (min md5 over strided 16-char
+    windows of normalised text — robust to local edits, unlike the whole-
+    document hash): groups sharing a fingerprint are robust-duplicate
+    candidates. Narrow per-doc Column work + one combinable aggregate;
+    the fingerprint is a join-key-sized string, so a 100 TB candidate
+    pass shuffles fingerprints, never text."""
+    from ndr_import_spark.operators.textstats import rolling_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", rolling_fingerprint(F.col("text"), window=16).alias("fp")
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
+_ORACLE_DOC_FINGERPRINTS = """
+WITH t AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM documents
+), fp AS (
+  SELECT doc_id,
+    list_min(list_transform(
+      range(1, greatest(length(norm) - 16 + 1, 1) + 1, 8),
+      i -> md5(substring(norm, i, 16))
+    )) AS fp
+  FROM t
+)
+SELECT fp, count(*) AS n_docs, min(doc_id) AS min_id
+FROM fp GROUP BY fp HAVING count(*) > 1 ORDER BY fp
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4512,6 +4551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_report": q_decontaminate_report,
         "corpus_card": q_corpus_card,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "doc_fingerprints": q_doc_fingerprints,
     }
 
 
@@ -4611,4 +4651,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_report": _ORACLE_DECONTAMINATE_REPORT,
         "corpus_card": _ORACLE_CORPUS_CARD,
         "tokenizer_fertility": _ORACLE_TOKENIZER_FERTILITY,
+        "doc_fingerprints": _ORACLE_DOC_FINGERPRINTS,
     }

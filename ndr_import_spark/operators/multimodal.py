@@ -112,6 +112,54 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, n_samples int, sample_rate int, feature array<double>"
+)
+
+
+def deterministic_fake_audio_decoder(data: bytes) -> tuple[int, int, list[float]]:
+    """Test decoder: byte length as sample count, fixed 16 kHz rate, the
+    first 8 payload bytes as 'spectral' features — deterministic and
+    library-free, same contract shape a real PCM/FFT decoder would fill."""
+    b = bytes(data or b"")
+    if len(b) < 8:
+        b = (b + bytes(8))[:8]
+    return len(b), 16000, [x / 255.0 for x in b[:8]]
+
+
+def extract_audio_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """Audio twin of `extract_features`: decode + feature-extract via
+    Arrow-batched mapInPandas using the injected `set_audio_decoder` hook
+    (no audio libs ship in this environment, so there is no stdlib
+    fallback — callers inject; the deterministic fake serves tests).
+    The Spark-side plumbing — schema, batching, plan-time decoder
+    capture — is real and identical to the image path."""
+    decoder = _audio_decoder
+
+    def one(payload):
+        if decoder is None:
+            raise NotImplementedError(
+                "Audio decode needs an injected decoder; use "
+                "multimodal.set_audio_decoder "
+                "(deterministic_fake_audio_decoder available for tests)"
+            )
+        return decoder(bytes(payload or b""))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "n_samples": [d[0] for d in decoded],
+                    "sample_rate": [d[1] for d in decoded],
+                    "feature": [d[2] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per planned frame —
     pure-Column fan-out (no decode needed to size the work), used to

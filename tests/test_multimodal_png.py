@@ -163,3 +163,43 @@ class TestSparkPngDecode:
         )
         with pytest.raises(Exception, match="decoder"):
             MM.extract_features(df).collect()
+
+
+class TestAudioAndFramePlan:
+    def test_audio_features_with_injected_decoder(self, spark):
+        from ndr_import_spark.operators import multimodal as mm
+
+        df = mm.synth_media_df(spark, n=9).filter("kind = 'audio'")
+        mm.set_audio_decoder(mm.deterministic_fake_audio_decoder)
+        try:
+            rows = mm.extract_audio_features(df).collect()
+        finally:
+            mm.set_audio_decoder(None)
+        assert len(rows) == 3
+        for r in rows:
+            assert r["sample_rate"] == 16000
+            assert r["n_samples"] == 64  # md5 digest * 4 payload
+            assert len(r["feature"]) == 8
+            assert all(0.0 <= f <= 1.0 for f in r["feature"])
+
+    def test_audio_without_decoder_raises(self, spark):
+        from ndr_import_spark.operators import multimodal as mm
+
+        df = mm.synth_media_df(spark, n=3).filter("kind = 'audio'")
+        mm.set_audio_decoder(None)
+        with pytest.raises(Exception, match="set_audio_decoder"):
+            mm.extract_audio_features(df).collect()
+
+    def test_frame_sample_plan_fanout(self, spark):
+        from ndr_import_spark.operators import multimodal as mm
+
+        df = mm.synth_media_df(spark, n=6).filter("kind = 'video'")
+        plan = mm.frame_sample_plan(df, every_ms=1000).collect()
+        # duration 2000+10i ms -> 2 frames each at this granularity
+        assert len(plan) == 4
+        by_media = {}
+        for r in plan:
+            by_media.setdefault(r["media_id"], []).append(r)
+        for rows in by_media.values():
+            assert [r["frame_no"] for r in sorted(rows, key=lambda x: x["frame_no"])] == [0, 1]
+            assert all(r["ts_ms"] == r["frame_no"] * 1000 for r in rows)
