@@ -322,3 +322,22 @@ class TestCorpusCard:
         assert out["n_unique_contents"] == 2.0
         assert out["n_exact_dup_surplus"] == 1.0
         assert out["n_empty"] == 1.0
+
+
+class TestStopwordHelpers:
+    def test_stopword_ratio_and_lang_scores(self, spark):
+        from ndr_import_spark.operators.textstats import lang_scores, stopword_ratio
+
+        df = spark.createDataFrame(
+            [("the and of cat",), ("",)], "text string"
+        )
+        r = df.select(
+            F.round(stopword_ratio(F.col("text"), "en"), 5).alias("en")
+        ).collect()
+        assert r[0]["en"] == pytest.approx(0.75)  # 3 of 4 tokens
+        assert r[1]["en"] == 0.0  # empty-text guard
+        scores = lang_scores(F.col("text"))
+        row = df.select(
+            *[F.round(c, 5).alias(k) for k, c in scores.items()]
+        ).collect()[0]
+        assert row["en"] > row["de"]  # English stopwords dominate
