@@ -172,3 +172,31 @@ def png_image_decoder(data: bytes) -> tuple[int, int, list[float]]:
     """`set_image_decoder`-shaped decoder over real PNG bytes."""
     w, h, ch, px = decode_png(data)
     return w, h, grid_features(w, h, ch, px)
+
+
+def resize_rgb(
+    width: int, height: int, channels: int, pixels: bytes, tw: int, th: int
+) -> bytes:
+    """Nearest-neighbour resample to (tw, th), returning packed RGB bytes
+    (grey replicates to three channels; alpha drops). Deterministic,
+    library-free — the index map is pure integer arithmetic."""
+    if tw < 1 or th < 1:
+        raise ValueError("resize_rgb target must be >= 1x1")
+    out = bytearray(tw * th * 3)
+    stride = width * channels
+    for y in range(th):
+        sy = min(y * height // th, height - 1)
+        base_in = sy * stride
+        base_out = y * tw * 3
+        for x in range(tw):
+            sx = min(x * width // tw, width - 1)
+            o = base_in + sx * channels
+            if channels >= 3:
+                r, g, b = pixels[o], pixels[o + 1], pixels[o + 2]
+            else:
+                r = g = b = pixels[o]
+            j = base_out + x * 3
+            out[j] = r
+            out[j + 1] = g
+            out[j + 2] = b
+    return bytes(out)

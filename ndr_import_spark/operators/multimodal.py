@@ -160,6 +160,49 @@ def extract_audio_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
     return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, payload binary"
+)
+
+
+def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Thumbnail/normalise stage: decode PNG payloads, nearest-neighbour
+    resample to (target_w, target_h), re-encode PNG — a REAL stdlib
+    roundtrip (inflate → unfilter → integer index map → refilter →
+    deflate), batched through mapInPandas like the feature extractor.
+    Resizing needs raw pixels, so non-PNG payloads raise per batch —
+    the same honest env-gate contract as the decode path."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ndr_import_spark.functions.png import (
+            decode_png,
+            encode_png,
+            is_png,
+            resize_rgb,
+        )
+
+        for pdf in batches:
+            out_payload = []
+            for p in pdf["payload"]:
+                data = bytes(p or b"")
+                if not is_png(data):
+                    raise NotImplementedError(
+                        "resize_images requires PNG payloads (stdlib codec)"
+                    )
+                w, h, ch, px = decode_png(data)
+                rgb = resize_rgb(w, h, ch, px, target_w, target_h)
+                out_payload.append(encode_png(target_w, target_h, rgb))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [target_w] * len(pdf),
+                    "height": [target_h] * len(pdf),
+                    "payload": out_payload,
+                }
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per planned frame —
     pure-Column fan-out (no decode needed to size the work), used to

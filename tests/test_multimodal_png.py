@@ -203,3 +203,39 @@ class TestAudioAndFramePlan:
         for rows in by_media.values():
             assert [r["frame_no"] for r in sorted(rows, key=lambda x: x["frame_no"])] == [0, 1]
             assert all(r["ts_ms"] == r["frame_no"] * 1000 for r in rows)
+
+
+class TestResize:
+    def test_png_resize_roundtrip(self, spark):
+        from ndr_import_spark.functions.png import decode_png, encode_png
+        from ndr_import_spark.operators import multimodal as mm
+
+        # 2x2 quadrant image: R G / B W upscaled to 4x4 must replicate
+        # each quadrant under nearest-neighbour
+        rgb = bytes([255,0,0, 0,255,0, 0,0,255, 255,255,255])
+        png = encode_png(2, 2, rgb)
+        df = spark.createDataFrame(
+            [(1, "image", "image/png", 2, 2, 0, bytearray(png))],
+            mm.MEDIA_SCHEMA,
+        )
+        out = mm.resize_images(df, 4, 4).collect()[0]
+        assert (out["width"], out["height"]) == (4, 4)
+        w, h, ch, px = decode_png(bytes(out["payload"]))
+        assert (w, h, ch) == (4, 4, 3)
+        def pix(x, y):
+            o = (y * 4 + x) * 3
+            return tuple(px[o:o+3])
+        assert pix(0, 0) == (255, 0, 0) and pix(1, 1) == (255, 0, 0)
+        assert pix(3, 0) == (0, 255, 0)
+        assert pix(0, 3) == (0, 0, 255)
+        assert pix(3, 3) == (255, 255, 255)
+
+    def test_non_png_raises(self, spark):
+        from ndr_import_spark.operators import multimodal as mm
+
+        df = spark.createDataFrame(
+            [(1, "image", "image/jpeg", 2, 2, 0, bytearray(b"not a png"))],
+            mm.MEDIA_SCHEMA,
+        )
+        with pytest.raises(Exception, match="PNG"):
+            mm.resize_images(df, 4, 4).collect()
