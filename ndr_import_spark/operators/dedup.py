@@ -709,3 +709,73 @@ def drop_exact_duplicates_by_quality(
         .select("_h", (-F.col("_top.neg_id")).cast("long").alias(id_col))
     )
     return w.join(keep, ["_h", id_col], "inner").drop("_h", "_q")
+
+
+def write_neardup_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> None:
+    """Materialise the near-dup probe index to parquet: `<path>/bands`
+    holds the (band, key, _id) rows partitioned by band, `<path>/sets`
+    the (_id, _hs) hashed shingle sets. This is the artifact that makes
+    `incremental_neardup_pairs`' claim concrete — an ingest pipeline
+    writes this once per snapshot, and every later batch (or stream)
+    probes it WITHOUT re-reading the old corpus text. Pays one shingle
+    pass at write; no persist needed (each frame is consumed once)."""
+    shingled = _shingle_base(df, text_col, id_col).select(
+        "_id", _shingles_from_norm(F.col("_norm"), shingle_n).alias("_sh")
+    )
+    hashed = shingled.select(
+        "_id", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
+    )
+    # sets first: bands re-derives from the written sets so the shingle
+    # pass runs once (reading narrow parquet beats recomputing regexes)
+    hashed.write.mode("overwrite").parquet(f"{path}/sets")
+    spark = df.sparkSession
+    stored = spark.read.parquet(f"{path}/sets")
+    _band_keys(stored, k, bands, "mh").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(f"{path}/bands")
+
+
+def probe_neardup_index(
+    new: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    verify_threshold: float | None = 0.5,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Probe a stored `write_neardup_index` artifact with a new batch:
+    identical semantics to `incremental_neardup_pairs(old, new)` but the
+    old side comes entirely from the index parquet — old text is never
+    touched. The band join reads only the band partitions the probe
+    keys hit; the verify join reads the narrow (_id, _hs) sets."""
+    spark = new.sparkSession
+    old_banded = spark.read.parquet(f"{index_path}/bands")
+    old_sets = spark.read.parquet(f"{index_path}/sets")
+    shingled = _shingle_base(new, text_col, id_col).select(
+        "_id", _shingles_from_norm(F.col("_norm"), shingle_n).alias("_sh")
+    )
+    new_hashed = _evict_then_persist(
+        shingled.select(
+            "_id", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
+        )
+    )
+    new_banded = _band_keys(new_hashed, k, bands, "mh")
+    pairs = (
+        new_banded.alias("l")
+        .join(old_banded.alias("r"), ["band", "key"])
+        .select(F.col("l._id").alias("new_id"), F.col("r._id").alias("old_id"))
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    return _verify_jaccard(
+        pairs, new_hashed, old_sets, "new_id", "old_id", verify_threshold
+    )

@@ -262,3 +262,66 @@ def session_window_stats(
             "total_value",
         )
     )
+
+
+def stream_neardup_probe(
+    doc_stream: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Continuously probe a stored `dedup.write_neardup_index` artifact
+    with a document STREAM: each arriving document's band keys
+    stream-static-join the index's (band, key) rows, then the hashed
+    shingle sets verify exact Jaccard — all stateless (no watermark, no
+    state store), append-mode compatible.
+
+    A pair that matches in several bands emits once PER MATCHING BAND
+    (bounded duplication <= `bands`): collapsing it in-stream would need
+    aggregation state, so the consumer dedups downstream (or runs the
+    batch `probe_neardup_index` inside foreachBatch when exact-once
+    pairs matter). Same over-flag-only md5 semantics as the batch path."""
+    from ndr_import_spark.operators.dedup import (
+        _band_keys,
+        _shingles_from_norm,
+        shingle_hashes,
+    )
+    from ndr_import_spark.operators.textstats import normalize_text
+
+    spark = doc_stream.sparkSession
+    old_banded = spark.read.parquet(f"{index_path}/bands")
+    old_sets = spark.read.parquet(f"{index_path}/sets").select(
+        F.col("_id").alias("old_id"), F.col("_hs").alias("_shb")
+    )
+    # stateless narrow prep: normalise -> shingle -> hash (the Generate
+    # barrier from the batch path is unnecessary here: streams evaluate
+    # per micro-batch and the expression is referenced once per column)
+    hashed = doc_stream.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            shingle_hashes(
+                _shingles_from_norm(normalize_text(F.col(text_col)), shingle_n)
+            )
+        ).alias("_hs"),
+    )
+    banded = _band_keys(hashed, k, bands, "mh", carry=["_hs"])
+    candidates = banded.alias("l").join(
+        old_banded.alias("r"), ["band", "key"]
+    ).select(
+        F.col("l._id").alias("new_id"),
+        F.col("l._hs").alias("_sha"),
+        F.col("r._id").alias("old_id"),
+    )
+    verified = candidates.join(old_sets, "old_id")
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    union = F.size(F.array_union(F.col("_sha"), F.col("_shb")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        verified.select("new_id", "old_id", jac.alias("_jac"))
+        .filter(F.col("_jac") >= verify_threshold)
+        .select("new_id", "old_id", F.round("_jac", 5).alias("jaccard"))
+    )
