@@ -4391,10 +4391,10 @@ _ORACLE_TOKENIZER_FERTILITY = f"""
 WITH per AS (
   SELECT lang, length(text) AS nc,
     len({_SQL_TOKS}) AS nw,
-    list_sum(list_transform(
+    COALESCE(list_sum(list_transform(
       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
       w -> CAST(ceil(length(w) / 4.0) AS INT)
-    )) + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS nb
+    )), 0) + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS nb
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,

@@ -246,6 +246,17 @@ def _verify_jaccard(pairs: DataFrame, hashed_a: DataFrame, hashed_b: DataFrame,
     a = hashed_a.select(F.col("_id").alias(a_col), F.col("_hs").alias("_sha"))
     b = hashed_b.select(F.col("_id").alias(b_col), F.col("_hs").alias("_shb"))
     verified = pairs.join(a, a_col).join(b, b_col)
+    return jaccard_verdict(verified, a_col, b_col, verify_threshold)
+
+
+def jaccard_verdict(
+    verified: DataFrame, a_col: str, b_col: str,
+    verify_threshold: float | None,
+) -> DataFrame:
+    """THE threshold/rounding rule, over a frame carrying `_sha`/`_shb`
+    hashed shingle sets: filter on the RAW ratio, round 5dp for output.
+    Batch, incremental AND streaming verifies all call this — a change
+    to the rule lands everywhere at once."""
     inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     union = F.size(F.array_union(F.col("_sha"), F.col("_shb")))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -741,6 +752,27 @@ def write_neardup_index(
     _band_keys(stored, k, bands, "mh").write.mode("overwrite").partitionBy(
         "band"
     ).parquet(f"{path}/bands")
+    # 1-row params artifact: probing with different constants would
+    # silently match nothing — make the mismatch loud at probe time
+    spark.createDataFrame(
+        [(k, bands, shingle_n, "mh")],
+        "k int, bands int, shingle_n int, salt string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def read_neardup_index_params(spark, path: str) -> tuple[int, int, int, str]:
+    row = spark.read.parquet(f"{path}/params").collect()[0]
+    return row["k"], row["bands"], row["shingle_n"], row["salt"]
+
+
+def _check_index_params(spark, path: str, k: int, bands: int, shingle_n: int) -> None:
+    sk, sb, sn, salt = read_neardup_index_params(spark, path)
+    if (sk, sb, sn, salt) != (k, bands, shingle_n, "mh"):
+        raise ValueError(
+            f"near-dup index at {path} was written with k={sk} bands={sb} "
+            f"shingle_n={sn} salt={salt}; probe requested k={k} bands={bands} "
+            f"shingle_n={shingle_n} salt=mh — band keys would match nothing"
+        )
 
 
 def probe_neardup_index(
@@ -759,6 +791,7 @@ def probe_neardup_index(
     touched. The band join reads only the band partitions the probe
     keys hit; the verify join reads the narrow (_id, _hs) sets."""
     spark = new.sparkSession
+    _check_index_params(spark, index_path, k, bands, shingle_n)
     old_banded = spark.read.parquet(f"{index_path}/bands")
     old_sets = spark.read.parquet(f"{index_path}/sets")
     shingled = _shingle_base(new, text_col, id_col).select(

@@ -122,9 +122,10 @@ def deterministic_fake_audio_decoder(data: bytes) -> tuple[int, int, list[float]
     first 8 payload bytes as 'spectral' features — deterministic and
     library-free, same contract shape a real PCM/FFT decoder would fill."""
     b = bytes(data or b"")
-    if len(b) < 8:
+    n = len(b)
+    if n < 8:
         b = (b + bytes(8))[:8]
-    return len(b), 16000, [x / 255.0 for x in b[:8]]
+    return n, 16000, [x / 255.0 for x in b[:8]]
 
 
 def extract_audio_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:

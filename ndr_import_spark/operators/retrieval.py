@@ -46,7 +46,9 @@ def bm25_topk(
     """
     if not terms:
         raise ValueError("bm25_topk requires at least one query term")
-    lterms = [t.lower() for t in terms]
+    # dedupe case-insensitively: repeated query terms must not
+    # double-count in score or n_terms_hit
+    lterms = list(dict.fromkeys(t.lower() for t in terms))
     # ONE corpus scan: explode tokens once, then a single combinable
     # aggregate per document yields the doc length AND every query term's
     # tf as pivoted columns (the term list is tiny and literal). The only

@@ -94,7 +94,9 @@ def expand_tar(
             # Normalise and re-anchor the path so ../ and absolute member
             # names cannot escape dest.
             rel = os.path.normpath(member.name).lstrip("/")
-            if rel.startswith("..") or os.path.isabs(rel):
+            # traversal check on path COMPONENTS: a member legitimately
+            # named '..data.csv' is not an escape
+            if rel == ".." or rel.startswith("../") or os.path.isabs(rel):
                 continue
             target = os.path.join(dest, rel)
             if os.path.commonpath([os.path.abspath(target), os.path.abspath(dest)]) != os.path.abspath(dest):

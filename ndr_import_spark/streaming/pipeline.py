@@ -287,25 +287,31 @@ def stream_neardup_probe(
     pairs matter). Same over-flag-only md5 semantics as the batch path."""
     from ndr_import_spark.operators.dedup import (
         _band_keys,
+        _check_index_params,
         _shingles_from_norm,
+        jaccard_verdict,
         shingle_hashes,
     )
     from ndr_import_spark.operators.textstats import normalize_text
 
     spark = doc_stream.sparkSession
+    _check_index_params(spark, index_path, k, bands, shingle_n)
     old_banded = spark.read.parquet(f"{index_path}/bands")
     old_sets = spark.read.parquet(f"{index_path}/sets").select(
         F.col("_id").alias("old_id"), F.col("_hs").alias("_shb")
     )
-    # stateless narrow prep: normalise -> shingle -> hash (the Generate
-    # barrier from the batch path is unnecessary here: streams evaluate
-    # per micro-batch and the expression is referenced once per column)
-    hashed = doc_stream.select(
+    # stateless narrow prep with the SAME Generate barrier as the batch
+    # path: _norm must be an attribute, or the normalisation regexes are
+    # captured inside the shingling lambda and re-run once per shingle
+    # (expression-tree duplication is execution-mode-independent)
+    normed = doc_stream.select(
         F.col(id_col).alias("_id"),
+        F.explode(F.array(normalize_text(F.col(text_col)))).alias("_norm"),
+    )
+    hashed = normed.select(
+        "_id",
         F.array_distinct(
-            shingle_hashes(
-                _shingles_from_norm(normalize_text(F.col(text_col)), shingle_n)
-            )
+            shingle_hashes(_shingles_from_norm(F.col("_norm"), shingle_n))
         ).alias("_hs"),
     )
     banded = _band_keys(hashed, k, bands, "mh", carry=["_hs"])
@@ -317,11 +323,4 @@ def stream_neardup_probe(
         F.col("r._id").alias("old_id"),
     )
     verified = candidates.join(old_sets, "old_id")
-    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
-    union = F.size(F.array_union(F.col("_sha"), F.col("_shb")))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        verified.select("new_id", "old_id", jac.alias("_jac"))
-        .filter(F.col("_jac") >= verify_threshold)
-        .select("new_id", "old_id", F.round("_jac", 5).alias("jaccard"))
-    )
+    return jaccard_verdict(verified, "new_id", "old_id", verify_threshold)

@@ -83,3 +83,13 @@ class TestStreamingProbe:
         # distinct stream output == batch probe (stream may emit a pair
         # once per matching band; distinct collapses that bounded dup)
         assert set(map(tuple, got)) == batch
+
+
+class TestIndexParamsGuard:
+    def test_mismatched_probe_params_raise(self, spark, tmp_path):
+        old = spark.createDataFrame(OLD_DOCS, "doc_id long, text string")
+        new = spark.createDataFrame(NEW_DOCS, "doc_id long, text string")
+        idx = str(tmp_path / "idx")
+        write_neardup_index(old, idx, bands=8)
+        with pytest.raises(ValueError, match="bands=8"):
+            probe_neardup_index(new, idx, bands=4).collect()
