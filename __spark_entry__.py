@@ -4446,6 +4446,164 @@ FROM fp GROUP BY fp HAVING count(*) > 1 ORDER BY fp
 """
 
 
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene before index build: flag embeddings whose L2 norm
+    deviates more than 3σ from their label's mean norm. Norms are rounded
+    then summed as exact decimals per label (order-independent), the
+    3σ fence is one final double expression, and the flag join ships only
+    the label-cardinality stats frame back — the vectors never move
+    twice. Output: per-label totals + outlier counts + the worst
+    offender."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    per_vec = emb.select(
+        "vec_id",
+        "label",
+        F.round(norm, 9).cast("decimal(20,9)").alias("_nrm"),
+    )
+    stats = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_nrm").alias("_s1"),
+        F.sum((F.col("_nrm") * F.col("_nrm")).cast("decimal(38,18)")).alias("_s2"),
+    )
+    mu = F.col("_s1").cast("double") / F.col("n")
+    var = (
+        F.col("_s2").cast("double")
+        - F.col("_s1").cast("double") * F.col("_s1").cast("double") / F.col("n")
+    ) / (F.col("n") - F.lit(1))
+    fenced = stats.select(
+        "label", "n", mu.alias("_mu"), F.sqrt(var).alias("_sd")
+    )
+    # fence on 6dp roundings: a zero-variance label must produce no
+    # outliers, and sub-ulp noise in the decimal->double collapse must
+    # not flip the comparison on either engine
+    flagged = per_vec.join(F.broadcast(fenced), "label").withColumn(
+        "_dev", F.round(F.abs(F.col("_nrm").cast("double") - F.col("_mu")), 6)
+    ).withColumn("_sd", F.round(F.col("_sd"), 6))
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.when(
+                    (F.col("_dev") > 3 * F.col("_sd")) & (F.col("_dev") > 0),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.max(
+                F.when(
+                    (F.col("_dev") > 3 * F.col("_sd")) & (F.col("_dev") > 0),
+                    F.struct(
+                        F.col("_dev").alias("dev"),
+                        (-F.col("vec_id")).alias("neg_id"),
+                    ),
+                )
+            ).alias("_worst"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_outliers",
+            (-F.col("_worst.neg_id")).cast("bigint").alias("worst_vec_id"),
+            F.col("_worst.dev").alias("worst_dev"),
+        )
+        .orderBy("label")
+    )
+
+
+_ORACLE_NORM_OUTLIERS = """
+WITH per AS (
+  SELECT vec_id, label,
+    CAST(round(sqrt(list_sum(list_transform(embedding,
+         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 9)
+         AS DECIMAL(20,9)) AS nrm
+  FROM embeddings
+), stats AS (
+  SELECT label, count(*) AS n, sum(nrm) AS s1,
+         sum(CAST(nrm * nrm AS DECIMAL(38,18))) AS s2
+  FROM per GROUP BY label
+), fenced AS (
+  SELECT label, n,
+    CAST(s1 AS DOUBLE) / n AS mu,
+    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+         / (n - 1)) AS sd
+  FROM stats
+), flagged AS (
+  SELECT p.label, p.vec_id,
+    round(abs(CAST(p.nrm AS DOUBLE) - f.mu), 6) AS dev, round(f.sd, 6) AS sd
+  FROM per p JOIN fenced f USING (label)
+)
+, agg AS (
+  SELECT label, count(*) AS n_vecs,
+    CAST(COALESCE(sum(CASE WHEN dev > 3 * sd AND dev > 0
+         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers,
+    max(CASE WHEN dev > 3 * sd AND dev > 0
+        THEN {'dev': dev, 'neg': -vec_id} END) AS w
+  FROM flagged GROUP BY label
+)
+SELECT label, n_vecs, n_outliers,
+  CAST(-(w.neg) AS BIGINT) AS worst_vec_id,
+  w.dev AS worst_dev
+FROM agg ORDER BY label
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-purchase week,
+    tracked by distinct-active-user counts at each later week offset.
+    First-touch via a min-aggregate (no window), the activity join is
+    keyed on user, and the (cohort, offset) matrix is one count-distinct
+    aggregate — each shuffle is keyed and combinable."""
+    ev = _events(spark, sf_dir)
+    first = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.date_trunc("week", F.col("ts")).cast("date")).alias(
+                "cohort_week"
+            )
+        )
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .withColumn(
+            "week_offset",
+            F.datediff(F.col("week"), F.col("cohort_week")) / 7,
+        )
+        .withColumn("week_offset", F.col("week_offset").cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_ORACLE_COHORT = """
+WITH first AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT f.cohort_week,
+  CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT) AS week_offset,
+  count(DISTINCT a.user_id) AS n_active
+FROM active a JOIN first f USING (user_id)
+WHERE a.week >= f.cohort_week
+GROUP BY f.cohort_week, week_offset
+ORDER BY f.cohort_week, week_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4552,6 +4710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_card": q_corpus_card,
         "tokenizer_fertility": q_tokenizer_fertility,
         "doc_fingerprints": q_doc_fingerprints,
+        "embedding_norm_outliers": q_embedding_norm_outliers,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -4652,4 +4812,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_card": _ORACLE_CORPUS_CARD,
         "tokenizer_fertility": _ORACLE_TOKENIZER_FERTILITY,
         "doc_fingerprints": _ORACLE_DOC_FINGERPRINTS,
+        "embedding_norm_outliers": _ORACLE_NORM_OUTLIERS,
+        "cohort_retention": _ORACLE_COHORT,
     }
