@@ -2013,8 +2013,10 @@ FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
 
 
 def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed range join: events against 50 overlapping 12-hour
-    analysis windows. A bare BETWEEN join plans as a nested-loop product
+    """Bucketed range join: events against 50 GENUINELY overlapping
+    12-hour analysis windows (8-hour stride, so every event can fall in
+    two windows — the multi-interval-match case is exercised, not just
+    claimed). A bare BETWEEN join plans as a nested-loop product
     (O(points × intervals)); bucketization turns it into a plain hash
     equi-join on the hour bucket + an exact refine — linear shuffle,
     output-bounded candidates. See operators/rangejoin.py."""
@@ -2026,8 +2028,8 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.range(50)
         .select(
             F.col("id").alias("window_id"),
-            F.timestamp_add("HOUR", (F.col("id") * 14).cast("int"), base).alias("ws"),
-            F.timestamp_add("HOUR", (F.col("id") * 14 + 12).cast("int"), base).alias("we"),
+            F.timestamp_add("HOUR", (F.col("id") * 8).cast("int"), base).alias("ws"),
+            F.timestamp_add("HOUR", (F.col("id") * 8 + 12).cast("int"), base).alias("we"),
         )
     )
     joined = range_join(events, windows, "ts", "ws", "we", bucket_seconds=3600)
@@ -2044,8 +2046,8 @@ def q_range_join_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_RANGE_JOIN = """
 WITH w AS (
   SELECT i AS window_id,
-         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 14) HOUR AS ws,
-         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 14 + 12) HOUR AS we
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 8) HOUR AS ws,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 8 + 12) HOUR AS we
   FROM range(0, 50) t(i)
 )
 SELECT w.window_id, count(*) AS n_events, count(DISTINCT e.user_id) AS n_users

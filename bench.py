@@ -159,19 +159,39 @@ def main() -> int:
     signal.signal(signal.SIGINT, _on_term)
 
     for name in names:
+        # own process group so a timeout kill reaps the Spark JVM child
+        # too: SIGKILLing only the python fork orphans a 24g-heap JVM
+        # that keeps running the hung plan on every core and contaminates
+        # all remaining measurements
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--single", name],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            start_new_session=True,
+        )
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single", name],
-                capture_output=True,
-                text=True,
-                timeout=600,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
+            out_s, err_s = p.communicate(timeout=600)
         except subprocess.TimeoutExpired:
+            import signal as _signal
+
+            try:
+                os.killpg(os.getpgid(p.pid), _signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+            p.wait()
             # one hung query must not abort the suite: record NaN, move on
             sys.stderr.write(f"bench {name} FAILED: timeout (600s)\n")
             timings[name] = float("nan")
             continue
+
+        class _Proc:
+            stdout = out_s
+            stderr = err_s
+            returncode = p.returncode
+
+        proc = _Proc()
         dt = float("nan")
         for line in proc.stdout.splitlines():
             if line.startswith("BENCH_SINGLE "):

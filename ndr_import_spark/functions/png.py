@@ -111,8 +111,15 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if color_type == 3:  # palette → RGB
         if not palette:
             raise PngError("Palette image without PLTE")
+        n_entries = len(palette) // 3
         rgb = bytearray(width * height * 3)
         for i, idx in enumerate(out):
+            # an out-of-range index would slice < 3 bytes and silently
+            # RESIZE the buffer, shifting every later pixel — refuse
+            if idx >= n_entries:
+                raise PngError(
+                    f"Palette index {idx} out of range ({n_entries} entries)"
+                )
             rgb[i * 3:i * 3 + 3] = palette[idx * 3:idx * 3 + 3]
         return width, height, 3, bytes(rgb)
     return width, height, channels, bytes(out)
@@ -148,7 +155,28 @@ def grid_features(
     width: int, height: int, channels: int, pixels: bytes, grid: int = 4
 ) -> list[float]:
     """Mean grey intensity over a grid×grid cell partition of the image —
-    a deterministic, library-free 16-dim feature vector in [0, 1]."""
+    a deterministic 16-dim feature vector in [0, 1]. Vectorised with
+    numpy when available (the per-pixel Python loop dominates decode time
+    on real photos); the fallback loop computes bit-identical values."""
+    try:
+        import numpy as np
+    except ImportError:
+        np = None
+    if np is not None:
+        arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, channels)
+        if channels >= 3:
+            grey = arr[:, :, :3].sum(axis=2, dtype=np.float64) / 3.0
+        else:
+            grey = arr[:, :, 0].astype(np.float64)
+        gy = np.minimum(np.arange(height) * grid // height, grid - 1)
+        gx = np.minimum(np.arange(width) * grid // width, grid - 1)
+        cell = (gy[:, None] * grid + gx[None, :]).ravel()
+        sums_v = np.bincount(cell, weights=grey.ravel(), minlength=grid * grid)
+        counts_v = np.bincount(cell, minlength=grid * grid)
+        return [
+            round(float(s) / int(c) / 255.0, 6) if c else 0.0
+            for s, c in zip(sums_v, counts_v)
+        ]
     sums = [0.0] * (grid * grid)
     counts = [0] * (grid * grid)
     stride = width * channels

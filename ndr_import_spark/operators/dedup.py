@@ -128,7 +128,14 @@ def _evict_then_persist(df: DataFrame) -> DataFrame:
     provably dead. This bounds live cache to ONE corpus per session —
     without it, a long-lived session (e.g. the correctness driver running
     39 queries in one SparkSession) accumulates every corpus it ever
-    deduped and pays eviction churn on later queries."""
+    deduped and pays eviction churn on later queries.
+
+    CALLER CONTRACT: materialise (run an action on) each banded pipeline
+    BEFORE constructing the next one. Building pipeline B and then acting
+    on a still-lazy pipeline A runs A with its cache already evicted —
+    results stay correct, but A recomputes its shingle pass per plan
+    reference (measured ~3x slower). Every in-repo caller follows this
+    build-then-act order."""
     from pyspark import StorageLevel
 
     while _LIVE_CACHE:
@@ -566,6 +573,17 @@ def connected_components(
         if s == prev_sum:
             break
         prev_sum = s
+    else:
+        # exhausting the budget without a fixpoint means labels are only
+        # PARTIALLY propagated — silently returning them would split one
+        # real cluster into several and keep phantom representatives
+        edges.unpersist(blocking=False)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds: the pair graph has a chain longer than the budget — "
+            "raise max_iterations or switch the propagation step to "
+            "large-star/small-star (O(log n) rounds, same shuffle shape)"
+        )
     edges.unpersist(blocking=False)
     return labels
 

@@ -84,11 +84,15 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
     decoder = _image_decoder
 
     def one(payload):
+        if payload is None:
+            # a failed fetch must not kill the job (and must not be
+            # misreported as an unsupported format): null feature row
+            return None, None, None
         if decoder is not None:
             return decoder(payload)
         from ndr_import_spark.functions.png import is_png, png_image_decoder
 
-        if payload is not None and is_png(bytes(payload)):
+        if is_png(bytes(payload)):
             return png_image_decoder(bytes(payload))
         raise NotImplementedError(
             "Non-PNG media needs an injected decoder; use "

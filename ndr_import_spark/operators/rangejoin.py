@@ -56,9 +56,12 @@ def range_join(
         raise ValueError(
             f"range_join inputs share column names {sorted(overlap)}; rename first"
         )
-    numeric = dict(points.dtypes)[point_col] in (
-        "bigint", "int", "smallint", "double", "float", "long", "decimal",
-    )
+    # dtype strings: integral types report as tinyint/smallint/int/bigint,
+    # decimals carry precision ("decimal(18,2)") — match on prefix
+    ptype = dict(points.dtypes)[point_col]
+    numeric = ptype in (
+        "bigint", "int", "smallint", "tinyint", "double", "float",
+    ) or ptype.startswith("decimal")
 
     def secs(col: Column) -> Column:
         return col.cast("double") if numeric else epoch_seconds(col).cast("double")

@@ -385,22 +385,36 @@ class _Interp:
 _INHERITABLE = ("Resources", "MediaBox", "Rotate")
 
 
-def _walk_pages(graph: PdfGraph, node: dict, inherited: dict, out: list) -> None:
-    merged = dict(inherited)
-    for key in _INHERITABLE:
-        if key in node:
-            merged[key] = node[key]
-    ntype = str(graph.deref(node.get("Type")) or "")
-    if ntype == "Page" or ("Kids" not in node and "Contents" in node):
-        page = dict(node)
+def _walk_pages(graph: PdfGraph, tree: dict, out: list) -> None:
+    """Iterative page-tree walk: a malformed PDF with a /Kids cycle or
+    pathological nesting must degrade to the fallback scrape, not blow
+    the recursion limit (RecursionError escapes the reader's catch set
+    and would fail the whole scan task). Cycles are cut by node identity;
+    depth is bounded by the explicit stack."""
+    stack: list[tuple[dict, dict]] = [(tree, {})]
+    seen: set[int] = set()
+    while stack and len(out) < 10_000:
+        node, inherited = stack.pop()
+        if id(node) in seen:
+            continue  # /Kids cycle — drop the repeated subtree
+        seen.add(id(node))
+        merged = dict(inherited)
         for key in _INHERITABLE:
-            page.setdefault(key, merged.get(key))
-        out.append(page)
-        return
-    for kid in graph.deref(node.get("Kids")) or []:
-        child = graph.deref(kid)
-        if isinstance(child, dict) and len(out) < 10_000:
-            _walk_pages(graph, child, merged, out)
+            if key in node:
+                merged[key] = node[key]
+        ntype = str(graph.deref(node.get("Type")) or "")
+        if ntype == "Page" or ("Kids" not in node and "Contents" in node):
+            page = dict(node)
+            for key in _INHERITABLE:
+                page.setdefault(key, merged.get(key))
+            out.append(page)
+            continue
+        kids = graph.deref(node.get("Kids")) or []
+        # reversed so pop() preserves document order
+        for kid in reversed(list(kids)):
+            child = graph.deref(kid)
+            if isinstance(child, dict):
+                stack.append((child, merged))
 
 
 def pdf_pages(graph: PdfGraph) -> list[dict]:
@@ -409,7 +423,7 @@ def pdf_pages(graph: PdfGraph) -> list[dict]:
     if not isinstance(tree, dict):
         raise PdfError("PDF has no /Pages tree")
     out: list[dict] = []
-    _walk_pages(graph, tree, {}, out)
+    _walk_pages(graph, tree, out)
     return out
 
 

@@ -110,3 +110,20 @@ class TestSimhashHammingPairs:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="bands - 1"):
             simhash_hamming_pairs(df, bands=4, max_distance=4)
+
+
+class TestConvergenceGuard:
+    def test_long_chain_exhausts_budget_raises(self, spark):
+        import pytest as _pytest
+
+        from ndr_import_spark.operators.dedup import connected_components
+
+        # a 10-node path graph has diameter 9: 3 rounds cannot finish
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+        )
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iterations=3)
+        # and a sufficient budget converges to one component
+        comp = connected_components(pairs, max_iterations=15)
+        assert {r["component"] for r in comp.collect()} == {0}

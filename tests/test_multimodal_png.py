@@ -239,3 +239,22 @@ class TestResize:
         )
         with pytest.raises(Exception, match="PNG"):
             mm.resize_images(df, 4, 4).collect()
+
+
+class TestNullPayload:
+    def test_null_payload_yields_null_row(self, spark):
+        from ndr_import_spark.functions.png import encode_png
+        from ndr_import_spark.operators import multimodal as mm
+
+        png = encode_png(2, 1, bytes([1, 2, 3, 4, 5, 6]))
+        df = spark.createDataFrame(
+            [
+                (1, "image", "image/png", 2, 1, 0, bytearray(png)),
+                (2, "image", "image/png", 0, 0, 0, None),  # failed fetch
+            ],
+            mm.MEDIA_SCHEMA,
+        )
+        mm.set_image_decoder(None)
+        rows = {r["media_id"]: r for r in mm.extract_features(df).collect()}
+        assert rows[1]["width"] == 2 and rows[1]["feature"] is not None
+        assert rows[2]["width"] is None and rows[2]["feature"] is None
