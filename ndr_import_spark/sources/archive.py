@@ -98,6 +98,14 @@ def expand_tar(
             # named '..data.csv' is not an escape
             if rel == ".." or rel.startswith("../") or os.path.isabs(rel):
                 continue
+            # Hadoop input formats treat dot/underscore-prefixed files as
+            # hidden and silently skip them at scan time — rename such
+            # members (documented, content-preserving) so their rows are
+            # not silently lost downstream
+            d, base = os.path.split(rel)
+            if base.startswith((".", "_")):
+                base = "unhidden_" + base.lstrip("._")
+                rel = os.path.join(d, base) if d else base
             target = os.path.join(dest, rel)
             if os.path.commonpath([os.path.abspath(target), os.path.abspath(dest)]) != os.path.abspath(dest):
                 continue

@@ -258,3 +258,30 @@ class TestNullPayload:
         rows = {r["media_id"]: r for r in mm.extract_features(df).collect()}
         assert rows[1]["width"] == 2 and rows[1]["feature"] is not None
         assert rows[2]["width"] is None and rows[2]["feature"] is None
+
+
+class TestPaletteGuard:
+    def test_out_of_range_palette_index_raises(self):
+        import struct
+        import zlib
+
+        from ndr_import_spark.functions.png import PngError, decode_png
+
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+            )
+
+        # 2x1 palette image with a 1-entry PLTE but pixel index 5
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+        scan = b"\x00\x00\x05"  # filter 0, indices 0 and 5
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", b"\x10\x20\x30")
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(PngError, match="out of range"):
+            decode_png(png)

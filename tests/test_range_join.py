@@ -76,3 +76,25 @@ class TestRangeJoin:
         bad = intervals.withColumnRenamed("iid", "pid")
         with pytest.raises(ValueError, match="pid"):
             range_join(points, bad, "pt", "s", "e")
+
+
+class TestNumericTypeRouting:
+    def test_decimal_point_column(self, spark):
+        from ndr_import_spark.operators.rangejoin import range_join
+
+        points = spark.createDataFrame(
+            [(1, "5.50"), (2, "25.00")], "pid long, amt string"
+        ).select("pid", F.col("amt").cast("decimal(18,2)").alias("amt"))
+        intervals = spark.createDataFrame(
+            [(10, 0.0, 10.0), (20, 20.0, 30.0)], "iid long, lo double, hi double"
+        ).select(
+            "iid",
+            F.col("lo").cast("decimal(18,2)").alias("lo"),
+            F.col("hi").cast("decimal(18,2)").alias("hi"),
+        )
+        out = {
+            r["pid"]: r["iid"]
+            for r in range_join(points, intervals, "amt", "lo", "hi",
+                                bucket_seconds=10).collect()
+        }
+        assert out == {1: 10, 2: 20}

@@ -98,3 +98,39 @@ class TestGzipCsv:
         assert len(tables) == 1
         df = tables[0][1]
         assert df.count() == 3  # header + 2 data rows in the cells contract
+
+
+class TestTraversalGuard:
+    def test_dotdot_prefixed_name_is_extracted(self, spark, tmp_path):
+        # '..data.csv' is a legal (odd) filename, not a traversal
+        import tarfile as tarmod
+
+        src = tmp_path / "x.csv"
+        src.write_text("a\n1\n")
+        tar_path = tmp_path / "odd.tar"
+        with tarmod.open(tar_path, "w") as tf:
+            tf.add(src, arcname="..data.csv")
+        tables = read_tables(
+            spark,
+            str(tar_path),
+            options={"unzip_path": str(tmp_path / "o"), "inner_format": "csv"},
+        )
+        assert len(tables) == 1 and tables[0][1].count() == 2
+
+    def test_real_traversal_member_is_skipped(self, spark, tmp_path):
+        import io
+        import tarfile as tarmod
+
+        tar_path = tmp_path / "evil.tar"
+        with tarmod.open(tar_path, "w") as tf:
+            info = tarmod.TarInfo(name="../../escape.csv")
+            payload = b"x\n9\n"
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+        tables = read_tables(
+            spark,
+            str(tar_path),
+            options={"unzip_path": str(tmp_path / "jail"), "inner_format": "csv"},
+        )
+        assert tables == []
+        assert not (tmp_path.parent / "escape.csv").exists()
