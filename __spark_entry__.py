@@ -4314,12 +4314,17 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_CORPUS_CARD = f"""
-WITH per AS (
+WITH src AS (
+  -- mirror the Spark side's COALESCE(text, ''): a NULL text row must
+  -- count as an empty document with a real md5, not vanish from the
+  -- distinct-content / char-sum aggregates (DuckDB md5(NULL) is NULL)
+  SELECT doc_id, lang, source, COALESCE(text, '') AS text FROM documents
+), per AS (
   SELECT doc_id, lang, source,
     len({_SQL_TOKS}) AS nt,
     length(text) AS nc,
     md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
-  FROM documents
+  FROM src
 ), base AS (
   SELECT count(*) AS n_docs,
     CAST(sum(nt) AS BIGINT) AS n_tokens,
@@ -4467,7 +4472,11 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_vec = emb.select(
         "vec_id",
         "label",
-        F.round(norm, 9).cast("decimal(20,9)").alias("_nrm"),
+        # decimal(14,9): the squared product is decimal(29,18) which fits
+        # precision 38 at full scale — (20,9) operands made Spark truncate
+        # the (41,18) product to (38,15) pre-cast, so _s2 was not actually
+        # engine-identical.  14,9 holds norms < 100000.
+        F.round(norm, 9).cast("decimal(14,9)").alias("_nrm"),
     )
     stats = per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),

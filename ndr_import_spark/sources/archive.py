@@ -104,7 +104,16 @@ def expand_tar(
             # not silently lost downstream
             d, base = os.path.split(rel)
             if base.startswith((".", "_")):
-                base = "unhidden_" + base.lstrip("._")
+                # injective rename: encode each leading '.'/'_' as a
+                # distinct marker instead of lstrip-ing them all, so
+                # '.data.csv', '_data.csv' and '__data.csv' in one
+                # directory stay distinct members rather than colliding
+                # on 'unhidden_data.csv' and silently overwriting.
+                i = 0
+                while i < len(base) and base[i] in "._":
+                    i += 1
+                prefix = base[:i].replace(".", "d").replace("_", "u")
+                base = f"unhidden_{prefix}_{base[i:]}"
                 rel = os.path.join(d, base) if d else base
             target = os.path.join(dest, rel)
             if os.path.commonpath([os.path.abspath(target), os.path.abspath(dest)]) != os.path.abspath(dest):

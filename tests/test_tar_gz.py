@@ -117,6 +117,35 @@ class TestTraversalGuard:
         )
         assert len(tables) == 1 and tables[0][1].count() == 2
 
+    def test_hidden_member_unhide_is_injective(self, spark, tmp_path):
+        # '.data.csv', '_data.csv' and '__data.csv' in ONE directory must
+        # extract to three DISTINCT files — the old lstrip('._') rename
+        # collapsed them all to 'unhidden_data.csv' and silently kept only
+        # the last member.
+        import tarfile as tarmod
+
+        tar_path = tmp_path / "hidden.tar"
+        with tarmod.open(tar_path, "w") as tf:
+            for i, arc in enumerate((".data.csv", "_data.csv", "__data.csv")):
+                src = tmp_path / f"h{i}.csv"
+                src.write_text(f"a\n{i}\n")
+                tf.add(src, arcname=arc)
+        tables = read_tables(
+            spark,
+            str(tar_path),
+            options={"unzip_path": str(tmp_path / "h"), "inner_format": "csv"},
+        )
+        assert len(tables) == 3
+        vals = sorted(
+            t[1].filter("row_index = 1").collect()[0]["cells"][0] for t in tables
+        )
+        assert vals == ["0", "1", "2"]
+        # none of the extracted basenames is dot/underscore-prefixed
+        # (Hadoop would skip it) and all are distinct
+        names = os.listdir(tmp_path / "h")
+        assert len(set(names)) == 3
+        assert not any(n.startswith((".", "_")) for n in names)
+
     def test_real_traversal_member_is_skipped(self, spark, tmp_path):
         import io
         import tarfile as tarmod
