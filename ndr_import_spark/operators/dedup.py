@@ -115,37 +115,77 @@ def _shingles_from_norm(norm: Column, n: int) -> Column:
     return F.transform(starts, lambda i: F.substring(norm, i, n))
 
 
-_LIVE_CACHE: list[DataFrame] = []
+_MAX_LIVE_SCOPES = 4
+_LIVE_SCOPES: "OrderedDict[int, _CacheScope]" = None  # type: ignore[assignment]
 
 
-def _evict_then_persist(df: DataFrame) -> DataFrame:
-    """Persist `df` (MEMORY_AND_DISK_DESER), evicting the PREVIOUS banded
-    call's cache first.
+class _CacheScope:
+    """Per-pipeline persist scope for the banded-dedup family.
 
-    The pair-finder returns a lazy DataFrame, so its cache cannot be
-    unpersisted inside the call (the action hasn't run yet); the next
-    banded-dedup call is the earliest point the previous corpus cache is
-    provably dead. This bounds live cache to ONE corpus per session —
-    without it, a long-lived session (e.g. the correctness driver running
-    39 queries in one SparkSession) accumulates every corpus it ever
-    deduped and pays eviction churn on later queries.
+    Each public pair-finder call owns ONE scope holding its persisted
+    intermediates (the (_id, _hs) shingle-hash frame the plan references
+    four times). Scopes live in a bounded module LRU (`_MAX_LIVE_SCOPES`
+    corpora) rather than the former one-slot global — so two INTERLEAVED
+    lazy pipelines (build A, build B, act on A, act on B) both keep their
+    caches; under the old evict-then-persist scheme building B silently
+    evicted A and A recomputed its shingle pass per plan reference
+    (measured ~3x slower, still correct).
 
-    CALLER CONTRACT: materialise (run an action on) each banded pipeline
-    BEFORE constructing the next one. Building pipeline B and then acting
-    on a still-lazy pipeline A runs A with its cache already evicted —
-    results stay correct, but A recomputes its shingle pass per plan
-    reference (measured ~3x slower). Every in-repo caller follows this
-    build-then-act order."""
-    from pyspark import StorageLevel
+    Lifetime: a scope is released when (a) the LRU overflows — oldest
+    pipeline first, the one most likely already materialised — or (b) the
+    caller releases it deterministically via the `_ndr_cache_scope`
+    attribute stitched onto the returned DataFrame
+    (``pairs._ndr_cache_scope.release()``). Releasing a scope whose
+    pipeline still has pending actions is CORRECT (Spark recomputes), just
+    slower. Memory bound: `_MAX_LIVE_SCOPES` narrow int-array corpus
+    caches at MEMORY_AND_DISK — spills under pressure, and a long-lived
+    97-query driver session never accumulates more than that."""
 
-    while _LIVE_CACHE:
-        try:
-            _LIVE_CACHE.pop().unpersist(blocking=False)
-        except Exception:  # noqa: BLE001 — session may already be stopped
-            pass
-    df = df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
-    _LIVE_CACHE.append(df)
-    return df
+    __slots__ = ("_dfs", "_released")
+
+    def __init__(self) -> None:
+        self._dfs: list[DataFrame] = []
+        self._released = False
+
+    def persist(self, df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        self._dfs.append(df)
+        _register_scope(self)
+        return df
+
+    def release(self) -> None:
+        if self._released:
+            return
+        self._released = True
+        if _LIVE_SCOPES is not None:
+            _LIVE_SCOPES.pop(id(self), None)
+        while self._dfs:
+            try:
+                self._dfs.pop().unpersist(blocking=False)
+            except Exception:  # noqa: BLE001 — session may already be stopped
+                pass
+
+    def tie(self, result: DataFrame) -> DataFrame:
+        """Expose this scope on the pipeline's returned DataFrame so a
+        caller that knows it is done can release the cache immediately
+        instead of waiting for LRU turnover."""
+        result._ndr_cache_scope = self  # type: ignore[attr-defined]
+        return result
+
+
+def _register_scope(scope: _CacheScope) -> None:
+    global _LIVE_SCOPES
+    if _LIVE_SCOPES is None:
+        from collections import OrderedDict
+
+        _LIVE_SCOPES = OrderedDict()
+    _LIVE_SCOPES[id(scope)] = scope
+    _LIVE_SCOPES.move_to_end(id(scope))
+    while len(_LIVE_SCOPES) > _MAX_LIVE_SCOPES:
+        oldest = next(iter(_LIVE_SCOPES.values()))
+        oldest.release()
 
 
 MINHASH_P = 1073741789  # largest prime < 2^30: keeps a*h+b inside int64
@@ -307,8 +347,9 @@ def _banded_jaccard_pairs(
     # Measured alternatives at sf0.1/local[32]: no persist (relying on
     # ReuseExchange) = 10.5 s steady vs 3.4 s persisted — the four plan
     # references do NOT canonicalise to one exchange, so the persist is a
-    # 3× win, and _evict_then_persist bounds the cache to one corpus.
-    hashed = _evict_then_persist(
+    # 3× win, and the per-pipeline _CacheScope LRU bounds total cache.
+    scope = _CacheScope()
+    hashed = scope.persist(
         shingled.select(
             "_id", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
         )
@@ -321,7 +362,9 @@ def _banded_jaccard_pairs(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return _verify_jaccard(pairs, hashed, hashed, "id_a", "id_b", verify_threshold)
+    return scope.tie(
+        _verify_jaccard(pairs, hashed, hashed, "id_a", "id_b", verify_threshold)
+    )
 
 
 def minhash_lsh_pairs(
@@ -422,7 +465,8 @@ def simhash_hamming_pairs(
         )
     width = bits // bands
     mask = (1 << width) - 1
-    base = _evict_then_persist(
+    scope = _CacheScope()
+    base = scope.persist(
         df.select(
             F.col(id_col).alias("_id"),
             # Generate barrier: the signature expression is referenced by
@@ -450,7 +494,7 @@ def simhash_hamming_pairs(
     a = base.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_siga"))
     b = base.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sigb"))
     dist = F.bit_count(F.col("_siga").bitwiseXOR(F.col("_sigb")))
-    return (
+    return scope.tie(
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", dist.alias("hamming"))
@@ -510,11 +554,104 @@ def ngram_jaccard_pairs(
     return _banded_jaccard_pairs(shingled, k, bands, "ng", threshold)
 
 
+def _star_components(
+    edges: DataFrame, max_rounds: int = 30, nodes: DataFrame | None = None
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction — the O(log n)-round MapReduce CC algorithm (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond"), used as
+    the long-chain path where min-label propagation's diameter-many
+    rounds would exhaust any budget.
+
+    Per round the work is exactly the propagation round's shuffle shape —
+    one groupBy-min over neighbour lists plus one re-keyed projection —
+    but each round HALVES long paths instead of advancing labels one hop:
+
+    * large-star(u): m = min(N(u) ∪ {u}); every neighbour v > u re-wires
+      to (v, m).  Strictly larger nodes hook onto the local minimum.
+    * small-star(u): over the smaller neighbours Γ⁻(u) = {v ∈ N(u): v < u},
+      m = min(Γ⁻); every v ∈ Γ⁻ \\ {m} re-wires to (v, m) and u itself
+      wires to (u, m).
+
+    At the fixpoint the edge set is a union of stars centred on each
+    component's minimum id; (src→dst) IS the (node→component) map for
+    every non-root node. Fixpoint test: edge multisets equal across one
+    full round — checked with a count + exceptAll probe (both one
+    shuffle on an edge set that only shrinks). Each round is
+    localCheckpoint-ed: like the propagation loop, the iterated plan
+    must truncate lineage or Catalyst doubles it per round.
+
+    Takes distinct undirected edges as (src, dst) with src != dst;
+    returns (node, component) for every node appearing in `edges` (or in
+    the caller-supplied `nodes` frame, which additionally covers isolated
+    nodes that have no non-loop edge).
+    """
+    if nodes is None:
+        nodes = edges.select(F.col("src").alias("node")).unionByName(
+            edges.select(F.col("dst").alias("node"))
+        )
+    nodes = nodes.distinct().localCheckpoint(eager=True)
+    e = edges.localCheckpoint(eager=True)
+    prev_count = e.count()
+    for _ in range(max_rounds):
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # large-star: neighbours bigger than u hook to min(N(u) ∪ {u})
+        lmins = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("_mn"))
+            .select("src", F.least(F.col("_mn"), F.col("src")).alias("_m"))
+        )
+        large = (
+            sym.join(lmins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star over edges directed large->small
+        dird = large.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        smins = dird.groupBy("src").agg(F.min("dst").alias("_m"))
+        joined = dird.join(smins, "src")
+        small = (
+            joined.filter(F.col("dst") != F.col("_m"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+            .unionByName(smins.select("src", F.col("_m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = small.count()
+        converged = (
+            n == prev_count and small.exceptAll(e).limit(1).count() == 0
+        )
+        e = small
+        prev_count = n
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds — "
+            "O(log n) rounds suffice for any graph that fits an int64 id "
+            "space, so this indicates a bug, not a budget problem"
+        )
+    # stars: src -> component; roots map to themselves
+    return nodes.join(
+        e.select(F.col("src").alias("node"), F.col("dst").alias("_c")),
+        "node",
+        "left",
+    ).select("node", F.coalesce(F.col("_c"), F.col("node")).alias("component"))
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components over an undirected near-duplicate pair list —
     the step that turns pairwise similarity into CLUSTER decisions (a doc
@@ -533,9 +670,22 @@ def connected_components(
     a 19-round chain OOMed the driver in Catalyst before any data moved).
     On a fault-tolerant cluster run, swap localCheckpoint for
     `checkpoint()` with a checkpoint dir (localCheckpoint trades executor-
-    loss resilience for speed); for graphs with long chains swap the
-    propagation step for large-star/small-star (O(log n) rounds) — the
-    shuffle shape per round is identical.
+    loss resilience for speed).
+
+    `algorithm` picks the long-chain strategy:
+
+    * ``"auto"`` (default) — propagation for up to `max_iterations`
+      rounds; if the budget exhausts without a fixpoint (a pathological
+      chain — near-dup clusters are normally near-cliques with tiny
+      diameter), CONTRACT the graph through the partial labels (edges
+      between label-representatives only — the graph shrinks to one node
+      per partially-merged group) and finish it with large-star /
+      small-star (`_star_components`, O(log n) rounds). Never raises on
+      diameter; the propagation rounds already paid are reused.
+    * ``"propagation"`` — round-3 behaviour: raise on budget exhaustion
+      rather than return partially-propagated labels.
+    * ``"star"`` — skip propagation, pure star contraction (the right
+      opening when the caller KNOWS chains are long).
 
     Convergence probe: labels only ever DECREASE, so an unchanged
     sum(component) ⟺ fixpoint — no extra comparison join.
@@ -544,6 +694,23 @@ def connected_components(
     where component = the minimum doc id reachable.
     """
     from pyspark import StorageLevel
+
+    if algorithm not in ("auto", "propagation", "star"):
+        raise ValueError(f"unknown connected-components algorithm {algorithm!r}")
+    if algorithm == "star":
+        all_nodes = pairs.select(F.col(id_a).alias("node")).unionByName(
+            pairs.select(F.col(id_b).alias("node"))
+        )
+        edges = (
+            pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
+        )
+        return _star_components(edges, nodes=all_nodes)
 
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -574,16 +741,54 @@ def connected_components(
             break
         prev_sum = s
     else:
-        # exhausting the budget without a fixpoint means labels are only
-        # PARTIALLY propagated — silently returning them would split one
-        # real cluster into several and keep phantom representatives
-        edges.unpersist(blocking=False)
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            "rounds: the pair graph has a chain longer than the budget — "
-            "raise max_iterations or switch the propagation step to "
-            "large-star/small-star (O(log n) rounds, same shuffle shape)"
+        # budget exhausted without a fixpoint: labels are only PARTIALLY
+        # propagated — returning them would split one real cluster into
+        # several and keep phantom representatives
+        if algorithm == "propagation":
+            edges.unpersist(blocking=False)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "rounds: the pair graph has a chain longer than the budget — "
+                "raise max_iterations or use algorithm='auto'/'star' "
+                "(large-star/small-star, O(log n) rounds, same shuffle shape)"
+            )
+        # auto: finish with star contraction on the CONTRACTED graph.
+        # Partial labels are within-component by construction, so mapping
+        # each endpoint to its label and dropping loops yields a graph
+        # over label-representatives with identical connectivity but one
+        # node per partially-merged group — the propagation rounds
+        # already paid shrink the star input instead of being wasted.
+        la = labels.select(
+            F.col("node").alias("src"), F.col("component").alias("_ca")
         )
+        lb = labels.select(
+            F.col("node").alias("dst"), F.col("component").alias("_cb")
+        )
+        contracted = (
+            edges.join(la, "src")
+            .join(lb, "dst")
+            .filter(F.col("_ca") != F.col("_cb"))
+            .select(
+                F.least("_ca", "_cb").alias("src"),
+                F.greatest("_ca", "_cb").alias("dst"),
+            )
+            .distinct()
+        )
+        star = _star_components(contracted).select(
+            F.col("node").alias("_rep"), F.col("component").alias("_root")
+        )
+        final = (
+            labels.join(
+                star, labels["component"] == star["_rep"], "left"
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("_root"), F.col("component")).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        edges.unpersist(blocking=False)
+        return final
     edges.unpersist(blocking=False)
     return labels
 
@@ -684,7 +889,8 @@ def incremental_neardup_pairs(
     shingled = base.select(
         "_id", "_new", _shingles_from_norm(F.col("_norm"), shingle_n).alias("_sh")
     )
-    hashed = _evict_then_persist(
+    scope = _CacheScope()
+    hashed = scope.persist(
         shingled.select(
             "_id", "_new", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
         )
@@ -697,13 +903,15 @@ def incremental_neardup_pairs(
         .select(F.col("l._id").alias("new_id"), F.col("r._id").alias("old_id"))
         .dropDuplicates(["new_id", "old_id"])
     )
-    return _verify_jaccard(
-        pairs,
-        hashed.filter(F.col("_new") == 1),
-        hashed.filter(F.col("_new") == 0),
-        "new_id",
-        "old_id",
-        verify_threshold,
+    return scope.tie(
+        _verify_jaccard(
+            pairs,
+            hashed.filter(F.col("_new") == 1),
+            hashed.filter(F.col("_new") == 0),
+            "new_id",
+            "old_id",
+            verify_threshold,
+        )
     )
 
 
@@ -815,7 +1023,8 @@ def probe_neardup_index(
     shingled = _shingle_base(new, text_col, id_col).select(
         "_id", _shingles_from_norm(F.col("_norm"), shingle_n).alias("_sh")
     )
-    new_hashed = _evict_then_persist(
+    scope = _CacheScope()
+    new_hashed = scope.persist(
         shingled.select(
             "_id", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
         )
@@ -827,6 +1036,8 @@ def probe_neardup_index(
         .select(F.col("l._id").alias("new_id"), F.col("r._id").alias("old_id"))
         .dropDuplicates(["new_id", "old_id"])
     )
-    return _verify_jaccard(
-        pairs, new_hashed, old_sets, "new_id", "old_id", verify_threshold
+    return scope.tie(
+        _verify_jaccard(
+            pairs, new_hashed, old_sets, "new_id", "old_id", verify_threshold
+        )
     )

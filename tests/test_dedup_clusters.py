@@ -38,6 +38,57 @@ class TestConnectedComponents:
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         assert connected_components(pairs).count() == 0
 
+    def test_propagation_budget_exhaustion_raises(self, spark):
+        # algorithm="propagation" preserves the round-3 contract: raise
+        # on a chain longer than the budget rather than return split
+        # clusters
+        edges = [(i, i + 1) for i in range(30)]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(
+                pairs, max_iterations=5, algorithm="propagation"
+            ).collect()
+
+    def test_auto_falls_back_to_star_on_long_chain(self, spark):
+        # a 10_000-node path has diameter 9_999: propagation alone would
+        # exhaust any sane budget; auto must contract through the partial
+        # labels and finish with large-star/small-star
+        n = 10_000
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        ).repartition(8)
+        labels = connected_components(pairs, max_iterations=6).collect()
+        assert len(labels) == n
+        assert {r["component"] for r in labels} == {0}
+
+    def test_star_matches_propagation_on_mixed_graph(self, spark):
+        # several components of different shapes: chain, triangle with a
+        # tail, isolated edge, self-loop-ish pair
+        edges = (
+            [(i, i + 1) for i in range(10, 18)]  # chain 10..18
+            + [(1, 2), (2, 3), (3, 1), (3, 4)]  # triangle + tail
+            + [(100, 200)]
+            + [(7, 7)]  # degenerate self-pair: node must still appear
+        )
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        prop = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                pairs, algorithm="propagation"
+            ).collect()
+        }
+        star = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs, algorithm="star").collect()
+        }
+        assert star == prop
+        assert star[7] == 7 and star[18] == 10 and star[4] == 1
+
+    def test_unknown_algorithm_rejected(self, spark):
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError, match="unknown"):
+            connected_components(pairs, algorithm="bogus")
+
 
 class TestPassageDedup:
     def test_repeated_passage_kept_once(self, spark):
@@ -118,12 +169,18 @@ class TestConvergenceGuard:
 
         from ndr_import_spark.operators.dedup import connected_components
 
-        # a 10-node path graph has diameter 9: 3 rounds cannot finish
+        # a 10-node path graph has diameter 9: 3 propagation rounds
+        # cannot finish — algorithm="propagation" must refuse to return
+        # the partially-propagated labels (auto instead falls back to
+        # star contraction, covered in TestConnectedComponents)
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(9)], "id_a long, id_b long"
         )
         with _pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(pairs, max_iterations=3)
+            connected_components(pairs, max_iterations=3, algorithm="propagation")
+        # the default (auto) converges on the same budget via star
+        auto = connected_components(pairs, max_iterations=3)
+        assert {r["component"] for r in auto.collect()} == {0}
         # and a sufficient budget converges to one component
         comp = connected_components(pairs, max_iterations=15)
         assert {r["component"] for r in comp.collect()} == {0}
