@@ -1309,6 +1309,92 @@ FROM f GROUP BY kind ORDER BY kind
 """
 
 
+def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stdlib image decode end-to-end over MIXED payload formats: a
+    deterministic media table of genuine PNG (4x4 grayscale from md5
+    bytes — lossless, so decoded features are the exact source bytes)
+    and genuine baseline-JPEG payloads (solid gray at quality=100 —
+    constant blocks are DC-only, integral, and quant=1, so the decode is
+    analytically EXACT), run through `extract_features` with NO injected
+    decoder. The per-codec feature aggregate is therefore fully
+    reproducible by the SQL oracle from md5 arithmetic alone, proving
+    format dispatch + both codecs + the Arrow batch plumbing, not just
+    the plumbing."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions.jpeg import encode_jpeg
+    from ndr_import_spark.functions.png import encode_png
+    from ndr_import_spark.operators import multimodal as MM
+
+    MM.set_image_decoder(None)  # force stdlib magic-byte dispatch
+    rows = []
+    for i in range(64):
+        b = _hl.md5(f"media{i}".encode()).digest()
+        if i % 2 == 0:
+            w, h = 8 + b[1] % 8, 8 + b[2] % 8
+            payload = encode_jpeg(
+                w, h, bytes([b[0]]) * (w * h), channels=1, quality=100
+            )
+        else:
+            rgb = bytes(v for px in b[:16] for v in (px, px, px))
+            payload = encode_png(4, 4, rgb)
+        rows.append(
+            (i, "image", "image/mixed", None, None, None, bytearray(payload))
+        )
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(8)
+    feats = MM.extract_features(media)
+    mean_feat = F.aggregate(
+        F.col("feature"), F.lit(0.0), lambda a, x: a + x
+    ) / F.size(F.col("feature"))
+    return (
+        feats.select(
+            F.when(F.col("media_id") % 2 == 0, "jpeg").otherwise("png").alias(
+                "codec"
+            ),
+            F.col("width").cast("double").alias("w"),
+            F.col("height").cast("double").alias("h"),
+            mean_feat.alias("mf"),
+        )
+        .groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("w"), 5).alias("avg_w"),
+            F.round(F.avg("h"), 5).alias("avg_h"),
+            (F.sum(F.col("mf").cast("decimal(18,6)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_feat"),
+        )
+        .orderBy("codec")
+    )
+
+
+_ORACLE_MIXED_CODECS = """
+WITH m AS (SELECT unnest(range(64)) AS i),
+d AS (SELECT i, md5('media' || i) AS hx FROM m),
+f AS (
+  SELECT i,
+    CASE WHEN i % 2 = 0 THEN 'jpeg' ELSE 'png' END AS codec,
+    CASE WHEN i % 2 = 0
+      THEN cast(8 + (cast(('0x' || substring(hx, 3, 2)) as int) % 8) as double)
+      ELSE 4.0 END AS w,
+    CASE WHEN i % 2 = 0
+      THEN cast(8 + (cast(('0x' || substring(hx, 5, 2)) as int) % 8) as double)
+      ELSE 4.0 END AS ht,
+    CASE WHEN i % 2 = 0
+      -- solid-gray JPEG at q100 decodes exactly: all 16 grid cells equal
+      THEN round(cast(('0x' || substring(hx, 1, 2)) as int) / 255.0, 6)
+      -- lossless PNG: cell j is source byte j (grey = 3b/3 = b exactly)
+      ELSE list_sum(list_transform(range(16),
+        j -> round(cast(('0x' || substring(hx, j * 2 + 1, 2)) as int) / 255.0, 6)
+      )) / 16.0 END AS mf
+  FROM d
+)
+SELECT codec, count(*) AS n, round(avg(w), 5) AS avg_w,
+       round(avg(ht), 5) AS avg_h,
+       cast(sum(cast(mf as decimal(18,6))) as double) / count(*) AS avg_feat
+FROM f GROUP BY codec ORDER BY codec
+"""
+
+
 def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantisation: nearest deterministic pseudo-centroid per
     vector (argmax of 16 dot products), per-cell occupancy stats — the
@@ -4681,6 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": q_ann_quantized_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "multimodal_features": q_multimodal_features,
+        "multimodal_mixed_codecs": q_multimodal_mixed_codecs,
         "ivf_cells": q_ivf_cells,
         "ivf_probe_topk": q_ivf_probe_topk,
         "quantize_embeddings": q_quantize_embeddings,
@@ -4783,6 +4870,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_quantized_topk": _ORACLE_ANN_QUANTIZED,
         "ann_lsh_pairs": _oracle_ann_lsh(),
         "multimodal_features": _ORACLE_MULTIMODAL,
+        "multimodal_mixed_codecs": _ORACLE_MIXED_CODECS,
         "ivf_cells": _oracle_ivf(),
         "ivf_probe_topk": _oracle_ivf_probe(),
         "quantize_embeddings": _ORACLE_QUANTIZE,

@@ -72,9 +72,10 @@ FEATURE_SCHEMA = (
 def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow record batches).
 
-    PNG payloads decode with the stdlib codec by default; an injected
-    decoder (`set_image_decoder`) takes precedence for other formats.
-    Non-PNG payloads with no injected decoder raise NotImplementedError
+    PNG and baseline-JPEG payloads decode with the stdlib codecs
+    (functions/png.py, functions/jpeg.py) by default; an injected decoder
+    (`set_image_decoder`) takes precedence for other formats. Payloads in
+    neither format with no injected decoder raise NotImplementedError
     per batch.
     """
 
@@ -90,12 +91,16 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
             return None, None, None
         if decoder is not None:
             return decoder(payload)
+        from ndr_import_spark.functions.jpeg import is_jpeg, jpeg_image_decoder
         from ndr_import_spark.functions.png import is_png, png_image_decoder
 
-        if is_png(bytes(payload)):
-            return png_image_decoder(bytes(payload))
+        raw = bytes(payload)
+        if is_png(raw):
+            return png_image_decoder(raw)
+        if is_jpeg(raw):
+            return jpeg_image_decoder(raw)
         raise NotImplementedError(
-            "Non-PNG media needs an injected decoder; use "
+            "Non-PNG/JPEG media needs an injected decoder; use "
             "multimodal.set_image_decoder (deterministic_fake_decoder "
             "available for tests)"
         )
@@ -171,13 +176,18 @@ RESIZED_SCHEMA = (
 
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Thumbnail/normalise stage: decode PNG payloads, nearest-neighbour
-    resample to (target_w, target_h), re-encode PNG — a REAL stdlib
-    roundtrip (inflate → unfilter → integer index map → refilter →
-    deflate), batched through mapInPandas like the feature extractor.
-    Resizing needs raw pixels, so non-PNG payloads raise per batch —
+    """Thumbnail/normalise stage: decode PNG or baseline-JPEG payloads,
+    nearest-neighbour resample to (target_w, target_h), re-encode in the
+    SOURCE format (PNG→PNG, JPEG→JPEG) — a REAL stdlib roundtrip,
+    batched through mapInPandas like the feature extractor. Resizing
+    needs raw pixels, so payloads in neither format raise per batch —
     the same honest env-gate contract as the decode path."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ndr_import_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            is_jpeg,
+        )
         from ndr_import_spark.functions.png import (
             decode_png,
             encode_png,
@@ -189,13 +199,22 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             out_payload = []
             for p in pdf["payload"]:
                 data = bytes(p or b"")
-                if not is_png(data):
-                    raise NotImplementedError(
-                        "resize_images requires PNG payloads (stdlib codec)"
+                if is_png(data):
+                    w, h, ch, px = decode_png(data)
+                    rgb = resize_rgb(w, h, ch, px, target_w, target_h)
+                    out_payload.append(encode_png(target_w, target_h, rgb))
+                    continue
+                if is_jpeg(data):
+                    w, h, ch, px = decode_jpeg(data)
+                    rgb = resize_rgb(w, h, ch, px, target_w, target_h)
+                    out_payload.append(
+                        encode_jpeg(target_w, target_h, rgb, channels=3)
                     )
-                w, h, ch, px = decode_png(data)
-                rgb = resize_rgb(w, h, ch, px, target_w, target_h)
-                out_payload.append(encode_png(target_w, target_h, rgb))
+                    continue
+                raise NotImplementedError(
+                    "resize_images requires PNG or baseline-JPEG payloads "
+                    "(stdlib codecs)"
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
