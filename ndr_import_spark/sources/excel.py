@@ -123,6 +123,13 @@ def parse_xlsx(data: bytes) -> list[tuple[str, list[list[str]]]]:
                     value = shared[int(v_el.text)]
                 elif ctype == "b":
                     value = "true" if v_el.text == "1" else "false"
+                elif ctype in ("str", "e"):
+                    # formula cells carry their CACHED result in <v> (the
+                    # <f> sibling is the formula text, which roo ignores
+                    # too — excel.rb reads values, never re-evaluates);
+                    # t="str" is a string result, t="e" an error literal
+                    # like #DIV/0! — both must bypass number/date coercion
+                    value = v_el.text
                 else:
                     style = int(c.get("s") or -1)
                     if style in date_styles:

@@ -114,6 +114,65 @@ GAP_SHEET = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 </sheetData></worksheet>"""
 
 
+FORMULA_SHEET = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<sheetData>
+<row r="1">
+<c r="A1"><v>2</v></c>
+<c r="B1"><f>A1*3</f><v>6</v></c>
+<c r="C1" t="str"><f>CONCATENATE("a","b")</f><v>ab</v></c>
+<c r="D1" t="b"><f>A1&gt;1</f><v>1</v></c>
+<c r="E1" t="e"><f>1/0</f><v>#DIV/0!</v></c>
+<c r="F1" s="1"><f>DATE(2011,1,25)</f><v>40568</v></c>
+<c r="G1" t="str" s="1"><f>TEXT(A1,"@")</f><v>2</v></c>
+</row>
+<row r="2">
+<c r="A2"><f t="shared" ref="A2:A3" si="0">A1+1</f><v>3</v></c>
+</row>
+<row r="3">
+<c r="A3"><f t="shared" si="0"/><v>4</v></c>
+</row>
+</sheetData></worksheet>"""
+
+
+class TestFormulaCells:
+    def test_cached_formula_values_are_emitted(self, tmp_path):
+        """Formula cells (<f> + cached <v>) must emit the CACHED value
+        exactly as roo does (excel.rb:31-50 reads cell values; roo
+        surfaces the stored result, never re-evaluates): numeric results
+        get the whole-float cast, t="str" results bypass number AND date
+        coercion, booleans/errors keep their literals, date-styled
+        numeric results format as ISO, and shared-formula cells (<f
+        t="shared"/> with no formula text) still read their own <v>."""
+        from ndr_import_spark.sources.excel import parse_xlsx
+
+        p = tmp_path / "formulas.xlsx"
+        with zipfile.ZipFile(p, "w") as zf:
+            zf.writestr("[Content_Types].xml", CONTENT_TYPES)
+            zf.writestr(
+                "xl/workbook.xml",
+                WORKBOOK.replace(
+                    '<sheet name="Totals" sheetId="2" r:id="rId2"/>', ""
+                ),
+            )
+            zf.writestr("xl/_rels/workbook.xml.rels", WORKBOOK_RELS)
+            zf.writestr("xl/sharedStrings.xml", SHARED_STRINGS)
+            zf.writestr("xl/styles.xml", STYLES)
+            zf.writestr("xl/worksheets/sheet1.xml", FORMULA_SHEET)
+        sheets = parse_xlsx(p.read_bytes())
+        rows = sheets[0][1]
+        assert rows[0] == [
+            "2",           # plain number
+            "6",           # cached numeric formula result, whole-float cast
+            "ab",          # cached string result (t="str")
+            "true",        # cached boolean result
+            "#DIV/0!",     # cached error literal
+            "2011-01-25",  # date-styled cached serial -> ISO
+            "2",           # date-STYLED but string-TYPED result: no date cast
+        ]
+        assert rows[1] == ["3"] and rows[2] == ["4"]
+
+
 class TestRowGaps:
     def test_omitted_rows_keep_indices_dense(self, tmp_path):
         """Writers omit fully-empty rows; the 'r' attribute must re-align

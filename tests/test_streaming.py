@@ -107,6 +107,62 @@ class TestWindows:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    def test_watermark_drops_late_rows_and_finalises_windows(self, spark):
+        # event-time watermark semantics in APPEND mode, pinned with
+        # explicit batch boundaries (one file per processAllAvailable):
+        #   batch1 advances the watermark past window [00:00,01:00);
+        #   batch2 delivers a LATE row inside that window -> dropped,
+        #   and the finalised window is emitted WITHOUT it;
+        #   later batches finalise [02:00,03:00) while the still-open
+        #   [03:00+) windows are withheld from the append sink.
+        tmp = tempfile.mkdtemp()
+        src = f"{tmp}/in"
+        import os
+
+        os.makedirs(src)
+        schema = "user_id long, ts timestamp, value double, event_type string"
+
+        def emit(name, *rows):
+            with open(f"{src}/{name}.json", "w") as f:
+                for ts, v in rows:
+                    f.write(
+                        f'{{"user_id": 1, "ts": "2024-01-01T{ts}", '
+                        f'"value": {v}, "event_type": "a"}}\n'
+                    )
+
+        name = f"wm_{uuid.uuid4().hex[:8]}"
+        try:
+            stream = spark.readStream.schema(schema).json(src)
+            stats = windowed_stats(stream, watermark="10 minutes")
+            emit("b1", ("00:05:00", 1.0), ("00:20:00", 2.0), ("02:30:00", 4.0))
+            q = (
+                stats.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .start()
+            )
+            q.processAllAvailable()  # batch1: watermark -> 02:20
+            emit("b2", ("00:30:00", 8.0), ("02:40:00", 16.0))
+            q.processAllAvailable()  # late 00:30 dropped; [00:00,01:00) emitted
+            emit("b3", ("03:30:00", 32.0))
+            q.processAllAvailable()  # watermark -> 03:20 after this batch
+            emit("b4", ("04:30:00", 64.0))
+            q.processAllAvailable()  # [02:00,03:00) finalised and emitted
+            q.stop()
+            rows = {
+                r.window_start.isoformat(): (r.n, r.sum_value)
+                for r in spark.sql(f"select * from {name}").collect()
+            }
+            # late 00:30 row excluded: n=2 sum=3, not n=3 sum=11
+            assert rows["2024-01-01T00:00:00"] == (2, 3.0)
+            # on-time 02:30 + 02:40 both present
+            assert rows["2024-01-01T02:00:00"] == (2, 20.0)
+            # the still-open window holding 04:30 (watermark tops out at
+            # 04:20 < 05:00) never reaches an append sink
+            assert "2024-01-01T04:00:00" not in rows
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def test_stateful_stream_dedup_across_batches(self, spark):
         tmp = tempfile.mkdtemp()
         try:
