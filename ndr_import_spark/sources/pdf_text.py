@@ -139,7 +139,13 @@ class Font:
         self.subtype = str(g.deref(fdict.get("Subtype")) or "")
         self.two_byte = self.subtype == "Type0"
         self.to_unicode: dict[int, str] = {}
-        tu = g.deref(fdict.get("ToUnicode"))
+        # fetch via obj(), NOT deref(): deref unwraps a (dict, stream)
+        # stream object to its dict, which silently discarded every
+        # ToUnicode CMap reached through a Ref (caught by the CID-widths
+        # fixture — two-byte text decoded as replacement chars)
+        tu = fdict.get("ToUnicode")
+        if isinstance(tu, Ref):
+            tu = g.obj(tu.num)
         if isinstance(tu, tuple):  # (dict, stream)
             self.to_unicode = _parse_tounicode(g._decode_stream(*tu))
 
@@ -264,6 +270,32 @@ def _tokens(data: bytes):
         if m:
             lex.pos = m.end()
             yield ("op", m.group(0).decode("latin-1"))
+            if m.group(0) == b"ID":
+                # inline-image payload (ISO 32000-1 §8.9.7): raw binary
+                # follows one whitespace byte after ID and runs to the EI
+                # sentinel — it must be SKIPPED at the byte level, never
+                # lexed (arbitrary bytes break tokenisation, and a stray
+                # "EI" inside the payload must not terminate early unless
+                # it sits at a token boundary)
+                p = lex.pos
+                if p < n and data[p] in b" \t\r\n\x00\x0c":
+                    p += 1
+                while True:
+                    idx = data.find(b"EI", p)
+                    if idx < 0:
+                        lex.pos = n
+                        break
+                    before_ok = idx == 0 or data[idx - 1] in b" \t\r\n\x00\x0c"
+                    nxt = data[idx + 2 : idx + 3]
+                    after_ok = nxt == b"" or nxt in (
+                        b" ", b"\t", b"\r", b"\n", b"\x00", b"\x0c",
+                        b"/", b"[", b"]", b"<", b">", b"(",
+                    )
+                    if before_ok and after_ok:
+                        lex.pos = idx + 2
+                        yield ("op", "EI")
+                        break
+                    p = idx + 2
         else:
             lex.pos += 1  # skip unparseable byte
 
@@ -351,7 +383,9 @@ class _Interp:
                     dx = -float(item) / 1000.0 * self.tfs * self.th
                     self.tm = _mmul(_translate(dx, 0.0), self.tm)
         elif op == "BI":
-            # inline image: skip operands to EI (binary payload breaks lexing)
+            # inline image: consume the parameter-dict tokens; the
+            # tokenizer byte-skips the binary payload after ID and emits
+            # the closing EI itself
             for k, v in tok:
                 if k == "op" and v == "EI":
                     break
