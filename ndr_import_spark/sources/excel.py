@@ -171,7 +171,7 @@ def read_excel(
                     # legacy BIFF8 .xls (excel.rb:55-77)
                     from ndr_import_spark.sources.legacy_office import parse_xls
 
-                    for sheet_name, rows in parse_xls(data):
+                    for sheet_name, rows in parse_xls(data, password=password):
                         df = spark.createDataFrame(
                             [(f, i, r) for i, r in enumerate(rows)],
                             "source_file string, row_index long, cells array<string>",

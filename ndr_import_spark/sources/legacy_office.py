@@ -228,13 +228,40 @@ def _rk_number(rk: int) -> float:
     return val / 100.0 if cents else val
 
 
-def parse_xls(blob: bytes) -> list[tuple[str, list[list[str]]]]:
-    """BIFF8 workbook → [(sheet_name, rows-of-string-cells)]."""
+def parse_xls(
+    blob: bytes, password: str | None = None
+) -> list[tuple[str, list[list[str]]]]:
+    """BIFF8 workbook → [(sheet_name, rows-of-string-cells)].
+
+    RC4-protected workbooks (FilePass record) decrypt via the stdlib
+    sources/xls_rc4.py codec; files saved "protected" with no explicit
+    password use Excel's well-known default ``VelvetSweatshop``, tried
+    automatically before asking the caller for one."""
     from ndr_import_spark.sources.excel import _canonical_number, _serial_to_date
 
     ole = OleFile(blob)
     name = "Workbook" if ole.has_stream("Workbook") else "Book"
     stream = ole.read_stream(name)
+
+    from ndr_import_spark.sources.xls_rc4 import (
+        XlsWrongPasswordError,
+        decrypt_workbook_stream,
+        is_encrypted_xls_stream,
+    )
+
+    if is_encrypted_xls_stream(stream):
+        for pw in ([password] if password else ["VelvetSweatshop"]):
+            try:
+                stream = decrypt_workbook_stream(stream, pw)
+                break
+            except XlsWrongPasswordError:
+                if password:
+                    raise
+        else:
+            raise ValueError(
+                ".xls file is password-protected; supply file_password "
+                "in the mapping"
+            )
 
     sheets: list[tuple[str, int]] = []
     sst: list[str] = []

@@ -5,6 +5,11 @@ same parquet tables; compares row count, column names, and order-insensitive
 values (sorted columns, sorted rows, stringified cells).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
+       python tools/oracle_check.py --out ORACLE_LOCAL.json [sf_dir]
+
+--out writes a JSON artifact recording per-query status — committed each
+round as ORACLE_LOCAL.json so every query has a recorded gate even when
+the driver's CORRECTNESS sampling skips it.
 """
 
 from __future__ import annotations
@@ -53,8 +58,14 @@ def rows_to_canon(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -79,6 +90,15 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    results: dict[str, dict] = {}
+
+    def record(name, status, rows=None, detail=None):
+        results[name] = {"status": status}
+        if rows is not None:
+            results[name]["rows"] = rows
+        if detail:
+            results[name]["detail"] = detail[:200]
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -88,11 +108,13 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {type(e).__name__} {str(e)[:200]}")
+            record(name, "fail", detail=f"spark error: {type(e).__name__} {e}")
             failures += 1
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"rows-only {name}: {len(srows)} rows (no oracle)")
+            record(name, "rows-only", rows=len(srows))
             continue
         try:
             rel = con.sql(sql)
@@ -102,6 +124,7 @@ def main():
             huge = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t)]
             if huge:
                 print(f"FAIL {name}: oracle emits HUGEINT cols {huge}; add cast(... as bigint)")
+                record(name, "fail", detail=f"HUGEINT cols {huge}")
                 failures += 1
                 continue
             res = con.execute(sql)
@@ -109,6 +132,7 @@ def main():
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {str(e)[:200]}")
+            record(name, "fail", detail=f"duckdb error: {e}")
             failures += 1
             continue
 
@@ -116,10 +140,12 @@ def main():
         oc, orr = rows_to_canon(ocols, orows)
         if sc != oc:
             print(f"FAIL {name}: schema mismatch\n  spark: {sc}\n  duck:  {oc}")
+            record(name, "fail", detail="schema mismatch")
             failures += 1
             continue
         if len(sr) != len(orr):
             print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(orr)}")
+            record(name, "fail", detail=f"rowcount {len(sr)} vs {len(orr)}")
             failures += 1
             continue
         diffs = [i for i, (a, b) in enumerate(zip(sr, orr)) if a != b]
@@ -129,10 +155,30 @@ def main():
             print(f"  cols:  {sc}")
             print(f"  spark: {sr[i]}")
             print(f"  duck:  {orr[i]}")
+            record(name, "fail", detail=f"{len(diffs)}/{len(sr)} rows differ")
             failures += 1
         else:
             print(f"OK   {name}: {len(sr)} rows match")
+            record(name, "ok", rows=len(sr))
     print("FAILURES:", failures)
+    if out_path:
+        import json
+
+        ok = sum(1 for r in results.values() if r["status"] == "ok")
+        artifact = {
+            "sf_dir": sf_dir,
+            "generated": datetime.now().isoformat(timespec="seconds"),
+            "n_queries": len(results),
+            "ok": ok,
+            "rows_only": sum(
+                1 for r in results.values() if r["status"] == "rows-only"
+            ),
+            "failures": failures,
+            "results": results,
+        }
+        with open(out_path, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"wrote {out_path}: {ok}/{len(results)} ok")
     return 1 if failures else 0
 
 
