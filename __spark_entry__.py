@@ -850,16 +850,18 @@ FROM sigs GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded SimHash Hamming pairs (32-bit signature, 4 bands, distance
-    ≤ 3): exact recall by pigeonhole, (band, slice) self-join only,
-    bit_count(xor) verification on 8-byte signatures."""
+    """Banded SimHash Hamming pairs (48-bit signature, 4 bands of 12-bit
+    slices, distance ≤ 3): exact recall by pigeonhole, (band, slice)
+    self-join only, bit_count(xor) verification on 8-byte signatures.
+    12-bit slices keep bucket occupancy ~n/4096 — the 8-bit slices of a
+    32-bit signature went quadratic at the sf1 scaling point."""
     from ndr_import_spark.operators.dedup import simhash_hamming_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_hamming_pairs(docs).orderBy("id_a", "id_b")
 
 
-def _oracle_simhash_pairs(bits: int = 32, bands: int = 4, maxd: int = 3) -> str:
+def _oracle_simhash_pairs(bits: int = 48, bands: int = 4, maxd: int = 3) -> str:
     norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
     toks = f"list_filter(string_split({norm}, ' '), t -> t <> '')"
     th = f"list_transform({toks}, t -> cast(('0x' || substring(md5(t), 1, 15)) as bigint))"

@@ -440,7 +440,7 @@ def simhash_hamming_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 32,
+    bits: int = 48,
     bands: int = 4,
     max_distance: int = 3,
 ) -> DataFrame:
@@ -452,10 +452,19 @@ def simhash_hamming_pairs(
     pairs share at least one exact slice (pigeonhole: any pair with
     Hamming distance < `bands` MUST agree on some slice, so recall is
     exact for ``max_distance <= bands - 1``; keep that inequality when
-    tuning). The slice self-join shuffles only (band, key, id) — never
-    corpus-quadratic — and verification joins the 8-byte signatures back
-    by id: ``bit_count(xor)`` per candidate, the cheapest verify in the
-    dedup family.
+    tuning). The slice self-join shuffles only (band, key, id) and
+    verification joins the 8-byte signatures back by id:
+    ``bit_count(xor)`` per candidate, the cheapest verify in the dedup
+    family.
+
+    SCALE — slice width is the load-bearing knob: random docs collide on
+    a slice with p = 2^-width, so expected candidate volume is
+    ``bands * n² / 2^width / 2``. The 48/4 default (12-bit slices, 4096
+    keys) replaced 32/4 (8-bit, 256 keys) after an sf1 (50k-doc) run
+    TIMED OUT: 256 buckets of ~200 docs went quadratic (~19M candidate
+    pairs). Grow width ~log2(n) as the corpus grows (64/4 once int64
+    vote masks are the limit, then hash the slice to a wider key);
+    md5-derived bit planes support up to 60 bits.
 
     Returns (id_a, id_b, hamming) with id_a < id_b."""
     if max_distance > bands - 1:
@@ -481,24 +490,29 @@ def simhash_hamming_pairs(
         )
         for b in range(bands)
     ])
-    banded = base.select("_id", F.explode(band_structs).alias("bk")).select(
-        "_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    # the 8-byte signature RIDES the banded rows so the Hamming verify
+    # runs INSIDE the bucket join, before any dedup shuffle: hot buckets
+    # (frequency-similar corpora collapse many docs onto one slice) emit
+    # candidate volume quadratically, and dropDuplicates over raw
+    # candidates was the sf1 bottleneck (73M candidate rows shuffled to
+    # keep 341k true pairs; filter-first measured 4x faster, identical
+    # result — a pair's hamming is the same in every shared band)
+    banded = base.select("_id", "_sig", F.explode(band_structs).alias("bk")).select(
+        "_id", "_sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    pairs = (
+    dist = F.bit_count(F.col("l._sig").bitwiseXOR(F.col("r._sig")))
+    return scope.tie(
         banded.alias("l")
         .join(banded.alias("r"), ["band", "key"])
         .filter(F.col("l._id") < F.col("r._id"))
-        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    a = base.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_siga"))
-    b = base.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sigb"))
-    dist = F.bit_count(F.col("_siga").bitwiseXOR(F.col("_sigb")))
-    return scope.tie(
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", dist.alias("hamming"))
+        .withColumn("hamming", dist)
         .filter(F.col("hamming") <= max_distance)
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            "hamming",
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
