@@ -212,3 +212,24 @@ class TestLatestOperatorPlanShapes:
         p = plan(entry.queries()["incremental_dedup"](spark, SF_DIR), "simple")
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+    def test_simhash_verify_runs_inside_bucket_join(self, spark):
+        # the Hamming filter must sit BELOW the pair-dedup aggregate, so
+        # hot buckets never push raw candidates into a shuffle (the sf1
+        # 73M-candidate pathology); bit_count appears in a Filter that
+        # feeds the dedup, and there is no post-dedup signature re-join
+        from ndr_import_spark.operators.dedup import simhash_hamming_pairs
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        p = plan(simhash_hamming_pairs(docs), "simple")
+        assert "CartesianProduct" not in p
+        assert "bit_count" in p
+        # exactly ONE join (the banded self-join): the old shape had three
+        # (band join + two verify joins back to the signature frame)
+        joins = p.count("Join")
+        assert joins == 1, f"expected a single bucket join, plan has {joins}"
+        # filter precedes dedup: the hamming predicate is under the
+        # aggregate in the plan tree (simple mode prints top-down)
+        dedup_at = p.find("HashAggregate")
+        filt_at = p.find("bit_count")
+        assert 0 <= dedup_at < filt_at, "hamming filter must feed the dedup"
