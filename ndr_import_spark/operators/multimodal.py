@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata.
 
-Net-new (BASELINE.json north_star). Image decode is REAL for PNG payloads
-(stdlib codec in functions/png.py — inflate, unfilter, grid features); other
-image formats and audio need an injected decoder (`set_image_decoder`/
-`set_audio_decoder`; deterministic fake available for tests). Everything
-Spark-side is real either way: schema, Arrow-batched `mapInPandas`
-plumbing, batch shapes, partition sizing.
+Net-new (BASELINE.json north_star). Image decode is REAL for PNG
+(functions/png.py — inflate, unfilter), baseline JPEG (functions/jpeg.py —
+T.81 Huffman + exact IDCT) and GIF (functions/gif.py — LZW, interlace)
+payloads, dispatched by magic bytes; other image formats and audio need an
+injected decoder (`set_image_decoder`/`set_audio_decoder`; deterministic
+fake available for tests). Everything Spark-side is real either way:
+schema, Arrow-batched `mapInPandas` plumbing, batch shapes, partition
+sizing.
 
 Design for 100 TB: binary payloads ride in parquet binary columns (or
 pointers to object-store keys); decode/feature-extract runs in
@@ -91,6 +93,7 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
             return None, None, None
         if decoder is not None:
             return decoder(payload)
+        from ndr_import_spark.functions.gif import gif_image_decoder, is_gif
         from ndr_import_spark.functions.jpeg import is_jpeg, jpeg_image_decoder
         from ndr_import_spark.functions.png import is_png, png_image_decoder
 
@@ -99,8 +102,10 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
             return png_image_decoder(raw)
         if is_jpeg(raw):
             return jpeg_image_decoder(raw)
+        if is_gif(raw):
+            return gif_image_decoder(raw)
         raise NotImplementedError(
-            "Non-PNG/JPEG media needs an injected decoder; use "
+            "Non-PNG/JPEG/GIF media needs an injected decoder; use "
             "multimodal.set_image_decoder (deterministic_fake_decoder "
             "available for tests)"
         )
@@ -176,13 +181,19 @@ RESIZED_SCHEMA = (
 
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Thumbnail/normalise stage: decode PNG or baseline-JPEG payloads,
-    nearest-neighbour resample to (target_w, target_h), re-encode in the
-    SOURCE format (PNG→PNG, JPEG→JPEG) — a REAL stdlib roundtrip,
-    batched through mapInPandas like the feature extractor. Resizing
-    needs raw pixels, so payloads in neither format raise per batch —
-    the same honest env-gate contract as the decode path."""
+    """Thumbnail/normalise stage: decode PNG, baseline-JPEG or GIF
+    payloads, nearest-neighbour resample to (target_w, target_h),
+    re-encode in the SOURCE format (PNG→PNG, JPEG→JPEG, GIF→GIF) — a
+    REAL stdlib roundtrip, batched through mapInPandas like the feature
+    extractor. Resizing needs raw pixels, so payloads in none of the
+    three formats raise per batch — the same honest env-gate contract
+    as the decode path."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ndr_import_spark.functions.gif import (
+            decode_gif,
+            encode_gif,
+            is_gif,
+        )
         from ndr_import_spark.functions.jpeg import (
             decode_jpeg,
             encode_jpeg,
@@ -211,9 +222,16 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                         encode_jpeg(target_w, target_h, rgb, channels=3)
                     )
                     continue
+                if is_gif(data):
+                    # nearest-neighbour keeps a SUBSET of the source
+                    # palette, so the <=256-colour re-encode always holds
+                    w, h, ch, px = decode_gif(data)
+                    rgb = resize_rgb(w, h, ch, px, target_w, target_h)
+                    out_payload.append(encode_gif(target_w, target_h, rgb))
+                    continue
                 raise NotImplementedError(
-                    "resize_images requires PNG or baseline-JPEG payloads "
-                    "(stdlib codecs)"
+                    "resize_images requires PNG, baseline-JPEG or GIF "
+                    "payloads (stdlib codecs)"
                 )
             yield pd.DataFrame(
                 {
