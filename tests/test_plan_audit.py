@@ -224,12 +224,13 @@ class TestLatestOperatorPlanShapes:
         p = plan(simhash_hamming_pairs(docs), "simple")
         assert "CartesianProduct" not in p
         assert "bit_count" in p
-        # exactly ONE join (the banded self-join): the old shape had three
-        # (band join + two verify joins back to the signature frame)
-        joins = p.count("Join")
-        assert joins == 1, f"expected a single bucket join, plan has {joins}"
-        # filter precedes dedup: the hamming predicate is under the
-        # aggregate in the plan tree (simple mode prints top-down)
+        # simple mode prints the tree top-down (root first): NOTHING may
+        # sit above the pair-dedup aggregate except exchanges — the old
+        # shape re-joined signatures ABOVE the dedup, shuffling 73M raw
+        # candidates at sf1; now every join (bucket self-join + the
+        # signature frame's zero-token back-join) is below it, and the
+        # hamming predicate feeds the dedup from below too
         dedup_at = p.find("HashAggregate")
-        filt_at = p.find("bit_count")
-        assert 0 <= dedup_at < filt_at, "hamming filter must feed the dedup"
+        assert dedup_at >= 0
+        assert p.find("Join") > dedup_at, "no join above the pair dedup"
+        assert p.find("bit_count") > dedup_at, "hamming filter feeds the dedup"
