@@ -250,18 +250,100 @@ def minhash_signature(text: Column, k: int = 16, shingle_n: int = 5) -> Column:
     return minhash_signatures_column(hs, k, "mh")
 
 
+def _char_shingle_rows(
+    base: DataFrame, n: int, carry: list[str] | None = None
+) -> DataFrame:
+    """One row per char-shingle INSTANCE from a (_id[, carry], _norm)
+    frame — `explode(sequence)` + `substr`, all whole-stage-codegen
+    expressions (the former `transform`-lambda shingling is a
+    higher-order function Spark evaluates interpreted; see
+    `_hashed_sig_frame`). Duplicates are NOT removed here — the
+    downstream aggregate dedups at the hash level."""
+    carry = list(carry or [])
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("_norm") - n + 1, F.lit(1))
+    )
+    return base.select(
+        "_id", *carry, "_norm", F.explode(starts).alias("_i")
+    ).select(
+        "_id", *carry, F.col("_norm").substr(F.col("_i"), F.lit(n)).alias("_s")
+    )
+
+
+def _word_ngram_rows(toked: DataFrame, n: int) -> DataFrame:
+    """One row per word-n-gram from a (_id, _toks) frame (token array as
+    a materialised attribute): explode positions, slice + array_join —
+    codegen expressions only."""
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("_toks") - n + 1, F.lit(1))
+    )
+    return toked.select(
+        "_id", "_toks", F.explode(starts).alias("_i")
+    ).select(
+        "_id",
+        F.array_join(F.slice(F.col("_toks"), F.col("_i"), n), " ").alias("_s"),
+    )
+
+
+def _hashed_sig_frame(
+    shingle_rows: DataFrame, k: int, salt: str, carry: list[str] | None = None
+) -> DataFrame:
+    """(_id[, carry], _hs, _sig) from one-row-per-shingle input in ONE
+    map-side-combinable aggregate: `collect_set` dedups the 30-bit
+    shingle hashes while k plain conditional-MIN aggregates compute the
+    MinHash signature — every expression whole-stage-codegen.
+
+    This replaced the `transform`/`aggregate` higher-order-function
+    pipeline (hash-per-shingle lambda + nested k×|hs| permutation
+    lambdas): HOFs run INTERPRETED in Spark, and the same lesson measured
+    on simhash (13 s of a 31 s sf1 run in signature lambdas) applies.
+    Values are bit-identical — same md5, same 30-bit mask, same
+    (a·h+b) mod P minima in the same order — so every oracle and every
+    stored index stays valid. Cost model: one doc-keyed shuffle of
+    (id, h) int rows (uniform — one group per document) instead of
+    map-only interpreted work; partial aggregation collapses duplicate
+    shingles before the exchange."""
+    carry = list(carry or [])
+    rows = shingle_rows.select(
+        "_id",
+        *carry,
+        md5_long(F.col("_s")).bitwiseAND(F.lit((1 << 30) - 1)).alias("_h"),
+    )
+    aggs = [F.collect_set("_h").alias("_hs")] + [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+            f"_m{i}"
+        )
+        for i, (a, b) in enumerate(minhash_perm_consts(k, salt))
+    ]
+    g = rows.groupBy("_id", *carry).agg(*aggs)
+    return g.select(
+        "_id",
+        *carry,
+        "_hs",
+        F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("_sig"),
+    )
+
+
 def _band_keys(hashed: DataFrame, k: int, bands: int, salt: str,
                carry: list[str] | None = None) -> DataFrame:
     """(_id, [carry...], band, key) band-key rows from a (_id, _hs) frame:
     k MinHash minima sliced into `bands` md5 band keys, exploded. THE
     single definition of the band-key scheme — the batch self-join and the
     incremental new→old probe must bucket identically or a stored index
-    would be unprobeable."""
+    would be unprobeable.
+
+    A `_sig` column computed by `_hashed_sig_frame` is used directly when
+    present; otherwise (stored-index sets, which persist only (_id, _hs))
+    the signature derives from `_hs` via the HOF column — identical
+    values, paid once at index-write time."""
     rows = k // bands
-    with_sig = hashed.select(
-        "_id", *(carry or []),
-        minhash_signatures_column(F.col("_hs"), k, salt).alias("_sig"),
-    )
+    if "_sig" in hashed.columns:
+        with_sig = hashed.select("_id", *(carry or []), "_sig")
+    else:
+        with_sig = hashed.select(
+            "_id", *(carry or []),
+            minhash_signatures_column(F.col("_hs"), k, salt).alias("_sig"),
+        )
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -314,13 +396,13 @@ def jaccard_verdict(
 
 
 def _banded_jaccard_pairs(
-    shingled: DataFrame,
+    shingle_rows: DataFrame,
     k: int,
     bands: int,
     salt: str,
     verify_threshold: float | None,
 ) -> DataFrame:
-    """Shared LSH core over a (_id, _sh) DataFrame.
+    """Shared LSH core over a one-row-per-shingle (_id, _s) DataFrame.
 
     MinHash signature (k salted-md5 minima over `_sh`) → `bands` band-keys
     (md5 of each signature slice) → explode → self-join on (band, key)
@@ -349,11 +431,7 @@ def _banded_jaccard_pairs(
     # references do NOT canonicalise to one exchange, so the persist is a
     # 3× win, and the per-pipeline _CacheScope LRU bounds total cache.
     scope = _CacheScope()
-    hashed = scope.persist(
-        shingled.select(
-            "_id", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
-        )
-    )
+    hashed = scope.persist(_hashed_sig_frame(shingle_rows, k, salt))
     banded = _band_keys(hashed, k, bands, salt)
     pairs = (
         banded.alias("l")
@@ -385,10 +463,9 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     base = _shingle_base(df, text_col, id_col)
-    shingled = base.select(
-        "_id", _shingles_from_norm(F.col("_norm"), shingle_n).alias("_sh")
+    return _banded_jaccard_pairs(
+        _char_shingle_rows(base, shingle_n), k, bands, "mh", verify_threshold
     )
-    return _banded_jaccard_pairs(shingled, k, bands, "mh", verify_threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -601,10 +678,9 @@ def ngram_jaccard_pairs(
             F.array(F.filter(F.split(F.col("_norm"), " "), lambda t: t != F.lit("")))
         ).alias("_toks"),
     )
-    shingled = toked.select(
-        "_id", _word_ngrams_from_toks(F.col("_toks"), ngram_n).alias("_sh")
+    return _banded_jaccard_pairs(
+        _word_ngram_rows(toked, ngram_n), k, bands, "ng", threshold
     )
-    return _banded_jaccard_pairs(shingled, k, bands, "ng", threshold)
 
 
 def _star_components(
@@ -939,13 +1015,13 @@ def incremental_neardup_pairs(
     base = tagged.select(
         "_id", "_new", F.explode(F.array(normalize_text(F.col("_text")))).alias("_norm")
     )
-    shingled = base.select(
-        "_id", "_new", _shingles_from_norm(F.col("_norm"), shingle_n).alias("_sh")
-    )
     scope = _CacheScope()
     hashed = scope.persist(
-        shingled.select(
-            "_id", "_new", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
+        _hashed_sig_frame(
+            _char_shingle_rows(base, shingle_n, carry=["_new"]),
+            k,
+            "mh",
+            carry=["_new"],
         )
     )
     banded = _band_keys(hashed, k, bands, "mh", carry=["_new"])
@@ -1017,12 +1093,11 @@ def write_neardup_index(
     writes this once per snapshot, and every later batch (or stream)
     probes it WITHOUT re-reading the old corpus text. Pays one shingle
     pass at write; no persist needed (each frame is consumed once)."""
-    shingled = _shingle_base(df, text_col, id_col).select(
-        "_id", _shingles_from_norm(F.col("_norm"), shingle_n).alias("_sh")
-    )
-    hashed = shingled.select(
-        "_id", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
-    )
+    hashed = _hashed_sig_frame(
+        _char_shingle_rows(_shingle_base(df, text_col, id_col), shingle_n),
+        k,
+        "mh",
+    ).select("_id", "_hs")  # artifact schema: sets persist (_id, _hs) only
     # sets first: bands re-derives from the written sets so the shingle
     # pass runs once (reading narrow parquet beats recomputing regexes)
     hashed.write.mode("overwrite").parquet(f"{path}/sets")
@@ -1073,13 +1148,12 @@ def probe_neardup_index(
     _check_index_params(spark, index_path, k, bands, shingle_n)
     old_banded = spark.read.parquet(f"{index_path}/bands")
     old_sets = spark.read.parquet(f"{index_path}/sets")
-    shingled = _shingle_base(new, text_col, id_col).select(
-        "_id", _shingles_from_norm(F.col("_norm"), shingle_n).alias("_sh")
-    )
     scope = _CacheScope()
     new_hashed = scope.persist(
-        shingled.select(
-            "_id", F.array_distinct(shingle_hashes(F.col("_sh"))).alias("_hs")
+        _hashed_sig_frame(
+            _char_shingle_rows(_shingle_base(new, text_col, id_col), shingle_n),
+            k,
+            "mh",
         )
     )
     new_banded = _band_keys(new_hashed, k, bands, "mh")
