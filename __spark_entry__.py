@@ -4563,11 +4563,12 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_vec = emb.select(
         "vec_id",
         "label",
-        # decimal(14,9): the squared product is decimal(29,18) which fits
+        # decimal(18,9): the squared product is decimal(37,18) which fits
         # precision 38 at full scale — (20,9) operands made Spark truncate
         # the (41,18) product to (38,15) pre-cast, so _s2 was not actually
-        # engine-identical.  14,9 holds norms < 100000.
-        F.round(norm, 9).cast("decimal(14,9)").alias("_nrm"),
+        # engine-identical.  18,9 is the widest such precision: norms
+        # < 1e9 cast exactly (any embedding's L2 norm by a huge margin).
+        F.round(norm, 9).cast("decimal(18,9)").alias("_nrm"),
     )
     stats = per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),

@@ -115,7 +115,12 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
         raise GifError("truncated GIF header")
     try:
         return _decode_blocks(data)
-    except (IndexError, struct.error) as exc:  # truncated block structure
+    except GifError:
+        raise
+    except (IndexError, ValueError, struct.error) as exc:
+        # truncated block structure surfaces as IndexError/struct.error
+        # from slicing or as numpy reshape ValueErrors (e.g. a colour
+        # table cut short) — all must honour the GifError contract
         raise GifError(f"truncated or corrupt GIF stream: {exc}") from exc
 
 

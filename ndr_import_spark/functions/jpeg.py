@@ -271,7 +271,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise JpegError("not a JPEG (missing SOI)")
     try:
         return _decode_markers(data)
-    except (IndexError, struct.error) as exc:  # truncated segment payloads
+    except JpegError:
+        raise
+    except (IndexError, ValueError, struct.error) as exc:
+        # truncated segment payloads surface as IndexError/struct.error
+        # from slicing or as numpy shape ValueErrors (e.g. a DQT cut mid
+        # table) — all must honour the "garbage raises JpegError" contract
         raise JpegError(f"truncated or corrupt JPEG stream: {exc}") from exc
 
 
@@ -371,6 +376,13 @@ def _decode_scan(data, pos, frame, scan, qt, dc_tables, ac_tables, dri):
     w, h, comps = frame["w"], frame["h"], frame["comps"]
     if w == 0 or h == 0:
         raise JpegError("zero image dimension")
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — each
+        # MCU is exactly one 8x8 data unit in raster order, regardless of
+        # the SOF sampling factors (some encoders emit h=v=2 on grayscale;
+        # interpreting that as interleaved 2x2-block MCUs desynchronises
+        # the Huffman stream on a conformant file)
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:

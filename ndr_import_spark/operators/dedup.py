@@ -514,9 +514,14 @@ def simhash_frame(
     whole-stage codegen. Costs one extra shuffle keyed by doc id —
     uniform by construction (one group per document).
 
-    Zero-token documents (empty/NULL text) keep the Column semantics:
-    every vote is 0, no bit set, signature 0 — restored by the left
-    join back to the full id set."""
+    Zero-token documents: empty-text docs keep the Column semantics
+    (every vote 0, no bit set, signature 0 — restored by the left join
+    back to the full id set). NULL text is a deliberate, documented
+    CHANGE from the Column form: it now also maps to signature 0 (the
+    Column propagated NULL, excluding such docs from groups/pairs) —
+    NULL-as-empty matches the corpus_card convention and the DuckDB
+    oracle's CASE-ELSE arithmetic, and means a NULL-text doc can pair
+    with empty-text docs."""
     ids = df.select(F.col(id_col).alias("_id"))
     toks = df.select(
         F.col(id_col).alias("_id"),
@@ -643,16 +648,6 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     return F.array_distinct(
         F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
     )
-
-
-def _word_ngrams_from_toks(toks: Column, n: int) -> Column:
-    """Word n-grams of an already-tokenised ATTRIBUTE column (the n-gram
-    lambda captures `toks` — slice per element — so the token split must
-    be a materialised attribute, not an expression, or it re-runs once
-    per n-gram). Not deduplicated — the caller dedupes the hashes (see
-    _shingles_from_norm)."""
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
-    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
 
 
 def ngram_jaccard_pairs(

@@ -180,6 +180,27 @@ RESIZED_SCHEMA = (
 )
 
 
+def _encode_gif_quantized(width: int, height: int, rgb: bytes) -> bytes:
+    """encode_gif with a deterministic palette-reduction fallback: keep
+    full colour when it fits, else drop low bits per channel (8→6→5→4→3→2
+    bits; 2 bits/channel = 64 colours always fits). Quantisation keeps
+    the high bits, so the error is bounded by the dropped bit span."""
+    import numpy as np
+
+    from ndr_import_spark.functions.gif import encode_gif
+
+    arr = np.frombuffer(bytes(rgb), dtype=np.uint8)
+    for bits in (8, 6, 5, 4, 3, 2):
+        if bits == 8:
+            q = arr
+        else:
+            mask = 0xFF ^ ((1 << (8 - bits)) - 1)
+            q = (arr & mask).astype(np.uint8)
+        if len(np.unique(q.reshape(-1, 3), axis=0)) <= 256:
+            return encode_gif(width, height, q.tobytes())
+    raise AssertionError("unreachable: 2-bit channels cap at 64 colours")
+
+
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Thumbnail/normalise stage: decode PNG, baseline-JPEG or GIF
     payloads, nearest-neighbour resample to (target_w, target_h),
@@ -223,11 +244,17 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     )
                     continue
                 if is_gif(data):
-                    # nearest-neighbour keeps a SUBSET of the source
-                    # palette, so the <=256-colour re-encode always holds
+                    # the decoded canvas is NOT guaranteed <=256 colours:
+                    # sub-frame compositing and transparency add black on
+                    # top of the palette (a full 256-colour GIF with a
+                    # smaller image descriptor decodes to 257), so the
+                    # re-encode quantises deterministically (drop low bits
+                    # per channel, coarsest first fit) when needed
                     w, h, ch, px = decode_gif(data)
                     rgb = resize_rgb(w, h, ch, px, target_w, target_h)
-                    out_payload.append(encode_gif(target_w, target_h, rgb))
+                    out_payload.append(
+                        _encode_gif_quantized(target_w, target_h, rgb)
+                    )
                     continue
                 raise NotImplementedError(
                     "resize_images requires PNG, baseline-JPEG or GIF "

@@ -389,13 +389,14 @@ def embedding_dim_stats(
     arithmetic as the moment aggregates, bit-stable across engines and
     repartitionings."""
     v = F.col("_v").cast("double")
-    # decimal(12,7) operands: the product is decimal(25,14) which fits
+    # decimal(15,7) operands: the product is decimal(31,14) which fits
     # precision 38 at FULL scale, so Catalyst never truncates it before
     # the cast below — with (20,7) operands the (41,14) product was
     # silently truncated to (38,11), drifting _s2 up to 5e-12/row off the
-    # oracle's exact 14dp sum.  12,7 holds |v| < 100000, far beyond any
-    # unit-ish embedding coordinate.
-    rounded = F.round(v, round_dp).cast("decimal(12,7)")
+    # oracle's exact 14dp sum.  15,7 is the widest precision whose square
+    # keeps the full 14dp scale: |v| < 1e8 casts exactly; beyond that the
+    # cast nulls (non-ANSI) rather than silently truncating digits.
+    rounded = F.round(v, round_dp).cast("decimal(15,7)")
     return (
         df.select(F.posexplode(F.col(vec_col)).alias("dim", "_v"))
         .groupBy("dim")

@@ -130,6 +130,17 @@ class TestErrors:
         with pytest.raises(GifError):
             decode_gif(data[: len(data) - 8])
 
+    def test_truncation_never_leaks_raw_valueerror(self):
+        # every prefix must raise GifError (or decode, for long-enough
+        # prefixes) — a GCT cut mid-table used to escape as a numpy
+        # reshape ValueError
+        data = encode_gif(9, 9, _quilt(9, 9, 5).tobytes())
+        for cut in range(6, len(data)):
+            try:
+                decode_gif(data[:cut])
+            except GifError:
+                pass
+
     def test_too_many_colours_encoder(self):
         i = np.arange(400)
         img = np.stack([i % 256, i // 256 * 50, np.zeros(400, int)], axis=1)
@@ -140,6 +151,42 @@ class TestErrors:
         img = _quilt(8, 8)
         w, h, feats = gif_image_decoder(encode_gif(8, 8, img.tobytes()))
         assert (w, h) == (8, 8) and len(feats) == 16
+
+
+class TestQuantizedResize:
+    def test_canvas_black_past_256_colours_still_resizes(self):
+        # full 256-colour palette (no black) + sub-frame compositing:
+        # the decoded canvas holds 257 distinct colours, which used to
+        # kill the GIF->GIF re-encode; the quantised fallback must fit
+        import struct as _s
+
+        from ndr_import_spark.operators.multimodal import _encode_gif_quantized
+
+        grad = np.zeros((16, 16, 3), np.uint8)
+        grad[:, :, 0] = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        grad[:, :, 1] = 200  # keep every colour non-black
+        grad[:, :, 2] = 100
+        data = bytearray(encode_gif(16, 16, grad.tobytes()))
+        gct_n = 2 << (data[10] & 0x07)
+        desc = 13 + 3 * gct_n
+        data[6:10] = _s.pack("<HH", 20, 20)  # larger canvas -> black border
+        canvas = decode_gif(bytes(data))
+        px = np.frombuffer(canvas[3], np.uint8).reshape(20, 20, 3)
+        assert len(np.unique(px.reshape(-1, 3), axis=0)) == 257
+        out = _encode_gif_quantized(20, 20, canvas[3])
+        w, h, ch, rpx = decode_gif(out)
+        assert (w, h) == (20, 20)
+        got = np.frombuffer(rpx, np.uint8).reshape(20, 20, 3).astype(int)
+        # 6-bit quantisation bounds the per-channel error to 3
+        assert np.abs(got - px.astype(int)).max() <= 3
+
+    def test_full_colour_path_untouched_when_it_fits(self):
+        from ndr_import_spark.operators.multimodal import _encode_gif_quantized
+
+        img = _quilt(7, 5)
+        out = _encode_gif_quantized(7, 5, img.tobytes())
+        _, _, _, px = decode_gif(out)
+        assert np.array_equal(np.frombuffer(px, np.uint8).reshape(5, 7, 3), img)
 
 
 class TestSparkIntegration:

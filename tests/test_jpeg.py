@@ -125,6 +125,22 @@ class TestSubsamplingAndRestarts:
         w, h, ch, px = decode_jpeg(data)
         assert ch == 1 and len(px) == 256
 
+    def test_single_component_scan_is_non_interleaved(self):
+        # T.81 A.2.2: sampling factors in SOF are IGNORED for a
+        # single-component scan (MCU = one data unit, raster order) —
+        # rebrand a grayscale file's sampling byte as 2x2 and the decode
+        # must be unchanged, not desynchronised
+        data = bytearray(
+            encode_jpeg(24, 17, bytes([9, 30, 200] * 136), channels=1, quality=100)
+        )
+        ref = decode_jpeg(bytes(data))
+        sof = bytes(data).find(b"\xff\xc0")
+        # SOF0 layout: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) [id hv tq]
+        hv_at = sof + 2 + 2 + 1 + 2 + 2 + 1 + 1
+        assert data[hv_at] == 0x11
+        data[hv_at] = 0x22
+        assert decode_jpeg(bytes(data)) == ref
+
 
 class TestErrorPaths:
     def test_not_a_jpeg(self):
@@ -142,6 +158,16 @@ class TestErrorPaths:
         data = encode_jpeg(24, 24, bytes([200]) * (24 * 24 * 3), channels=3)
         with pytest.raises(JpegError):
             decode_jpeg(data[: len(data) // 2])
+
+    def test_truncation_never_leaks_raw_valueerror(self):
+        # cut at EVERY prefix length: the contract is JpegError for any
+        # garbage, never a numpy shape ValueError escaping to the caller
+        data = encode_jpeg(8, 8, bytes(range(192)), channels=3, quality=80)
+        for cut in range(2, len(data), 7):
+            try:
+                decode_jpeg(data[:cut])
+            except JpegError:
+                pass
 
     def test_bad_channel_count(self):
         with pytest.raises(JpegError, match="channel"):
