@@ -4509,15 +4509,14 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling fingerprints (min md5 over strided 16-char
     windows of normalised text — robust to local edits, unlike the whole-
     document hash): groups sharing a fingerprint are robust-duplicate
-    candidates. Narrow per-doc Column work + one combinable aggregate;
-    the fingerprint is a join-key-sized string, so a 100 TB candidate
-    pass shuffles fingerprints, never text."""
-    from ndr_import_spark.operators.textstats import rolling_fingerprint
+    candidates. Codegen explode→MIN frame (rolling_fingerprint_frame):
+    map-side partial agg collapses each doc to one (id, md5) row before
+    the exchange; the fingerprint is a join-key-sized string, so a
+    100 TB candidate pass shuffles fingerprints, never text."""
+    from ndr_import_spark.operators.textstats import rolling_fingerprint_frame
 
     docs = _t(spark, sf_dir, "documents")
-    fp = docs.select(
-        "doc_id", rolling_fingerprint(F.col("text"), window=16).alias("fp")
-    )
+    fp = rolling_fingerprint_frame(docs, ["doc_id"], "text", window=16)
     return (
         fp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id"))

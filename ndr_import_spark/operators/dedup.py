@@ -699,9 +699,10 @@ def _star_components(
 
     At the fixpoint the edge set is a union of stars centred on each
     component's minimum id; (src→dst) IS the (node→component) map for
-    every non-root node. Fixpoint test: edge multisets equal across one
-    full round — checked with a count + exceptAll probe (both one
-    shuffle on an edge set that only shrinks). Each round is
+    every non-root node. Fixpoint test: edge sets equal across one full
+    round — one left-join + aggregate action per round (size unchanged
+    AND no edge outside the previous set) on an edge set that only
+    shrinks. Each round is
     localCheckpoint-ed: like the propagation loop, the iterated plan
     must truncate lineage or Catalyst doubles it per round.
 
@@ -748,10 +749,25 @@ def _star_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        n = small.count()
-        converged = (
-            n == prev_count and small.exceptAll(e).limit(1).count() == 0
+        probe = (
+            small.join(
+                e.withColumn("_in_prev", F.lit(1)), ["src", "dst"], "left"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_in_prev").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("novel"),
+            )
+            .first()
         )
+        n = probe["n"]
+        # both frames are distinct(): set equality == same size + no edge
+        # outside the previous set — ONE action (a left join + aggregate on
+        # the checkpointed shrinking edge set) instead of the former
+        # count() + exceptAll().limit(1).count() pair
+        converged = n == prev_count and probe["novel"] == 0
         e = small
         prev_count = n
         if converged:

@@ -7,6 +7,35 @@ token counting (whitespace + word-regex), document fingerprinting (md5).
 All pure Column expressions — portable to a DuckDB oracle (md5, regexp,
 list functions exist on both sides), whole-stage-codegen on Spark, no UDFs,
 no shuffle: these are per-row maps that scale linearly to 100 TB.
+
+Round 5: every higher-order function (``F.filter``/``F.transform``/
+``F.aggregate`` lambdas) is gone from the hot paths. HOFs run INTERPRETED
+in Spark — sf1 measurements on the dedup family put them at 2-4× the cost
+of the equivalent codegen expression — so each was rewritten to a pure
+codegen form with bit-identical values:
+
+* ``tokens`` — strip-edges + ``split`` (a ``when`` guard supplies the empty
+  array) instead of ``filter(split(...), t != '')``: same element sequence,
+  because after edge-strip the only empty fragments a ``\\s+`` split can
+  produce are at the edges.
+* ``bpe_ish_token_count`` — ``regexp_count(lower(text), '[a-z0-9]{1,4}')``
+  instead of the per-word ``ceil(len/4)`` fold: greedy non-overlapping
+  matching takes 4-char chunks then the 1-3 char remainder, so each word of
+  length L contributes exactly ceil(L/4) matches.
+* ``mean_word_length`` — Σ token lengths == non-whitespace char count of the
+  lowered text (tokens partition it), so one ``regexp_replace`` + ``length``
+  replaces the sum fold.
+* ``stopword_ratio`` / ``detect_language`` — token-boundary-anchored
+  alternation ``(?<![^\\s])(w1|w2|…)(?![^\\s])`` counted with
+  ``regexp_count``: a match is exactly a whole whitespace-delimited token
+  equal to a listed stopword (shorter alternatives that fail the lookahead
+  backtrack into longer ones). argmax keeps declaration-order tie-break via
+  an ordered ``when`` chain on ``greatest``.
+* ``rolling_fingerprint`` keeps the Column form for narrow per-row use, but
+  ``rolling_fingerprint_frame`` is the scale path: explode chunk starts →
+  md5 → ``groupBy(id).min``. Partial (map-side) aggregation collapses each
+  document to one row before the exchange, so the shuffle carries one
+  (id, 32-char md5) row per document — not per chunk.
 """
 
 from __future__ import annotations
@@ -23,9 +52,22 @@ STOPWORDS = {
 }
 
 
+def _stripped_lower(text: Column) -> Column:
+    """Lowered text with leading/trailing whitespace removed (``F.trim``
+    only strips ASCII spaces; the edge regexp handles tabs/newlines too)."""
+    return F.regexp_replace(F.lower(text), r"^\s+|\s+$", "")
+
+
 def tokens(text: Column) -> Column:
-    """Whitespace tokenisation, empties dropped."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    """Whitespace tokenisation, empties dropped.
+
+    Codegen form: with both edges stripped, ``split`` on ``\\s+`` cannot
+    produce interior empty fragments, so the HOF ``filter`` is unnecessary;
+    the ``when`` guard maps the all-whitespace/empty case to ``[]`` (a
+    zero-length ``slice`` keeps the array<string> type)."""
+    s = _stripped_lower(text)
+    raw = F.split(s, r"\s+")
+    return F.when(s == "", F.slice(raw, 1, 0)).otherwise(raw)
 
 
 def token_count(text: Column) -> Column:
@@ -34,22 +76,34 @@ def token_count(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     """Rough BPE-style count: word chunks + digits + punctuation marks each
-    count; long words count ceil(len/4) pieces."""
-    words = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
-    pieces = F.aggregate(
-        words,
-        F.lit(0),
-        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
-    )
+    count; long words count ceil(len/4) pieces.
+
+    ``regexp_count`` of greedy 1-4 char word-chunks == Σ ceil(len/4) over
+    the ``[^a-z0-9]+``-split words of the lowered text (each word yields
+    ⌊L/4⌋ four-char matches plus one remainder match when L mod 4 ≠ 0)."""
+    pieces = F.regexp_count(F.lower(text), F.lit(r"[a-z0-9]{1,4}"))
     punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
     return pieces + punct
 
 
+def _stopword_pattern(lang: str) -> str:
+    """Token-boundary-anchored alternation: matches a whole whitespace-
+    delimited token equal to one of the stopwords. ``(?<![^\\s])`` /
+    ``(?![^\\s])`` are true at string edges and next to whitespace, i.e.
+    exactly at token boundaries."""
+    alt = "|".join(STOPWORDS[lang])
+    return r"(?<![^\s])(?:" + alt + r")(?![^\s])"
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    return F.regexp_count(F.lower(text), F.lit(_stopword_pattern(lang)))
+
+
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    toks = tokens(text)
-    stops = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
-    return F.when(F.size(toks) > 0, n_stop / F.size(toks)).otherwise(F.lit(0.0))
+    n_tok = token_count(text)
+    return F.when(
+        n_tok > 0, stopword_count(text, lang) / n_tok
+    ).otherwise(F.lit(0.0))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -65,9 +119,12 @@ def alpha_ratio(text: Column) -> Column:
 
 
 def mean_word_length(text: Column) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+    """Σ token lengths / n tokens. The tokens partition the non-whitespace
+    characters of the lowered text, so the numerator is one
+    ``regexp_replace`` + ``length`` — no per-token fold."""
+    n_tok = token_count(text)
+    total = F.length(F.regexp_replace(F.lower(text), r"\s+", ""))
+    return F.when(n_tok > 0, total / n_tok).otherwise(F.lit(0.0))
 
 
 def quality_score(text: Column) -> Column:
@@ -88,36 +145,26 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 
 def detect_language(text: Column) -> Column:
-    """argmax of per-language stopword ratios; 'und' when all zero.
+    """argmax of per-language stopword counts; 'und' when all zero, NULL for
+    NULL text (matching the NULL-propagating fold it replaced).
 
-    Ties break by declaration order (a later language must be STRICTLY
-    greater to win → first occurrence of the max wins). Compiled as one
-    scores array + array_position — a when-chain fold would nest every
-    previous score into the next comparison (exponential expression
-    growth: ~4 s for 5k rows at 4 languages)."""
-    langs = F.array(*[F.lit(lang) for lang in STOPWORDS])
-    stop_lists = F.array(
-        *[F.array(*[F.lit(w) for w in ws]) for ws in STOPWORDS.values()]
-    )
-    zeros = F.array(*[F.lit(0)] * len(STOPWORDS))
-
-    def _count(acc: Column, t: Column) -> Column:
-        return F.zip_with(
-            acc,
-            stop_lists,
-            lambda a, sl: a + F.when(F.array_contains(sl, t), 1).otherwise(0),
+    Ties break by declaration order: the ``when`` chain tests languages in
+    ``STOPWORDS`` order against the max, so the first language reaching the
+    max wins — same rule as the previous array_position-of-max compile. All
+    shared denominators cancel, so count-argmax == ratio-argmax."""
+    counts = [stopword_count(text, lang) for lang in STOPWORDS]
+    mx = F.greatest(*counts) if len(counts) > 1 else counts[0]
+    chain = None
+    for lang, c in zip(STOPWORDS, counts):
+        cond = c == mx
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(
+            cond, F.lit(lang)
         )
-
-    def _argmax(counts: Column) -> Column:
-        mx = F.array_max(counts)
-        # counts is a finish-lambda variable → cheap to reference repeatedly
-        return F.when(
-            mx > 0, F.element_at(langs, F.array_position(counts, mx).cast("int"))
-        ).otherwise(F.lit("und"))
-
-    # ONE pass over the token array; the token expression is referenced
-    # exactly once (captured expressions re-evaluate per reference)
-    return F.aggregate(tokens(text), zeros, _count, _argmax)
+    return (
+        F.when(text.isNull(), F.lit(None).cast("string"))
+        .when(mx > 0, chain)
+        .otherwise(F.lit("und"))
+    )
 
 
 def normalize_text(text: Column) -> Column:
@@ -133,12 +180,51 @@ def fingerprint(text: Column) -> Column:
 
 def rolling_fingerprint(text: Column, window: int = 16) -> Column:
     """Winnowing-style fingerprint: md5 over every `window`-char chunk of the
-    normalised text, keep the minimum — robust to local edits."""
+    normalised text, keep the minimum — robust to local edits.
+
+    Column form (HOF ``transform``, interpreted) — fine for narrow one-off
+    use; batch pipelines should call :func:`rolling_fingerprint_frame`,
+    which computes identical values through codegen + a combinable MIN."""
     norm = normalize_text(text)
     n = F.length(norm)
     starts = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)), F.lit(window // 2))
     chunk_hashes = F.transform(starts, lambda i: F.md5(F.substring(norm, i, window)))
     return F.array_min(chunk_hashes)
+
+
+def rolling_fingerprint_frame(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str = "text",
+    window: int = 16,
+    fp_col: str = "fp",
+) -> DataFrame:
+    """(id_cols…, fp) frame of winnowing fingerprints — the scale path.
+
+    explode(chunk starts) → md5(substring) → ``groupBy(id).min``: every
+    expression whole-stage-codegen (the ``transform`` lambda of the Column
+    form runs interpreted — the sf1-measured 2-4× HOF tax). Values are
+    bit-identical: same normalisation, same strided starts, same md5, and
+    MIN over the group == array_min (both binary string ordering; a NULL
+    text yields a NULL-start row via explode_outer, and MIN of an all-NULL
+    group is NULL, matching array_min(NULL)).
+
+    Cost model at 100 TB: the explode is map-side; partial aggregation
+    collapses each document to its single minimum before the exchange, so
+    the shuffle carries one (id, 32-char md5) row per DOCUMENT, not per
+    chunk. ``id_cols`` must be unique per row (they key the re-assembly)."""
+    norm = normalize_text(F.col(text_col))
+    base = df.select(*id_cols, norm.alias("_norm"))
+    n = F.length(F.col("_norm"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - window + 1, F.lit(1)), F.lit(window // 2)
+    )
+    chunks = base.select(*id_cols, "_norm", F.explode_outer(starts).alias("_i"))
+    hashed = chunks.select(
+        *id_cols,
+        F.md5(F.substring(F.col("_norm"), F.col("_i"), window)).alias("_ch"),
+    )
+    return hashed.groupBy(*id_cols).agg(F.min("_ch").alias(fp_col))
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

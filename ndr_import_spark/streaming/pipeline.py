@@ -187,6 +187,13 @@ def stateful_stream_dedup(
     )
 
 
+# stream_decontaminate collects the eval set to the driver; cap its size so a
+# corpus-sized frame errors clearly instead of OOMing the driver. 1M short
+# texts ≈ low hundreds of MB of gram keys — an upper bound on any real
+# benchmark suite, far below driver memory.
+_EVAL_SET_MAX_ROWS = 1_000_000
+
+
 def stream_decontaminate(
     doc_stream: DataFrame,
     eval_set,
@@ -207,7 +214,11 @@ def stream_decontaminate(
     batch operator.
 
     `eval_set` may be a static DataFrame with `text_col` or an iterable
-    of strings."""
+    of strings. The eval frame is collected to the driver, so its size is
+    GUARDED: more than `_EVAL_SET_MAX_ROWS` rows raises ValueError up
+    front (a caller passing a corpus-sized frame as the "eval set" would
+    otherwise OOM the driver mid-collect) — real benchmark suites are
+    thousands of rows, orders of magnitude under the guard."""
     import hashlib
     from collections.abc import Iterator as _It
 
@@ -219,6 +230,18 @@ def stream_decontaminate(
         }
 
     if isinstance(eval_set, DataFrame):
+        # probe ONE row past the cap — a limit-count action on the eval
+        # frame only, never a full count of an unbounded input
+        over = eval_set.limit(_EVAL_SET_MAX_ROWS + 1).count()
+        if over > _EVAL_SET_MAX_ROWS:
+            raise ValueError(
+                f"stream_decontaminate eval_set exceeds {_EVAL_SET_MAX_ROWS} "
+                "rows — it is collected to the driver and closure-shipped, "
+                "which only makes sense for benchmark-sized sets. Decontaminate "
+                "against a corpus-sized set with the batch "
+                "operators.corpus.ngram_decontaminate (distributed semi-join) "
+                "instead."
+            )
         texts = [r[0] for r in eval_set.select(text_col).collect()]
     else:
         texts = list(eval_set)

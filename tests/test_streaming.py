@@ -334,3 +334,22 @@ class TestStreamDecontaminate:
             assert spark.sql(f"select * from {name}").count() == 0
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_oversized_eval_set_raises(self, spark, monkeypatch):
+        """A corpus-sized eval frame must raise up front (clear error), not
+        OOM the driver mid-collect. The cap is monkeypatched small so the
+        guard path runs without building a million-row frame."""
+        from ndr_import_spark import streaming as streaming_pkg
+        from ndr_import_spark.streaming import pipeline as pl
+
+        monkeypatch.setattr(pl, "_EVAL_SET_MAX_ROWS", 10)
+        big_eval = spark.range(50).selectExpr("concat('text ', id) AS text")
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+            .selectExpr("value AS doc_id", "cast(value as string) AS text")
+        )
+        with pytest.raises(ValueError, match="eval_set exceeds 10 rows"):
+            pl.stream_decontaminate(stream, big_eval, n=5)
+        # at exactly the cap the plan still builds
+        ok_eval = spark.range(10).selectExpr("concat('text ', id) AS text")
+        assert pl.stream_decontaminate(stream, ok_eval, n=5) is not None
