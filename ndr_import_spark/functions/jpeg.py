@@ -4,16 +4,22 @@
 Scope — the profile that covers the overwhelming majority of crawl-corpus
 images:
 
-* decode: baseline sequential DCT (SOF0) and extended sequential (SOF1),
-  Huffman entropy coding, 8-bit samples, grayscale and 3-component YCbCr
-  (JFIF), arbitrary sampling factors h,v ∈ {1..4} (covers 4:4:4, 4:2:2,
-  4:2:0), restart markers (DRI/RSTn), multiple DQT/DHT segments, FF00
-  byte-stuffing.  Progressive (SOF2), arithmetic coding, 12-bit samples,
-  hierarchical and 4-component (CMYK/Adobe) files raise `JpegError` — an
-  honest unsupported-profile signal, not silent garbage.
+* decode: baseline sequential DCT (SOF0), extended sequential (SOF1) AND
+  progressive DCT (SOF2, T.81 Annex G: spectral selection + successive
+  approximation — DC first/refine, AC first/refine with EOB runs, in any
+  conformant scan script), Huffman entropy coding, 8-bit samples,
+  grayscale and 3-component YCbCr (JFIF), arbitrary sampling factors
+  h,v ∈ {1..4} (covers 4:4:4, 4:2:2, 4:2:0), restart markers (DRI/RSTn),
+  multiple DQT/DHT segments, FF00 byte-stuffing.  Arithmetic coding,
+  12-bit samples, hierarchical and 4-component (CMYK/Adobe) files raise
+  `JpegError` — an honest unsupported-profile signal, not silent garbage.
 * encode: baseline SOF0 with the Annex K quantisation tables (IJG quality
   scaling) and Annex K "typical" Huffman tables; 4:4:4, 4:2:2 or 4:2:0
-  luma sampling.  Used for fixtures, roundtrip tests and JPEG-in →
+  luma sampling.  A progressive SOF2 encoder (libjpeg-style scan script:
+  split DC, banded AC firsts, full-band refinements) exists for fixtures
+  and roundtrip tests — it emits the SAME quantised coefficients as the
+  baseline encoder, so progressive decode must equal baseline decode
+  bit-for-bit.  Used for fixtures, roundtrip tests and JPEG-in →
   JPEG-out resizing.
 
 Design notes: the bit-serial Huffman loop is pure Python (per-image, runs
@@ -239,6 +245,10 @@ class _BitReader:
         # skip pad bytes up to the marker
         while self.pos + 1 < len(d) and d[self.pos] != 0xFF:
             self.pos += 1
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        # — FF FF D0 is a legal restart, so step past repeated FFs
+        while self.pos + 2 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
+            self.pos += 1
         if self.pos + 1 >= len(d) or not (0xD0 <= d[self.pos + 1] <= 0xD7):
             raise JpegError("expected restart marker")
         self.pos += 2
@@ -300,6 +310,12 @@ def _decode_markers(data: bytes) -> tuple[int, int, int, bytes]:
             continue
         if marker == 0xD9:  # EOI before SOS
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM and RSTn are standalone markers (T.81 B.1.1.3): no
+            # length field follows — treating the next two bytes as a
+            # length desynchronised the loop on rare-but-conformant files
+            pos += 2
+            continue
         seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
         seg = data[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT — may hold several tables
@@ -330,7 +346,7 @@ def _decode_markers(data: bytes) -> tuple[int, int, int, bytes]:
                 i += 17 + cnt
                 tbl = _build_decode_table(bits, huffval)
                 (dc_tables if tc == 0 else ac_tables)[th] = tbl
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0 / SOF1 / SOF2
             precision = seg[0]
             if precision != 8:
                 raise JpegError(f"unsupported sample precision {precision}")
@@ -342,9 +358,8 @@ def _decode_markers(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + c * 3 : 9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": width, "h": height, "comps": comps}
-        elif marker == 0xC2:
-            raise JpegError("progressive JPEG (SOF2) is not supported")
+            frame = {"w": width, "h": height, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
@@ -354,21 +369,44 @@ def _decode_markers(data: bytes) -> tuple[int, int, int, bytes]:
                 raise JpegError("SOS before SOF")
             ns = seg[0]
             scan = {}
+            scan_order = []
             for c in range(ns):
                 cs, tdta = seg[1 + c * 2 : 3 + c * 2]
                 scan[cs] = (tdta >> 4, tdta & 15)
-            return _decode_scan(
+                scan_order.append(cs)
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data,
+                    pos + 2 + seg_len,
+                    frame,
+                    scan,
+                    qt,
+                    dc_tables,
+                    ac_tables,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            pos = _decode_progressive_scan(
                 data,
                 pos + 2 + seg_len,
                 frame,
+                scan_order,
                 scan,
-                qt,
                 dc_tables,
                 ac_tables,
                 restart_interval,
+                ss,
+                se,
+                ah,
+                al,
             )
+            continue
         # APPn / COM / anything else: skip
         pos += 2 + seg_len
+    if frame is not None and frame.get("progressive") and frame.get("_inited"):
+        return _assemble(frame, qt)
     raise JpegError("no SOS marker found")
 
 
@@ -438,11 +476,24 @@ def _decode_scan(data, pos, frame, scan, qt, dc_tables, ac_tables, dri):
                     bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
                     c["coef"][bi] = block.reshape(8, 8)
 
-    # vectorised dequantise + exact IDCT + plane assembly per component
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    return _assemble(frame, qt)
+
+
+def _assemble(frame, qt) -> tuple[int, int, int, bytes]:
+    """Vectorised dequantise + exact IDCT + upsample + colour convert over
+    fully-populated coefficient arrays — shared by the sequential path and
+    the progressive path (which reaches here at EOI, after every scan has
+    deposited its coefficient bits)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     T = _DCT_T
     for c in comps:
-        deq = c["coef"] * qt[c["tq"]][None, :, :].astype(np.float64)
+        if c["tq"] not in qt:
+            raise JpegError("component references undefined quant table")
+        coef = np.asarray(c["coef"], dtype=np.float64).reshape(-1, 8, 8)
+        deq = coef * qt[c["tq"]][None, :, :].astype(np.float64)
         pix = np.einsum("ij,njk,kl->nil", T.T, deq, T) + 128.0
         pix = np.clip(np.round(pix), 0, 255).astype(np.uint8)
         plane = (
@@ -473,6 +524,228 @@ def _decode_scan(data, pos, frame, scan, qt, dc_tables, ac_tables, dri):
         axis=2,
     )
     return w, h, 3, rgb.tobytes()
+
+
+def _init_progressive_frame(frame) -> None:
+    """Lazy per-frame coefficient state, created at the first SOS:
+    MCU-padded int32 coefficient planes per component (natural order),
+    persisting across scans — each scan deposits some bits of some band."""
+    if frame.get("_inited"):
+        return
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    if w == 0 or h == 0:
+        raise JpegError("zero image dimension")
+    if len(comps) == 1:
+        # same T.81 A.2.2 rule as the sequential path: a single-component
+        # frame is decoded non-interleaved with 1x1 effective sampling
+        comps[0]["h"] = comps[0]["v"] = 1
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise JpegError("invalid sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        # non-interleaved scans cover the component's OWN block grid
+        # (T.81 A.2.2: ceil of the scaled dimensions), not the MCU padding
+        c["nbw"] = -(-(-(-w * c["h"] // hmax)) // 8)
+        c["nbh"] = -(-(-(-h * c["v"] // vmax)) // 8)
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        c["pred"] = 0
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["_inited"] = True
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Position of the next non-RST, non-stuffed marker at/after `pos` —
+    where the enclosing marker loop resumes after a scan's entropy data."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00,) and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            if data[pos + 1] == 0xFF:  # fill byte, keep scanning
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    raise JpegError("entropy data ran past end of stream")
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan_order, scan, dc_tables, ac_tables, dri, ss, se, ah, al
+):
+    """One SOF2 scan (T.81 Annex G.2): deposits `al`-shifted coefficient
+    bits for the (ss..se) band of the scan's components into the frame's
+    persistent coefficient planes.  Returns the stream position of the
+    marker that follows the scan's entropy-coded data."""
+    _init_progressive_frame(frame)
+    comps_by_id = {c["id"]: c for c in frame["comps"]}
+    try:
+        scomps = [comps_by_id[cid] for cid in scan_order]
+    except KeyError as exc:
+        raise JpegError(f"scan references unknown component {exc}") from exc
+    if ss > se or se > 63 or ah > 13 or al > 13:
+        raise JpegError("invalid progressive scan header")
+    if ss == 0 and se != 0:
+        raise JpegError("progressive scan mixes DC and AC (Ss=0 needs Se=0)")
+    if ss > 0 and len(scomps) != 1:
+        raise JpegError("progressive AC scan must be single-component")
+    br = _BitReader(data, pos)
+    if ss == 0:
+        _prog_dc_scan(br, frame, scomps, scan, dc_tables, dri, ah, al)
+    else:
+        _prog_ac_scan(br, scomps[0], scan, ac_tables, dri, ss, se, ah, al)
+    return _next_marker_pos(data, br.pos)
+
+
+def _prog_dc_scan(br, frame, scomps, scan, dc_tables, dri, ah, al):
+    """DC scan: first pass (Ah=0) Huffman-decodes point-transformed DC
+    diffs; refinement (Ah>0) reads one correction bit per block.  Multi-
+    component DC scans interleave in MCU order; a single-component scan is
+    non-interleaved over that component's own block grid."""
+    for c in scomps:
+        c["pred"] = 0
+        if ah == 0:
+            td = scan[c["id"]][0]
+            if td not in dc_tables:
+                raise JpegError("scan references undefined Huffman table")
+            c["_dc"] = dc_tables[td]
+    interleaved = len(scomps) > 1
+    if interleaved:
+        mcux, mcuy = frame["mcux"], frame["mcuy"]
+        units = mcux * mcuy
+    else:
+        c = scomps[0]
+        units = c["nbw"] * c["nbh"]
+    for m in range(units):
+        if dri and m > 0 and m % dri == 0:
+            br.restart()
+            for c in scomps:
+                c["pred"] = 0
+        if interleaved:
+            my, mx = divmod(m, frame["mcux"])
+            for c in scomps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                        _prog_dc_unit(br, c, bi, ah, al)
+        else:
+            c = scomps[0]
+            my, mx = divmod(m, c["nbw"])
+            _prog_dc_unit(br, c, my * c["bw"] + mx, ah, al)
+
+
+def _prog_dc_unit(br, c, bi, ah, al):
+    if ah == 0:
+        t = _huff_decode(br, c["_dc"])
+        diff = _extend(br.read_bits(t), t) if t else 0
+        c["pred"] += diff
+        c["coef"][bi, 0] = c["pred"] << al
+    else:
+        if br.read_bit():
+            c["coef"][bi, 0] |= 1 << al
+
+
+def _prog_ac_scan(br, c, scan, ac_tables, dri, ss, se, ah, al):
+    """AC scan over one component's own block grid (non-interleaved).
+    First pass (Ah=0): runs/sizes with EOBn end-of-band runs (G.1.2.2);
+    refinement (Ah>0): correction bits threaded through the run structure
+    (G.1.2.3).  Restart intervals reset the EOB run and byte-align."""
+    ta = scan[c["id"]][1]
+    if ta not in ac_tables:
+        raise JpegError("scan references undefined Huffman table")
+    actab = ac_tables[ta]
+    coef = c["coef"]
+    zz = ZIGZAG
+    eobrun = 0
+    nb = c["nbw"] * c["nbh"]
+    for m in range(nb):
+        if dri and m > 0 and m % dri == 0:
+            br.restart()
+            eobrun = 0
+        my, mx = divmod(m, c["nbw"])
+        bi = my * c["bw"] + mx
+        if ah == 0:
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_decode(br, actab)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise JpegError("AC coefficient index out of range")
+                coef[bi, zz[k]] = _extend(br.read_bits(s), s) << al
+                k += 1
+        else:
+            eobrun = _prog_ac_refine_block(
+                br, actab, coef, bi, zz, ss, se, al, eobrun
+            )
+
+
+def _prog_ac_refine_block(br, actab, coef, bi, zz, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (T.81 G.1.2.3,
+    the libjpeg decode_mcu_AC_refine control flow): newly-nonzero
+    coefficients arrive as ±1<<al; every already-nonzero coefficient
+    crossed by a run (or remaining after the EOB) absorbs one correction
+    bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, actab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                newval = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise JpegError("invalid magnitude in AC refinement scan")
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                ci = zz[k]
+                if coef[bi, ci] != 0:
+                    if br.read_bit():
+                        if (coef[bi, ci] & p1) == 0:
+                            coef[bi, ci] += p1 if coef[bi, ci] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[bi, zz[k]] = newval
+            k += 1
+    if eobrun > 0:
+        # refine the remaining already-nonzero positions of this band
+        while k <= se:
+            ci = zz[k]
+            if coef[bi, ci] != 0:
+                if br.read_bit():
+                    if (coef[bi, ci] & p1) == 0:
+                        coef[bi, ci] += p1 if coef[bi, ci] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 class _BitWriter:
@@ -544,21 +817,11 @@ def _encode_coef_block(bw, coef_zz, pred, dc_enc, ac_enc):
     return dc
 
 
-def encode_jpeg(
-    width: int,
-    height: int,
-    pixels: bytes,
-    channels: int = 3,
-    quality: int = 90,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode packed uint8 pixels (RGB or grayscale) as baseline JPEG.
-
-    `subsampling` ∈ {"4:4:4", "4:2:2", "4:2:0"} sets the luma sampling
-    factors (chroma is always 1x1); grayscale ignores it.  quality=100
-    yields all-ones quant tables (near-lossless: roundtrip error is the
-    DCT float rounding, ≤1 LSB — the property the codec tests pin)."""
+def _prepare_encode(width, height, pixels, channels, quality, subsampling):
+    """Shared encoder front half: colour convert, downsample, pad, DCT,
+    quantise.  Returns (comps-with-qcoef, lq, cq, mcux, mcuy, hmax, vmax).
+    Both the baseline and the progressive encoder run THIS — identical
+    quantised coefficients, so the two outputs must decode identically."""
     if channels not in (1, 3):
         raise JpegError("encode_jpeg takes 1 or 3 channel input")
     arr = np.frombuffer(bytes(pixels), dtype=np.uint8)
@@ -587,7 +850,6 @@ def encode_jpeg(
             {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": cr},
         ]
     else:
-        hs = vs = 1
         comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "plane": arr[:, :, 0]}]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -622,18 +884,45 @@ def encode_jpeg(
         q = (lq_nat if c["tq"] == 0 else cq_nat).reshape(8, 8)
         c["qcoef"] = np.round(coefs / q[None, None]).astype(np.int64)
         c["pred"] = 0
-    # headers
-    out = bytearray(b"\xff\xd8")  # SOI
+        del c["plane"]
+    return comps, lq, cq, mcux, mcuy, hmax, vmax
+
+
+def _encode_headers(out, comps, lq, cq, channels, width, height, sof_marker):
+    """SOI + JFIF APP0 + DQT(s) + SOFn header shared by both encoders."""
+    out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, tbl in ((0, lq), (1, cq)) if channels == 3 else ((0, lq),):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
             int(v) for v in tbl
         )
-    out += b"\xff\xc0" + struct.pack(
+    out += bytes([0xFF, sof_marker]) + struct.pack(
         ">HBHHB", 8 + 3 * len(comps), 8, height, width, len(comps)
     )
     for c in comps:
         out += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode packed uint8 pixels (RGB or grayscale) as baseline JPEG.
+
+    `subsampling` ∈ {"4:4:4", "4:2:2", "4:2:0"} sets the luma sampling
+    factors (chroma is always 1x1); grayscale ignores it.  quality=100
+    yields all-ones quant tables (near-lossless: roundtrip error is the
+    DCT float rounding, ≤1 LSB — the property the codec tests pin)."""
+    comps, lq, cq, mcux, mcuy, hmax, vmax = _prepare_encode(
+        width, height, pixels, channels, quality, subsampling
+    )
+    out = bytearray()
+    _encode_headers(out, comps, lq, cq, channels, width, height, 0xC0)
     huffs = [(0x00, K_DC_LUMA), (0x10, K_AC_LUMA)]
     if channels == 3:
         huffs += [(0x01, K_DC_CHROMA), (0x11, K_AC_CHROMA)]
@@ -675,6 +964,255 @@ def encode_jpeg(
                     )
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# Fixture AC Huffman table for progressive scans: every symbol 0x00..0xFF
+# gets a code (EOBn symbols 0x10..0xE0 are NOT in the Annex K tables), so
+# the progressive encoder never has to build per-image optimal tables.
+# Canonical and prefix-free: one 8-bit code + 255 nine-bit codes
+# (Kraft sum 2^-8 + 255·2^-9 < 1).
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 1, 255, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = list(range(256))
+
+
+class _ProgBitWriter(_BitWriter):
+    """_BitWriter + the Annex G end-of-band-run bookkeeping: EOBn symbols
+    count blocks whose band ended, and AC-refinement correction bits are
+    BUFFERED until the next symbol (they belong after it in the stream)."""
+
+    __slots__ = ("eobrun", "pending")
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.eobrun = 0
+        self.pending = []  # buffered correction bits (AC refinement)
+
+    def emit_symbol(self, enc, sym) -> None:
+        code, length = enc[sym]
+        self.write(code, length)
+
+    def flush_eobrun(self, ac_enc) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.emit_symbol(ac_enc, nbits << 4)
+            if nbits:
+                self.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for bit in self.pending:
+            self.write(bit, 1)
+        self.pending = []
+
+
+def _prog_encode_dc_first(bw, comps, mcux, mcuy, al, dc_encs, dri=0):
+    """Interleaved DC first scan: Huffman-coded diffs of the
+    arithmetic-shifted DC coefficients (T.81 G.1.2.1)."""
+    for c in comps:
+        c["pred"] = 0
+    rst = 0
+    for m in range(mcux * mcuy):
+        if dri and m > 0 and m % dri == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+            for c in comps:
+                c["pred"] = 0
+        my, mx = divmod(m, mcux)
+        for i, c in enumerate(comps):
+            enc = dc_encs[i]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    dc = int(c["qcoef"][my * c["v"] + by, mx * c["h"] + bx][0, 0])
+                    val = dc >> al  # arithmetic shift, T.81 G.1.2.1
+                    diff = val - c["pred"]
+                    c["pred"] = val
+                    mag = abs(diff)
+                    t = mag.bit_length()
+                    code, length = enc[t]
+                    bw.write(code, length)
+                    if t:
+                        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+
+def _prog_encode_dc_refine(bw, comps, mcux, mcuy, al):
+    """Interleaved DC refinement: one raw bit per block (G.1.2.1)."""
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    dc = int(c["qcoef"][my * c["v"] + by, mx * c["h"] + bx][0, 0])
+                    bw.write((dc >> al) & 1, 1)
+
+
+def _prog_encode_ac_first(bw, c, ss, se, al, ac_enc):
+    """Single-component AC first scan with EOB-run accumulation
+    (G.1.2.2 / libjpeg encode_mcu_AC_first)."""
+    zz = ZIGZAG
+    for m in range(c["nbw"] * c["nbh"]):
+        my, mx = divmod(m, c["nbw"])
+        band = c["qcoef"][my, mx].reshape(64)[zz][ss : se + 1]
+        # point transform: magnitude shift toward zero, sign kept
+        vals = [
+            (int(v) >> al) if v >= 0 else -((-int(v)) >> al) for v in band
+        ]
+        last_nz = -1
+        for i, v in enumerate(vals):
+            if v:
+                last_nz = i
+        if last_nz < 0:
+            bw.eobrun += 1
+            if bw.eobrun == 0x7FFF:
+                bw.flush_eobrun(ac_enc)
+            continue
+        bw.flush_eobrun(ac_enc)
+        r = 0
+        for i in range(last_nz + 1):
+            v = vals[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                bw.emit_symbol(ac_enc, 0xF0)  # ZRL
+                r -= 16
+            s = abs(v).bit_length()
+            bw.emit_symbol(ac_enc, (r << 4) | s)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            r = 0
+        if last_nz < se - ss:
+            bw.eobrun += 1
+            if bw.eobrun == 0x7FFF:
+                bw.flush_eobrun(ac_enc)
+
+
+def _prog_encode_ac_refine(bw, c, ss, se, al, ac_enc):
+    """Single-component AC refinement scan (G.1.2.3 / libjpeg
+    encode_mcu_AC_refine): newly-nonzero coefficients emit (run,1) + sign;
+    already-nonzero ones contribute buffered correction bits that flush
+    after the next emitted symbol."""
+    zz = ZIGZAG
+    for m in range(c["nbw"] * c["nbh"]):
+        my, mx = divmod(m, c["nbw"])
+        band = [int(v) for v in c["qcoef"][my, mx].reshape(64)[zz][ss : se + 1]]
+        absv = [(-v if v < 0 else v) >> al for v in band]
+        eob = -1  # last newly-nonzero position
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        r = 0
+        local_pending = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                bw.flush_eobrun(ac_enc)
+                bw.emit_symbol(ac_enc, 0xF0)
+                r -= 16
+                for bit in local_pending:
+                    bw.write(bit, 1)
+                local_pending = []
+            if a > 1:
+                # history coefficient: one buffered correction bit
+                local_pending.append(a & 1)
+                continue
+            bw.flush_eobrun(ac_enc)
+            bw.emit_symbol(ac_enc, (r << 4) | 1)
+            bw.write(0 if band[i] < 0 else 1, 1)
+            for bit in local_pending:
+                bw.write(bit, 1)
+            local_pending = []
+            r = 0
+        if r > 0 or local_pending:
+            bw.eobrun += 1
+            bw.pending.extend(local_pending)
+            if bw.eobrun == 0x7FFF or len(bw.pending) > 900:
+                bw.flush_eobrun(ac_enc)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode packed uint8 pixels as PROGRESSIVE (SOF2) JPEG with a
+    libjpeg-style scan script — split DC (Al=1 then refine), banded AC
+    firsts (1-5, 6-63 at Al=1), full-band AC refinements (Al=0).
+
+    Runs the SAME `_prepare_encode` pipeline as `encode_jpeg`, so the
+    quantised coefficients are identical and `decode_jpeg` of this output
+    must equal `decode_jpeg` of the baseline output bit-for-bit — the
+    oracle the progressive codec tests pin.  `restart_interval` (if set)
+    applies to the DC first scan only (a DRI 0 before the AC scans turns
+    it back off — conformant per B.2.4.4) to exercise the progressive
+    restart path."""
+    comps, lq, cq, mcux, mcuy, hmax, vmax = _prepare_encode(
+        width, height, pixels, channels, quality, subsampling
+    )
+    for c in comps:
+        # non-interleaved AC scans cover the component's own grid
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        c["nbw"] = -(-cw // 8)
+        c["nbh"] = -(-ch // 8)
+    out = bytearray()
+    _encode_headers(out, comps, lq, cq, channels, width, height, 0xC2)
+    huffs = [(0x00, K_DC_LUMA), (0x10, (_PROG_AC_BITS, _PROG_AC_VALS))]
+    if channels == 3:
+        huffs += [(0x01, K_DC_CHROMA)]
+    for tclass, (bits, vals) in huffs:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes(
+            [tclass] + list(bits) + list(vals)
+        )
+    dc_encs = [
+        _build_encode_table(*(K_DC_LUMA if i == 0 else K_DC_CHROMA))
+        for i in range(len(comps))
+    ]
+    ac_enc = _build_encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def sos(comp_specs, ss, se, ah, al):
+        out.extend(b"\xff\xda")
+        out.extend(struct.pack(">HB", 6 + 2 * len(comp_specs), len(comp_specs)))
+        for cid, tdta in comp_specs:
+            out.extend(bytes([cid, tdta]))
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+
+    def run_scan(emit, *args):
+        bw = _ProgBitWriter()
+        emit(bw, *args)
+        bw.flush_eobrun(ac_enc)
+        bw.flush()
+        out.extend(bw.out)
+
+    # scan 1: DC first, interleaved, Al=1 (+ optional restarts)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    dc_specs = [
+        (c["id"], (0 if i == 0 else 1) << 4) for i, c in enumerate(comps)
+    ]
+    sos(dc_specs, 0, 0, 0, 1)
+    run_scan(_prog_encode_dc_first, comps, mcux, mcuy, 1, dc_encs,
+             restart_interval)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, 0)  # restarts off again
+    # scans 2..: banded AC firsts per component at Al=1
+    for c in comps:
+        for band_ss, band_se in ((1, 5), (6, 63)):
+            sos([(c["id"], 0x00)], band_ss, band_se, 0, 1)
+            run_scan(_prog_encode_ac_first, c, band_ss, band_se, 1, ac_enc)
+    # DC refinement (no Huffman table needed)
+    sos(dc_specs, 0, 0, 1, 0)
+    run_scan(_prog_encode_dc_refine, comps, mcux, mcuy, 0)
+    # AC refinement per component over the FULL band (libjpeg-style: the
+    # refinement band need not match the first-scan bands)
+    for c in comps:
+        sos([(c["id"], 0x00)], 1, 63, 1, 0)
+        run_scan(_prog_encode_ac_refine, c, 1, 63, 0, ac_enc)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

@@ -16,6 +16,7 @@ from ndr_import_spark.functions.jpeg import (
     JpegError,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
     is_jpeg,
     jpeg_image_decoder,
 )
@@ -147,11 +148,20 @@ class TestErrorPaths:
         with pytest.raises(JpegError, match="missing SOI"):
             decode_jpeg(b"\x89PNG\r\n\x1a\n")
 
-    def test_progressive_rejected(self):
+    def test_sof0_rebranded_as_sof2_raises(self):
+        # a baseline scan header (Ss=0..Se=63) is malformed under SOF2
+        # rules (a progressive DC scan needs Se=0) — clear error, no decode
         data = bytearray(encode_jpeg(8, 8, bytes(64), channels=1))
         sof = data.find(b"\xff\xc0")
         data[sof + 1] = 0xC2  # rebrand as progressive
-        with pytest.raises(JpegError, match="progressive"):
+        with pytest.raises(JpegError, match="mixes DC and AC"):
+            decode_jpeg(bytes(data))
+
+    def test_arithmetic_sof_rejected(self):
+        data = bytearray(encode_jpeg(8, 8, bytes(64), channels=1))
+        sof = data.find(b"\xff\xc0")
+        data[sof + 1] = 0xC9  # arithmetic sequential
+        with pytest.raises(JpegError, match="unsupported SOF"):
             decode_jpeg(bytes(data))
 
     def test_truncated_entropy_data(self):
@@ -236,3 +246,79 @@ class TestSparkIntegration:
                 assert int(arr.max()) - int(arr.min()) == 0
             else:
                 assert is_png(data)
+
+
+class TestProgressive:
+    """SOF2 decode (T.81 Annex G). The progressive encoder runs the SAME
+    _prepare_encode pipeline as the baseline encoder, so the quantised
+    coefficients are identical — progressive decode must equal baseline
+    decode BIT-FOR-BIT, an oracle independent of the decoder under test."""
+
+    def _roundtrip_equal(self, w, h, pixels, channels, quality, ss="4:4:4",
+                         restart_interval=0):
+        base = encode_jpeg(w, h, pixels, channels=channels, quality=quality,
+                           subsampling=ss)
+        prog = encode_jpeg_progressive(
+            w, h, pixels, channels=channels, quality=quality, subsampling=ss,
+            restart_interval=restart_interval,
+        )
+        assert prog[3] == 0xC2 or b"\xff\xc2" in prog  # really SOF2
+        bw_, bh_, bc_, bpx = decode_jpeg(base)
+        pw_, ph_, pc_, ppx = decode_jpeg(prog)
+        assert (bw_, bh_, bc_) == (pw_, ph_, pc_)
+        assert bpx == ppx, "progressive decode differs from baseline decode"
+        return pw_, ph_, pc_, ppx
+
+    def test_gradient_rgb_444(self):
+        img = _gradient_rgb(37, 29)  # non-multiple-of-8 both axes
+        self._roundtrip_equal(37, 29, img.tobytes(), 3, 85)
+
+    def test_gradient_rgb_420_subsampled(self):
+        img = _gradient_rgb(41, 33)
+        self._roundtrip_equal(41, 33, img.tobytes(), 3, 75, ss="4:2:0")
+
+    def test_gradient_rgb_422(self):
+        img = _gradient_rgb(24, 16)
+        self._roundtrip_equal(24, 16, img.tobytes(), 3, 90, ss="4:2:2")
+
+    def test_grayscale(self):
+        rng = np.random.default_rng(42)
+        img = rng.integers(0, 256, size=(19, 23), dtype=np.uint8)
+        self._roundtrip_equal(23, 19, img.tobytes(), 1, 80)
+
+    def test_noise_rgb_exercises_zrl_and_eobrun(self):
+        # sparse high-frequency noise at low quality → long zero runs
+        # (ZRL), all-zero bands (EOB runs) and refinement corrections
+        rng = np.random.default_rng(7)
+        img = np.full((40, 48, 3), 128, dtype=np.uint8)
+        ys = rng.integers(0, 40, 60)
+        xs = rng.integers(0, 48, 60)
+        img[ys, xs] = rng.integers(0, 256, size=(60, 3))
+        self._roundtrip_equal(48, 40, img.tobytes(), 3, 25)
+
+    def test_solid_gray_q100_exact(self):
+        # analytic: solid 128 gray decodes exactly at q100 regardless of
+        # the scan structure
+        w, h, c, px = self._roundtrip_equal(16, 16, bytes([128]) * 256, 1, 100)
+        assert px == bytes([128]) * 256
+
+    def test_restart_markers_in_dc_scan(self):
+        img = _gradient_rgb(32, 24)
+        self._roundtrip_equal(32, 24, img.tobytes(), 3, 85,
+                              restart_interval=3)
+
+    def test_truncated_progressive_raises(self):
+        img = _gradient_rgb(32, 32)
+        prog = encode_jpeg_progressive(32, 32, img.tobytes(), channels=3,
+                                       quality=85)
+        for frac in (0.3, 0.6, 0.9):
+            with pytest.raises(JpegError):
+                decode_jpeg(prog[: int(len(prog) * frac)])
+
+    def test_dispatches_through_multimodal_decoder_hook(self):
+        img = _gradient_rgb(16, 16)
+        prog = encode_jpeg_progressive(16, 16, img.tobytes(), channels=3,
+                                       quality=90)
+        w, h, feats = jpeg_image_decoder(prog)
+        assert (w, h) == (16, 16)
+        assert len(feats) > 0
