@@ -1404,6 +1404,100 @@ FROM f GROUP BY codec ORDER BY codec
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stdlib WAV decode end-to-end (functions/wav.py, no injected
+    decoder): a deterministic audio table of genuine RIFF/WAVE payloads —
+    mono 16-bit step waves, stereo 16-bit constants and mono float32
+    constants, all with amplitudes/rates derived from md5 bytes so every
+    decoded value is ANALYTIC. All sample values are dyadic rationals
+    (k/256), so slice means, per-doc means and the final group averages
+    are exact in float64 and the DuckDB oracle reproduces them from md5
+    arithmetic alone — proving the RIFF chunk walk, PCM/float frame
+    decode, stereo mixing and the Arrow batch plumbing."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from ndr_import_spark.functions.wav import encode_wav
+    from ndr_import_spark.operators import multimodal as MM
+
+    MM.set_audio_decoder(None)  # force stdlib WAV dispatch
+    rows = []
+    for i in range(72):
+        b = _hl.md5(f"audio{i}".encode()).digest()
+        va = (b[0] - 128) * 128 / 32768.0
+        vb = (b[1] - 128) * 128 / 32768.0
+        if i % 3 == 0:
+            sig = np.array([va] * 32 + [vb] * 32)
+            payload = encode_wav(8000 + (b[2] % 32) * 25, sig, bits=16)
+        elif i % 3 == 1:
+            sig = np.tile(np.array([[va, vb]]), (48, 1))
+            payload = encode_wav(16000, sig, bits=16)
+        else:
+            v32 = (b[0] - 128) / 128.0
+            payload = encode_wav(
+                22050, np.full(56, v32), float_format=True
+            )
+        rows.append(
+            (i, "audio", "audio/wav", None, None, None, bytearray(payload))
+        )
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(8)
+    feats = MM.extract_audio_features(media)
+    mean_feat = F.aggregate(
+        F.col("feature"), F.lit(0.0), lambda a, x: a + x
+    ) / F.size(F.col("feature"))
+    return (
+        feats.select(
+            F.when(F.col("media_id") % 3 == 0, "step16")
+            .when(F.col("media_id") % 3 == 1, "stereo16")
+            .otherwise("float32")
+            .alias("wave"),
+            F.col("n_samples").cast("double").alias("ns"),
+            F.col("sample_rate").cast("double").alias("rate"),
+            mean_feat.alias("mf"),
+        )
+        .groupBy("wave")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("ns").alias("avg_samples"),
+            F.avg("rate").alias("avg_rate"),
+            F.avg("mf").alias("avg_feat"),
+        )
+        .orderBy("wave")
+    )
+
+
+_ORACLE_AUDIO_FEATURES = """
+WITH m AS (SELECT unnest(range(72)) AS i),
+d AS (SELECT i, md5('audio' || i) AS hx FROM m),
+b AS (
+  SELECT i,
+    cast(('0x' || substring(hx, 1, 2)) as int) AS b0,
+    cast(('0x' || substring(hx, 3, 2)) as int) AS b1,
+    cast(('0x' || substring(hx, 5, 2)) as int) AS b2
+  FROM d
+),
+f AS (
+  SELECT i,
+    CASE cast(i % 3 as int) WHEN 0 THEN 'step16' WHEN 1 THEN 'stereo16'
+      ELSE 'float32' END AS wave,
+    CASE cast(i % 3 as int) WHEN 0 THEN 64.0 WHEN 1 THEN 48.0
+      ELSE 56.0 END AS ns,
+    CASE cast(i % 3 as int) WHEN 0 THEN cast(8000 + (b2 % 32) * 25 as double)
+      WHEN 1 THEN 16000.0 ELSE 22050.0 END AS rate,
+    -- step16: 4 slices at va + 4 at vb → mean (va+vb)/2;
+    -- stereo16: constant mono mix (va+vb)/2; float32: (b0-128)/128 exact
+    CASE WHEN i % 3 IN (0, 1)
+      THEN ((b0 - 128) * 128 / 32768.0 + (b1 - 128) * 128 / 32768.0) / 2
+      ELSE (b0 - 128) / 128.0 END AS mf
+  FROM b
+)
+SELECT wave, count(*) AS n, avg(ns) AS avg_samples, avg(rate) AS avg_rate,
+       avg(mf) AS avg_feat
+FROM f GROUP BY wave ORDER BY wave
+"""
+
+
 def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantisation: nearest deterministic pseudo-centroid per
     vector (argmax of 16 dot products), per-cell occupancy stats — the
@@ -4777,6 +4871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "multimodal_features": q_multimodal_features,
         "multimodal_mixed_codecs": q_multimodal_mixed_codecs,
+        "audio_features": q_audio_features,
         "ivf_cells": q_ivf_cells,
         "ivf_probe_topk": q_ivf_probe_topk,
         "quantize_embeddings": q_quantize_embeddings,
@@ -4880,6 +4975,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_pairs": _oracle_ann_lsh(),
         "multimodal_features": _ORACLE_MULTIMODAL,
         "multimodal_mixed_codecs": _ORACLE_MIXED_CODECS,
+        "audio_features": _ORACLE_AUDIO_FEATURES,
         "ivf_cells": _oracle_ivf(),
         "ivf_probe_topk": _oracle_ivf_probe(),
         "quantize_embeddings": _ORACLE_QUANTIZE,

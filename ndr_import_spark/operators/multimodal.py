@@ -2,11 +2,13 @@
 with typed metadata.
 
 Net-new (BASELINE.json north_star). Image decode is REAL for PNG
-(functions/png.py — inflate, unfilter), baseline JPEG (functions/jpeg.py —
-T.81 Huffman + exact IDCT) and GIF (functions/gif.py — LZW, interlace)
-payloads, dispatched by magic bytes; other image formats and audio need an
-injected decoder (`set_image_decoder`/`set_audio_decoder`; deterministic
-fake available for tests). Everything Spark-side is real either way:
+(functions/png.py — inflate, unfilter), baseline AND progressive JPEG
+(functions/jpeg.py — T.81 Huffman + exact IDCT, Annex G scans) and GIF
+(functions/gif.py — LZW, interlace) payloads, dispatched by magic bytes;
+audio decode is REAL for WAV/PCM (functions/wav.py — RIFF walk, PCM and
+IEEE-float frames). Other formats need an injected decoder
+(`set_image_decoder`/`set_audio_decoder`; deterministic fake available for
+tests). Everything Spark-side is real either way:
 schema, Arrow-batched `mapInPandas` plumbing, batch shapes, partition
 sizing.
 
@@ -144,21 +146,30 @@ def deterministic_fake_audio_decoder(data: bytes) -> tuple[int, int, list[float]
 
 def extract_audio_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
     """Audio twin of `extract_features`: decode + feature-extract via
-    Arrow-batched mapInPandas using the injected `set_audio_decoder` hook
-    (no audio libs ship in this environment, so there is no stdlib
-    fallback — callers inject; the deterministic fake serves tests).
-    The Spark-side plumbing — schema, batching, plan-time decoder
-    capture — is real and identical to the image path."""
+    Arrow-batched mapInPandas. WAV/PCM payloads (RIFF magic) decode with
+    the stdlib codec (functions/wav.py — PCM 8/16/24/32-bit, IEEE float,
+    WAVE_FORMAT_EXTENSIBLE) by default; an injected decoder
+    (`set_audio_decoder`) takes precedence for other formats (the
+    deterministic fake serves tests). Non-WAV payloads with no injected
+    decoder raise NotImplementedError — the same honest env-gate contract
+    as the image path."""
     decoder = _audio_decoder
 
     def one(payload):
-        if decoder is None:
-            raise NotImplementedError(
-                "Audio decode needs an injected decoder; use "
-                "multimodal.set_audio_decoder "
-                "(deterministic_fake_audio_decoder available for tests)"
-            )
-        return decoder(bytes(payload or b""))
+        if payload is None:
+            return None, None, None
+        if decoder is not None:
+            return decoder(bytes(payload))
+        from ndr_import_spark.functions.wav import is_wav, wav_audio_decoder
+
+        raw = bytes(payload)
+        if is_wav(raw):
+            return wav_audio_decoder(raw)
+        raise NotImplementedError(
+            "Non-WAV audio needs an injected decoder; use "
+            "multimodal.set_audio_decoder "
+            "(deterministic_fake_audio_decoder available for tests)"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -239,9 +250,21 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 if is_jpeg(data):
                     w, h, ch, px = decode_jpeg(data)
                     rgb = resize_rgb(w, h, ch, px, target_w, target_h)
-                    out_payload.append(
-                        encode_jpeg(target_w, target_h, rgb, channels=3)
-                    )
+                    if ch == 1:
+                        # keep grayscale grayscale: resize_rgb replicated
+                        # the grey plane to 3 identical channels — take it
+                        # back out and re-encode single-component (a 3-ch
+                        # YCbCr re-encode changed the pixel layout and grew
+                        # the payload for no information)
+                        out_payload.append(
+                            encode_jpeg(
+                                target_w, target_h, rgb[0::3], channels=1
+                            )
+                        )
+                    else:
+                        out_payload.append(
+                            encode_jpeg(target_w, target_h, rgb, channels=3)
+                        )
                     continue
                 if is_gif(data):
                     # the decoded canvas is NOT guaranteed <=256 colours:

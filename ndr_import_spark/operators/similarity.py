@@ -395,8 +395,19 @@ def embedding_dim_stats(
     # silently truncated to (38,11), drifting _s2 up to 5e-12/row off the
     # oracle's exact 14dp sum.  15,7 is the widest precision whose square
     # keeps the full 14dp scale: |v| < 1e8 casts exactly; beyond that the
-    # cast nulls (non-ANSI) rather than silently truncating digits.
+    # cast nulls (non-ANSI) — so out-of-range components are COUNTED per
+    # group and the job fails loudly (assert_true) instead of letting
+    # nulled values drop out of the sums while still counting toward n,
+    # which would silently bias the moments.
     rounded = F.round(v, round_dp).cast("decimal(15,7)")
+    overflow_guard = F.assert_true(
+        F.col("_n_overflow") == 0,
+        F.lit(
+            "embedding_dim_stats: |component| >= 1e8 exceeds the exact "
+            "decimal(15,7) moment range — normalise or clip the embedding "
+            "column first (real embedding magnitudes are O(1))"
+        ),
+    )
     return (
         df.select(F.posexplode(F.col(vec_col)).alias("dim", "_v"))
         .groupBy("dim")
@@ -406,11 +417,20 @@ def embedding_dim_stats(
             F.sum((rounded * rounded).cast("decimal(38,14)")).alias("_s2"),
             F.round(F.min(v), round_dp).alias("min_v"),
             F.round(F.max(v), round_dp).alias("max_v"),
+            F.sum(
+                F.when(v.isNotNull() & rounded.isNull(), 1).otherwise(0)
+            ).alias("_n_overflow"),
         )
         .select(
             "dim",
             "n",
-            F.round(F.col("_s1").cast("double") / F.col("n"), 6).alias("mean_v"),
+            F.round(
+                F.when(
+                    overflow_guard.isNull(),
+                    F.col("_s1").cast("double") / F.col("n"),
+                ),
+                6,
+            ).alias("mean_v"),
             F.round(
                 F.sqrt(
                     (

@@ -124,8 +124,18 @@ def parse_filepass(data: bytes):
         # headerSize(4) after the version, then EncryptionVerifier
         (header_size,) = struct.unpack("<I", data[6:10])
         header = data[10 : 10 + header_size]
+        (flags,) = struct.unpack("<I", header[:4])
         (alg_id,) = struct.unpack("<I", header[8:12])
-        if alg_id not in (0x00006801, 0):  # CALG_RC4
+        if alg_id == 0:
+            # [MS-OFFCRYPTO] 2.3.1: algId 0 defers to the header flags —
+            # fAES (0x20) means AES, not RC4; decrypting such a stream as
+            # RC4 would misreport a wrong-password error
+            if flags & 0x20:
+                raise XlsCryptoError(
+                    "FilePass CryptoAPI header (algId 0) selects AES via "
+                    "fAES flag — AES-encrypted legacy .xls is not supported"
+                )
+        elif alg_id != 0x00006801:  # CALG_RC4
             raise XlsCryptoError(f"FilePass CryptoAPI algId {alg_id:#x} is not RC4")
         (key_bits,) = struct.unpack("<I", header[16:20])
         key_bits = key_bits or 40

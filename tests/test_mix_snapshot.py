@@ -110,6 +110,23 @@ class TestEmbeddingDimStats:
         assert rows[1]["min_v"] == pytest.approx(10.0)
         assert rows[1]["max_v"] == pytest.approx(30.0)
 
+    def test_out_of_decimal_range_component_fails_loudly(self, spark):
+        # |v| >= 1e8 exceeds the exact decimal(15,7) range — that must
+        # surface as a clear error, never silently bias the moments.
+        # Under ANSI (Spark 4 default) the cast itself throws; under
+        # non-ANSI the cast nulls and the aggregate's overflow counter +
+        # assert_true raises instead — loud either way.
+        from ndr_import_spark.operators.similarity import embedding_dim_stats
+
+        df = spark.createDataFrame(
+            [([1.0, 2.0],), ([1.0e9, 3.0],)], "embedding array<float>"
+        )
+        with pytest.raises(
+            Exception,
+            match="exceeds the exact decimal|cannot be represented as Decimal",
+        ):
+            embedding_dim_stats(df).collect()
+
 
 class TestUnigramSurprisal:
     def test_common_scores_low_rare_scores_high(self, spark):

@@ -196,6 +196,30 @@ class TestStreamCodec:
         assert b"x" * 2000 in dec  # payload spanning key blocks restored
         assert b"hello" in dec and struct.pack("<d", 42.5) in dec
 
+    def test_capi_algid_zero_with_aes_flag_rejected(self):
+        # [MS-OFFCRYPTO] 2.3.1: algId 0 defers to the header flags; fAES
+        # (0x20) means AES — must raise a clear unsupported-algorithm
+        # error, not decrypt as RC4 and misreport a wrong password
+        enc = bytearray(
+            encrypt_workbook_stream(build_biff8_stream(), "pw", scheme="capi")
+        )
+        old = struct.pack("<IIII", 0, 0, 0x6801, 0x8004)
+        at = bytes(enc).index(old)
+        enc[at : at + 16] = struct.pack("<IIII", 0x24, 0, 0, 0x8004)
+        with pytest.raises(XlsCryptoError, match="AES"):
+            decrypt_workbook_stream(bytes(enc), "pw")
+
+    def test_capi_algid_zero_without_aes_flag_is_rc4(self):
+        # algId 0 + fCryptoAPI only → RC4 per the flags; decrypt succeeds
+        enc = bytearray(
+            encrypt_workbook_stream(build_biff8_stream(), "pw", scheme="capi")
+        )
+        old = struct.pack("<IIII", 0, 0, 0x6801, 0x8004)
+        at = bytes(enc).index(old)
+        enc[at : at + 16] = struct.pack("<IIII", 0x04, 0, 0, 0x8004)
+        dec = decrypt_workbook_stream(bytes(enc), "pw")
+        assert b"hello" in dec
+
     def test_xor_obfuscation_rejected(self):
         plain = build_biff8_stream()
         bof_len = struct.unpack("<HH", plain[:4])[1]
