@@ -281,6 +281,76 @@ def _aes_key(password: str, salt: bytes, cycles_power: int) -> bytes:
     return h.digest()
 
 
+def bcj_x86_filter(data: bytes, encoding: bool = False) -> bytes:
+    """BCJ x86 branch-converter (codec 03030103 / 04) — the transform
+    7-Zip's Bra86 / xz's x86 filter apply to executable streams: the
+    32-bit displacement of every E8/E9 (CALL/JMP rel32) whose top byte
+    is 00/FF is converted between relative (decode) and absolute
+    (encode) form so identical call targets compress better.
+
+    Clean-room from the public algorithm (7-Zip Bra86.c / xz x86.c —
+    both public domain; the two are interoperable on the same codec id):
+    a 3-bit mask tracks recently *rejected* E8/E9 positions so a
+    displacement byte produced by a previous conversion can't be
+    misread as a new opcode; the mask also drives the one-shot
+    re-adjustment (`v ^= (0x100<<sh)-1`) that keeps encode/decode exact
+    inverses around those rejections. 7z applies the filter to the whole
+    folder output with ip=0, so no cross-call state is needed."""
+    buf = bytearray(data)
+    size = len(buf)
+    if size < 5:
+        return bytes(buf)
+    limit = size - 4
+    m32 = 0xFFFFFFFF
+
+    def convertible(b: int) -> bool:
+        return b == 0 or b == 0xFF
+
+    pos = 0
+    mask = 0
+    while True:
+        p = pos
+        while p < limit and (buf[p] & 0xFE) != 0xE8:
+            p += 1
+        d = p - pos
+        pos = p
+        if p >= limit:
+            return bytes(buf)
+        if d > 2:
+            mask = 0
+        else:
+            mask >>= d
+            if mask != 0 and (
+                mask > 4 or mask == 3 or convertible(buf[p + (mask >> 1) + 1])
+            ):
+                mask = (mask >> 1) | 4
+                pos += 1
+                continue
+        if convertible(buf[p + 4]):
+            v = (
+                (buf[p + 4] << 24)
+                | (buf[p + 3] << 16)
+                | (buf[p + 2] << 8)
+                | buf[p + 1]
+            )
+            cur = (5 + pos) & m32  # ip=0; address after the instruction
+            pos += 5
+            v = (v + cur if encoding else v - cur) & m32
+            if mask != 0:
+                sh = (mask & 6) << 2
+                if convertible((v >> sh) & 0xFF):
+                    v ^= (0x100 << sh) - 1
+                    v = (v + cur if encoding else v - cur) & m32
+                mask = 0
+            buf[p + 1] = v & 0xFF
+            buf[p + 2] = (v >> 8) & 0xFF
+            buf[p + 3] = (v >> 16) & 0xFF
+            buf[p + 4] = (0 - ((v >> 24) & 1)) & 0xFF
+        else:
+            mask = (mask >> 1) | 4
+            pos += 1
+
+
 def _decode_coder(coder: _Coder, data: bytes, out_size: int, password: str | None) -> bytes:
     cid = coder.codec_id
     if cid == COPY:
@@ -319,7 +389,7 @@ def _decode_coder(coder: _Coder, data: bytes, out_size: int, password: str | Non
             out[i] = (out[i] + out[i - dist]) & 0xFF
         return bytes(out)
     if cid in BCJ_X86:
-        raise SevenZipError("BCJ-filtered 7z members are unsupported")
+        return bcj_x86_filter(data, encoding=False)[:out_size]
     if cid == AES256:
         if password is None:
             raise SevenZipError("7z archive is encrypted and no password was given")

@@ -37,19 +37,41 @@ def _num(n: int) -> bytes:
 
 def build_7z(members: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
     """Minimal single-folder 7z writer: all members concatenated into one
-    folder (Copy or LZMA2), plain (uncompressed) metadata header."""
+    folder (Copy, LZMA2, or a BCJ-x86→LZMA2 two-coder chain), plain
+    (uncompressed) metadata header."""
     payload = b"".join(data for _name, data in members)
-    if codec == "copy":
-        packed = payload
-        coder = bytes([0x01, 0x00])  # idsize=1, codec 00
-    elif codec == "lzma2":
+
+    def _lzma2(raw: bytes) -> bytes:
         comp = lzma.LZMACompressor(
             format=lzma.FORMAT_RAW,
             filters=[{"id": lzma.FILTER_LZMA2, "dict_size": 1 << 20}],
         )
-        packed = comp.compress(payload) + comp.flush()
+        return comp.compress(raw) + comp.flush()
+
+    # folder = numCoders + coder entries (+ bind pairs); one unpack size
+    # per coder OUT stream
+    if codec == "copy":
+        packed = payload
+        folder = _num(1) + bytes([0x01, 0x00])  # idsize=1, codec 00
+        unpack_sizes = [len(payload)]
+    elif codec == "lzma2":
+        packed = _lzma2(payload)
         # props byte 14 -> dict (2|0)<<18 = 1 MiB, matching the compressor
-        coder = bytes([0x21, 0x21, 0x01, 14])
+        folder = _num(1) + bytes([0x21, 0x21, 0x01, 14])
+        unpack_sizes = [len(payload)]
+    elif codec == "bcj_lzma2":
+        # decode chain: packed → LZMA2 (coder 0) → BCJ x86 (coder 1) → out;
+        # encode applies the filter first, then compresses
+        from ndr_import_spark.sources.sevenzip import bcj_x86_filter
+
+        packed = _lzma2(bcj_x86_filter(payload, encoding=True))
+        folder = (
+            _num(2)
+            + bytes([0x21, 0x21, 0x01, 14])      # coder 0: LZMA2, props 14
+            + bytes([0x04, 0x03, 0x03, 0x01, 0x03])  # coder 1: BCJ x86
+            + _num(1) + _num(0)  # bind pair: BCJ.in(1) ← LZMA2.out(0)
+        )
+        unpack_sizes = [len(payload), len(payload)]
     else:
         raise ValueError(codec)
 
@@ -57,8 +79,11 @@ def build_7z(members: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
     h += bytes([0x01])  # kHeader
     h += bytes([0x04])  # kMainStreamsInfo
     h += bytes([0x06]) + _num(0) + _num(1) + bytes([0x09]) + _num(len(packed)) + bytes([0x00])
-    h += bytes([0x07, 0x0B]) + _num(1) + bytes([0x00]) + _num(1) + coder
-    h += bytes([0x0C]) + _num(len(payload)) + bytes([0x00])
+    h += bytes([0x07, 0x0B]) + _num(1) + bytes([0x00]) + folder
+    h += bytes([0x0C])
+    for s in unpack_sizes:
+        h += _num(s)
+    h += bytes([0x00])
     if len(members) > 1:
         h += bytes([0x08, 0x0D])
         h += _num(len(members))
@@ -134,3 +159,69 @@ class TestRegistryIntegration:
         rows = tables[0][1].orderBy("row_index").collect()
         cells = [list(r.cells) for r in rows]
         assert cells == [["A", "B"], ["1", "2"], ["3", "4"]]
+
+
+class TestBcjX86:
+    def test_known_answer_decode(self):
+        # filtered stream: CALL with absolute target 0 at position 0 —
+        # decode subtracts (ip=0) + pos + 5 → rel32 = -5 (FB FF FF FF),
+        # hand-derived from the branch-converter definition
+        from ndr_import_spark.sources.sevenzip import bcj_x86_filter
+
+        out = bcj_x86_filter(b"\xe8\x00\x00\x00\x00", encoding=False)
+        assert out == b"\xe8\xfb\xff\xff\xff"
+        # and encode is the exact inverse
+        assert bcj_x86_filter(out, encoding=True) == b"\xe8\x00\x00\x00\x00"
+
+    def test_non_convertible_displacement_untouched(self):
+        from ndr_import_spark.sources.sevenzip import bcj_x86_filter
+
+        data = b"\xe8\x10\x20\x30\x40" + b"\x90" * 8  # top byte 0x40
+        assert bcj_x86_filter(data, encoding=False) == data
+
+    def test_roundtrip_pseudo_code(self):
+        # adversarial pseudo-x86: dense E8/E9 bytes, 00/FF displacement
+        # bytes, overlapping candidates — encode→decode must be identity
+        from ndr_import_spark.sources.sevenzip import bcj_x86_filter
+
+        import random
+
+        rnd = random.Random(1234)
+        blob = bytearray()
+        for _ in range(4000):
+            r = rnd.random()
+            if r < 0.25:
+                blob.append(rnd.choice([0xE8, 0xE9]))
+            elif r < 0.55:
+                blob.append(rnd.choice([0x00, 0xFF]))
+            else:
+                blob.append(rnd.randrange(256))
+        blob = bytes(blob)
+        enc = bcj_x86_filter(blob, encoding=True)
+        assert bcj_x86_filter(enc, encoding=False) == blob
+
+    def test_short_inputs_pass_through(self):
+        from ndr_import_spark.sources.sevenzip import bcj_x86_filter
+
+        for n in range(5):
+            data = bytes([0xE8] * n)
+            assert bcj_x86_filter(data, True) == data
+            assert bcj_x86_filter(data, False) == data
+
+    def test_archive_with_bcj_lzma2_chain_extracts_byte_exact(self):
+        # fake "executable": repeated call-sites with converging targets
+        code = bytearray()
+        for i in range(200):
+            code += b"\x55\x89\xe5"  # push ebp; mov ebp, esp
+            code += b"\xe8" + struct.pack("<i", -(i * 7) - 5)
+            code += b"\x5d\xc3"      # pop ebp; ret
+        code = bytes(code)
+        archive = build_7z([("prog.bin", code)], codec="bcj_lzma2")
+        members = extract_7z_bytes(archive)
+        assert len(members) == 1
+        assert members[0].name == "prog.bin"
+        assert members[0].data == code
+        # the filtered+compressed payload must actually differ from the
+        # plain-LZMA2 payload (the filter really ran)
+        plain = build_7z([("prog.bin", code)], codec="lzma2")
+        assert archive != plain
