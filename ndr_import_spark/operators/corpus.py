@@ -689,10 +689,11 @@ def pmi_collocations(
     bigram-vocabulary frame (already collapsed to pair cardinality)
     against the unigram vocabulary — nothing corpus-sized shuffles twice.
     Top-k via TakeOrderedAndProject over the min_count-filtered pairs."""
-    toks = df.select(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit(""))
-        .alias("_ts")
-    )
+    from ndr_import_spark.operators.textstats import tokens as _tokens
+
+    # codegen tokenizer (textstats.tokens — bit-identical to the old
+    # filter-lambda form, pinned by test_textstats_codegen.py)
+    toks = df.select(_tokens(F.col(text_col)).alias("_ts"))
     exploded = toks.select(F.explode(F.col("_ts")).alias("_w"))
     uni = exploded.groupBy("_w").agg(F.count(F.lit(1)).alias("_nu"))
     total_uni = uni.agg(F.sum("_nu").alias("_tu"))

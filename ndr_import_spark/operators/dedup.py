@@ -523,15 +523,20 @@ def simhash_frame(
     oracle's CASE-ELSE arithmetic, and means a NULL-text doc can pair
     with empty-text docs."""
     ids = df.select(F.col(id_col).alias("_id"))
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.filter(
-                F.split(normalize_text(F.col(text_col)), " "),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("_tok"),
-    ).withColumn("_h", md5_long(F.col("_tok")))
+    # normalize_text output is trimmed + single-spaced, so the split can
+    # only produce an empty token for empty text — filtered on the
+    # exploded ROW (codegen) instead of an interpreted filter lambda
+    # over the array; row sets identical
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+        .withColumn("_h", md5_long(F.col("_tok")))
+    )
     aggs = [F.count(F.lit(1)).alias("_n")] + [
         F.sum(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1))).alias(f"_c{j}")
         for j in range(bits)
@@ -667,11 +672,18 @@ def ngram_jaccard_pairs(
     p = 1-(1-s^4)^2 candidate recall with tiny buckets; exact Jaccard then
     verifies on the per-doc n-gram hash sets joined back by id."""
     base = _shingle_base(df, text_col, id_col)
+    # normalize_text output is single-spaced, so the only possible empty
+    # token is the whole-array [""] of empty text — a `when` guard
+    # replaces the interpreted filter lambda (same one-element-explode
+    # materialisation trick as _shingle_base; identical arrays, pinned by
+    # the tokens() bit-identity suite)
+    raw_toks = F.split(F.col("_norm"), " ")
+    toks_arr = F.when(
+        F.col("_norm") == "", F.slice(raw_toks, 1, 0)
+    ).otherwise(raw_toks)
     toked = base.select(
         "_id",
-        F.explode(
-            F.array(F.filter(F.split(F.col("_norm"), " "), lambda t: t != F.lit("")))
-        ).alias("_toks"),
+        F.explode(F.array(toks_arr)).alias("_toks"),
     )
     return _banded_jaccard_pairs(
         _word_ngram_rows(toked, ngram_n), k, bands, "ng", threshold

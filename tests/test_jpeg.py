@@ -239,10 +239,13 @@ class TestSparkIntegration:
                 assert is_jpeg(data)
                 w, h, ch, px = decode_jpeg(data)
                 assert (w, h) == (4, 4)
+                # grayscale source stays GRAYSCALE through the resize
+                # (single-component re-encode — no YCbCr inflation)
+                assert ch == 1
                 # solid-gray source → solid-gray thumbnail, exact at q=90?
                 # no: default quality 90 quantises; constant image is
                 # still DC-only so error is the DC quant step only
-                arr = np.frombuffer(px, np.uint8).reshape(4, 4, 3)
+                arr = np.frombuffer(px, np.uint8).reshape(4, 4)
                 assert int(arr.max()) - int(arr.min()) == 0
             else:
                 assert is_png(data)
