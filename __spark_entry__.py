@@ -4604,13 +4604,14 @@ FROM per GROUP BY lang ORDER BY lang
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style rolling fingerprints (min md5 over strided 16-char
-    windows of normalised text — robust to local edits, unlike the whole-
-    document hash): groups sharing a fingerprint are robust-duplicate
-    candidates. Codegen explode→MIN frame (rolling_fingerprint_frame):
-    map-side partial agg collapses each doc to one (id, md5) row before
-    the exchange; the fingerprint is a join-key-sized string, so a
-    100 TB candidate pass shuffles fingerprints, never text."""
+    """Winnowing-style rolling fingerprints (min 60-bit md5 hash over
+    strided 16-char windows of normalised text — robust to local edits,
+    unlike the whole-document hash): groups sharing a fingerprint are
+    robust-duplicate candidates. Codegen explode→MIN frame
+    (rolling_fingerprint_frame): the LONG hash keeps the MIN inside
+    HashAggregate and map-side partial agg collapses each doc to one
+    (id, int64) row before the exchange, so a 100 TB candidate pass
+    shuffles 8-byte fingerprints, never text."""
     from ndr_import_spark.operators.textstats import rolling_fingerprint_frame
 
     docs = _t(spark, sf_dir, "documents")
@@ -4632,7 +4633,7 @@ WITH t AS (
   SELECT doc_id,
     list_min(list_transform(
       range(1, greatest(length(norm) - 16 + 1, 1) + 1, 8),
-      i -> md5(substring(norm, i, 16))
+      i -> CAST(('0x' || substring(md5(substring(norm, i, 16)), 1, 15)) AS BIGINT)
     )) AS fp
   FROM t
 )

@@ -178,9 +178,19 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+def _chunk_hash_long(chunk: Column) -> Column:
+    """60-bit integer md5 prefix — the repo's engine-portable hash
+    (DuckDB: ``('0x' || substring(md5(x), 1, 15))::BIGINT``).  A LONG
+    fingerprint keeps the MIN aggregate inside HashAggregate (a string
+    MIN falls back to SortAggregate — one extra sort on both sides of
+    the exchange) and shuffles 8 bytes instead of a 32-char hex key."""
+    return F.conv(F.substring(F.md5(chunk), 1, 15), 16, 10).cast("long")
+
+
 def rolling_fingerprint(text: Column, window: int = 16) -> Column:
-    """Winnowing-style fingerprint: md5 over every `window`-char chunk of the
-    normalised text, keep the minimum — robust to local edits.
+    """Winnowing-style fingerprint: 60-bit md5 hash over every
+    `window`-char chunk of the normalised text, keep the minimum — robust
+    to local edits.
 
     Column form (HOF ``transform``, interpreted) — fine for narrow one-off
     use; batch pipelines should call :func:`rolling_fingerprint_frame`,
@@ -188,7 +198,7 @@ def rolling_fingerprint(text: Column, window: int = 16) -> Column:
     norm = normalize_text(text)
     n = F.length(norm)
     starts = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)), F.lit(window // 2))
-    chunk_hashes = F.transform(starts, lambda i: F.md5(F.substring(norm, i, window)))
+    chunk_hashes = F.transform(starts, lambda i: _chunk_hash_long(F.substring(norm, i, window)))
     return F.array_min(chunk_hashes)
 
 
@@ -201,18 +211,19 @@ def rolling_fingerprint_frame(
 ) -> DataFrame:
     """(id_cols…, fp) frame of winnowing fingerprints — the scale path.
 
-    explode(chunk starts) → md5(substring) → ``groupBy(id).min``: every
+    explode(chunk starts) → 60-bit md5 hash → ``groupBy(id).min``: every
     expression whole-stage-codegen (the ``transform`` lambda of the Column
     form runs interpreted — the sf1-measured 2-4× HOF tax). Values are
-    bit-identical: same normalisation, same strided starts, same md5, and
-    MIN over the group == array_min (both binary string ordering; a NULL
-    text yields a NULL-start row via explode_outer, and MIN of an all-NULL
-    group is NULL, matching array_min(NULL)).
+    bit-identical to the Column form: same normalisation, same strided
+    starts, same long chunk hash, and MIN over the group == array_min (a
+    NULL text yields a NULL-start row via explode_outer, and MIN of an
+    all-NULL group is NULL, matching array_min(NULL)).
 
-    Cost model at 100 TB: the explode is map-side; partial aggregation
-    collapses each document to its single minimum before the exchange, so
-    the shuffle carries one (id, 32-char md5) row per DOCUMENT, not per
-    chunk. ``id_cols`` must be unique per row (they key the re-assembly)."""
+    Cost model at 100 TB: the explode is map-side; the LONG hash keeps the
+    MIN in HashAggregate (partial aggregation collapses each document to
+    its single minimum before the exchange), so the shuffle carries one
+    (id, int64) row per DOCUMENT, not per chunk. ``id_cols`` must be
+    unique per row (they key the re-assembly)."""
     norm = normalize_text(F.col(text_col))
     base = df.select(*id_cols, norm.alias("_norm"))
     n = F.length(F.col("_norm"))
@@ -222,7 +233,9 @@ def rolling_fingerprint_frame(
     chunks = base.select(*id_cols, "_norm", F.explode_outer(starts).alias("_i"))
     hashed = chunks.select(
         *id_cols,
-        F.md5(F.substring(F.col("_norm"), F.col("_i"), window)).alias("_ch"),
+        _chunk_hash_long(
+            F.substring(F.col("_norm"), F.col("_i"), window)
+        ).alias("_ch"),
     )
     return hashed.groupBy(*id_cols).agg(F.min("_ch").alias(fp_col))
 

@@ -75,12 +75,19 @@ def spec_detect_language(text):
 
 
 def spec_rolling_fingerprint(text, window=16):
+    # HOF spec of the 60-bit-hash definition (the r5 fingerprint is a
+    # LONG so the frame's MIN stays in HashAggregate)
     norm = ts.normalize_text(text)
     n = F.length(norm)
     starts = F.sequence(
         F.lit(1), F.greatest(n - window + 1, F.lit(1)), F.lit(window // 2)
     )
-    chunk_hashes = F.transform(starts, lambda i: F.md5(F.substring(norm, i, window)))
+    chunk_hashes = F.transform(
+        starts,
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(norm, i, window)), 1, 15), 16, 10
+        ).cast("long"),
+    )
     return F.array_min(chunk_hashes)
 
 
