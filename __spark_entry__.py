@@ -1498,6 +1498,90 @@ FROM f GROUP BY wave ORDER BY wave
 """
 
 
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stdlib MJPEG-AVI video decode end-to-end (functions/avi.py +
+    functions/jpeg.py, no injected decoder): a deterministic video table
+    of genuine RIFF/AVI containers holding 2-4 solid-gray quality-100
+    MJPEG frames whose gray levels come from md5 bytes — solid q100
+    frames decode EXACTLY, so every per-frame mean feature is v/255 and
+    the DuckDB oracle reproduces the whole aggregate from md5 arithmetic
+    alone, proving the RIFF chunk walk, frame chunk extraction, JPEG
+    decode and the Arrow batch plumbing."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions.avi import encode_avi_mjpeg
+    from ndr_import_spark.functions.jpeg import encode_jpeg
+    from ndr_import_spark.operators import multimodal as MM
+
+    MM.set_video_decoder(None)  # force stdlib AVI dispatch
+    rows = []
+    for i in range(60):
+        b = _hl.md5(f"video{i}".encode()).digest()
+        n_frames = 2 + b[3] % 3
+        w = 8 * (1 + b[4] % 3)
+        uspf = 30000 + (b[5] % 10) * 1000
+        frames = [
+            encode_jpeg(w, 8, bytes([b[j]]) * (w * 8), channels=1, quality=100)
+            for j in range(n_frames)
+        ]
+        payload = encode_avi_mjpeg(w, 8, frames, us_per_frame=uspf)
+        rows.append(
+            (i, "video", "video/avi", w, 8, None, bytearray(payload))
+        )
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(8)
+    feats = MM.extract_video_features(media)
+    mean_feat = F.aggregate(
+        F.col("feature"), F.lit(0.0), lambda a, x: a + x
+    ) / F.size(F.col("feature"))
+    return (
+        feats.select(
+            "n_frames",
+            F.col("width").cast("double").alias("w"),
+            (F.col("duration_ms").cast("double")).alias("dur"),
+            mean_feat.alias("mf"),
+        )
+        .groupBy("n_frames")
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.avg("w").alias("avg_w"),
+            F.avg("dur").alias("avg_duration_ms"),
+            (F.sum(F.col("mf").cast("decimal(18,6)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_feat"),
+        )
+        .orderBy("n_frames")
+    )
+
+
+_ORACLE_VIDEO_FEATURES = """
+WITH m AS (SELECT unnest(range(60)) AS i),
+d AS (SELECT i, md5('video' || i) AS hx FROM m),
+b AS (
+  SELECT i,
+    cast(('0x' || substring(hx, 7, 2)) as int) AS b3,
+    cast(('0x' || substring(hx, 9, 2)) as int) AS b4,
+    cast(('0x' || substring(hx, 11, 2)) as int) AS b5
+  FROM d
+),
+f AS (
+  SELECT i,
+    2 + (b3 % 3) AS n_frames,
+    cast(8 * (1 + (b4 % 3)) as double) AS w,
+    -- duration_ms = uspf*n // 1000 with uspf a multiple of 1000
+    cast((30 + (b5 % 10)) * (2 + (b3 % 3)) as double) AS dur,
+    -- per-frame mean of a solid q100 frame is exactly v/255; the
+    -- per-video mean folds those left-to-right like the Spark aggregate
+    list_sum(list_transform(range(2 + (b3 % 3)),
+      j -> cast(('0x' || substring(md5('video' || i), j * 2 + 1, 2)) as int) / 255.0
+    )) / (2 + (b3 % 3)) AS mf
+  FROM b
+)
+SELECT n_frames, count(*) AS n_videos, avg(w) AS avg_w,
+       avg(dur) AS avg_duration_ms,
+       cast(sum(cast(mf as decimal(18,6))) as double) / count(*) AS avg_feat
+FROM f GROUP BY n_frames ORDER BY n_frames
+"""
+
+
 def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantisation: nearest deterministic pseudo-centroid per
     vector (argmax of 16 dot products), per-cell occupancy stats — the
@@ -4873,6 +4957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_mixed_codecs": q_multimodal_mixed_codecs,
         "audio_features": q_audio_features,
+        "video_features": q_video_features,
         "ivf_cells": q_ivf_cells,
         "ivf_probe_topk": q_ivf_probe_topk,
         "quantize_embeddings": q_quantize_embeddings,
@@ -4977,6 +5062,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _ORACLE_MULTIMODAL,
         "multimodal_mixed_codecs": _ORACLE_MIXED_CODECS,
         "audio_features": _ORACLE_AUDIO_FEATURES,
+        "video_features": _ORACLE_VIDEO_FEATURES,
         "ivf_cells": _oracle_ivf(),
         "ivf_probe_topk": _oracle_ivf_probe(),
         "quantize_embeddings": _ORACLE_QUANTIZE,

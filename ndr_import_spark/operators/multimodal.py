@@ -42,6 +42,7 @@ MEDIA_SCHEMA = T.StructType([
 
 _image_decoder = None
 _audio_decoder = None
+_video_decoder = None
 
 
 def set_image_decoder(fn) -> None:
@@ -53,6 +54,12 @@ def set_image_decoder(fn) -> None:
 def set_audio_decoder(fn) -> None:
     global _audio_decoder
     _audio_decoder = fn
+
+
+def set_video_decoder(fn) -> None:
+    """bytes → (n_frames, width, height, duration_ms, feature list)."""
+    global _video_decoder
+    _video_decoder = fn
 
 
 def deterministic_fake_decoder(data: bytes) -> tuple[int, int, list[float]]:
@@ -184,6 +191,58 @@ def extract_audio_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
             )
 
     return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+VIDEO_FEATURE_SCHEMA = (
+    "media_id long, n_frames int, width int, height int, duration_ms int, "
+    "feature array<double>"
+)
+
+
+def extract_video_features(
+    df: DataFrame, frame_stride: int = 1, batch_hint: int = 64
+) -> DataFrame:
+    """Video twin of `extract_features`: decode + per-frame feature
+    extraction via Arrow-batched mapInPandas. MJPEG-in-AVI payloads (RIFF
+    magic) decode with the stdlib container walk + JPEG codec
+    (functions/avi.py — Annex K table injection for table-less MJPEG
+    frames) by default; an injected decoder (`set_video_decoder`) takes
+    precedence for other formats. `frame_stride` samples every n-th frame
+    — the decode cost knob (feature = mean pixel per sampled frame).
+    Non-AVI payloads with no injected decoder raise NotImplementedError —
+    the same honest env-gate contract as the image and audio paths."""
+    decoder = _video_decoder
+
+    def one(payload):
+        if payload is None:
+            return None, None, None, None, None
+        if decoder is not None:
+            return decoder(bytes(payload))
+        from ndr_import_spark.functions.avi import avi_video_decoder, is_avi
+
+        raw = bytes(payload)
+        if is_avi(raw):
+            return avi_video_decoder(raw, frame_stride=frame_stride)
+        raise NotImplementedError(
+            "Non-AVI video needs an injected decoder; use "
+            "multimodal.set_video_decoder"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "n_frames": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "duration_ms": [d[3] for d in decoded],
+                    "feature": [d[4] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(run, VIDEO_FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = (
