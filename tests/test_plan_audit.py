@@ -234,3 +234,41 @@ class TestLatestOperatorPlanShapes:
         assert dedup_at >= 0
         assert p.find("Join") > dedup_at, "no join above the pair dedup"
         assert p.find("bit_count") > dedup_at, "hamming filter feeds the dedup"
+
+
+class TestRound5PlanShapes:
+    def test_doc_fingerprints_min_stays_in_hash_aggregate(self, spark):
+        # the 60-bit LONG chunk hash exists so the per-doc MIN runs as
+        # HashAggregate with map-side partials; a string fingerprint
+        # regresses to SortAggregate (a sort on both sides of the
+        # exchange) — pin the plan
+        p = plan(entry.queries()["doc_fingerprints"](spark, SF_DIR))
+        assert "SortAggregate" not in p
+        assert "partial_min" in p  # map-side combine before the exchange
+
+    def test_textstats_queries_have_no_interpreted_hofs(self, spark):
+        # the r5 codegen rewrites must not regress to ArrayFilter/
+        # ArrayTransform/ArrayAggregate/ZipWith (interpreted)
+        for q in ("text_stats", "lang_id", "tokenizer_fertility",
+                  "lexical_diversity", "quality_filter"):
+            p = plan(entry.queries()[q](spark, SF_DIR), "extended")
+            for node in ("aggregate(", "zip_with(", "transform(", "filter(lambda"):
+                assert node not in p, f"{q} plan contains {node!r}"
+
+    def test_incremental_dedup_probe_reuses_codegen_signature(self, spark):
+        # the banded probe must consume the _sig column computed by
+        # _hashed_sig_frame, never re-derive signatures through the
+        # interpreted minhash_signatures_column fallback
+        from ndr_import_spark.operators.dedup import incremental_neardup_pairs
+
+        old = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+        new = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .limit(80).filter(F.col("doc_id") >= 50)
+            .withColumn("doc_id", F.col("doc_id") + 100000)
+        )
+        df = incremental_neardup_pairs(old, new)
+        p = plan(df, "extended")
+        assert "aggregate(" not in p and "zip_with(" not in p
+        df.sparkSession  # keep the scope alive until after the assert
+        df._ndr_cache_scope.release()
