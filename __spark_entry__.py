@@ -1498,6 +1498,64 @@ FROM f GROUP BY wave ORDER BY wave
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report (Lee et al. 2022 style): every
+    8-word window occurring verbatim elsewhere in the corpus, keep-first,
+    merged into maximal per-doc spans with union word coverage. The
+    codegen window pipeline + one keyed aggregate + one per-doc interval
+    merge; window text never shuffles (60-bit hashes only)."""
+    from ndr_import_spark.operators.corpus import duplicated_span_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_span_report(docs, window_words=8).orderBy("doc_id")
+
+
+_ORACLE_SUBSTRING_DEDUP = """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), tw AS (
+  SELECT doc_id, CAST(len(toks) AS INT) AS n_words, toks FROM t
+), wins AS (
+  SELECT doc_id, n_words, CAST(u.i AS BIGINT) AS i,
+    CAST(('0x' || substring(md5(array_to_string(list_slice(toks, u.i, u.i + 7), ' ')), 1, 15)) AS BIGINT) AS h
+  FROM tw, unnest(range(1, n_words - 8 + 2)) AS u(i)
+  WHERE n_words >= 8
+), ranked AS (
+  SELECT doc_id, n_words, i, h,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+    count(*) OVER (PARTITION BY h) AS c
+  FROM wins
+), flagged AS (
+  SELECT doc_id, n_words, i FROM ranked WHERE c > 1 AND rn > 1
+), sp AS (
+  SELECT doc_id, n_words, i,
+    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+           OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+         THEN 1 ELSE 0 END AS newspan
+  FROM flagged
+), grp AS (
+  SELECT doc_id, n_words, i,
+    sum(newspan) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS g
+  FROM sp
+), spans AS (
+  SELECT doc_id, any_value(n_words) AS n_words, g,
+    min(i) AS s, max(i) + 7 AS e, count(*) AS nwin
+  FROM grp GROUP BY doc_id, g
+)
+SELECT doc_id,
+  any_value(n_words) AS n_words,
+  CAST(greatest(any_value(n_words) - 8 + 1, 0) AS INT) AS n_windows,
+  CAST(sum(nwin) AS BIGINT) AS n_dup_windows,
+  count(*) AS n_spans,
+  CAST(sum(e - s + 1) AS BIGINT) AS dup_words,
+  CAST(max(e - s + 1) AS INT) AS longest_span,
+  round(CAST(sum(e - s + 1) AS DOUBLE) / any_value(n_words), 5) AS dup_frac
+FROM spans GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stdlib MJPEG-AVI video decode end-to-end (functions/avi.py +
     functions/jpeg.py, no injected decoder): a deterministic video table
@@ -4958,6 +5016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mixed_codecs": q_multimodal_mixed_codecs,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
+        "substring_dedup": q_substring_dedup,
         "ivf_cells": q_ivf_cells,
         "ivf_probe_topk": q_ivf_probe_topk,
         "quantize_embeddings": q_quantize_embeddings,
@@ -5063,6 +5122,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_mixed_codecs": _ORACLE_MIXED_CODECS,
         "audio_features": _ORACLE_AUDIO_FEATURES,
         "video_features": _ORACLE_VIDEO_FEATURES,
+        "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "ivf_cells": _oracle_ivf(),
         "ivf_probe_topk": _oracle_ivf_probe(),
         "quantize_embeddings": _ORACLE_QUANTIZE,

@@ -348,6 +348,123 @@ def passage_dedup(
 
 
 # ---------------------------------------------------------------------------
+# exact substring dedup (overlapping windows, maximal spans)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_span_report(
+    df: DataFrame,
+    window_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication report — the window-granularity form of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every
+    `window_words`-word span that occurs verbatim anywhere else in the
+    corpus, keep its globally-first occurrence, and merge the remaining
+    (overlapping, stride-1) duplicated windows into MAXIMAL spans per
+    document.
+
+    Returns one row per document that contains at least one duplicated
+    span: (doc_id, n_words, n_windows, n_dup_windows, n_spans,
+    dup_words [union word coverage of all spans], longest_span,
+    dup_frac).  A doc whose every window duplicates some earlier text
+    shows dup_frac ≈ 1 — the "remove" signal; small dup_frac means a
+    quoted passage or boilerplate block.
+
+    Plan shape at 100 TB: tokens and windows are narrow codegen
+    (explode of stride-1 starts + slice/array_join — the
+    `_word_ngram_rows` pattern); the keep-first decision is ONE
+    map-side-combined aggregate on the 60-bit window hash (count +
+    min-(doc,pos) struct — never a window over the corpus); flagged
+    positions shuffle ONCE keyed by doc for the interval merge (lag +
+    running-sum group ids — per-doc window work bounded by per-doc
+    flagged windows). Window text never shuffles: only (id, pos, int64
+    hash) rows leave the map side."""
+    from ndr_import_spark.operators.dedup import md5_long
+    from ndr_import_spark.operators.textstats import tokens
+
+    w = int(window_words)
+    if w < 2:
+        raise ValueError("window_words must be >= 2")
+    toked = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    n_words = F.size(F.col("_toks"))
+    starts = F.sequence(F.lit(1), n_words - w + 1)
+    wins = (
+        toked.filter(n_words >= w)
+        .select("_id", "_toks", F.explode(starts).alias("_i"))
+        .select(
+            "_id",
+            "_i",
+            md5_long(
+                F.array_join(F.slice(F.col("_toks"), F.col("_i"), w), " ")
+            ).alias("_h"),
+        )
+    )
+    first = wins.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct(F.col("_id").alias("d"), F.col("_i").alias("p"))).alias("_k"),
+    )
+    flagged = (
+        wins.join(first, "_h")
+        .filter(
+            (F.col("_c") > 1)
+            & ~((F.col("_id") == F.col("_k.d")) & (F.col("_i") == F.col("_k.p")))
+        )
+        .select("_id", "_i")
+    )
+    # merge overlapping/adjacent window coverages [i, i+w-1]: a new span
+    # starts when the gap to the previous flagged start exceeds w
+    byid = Window.partitionBy("_id").orderBy("_i")
+    spans = (
+        flagged.withColumn("_prev", F.lag("_i").over(byid))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("_i") - F.col("_prev") > w), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_grp",
+            F.sum("_new").over(byid.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("_id", "_grp")
+        .agg(
+            F.min("_i").alias("_s"),
+            (F.max("_i") + F.lit(w - 1)).alias("_e"),
+            F.count(F.lit(1)).alias("_nwin"),
+        )
+    )
+    per_doc = spans.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("_e") - F.col("_s") + 1).alias("dup_words"),
+        F.max(F.col("_e") - F.col("_s") + 1).alias("longest_span"),
+        F.sum("_nwin").alias("n_dup_windows"),
+    )
+    base = toked.select(
+        "_id",
+        n_words.alias("n_words"),
+        F.greatest(n_words - w + 1, F.lit(0)).alias("n_windows"),
+    )
+    return (
+        base.join(per_doc, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            "n_windows",
+            "n_dup_windows",
+            "n_spans",
+            "dup_words",
+            "longest_span",
+            F.round(F.col("dup_words") / F.col("n_words"), 5).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF term scoring
 # ---------------------------------------------------------------------------
 

@@ -217,3 +217,58 @@ class TestHashSplit:
         )
         second = {r["doc_id"]: r["split"] for r in grown.collect()}
         assert all(second[k] == v for k, v in first.items())
+
+
+class TestDuplicatedSpanReport:
+    def _report(self, spark, rows, w=4):
+        from ndr_import_spark.operators.corpus import duplicated_span_report
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: r
+            for r in duplicated_span_report(df, window_words=w).collect()
+        }
+
+    def test_keep_first_and_span_merge(self, spark):
+        # doc 0 is the original; doc 1 repeats an 8-word block of it →
+        # five 4-word windows flagged at consecutive starts, merging to
+        # ONE maximal span covering the 8 words
+        shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+        rows = [
+            (0, shared + " original tail words here now"),
+            (1, "unique prefix stuff " + shared),
+        ]
+        rep = self._report(spark, rows)
+        assert 0 not in rep  # first occurrence keeps its text
+        r = rep[1]
+        assert r["n_spans"] == 1
+        assert r["dup_words"] == 8
+        assert r["longest_span"] == 8
+        assert r["n_dup_windows"] == 5  # starts 4..8 of the 11 words
+        assert r["dup_frac"] == pytest.approx(round(8 / 11, 5), abs=1e-5)
+
+    def test_two_disjoint_spans_stay_separate(self, spark):
+        a = "one two three four"
+        b = "nine ten eleven twelve"
+        rows = [
+            (0, a + " filler " + b),
+            (1, a + " completely different middle portion here " + b),
+        ]
+        rep = self._report(spark, rows)
+        r = rep[1]
+        assert r["n_spans"] == 2
+        assert r["dup_words"] == 8  # two 4-word spans
+        assert r["longest_span"] == 4
+
+    def test_whole_doc_duplicate_has_frac_one(self, spark):
+        text = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+        rep = self._report(spark, [(0, text), (1, text)])
+        assert rep[1]["dup_frac"] == pytest.approx(1.0)
+        assert rep[1]["dup_words"] == 10
+
+    def test_short_docs_and_uniques_absent(self, spark):
+        rep = self._report(
+            spark,
+            [(0, "too short"), (1, "all words here are fully unique today")],
+        )
+        assert rep == {}
