@@ -1556,6 +1556,25 @@ FROM spans GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training end-to-end (Sennrich et al. 2016): learn
+    12 merges over the top-500-word vocabulary of the documents corpus
+    (one corpus scan; every iterative step runs on the vocab-sized frame)
+    then price the corpus with the learned tokenizer per language —
+    pieces-per-word fertility via a vocab-side apply + broadcast-friendly
+    keyed join (the corpus never meets Python).
+
+    No DuckDB oracle: the merge loop is an iterative argmax (not
+    SQL-expressible) — the driver's rows/schema check applies, and the
+    executable spec is the pure-Python reference BPE in tests/test_bpe.py
+    that must produce the IDENTICAL merge table on this same corpus."""
+    from ndr_import_spark.operators.bpe import bpe_fertility, learn_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=12, max_vocab=500)
+    return bpe_fertility(docs, merges).orderBy("lang")
+
+
 def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stdlib MJPEG-AVI video decode end-to-end (functions/avi.py +
     functions/jpeg.py, no injected decoder): a deterministic video table
@@ -5017,6 +5036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_features": q_video_features,
         "substring_dedup": q_substring_dedup,
+        "bpe_tokenizer": q_bpe_tokenizer,
         "ivf_cells": q_ivf_cells,
         "ivf_probe_topk": q_ivf_probe_topk,
         "quantize_embeddings": q_quantize_embeddings,
