@@ -46,15 +46,41 @@ def is_avi(data: bytes) -> bool:
     )
 
 
+def _find_sos_and_dht(frame: bytes) -> tuple[int, bool]:
+    """Walk the JPEG marker stream properly (segment lengths, standalone
+    markers) and return (SOS offset or -1, saw-DHT flag). A raw byte
+    search for FF C4 would false-positive on segment PAYLOAD bytes (e.g.
+    a DQT value 0xFF followed by 0xC4), skipping a needed table splice."""
+    pos = 2
+    n = len(frame)
+    while pos + 4 <= n:
+        if frame[pos] != 0xFF:
+            return -1, False  # malformed; let decode_jpeg raise
+        marker = frame[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            return -1, False
+        if marker == 0xDA:
+            return pos, False
+        if marker == 0xC4:
+            return pos, True  # a DHT exists before SOS — no splice needed
+        seg_len = struct.unpack(">H", frame[pos + 2 : pos + 4])[0]
+        pos += 2 + seg_len
+    return -1, False
+
+
 def _ensure_huffman(frame: bytes) -> bytes:
     """Splice the Annex K "typical" Huffman tables before the SOS when an
     MJPEG frame carries no DHT segment (the MJPEG convention: tables are
     implied, decoders supply them)."""
-    if b"\xff\xc4" in frame[: frame.find(b"\xff\xda") if b"\xff\xda" in frame else len(frame)]:
-        return frame
-    sos = frame.find(b"\xff\xda")
-    if sos < 0:
-        return frame  # let the JPEG decoder raise its own error
+    sos, has_dht = _find_sos_and_dht(frame)
+    if has_dht or sos < 0:
+        return frame  # self-contained, or malformed (decoder will raise)
     dht = bytearray()
     for tclass, (bits, vals) in (
         (0x00, K_DC_LUMA),
@@ -80,8 +106,13 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
     us_per_frame = 0
     compression = None
     frames: list[bytes] = []
-    # explicit offset-tracking walk (LIST chunks recurse via the stack)
-    stack = [(12, len(data), False)]
+    last_stream_type = None  # fccType of the most recent strh
+    # DEPTH-FIRST offset-tracking walk in STREAM ORDER: on a LIST the
+    # remainder of the current run is pushed as the continuation and the
+    # walk descends into the list body immediately — a naive
+    # process-later stack would emit 'rec '-wrapped frames AFTER their
+    # siblings (wrong frame order) and reverse multiple rec lists
+    stack: list[tuple[int, int, bool]] = [(12, len(data), False)]
     while stack:
         pos, end, in_movi = stack.pop()
         while pos + 8 <= end:
@@ -89,31 +120,39 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
             (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
             if pos + 8 + size > end:
                 raise AviError(f"truncated chunk {cid!r}")
+            nxt = pos + 8 + size + (size & 1)
             if cid == b"LIST":
                 ltype = data[pos + 8 : pos + 12]
-                stack.append(
-                    (
-                        pos + 12,
-                        pos + 8 + size,
-                        in_movi or ltype in (b"movi", b"rec "),
-                    )
-                )
-            elif cid == b"avih":
+                stack.append((nxt, end, in_movi))  # continuation
+                pos = pos + 12
+                end = pos - 4 + size
+                in_movi = in_movi or ltype in (b"movi", b"rec ")
+                continue
+            if cid == b"avih":
                 body = data[pos + 8 : pos + 8 + size]
                 if len(body) < 40:
                     raise AviError("truncated avih header")
                 us_per_frame = struct.unpack("<I", body[0:4])[0]
                 width = struct.unpack("<I", body[32:36])[0]
                 height = struct.unpack("<I", body[36:40])[0]
+            elif cid == b"strh":
+                last_stream_type = data[pos + 8 : pos + 12]
             elif cid == b"strf":
+                # only the VIDEO stream's format chunk carries the codec
+                # fourcc at offset 16 — an audio-first AVI's WAVEFORMATEX
+                # bytes there are format extra-data, not a compression id
                 body = data[pos + 8 : pos + 8 + size]
-                if compression is None and len(body) >= 20:
+                if (
+                    compression is None
+                    and last_stream_type == b"vids"
+                    and len(body) >= 20
+                ):
                     compression = body[16:20]
             elif in_movi and cid[2:4] in (b"dc", b"db"):
                 body = data[pos + 8 : pos + 8 + size]
                 if body:
                     frames.append(body)
-            pos += 8 + size + (size & 1)
+            pos = nxt
     if not frames:
         raise AviError("no video frame chunks found")
     if compression is not None and compression not in (
@@ -180,6 +219,8 @@ def avi_video_decoder(
     Decodes every `frame_stride`-th frame through the stdlib JPEG codec
     and averages its pixels — the video twin of the image grid features /
     audio slice means."""
+    if frame_stride < 1:
+        raise AviError(f"frame_stride must be >= 1, got {frame_stride}")
     width, height, uspf, frames = decode_avi_mjpeg(data)
     feats = []
     for f in frames[::frame_stride]:

@@ -179,9 +179,12 @@ def encode_wav(
     fmt = struct.pack(
         "<HHIIHH", tag, channels, sample_rate, sample_rate * balign, balign, bits
     )
-    out = b"".join([
+    # the word-alignment pad byte after an odd data chunk is excluded
+    # from the DATA chunk size but IS part of the RIFF container size
+    pad = b"\x00" if len(raw) & 1 else b""
+    return b"".join([
         b"RIFF",
-        struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw)),
+        struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw) + len(pad)),
         b"WAVE",
         b"fmt ",
         struct.pack("<I", len(fmt)),
@@ -189,10 +192,8 @@ def encode_wav(
         b"data",
         struct.pack("<I", len(raw)),
         raw,
+        pad,
     ])
-    if len(raw) & 1:
-        out += b"\x00"
-    return out
 
 
 def slice_features(samples: np.ndarray, n_slices: int = 8) -> list[float]:

@@ -20,12 +20,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ndr_import_spark.operators.textstats import normalize_text
+from ndr_import_spark.operators.textstats import md5_long, normalize_text
 
-
-def md5_long(col: Column) -> Column:
-    """Deterministic 60-bit integer hash, reproducible in DuckDB."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+__all_reexports__ = ["md5_long"]  # canonical definition lives in textstats
 
 
 # ---------------------------------------------------------------------------

@@ -211,6 +211,10 @@ def extract_video_features(
     — the decode cost knob (feature = mean pixel per sampled frame).
     Non-AVI payloads with no injected decoder raise NotImplementedError —
     the same honest env-gate contract as the image and audio paths."""
+    if frame_stride < 1:
+        raise ValueError(
+            f"frame_stride must be >= 1, got {frame_stride}"
+        )
     decoder = _video_decoder
 
     def one(payload):

@@ -431,15 +431,21 @@ def embedding_dim_stats(
                 ),
                 6,
             ).alias("mean_v"),
+            # the guard wraps BOTH moment outputs: a caller selecting only
+            # std_v would otherwise prune mean_v together with its
+            # assert_true and get silently biased moments after all
             F.round(
-                F.sqrt(
-                    (
-                        F.col("_s2").cast("double")
-                        - F.col("_s1").cast("double")
-                        * F.col("_s1").cast("double")
-                        / F.col("n")
-                    )
-                    / (F.col("n") - F.lit(1))
+                F.when(
+                    overflow_guard.isNull(),
+                    F.sqrt(
+                        (
+                            F.col("_s2").cast("double")
+                            - F.col("_s1").cast("double")
+                            * F.col("_s1").cast("double")
+                            / F.col("n")
+                        )
+                        / (F.col("n") - F.lit(1))
+                    ),
                 ),
                 6,
             ).alias("std_v"),

@@ -178,13 +178,14 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
-def _chunk_hash_long(chunk: Column) -> Column:
-    """60-bit integer md5 prefix — the repo's engine-portable hash
-    (DuckDB: ``('0x' || substring(md5(x), 1, 15))::BIGINT``).  A LONG
-    fingerprint keeps the MIN aggregate inside HashAggregate (a string
+def md5_long(col: Column) -> Column:
+    """Deterministic 60-bit integer md5-prefix hash, reproducible in
+    DuckDB as ``('0x' || substring(md5(x), 1, 15))::BIGINT`` — THE
+    engine-portable hash (dedup re-exports this single definition).
+    A LONG hash keeps MIN/MAX aggregates inside HashAggregate (string
     MIN falls back to SortAggregate — one extra sort on both sides of
     the exchange) and shuffles 8 bytes instead of a 32-char hex key."""
-    return F.conv(F.substring(F.md5(chunk), 1, 15), 16, 10).cast("long")
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def rolling_fingerprint(text: Column, window: int = 16) -> Column:
@@ -198,7 +199,7 @@ def rolling_fingerprint(text: Column, window: int = 16) -> Column:
     norm = normalize_text(text)
     n = F.length(norm)
     starts = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)), F.lit(window // 2))
-    chunk_hashes = F.transform(starts, lambda i: _chunk_hash_long(F.substring(norm, i, window)))
+    chunk_hashes = F.transform(starts, lambda i: md5_long(F.substring(norm, i, window)))
     return F.array_min(chunk_hashes)
 
 
@@ -233,7 +234,7 @@ def rolling_fingerprint_frame(
     chunks = base.select(*id_cols, "_norm", F.explode_outer(starts).alias("_i"))
     hashed = chunks.select(
         *id_cols,
-        _chunk_hash_long(
+        md5_long(
             F.substring(F.col("_norm"), F.col("_i"), window)
         ).alias("_ch"),
     )

@@ -230,10 +230,14 @@ def stream_decontaminate(
         }
 
     if isinstance(eval_set, DataFrame):
-        # probe ONE row past the cap — a limit-count action on the eval
-        # frame only, never a full count of an unbounded input
-        over = eval_set.limit(_EVAL_SET_MAX_ROWS + 1).count()
-        if over > _EVAL_SET_MAX_ROWS:
+        # collect ONE row past the cap in a single action — the guard and
+        # the collect share one evaluation of the eval frame's plan (a
+        # separate count-then-collect would pay an expensive upstream
+        # computation twice), and never a full count of an unbounded input
+        rows = (
+            eval_set.select(text_col).limit(_EVAL_SET_MAX_ROWS + 1).collect()
+        )
+        if len(rows) > _EVAL_SET_MAX_ROWS:
             raise ValueError(
                 f"stream_decontaminate eval_set exceeds {_EVAL_SET_MAX_ROWS} "
                 "rows — it is collected to the driver and closure-shipped, "
@@ -242,7 +246,7 @@ def stream_decontaminate(
                 "operators.corpus.ngram_decontaminate (distributed semi-join) "
                 "instead."
             )
-        texts = [r[0] for r in eval_set.select(text_col).collect()]
+        texts = [r[0] for r in rows]
     else:
         texts = list(eval_set)
     eval_grams = frozenset().union(*[grams_of(t) for t in texts]) if texts else frozenset()

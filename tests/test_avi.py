@@ -126,3 +126,104 @@ class TestSparkIntegration:
             assert (row["n_frames"], row["width"], row["height"]) == (1, 2, 3)
         finally:
             MM.set_video_decoder(None)
+
+
+class TestReviewRegressions:
+    """Pins for the round-5 code-review findings."""
+
+    def _chunk(self, cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def _lst(self, ltype, body):
+        return self._chunk(b"LIST", ltype + body)
+
+    def test_rec_sublists_keep_frame_order(self, spark=None):
+        # movi = [rec[f0, f1], f2] and [rec[f0], rec[f1], f2] must decode
+        # in stream order, not with the rec contents deferred/reversed
+        frames = [_gray_frame(v) for v in (10, 20, 30)]
+        base = encode_avi_mjpeg(16, 8, frames)
+        hdrl_end = base.index(b"LIST", base.index(b"movi") - 8)
+        prefix = base[:hdrl_end]
+
+        def rebuild(movi_body):
+            return prefix + self._lst(b"movi", movi_body)
+
+        f = [self._chunk(b"00dc", fr) for fr in frames]
+        for movi_body in (
+            self._lst(b"rec ", f[0] + f[1]) + f[2],
+            self._lst(b"rec ", f[0]) + self._lst(b"rec ", f[1]) + f[2],
+        ):
+            data = rebuild(movi_body)
+            # fix the outer RIFF size
+            data = data[:4] + struct.pack("<I", len(data) - 8) + data[8:]
+            _, _, _, got = decode_avi_mjpeg(data)
+            vals = []
+            for fr in got:
+                _, _, _, px = decode_jpeg(fr)
+                vals.append(px[0])
+            assert vals == [10, 20, 30], vals
+
+    def test_audio_first_stream_does_not_shadow_video_codec(self):
+        # an audio strl BEFORE the video strl: its WAVEFORMATEX-shaped
+        # strf must not be read as the video compression fourcc
+        frames = [_gray_frame(77)]
+        avih = struct.pack(
+            "<IIIIIIIIII4I", 40000, 0, 0, 0x10, 1, 0, 2, 0, 16, 8,
+            0, 0, 0, 0,
+        )
+        auds_strh = b"auds" + b"\x00" * 52
+        # WAVEFORMATEX with cbSize + extra bytes (>= 20 bytes total)
+        auds_strf = struct.pack("<HHIIHHH", 0x55, 1, 8000, 8000, 1, 16, 12) + b"JUNKJUNKJUNK"
+        vids_strh = b"vids" + b"MJPG" + b"\x00" * 48
+        vids_strf = struct.pack(
+            "<IiiHH4sIiiII", 40, 16, 8, 1, 24, b"MJPG", 16 * 8 * 3, 0, 0, 0, 0
+        )
+        hdrl = self._lst(
+            b"hdrl",
+            self._chunk(b"avih", avih)
+            + self._lst(b"strl", self._chunk(b"strh", auds_strh) + self._chunk(b"strf", auds_strf))
+            + self._lst(b"strl", self._chunk(b"strh", vids_strh) + self._chunk(b"strf", vids_strf)),
+        )
+        movi = self._lst(b"movi", self._chunk(b"00dc", frames[0]))
+        body = b"AVI " + hdrl + movi
+        data = b"RIFF" + struct.pack("<I", len(body)) + body
+        w, h, uspf, got = decode_avi_mjpeg(data)  # must NOT raise
+        assert len(got) == 1
+
+    def test_dht_false_positive_bytes_still_get_tables(self):
+        # a frame whose APPn payload contains FF C4 but has NO real DHT
+        # must still receive the Annex K splice
+        frame = _gray_frame(150)
+        # strip real DHTs (as in the earlier test)
+        stripped = bytearray(frame[:2])
+        pos = 2
+        while pos + 4 <= len(frame):
+            marker = frame[pos + 1]
+            if marker == 0xDA:
+                stripped += frame[pos:]
+                break
+            seg_len = struct.unpack(">H", frame[pos + 2 : pos + 4])[0]
+            if marker != 0xC4:
+                stripped += frame[pos : pos + 2 + seg_len]
+            pos += 2 + seg_len
+        # inject an APP7 whose payload contains the FF C4 byte pair
+        app = b"\xff\xe7" + struct.pack(">H", 6) + b"\xff\xc4\x00\x00"
+        poisoned = bytes(stripped[:2]) + app + bytes(stripped[2:])
+        avi = encode_avi_mjpeg(16, 8, [poisoned])
+        _, _, _, got = decode_avi_mjpeg(avi)
+        _, _, _, px = decode_jpeg(got[0])  # decodes because tables spliced
+        assert px[0] == 150
+
+    def test_frame_stride_validation(self):
+        avi = encode_avi_mjpeg(16, 8, [_gray_frame(1)])
+        with pytest.raises(AviError, match="frame_stride"):
+            avi_video_decoder(avi, frame_stride=0)
+
+    def test_encode_wav_riff_size_includes_pad(self):
+        from ndr_import_spark.functions.wav import encode_wav
+
+        data = encode_wav(8000, np.zeros(5), bits=8)  # odd data chunk
+        (riff_size,) = struct.unpack("<I", data[4:8])
+        assert riff_size == len(data) - 8  # pad byte accounted for
