@@ -1575,6 +1575,122 @@ def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(docs, merges).orderBy("lang")
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL distributed WARC extraction end-to-end (sources/warc.py): two
+    genuine .warc.gz files (one gzip member per record, the Common Crawl
+    layout) of deterministic HTTP responses — HTML pages whose title and
+    fixed-width words derive from md5 bytes, plus plain-text records —
+    are read through `read_warc` (binaryFile → one task per archive →
+    Arrow-batched parse + HTTP split + stdlib HTML strip). The extracted
+    text is reproducible CHARACTER-FOR-CHARACTER by the oracle (script
+    tags dropped, single-space joins), so per-record token counts and the
+    md5 of the extracted text pin the whole chain from container bytes to
+    clean text."""
+    import os as _os
+
+    from ndr_import_spark.operators.textstats import token_count
+    from ndr_import_spark.sources.warc import (
+        http_response_bytes,
+        read_warc,
+        write_warc,
+    )
+
+    out_dir = "/root/repo/.tmp/warc_query"
+    _os.makedirs(out_dir, exist_ok=True)
+    import hashlib as _hl
+
+    for fno in range(2):
+        recs = []
+        for i in range(20):
+            g = fno * 20 + i
+            b = _hl.md5(f"warc{g}".encode()).digest()
+            uri = f"https://crawl.test/page/{g:03d}"
+            status = 404 if g % 7 == 0 else 200
+            if g % 5 == 0:
+                body = f"plain {g} payload".encode()
+                payload = http_response_bytes(
+                    body, status=status, content_type="text/plain"
+                )
+            else:
+                k = 3 + (b[1] % 5)
+                words = " ".join(f"w{b[2 + j]:03d}" for j in range(k))
+                html = (
+                    f"<html><head><style>p{{x}}</style></head><body>"
+                    f"<h1>T{g}</h1><p>{words}</p>"
+                    f"<script>var x = 1;</script></body></html>"
+                )
+                payload = http_response_bytes(
+                    html.encode(), status=status, content_type="text/html"
+                )
+            recs.append(
+                (
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": uri,
+                        "WARC-Date": "2024-01-01T00:00:00Z",
+                    },
+                    payload,
+                )
+            )
+        with open(f"{out_dir}/part{fno}.warc.gz", "wb") as f:
+            f.write(write_warc(recs))
+    docs = read_warc(spark, f"{out_dir}/*.warc.gz")
+    return (
+        docs.select(
+            "target_uri",
+            "http_status",
+            "content_type",
+            token_count(F.col("text")).alias("n_tokens"),
+            F.md5(F.col("text")).alias("text_md5"),
+            "payload_bytes",
+        )
+        .orderBy("target_uri")
+    )
+
+
+_ORACLE_WARC_EXTRACT = """
+WITH m AS (SELECT unnest(range(40)) AS g),
+d AS (SELECT g, md5('warc' || g) AS hx FROM m),
+b AS (
+  SELECT g, hx,
+    cast(('0x' || substring(hx, 3, 2)) as int) AS b1
+  FROM d
+),
+f AS (
+  SELECT g,
+    'https://crawl.test/page/' || lpad(cast(g as varchar), 3, '0') AS target_uri,
+    CAST(CASE WHEN g % 7 = 0 THEN 404 ELSE 200 END AS INT) AS http_status,
+    CASE WHEN g % 5 = 0 THEN 'text/plain' ELSE 'text/html' END AS content_type,
+    CASE WHEN g % 5 = 0
+      THEN 'plain ' || g || ' payload'
+      ELSE 'T' || g || ' ' || array_to_string(list_transform(
+        range(3 + (b1 % 5)),
+        j -> 'w' || lpad(cast(cast(('0x' || substring(hx, (2 + j) * 2 + 1, 2)) as int) as varchar), 3, '0')
+      ), ' ') END AS text,
+    CASE WHEN g % 5 = 0
+      THEN length('plain ' || g || ' payload')
+      ELSE length('<html><head><style>p{x}</style></head><body><h1>T' || g
+        || '</h1><p>' || array_to_string(list_transform(
+          range(3 + (b1 % 5)),
+          j -> 'w' || lpad(cast(cast(('0x' || substring(hx, (2 + j) * 2 + 1, 2)) as int) as varchar), 3, '0')
+        ), ' ') || '</p><script>var x = 1;</script></body></html>')
+      END AS body_len
+  FROM b
+)
+SELECT target_uri, http_status, content_type,
+  CAST(CASE WHEN g % 5 = 0 THEN 3 ELSE 1 + 3 + (
+    cast(('0x' || substring(md5('warc' || g), 3, 2)) as int) % 5
+  ) END AS INT) AS n_tokens,
+  md5(text) AS text_md5,
+  -- payload = 'HTTP/1.1 NNN OK\\r\\nContent-Type: CT\\r\\nContent-Length: L\\r\\n\\r\\n' + body
+  CAST(length('HTTP/1.1 ') + 3 + length(' OK') + 2
+    + length('Content-Type: ') + length(content_type) + 2
+    + length('Content-Length: ') + length(cast(body_len as varchar)) + 2
+    + 2 + body_len AS INT) AS payload_bytes
+FROM f ORDER BY target_uri
+"""
+
+
 def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stdlib MJPEG-AVI video decode end-to-end (functions/avi.py +
     functions/jpeg.py, no injected decoder): a deterministic video table
@@ -5037,6 +5153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": q_video_features,
         "substring_dedup": q_substring_dedup,
         "bpe_tokenizer": q_bpe_tokenizer,
+        "warc_extract": q_warc_extract,
         "ivf_cells": q_ivf_cells,
         "ivf_probe_topk": q_ivf_probe_topk,
         "quantize_embeddings": q_quantize_embeddings,
@@ -5143,6 +5260,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _ORACLE_AUDIO_FEATURES,
         "video_features": _ORACLE_VIDEO_FEATURES,
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
+        "warc_extract": _ORACLE_WARC_EXTRACT,
         "ivf_cells": _oracle_ivf(),
         "ivf_probe_topk": _oracle_ivf_probe(),
         "quantize_embeddings": _ORACLE_QUANTIZE,

@@ -1,0 +1,275 @@
+"""Stdlib WARC (Web ARChive) reader — clean-room from the PUBLIC spec
+(ISO 28500 / the IIPC WARC 1.0/1.1 format description) plus RFC 7230 for
+the embedded HTTP messages.
+
+The Common Crawl shape: a `.warc.gz` is a sequence of independently-gzipped
+members (Python's GzipFile consumes concatenated members natively), each
+member one record::
+
+    WARC/1.0\\r\\n
+    WARC-Type: response\\r\\n
+    WARC-Target-URI: https://example.org/\\r\\n
+    Content-Length: 1234\\r\\n
+    \\r\\n
+    <payload: full HTTP response, headers + body>
+    \\r\\n\\r\\n
+
+Scale design: `read_warc` distributes WHOLE FILES to executors via Spark's
+`binaryFile` source and parses each inside Arrow-batched `mapInPandas` —
+one task per WARC file, the standard Common Crawl partitioning (files are
+~1 GiB, independently decompressible). The driver never touches payload
+bytes; record parsing, HTTP splitting and HTML text extraction are
+per-blob Python over the bounded file set, the same boundary contract as
+the other binary sources (PDF/7z/media).
+
+HTML → text uses a stdlib `html.parser` subclass: script/style subtrees
+dropped, text nodes joined with single spaces, entities resolved by the
+parser (convert_charrefs), whitespace collapsed — deterministic, so
+analytic fixtures can oracle the output exactly.
+
+No counterpart in the reference (`publichealthengland/ndr_import` has no
+web-archive handling); north-star extra for crawl-scale training data.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+class WarcError(ValueError):
+    pass
+
+
+@dataclass
+class WarcRecord:
+    headers: dict = field(default_factory=dict)
+    payload: bytes = b""
+
+    @property
+    def warc_type(self) -> str:
+        return self.headers.get("warc-type", "")
+
+    @property
+    def target_uri(self) -> str:
+        # WARC 1.0 writes bare URIs; some writers wrap in <angle brackets>
+        uri = self.headers.get("warc-target-uri", "")
+        return uri[1:-1] if uri.startswith("<") and uri.endswith(">") else uri
+
+
+def _maybe_gunzip(data: bytes) -> bytes:
+    import zlib
+
+    if data[:2] == b"\x1f\x8b":
+        try:
+            # GzipFile reads ALL concatenated members (the .warc.gz shape)
+            with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+                return gz.read()
+        except (OSError, EOFError, zlib.error) as exc:
+            # BadGzipFile is OSError; mid-stream corruption surfaces as
+            # zlib.error — both must honour the WarcError contract
+            raise WarcError(f"corrupt gzip in WARC: {exc}") from exc
+    return data
+
+
+def parse_warc(data: bytes) -> list[WarcRecord]:
+    """Parse plain or gzipped WARC bytes into records."""
+    data = _maybe_gunzip(data)
+    records: list[WarcRecord] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate inter-record CRLF padding
+        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        if not data[pos : pos + 5] == b"WARC/":
+            raise WarcError(f"expected WARC version line at offset {pos}")
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            raise WarcError("truncated WARC record header")
+        lines = data[pos:hdr_end].split(b"\r\n")
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            if b":" not in ln:
+                raise WarcError(f"malformed WARC header line {ln!r}")
+            k, v = ln.split(b":", 1)
+            headers[k.strip().decode("utf-8", "replace").lower()] = (
+                v.strip().decode("utf-8", "replace")
+            )
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise WarcError("WARC record missing valid Content-Length") from exc
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            raise WarcError("truncated WARC record payload")
+        records.append(
+            WarcRecord(headers, data[body_start : body_start + length])
+        )
+        pos = body_start + length
+    return records
+
+
+def split_http_response(payload: bytes) -> tuple[int | None, dict, bytes]:
+    """(status, headers, body) from a full HTTP response message; a
+    payload that is not an HTTP message returns (None, {}, payload)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, {}, payload
+    hdr_end = payload.find(b"\r\n\r\n")
+    if hdr_end < 0:
+        return None, {}, payload
+    lines = payload[:hdr_end].split(b"\r\n")
+    parts = lines[0].split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        return None, {}, payload
+    headers = {}
+    for ln in lines[1:]:
+        if b":" in ln:
+            k, v = ln.split(b":", 1)
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
+                "latin-1"
+            )
+    return status, headers, payload[hdr_end + 4 :]
+
+
+def strip_html(html: str) -> str:
+    """Deterministic stdlib HTML → text: script/style/head subtrees
+    dropped, text nodes joined with single spaces, whitespace collapsed."""
+    from html.parser import HTMLParser
+
+    class _Text(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self._skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self._skip += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style") and self._skip:
+                self._skip -= 1
+
+        def handle_data(self, d):
+            if not self._skip:
+                t = d.strip()
+                if t:
+                    self.parts.append(t)
+
+    p = _Text()
+    p.feed(html)
+    p.close()
+    return " ".join(" ".join(p.parts).split())
+
+
+WARC_DOC_SCHEMA = (
+    "source_file string, record_index long, warc_type string, "
+    "target_uri string, warc_date string, http_status int, "
+    "content_type string, text string, payload_bytes int"
+)
+
+
+def warc_records_to_rows(path: str, blob: bytes) -> list[tuple]:
+    """One WARC blob → extracted document rows (shared by the Spark
+    reader and the in-memory query path so both are THE same parse)."""
+    rows = []
+    for i, rec in enumerate(parse_warc(blob)):
+        status, http_headers, body = split_http_response(rec.payload)
+        ctype = http_headers.get("content-type", rec.headers.get("content-type", ""))
+        if status is not None and "html" in ctype:
+            text = strip_html(body.decode("utf-8", "replace"))
+        elif status is not None:
+            text = body.decode("utf-8", "replace") if ctype.startswith("text/") else ""
+        else:
+            text = ""
+        rows.append(
+            (
+                path,
+                i,
+                rec.warc_type,
+                rec.target_uri,
+                rec.headers.get("warc-date", ""),
+                status,
+                ctype,
+                text,
+                len(rec.payload),
+            )
+        )
+    return rows
+
+
+def read_warc(
+    spark: SparkSession, path: str, options: dict | None = None
+) -> DataFrame:
+    """Distributed WARC extraction: `binaryFile` ships whole archives to
+    executors (one task per file — the Common Crawl partitioning), and an
+    Arrow-batched `mapInPandas` parses records, splits HTTP messages and
+    strips HTML per file. Returns the WARC_DOC_SCHEMA document frame."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split()[0] for f in WARC_DOC_SCHEMA.split(", ")]
+        for pdf in batches:
+            out: list[tuple] = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                out.extend(warc_records_to_rows(p, bytes(blob)))
+            yield pd.DataFrame(out, columns=cols)
+
+    return files.select("path", "content").mapInPandas(run, WARC_DOC_SCHEMA)
+
+
+def write_warc(records: list[tuple[dict, bytes]], gzipped: bool = True) -> bytes:
+    """Minimal WARC writer for fixtures: [(warc_headers, payload)] →
+    bytes, one gzip member per record when `gzipped` (the .warc.gz
+    convention)."""
+    out = bytearray()
+    for headers, payload in records:
+        h = dict(headers)
+        h["Content-Length"] = str(len(payload))
+        member = (
+            b"WARC/1.0\r\n"
+            + b"".join(
+                f"{k}: {v}\r\n".encode() for k, v in h.items()
+            )
+            + b"\r\n"
+            + payload
+            + b"\r\n\r\n"
+        )
+        out += gzip.compress(member) if gzipped else member
+    return bytes(out)
+
+
+def http_response_bytes(
+    body: bytes, status: int = 200, content_type: str = "text/html"
+) -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+    )
+
+
+def read_warc_tables(
+    spark: SparkSession, path: str | list[str], options: dict | None = None
+) -> list[tuple[None, DataFrame]]:
+    """Registry adapter: WARC extraction as a single unnamed table."""
+    paths = path if isinstance(path, list) else [path]
+    frames = [read_warc(spark, p, options) for p in paths]
+    df = frames[0]
+    for extra in frames[1:]:
+        df = df.unionByName(extra)
+    return [(None, df)]
+
+
+from ndr_import_spark.sources.registry import Registry  # noqa: E402
+
+Registry.register(read_warc_tables, "warc")
