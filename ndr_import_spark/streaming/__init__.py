@@ -4,6 +4,7 @@ from ndr_import_spark.streaming.pipeline import (
     stream_decontaminate,
     stream_records,
     stream_tables,
+    stream_warc_ingest,
     windowed_stats,
 )
 
@@ -14,4 +15,5 @@ __all__ = [
     "session_window_stats",
     "stateful_stream_dedup",
     "stream_decontaminate",
+    "stream_warc_ingest",
 ]

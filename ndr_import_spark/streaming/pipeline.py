@@ -351,3 +351,55 @@ def stream_neardup_probe(
     )
     verified = candidates.join(old_sets, "old_id")
     return jaccard_verdict(verified, "new_id", "old_id", verify_threshold)
+
+
+def stream_warc_ingest(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """Continuous crawl ingestion: a STREAMING twin of `sources.warc.
+    read_warc` — new `.warc.gz` archives landing in `path` flow through
+    the identical per-file parse (record walk → HTTP split → HTML strip)
+    as micro-batches.
+
+    Spark's file stream source tracks processed files in the checkpoint,
+    so each archive is parsed exactly once; `max_files_per_trigger`
+    bounds a micro-batch to a predictable number of ~1 GiB archives.
+    The parse is the SAME `warc_records_to_rows` the batch reader uses —
+    one definition of the extraction, batch and streaming provably
+    aligned. Downstream, the frame composes with the other streaming
+    stages (quality filter columns, `stream_neardup_probe`,
+    `stream_decontaminate`) exactly like a batch documents frame."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ndr_import_spark.sources.warc import WARC_DOC_SCHEMA, warc_records_to_rows
+
+    # streaming sources need an explicit schema; binaryFile's is fixed
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+    )
+
+    def run(batches: _It) -> _It:
+        cols = [f.split()[0] for f in WARC_DOC_SCHEMA.split(", ")]
+        for pdf in batches:
+            out = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                out.extend(warc_records_to_rows(p, bytes(blob)))
+            yield _pd.DataFrame(out, columns=cols)
+
+    return files.select("path", "content").mapInPandas(run, WARC_DOC_SCHEMA)

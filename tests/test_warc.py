@@ -144,3 +144,35 @@ class TestSparkIntegration:
         assert len(tables) == 1
         rows = tables[0][1].collect()
         assert rows[0]["text"] == "reg test"
+
+
+class TestStreamingIngest:
+    def test_stream_warc_ingest_available_now(self, spark, tmp_path):
+        import uuid
+
+        from ndr_import_spark.streaming import stream_warc_ingest
+
+        src = tmp_path / "landing"
+        src.mkdir()
+        for fno in range(3):
+            data = write_warc(
+                [_rec(f"https://s{fno}.test/{i}", f"<p>batch {fno} {i}</p>".encode())
+                 for i in range(2)]
+            )
+            (src / f"crawl{fno}.warc.gz").write_bytes(data)
+        stream = stream_warc_ingest(spark, str(src), max_files_per_trigger=2)
+        assert stream.isStreaming
+        name = f"warc_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql(
+            f"select text from {name} order by target_uri"
+        ).collect()
+        assert [r["text"] for r in rows] == [
+            f"batch {f} {i}" for f in range(3) for i in range(2)
+        ]
