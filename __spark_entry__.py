@@ -1586,7 +1586,9 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags dropped, single-space joins), so per-record token counts and the
     md5 of the extracted text pin the whole chain from container bytes to
     clean text."""
+    import glob as _glob
     import os as _os
+    import tempfile as _tf
 
     from ndr_import_spark.operators.textstats import token_count
     from ndr_import_spark.sources.warc import (
@@ -1595,8 +1597,13 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_warc,
     )
 
-    out_dir = "/root/repo/.tmp/warc_query"
+    # portable fixture dir (works from any checkout / read-only repo);
+    # stale archives from older fixture layouts are cleared so the glob
+    # below reads EXACTLY this run's two files
+    out_dir = _os.path.join(_tf.gettempdir(), "ndr_warc_query")
     _os.makedirs(out_dir, exist_ok=True)
+    for stale in _glob.glob(f"{out_dir}/*.warc.gz"):
+        _os.remove(stale)
     import hashlib as _hl
 
     for fno in range(2):

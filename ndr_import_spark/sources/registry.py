@@ -41,7 +41,17 @@ class Registry:
 def format_for(filename: str, fmt: str | None = None) -> str:
     if fmt:
         return fmt
-    ext = os.path.splitext(filename)[1].lstrip(".").lower()
+    base = filename
+    ext = os.path.splitext(base)[1].lstrip(".").lower()
+    if ext in ("gz", "bz2", "xz"):
+        # compound extensions dispatch on the INNER format — the readers
+        # involved consume the compression transparently (.warc.gz is the
+        # canonical Common Crawl shape; Spark's csv/text sources read
+        # .csv.gz natively)
+        base = os.path.splitext(base)[0]
+        inner = os.path.splitext(base)[1].lstrip(".").lower()
+        if inner:
+            ext = inner
     if not ext:
         raise UnregisteredFiletypeError(f'Unregistered file format: "{ext}"')
     return ext

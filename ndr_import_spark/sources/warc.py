@@ -37,6 +37,7 @@ import gzip
 import io
 from collections.abc import Iterator
 from dataclasses import dataclass, field
+from html.parser import HTMLParser
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -96,13 +97,17 @@ def parse_warc(data: bytes) -> list[WarcRecord]:
             raise WarcError("truncated WARC record header")
         lines = data[pos:hdr_end].split(b"\r\n")
         headers: dict[str, str] = {}
+        last_key: str | None = None
         for ln in lines[1:]:
+            if ln[:1] in (b" ", b"\t") and last_key is not None:
+                # ISO 28500 allows RFC-822-style folded continuation lines
+                headers[last_key] += " " + ln.strip().decode("utf-8", "replace")
+                continue
             if b":" not in ln:
                 raise WarcError(f"malformed WARC header line {ln!r}")
             k, v = ln.split(b":", 1)
-            headers[k.strip().decode("utf-8", "replace").lower()] = (
-                v.strip().decode("utf-8", "replace")
-            )
+            last_key = k.strip().decode("utf-8", "replace").lower()
+            headers[last_key] = v.strip().decode("utf-8", "replace")
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError) as exc:
@@ -141,32 +146,84 @@ def split_http_response(payload: bytes) -> tuple[int | None, dict, bytes]:
     return status, headers, payload[hdr_end + 4 :]
 
 
+def _dechunk(body: bytes) -> bytes:
+    """RFC 7230 §4.1 chunked transfer decoding; malformed chunking
+    returns the raw body (lenient — crawl data is messy)."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while pos < n:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return bytes(body)
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_token, 16)
+        except ValueError:
+            return bytes(body)
+        if size == 0:
+            break
+        start = eol + 2
+        if start + size > n:
+            return bytes(body)
+        out += body[start : start + size]
+        pos = start + size + 2  # skip trailing CRLF
+    return bytes(out)
+
+
+def decode_http_body(headers: dict, body: bytes) -> bytes:
+    """Undo Transfer-Encoding: chunked and Content-Encoding: gzip/deflate
+    so downstream text extraction sees the real document bytes. Lenient:
+    a body that fails to decode is returned raw (one mangled record must
+    not poison an archive)."""
+    import zlib
+
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").lower()
+    try:
+        if "gzip" in enc:
+            body = gzip.decompress(body)
+        elif "deflate" in enc:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)  # raw deflate
+    except (OSError, EOFError, zlib.error):
+        pass
+    return body
+
+
+class _HtmlText(HTMLParser):
+    """Stdlib HTMLParser subclass extracting text: script/style subtrees
+    dropped, entities resolved, text nodes collected (module-level so a
+    per-record `strip_html` call does not rebuild the class)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.parts: list[str] = []
+        self._skip = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._skip += 1
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style") and self._skip:
+            self._skip -= 1
+
+    def handle_data(self, d):
+        if not self._skip:
+            t = d.strip()
+            if t:
+                self.parts.append(t)
+
+
 def strip_html(html: str) -> str:
-    """Deterministic stdlib HTML → text: script/style/head subtrees
-    dropped, text nodes joined with single spaces, whitespace collapsed."""
-    from html.parser import HTMLParser
-
-    class _Text(HTMLParser):
-        def __init__(self) -> None:
-            super().__init__(convert_charrefs=True)
-            self.parts: list[str] = []
-            self._skip = 0
-
-        def handle_starttag(self, tag, attrs):
-            if tag in ("script", "style"):
-                self._skip += 1
-
-        def handle_endtag(self, tag):
-            if tag in ("script", "style") and self._skip:
-                self._skip -= 1
-
-        def handle_data(self, d):
-            if not self._skip:
-                t = d.strip()
-                if t:
-                    self.parts.append(t)
-
-    p = _Text()
+    """Deterministic stdlib HTML → text: script/style subtrees dropped
+    (head text such as <title> is kept — it is real document text), text
+    nodes joined with single spaces, whitespace collapsed."""
+    p = _HtmlText()
     p.feed(html)
     p.close()
     return " ".join(" ".join(p.parts).split())
@@ -186,10 +243,13 @@ def warc_records_to_rows(path: str, blob: bytes) -> list[tuple]:
     for i, rec in enumerate(parse_warc(blob)):
         status, http_headers, body = split_http_response(rec.payload)
         ctype = http_headers.get("content-type", rec.headers.get("content-type", ""))
-        if status is not None and "html" in ctype:
+        ctype_l = ctype.lower()  # servers send Text/HTML etc. — match folded
+        if status is not None:
+            body = decode_http_body(http_headers, body)
+        if status is not None and "html" in ctype_l:
             text = strip_html(body.decode("utf-8", "replace"))
         elif status is not None:
-            text = body.decode("utf-8", "replace") if ctype.startswith("text/") else ""
+            text = body.decode("utf-8", "replace") if ctype_l.startswith("text/") else ""
         else:
             text = ""
         rows.append(
@@ -208,6 +268,20 @@ def warc_records_to_rows(path: str, blob: bytes) -> list[tuple]:
     return rows
 
 
+def warc_map_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """The (path, content) → WARC_DOC_SCHEMA mapInPandas function — THE
+    single wrapper both the batch reader and the streaming ingest use, so
+    batch and streaming extraction cannot drift."""
+    cols = [f.split()[0] for f in WARC_DOC_SCHEMA.split(", ")]
+    for pdf in batches:
+        out: list[tuple] = []
+        for p, blob in zip(pdf["path"], pdf["content"]):
+            out.extend(warc_records_to_rows(p, bytes(blob)))
+        yield pd.DataFrame(out, columns=cols)
+
+
 def read_warc(
     spark: SparkSession, path: str, options: dict | None = None
 ) -> DataFrame:
@@ -216,16 +290,9 @@ def read_warc(
     Arrow-batched `mapInPandas` parses records, splits HTTP messages and
     strips HTML per file. Returns the WARC_DOC_SCHEMA document frame."""
     files = spark.read.format("binaryFile").load(path)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.split()[0] for f in WARC_DOC_SCHEMA.split(", ")]
-        for pdf in batches:
-            out: list[tuple] = []
-            for p, blob in zip(pdf["path"], pdf["content"]):
-                out.extend(warc_records_to_rows(p, bytes(blob)))
-            yield pd.DataFrame(out, columns=cols)
-
-    return files.select("path", "content").mapInPandas(run, WARC_DOC_SCHEMA)
+    return files.select("path", "content").mapInPandas(
+        warc_map_batches, WARC_DOC_SCHEMA
+    )
 
 
 def write_warc(records: list[tuple[dict, bytes]], gzipped: bool = True) -> bytes:
@@ -261,13 +328,33 @@ def http_response_bytes(
 def read_warc_tables(
     spark: SparkSession, path: str | list[str], options: dict | None = None
 ) -> list[tuple[None, DataFrame]]:
-    """Registry adapter: WARC extraction as a single unnamed table."""
+    """Registry adapter: WARC extraction as a single unnamed table obeying
+    the registry CELLS contract (source_file, row_index, cells
+    array<string>) so a YAML mapping with format 'warc' flows through
+    Engine.run like any other source. Cell order: warc_type, target_uri,
+    warc_date, http_status, content_type, text, payload_bytes. The rich
+    typed frame stays available via `read_warc` directly."""
+    from pyspark.sql import functions as F
+
     paths = path if isinstance(path, list) else [path]
     frames = [read_warc(spark, p, options) for p in paths]
     df = frames[0]
     for extra in frames[1:]:
         df = df.unionByName(extra)
-    return [(None, df)]
+    cells = df.select(
+        F.col("source_file"),
+        F.col("record_index").alias("row_index"),
+        F.array(
+            F.col("warc_type"),
+            F.col("target_uri"),
+            F.col("warc_date"),
+            F.col("http_status").cast("string"),
+            F.col("content_type"),
+            F.col("text"),
+            F.col("payload_bytes").cast("string"),
+        ).alias("cells"),
+    )
+    return [(None, cells)]
 
 
 from ndr_import_spark.sources.registry import Registry  # noqa: E402

@@ -366,16 +366,12 @@ def stream_warc_ingest(
     Spark's file stream source tracks processed files in the checkpoint,
     so each archive is parsed exactly once; `max_files_per_trigger`
     bounds a micro-batch to a predictable number of ~1 GiB archives.
-    The parse is the SAME `warc_records_to_rows` the batch reader uses —
-    one definition of the extraction, batch and streaming provably
+    The parse is the SAME `warc_map_batches` function the batch reader
+    uses — one definition of the extraction, batch and streaming provably
     aligned. Downstream, the frame composes with the other streaming
     stages (quality filter columns, `stream_neardup_probe`,
     `stream_decontaminate`) exactly like a batch documents frame."""
-    from collections.abc import Iterator as _It
-
-    import pandas as _pd
-
-    from ndr_import_spark.sources.warc import WARC_DOC_SCHEMA, warc_records_to_rows
+    from ndr_import_spark.sources.warc import WARC_DOC_SCHEMA, warc_map_batches
 
     # streaming sources need an explicit schema; binaryFile's is fixed
     binary_schema = T.StructType(
@@ -394,12 +390,6 @@ def stream_warc_ingest(
         .load(path)
     )
 
-    def run(batches: _It) -> _It:
-        cols = [f.split()[0] for f in WARC_DOC_SCHEMA.split(", ")]
-        for pdf in batches:
-            out = []
-            for p, blob in zip(pdf["path"], pdf["content"]):
-                out.extend(warc_records_to_rows(p, bytes(blob)))
-            yield _pd.DataFrame(out, columns=cols)
-
-    return files.select("path", "content").mapInPandas(run, WARC_DOC_SCHEMA)
+    return files.select("path", "content").mapInPandas(
+        warc_map_batches, WARC_DOC_SCHEMA
+    )

@@ -132,7 +132,8 @@ class TestSparkIntegration:
         assert rows[5]["text"] == "doc 1 2"
         assert all(r["content_type"] == "text/html" for r in rows)
         # one task per file: the parse is executor-side (mapInPandas)
-        assert "mapInPandas" in df._jdf.queryExecution().analyzed().toString() or True
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "mapInPandas" in plan or "MapInPandas" in plan, plan
 
     def test_registry_dispatch(self, spark, tmp_path):
         from ndr_import_spark.sources.registry import read_tables
@@ -143,7 +144,7 @@ class TestSparkIntegration:
         tables = read_tables(spark, str(p), "warc", {})
         assert len(tables) == 1
         rows = tables[0][1].collect()
-        assert rows[0]["text"] == "reg test"
+        assert rows[0]["cells"][5] == "reg test"  # cells contract
 
 
 class TestStreamingIngest:
@@ -176,3 +177,94 @@ class TestStreamingIngest:
         assert [r["text"] for r in rows] == [
             f"batch {f} {i}" for f in range(3) for i in range(2)
         ]
+
+
+class TestReviewRegressions:
+    """Pins for the round-5 WARC review findings."""
+
+    def test_mixed_case_content_type_extracts(self):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: Text/HTML; charset=UTF-8\r\n"
+            b"Content-Length: 10\r\n\r\n<p>cap</p>"
+        )
+        data = write_warc([({"WARC-Type": "response",
+                             "WARC-Target-URI": "https://c.test/"}, payload)])
+        rows = warc_records_to_rows("f", data)
+        assert rows[0][7] == "cap"
+
+    def test_folded_header_line(self):
+        payload = http_response_bytes(b"<p>x</p>")
+        raw = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: https://f.test/\r\n"
+            b"WARC-Concurrent-To: <urn:uuid:1>\r\n"
+            b"\t<urn:uuid:2>\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+            b"\r\n" + payload + b"\r\n\r\n"
+        )
+        recs = parse_warc(raw)
+        assert recs[0].headers["warc-concurrent-to"] == "<urn:uuid:1> <urn:uuid:2>"
+
+    def test_chunked_transfer_encoding_dechunked(self):
+        body = b"5\r\n<p>ab\r\n6\r\ncd</p>\r\n0\r\n\r\n"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n" + body
+        )
+        data = write_warc([({"WARC-Type": "response",
+                             "WARC-Target-URI": "https://ch.test/"}, payload)])
+        rows = warc_records_to_rows("f", data)
+        # the two chunks reassemble into ONE <p> element
+        assert rows[0][7] == "abcd"
+
+    def test_gzip_content_encoding_decoded(self):
+        html = b"<p>compressed body text</p>"
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n\r\n" + gzip.compress(html)
+        )
+        data = write_warc([({"WARC-Type": "response",
+                             "WARC-Target-URI": "https://gz.test/"}, payload)])
+        rows = warc_records_to_rows("f", data)
+        assert rows[0][7] == "compressed body text"
+
+    def test_corrupt_content_encoding_falls_back_to_raw(self):
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+            b"Content-Encoding: gzip\r\n\r\nnot actually gzip"
+        )
+        data = write_warc([({"WARC-Type": "response",
+                             "WARC-Target-URI": "https://bad.test/"}, payload)])
+        rows = warc_records_to_rows("f", data)  # lenient: raw text kept
+        assert rows[0][7] == "not actually gzip"
+
+    def test_compound_extension_dispatch(self, spark, tmp_path):
+        from ndr_import_spark.sources.registry import format_for, read_tables
+
+        assert format_for("crawl-data.warc.gz") == "warc"
+        assert format_for("rows.csv.gz") == "csv"
+        assert format_for("plain.csv") == "csv"
+        data = write_warc([_rec("https://a.test/", b"<p>by ext</p>")])
+        p = tmp_path / "byext.warc.gz"
+        p.write_bytes(data)
+        tables = read_tables(spark, str(p))  # no fmt override needed
+        rows = tables[0][1].collect()
+        # cells contract: text is cell index 5
+        assert rows[0]["cells"][5] == "by ext"
+        assert rows[0]["row_index"] == 0
+
+    def test_registry_adapter_obeys_cells_contract(self, spark, tmp_path):
+        from ndr_import_spark.sources.registry import read_tables
+
+        data = write_warc([_rec("https://a.test/", b"<p>cells</p>")])
+        p = tmp_path / "c.warc.gz"
+        p.write_bytes(data)
+        df = read_tables(spark, str(p), "warc", {})[0][1]
+        assert [f.name for f in df.schema.fields] == [
+            "source_file", "row_index", "cells"
+        ]
+        row = df.collect()[0]
+        assert row["cells"][0] == "response"
+        assert row["cells"][3] == "200"
+        assert row["cells"][5] == "cells"
