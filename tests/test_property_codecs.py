@@ -79,3 +79,114 @@ class TestPdfLexerProperties:
     def test_array_of_numbers(self, nums):
         src = b"[" + b" ".join(str(n).encode() for n in nums) + b"]"
         assert _Lexer(src).parse() == nums
+
+
+class TestBcjX86Properties:
+    @given(st.binary(min_size=0, max_size=600))
+    @settings(max_examples=60, deadline=None)
+    def test_encode_decode_identity(self, blob):
+        from ndr_import_spark.sources.sevenzip import bcj_x86_filter
+
+        enc = bcj_x86_filter(blob, encoding=True)
+        assert bcj_x86_filter(enc, encoding=False) == blob
+        assert len(enc) == len(blob)
+
+    @given(st.lists(st.sampled_from([0xE8, 0xE9, 0x00, 0xFF, 0x90]),
+                    min_size=0, max_size=300))
+    @settings(max_examples=60, deadline=None)
+    def test_adversarial_opcode_soup_roundtrip(self, vals):
+        from ndr_import_spark.sources.sevenzip import bcj_x86_filter
+
+        blob = bytes(vals)
+        assert bcj_x86_filter(bcj_x86_filter(blob, True), False) == blob
+
+
+class TestWavProperties:
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=1, max_size=200,
+        ),
+        st.integers(min_value=1, max_value=4),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_16bit_roundtrip_exact(self, vals, channels):
+        import numpy as np
+
+        from ndr_import_spark.functions.wav import decode_wav, encode_wav
+
+        frames = len(vals) // channels
+        if frames == 0:
+            return
+        arr = (
+            np.array(vals[: frames * channels], dtype=np.float64) / 32768.0
+        ).reshape(frames, channels)
+        rate = 8000
+        out_rate, ch, samples = decode_wav(encode_wav(rate, arr, bits=16))
+        assert (out_rate, ch) == (rate, channels)
+        assert np.array_equal(samples, arr)  # k/32768 is exact both ways
+
+    @given(st.binary(min_size=0, max_size=120))
+    @settings(max_examples=60, deadline=None)
+    def test_arbitrary_bytes_never_leak_raw_errors(self, blob):
+        from ndr_import_spark.functions.wav import WavError, decode_wav
+
+        try:
+            decode_wav(b"RIFF" + blob)
+        except WavError:
+            pass  # the only allowed failure mode
+
+
+class TestProgressiveJpegProperty:
+    @given(
+        st.integers(min_value=8, max_value=40),
+        st.integers(min_value=8, max_value=32),
+        st.integers(min_value=25, max_value=100),
+        st.randoms(use_true_random=False),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_progressive_equals_baseline(self, w, h, quality, rnd):
+        import numpy as np
+
+        from ndr_import_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        px = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+        base = decode_jpeg(encode_jpeg(w, h, px, channels=3, quality=quality))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(w, h, px, channels=3, quality=quality)
+        )
+        assert base == prog  # identical coefficients → identical pixels
+
+
+class TestWarcProperties:
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(
+                    alphabet=st.characters(
+                        whitelist_categories=("Ll", "Lu", "Nd")
+                    ),
+                    min_size=1, max_size=12,
+                ),
+                st.binary(min_size=0, max_size=80),
+            ),
+            min_size=1, max_size=6,
+        ),
+        st.booleans(),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_writer_reader_roundtrip(self, recs, gzipped):
+        from ndr_import_spark.sources.warc import parse_warc, write_warc
+
+        records = [
+            ({"WARC-Type": "resource", "WARC-Target-URI": f"urn:x:{name}"}, body)
+            for name, body in recs
+        ]
+        got = parse_warc(write_warc(records, gzipped=gzipped))
+        assert [(r.target_uri, r.payload) for r in got] == [
+            (f"urn:x:{name}", body) for name, body in recs
+        ]
