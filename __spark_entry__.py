@@ -1575,6 +1575,77 @@ def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(docs, merges).orderBy("lang")
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt compliance filtering end-to-end (operators/crawl.py):
+    six hosts publish a real robots.txt (Disallow + longest-match Allow
+    override + a prefix rule), two publish none; 120 md5-derived URLs
+    spread over four path classes. The Spark side PARSES the robots
+    bodies (group selection, rule extraction) and decides per URL by RFC
+    9309 longest-match; the oracle computes the ground-truth decision
+    from the (host, path-class) arithmetic alone — parser and decision
+    logic are therefore checked against an independent derivation."""
+    import hashlib as _hl
+
+    from ndr_import_spark.operators.crawl import robots_filter
+
+    robots_rows = [
+        (
+            f"site{k}.test",
+            f"User-agent: *\nDisallow: /d{k}/\nAllow: /d{k}/keep/\nDisallow: /x\n",
+        )
+        for k in range(6)
+    ]
+    robots = spark.createDataFrame(robots_rows, "host string, robots_txt string")
+    docs_rows = []
+    for g in range(120):
+        b = _hl.md5(f"robot{g}".encode()).digest()
+        k = b[0] % 8
+        c = b[1] % 4
+        if c == 0:
+            path = f"/page/{g}"
+        elif c == 1:
+            path = f"/d{k}/sec/{g}"
+        elif c == 2:
+            path = f"/d{k}/keep/{g}"
+        else:
+            path = f"/xfile{g}"
+        docs_rows.append((g, f"https://site{k}.test{path}", f"text {g}"))
+    docs = spark.createDataFrame(
+        docs_rows, "doc_id long, target_uri string, text string"
+    ).repartition(8)
+    kept = robots_filter(docs, robots)
+    return (
+        kept.withColumn(
+            "host", F.regexp_extract("target_uri", r"https://([^/]*)", 1)
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id"))
+        .orderBy("host")
+    )
+
+
+_ORACLE_ROBOTS_FILTER = """
+WITH m AS (SELECT unnest(range(120)) AS g),
+d AS (
+  SELECT g,
+    cast(('0x' || substring(md5('robot' || g), 1, 2)) as int) % 8 AS k,
+    cast(('0x' || substring(md5('robot' || g), 3, 2)) as int) % 4 AS c
+  FROM m
+),
+f AS (
+  SELECT g, 'site' || k || '.test' AS host,
+    -- ground truth: hosts 6/7 have no robots (all allowed); for hosts
+    -- 0-5: class 0 (/page/) allowed, class 1 (/d{k}/sec/) disallowed,
+    -- class 2 (/d{k}/keep/) allowed by the LONGEST-match Allow override,
+    -- class 3 (/xfile...) disallowed by the /x prefix
+    (k >= 6 OR c = 0 OR c = 2) AS kept
+  FROM d
+)
+SELECT host, count(*) AS n_kept, min(g) AS min_id
+FROM f WHERE kept GROUP BY host ORDER BY host
+"""
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL distributed WARC extraction end-to-end (sources/warc.py): two
     genuine .warc.gz files (one gzip member per record, the Common Crawl
@@ -5161,6 +5232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "bpe_tokenizer": q_bpe_tokenizer,
         "warc_extract": q_warc_extract,
+        "robots_filter": q_robots_filter,
         "ivf_cells": q_ivf_cells,
         "ivf_probe_topk": q_ivf_probe_topk,
         "quantize_embeddings": q_quantize_embeddings,
@@ -5268,6 +5340,7 @@ def oracle_sql() -> dict[str, str]:
         "video_features": _ORACLE_VIDEO_FEATURES,
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "warc_extract": _ORACLE_WARC_EXTRACT,
+        "robots_filter": _ORACLE_ROBOTS_FILTER,
         "ivf_cells": _oracle_ivf(),
         "ivf_probe_topk": _oracle_ivf_probe(),
         "quantize_embeddings": _ORACLE_QUANTIZE,

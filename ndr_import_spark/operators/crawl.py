@@ -1,0 +1,196 @@
+"""Crawl-compliance operators: robots.txt filtering and per-domain stats
+for WARC-extracted corpora.
+
+Net-new (BASELINE.json north_star): the compliance stage a crawl-derived
+training corpus runs before anything else — drop documents whose URL a
+site's robots.txt disallows for the harvesting agent.
+
+Semantics (documented SUBSET of the robots exclusion protocol, RFC 9309):
+the rule group applying to the given user-agent (exact token match,
+falling back to ``*``), its ``Disallow:`` path prefixes and ``Allow:``
+path prefixes, decided by LONGEST-MATCH precedence (RFC 9309 §2.2.2 —
+the most specific matching rule wins; Allow wins ties). ``$``-anchors and
+``*``-wildcards inside paths are NOT interpreted (treated literally) —
+the honest cut line, stated here rather than silently mis-matched.
+
+Scale design: robots.txt bodies are parsed ONCE on the HOST-sized frame
+(one row per site — bounded by the web's host count, millions, not the
+corpus' trillions of documents) into (host, rule, is_allow) rows; the
+corpus joins that frame on the HOST equi-key — never a cross product —
+and the longest-matching rule per document is decided by one
+max-over-struct aggregate, map-side combinable. The corpus never meets
+Python; rule parsing is a pure-Column split/explode pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def url_host(url: Column) -> Column:
+    """Host of an absolute URL (lowercased, port kept) — pure regexp."""
+    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+
+
+def url_path(url: Column) -> Column:
+    """Path component of an absolute URL ('/' when absent) — pure regexp."""
+    p = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def parse_robots_rules(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """(host, rule, is_allow, rule_len) rows from raw robots.txt bodies.
+
+    Selects the rule group for `user_agent` (exact token, case-insensitive)
+    when one exists for the host, else the ``*`` group. Group membership
+    follows the protocol's line structure: consecutive ``User-agent:``
+    lines share the rule block that follows. Pure Column pipeline
+    (split/explode/window-free prefix logic) over the host-sized frame."""
+    ua = user_agent.lower()
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.col(body_col), r"\r?\n")
+        ).alias("line_no", "line"),
+    ).select(
+        "host",
+        "line_no",
+        # strip comments and whitespace
+        F.trim(F.regexp_replace(F.col("line"), r"#.*$", "")).alias("line"),
+    )
+    parsed = lines.select(
+        "host",
+        "line_no",
+        F.lower(F.trim(F.regexp_extract(F.col("line"), r"^([A-Za-z-]+)\s*:", 1))).alias("key"),
+        F.trim(F.regexp_extract(F.col("line"), r"^[A-Za-z-]+\s*:(.*)$", 1)).alias("value"),
+    ).filter(F.col("key") != "")
+    # group id: running count of user-agent lines that START a new group
+    # (a UA line directly after another UA line joins the same group).
+    # Window by host ordered by line number — host-sized data, tiny.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy("line_no")
+    marked = parsed.withColumn(
+        "_prev_key", F.lag("key").over(w)
+    ).withColumn(
+        "_new_group",
+        (
+            (F.col("key") == "user-agent")
+            & (F.coalesce(F.col("_prev_key"), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn(
+        "grp", F.sum("_new_group").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    # which groups name our UA / the wildcard
+    group_uas = (
+        marked.filter(F.col("key") == "user-agent")
+        .groupBy("host", "grp")
+        .agg(
+            F.max((F.lower(F.col("value")) == ua).cast("int")).alias("_has_ua"),
+            F.max((F.col("value") == "*").cast("int")).alias("_has_star"),
+        )
+    )
+    host_has_ua = group_uas.groupBy("host").agg(
+        F.max("_has_ua").alias("_host_has_ua")
+    )
+    chosen = (
+        group_uas.join(host_has_ua, "host")
+        .filter(
+            ((F.col("_host_has_ua") == 1) & (F.col("_has_ua") == 1))
+            | ((F.col("_host_has_ua") == 0) & (F.col("_has_star") == 1))
+        )
+        .select("host", "grp")
+    )
+    rules = (
+        marked.join(chosen, ["host", "grp"])
+        .filter(F.col("key").isin("allow", "disallow") & (F.col("value") != ""))
+        .select(
+            "host",
+            F.col("value").alias("rule"),
+            (F.col("key") == "allow").alias("is_allow"),
+            F.length("value").alias("rule_len"),
+        )
+        .distinct()
+    )
+    return rules
+
+
+def robots_filter(
+    docs: DataFrame,
+    robots: DataFrame,
+    uri_col: str = "target_uri",
+    host_col: str = "host",
+    body_col: str = "robots_txt",
+    user_agent: str = "*",
+) -> DataFrame:
+    """Drop documents whose URL path the host's robots.txt disallows for
+    `user_agent` (longest-match precedence, Allow wins ties; hosts with
+    no robots row are fully allowed — the protocol's default).
+
+    The DECISION is computed once per distinct (host, path) pair — a
+    frame bounded by distinct URLs, smaller than the corpus and far
+    smaller than corpus × rules: the pair frame host-equi-joins the
+    host-sized rule frame, the prefix match is a codegen `startswith`
+    filter, and ONE max-over-struct aggregate picks the governing rule
+    (map-side combinable). The corpus itself is then filtered by a
+    LEFT SEMI join on (host, path) — duplicate documents survive intact
+    and no corpus-wide window or row-collapsing groupBy exists."""
+    rules = parse_robots_rules(robots, host_col, body_col, user_agent)
+    keyed = docs.withColumn("_host", url_host(F.col(uri_col))).withColumn(
+        "_path", url_path(F.col(uri_col))
+    )
+    pairs = keyed.select("_host", "_path").distinct()
+    decided = (
+        pairs.join(rules, pairs["_host"] == rules["host"], "left")
+        .groupBy("_host", "_path")
+        .agg(
+            # non-matching rules contribute NULL (ignored by MAX) — a pair
+            # whose host has rules but none matching stays in the frame
+            # with _best NULL, i.e. allowed by default (a pre-filter here
+            # would silently DROP such pairs)
+            F.max(
+                F.when(
+                    F.col("rule").isNotNull()
+                    & F.col("_path").startswith(F.col("rule")),
+                    F.struct(
+                        F.col("rule_len").alias("l"),
+                        # Allow outranks Disallow at equal length
+                        F.col("is_allow").cast("int").alias("a"),
+                    ),
+                )
+            ).alias("_best")
+        )
+    )
+    allowed = decided.filter(
+        F.col("_best").isNull() | (F.col("_best.a") == 1)
+    ).select("_host", "_path")
+    return keyed.join(allowed, ["_host", "_path"], "left_semi").select(
+        *docs.columns
+    )
+
+
+def per_domain_stats(
+    docs: DataFrame, uri_col: str = "target_uri", text_col: str = "text"
+) -> DataFrame:
+    """(host, n_docs, total_chars, avg_chars) — the crawl-balance profile
+    run before per-source caps. One combinable aggregate on the host key
+    (AQE handles the mega-domain skew; `per_source_cap` is the follow-up
+    stage for actually capping)."""
+    return (
+        docs.select(
+            url_host(F.col(uri_col)).alias("host"),
+            F.length(F.col(text_col)).alias("_n"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("total_chars"),
+            F.round(F.avg("_n"), 5).alias("avg_chars"),
+        )
+    )
