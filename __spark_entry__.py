@@ -2294,6 +2294,74 @@ FROM g ORDER BY rep DESC, doc_id LIMIT 20
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-rule bundle (Rae et al. 2021 table A1): per-doc
+    word counts, alpha-word fraction, top-{2,3,4}-gram character share,
+    duplicated-{5,10}-gram character share, and the pass/fail conjunction.
+    One long exploded gram frame → two partial-agg groupBys → conditional
+    pivot; per-row signals stay shuffle-free codegen maps."""
+    from ndr_import_spark.operators.textstats import gopher_stats_frame
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_stats_frame(docs).orderBy("doc_id")
+
+
+_ORACLE_GOPHER = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS wds,
+         length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS nonspace
+  FROM documents
+), base AS (
+  SELECT doc_id, wds, len(wds) AS nw,
+         CASE WHEN len(wds) > 0
+              THEN round(CAST(nonspace AS DOUBLE) / len(wds), 5)
+              ELSE 0.0 END AS mwl,
+         CASE WHEN len(wds) > 0
+              THEN round(CAST(len(list_filter(wds,
+                   t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(wds), 6)
+              ELSE 0.0 END AS fa
+  FROM w
+), g AS (
+  SELECT doc_id, n, array_to_string(wds[i:i+n-1], ' ') AS gram
+  FROM base, unnest([2,3,4,5,10]) AS tn(n),
+       unnest(range(1, greatest(nw - n + 2, 1))) AS ts(i)
+  WHERE nw >= n
+), gc AS (
+  SELECT doc_id, n, count(*) AS cnt, count(*) * length(gram) AS cl
+  FROM g GROUP BY doc_id, n, gram
+), pn AS (
+  SELECT doc_id, n,
+         max(cl) / CAST(sum(cl) AS DOUBLE) AS top_frac,
+         sum(CASE WHEN cnt > 1 THEN cl ELSE 0 END)
+             / CAST(sum(cl) AS DOUBLE) AS dup_frac
+  FROM gc GROUP BY doc_id, n
+), piv AS (
+  SELECT doc_id,
+    round(coalesce(max(CASE WHEN n=2 THEN top_frac END), 0.0), 6) AS t2,
+    round(coalesce(max(CASE WHEN n=3 THEN top_frac END), 0.0), 6) AS t3,
+    round(coalesce(max(CASE WHEN n=4 THEN top_frac END), 0.0), 6) AS t4,
+    round(coalesce(max(CASE WHEN n=5 THEN dup_frac END), 0.0), 6) AS d5,
+    round(coalesce(max(CASE WHEN n=10 THEN dup_frac END), 0.0), 6) AS d10
+  FROM pn GROUP BY doc_id
+)
+SELECT b.doc_id, b.nw AS n_words, b.mwl AS mean_word_len,
+       b.fa AS alpha_word_frac,
+       coalesce(p.t2, 0.0) AS top_2gram_frac,
+       coalesce(p.t3, 0.0) AS top_3gram_frac,
+       coalesce(p.t4, 0.0) AS top_4gram_frac,
+       coalesce(p.d5, 0.0) AS dup_5gram_frac,
+       coalesce(p.d10, 0.0) AS dup_10gram_frac,
+       (b.nw >= 20 AND b.mwl >= 3.0 AND b.mwl <= 10.0 AND b.fa >= 0.80
+        AND coalesce(p.t2, 0.0) <= 0.20 AND coalesce(p.t3, 0.0) <= 0.18
+        AND coalesce(p.t4, 0.0) <= 0.16 AND coalesce(p.d5, 0.0) <= 0.15
+        AND coalesce(p.d10, 0.0) <= 0.10) AS gopher_pass
+FROM base b LEFT JOIN piv p ON b.doc_id = p.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping word-window chunking (16-word windows, 4-word overlap)
     with provenance — context-window preparation. Explode of start
@@ -5251,6 +5319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": q_range_join_windows,
         "merge_upsert": q_merge_upsert,
         "repetition_score": q_repetition_score,
+        "gopher_quality": q_gopher_quality,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -5359,6 +5428,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join_windows": _ORACLE_RANGE_JOIN,
         "merge_upsert": _ORACLE_MERGE_UPSERT,
         "repetition_score": _ORACLE_REPETITION,
+        "gopher_quality": _ORACLE_GOPHER,
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,

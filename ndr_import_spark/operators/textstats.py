@@ -256,6 +256,153 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher repetition-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", table A1 —
+# public paper; the reference repo has no counterpart). Shared literally
+# with the DuckDB oracle.
+GOPHER_MIN_WORDS = 20
+GOPHER_MEAN_WORD_LEN = (3.0, 10.0)
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+GOPHER_TOP_NGRAM_MAX_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX_FRAC = {5: 0.15, 10: 0.10}
+
+
+def alpha_word_frac(text: Column) -> Column:
+    """Fraction of whitespace tokens containing at least one ``[a-z]``.
+
+    Codegen form (no HOF): prepend one space to the edge-stripped lowered
+    text and count ``\\s[^\\s]*?[a-z]`` — each match starts at a token
+    boundary (the pattern consumes the boundary whitespace, so a second
+    match can never begin inside the same token) and the lazy run stops at
+    the first letter, so a token with a letter is counted exactly once and
+    a letterless token never matches."""
+    s = _stripped_lower(text)
+    n_tok = token_count(text)
+    hits = F.regexp_count(
+        F.concat(F.lit(" "), s), F.lit(r"\s[^\s]*?[a-z]")
+    )
+    return F.when(n_tok > 0, hits / n_tok).otherwise(F.lit(0.0))
+
+
+def gopher_stats_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition/quality signal bundle, one row per document:
+
+    ``n_words``, ``mean_word_len``, ``alpha_word_frac`` (per-row codegen
+    maps, no shuffle), ``top_{2,3,4}gram_frac`` (character share of the
+    single most frequent word n-gram) and ``dup_{5,10}gram_frac``
+    (character share of n-grams occurring more than once), plus the
+    boolean ``gopher_pass`` conjunction of the published thresholds.
+
+    Scale path: ONE long gram frame — explode(n ∈ {2,3,4,5,10}) ×
+    explode(start) → ``array_join(slice(wds, i, n))`` (all whole-stage
+    codegen, no HOF lambdas) → ``groupBy(id, n, gram).count()`` with
+    map-side partial aggregation, → ``groupBy(id, n)`` → conditional-MAX
+    pivot to one row per document. The shuffle carries (id, n, gram)
+    partial counts — the same cost profile as the MinHash shingle
+    pipeline (operators/dedup.py), linear in corpus size; nothing is
+    quadratic and nothing collects. Character share uses the gram's
+    string length (words + single joining spaces), identical on the
+    DuckDB side."""
+    t = F.col(text_col)
+    wds = tokens(t)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        wds.alias("_wds"),
+        token_count(t).alias("n_words"),
+        F.round(mean_word_length(t), 5).alias("mean_word_len"),
+        F.round(alpha_word_frac(t), 6).alias("alpha_word_frac"),
+    )
+    ns = sorted(set(GOPHER_TOP_NGRAM_MAX_FRAC) | set(GOPHER_DUP_NGRAM_MAX_FRAC))
+    nw = F.size(F.col("_wds"))
+    grams = (
+        base.select(
+            "_id",
+            "_wds",
+            F.explode(F.array(*[F.lit(n) for n in ns])).alias("_n"),
+        )
+        .where(nw >= F.col("_n"))
+        .select(
+            "_id",
+            "_n",
+            "_wds",
+            F.explode(
+                F.sequence(F.lit(1), nw - F.col("_n") + 1)
+            ).alias("_i"),
+        )
+        .select(
+            "_id",
+            "_n",
+            F.array_join(
+                F.slice(F.col("_wds"), F.col("_i"), F.col("_n")), " "
+            ).alias("_gram"),
+        )
+    )
+    counted = grams.groupBy("_id", "_n", "_gram").agg(F.count("*").alias("_cnt"))
+    counted = counted.select(
+        "_id", "_n", "_cnt", (F.col("_cnt") * F.length("_gram")).alias("_cl")
+    )
+    per_n = counted.groupBy("_id", "_n").agg(
+        (F.max("_cl") / F.sum("_cl")).alias("_top_frac"),
+        (
+            F.sum(F.when(F.col("_cnt") > 1, F.col("_cl")).otherwise(F.lit(0)))
+            / F.sum("_cl")
+        ).alias("_dup_frac"),
+    )
+    pivot_aggs = []
+    for n in GOPHER_TOP_NGRAM_MAX_FRAC:
+        pivot_aggs.append(
+            F.round(
+                F.coalesce(
+                    F.max(F.when(F.col("_n") == n, F.col("_top_frac"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias(f"top_{n}gram_frac")
+        )
+    for n in GOPHER_DUP_NGRAM_MAX_FRAC:
+        pivot_aggs.append(
+            F.round(
+                F.coalesce(
+                    F.max(F.when(F.col("_n") == n, F.col("_dup_frac"))),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias(f"dup_{n}gram_frac")
+        )
+    pivoted = per_n.groupBy("_id").agg(*pivot_aggs)
+    joined = base.drop("_wds").join(pivoted, "_id", "left")
+    for n in GOPHER_TOP_NGRAM_MAX_FRAC:
+        joined = joined.withColumn(
+            f"top_{n}gram_frac", F.coalesce(F.col(f"top_{n}gram_frac"), F.lit(0.0))
+        )
+    for n in GOPHER_DUP_NGRAM_MAX_FRAC:
+        joined = joined.withColumn(
+            f"dup_{n}gram_frac", F.coalesce(F.col(f"dup_{n}gram_frac"), F.lit(0.0))
+        )
+    lo, hi = GOPHER_MEAN_WORD_LEN
+    passed = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("mean_word_len") >= lo)
+        & (F.col("mean_word_len") <= hi)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+    )
+    for n, mx in GOPHER_TOP_NGRAM_MAX_FRAC.items():
+        passed = passed & (F.col(f"top_{n}gram_frac") <= mx)
+    for n, mx in GOPHER_DUP_NGRAM_MAX_FRAC.items():
+        passed = passed & (F.col(f"dup_{n}gram_frac") <= mx)
+    return joined.select(
+        F.col("_id").alias(id_col),
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        *[f"top_{n}gram_frac" for n in GOPHER_TOP_NGRAM_MAX_FRAC],
+        *[f"dup_{n}gram_frac" for n in GOPHER_DUP_NGRAM_MAX_FRAC],
+        passed.alias("gopher_pass"),
+    )
+
+
 def type_token_ratio(text: Column) -> Column:
     """Lexical diversity: distinct tokens / tokens (1.0 for empty text by
     convention — an empty document is not 'repetitive'). Narrow, pure
