@@ -2362,6 +2362,23 @@ ORDER BY b.doc_id
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (5 synchronous rounds, d=0.85) over a
+    deterministic synthetic link graph derived from the documents table;
+    top 30 nodes. BIGINT arithmetic end-to-end — bit-identical across
+    engines and re-runs; the edge shuffle is deduped across iterations by
+    Catalyst ReusedExchange."""
+    from ndr_import_spark.operators.graph import (
+        pagerank_fixed_point,
+        synthetic_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synthetic_link_graph(docs)
+    pr = pagerank_fixed_point(edges, iterations=5)
+    return pr.orderBy(F.desc("score"), "id").limit(30)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping word-window chunking (16-word windows, 4-word overlap)
     with provenance — context-window preparation. Explode of start
@@ -5320,6 +5337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "repetition_score": q_repetition_score,
         "gopher_quality": q_gopher_quality,
+        "pagerank": q_pagerank,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -5348,6 +5366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ndr_import_spark.operators.graph import pagerank_oracle_sql
+
     return {
         "map_clean_fields": _ORACLE_MAP_CLEAN,
         "map_fixed_width": _ORACLE_FIXED_WIDTH,
@@ -5429,6 +5449,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": _ORACLE_MERGE_UPSERT,
         "repetition_score": _ORACLE_REPETITION,
         "gopher_quality": _ORACLE_GOPHER,
+        "pagerank": pagerank_oracle_sql(),
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,

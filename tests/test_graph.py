@@ -1,0 +1,75 @@
+"""Fixed-point integer PageRank (operators/graph.py).
+
+Hand-computed trajectories on tiny graphs pin the exact integer
+recurrence (the DuckDB-parity path is covered by the `pagerank` oracle
+query); a plan probe checks the edge shuffle is deduped across
+iterations via ReusedExchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ndr_import_spark.operators.graph import (
+    pagerank_fixed_point,
+    synthetic_link_graph,
+)
+
+S = 10**12
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_cycle_is_a_fixpoint(spark):
+    # 3-cycle, out-degree 1 everywhere: score stays scale//3 forever.
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    got = {r["id"]: r["score"] for r in pagerank_fixed_point(e, 4).collect()}
+    assert got == {0: S // 3, 1: S // 3, 2: S // 3}
+
+
+def test_star_one_iteration_hand_computed(spark):
+    # 1,2,3 -> 0 and 0 -> 1; n=4, init 250_000_000_000 each,
+    # teleport floor = 150_000_000_000 // 4 = 37_500_000_000.
+    e = _edges(spark, [(1, 0), (2, 0), (3, 0), (0, 1)])
+    got = {r["id"]: r["score"] for r in pagerank_fixed_point(e, 1).collect()}
+    tp = 37_500_000_000
+    assert got[0] == tp + 85 * (3 * 250_000_000_000) // 100
+    assert got[1] == tp + 85 * 250_000_000_000 // 100
+    assert got[2] == tp  # no in-links: teleport only
+    assert got[3] == tp
+    # total mass never exceeds scale (dangling/teleport floors leak down)
+    assert sum(got.values()) <= S
+
+
+def test_out_degree_split(spark):
+    # 0 -> {1, 2}: each successor gets score//2 of node 0's rank.
+    e = _edges(spark, [(0, 1), (0, 2), (1, 0), (2, 0)])
+    got = {r["id"]: r["score"] for r in pagerank_fixed_point(e, 1).collect()}
+    n = 3
+    init = S // n
+    tp = 150_000_000_000 // n
+    assert got[1] == tp + 85 * (init // 2) // 100
+    assert got[2] == got[1]
+    assert got[0] == tp + 85 * (init + init) // 100
+
+
+def test_synthetic_link_graph_shape(spark):
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    e = synthetic_link_graph(docs, out_degree=3)
+    rows = e.collect()
+    # stride 7919 mod 10 = 9 -> offsets 9, 8, 7: never 0, so 30 edges
+    assert len(rows) == 30
+    assert all(0 <= r["dst"] < 10 and r["dst"] != r["src"] for r in rows)
+    # deterministic: doc 0 links to (0+9)%10, (0+18)%10, (0+23757)%10
+    assert sorted(r["dst"] for r in rows if r["src"] == 0) == [7, 8, 9]
+
+
+def test_edge_shuffle_reused_across_iterations(spark):
+    docs = spark.range(50).withColumnRenamed("id", "doc_id")
+    pr = pagerank_fixed_point(synthetic_link_graph(docs), iterations=3)
+    pr.collect()  # AQE resolves exchange reuse at runtime; read final plan
+    plan = pr._sc._jvm.PythonSQLUtils.explainString(
+        pr._jdf.queryExecution(), "formatted"
+    )
+    assert "ReusedExchange" in plan
