@@ -2379,6 +2379,65 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.desc("score"), "id").limit(30)
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff bigram LM (Brants et al. 2007): train counts on the
+    doc_id%5!=0 split, score the held-out split — per-doc mean log10
+    score + backoff-pair novelty count. Counts collapse map-side; scoring
+    is two hash joins on gram keys; log10 quantised to 6dp before a
+    DECIMAL sum so reduction order can't drift."""
+    from ndr_import_spark.operators.lm import (
+        score_stupid_backoff,
+        train_bigram_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    uni, bi, total = train_bigram_counts(train)
+    return score_stupid_backoff(test, uni, bi, total).orderBy("doc_id")
+
+
+_ORACLE_BIGRAM_LM = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS wds
+  FROM documents
+), train AS (SELECT * FROM w WHERE doc_id % 5 <> 0),
+test AS (SELECT * FROM w WHERE doc_id % 5 = 0),
+uni AS (
+  SELECT t.w, count(*) AS c1
+  FROM (SELECT unnest(wds) AS w FROM train) t GROUP BY t.w
+), tot AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM uni),
+bi AS (
+  SELECT wds[i] AS w1, wds[i+1] AS w2, count(*) AS c2
+  FROM train, unnest(range(1, greatest(len(wds), 1))) AS ts(i)
+  WHERE len(wds) >= 2 GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_id, wds[i] AS w1, wds[i+1] AS w2
+  FROM test, unnest(range(1, greatest(len(wds), 1))) AS ts(i)
+  WHERE len(wds) >= 2
+), sc AS (
+  SELECT p.doc_id,
+    CASE WHEN b.c2 IS NOT NULL THEN b.c2 / u1.c1
+         ELSE 0.4 * (CASE WHEN u2.c1 IS NOT NULL THEN u2.c1 / tot.t
+                          ELSE 0.4 / tot.t END)
+    END AS s,
+    CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END AS bo
+  FROM pairs p
+  LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN uni u1 ON p.w1 = u1.w
+  LEFT JOIN uni u2 ON p.w2 = u2.w
+  CROSS JOIN tot
+)
+SELECT doc_id, count(*) AS n_pairs,
+       CAST(sum(bo) AS BIGINT) AS backoff_pairs,
+       round(CAST(sum(CAST(round(log10(s), 6) AS DECIMAL(12,6))) AS DOUBLE)
+             / count(*), 6) AS avg_logprob
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping word-window chunking (16-word windows, 4-word overlap)
     with provenance — context-window preparation. Explode of start
@@ -5338,6 +5397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": q_repetition_score,
         "gopher_quality": q_gopher_quality,
         "pagerank": q_pagerank,
+        "bigram_lm_score": q_bigram_lm_score,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -5450,6 +5510,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_score": _ORACLE_REPETITION,
         "gopher_quality": _ORACLE_GOPHER,
         "pagerank": pagerank_oracle_sql(),
+        "bigram_lm_score": _ORACLE_BIGRAM_LM,
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,
