@@ -1316,15 +1316,16 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic media table of genuine baseline-JPEG AND progressive
     SOF2-JPEG (solid gray at quality=100 — constant blocks are DC-only,
     integral, quant=1, so the decode is analytically EXACT for both scan
-    structures), genuine PNG and genuine GIF payloads (both lossless 4x4
-    grayscales from md5 bytes — decoded features ARE the source bytes),
-    run through `extract_features` with NO injected decoder. The
-    per-codec feature aggregate is therefore fully reproducible by the
-    SQL oracle from md5 arithmetic alone, proving magic-byte dispatch +
-    all four codec paths + the Arrow batch plumbing, not just the
-    plumbing."""
+    structures), genuine PNG, genuine GIF and genuine BMP payloads (all
+    lossless 4x4 grayscales from md5 bytes — decoded features ARE the
+    source bytes), run through `extract_features` with NO injected
+    decoder. The per-codec feature aggregate is therefore fully
+    reproducible by the SQL oracle from md5 arithmetic alone, proving
+    magic-byte dispatch + all five codec paths + the Arrow batch
+    plumbing, not just the plumbing."""
     import hashlib as _hl
 
+    from ndr_import_spark.functions.bmp import encode_bmp
     from ndr_import_spark.functions.gif import encode_gif
     from ndr_import_spark.functions.jpeg import encode_jpeg, encode_jpeg_progressive
     from ndr_import_spark.functions.png import encode_png
@@ -1332,17 +1333,21 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     MM.set_image_decoder(None)  # force stdlib magic-byte dispatch
     rows = []
-    for i in range(88):
+    for i in range(90):
         b = _hl.md5(f"media{i}".encode()).digest()
-        if i % 4 in (0, 3):
+        if i % 5 in (0, 3):
             w, h = 8 + b[1] % 8, 8 + b[2] % 8
-            enc = encode_jpeg if i % 4 == 0 else encode_jpeg_progressive
+            enc = encode_jpeg if i % 5 == 0 else encode_jpeg_progressive
             payload = enc(
                 w, h, bytes([b[0]]) * (w * h), channels=1, quality=100
             )
         else:
             rgb = bytes(v for px in b[:16] for v in (px, px, px))
-            payload = encode_png(4, 4, rgb) if i % 4 == 1 else encode_gif(4, 4, rgb)
+            payload = {
+                1: encode_png,
+                2: encode_gif,
+                4: encode_bmp,
+            }[i % 5](4, 4, rgb)
         rows.append(
             (i, "image", "image/mixed", None, None, None, bytearray(payload))
         )
@@ -1353,10 +1358,11 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.size(F.col("feature"))
     return (
         feats.select(
-            F.when(F.col("media_id") % 4 == 0, "jpeg")
-            .when(F.col("media_id") % 4 == 1, "png")
-            .when(F.col("media_id") % 4 == 3, "prog")
-            .otherwise("gif")
+            F.when(F.col("media_id") % 5 == 0, "jpeg")
+            .when(F.col("media_id") % 5 == 1, "png")
+            .when(F.col("media_id") % 5 == 2, "gif")
+            .when(F.col("media_id") % 5 == 3, "prog")
+            .otherwise("bmp")
             .alias("codec"),
             F.col("width").cast("double").alias("w"),
             F.col("height").cast("double").alias("h"),
@@ -1375,23 +1381,23 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_MIXED_CODECS = """
-WITH m AS (SELECT unnest(range(88)) AS i),
+WITH m AS (SELECT unnest(range(90)) AS i),
 d AS (SELECT i, md5('media' || i) AS hx FROM m),
 f AS (
   SELECT i,
-    CASE cast(i % 4 as int) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-      WHEN 3 THEN 'prog' ELSE 'gif' END AS codec,
-    CASE WHEN i % 4 IN (0, 3)
+    CASE cast(i % 5 as int) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+      WHEN 2 THEN 'gif' WHEN 3 THEN 'prog' ELSE 'bmp' END AS codec,
+    CASE WHEN i % 5 IN (0, 3)
       THEN cast(8 + (cast(('0x' || substring(hx, 3, 2)) as int) % 8) as double)
       ELSE 4.0 END AS w,
-    CASE WHEN i % 4 IN (0, 3)
+    CASE WHEN i % 5 IN (0, 3)
       THEN cast(8 + (cast(('0x' || substring(hx, 5, 2)) as int) % 8) as double)
       ELSE 4.0 END AS ht,
-    CASE WHEN i % 4 IN (0, 3)
+    CASE WHEN i % 5 IN (0, 3)
       -- solid-gray JPEG at q100 decodes exactly — for BOTH the baseline
       -- and the progressive (SOF2) scan structure: all 16 cells equal
       THEN round(cast(('0x' || substring(hx, 1, 2)) as int) / 255.0, 6)
-      -- lossless PNG/GIF: cell j is source byte j (grey = 3b/3 = b exactly)
+      -- lossless PNG/GIF/BMP: cell j is source byte j (grey = 3b/3 = b)
       ELSE list_sum(list_transform(range(16),
         j -> round(cast(('0x' || substring(hx, j * 2 + 1, 2)) as int) / 255.0, 6)
       )) / 16.0 END AS mf

@@ -3,8 +3,9 @@ with typed metadata.
 
 Net-new (BASELINE.json north_star). Image decode is REAL for PNG
 (functions/png.py — inflate, unfilter), baseline AND progressive JPEG
-(functions/jpeg.py — T.81 Huffman + exact IDCT, Annex G scans) and GIF
-(functions/gif.py — LZW, interlace) payloads, dispatched by magic bytes;
+(functions/jpeg.py — T.81 Huffman + exact IDCT, Annex G scans), GIF
+(functions/gif.py — LZW, interlace) and BMP (functions/bmp.py — BI_RGB
+24/32-bit + palettised DIBs) payloads, dispatched by magic bytes;
 audio decode is REAL for WAV/PCM (functions/wav.py — RIFF walk, PCM and
 IEEE-float frames). Other formats need an injected decoder
 (`set_image_decoder`/`set_audio_decoder`; deterministic fake available for
@@ -102,6 +103,7 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
             return None, None, None
         if decoder is not None:
             return decoder(payload)
+        from ndr_import_spark.functions.bmp import bmp_image_decoder, is_bmp
         from ndr_import_spark.functions.gif import gif_image_decoder, is_gif
         from ndr_import_spark.functions.jpeg import is_jpeg, jpeg_image_decoder
         from ndr_import_spark.functions.png import is_png, png_image_decoder
@@ -113,8 +115,10 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
             return jpeg_image_decoder(raw)
         if is_gif(raw):
             return gif_image_decoder(raw)
+        if is_bmp(raw):
+            return bmp_image_decoder(raw)
         raise NotImplementedError(
-            "Non-PNG/JPEG/GIF media needs an injected decoder; use "
+            "Non-PNG/JPEG/GIF/BMP media needs an injected decoder; use "
             "multimodal.set_image_decoder (deterministic_fake_decoder "
             "available for tests)"
         )
@@ -276,14 +280,19 @@ def _encode_gif_quantized(width: int, height: int, rgb: bytes) -> bytes:
 
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Thumbnail/normalise stage: decode PNG, baseline-JPEG or GIF
+    """Thumbnail/normalise stage: decode PNG, baseline-JPEG, GIF or BMP
     payloads, nearest-neighbour resample to (target_w, target_h),
-    re-encode in the SOURCE format (PNG→PNG, JPEG→JPEG, GIF→GIF) — a
-    REAL stdlib roundtrip, batched through mapInPandas like the feature
-    extractor. Resizing needs raw pixels, so payloads in none of the
-    three formats raise per batch — the same honest env-gate contract
-    as the decode path."""
+    re-encode in the SOURCE format (PNG→PNG, JPEG→JPEG, GIF→GIF,
+    BMP→BMP) — a REAL stdlib roundtrip, batched through mapInPandas like
+    the feature extractor. Resizing needs raw pixels, so payloads in none
+    of the four formats raise per batch — the same honest env-gate
+    contract as the decode path."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ndr_import_spark.functions.bmp import (
+            decode_bmp,
+            encode_bmp,
+            is_bmp,
+        )
         from ndr_import_spark.functions.gif import (
             decode_gif,
             encode_gif,
@@ -342,8 +351,13 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                         _encode_gif_quantized(target_w, target_h, rgb)
                     )
                     continue
+                if is_bmp(data):
+                    w, h, ch, px = decode_bmp(data)
+                    rgb = resize_rgb(w, h, ch, px, target_w, target_h)
+                    out_payload.append(encode_bmp(target_w, target_h, rgb))
+                    continue
                 raise NotImplementedError(
-                    "resize_images requires PNG, baseline-JPEG or GIF "
+                    "resize_images requires PNG, baseline-JPEG, GIF or BMP "
                     "payloads (stdlib codecs)"
                 )
             yield pd.DataFrame(

@@ -47,6 +47,16 @@ class TestPngProperties:
         assert decode_png(png_with_filter(w, h, rgb, ftype))[3] == rgb
 
 
+class TestBmpProperties:
+    @given(rgb_images())
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip_24bit(self, img):
+        from ndr_import_spark.functions.bmp import decode_bmp, encode_bmp
+
+        w, h, rgb = img
+        assert decode_bmp(encode_bmp(w, h, rgb)) == (w, h, 3, rgb)
+
+
 def pdf_escape(raw: bytes) -> bytes:
     """Minimal correct literal-string escaping (what a writer would emit)."""
     out = bytearray(b"(")
