@@ -2444,6 +2444,54 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf rank-frequency OLS fit over the token frequency
+    table — corpus-health signal (natural text slopes near -1). Logs are
+    quantised to DECIMAL(12,6) before the regression sums so reduction
+    order can't drift; the only serial step is one row_number window over
+    the vocabulary."""
+    from ndr_import_spark.operators.textstats import zipf_fit_frame
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_fit_frame(docs).orderBy("lang")
+
+
+_ORACLE_ZIPF = r"""
+WITH w AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), freqs AS (
+  SELECT lang, w, count(*) AS f FROM w GROUP BY lang, w
+), ranked AS (
+  SELECT lang, f,
+         row_number() OVER (PARTITION BY lang ORDER BY f DESC, w ASC) AS r
+  FROM freqs
+), terms AS (
+  SELECT lang, f,
+         CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+         CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+  FROM ranked
+), agg AS (
+  SELECT lang, count(*) AS vocab, CAST(sum(f) AS BIGINT) AS total_tokens,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx
+  FROM terms GROUP BY lang
+)
+SELECT lang, vocab, total_tokens,
+  CASE WHEN vocab * sxx - sx * sx <> 0 THEN
+    round((vocab * sxy - sx * sy) / (vocab * sxx - sx * sx), 6)
+  END AS zipf_slope,
+  CASE WHEN vocab * sxx - sx * sx <> 0 THEN
+    round((sy - ((vocab * sxy - sx * sy) / (vocab * sxx - sx * sx)) * sx)
+          / vocab, 6)
+  END AS zipf_intercept
+FROM agg ORDER BY lang
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping word-window chunking (16-word windows, 4-word overlap)
     with provenance — context-window preparation. Explode of start
@@ -5404,6 +5452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "pagerank": q_pagerank,
         "bigram_lm_score": q_bigram_lm_score,
+        "zipf_fit": q_zipf_fit,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -5517,6 +5566,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _ORACLE_GOPHER,
         "pagerank": pagerank_oracle_sql(),
         "bigram_lm_score": _ORACLE_BIGRAM_LM,
+        "zipf_fit": _ORACLE_ZIPF,
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,

@@ -403,6 +403,66 @@ def gopher_stats_frame(
     )
 
 
+def zipf_fit_frame(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group Zipf rank-frequency fit: OLS slope/intercept of
+    ln(freq) on ln(rank) over the token frequency table (Zipf 1949;
+    slope ≈ -1 for natural language — a corpus whose slope is far off is
+    machine-generated, truncated, or deduplicated into oblivion, making
+    this a cheap corpus-health signal).
+
+    Engine-parity determinism: both logs are quantised with round(…, 6)
+    and cast to DECIMAL(12,6) BEFORE the regression sums, so Σx, Σy,
+    Σxy, Σx² are exact decimal arithmetic (reduction order cannot drift)
+    and the final slope/intercept divisions run on identical doubles.
+
+    Scale shape: explode tokens → groupBy(group, token) count (map-side
+    partial agg) → rank via row_number over (group) — the only
+    per-group serial step, one window over the VOCABULARY (not the
+    corpus; |V| ≪ N) — → one final groupBy(group) of decimal sums."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(tokens(F.col(text_col))).alias("_w"),
+    )
+    freqs = toks.groupBy("_g", "_w").agg(F.count("*").alias("_f"))
+    w = Window.partitionBy("_g").orderBy(F.desc("_f"), F.asc("_w"))
+    ranked = freqs.select(
+        "_g", "_f", F.row_number().over(w).alias("_r")
+    )
+    x = F.round(F.log(F.col("_r").cast("double")), 6).cast("decimal(12,6)")
+    y = F.round(F.log(F.col("_f").cast("double")), 6).cast("decimal(12,6)")
+    terms = ranked.select(
+        "_g",
+        F.col("_f"),
+        x.alias("_x"),
+        y.alias("_y"),
+        (x * y).alias("_xy"),
+        (x * x).alias("_xx"),
+    )
+    agg = terms.groupBy("_g").agg(
+        F.count("*").alias("_n"),
+        F.sum("_f").alias("total_tokens"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum("_xy").cast("double").alias("_sxy"),
+        F.sum("_xx").cast("double").alias("_sxx"),
+    )
+    n = F.col("_n").cast("double")
+    denom = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / denom
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").alias("vocab"),
+        "total_tokens",
+        F.when(denom != 0, F.round(slope, 6)).alias("zipf_slope"),
+        F.when(denom != 0, F.round(intercept, 6)).alias("zipf_intercept"),
+    )
+
+
 def type_token_ratio(text: Column) -> Column:
     """Lexical diversity: distinct tokens / tokens (1.0 for empty text by
     convention — an empty document is not 'repetitive'). Narrow, pure
