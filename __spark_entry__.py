@@ -2444,6 +2444,45 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact dedup end-to-end: 240 synthetic URL
+    variants (case, default ports, www, fragments, duplicate/trailing
+    slashes, tracking params, parameter order) that must collapse to 80
+    canonical URLs. The oracle derives the expected groups ANALYTICALLY
+    from the variant arithmetic — an independent check of the whole
+    normal form, not a re-run of the same parser."""
+    from ndr_import_spark.operators.crawl import url_dedup
+
+    rows = []
+    for g in range(240):
+        n, v, k = g % 40, g // 40, (g % 40) % 5
+        url = [
+            f"http://site{k}.test/p/{n}",
+            f"HTTP://SITE{k}.TEST:80/p/{n}",
+            f"http://www.site{k}.test//p//{n}#frag",
+            f"http://site{k}.test/p/{n}/?utm_source=feed&fbclid=abc{n}",
+            f"http://site{k}.test/p/{n}?b=2&a=1",
+            f"http://site{k}.test/p/{n}?a=1&b=2",
+        ][v]
+        rows.append((g, url))
+    df = spark.createDataFrame(rows, "doc_id long, url string").repartition(8)
+    return url_dedup(df).orderBy("url_canon")
+
+
+_ORACLE_URL_DEDUP = """
+WITH n AS (SELECT unnest(range(40)) AS n)
+SELECT * FROM (
+  SELECT 'http://site' || (n % 5) || '.test/p/' || n AS url_canon,
+         CAST(4 AS BIGINT) AS n_variants, CAST(n AS BIGINT) AS kept_id
+  FROM n
+  UNION ALL
+  SELECT 'http://site' || (n % 5) || '.test/p/' || n || '?a=1&b=2',
+         CAST(2 AS BIGINT), CAST(160 + n AS BIGINT)
+  FROM n
+) ORDER BY url_canon
+"""
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language Zipf rank-frequency OLS fit over the token frequency
     table — corpus-health signal (natural text slopes near -1). Logs are
@@ -5453,6 +5492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "bigram_lm_score": q_bigram_lm_score,
         "zipf_fit": q_zipf_fit,
+        "url_dedup": q_url_dedup,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -5567,6 +5607,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_oracle_sql(),
         "bigram_lm_score": _ORACLE_BIGRAM_LM,
         "zipf_fit": _ORACLE_ZIPF,
+        "url_dedup": _ORACLE_URL_DEDUP,
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,

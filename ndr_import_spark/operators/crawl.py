@@ -39,6 +39,102 @@ def url_path(url: Column) -> Column:
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
+# Tracking query parameters stripped during canonicalization (shared
+# literally with the DuckDB oracle; RE2-compatible — no lookarounds).
+TRACKING_PARAM_RE = r"^(utm_[a-zA-Z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref)(=|$)"
+
+
+def canonicalize_urls(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """(id, scheme, host, path, query_canon, url_canon) — the standard
+    URL-dedup normal form for crawl corpora: fragment dropped, scheme and
+    host lowercased, leading ``www.`` and default ports (:80 http /
+    :443 https) stripped, duplicate path slashes collapsed, trailing
+    slash removed (except root), tracking parameters removed and the
+    remaining query parameters SORTED.
+
+    Scale shape: everything except the parameter sort is a per-row
+    codegen regexp map (no shuffle). Parameter canonicalisation is
+    explode → filter → ``sort_array(collect_list)`` per URL — the one
+    grouped step, over query params only (bounded fan-out per row); URLs
+    with no surviving params skip it entirely via the left join +
+    coalesce('')."""
+    nofrag = F.substring_index(F.col(url_col), "#", 1)
+    scheme_raw = F.lower(
+        F.regexp_extract(nofrag, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    )
+    scheme = F.when(scheme_raw == "", F.lit("http")).otherwise(scheme_raw)
+    host = F.lower(
+        F.regexp_extract(nofrag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(
+        nofrag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.when(path == "/", path).otherwise(
+        F.regexp_replace(path, r"/+$", "")
+    )
+    query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
+
+    parts = df.select(
+        F.col(id_col).alias("_id"),
+        scheme.alias("scheme"),
+        host.alias("host"),
+        path.alias("path"),
+        query.alias("_q"),
+    )
+    params = (
+        parts.where(F.col("_q") != "")
+        .select("_id", F.explode(F.split(F.col("_q"), "&")).alias("_p"))
+        .where((F.col("_p") != "") & ~F.col("_p").rlike(TRACKING_PARAM_RE))
+    )
+    canonq = params.groupBy("_id").agg(
+        F.array_join(F.array_sort(F.collect_list("_p")), "&").alias("query_canon")
+    )
+    out = (
+        parts.join(canonq, "_id", "left")
+        .withColumn("query_canon", F.coalesce(F.col("query_canon"), F.lit("")))
+    )
+    url_canon = F.concat(
+        F.col("scheme"),
+        F.lit("://"),
+        F.col("host"),
+        F.col("path"),
+        F.when(
+            F.col("query_canon") != "", F.concat(F.lit("?"), F.col("query_canon"))
+        ).otherwise(F.lit("")),
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        "scheme",
+        "host",
+        "path",
+        "query_canon",
+        url_canon.alias("url_canon"),
+    )
+
+
+def url_dedup(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """(url_canon, n_variants, kept_id) — exact dedup on the canonical
+    URL, keeping the smallest id per group (deterministic keep-first).
+    Combinable min/count aggregates; one shuffle on the canonical key."""
+    canon = canonicalize_urls(df, id_col, url_col)
+    return canon.groupBy("url_canon").agg(
+        F.count("*").alias("n_variants"),
+        F.min(id_col).alias("kept_id"),
+    )
+
+
 def parse_robots_rules(
     robots: DataFrame,
     host_col: str = "host",
