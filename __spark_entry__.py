@@ -1415,35 +1415,49 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder): a deterministic audio table of genuine RIFF/WAVE payloads —
     mono 16-bit step waves, stereo 16-bit constants and mono float32
     constants, all with amplitudes/rates derived from md5 bytes so every
-    decoded value is ANALYTIC. All sample values are dyadic rationals
-    (k/256), so slice means, per-doc means and the final group averages
-    are exact in float64 and the DuckDB oracle reproduces them from md5
-    arithmetic alone — proving the RIFF chunk walk, PCM/float frame
-    decode, stereo mixing and the Arrow batch plumbing."""
+    decoded value is ANALYTIC, plus G.711 µ-law and A-law constant tones
+    built directly at the companded-byte level (their integer expansions
+    are closed-form in the segment/mantissa bits). All sample values are
+    dyadic rationals (k/2^15), so slice means, per-doc means and the
+    final group averages are exact in float64 and the DuckDB oracle
+    reproduces them from md5 arithmetic alone — proving the RIFF chunk
+    walk, PCM/float/G.711 frame decode, stereo mixing and the Arrow
+    batch plumbing."""
     import hashlib as _hl
 
     import numpy as np
 
-    from ndr_import_spark.functions.wav import encode_wav
+    from ndr_import_spark.functions.wav import (
+        alaw_byte,
+        encode_wav,
+        encode_wav_g711,
+        mulaw_byte,
+    )
     from ndr_import_spark.operators import multimodal as MM
 
     MM.set_audio_decoder(None)  # force stdlib WAV dispatch
     rows = []
-    for i in range(72):
+    for i in range(80):
         b = _hl.md5(f"audio{i}".encode()).digest()
         va = (b[0] - 128) * 128 / 32768.0
         vb = (b[1] - 128) * 128 / 32768.0
-        if i % 3 == 0:
+        if i % 5 == 0:
             sig = np.array([va] * 32 + [vb] * 32)
             payload = encode_wav(8000 + (b[2] % 32) * 25, sig, bits=16)
-        elif i % 3 == 1:
+        elif i % 5 == 1:
             sig = np.tile(np.array([[va, vb]]), (48, 1))
             payload = encode_wav(16000, sig, bits=16)
-        else:
+        elif i % 5 == 2:
             v32 = (b[0] - 128) / 128.0
             payload = encode_wav(
                 22050, np.full(56, v32), float_format=True
             )
+        elif i % 5 == 3:
+            code = mulaw_byte(+1, b[1] % 8, b[0] % 16)
+            payload = encode_wav_g711(8000, bytes([code]) * 40, "mulaw")
+        else:
+            code = alaw_byte(+1, b[1] % 8, b[0] % 16)
+            payload = encode_wav_g711(8000, bytes([code]) * 44, "alaw")
         rows.append(
             (i, "audio", "audio/wav", None, None, None, bytearray(payload))
         )
@@ -1454,9 +1468,11 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.size(F.col("feature"))
     return (
         feats.select(
-            F.when(F.col("media_id") % 3 == 0, "step16")
-            .when(F.col("media_id") % 3 == 1, "stereo16")
-            .otherwise("float32")
+            F.when(F.col("media_id") % 5 == 0, "step16")
+            .when(F.col("media_id") % 5 == 1, "stereo16")
+            .when(F.col("media_id") % 5 == 2, "float32")
+            .when(F.col("media_id") % 5 == 3, "mulaw")
+            .otherwise("alaw")
             .alias("wave"),
             F.col("n_samples").cast("double").alias("ns"),
             F.col("sample_rate").cast("double").alias("rate"),
@@ -1474,7 +1490,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_AUDIO_FEATURES = """
-WITH m AS (SELECT unnest(range(72)) AS i),
+WITH m AS (SELECT unnest(range(80)) AS i),
 d AS (SELECT i, md5('audio' || i) AS hx FROM m),
 b AS (
   SELECT i,
@@ -1485,17 +1501,27 @@ b AS (
 ),
 f AS (
   SELECT i,
-    CASE cast(i % 3 as int) WHEN 0 THEN 'step16' WHEN 1 THEN 'stereo16'
-      ELSE 'float32' END AS wave,
-    CASE cast(i % 3 as int) WHEN 0 THEN 64.0 WHEN 1 THEN 48.0
-      ELSE 56.0 END AS ns,
-    CASE cast(i % 3 as int) WHEN 0 THEN cast(8000 + (b2 % 32) * 25 as double)
-      WHEN 1 THEN 16000.0 ELSE 22050.0 END AS rate,
+    CASE cast(i % 5 as int) WHEN 0 THEN 'step16' WHEN 1 THEN 'stereo16'
+      WHEN 2 THEN 'float32' WHEN 3 THEN 'mulaw' ELSE 'alaw' END AS wave,
+    CASE cast(i % 5 as int) WHEN 0 THEN 64.0 WHEN 1 THEN 48.0
+      WHEN 2 THEN 56.0 WHEN 3 THEN 40.0 ELSE 44.0 END AS ns,
+    CASE cast(i % 5 as int) WHEN 0 THEN cast(8000 + (b2 % 32) * 25 as double)
+      WHEN 1 THEN 16000.0 WHEN 2 THEN 22050.0 ELSE 8000.0 END AS rate,
     -- step16: 4 slices at va + 4 at vb → mean (va+vb)/2;
-    -- stereo16: constant mono mix (va+vb)/2; float32: (b0-128)/128 exact
-    CASE WHEN i % 3 IN (0, 1)
+    -- stereo16: constant mono mix (va+vb)/2; float32: (b0-128)/128 exact;
+    -- G.711 constants expand in closed form from (mantissa, exponent/seg)
+    CASE WHEN i % 5 IN (0, 1)
       THEN ((b0 - 128) * 128 / 32768.0 + (b1 - 128) * 128 / 32768.0) / 2
-      ELSE (b0 - 128) / 128.0 END AS mf
+      WHEN i % 5 = 2 THEN (b0 - 128) / 128.0
+      WHEN i % 5 = 3 THEN
+        (((b0 % 16) * 8 + 132) * cast(power(2, b1 % 8) as double) - 132)
+          / 32768.0
+      ELSE
+        (CASE WHEN b1 % 8 = 0 THEN (b0 % 16) * 16 + 8
+              WHEN b1 % 8 = 1 THEN (b0 % 16) * 16 + 264
+              ELSE ((b0 % 16) * 16 + 264)
+                   * cast(power(2, b1 % 8 - 1) as double) END) / 32768.0
+    END AS mf
   FROM b
 )
 SELECT wave, count(*) AS n, avg(ns) AS avg_samples, avg(rate) AS avg_rate,

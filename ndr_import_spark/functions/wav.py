@@ -6,13 +6,16 @@ Scope — the profile that covers the overwhelming majority of raw-audio
 corpus payloads:
 
 * decode: RIFF/WAVE with PCM (format 1: unsigned 8-bit, signed 16/24/32-bit
-  little-endian) and IEEE float (format 3: float32/float64) sample frames,
-  any channel count, chunk-walking that skips unknown chunks (LIST/fact/
+  little-endian), IEEE float (format 3: float32/float64), and the G.711
+  telephony companders (format 6: A-law, format 7: µ-law — ITU-T G.711
+  segment/mantissa expansion via 256-entry tables) sample frames, any
+  channel count, chunk-walking that skips unknown chunks (LIST/fact/
   cue…) and tolerates the common off-spec RIFF size. WAVE_FORMAT_EXTENSIBLE
-  (0xFFFE) resolves through its SubFormat GUID to PCM/float. Compressed
-  formats (ADPCM, MP3-in-WAV, a-law/mu-law) raise `WavError` — an honest
+  (0xFFFE) resolves through its SubFormat GUID to any of those. Other
+  compressed formats (ADPCM, MP3-in-WAV) raise `WavError` — an honest
   unsupported-profile signal, not silent noise.
-* encode: PCM 8/16-bit and float32 writer for fixtures and roundtrips.
+* encode: PCM 8/16-bit and float32 writer for fixtures and roundtrips,
+  plus a RIFF wrapper for raw pre-companded G.711 byte streams.
 
 Samples normalise to float64 in [-1, 1):  u8 → (s-128)/128, s16 → s/2^15,
 s24 → s/2^23, s32 → s/2^31, float passes through. All sample math is
@@ -53,7 +56,37 @@ _KSDATAFORMAT_SUFFIX = bytes.fromhex("000000001000800000aa00389b71")
 
 _PCM = 1
 _IEEE_FLOAT = 3
+_ALAW = 6
+_MULAW = 7
 _EXTENSIBLE = 0xFFFE
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(µ-law, A-law) 256-entry expansion tables, linear int16 values —
+    clean-room from the ITU-T G.711 segment/mantissa layout (the classic
+    BIAS=0x84 / XOR-0x55 forms)."""
+    mu = np.empty(256, dtype=np.int16)
+    for byte in range(256):
+        u = ~byte & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        mu[byte] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    al = np.empty(256, dtype=np.int16)
+    for byte in range(256):
+        a = byte ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        al[byte] = t if (a & 0x80) else -t
+    return mu, al
+
+
+_MULAW_TABLE, _ALAW_TABLE = _g711_tables()
 
 
 def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
@@ -84,10 +117,11 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
                 if sub[2:] != _KSDATAFORMAT_SUFFIX:
                     raise WavError("unknown WAVE_FORMAT_EXTENSIBLE SubFormat")
                 tag = struct.unpack("<H", sub[:2])[0]
-            if tag not in (_PCM, _IEEE_FLOAT):
+            if tag not in (_PCM, _IEEE_FLOAT, _ALAW, _MULAW):
                 raise WavError(
-                    f"unsupported WAV format tag {tag} (PCM and IEEE float "
-                    "only; compressed WAV needs an injected decoder)"
+                    f"unsupported WAV format tag {tag} (PCM, IEEE float and "
+                    "G.711 only; other compressed WAV needs an injected "
+                    "decoder)"
                 )
             fmt = (tag, channels, rate, bits)
         elif cid == b"data":
@@ -126,6 +160,20 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
             ) / float(1 << 31)
         else:
             raise WavError(f"unsupported PCM bit depth {bits}")
+    elif tag == _MULAW:
+        if bits not in (0, 8):
+            raise WavError(f"bad µ-law bit depth {bits}")
+        samples = (
+            _MULAW_TABLE[np.frombuffer(raw, dtype=np.uint8)].astype(np.float64)
+            / 32768.0
+        )
+    elif tag == _ALAW:
+        if bits not in (0, 8):
+            raise WavError(f"bad A-law bit depth {bits}")
+        samples = (
+            _ALAW_TABLE[np.frombuffer(raw, dtype=np.uint8)].astype(np.float64)
+            / 32768.0
+        )
     else:  # IEEE float
         if bits == 32:
             samples = np.frombuffer(raw[: len(raw) & ~3], dtype="<f4").astype(
@@ -194,6 +242,50 @@ def encode_wav(
         raw,
         pad,
     ])
+
+
+def encode_wav_g711(
+    sample_rate: int, g711_bytes: bytes, law: str = "mulaw", channels: int = 1
+) -> bytes:
+    """Wrap an already-companded G.711 byte stream (one byte per sample)
+    in a RIFF/WAVE container with format tag 7 (µ-law) or 6 (A-law) —
+    fixture builder; no linear→G.711 compressor is needed because test
+    payloads are constructed directly at the byte level."""
+    tag = {"mulaw": _MULAW, "alaw": _ALAW}.get(law)
+    if tag is None:
+        raise WavError(f"unknown G.711 law {law!r} (mulaw|alaw)")
+    raw = bytes(g711_bytes)
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, sample_rate, sample_rate * channels,
+        channels, 8,
+    )
+    pad = b"\x00" if len(raw) & 1 else b""
+    return b"".join([
+        b"RIFF",
+        struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw) + len(pad)),
+        b"WAVE",
+        b"fmt ",
+        struct.pack("<I", len(fmt)),
+        fmt,
+        b"data",
+        struct.pack("<I", len(raw)),
+        raw,
+        pad,
+    ])
+
+
+def mulaw_byte(sign: int, exponent: int, mantissa: int) -> int:
+    """The µ-law code whose expansion is ±(((mantissa*8)+0x84)<<exponent
+    − 0x84) — inverse of the table formula, for analytic fixtures."""
+    u = (0x80 if sign < 0 else 0) | ((exponent & 7) << 4) | (mantissa & 0x0F)
+    return ~u & 0xFF
+
+
+def alaw_byte(sign: int, segment: int, mantissa: int) -> int:
+    """The A-law code whose expansion is ±seg/mantissa per G.711 —
+    inverse of the table formula, for analytic fixtures."""
+    a = (0x80 if sign >= 0 else 0) | ((segment & 7) << 4) | (mantissa & 0x0F)
+    return a ^ 0x55
 
 
 def slice_features(samples: np.ndarray, n_slices: int = 8) -> list[float]:

@@ -133,7 +133,7 @@ class TestErrorPaths:
     def test_compressed_format_rejected(self):
         data = bytearray(_handmade_wav_16bit(8000, [0] * 8))
         fmt_at = data.index(b"fmt ") + 8
-        data[fmt_at : fmt_at + 2] = struct.pack("<H", 7)  # mu-law
+        data[fmt_at : fmt_at + 2] = struct.pack("<H", 2)  # MS ADPCM
         with pytest.raises(WavError, match="unsupported WAV format tag"):
             decode_wav(bytes(data))
 
@@ -149,6 +149,59 @@ class TestErrorPaths:
         data = _handmade_wav_16bit(8000, [0] * 4)
         with pytest.raises(WavError, match="missing data"):
             decode_wav(data[: data.index(b"data")])
+
+
+class TestG711:
+    def test_mulaw_known_answers(self):
+        from ndr_import_spark.functions.wav import (
+            decode_wav,
+            encode_wav_g711,
+            mulaw_byte,
+        )
+
+        # ITU-T G.711 µ-law: 0xFF is +0, 0x7F is -0, 0x80 the positive max
+        rate, ch, s = decode_wav(
+            encode_wav_g711(8000, bytes([0xFF, 0x7F, 0x80, 0x00]), "mulaw")
+        )
+        assert rate == 8000 and ch == 1
+        assert s[:, 0].tolist() == [
+            0.0, 0.0, 32124 / 32768.0, -32124 / 32768.0
+        ]
+        # closed-form expansion for arbitrary (exp, mantissa)
+        code = mulaw_byte(+1, 3, 5)
+        _, _, s = decode_wav(encode_wav_g711(8000, bytes([code]), "mulaw"))
+        assert s[0, 0] == (((5 * 8) + 132 << 3) - 132) / 32768.0
+
+    def test_alaw_known_answers(self):
+        from ndr_import_spark.functions.wav import (
+            alaw_byte,
+            decode_wav,
+            encode_wav_g711,
+        )
+
+        # A-law: 0xD5 (0x80^0x55) is +8/32768 (seg 0 mant 0); max is 32256
+        rate, ch, s = decode_wav(
+            encode_wav_g711(8000, bytes([0xD5, 0x55]), "alaw")
+        )
+        assert s[:, 0].tolist() == [8 / 32768.0, -8 / 32768.0]
+        code = alaw_byte(+1, 7, 15)
+        _, _, s = decode_wav(encode_wav_g711(8000, bytes([code]), "alaw"))
+        assert s[0, 0] == 32256 / 32768.0
+
+    def test_g711_full_table_monotone_sections(self):
+        from ndr_import_spark.functions.wav import _ALAW_TABLE, _MULAW_TABLE
+
+        # expansions are symmetric and bounded to the published ranges
+        assert int(_MULAW_TABLE.max()) == 32124
+        assert int(_MULAW_TABLE.min()) == -32124
+        assert int(_ALAW_TABLE.max()) == 32256
+        assert int(_ALAW_TABLE.min()) == -32256
+
+    def test_bad_law_name(self):
+        from ndr_import_spark.functions.wav import encode_wav_g711
+
+        with pytest.raises(WavError, match="unknown G.711 law"):
+            encode_wav_g711(8000, b"\x00", "dpcm")
 
 
 class TestSparkIntegration:
