@@ -2509,6 +2509,18 @@ SELECT * FROM (
 """
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-lattice Lloyd's k-means over the embeddings table (k=8,
+    3 rounds) — SemDeDup-style semantic clustering. Quantised BIGINT
+    distances make every assignment bit-reproducible (no FP argmin
+    flips); centroids broadcast each round (k·d integers of driver
+    state, the MLlib pattern). The oracle unrolls the same recurrence."""
+    from ndr_import_spark.operators.clustering import kmeans_lattice
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_lattice(emb, k=8, iterations=3).orderBy("cluster")
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language Zipf rank-frequency OLS fit over the token frequency
     table — corpus-health signal (natural text slopes near -1). Logs are
@@ -5519,6 +5531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": q_bigram_lm_score,
         "zipf_fit": q_zipf_fit,
         "url_dedup": q_url_dedup,
+        "kmeans_clusters": q_kmeans_clusters,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -5547,6 +5560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ndr_import_spark.operators.clustering import kmeans_oracle_sql
     from ndr_import_spark.operators.graph import pagerank_oracle_sql
 
     return {
@@ -5634,6 +5648,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": _ORACLE_BIGRAM_LM,
         "zipf_fit": _ORACLE_ZIPF,
         "url_dedup": _ORACLE_URL_DEDUP,
+        "kmeans_clusters": kmeans_oracle_sql(k=8, iterations=3),
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,

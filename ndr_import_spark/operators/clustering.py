@@ -1,0 +1,187 @@
+"""Distributed embedding clustering: integer-lattice Lloyd's k-means.
+
+No reference counterpart (net-new, north-star LLM-pipeline surface):
+embedding-space clustering is the backbone of SemDeDup-style semantic
+dedup and cluster-balanced corpus sampling (Abbas et al. 2023; Lloyd
+1982 — public papers). The reference repo has no clustering operators.
+
+Design for 100 TB — the same determinism playbook as
+operators/graph.py's PageRank:
+
+* **Integer lattice.** Components quantise to ``round(double(v) ·
+  scale)`` (float32 → double is exact, the double product is IEEE
+  correctly-rounded, so both engines land on the same integer).
+  Distances are exact BIGINT sums of squared integer differences; the
+  argmin (tie-broken by centroid id) can never flip on a ULP, so a
+  1000-executor re-run — or the DuckDB oracle — reproduces every
+  assignment bit-for-bit. Centroid updates stay on the lattice via
+  ``floor(Σq / n)`` (the double quotient of a <2^53 integer sum is
+  exactly representable far from integer boundaries, so floor is exact
+  floor division on both engines, negative sums included).
+* **Shuffle shape.** Per iteration: the dims frame joins a BROADCAST
+  centroid table (k·d rows), partial-aggregates distances map-side, and
+  argmins with one combinable min(struct). Centroids are collected to
+  the driver between rounds — k·d integers, the same bounded-state
+  pattern as MLlib's own KMeans — so each round's plan stays shallow.
+* **Empty clusters** simply drop out of the centroid table (both
+  engines derive centroids from the same group-by), shrinking k — the
+  textbook Lloyd behaviour, deterministic here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KMEANS_SCALE = 127
+
+
+def embedding_dims(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """(id, d, q) long-form lattice quantization of an embedding column —
+    posexplode + one codegen round; the frame every k-means step reuses."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("d", "_v"),
+    ).select(
+        id_col,
+        "d",
+        F.round(F.col("_v").cast("double") * F.lit(float(scale)))
+        .cast("int")
+        .alias("q"),
+    )
+
+
+def _assign(dims: DataFrame, cdf: DataFrame, id_col: str) -> DataFrame:
+    """(id, cid, dist): nearest centroid per vector, ties to smaller cid.
+    BIGINT distances; min(struct(dist, cid)) is the combinable argmin."""
+    diff = (F.col("q") - F.col("c")).cast("long")
+    per_pair = (
+        dims.join(F.broadcast(cdf), "d")
+        .groupBy(id_col, "cid")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    return (
+        per_pair.groupBy(id_col)
+        .agg(F.min(F.struct("dist", "cid")).alias("_m"))
+        .select(id_col, F.col("_m.cid").alias("cid"), F.col("_m.dist").alias("dist"))
+    )
+
+
+def kmeans_lattice(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """Lloyd's k-means on the integer lattice: init = the k smallest ids'
+    vectors, `iterations` assign→update rounds, one final assignment.
+    Returns (cluster, n_members, wcss, min_vec_id) per non-empty cluster."""
+    spark = df.sparkSession
+    dims = embedding_dims(df, id_col, vec_col, scale)
+    init_ids = (
+        df.select(id_col)
+        .orderBy(id_col)
+        .limit(k)
+        .select(
+            id_col,
+            (F.row_number().over(Window.orderBy(id_col)) - 1)
+            .cast("int")
+            .alias("cid"),
+        )
+    )
+    cent_rows = [
+        (int(r["cid"]), int(r["d"]), int(r["c"]))
+        for r in dims.join(F.broadcast(init_ids), id_col)
+        .select("cid", "d", F.col("q").cast("long").alias("c"))
+        .collect()
+    ]
+    for _ in range(iterations):
+        cdf = spark.createDataFrame(cent_rows, "cid int, d int, c long")
+        assign = _assign(dims, cdf, id_col)
+        newc = (
+            assign.join(dims, id_col)
+            .groupBy("cid", "d")
+            .agg(F.sum("q").alias("_s"), F.count("*").alias("_n"))
+            .select(
+                "cid",
+                "d",
+                F.floor(F.col("_s") / F.col("_n")).cast("long").alias("c"),
+            )
+        )
+        # k·d integers — bounded driver state, same as MLlib KMeans
+        cent_rows = [
+            (int(r["cid"]), int(r["d"]), int(r["c"])) for r in newc.collect()
+        ]
+    cdf = spark.createDataFrame(cent_rows, "cid int, d int, c long")
+    final = _assign(dims, cdf, id_col)
+    return final.groupBy(F.col("cid").alias("cluster")).agg(
+        F.count("*").alias("n_members"),
+        F.sum("dist").alias("wcss"),
+        F.min(id_col).alias("min_vec_id"),
+    )
+
+
+def kmeans_oracle_sql(
+    k: int = 8, iterations: int = 3, scale: int = KMEANS_SCALE, top: str = ""
+) -> str:
+    """DuckDB transcription of kmeans_lattice: the same lattice recurrence
+    unrolled into CTEs c0..c{iterations} + a final assignment."""
+    parts = [
+        f"""
+WITH dims AS (
+  SELECT vec_id, t.d - 1 AS d,
+         CAST(round(CAST(embedding[t.d] AS DOUBLE) * {scale}) AS INT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(d)
+),
+init_ids AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+  FROM embeddings ORDER BY vec_id LIMIT {k}
+),
+c0 AS (
+  SELECT i.cid, dm.d, CAST(dm.q AS BIGINT) AS c
+  FROM init_ids i JOIN dims dm ON dm.vec_id = i.vec_id
+)"""
+    ]
+    for t in range(1, iterations + 2):
+        prev = f"c{t - 1}"
+        parts.append(
+            f""",
+d{t} AS (
+  SELECT dm.vec_id, c.cid,
+         CAST(sum(CAST(dm.q - c.c AS BIGINT) * CAST(dm.q - c.c AS BIGINT))
+              AS BIGINT) AS dist
+  FROM dims dm JOIN {prev} c ON dm.d = c.d
+  GROUP BY dm.vec_id, c.cid
+),
+a{t} AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+)"""
+        )
+        if t <= iterations:
+            parts.append(
+                f""",
+c{t} AS (
+  SELECT a.cid, dm.d,
+         CAST(floor(CAST(sum(dm.q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM a{t} a JOIN dims dm ON a.vec_id = dm.vec_id
+  GROUP BY a.cid, dm.d
+)"""
+            )
+    parts.append(
+        f"""
+SELECT cid AS cluster, count(*) AS n_members,
+       CAST(sum(dist) AS BIGINT) AS wcss, min(vec_id) AS min_vec_id
+FROM a{iterations + 1} GROUP BY cid ORDER BY cluster"""
+    )
+    return "".join(parts)

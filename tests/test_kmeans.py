@@ -1,0 +1,68 @@
+"""Integer-lattice Lloyd's k-means (operators/clustering.py).
+
+Hand-computed 1-D trajectories pin quantisation, the argmin tie-break,
+FLOOR (not truncating) centroid division on negative sums, and
+empty-cluster drop; engine parity is covered by the `kmeans_clusters`
+unrolled-CTE oracle."""
+
+from __future__ import annotations
+
+from ndr_import_spark.operators.clustering import (
+    embedding_dims,
+    kmeans_lattice,
+)
+
+
+def _emb(spark, vals):
+    return spark.createDataFrame(
+        [(i, [v]) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_quantization_is_round_half_up_on_doubles(spark):
+    df = _emb(spark, [0.5, -0.5, 0.1])
+    got = {r["vec_id"]: r["q"] for r in embedding_dims(df).collect()}
+    # 0.5*127 = 63.5 exactly (0.5 is dyadic) -> rounds away from zero
+    assert got == {0: 64, 1: -64, 2: 13}
+
+
+def test_two_cluster_hand_trace(spark):
+    # q-lattice points 13, 14, 64, 66; init centroids 13 (cid0), 14 (cid1)
+    df = _emb(spark, [0.1, 0.11, 0.5, 0.52])
+    rows = {r["cluster"]: r for r in kmeans_lattice(df, k=2, iterations=3).collect()}
+    assert rows[0]["n_members"] == 2 and rows[1]["n_members"] == 2
+    # converged centroids 13 and 65: wcss = (0+1) and (1+1)
+    assert rows[0]["wcss"] == 1
+    assert rows[1]["wcss"] == 2
+    assert rows[0]["min_vec_id"] == 0
+    assert rows[1]["min_vec_id"] == 2
+
+
+def test_centroid_update_floors_negative_sums(spark):
+    # q = -13, -14: centroid floor(-27/2) = -14 (floor, NOT truncation);
+    # wcss against -14 is 1 + 0
+    df = _emb(spark, [-0.1, -0.11])
+    row = kmeans_lattice(df, k=1, iterations=1).collect()[0]
+    assert row["n_members"] == 2
+    assert row["wcss"] == 1
+
+
+def test_empty_cluster_drops(spark):
+    # coincident init centroids: ties all go to cid 0, cid 1 starves
+    df = _emb(spark, [0.0, 0.0, 0.0])
+    rows = kmeans_lattice(df, k=2, iterations=2).collect()
+    assert len(rows) == 1
+    assert rows[0]["cluster"] == 0
+    assert rows[0]["n_members"] == 3
+    assert rows[0]["wcss"] == 0
+
+
+def test_separated_blobs_converge_to_their_means(spark):
+    vals = [0.01, 0.02, 0.03, 0.8, 0.81, 0.82]
+    df = _emb(spark, vals)
+    rows = {r["cluster"]: r for r in kmeans_lattice(df, k=2, iterations=3).collect()}
+    assert rows[0]["n_members"] == 3
+    assert rows[1]["n_members"] == 3
+    assert rows[0]["min_vec_id"] == 0
+    assert rows[1]["min_vec_id"] == 3
