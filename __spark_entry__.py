@@ -1316,12 +1316,12 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic media table of genuine baseline-JPEG AND progressive
     SOF2-JPEG (solid gray at quality=100 — constant blocks are DC-only,
     integral, quant=1, so the decode is analytically EXACT for both scan
-    structures), genuine PNG, genuine GIF and genuine BMP payloads (all
+    structures), genuine PNG, GIF, BMP and baseline-TIFF payloads (all
     lossless 4x4 grayscales from md5 bytes — decoded features ARE the
     source bytes), run through `extract_features` with NO injected
     decoder. The per-codec feature aggregate is therefore fully
     reproducible by the SQL oracle from md5 arithmetic alone, proving
-    magic-byte dispatch + all five codec paths + the Arrow batch
+    magic-byte dispatch + all six codec paths + the Arrow batch
     plumbing, not just the plumbing."""
     import hashlib as _hl
 
@@ -1329,15 +1329,16 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ndr_import_spark.functions.gif import encode_gif
     from ndr_import_spark.functions.jpeg import encode_jpeg, encode_jpeg_progressive
     from ndr_import_spark.functions.png import encode_png
+    from ndr_import_spark.functions.tiff import encode_tiff
     from ndr_import_spark.operators import multimodal as MM
 
     MM.set_image_decoder(None)  # force stdlib magic-byte dispatch
     rows = []
-    for i in range(90):
+    for i in range(96):
         b = _hl.md5(f"media{i}".encode()).digest()
-        if i % 5 in (0, 3):
+        if i % 6 in (0, 3):
             w, h = 8 + b[1] % 8, 8 + b[2] % 8
-            enc = encode_jpeg if i % 5 == 0 else encode_jpeg_progressive
+            enc = encode_jpeg if i % 6 == 0 else encode_jpeg_progressive
             payload = enc(
                 w, h, bytes([b[0]]) * (w * h), channels=1, quality=100
             )
@@ -1347,7 +1348,8 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1: encode_png,
                 2: encode_gif,
                 4: encode_bmp,
-            }[i % 5](4, 4, rgb)
+                5: encode_tiff,
+            }[i % 6](4, 4, rgb)
         rows.append(
             (i, "image", "image/mixed", None, None, None, bytearray(payload))
         )
@@ -1358,11 +1360,12 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.size(F.col("feature"))
     return (
         feats.select(
-            F.when(F.col("media_id") % 5 == 0, "jpeg")
-            .when(F.col("media_id") % 5 == 1, "png")
-            .when(F.col("media_id") % 5 == 2, "gif")
-            .when(F.col("media_id") % 5 == 3, "prog")
-            .otherwise("bmp")
+            F.when(F.col("media_id") % 6 == 0, "jpeg")
+            .when(F.col("media_id") % 6 == 1, "png")
+            .when(F.col("media_id") % 6 == 2, "gif")
+            .when(F.col("media_id") % 6 == 3, "prog")
+            .when(F.col("media_id") % 6 == 4, "bmp")
+            .otherwise("tiff")
             .alias("codec"),
             F.col("width").cast("double").alias("w"),
             F.col("height").cast("double").alias("h"),
@@ -1381,23 +1384,24 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_MIXED_CODECS = """
-WITH m AS (SELECT unnest(range(90)) AS i),
+WITH m AS (SELECT unnest(range(96)) AS i),
 d AS (SELECT i, md5('media' || i) AS hx FROM m),
 f AS (
   SELECT i,
-    CASE cast(i % 5 as int) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-      WHEN 2 THEN 'gif' WHEN 3 THEN 'prog' ELSE 'bmp' END AS codec,
-    CASE WHEN i % 5 IN (0, 3)
+    CASE cast(i % 6 as int) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+      WHEN 2 THEN 'gif' WHEN 3 THEN 'prog' WHEN 4 THEN 'bmp'
+      ELSE 'tiff' END AS codec,
+    CASE WHEN i % 6 IN (0, 3)
       THEN cast(8 + (cast(('0x' || substring(hx, 3, 2)) as int) % 8) as double)
       ELSE 4.0 END AS w,
-    CASE WHEN i % 5 IN (0, 3)
+    CASE WHEN i % 6 IN (0, 3)
       THEN cast(8 + (cast(('0x' || substring(hx, 5, 2)) as int) % 8) as double)
       ELSE 4.0 END AS ht,
-    CASE WHEN i % 5 IN (0, 3)
+    CASE WHEN i % 6 IN (0, 3)
       -- solid-gray JPEG at q100 decodes exactly — for BOTH the baseline
       -- and the progressive (SOF2) scan structure: all 16 cells equal
       THEN round(cast(('0x' || substring(hx, 1, 2)) as int) / 255.0, 6)
-      -- lossless PNG/GIF/BMP: cell j is source byte j (grey = 3b/3 = b)
+      -- lossless PNG/GIF/BMP/TIFF: cell j is source byte j (grey = 3b/3)
       ELSE list_sum(list_transform(range(16),
         j -> round(cast(('0x' || substring(hx, j * 2 + 1, 2)) as int) / 255.0, 6)
       )) / 16.0 END AS mf

@@ -4,8 +4,9 @@ with typed metadata.
 Net-new (BASELINE.json north_star). Image decode is REAL for PNG
 (functions/png.py — inflate, unfilter), baseline AND progressive JPEG
 (functions/jpeg.py — T.81 Huffman + exact IDCT, Annex G scans), GIF
-(functions/gif.py — LZW, interlace) and BMP (functions/bmp.py — BI_RGB
-24/32-bit + palettised DIBs) payloads, dispatched by magic bytes;
+(functions/gif.py — LZW, interlace), BMP (functions/bmp.py — BI_RGB
+24/32-bit + palettised DIBs) and baseline TIFF (functions/tiff.py —
+II/MM strips, none/PackBits) payloads, dispatched by magic bytes;
 audio decode is REAL for WAV/PCM (functions/wav.py — RIFF walk, PCM and
 IEEE-float frames). Other formats need an injected decoder
 (`set_image_decoder`/`set_audio_decoder`; deterministic fake available for
@@ -107,6 +108,7 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
         from ndr_import_spark.functions.gif import gif_image_decoder, is_gif
         from ndr_import_spark.functions.jpeg import is_jpeg, jpeg_image_decoder
         from ndr_import_spark.functions.png import is_png, png_image_decoder
+        from ndr_import_spark.functions.tiff import is_tiff, tiff_image_decoder
 
         raw = bytes(payload)
         if is_png(raw):
@@ -117,8 +119,10 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
             return gif_image_decoder(raw)
         if is_bmp(raw):
             return bmp_image_decoder(raw)
+        if is_tiff(raw):
+            return tiff_image_decoder(raw)
         raise NotImplementedError(
-            "Non-PNG/JPEG/GIF/BMP media needs an injected decoder; use "
+            "Non-PNG/JPEG/GIF/BMP/TIFF media needs an injected decoder; use "
             "multimodal.set_image_decoder (deterministic_fake_decoder "
             "available for tests)"
         )
@@ -309,6 +313,11 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             is_png,
             resize_rgb,
         )
+        from ndr_import_spark.functions.tiff import (
+            decode_tiff,
+            encode_tiff,
+            is_tiff,
+        )
 
         for pdf in batches:
             out_payload = []
@@ -356,9 +365,14 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     rgb = resize_rgb(w, h, ch, px, target_w, target_h)
                     out_payload.append(encode_bmp(target_w, target_h, rgb))
                     continue
+                if is_tiff(data):
+                    w, h, ch, px = decode_tiff(data)
+                    rgb = resize_rgb(w, h, ch, px, target_w, target_h)
+                    out_payload.append(encode_tiff(target_w, target_h, rgb))
+                    continue
                 raise NotImplementedError(
-                    "resize_images requires PNG, baseline-JPEG, GIF or BMP "
-                    "payloads (stdlib codecs)"
+                    "resize_images requires PNG, baseline-JPEG, GIF, BMP or "
+                    "TIFF payloads (stdlib codecs)"
                 )
             yield pd.DataFrame(
                 {

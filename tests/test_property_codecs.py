@@ -57,6 +57,30 @@ class TestBmpProperties:
         assert decode_bmp(encode_bmp(w, h, rgb)) == (w, h, 3, rgb)
 
 
+class TestTiffProperties:
+    @given(rgb_images())
+    @settings(max_examples=40, deadline=None)
+    def test_roundtrip_rgb(self, img):
+        from ndr_import_spark.functions.tiff import decode_tiff, encode_tiff
+
+        w, h, rgb = img
+        assert decode_tiff(encode_tiff(w, h, rgb)) == (w, h, 3, rgb)
+
+    @given(st.binary(min_size=1, max_size=400))
+    @settings(max_examples=40, deadline=None)
+    def test_packbits_roundtrip(self, raw):
+        # literal-run compress (what a naive writer emits) must invert
+        from ndr_import_spark.functions.tiff import _unpackbits
+
+        out = bytearray()
+        i = 0
+        while i < len(raw):
+            n = min(128, len(raw) - i)
+            out += bytes([n - 1]) + raw[i : i + n]
+            i += n
+        assert _unpackbits(bytes(out), len(raw)) == raw
+
+
 def pdf_escape(raw: bytes) -> bytes:
     """Minimal correct literal-string escaping (what a writer would emit)."""
     out = bytearray(b"(")
