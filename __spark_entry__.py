@@ -2525,6 +2525,20 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lattice(emb, k=8, iterations=3).orderBy("cluster")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): integer-lattice k-means, then
+    near-duplicate pairs ONLY within each cluster — pairwise work bounded
+    to Σ m_c² instead of n². Integer cosine (dot²·10⁴ ≥ p²·|a|²·|b|²) so
+    every pair decision is bit-reproducible; p = 25 to match the
+    corpus's LSH near-dup threshold."""
+    from ndr_import_spark.operators.clustering import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, k=8, iterations=3, threshold_pct=25
+    ).orderBy("cluster", "a_id", "b_id")
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language Zipf rank-frequency OLS fit over the token frequency
     table — corpus-health signal (natural text slopes near -1). Logs are
@@ -5536,6 +5550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "url_dedup": q_url_dedup,
         "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -5564,7 +5579,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ndr_import_spark.operators.clustering import kmeans_oracle_sql
+    from ndr_import_spark.operators.clustering import (
+        kmeans_oracle_sql,
+        semantic_dedup_oracle_sql,
+    )
     from ndr_import_spark.operators.graph import pagerank_oracle_sql
 
     return {
@@ -5653,6 +5671,9 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": _ORACLE_ZIPF,
         "url_dedup": _ORACLE_URL_DEDUP,
         "kmeans_clusters": kmeans_oracle_sql(k=8, iterations=3),
+        "semantic_dedup": semantic_dedup_oracle_sql(
+            k=8, iterations=3, threshold_pct=25
+        ),
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,

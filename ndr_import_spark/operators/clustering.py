@@ -72,19 +72,17 @@ def _assign(dims: DataFrame, cdf: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def kmeans_lattice(
+def _final_assignment(
     df: DataFrame,
-    k: int = 8,
-    iterations: int = 3,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    scale: int = KMEANS_SCALE,
+    dims: DataFrame,
+    k: int,
+    iterations: int,
+    id_col: str,
 ) -> DataFrame:
-    """Lloyd's k-means on the integer lattice: init = the k smallest ids'
-    vectors, `iterations` assign→update rounds, one final assignment.
-    Returns (cluster, n_members, wcss, min_vec_id) per non-empty cluster."""
+    """Run the bounded centroid rounds (init = k smallest ids' vectors,
+    `iterations` assign→update steps) and return the FINAL assignment
+    frame (id, cid, dist)."""
     spark = df.sparkSession
-    dims = embedding_dims(df, id_col, vec_col, scale)
     init_ids = (
         df.select(id_col)
         .orderBy(id_col)
@@ -120,7 +118,22 @@ def kmeans_lattice(
             (int(r["cid"]), int(r["d"]), int(r["c"])) for r in newc.collect()
         ]
     cdf = spark.createDataFrame(cent_rows, "cid int, d int, c long")
-    final = _assign(dims, cdf, id_col)
+    return _assign(dims, cdf, id_col)
+
+
+def kmeans_lattice(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """Lloyd's k-means on the integer lattice: init = the k smallest ids'
+    vectors, `iterations` assign→update rounds, one final assignment.
+    Returns (cluster, n_members, wcss, min_vec_id) per non-empty cluster."""
+    dims = embedding_dims(df, id_col, vec_col, scale)
+    final = _final_assignment(df, dims, k, iterations, id_col)
     return final.groupBy(F.col("cid").alias("cluster")).agg(
         F.count("*").alias("n_members"),
         F.sum("dist").alias("wcss"),
@@ -128,11 +141,67 @@ def kmeans_lattice(
     )
 
 
-def kmeans_oracle_sql(
-    k: int = 8, iterations: int = 3, scale: int = KMEANS_SCALE, top: str = ""
-) -> str:
-    """DuckDB transcription of kmeans_lattice: the same lattice recurrence
-    unrolled into CTEs c0..c{iterations} + a final assignment."""
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    threshold_pct: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means first, then near-duplicate
+    pairs ONLY within each cluster — the clustering bounds the pairwise
+    work to Σ m_c² instead of n² (the whole point at 100 TB: with n/k
+    per cluster the comparison volume drops k-fold, and each cluster's
+    pair join is an independent shuffle partition).
+
+    Cosine in pure integers on the same lattice as the clustering:
+    cos(a,b) ≥ p/100  ⇔  dot > 0  ∧  dot²·10⁴ ≥ p²·|a|²·|b|²
+    — every quantity BIGINT, so pair decisions are bit-reproducible.
+    Returns (cluster, a_id, b_id, int_dot) — a_id < b_id."""
+    dims = embedding_dims(df, id_col, vec_col, scale)
+    assign = _final_assignment(df, dims, k, iterations, id_col).select(
+        id_col, "cid"
+    )
+    tagged = dims.join(assign, id_col)
+    norms = tagged.groupBy(id_col, "cid").agg(
+        F.sum((F.col("q").cast("long")) * F.col("q")).alias("n2")
+    )
+    a = tagged.select(
+        F.col("cid"), F.col(id_col).alias("a_id"), "d", F.col("q").alias("qa")
+    )
+    b = tagged.select(
+        F.col("cid"), F.col(id_col).alias("b_id"), "d", F.col("q").alias("qb")
+    )
+    dots = (
+        a.join(b, ["cid", "d"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("cid", "a_id", "b_id")
+        .agg(
+            F.sum((F.col("qa").cast("long")) * F.col("qb")).alias("int_dot")
+        )
+    )
+    na = norms.select(F.col(id_col).alias("a_id"), F.col("n2").alias("_n2a"))
+    nb = norms.select(F.col(id_col).alias("b_id"), F.col("n2").alias("_n2b"))
+    p2 = threshold_pct * threshold_pct
+    return (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .where(
+            (F.col("int_dot") > 0)
+            & (
+                F.col("int_dot") * F.col("int_dot") * F.lit(10000)
+                >= F.lit(p2) * F.col("_n2a") * F.col("_n2b")
+            )
+        )
+        .select(F.col("cid").alias("cluster"), "a_id", "b_id", "int_dot")
+    )
+
+
+def _kmeans_ctes(k: int, iterations: int, scale: int) -> str:
+    """Shared DuckDB CTE chain: lattice dims, init, c0..c{iterations},
+    distances d{t} and assignments a{t} (a{iterations+1} is final)."""
     parts = [
         f"""
 WITH dims AS (
@@ -178,10 +247,57 @@ c{t} AS (
   GROUP BY a.cid, dm.d
 )"""
             )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def kmeans_oracle_sql(
+    k: int = 8, iterations: int = 3, scale: int = KMEANS_SCALE
+) -> str:
+    """DuckDB transcription of kmeans_lattice: the same lattice recurrence
+    unrolled into CTEs c0..c{iterations} + a final assignment."""
+    return (
+        _kmeans_ctes(k, iterations, scale)
+        + f"""
 SELECT cid AS cluster, count(*) AS n_members,
        CAST(sum(dist) AS BIGINT) AS wcss, min(vec_id) AS min_vec_id
 FROM a{iterations + 1} GROUP BY cid ORDER BY cluster"""
     )
-    return "".join(parts)
+
+
+def semantic_dedup_oracle_sql(
+    k: int = 8,
+    iterations: int = 3,
+    threshold_pct: int = 25,
+    scale: int = KMEANS_SCALE,
+) -> str:
+    """DuckDB transcription of semantic_dedup_pairs: the kmeans CTE chain
+    + within-cluster integer-cosine pair selection."""
+    p2 = threshold_pct * threshold_pct
+    fin = f"a{iterations + 1}"
+    return (
+        _kmeans_ctes(k, iterations, scale)
+        + f""",
+tagged AS (
+  SELECT a.cid, dm.vec_id, dm.d, dm.q
+  FROM {fin} a JOIN dims dm ON a.vec_id = dm.vec_id
+),
+norms AS (
+  SELECT cid, vec_id,
+         CAST(sum(CAST(q AS BIGINT) * q) AS BIGINT) AS n2
+  FROM tagged GROUP BY cid, vec_id
+),
+dots AS (
+  SELECT ta.cid, ta.vec_id AS a_id, tb.vec_id AS b_id,
+         CAST(sum(CAST(ta.q AS BIGINT) * tb.q) AS BIGINT) AS int_dot
+  FROM tagged ta JOIN tagged tb
+    ON ta.cid = tb.cid AND ta.d = tb.d AND ta.vec_id < tb.vec_id
+  GROUP BY ta.cid, ta.vec_id, tb.vec_id
+)
+SELECT d.cid AS cluster, d.a_id, d.b_id, d.int_dot
+FROM dots d
+JOIN norms na ON na.vec_id = d.a_id AND na.cid = d.cid
+JOIN norms nb ON nb.vec_id = d.b_id AND nb.cid = d.cid
+WHERE d.int_dot > 0
+  AND d.int_dot * d.int_dot * 10000 >= {p2} * na.n2 * nb.n2
+ORDER BY cluster, a_id, b_id"""
+    )

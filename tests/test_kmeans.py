@@ -58,6 +58,37 @@ def test_empty_cluster_drops(spark):
     assert rows[0]["wcss"] == 0
 
 
+def test_semantic_dedup_pairs_within_cluster_only(spark):
+    from ndr_import_spark.operators.clustering import semantic_dedup_pairs
+
+    # blob A: three near-identical +x vectors; blob B: two +y and one -x.
+    # -x lands in whichever cluster is nearer but can never pair with +x
+    # (negative dot) nor +y (zero dot).
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.99, 0.01]), (2, [0.98, 0.0]),
+        (3, [0.0, 1.0]), (4, [0.0, 0.97]), (5, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = semantic_dedup_pairs(df, k=2, iterations=2, threshold_pct=90)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert got == {(0, 1), (0, 2), (1, 2), (3, 4)}
+    # every surviving pair carries a positive integer dot
+    assert all(r["int_dot"] > 0 for r in pairs.collect())
+
+
+def test_semantic_dedup_threshold_is_exact_integer_arithmetic(spark):
+    from ndr_import_spark.operators.clustering import semantic_dedup_pairs
+
+    # 2-d lattice: (127, 0) vs (90, 90): cos = 90/(127.28..) ≈ 0.7071.
+    # p=70 keeps the pair; p=71 drops it — the boundary is exact ints.
+    rows = [(0, [1.0, 0.0]), (1, [0.709, 0.709])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    keep = semantic_dedup_pairs(df, k=1, iterations=1, threshold_pct=70)
+    drop = semantic_dedup_pairs(df, k=1, iterations=1, threshold_pct=71)
+    assert keep.count() == 1
+    assert drop.count() == 0
+
+
 def test_separated_blobs_converge_to_their_means(spark):
     vals = [0.01, 0.02, 0.03, 0.8, 0.81, 0.82]
     df = _emb(spark, vals)
