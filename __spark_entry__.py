@@ -2525,6 +2525,71 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lattice(emb, k=8, iterations=3).orderBy("cluster")
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (the NHS-registry matching shape): every 10th
+    customer name is corrupted by one deterministic character deletion,
+    then linked back against the full master set via symmetric-delete
+    blocking (SymSpell — exact recall at distance ≤ 1) + JVM levenshtein
+    verify + combinable best-match election. The oracle runs the SAME
+    two-phase pipeline in DuckDB (which also ships levenshtein) — a full
+    dual implementation, not an echo."""
+    from ndr_import_spark.operators.linkage import link_records
+
+    cust = _t(spark, sf_dir, "customer")
+    master = cust.select(
+        F.col("c_custkey").alias("mid"), F.col("c_name").alias("mname")
+    )
+    pos = (F.col("c_custkey") % 16 + 2).cast("int")  # delete 2nd..17th char
+    probes = (
+        cust.where(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("pid"),
+            F.concat(
+                F.substring(F.col("c_name"), F.lit(1), pos - F.lit(1)),
+                F.col("c_name").substr(pos + F.lit(1), F.length("c_name")),
+            ).alias("pname"),
+        )
+    )
+    return link_records(
+        probes, master, "pid", "pname", "mid", "mname", max_distance=1
+    ).orderBy("pid")
+
+
+_ORACLE_RECORD_LINKAGE = """
+WITH master AS (
+  SELECT c_custkey AS mid, c_name AS mname FROM customer
+), probes AS (
+  SELECT c_custkey AS pid,
+         substring(c_name, 1, CAST(c_custkey % 16 + 1 AS INT))
+         || substring(c_name, CAST(c_custkey % 16 + 3 AS INT)) AS pname
+  FROM customer WHERE c_custkey % 10 = 0
+), pk AS (
+  SELECT pid, pname,
+         CASE WHEN i = 0 THEN pname
+              ELSE substring(pname, 1, i - 1) || substring(pname, i + 1)
+         END AS key
+  FROM probes, unnest(range(0, length(pname) + 1)) AS t(i)
+), mk AS (
+  SELECT mid, mname,
+         CASE WHEN i = 0 THEN mname
+              ELSE substring(mname, 1, i - 1) || substring(mname, i + 1)
+         END AS key
+  FROM master, unnest(range(0, length(mname) + 1)) AS t(i)
+), cands AS (
+  SELECT DISTINCT pid, pname, mid, mname FROM pk JOIN mk USING (key)
+), verified AS (
+  SELECT pid, mid, levenshtein(pname, mname) AS distance
+  FROM cands WHERE levenshtein(pname, mname) <= 1
+), best AS (
+  SELECT pid, mid, distance,
+         row_number() OVER (PARTITION BY pid ORDER BY distance, mid) AS rn
+  FROM verified
+)
+SELECT pid, mid, CAST(distance AS INT) AS distance
+FROM best WHERE rn = 1 ORDER BY pid
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): integer-lattice k-means, then
     near-duplicate pairs ONLY within each cluster — pairwise work bounded
@@ -5551,6 +5616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
+        "record_linkage": q_record_linkage,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -5674,6 +5740,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": semantic_dedup_oracle_sql(
             k=8, iterations=3, threshold_pct=25
         ),
+        "record_linkage": _ORACLE_RECORD_LINKAGE,
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,
