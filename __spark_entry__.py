@@ -2525,6 +2525,65 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lattice(emb, k=8, iterations=3).orderBy("cluster")
 
 
+def q_events_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over the event stream: 'view'
+    events are treated as value-less (sensor gap) and take the most
+    recent preceding real value per user. One window per user partition
+    (partition-parallel, never a global sort); per-user decimal sums make
+    the filled totals reduction-order-proof."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") != "view", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    locf = F.last(v, ignorenulls=True).over(w)
+    rows = ev.select(
+        "user_id",
+        v.alias("_v"),
+        locf.alias("_f"),
+    )
+    return (
+        rows.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0)).alias("n_missing"),
+            F.sum(
+                F.when(F.col("_v").isNull() & F.col("_f").isNotNull(), 1).otherwise(0)
+            ).alias("n_filled"),
+            (
+                F.sum(F.round(F.col("_f"), 6).cast("decimal(18,6)")).cast("double")
+            ).alias("sum_filled"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_FILL_FORWARD = """
+WITH v AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type <> 'view' THEN value END AS v
+  FROM events
+), f AS (
+  SELECT user_id, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS fv
+  FROM v
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       CAST(sum(CASE WHEN v IS NULL AND fv IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_filled,
+       CAST(sum(CAST(round(fv, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_filled
+FROM f GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy record linkage (the NHS-registry matching shape): every 10th
     customer name is corrupted by one deterministic character deletion,
@@ -5617,6 +5676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
         "record_linkage": q_record_linkage,
+        "events_fill_forward": q_events_fill_forward,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -5741,6 +5801,7 @@ def oracle_sql() -> dict[str, str]:
             k=8, iterations=3, threshold_pct=25
         ),
         "record_linkage": _ORACLE_RECORD_LINKAGE,
+        "events_fill_forward": _ORACLE_FILL_FORWARD,
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,
