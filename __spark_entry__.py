@@ -2525,6 +2525,46 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lattice(emb, k=8, iterations=3).orderBy("cluster")
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting (Suri & Vassilvitskii two-join form)
+    on the deterministic document link graph: wedge build + closure join,
+    per-node corner counts, top 30 by (triangles desc, node)."""
+    from ndr_import_spark.operators.graph import (
+        synthetic_link_graph,
+        triangle_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tri = triangle_count(synthetic_link_graph(docs))
+    return tri.orderBy(F.desc("triangles"), "node").limit(30)
+
+
+_ORACLE_TRIANGLES = """
+WITH dn AS (SELECT count(*) AS n FROM documents),
+raw AS (
+  SELECT d.doc_id AS src, (d.doc_id + j * 7919) % dn.n AS dst
+  FROM documents d, dn, unnest([1, 2, 3]) AS tj(j)
+  WHERE (d.doc_id + j * 7919) % dn.n <> d.doc_id
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM raw WHERE src <> dst
+),
+closed AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM und e1
+  JOIN und e2 ON e2.lo = e1.hi
+  JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+corners AS (
+  SELECT unnest([a, b, c]) AS node FROM closed
+)
+SELECT node, count(*) AS triangles
+FROM corners GROUP BY node
+ORDER BY triangles DESC, node LIMIT 30
+"""
+
+
 def q_events_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-observation-carried-forward over the event stream: 'view'
     events are treated as value-less (sensor gap) and take the most
@@ -5677,6 +5717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "record_linkage": q_record_linkage,
         "events_fill_forward": q_events_fill_forward,
+        "triangle_count": q_triangle_count,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -5802,6 +5843,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "record_linkage": _ORACLE_RECORD_LINKAGE,
         "events_fill_forward": _ORACLE_FILL_FORWARD,
+        "triangle_count": _ORACLE_TRIANGLES,
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,

@@ -65,6 +65,25 @@ def test_synthetic_link_graph_shape(spark):
     assert sorted(r["dst"] for r in rows if r["src"] == 0) == [7, 8, 9]
 
 
+def test_triangle_count_hand_graphs(spark):
+    from ndr_import_spark.operators.graph import triangle_count
+
+    # K4: every node sits on C(3,2) = 3 triangles
+    k4 = _edges(
+        spark,
+        [(a, b) for a in range(4) for b in range(4) if a != b],
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_count(k4).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # a path has no triangles
+    path = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    assert triangle_count(path).count() == 0
+    # duplicate + reversed edges must not double-count: one triangle
+    tri = _edges(spark, [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2), (0, 2)])
+    got = {r["node"]: r["triangles"] for r in triangle_count(tri).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
 def test_edge_shuffle_reused_across_iterations(spark):
     docs = spark.range(50).withColumnRenamed("id", "doc_id")
     pr = pagerank_fixed_point(synthetic_link_graph(docs), iterations=3)
