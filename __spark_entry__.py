@@ -2525,6 +2525,68 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lattice(emb, k=8, iterations=3).orderBy("cluster")
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: build a 4×256 portable-md5 CMS
+    over the corpus token stream (one combinable aggregate, constant-size
+    state), point-query the true top-20 tokens and report estimate vs
+    exact — the one-sided CMS error is directly visible. Sketch cells
+    are engine-portable, so the oracle builds the identical sketch."""
+    from ndr_import_spark.operators.sketches import cms_build, cms_estimate
+    from ndr_import_spark.operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    sketch = cms_build(toks, "token", depth=4, width=256)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "token")
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top.select("token"), "token", depth=4, width=256)
+    return (
+        top.join(est, "token")
+        .select(
+            "token",
+            "true_cnt",
+            F.col("est"),
+            (F.col("est") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("true_cnt"), "token")
+    )
+
+
+_ORACLE_CMS = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), cells AS (
+  SELECT r,
+         CAST(('0x' || substring(md5('cms' || r || ':' || token), 1, 15))
+              AS BIGINT) % 256 AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks, unnest([0, 1, 2, 3]) AS tr(r)
+  GROUP BY 1, 2
+), top AS (
+  SELECT token, count(*) AS true_cnt
+  FROM toks GROUP BY token ORDER BY true_cnt DESC, token LIMIT 20
+), fan AS (
+  SELECT t.token, tr.r,
+         CAST(('0x' || substring(md5('cms' || tr.r || ':' || t.token), 1, 15))
+              AS BIGINT) % 256 AS col
+  FROM top t, unnest([0, 1, 2, 3]) AS tr(r)
+), est AS (
+  SELECT f.token, min(coalesce(c.cnt, 0)) AS est
+  FROM fan f LEFT JOIN cells c ON c.r = f.r AND c.col = f.col
+  GROUP BY f.token
+)
+SELECT t.token, t.true_cnt, e.est, e.est - t.true_cnt AS overcount
+FROM top t JOIN est e ON t.token = e.token
+ORDER BY t.true_cnt DESC, t.token
+"""
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed triangle counting (Suri & Vassilvitskii two-join form)
     on the deterministic document link graph: wedge build + closure join,
@@ -5718,6 +5780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": q_record_linkage,
         "events_fill_forward": q_events_fill_forward,
         "triangle_count": q_triangle_count,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -5844,6 +5907,7 @@ def oracle_sql() -> dict[str, str]:
         "record_linkage": _ORACLE_RECORD_LINKAGE,
         "events_fill_forward": _ORACLE_FILL_FORWARD,
         "triangle_count": _ORACLE_TRIANGLES,
+        "cms_heavy_hitters": _ORACLE_CMS,
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,

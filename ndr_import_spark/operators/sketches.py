@@ -92,6 +92,80 @@ def kmv_distinct(
     )
 
 
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over a key stream:
+    (row, col, cnt) cell frame, depth×width cells total.
+
+    Portable hash family: row r maps key k to
+    ``md5('cms<r>:' || k)``'s 60-bit prefix mod width — identical in any
+    engine, so two independently-built sketches (or the DuckDB oracle's)
+    agree cell-for-cell and can be MERGED by summing cells: the frame is
+    a combinable aggregate, the whole point at 100 TB (one map-side
+    pass, a depth×width-bounded shuffle, constant-size state per
+    partition regardless of corpus size)."""
+    rows = df.select(
+        F.col(key_col).alias("_k"),
+        (F.col(weight_col) if weight_col else F.lit(1)).alias("_w"),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    )
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cms"), F.col("r"), F.lit(":"), F.col("_k"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    return (
+        rows.select("r", col.alias("col"), "_w")
+        .groupBy("r", "col")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """(key, est) point queries against a CMS cell frame: min over the
+    depth cells each key hashes to — the one-sided (over-)estimate.
+    The keys frame fans out ×depth, joins the bounded sketch (broadcast:
+    it is depth×width cells at most) and takes a combinable MIN."""
+    fan = keys.select(
+        F.col(key_col).alias("_k"),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    )
+    col = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cms"), F.col("r"), F.lit(":"), F.col("_k"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    joined = fan.select("_k", "r", col.alias("col")).join(
+        F.broadcast(sketch), ["r", "col"], "left"
+    )
+    return (
+        joined.groupBy("_k")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+        .withColumnRenamed("_k", key_col)
+    )
+
+
 def kmv_jaccard(
     df: DataFrame,
     key_col: str,
