@@ -72,6 +72,48 @@ def _assign(dims: DataFrame, cdf: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _assign_wide(
+    dims: DataFrame, cent_rows: list[tuple[int, int, int]], id_col: str
+) -> DataFrame:
+    """(id, cid, dist) via the conditional-aggregate pipeline: centroids
+    pivot to ONE wide (d, c_<cid>…) broadcast row set, the dims join has
+    NO ×k row fan-out, and the k squared-distance sums come out of a
+    single groupBy — one shuffle instead of two and k× fewer join rows
+    (the same codegen rewrite that paid off on MinHash signatures).
+    Values are bit-identical to :func:`_assign`: the same BIGINT distance
+    per (id, cid), the same (dist, cid)-ordered argmin (least + a
+    cid-ordered when-chain on equality)."""
+    cids = sorted({cid for cid, _, _ in cent_rows})
+    by_d: dict[int, dict[int, int]] = {}
+    for cid, d, c in cent_rows:
+        by_d.setdefault(d, {})[cid] = c
+    wide_rows = [
+        tuple([d] + [by_d[d][cid] for cid in cids]) for d in sorted(by_d)
+    ]
+    schema = "d int, " + ", ".join(f"c{cid} long" for cid in cids)
+    spark = dims.sparkSession
+    wide = spark.createDataFrame(wide_rows, schema)
+    q = F.col("q").cast("long")
+    sums = [
+        F.sum((q - F.col(f"c{cid}")) * (q - F.col(f"c{cid}"))).alias(f"d{cid}")
+        for cid in cids
+    ]
+    dists = dims.join(F.broadcast(wide), "d").groupBy(id_col).agg(*sums)
+    cols = [F.col(f"d{cid}") for cid in cids]
+    best = F.least(*cols) if len(cols) > 1 else cols[0]
+    chain = None
+    for cid in cids:
+        cond = F.col(f"d{cid}") == best
+        chain = (
+            F.when(cond, F.lit(cid))
+            if chain is None
+            else chain.when(cond, F.lit(cid))
+        )
+    return dists.select(
+        id_col, chain.cast("int").alias("cid"), best.alias("dist")
+    )
+
+
 def _final_assignment(
     df: DataFrame,
     dims: DataFrame,
@@ -82,7 +124,6 @@ def _final_assignment(
     """Run the bounded centroid rounds (init = k smallest ids' vectors,
     `iterations` assign→update steps) and return the FINAL assignment
     frame (id, cid, dist)."""
-    spark = df.sparkSession
     init_ids = (
         df.select(id_col)
         .orderBy(id_col)
@@ -101,8 +142,7 @@ def _final_assignment(
         .collect()
     ]
     for _ in range(iterations):
-        cdf = spark.createDataFrame(cent_rows, "cid int, d int, c long")
-        assign = _assign(dims, cdf, id_col)
+        assign = _assign_wide(dims, cent_rows, id_col)
         newc = (
             assign.join(dims, id_col)
             .groupBy("cid", "d")
@@ -117,8 +157,7 @@ def _final_assignment(
         cent_rows = [
             (int(r["cid"]), int(r["d"]), int(r["c"])) for r in newc.collect()
         ]
-    cdf = spark.createDataFrame(cent_rows, "cid int, d int, c long")
-    return _assign(dims, cdf, id_col)
+    return _assign_wide(dims, cent_rows, id_col)
 
 
 def kmeans_lattice(

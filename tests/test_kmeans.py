@@ -58,6 +58,40 @@ def test_empty_cluster_drops(spark):
     assert rows[0]["wcss"] == 0
 
 
+def test_wide_assign_bit_identical_to_narrow_spec(spark):
+    # _assign (join ×k fan-out + min(struct)) is the executable spec;
+    # _assign_wide (conditional-aggregate pipeline) must agree value-for-
+    # value, including the smaller-cid tie-break on equidistant points.
+    from ndr_import_spark.operators.clustering import (
+        _assign,
+        _assign_wide,
+        embedding_dims,
+    )
+
+    vals = [
+        [0.1, 0.2], [0.11, 0.19], [-0.4, 0.3], [0.0, 0.0],
+        [0.5, -0.5], [-0.5, 0.5],  # symmetric: exercises ties
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<float>",
+    )
+    dims = embedding_dims(df)
+    cent_rows = [
+        (0, 0, 13), (0, 1, 25), (1, 0, -51), (1, 1, 38), (2, 0, 0), (2, 1, 0)
+    ]
+    cdf = spark.createDataFrame(cent_rows, "cid int, d int, c long")
+    narrow = {
+        r["vec_id"]: (r["cid"], r["dist"])
+        for r in _assign(dims, cdf, "vec_id").collect()
+    }
+    wide = {
+        r["vec_id"]: (r["cid"], r["dist"])
+        for r in _assign_wide(dims, cent_rows, "vec_id").collect()
+    }
+    assert narrow == wide
+
+
 def test_semantic_dedup_pairs_within_cluster_only(spark):
     from ndr_import_spark.operators.clustering import semantic_dedup_pairs
 
