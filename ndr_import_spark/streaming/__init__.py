@@ -1,6 +1,7 @@
 from ndr_import_spark.streaming.pipeline import (
     session_window_stats,
     stateful_stream_dedup,
+    stream_cluster_assign,
     stream_decontaminate,
     stream_records,
     stream_tables,
@@ -14,6 +15,7 @@ __all__ = [
     "windowed_stats",
     "session_window_stats",
     "stateful_stream_dedup",
+    "stream_cluster_assign",
     "stream_decontaminate",
     "stream_warc_ingest",
 ]

@@ -393,3 +393,62 @@ def stream_warc_ingest(
     return files.select("path", "content").mapInPandas(
         warc_map_batches, WARC_DOC_SCHEMA
     )
+
+
+def stream_cluster_assign(
+    vec_stream: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 127,
+) -> DataFrame:
+    """Continuously assign arriving embeddings to a STANDING centroid
+    table (the output of a batch `clustering.kmeans_lattice` training
+    run, stored as (cid, d, c) rows): the streaming twin of the batch
+    assignment step, e.g. routing fresh documents into SemDeDup buckets
+    as they land.
+
+    Stateless per-row shape: the batch path's explode -> groupBy
+    aggregate would make the stream an AGGREGATION (update/complete
+    mode, a state store); here the k distances are computed per row as
+    zip_with/aggregate folds against k driver-literal centroid arrays —
+    interpreted HOFs, the documented 2-4x constant-factor tax, paid
+    deliberately to keep the stream append-mode and stateless. Values
+    are the same exact BIGINTs as the batch lattice (same round, same
+    squared-difference sum, same smaller-cid tie-break), so a record
+    routed on the stream lands in the cluster a batch re-run would
+    assign, bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    cent: dict[int, dict[int, int]] = {}
+    for r in centroids.collect():
+        cent.setdefault(int(r["cid"]), {})[int(r["d"])] = int(r["c"])
+    cids = sorted(cent)
+    qvec = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    base = vec_stream.select(F.col(id_col), qvec.alias("_q"))
+    dist_cols = []
+    for cid in cids:
+        cvec = [cent[cid][d] for d in sorted(cent[cid])]
+        carr = F.array(*[F.lit(c).cast("long") for c in cvec])
+        diff2 = F.zip_with(F.col("_q"), carr, lambda a, b: (a - b) * (a - b))
+        dist = F.aggregate(
+            diff2, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+        dist_cols.append(dist.alias(f"d{cid}"))
+    scored = base.select(id_col, *dist_cols)
+    cols = [F.col(f"d{cid}") for cid in cids]
+    best = F.least(*cols) if len(cols) > 1 else cols[0]
+    chain = None
+    for cid in cids:
+        cond = F.col(f"d{cid}") == best
+        chain = (
+            F.when(cond, F.lit(cid))
+            if chain is None
+            else chain.when(cond, F.lit(cid))
+        )
+    return scored.select(
+        id_col, chain.cast("int").alias("cid"), best.alias("dist")
+    )

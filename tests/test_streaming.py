@@ -3,6 +3,7 @@ pipeline → memory sink; watermarked window + session-window aggregations."""
 
 from __future__ import annotations
 
+import json
 import shutil
 import tempfile
 import uuid
@@ -307,6 +308,55 @@ class TestStreamDecontaminate:
             q.stop()
             rows = spark.sql(f"select doc_id from {name}").collect()
             assert [r["doc_id"] for r in rows] == [1]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_stream_cluster_assign_matches_batch_lattice(self, spark):
+        from ndr_import_spark.operators.clustering import (
+            _assign_wide,
+            embedding_dims,
+        )
+        from ndr_import_spark.streaming import stream_cluster_assign
+
+        cent_rows = [(0, 0, 13), (0, 1, 25), (1, 0, -51), (1, 1, 38)]
+        centroids = spark.createDataFrame(cent_rows, "cid int, d int, c long")
+        vecs = [
+            (1, [0.1, 0.2]), (2, [-0.4, 0.3]), (3, [0.0, 0.0]),
+            (4, [0.5, -0.5]),
+        ]
+        batch = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+        expected = {
+            r["vec_id"]: (r["cid"], r["dist"])
+            for r in _assign_wide(
+                embedding_dims(batch), cent_rows, "vec_id"
+            ).collect()
+        }
+        tmp = tempfile.mkdtemp()
+        try:
+            with open(f"{tmp}/vecs.json", "w") as f:
+                for vid, v in vecs:
+                    f.write(json.dumps({"vec_id": vid, "embedding": v}) + "\n")
+            stream = (
+                spark.readStream.schema("vec_id long, embedding array<float>")
+                .json(tmp)
+            )
+            assigned = stream_cluster_assign(stream, centroids)
+            assert assigned.isStreaming
+            name = f"kma_{uuid.uuid4().hex[:8]}"
+            q = (
+                assigned.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")  # stateless: append must be legal
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            got = {
+                r["vec_id"]: (r["cid"], r["dist"])
+                for r in spark.sql(f"select * from {name}").collect()
+            }
+            assert got == expected
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
