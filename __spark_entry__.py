@@ -2525,6 +2525,141 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lattice(emb, k=8, iterations=3).orderBy("cluster")
 
 
+def q_id_validity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier check-digit scan: 100 synthetic NHS numbers (Modulus 11)
+    + 100 synthetic 12-digit Luhn PANs, built from md5 digits with the
+    check digit correct for even ids and corrupted for odd ids. Both the
+    CONSTRUCTION and the VALIDATION are dual-implemented (Spark Columns
+    vs generated SQL) — the oracle re-derives every check digit itself."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions.identifiers import (
+        luhn_valid,
+        nhs_number_valid,
+    )
+
+    rows = []
+    for n in range(100):
+        hx = _hl.md5(f"nhs{n}".encode()).hexdigest()
+        d = [int(hx[i], 16) % 10 for i in range(9)]
+        s = sum(d[i] * (11 - (i + 1)) for i in range(9))
+        chk = 11 - (s % 11)
+        chk = 0 if chk == 11 else chk
+        if chk == 10:
+            d10 = 5
+        elif n % 2 == 0:
+            d10 = chk
+        else:
+            d10 = (chk + 1) % 10
+        rows.append((n, "nhs", "".join(map(str, d)) + str(d10)))
+    for n in range(100):
+        hx = _hl.md5(f"luhn{n}".encode()).hexdigest()
+        g = [int(hx[i], 16) % 10 for i in range(11)]
+        s = 0
+        for j in range(1, 12):  # g_j is doubled iff j is odd (1-based)
+            v = g[j - 1] * 2 if j % 2 == 1 else g[j - 1]
+            s += v - 9 if v > 9 else v
+        c = (10 - s % 10) % 10
+        d12 = c if n % 2 == 0 else (c + 1) % 10
+        rows.append((100 + n, "luhn", "".join(map(str, g)) + str(d12)))
+    df = spark.createDataFrame(
+        rows, "id long, kind string, cand string"
+    ).repartition(8)
+    valid = F.when(
+        F.col("kind") == "nhs", nhs_number_valid(F.col("cand"))
+    ).otherwise(luhn_valid(F.col("cand")))
+    return (
+        df.select("id", "kind", valid.alias("valid"))
+        .groupBy("kind", "valid")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("id").alias("min_id"))
+        .orderBy("kind", "valid")
+    )
+
+
+def _oracle_id_scan() -> str:
+    """Generated DuckDB twin of q_id_validity_scan: same md5-digit
+    construction, independent SQL re-implementation of both validators."""
+    nhs_digits = ", ".join(
+        f"CAST(('0x' || substring(hx, {i}, 1)) AS INT) % 10 AS d{i}"
+        for i in range(1, 10)
+    )
+    nhs_sum = " + ".join(f"d{i} * {11 - i}" for i in range(1, 10))
+    luhn_digits = ", ".join(
+        f"CAST(('0x' || substring(hx, {i}, 1)) AS INT) % 10 AS g{i}"
+        for i in range(1, 12)
+    )
+    luhn_terms = []
+    for j in range(1, 12):
+        if j % 2 == 1:
+            luhn_terms.append(
+                f"(CASE WHEN g{j} * 2 > 9 THEN g{j} * 2 - 9 ELSE g{j} * 2 END)"
+            )
+        else:
+            luhn_terms.append(f"g{j}")
+    luhn_sum = " + ".join(luhn_terms)
+    nhs_cat = " || ".join(f"CAST(d{i} AS VARCHAR)" for i in range(1, 10))
+    luhn_cat = " || ".join(f"CAST(g{i} AS VARCHAR)" for i in range(1, 12))
+    # independent validators over the candidate STRING
+    v_sum = " + ".join(
+        f"CAST(substring(cand, {i}, 1) AS INT) * {11 - i}" for i in range(1, 10)
+    )
+    lv_terms = []
+    for i in range(1, 20):  # right-position i over reverse(cand), guarded
+        d = f"CAST(substring(reverse(cand), {i}, 1) AS INT)"
+        if i % 2 == 0:
+            m = f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END)"
+        else:
+            m = d
+        lv_terms.append(f"(CASE WHEN length(cand) >= {i} THEN {m} ELSE 0 END)")
+    lv_sum = " + ".join(lv_terms)
+    return f"""
+WITH nh AS (
+  SELECT n, md5('nhs' || n) AS hx FROM (SELECT unnest(range(100)) AS n) t
+), nhd AS (SELECT n, {nhs_digits} FROM nh),
+nhc AS (
+  SELECT n, {nhs_cat} AS head,
+         CASE WHEN 11 - (({nhs_sum}) % 11) = 11 THEN 0
+              ELSE 11 - (({nhs_sum}) % 11) END AS chk
+  FROM nhd
+), nhcand AS (
+  SELECT CAST(n AS BIGINT) AS id, 'nhs' AS kind,
+         head || CAST(CASE WHEN chk = 10 THEN 5
+                           WHEN n % 2 = 0 THEN chk
+                           ELSE (chk + 1) % 10 END AS VARCHAR) AS cand
+  FROM nhc
+), lh AS (
+  SELECT n, md5('luhn' || n) AS hx FROM (SELECT unnest(range(100)) AS n) t
+), lhd AS (SELECT n, {luhn_digits} FROM lh),
+lhc AS (
+  SELECT n, {luhn_cat} AS head,
+         (10 - (({luhn_sum}) % 10)) % 10 AS c
+  FROM lhd
+), lhcand AS (
+  SELECT CAST(100 + n AS BIGINT) AS id, 'luhn' AS kind,
+         head || CAST(CASE WHEN n % 2 = 0 THEN c
+                           ELSE (c + 1) % 10 END AS VARCHAR) AS cand
+  FROM lhc
+), cands AS (
+  SELECT * FROM nhcand UNION ALL SELECT * FROM lhcand
+), checked AS (
+  SELECT id, kind,
+    CASE WHEN kind = 'nhs' THEN
+      regexp_matches(cand, '^[0-9]{{10}}$')
+      AND (CASE WHEN 11 - (({v_sum}) % 11) = 11 THEN 0
+                ELSE 11 - (({v_sum}) % 11) END) <> 10
+      AND (CASE WHEN 11 - (({v_sum}) % 11) = 11 THEN 0
+                ELSE 11 - (({v_sum}) % 11) END)
+          = CAST(substring(cand, 10, 1) AS INT)
+    ELSE
+      regexp_matches(cand, '^[0-9]{{12,19}}$') AND ({lv_sum}) % 10 = 0
+    END AS valid
+  FROM cands
+)
+SELECT kind, valid, count(*) AS cnt, min(id) AS min_id
+FROM checked GROUP BY kind, valid ORDER BY kind, valid
+"""
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch heavy hitters: build a 4×256 portable-md5 CMS
     over the corpus token stream (one combinable aggregate, constant-size
@@ -5781,6 +5916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_fill_forward": q_events_fill_forward,
         "triangle_count": q_triangle_count,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "id_validity_scan": q_id_validity_scan,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -5908,6 +6044,7 @@ def oracle_sql() -> dict[str, str]:
         "events_fill_forward": _ORACLE_FILL_FORWARD,
         "triangle_count": _ORACLE_TRIANGLES,
         "cms_heavy_hitters": _ORACLE_CMS,
+        "id_validity_scan": _oracle_id_scan(),
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,
