@@ -272,3 +272,67 @@ class TestRound5PlanShapes:
         assert "aggregate(" not in p and "zip_with(" not in p
         df.sparkSession  # keep the scope alive until after the assert
         df._ndr_cache_scope.release()
+
+
+class TestSessionTwoPlanShapes:
+    def test_gopher_gram_counts_stay_in_hash_aggregate(self, spark):
+        # the gram frame groups on (_id, _n, _gram) with count — partial
+        # map-side aggregation must collapse grams before the exchange
+        p = plan(entry.queries()["gopher_quality"](spark, SF_DIR))
+        assert "partial_count" in p
+        # no interpreted HOFs anywhere in the bundle
+        pe = plan(entry.queries()["gopher_quality"](spark, SF_DIR), "extended")
+        for node in ("aggregate(", "zip_with(", "filter(lambda"):
+            assert node not in pe
+
+    def test_pagerank_broadcasts_node_count_not_edges(self, spark):
+        # the scalar n rides as a BROADCAST nested-loop (1-row side,
+        # Cross BuildRight); the edges<->scores joins must be keyed
+        # equi-joins and nothing may fall to an unbroadcast cartesian
+        p = plan(entry.queries()["pagerank"](spark, SF_DIR))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin Cross BuildRight" in p  # scalars
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+        # every nested-loop is a broadcast-scalar cross, never an outer
+        # (formatted explain: tree mentions carry the suffix, detail
+        # mentions don't -> suffixed must be exactly half of all)
+        assert p.count("BroadcastNestedLoopJoin") == 2 * p.count(
+            "BroadcastNestedLoopJoin Cross BuildRight"
+        )
+
+    def test_kmeans_assignment_is_single_aggregate_per_round(self, spark):
+        # the wide conditional-aggregate form: centroid join broadcast,
+        # ONE groupBy per assignment (no per-(id,cid) pre-aggregate)
+        from ndr_import_spark.operators.clustering import (
+            _assign_wide,
+            embedding_dims,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cent = [(c, d, 7) for c in range(4) for d in range(64)]
+        df = _assign_wide(embedding_dims(emb), cent, "vec_id")
+        p = plan(df)
+        assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+        # exactly one aggregate pair (partial + final) over vec_id —
+        # formatted explain prints each node twice (tree + detail)
+        assert p.count("HashAggregate") == 4
+        assert "SortAggregate" not in p
+
+    def test_record_linkage_no_cartesian(self, spark):
+        p = plan(entry.queries()["record_linkage"](spark, SF_DIR))
+        assert "CartesianProduct" not in p
+
+    def test_url_dedup_param_sort_is_the_only_wide_step(self, spark):
+        p = plan(entry.queries()["url_dedup"](spark, SF_DIR))
+        assert "CartesianProduct" not in p
+        # canonical-key dedup aggregates with map-side partials
+        assert "partial_count" in p
+
+    def test_triangle_count_joins_are_equi_joins(self, spark):
+        p = plan(entry.queries()["triangle_count"](spark, SF_DIR))
+        assert "CartesianProduct" not in p
+        # the only nested-loops are the 1-row node-count scalars from the
+        # synthetic graph construction; wedge/closure joins are keyed
+        assert p.count("BroadcastNestedLoopJoin") == 2 * p.count(
+            "BroadcastNestedLoopJoin Cross BuildRight"
+        )
