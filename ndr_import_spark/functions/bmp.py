@@ -75,26 +75,37 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     if need > len(data):
         raise BmpError("truncated BMP pixel data")
 
+    # slice-based swizzles, not per-pixel Python loops: a 12 MP photo is
+    # ~12M pixels and the loop form dominates decode time in mapInPandas
+    pal_r = pal_g = pal_b = b""
+    if palette is not None:
+        pal_r = bytes(p[0] for p in palette)
+        pal_g = bytes(p[1] for p in palette)
+        pal_b = bytes(p[2] for p in palette)
     out = bytearray(width * height * 3)
     for y in range(height):
         src_row = y if top_down else height - 1 - y
         base = pix_offset + src_row * row_stride
         dst = y * width * 3
+        row = data[base : base + width * bytes_per_px]
         if bpp == 8:
-            for x in range(width):
-                idx = data[base + x]
-                if idx >= len(palette):
-                    raise BmpError(f"palette index {idx} out of range")
-                r, g, b = palette[idx]
-                out[dst + 3 * x] = r
-                out[dst + 3 * x + 1] = g
-                out[dst + 3 * x + 2] = b
+            if max(row) >= len(palette):
+                raise BmpError(
+                    f"palette index {max(row)} out of range"
+                )
+            out[dst : dst + width * 3 : 3] = row.translate(
+                pal_r.ljust(256, b"\x00")
+            )
+            out[dst + 1 : dst + width * 3 : 3] = row.translate(
+                pal_g.ljust(256, b"\x00")
+            )
+            out[dst + 2 : dst + width * 3 : 3] = row.translate(
+                pal_b.ljust(256, b"\x00")
+            )
         else:
-            for x in range(width):
-                o = base + x * bytes_per_px  # little-endian BGR(A)
-                out[dst + 3 * x] = data[o + 2]
-                out[dst + 3 * x + 1] = data[o + 1]
-                out[dst + 3 * x + 2] = data[o]
+            out[dst : dst + width * 3 : 3] = row[2::bytes_per_px]
+            out[dst + 1 : dst + width * 3 : 3] = row[1::bytes_per_px]
+            out[dst + 2 : dst + width * 3 : 3] = row[0::bytes_per_px]
     return width, height, 3, bytes(out)
 
 

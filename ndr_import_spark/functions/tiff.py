@@ -170,11 +170,10 @@ def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
         return width, height, 1, px
     if spp == 3:
         return width, height, 3, bytes(raw)
-    # drop extra samples (alpha etc.)
+    # drop extra samples (alpha etc.) — strided slices, not a pixel loop
     out = bytearray(width * height * 3)
-    for p in range(width * height):
-        o = p * spp
-        out[p * 3 : p * 3 + 3] = raw[o : o + 3]
+    for ch in range(3):
+        out[ch::3] = raw[ch::spp]
     return width, height, 3, bytes(out)
 
 

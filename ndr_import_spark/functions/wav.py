@@ -227,8 +227,13 @@ def encode_wav(
     fmt = struct.pack(
         "<HHIIHH", tag, channels, sample_rate, sample_rate * balign, balign, bits
     )
-    # the word-alignment pad byte after an odd data chunk is excluded
-    # from the DATA chunk size but IS part of the RIFF container size
+    return _riff_wrap(fmt, raw)
+
+
+def _riff_wrap(fmt: bytes, raw: bytes) -> bytes:
+    """RIFF/WAVE container assembly — THE single writer both encoders
+    use. The word-alignment pad byte after an odd data chunk is excluded
+    from the DATA chunk size but IS part of the RIFF container size."""
     pad = b"\x00" if len(raw) & 1 else b""
     return b"".join([
         b"RIFF",
@@ -259,19 +264,7 @@ def encode_wav_g711(
         "<HHIIHH", tag, channels, sample_rate, sample_rate * channels,
         channels, 8,
     )
-    pad = b"\x00" if len(raw) & 1 else b""
-    return b"".join([
-        b"RIFF",
-        struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw) + len(pad)),
-        b"WAVE",
-        b"fmt ",
-        struct.pack("<I", len(fmt)),
-        fmt,
-        b"data",
-        struct.pack("<I", len(raw)),
-        raw,
-        pad,
-    ])
+    return _riff_wrap(fmt, raw)
 
 
 def mulaw_byte(sign: int, exponent: int, mantissa: int) -> int:

@@ -84,9 +84,22 @@ def _assign_wide(
     per (id, cid), the same (dist, cid)-ordered argmin (least + a
     cid-ordered when-chain on equality)."""
     cids = sorted({cid for cid, _, _ in cent_rows})
+    if not cids:
+        raise ValueError(
+            "k-means assignment needs a non-empty centroid table "
+            "(got zero (cid, d, c) rows)"
+        )
     by_d: dict[int, dict[int, int]] = {}
     for cid, d, c in cent_rows:
         by_d.setdefault(d, {})[cid] = c
+    for d, per_cid in by_d.items():
+        if len(per_cid) != len(cids):
+            missing = sorted(set(cids) - set(per_cid))
+            raise ValueError(
+                f"ragged centroid table: dimension {d} lacks cells for "
+                f"clusters {missing} — embedding vectors must have "
+                "uniform length"
+            )
     wide_rows = [
         tuple([d] + [by_d[d][cid] for cid in cids]) for d in sorted(by_d)
     ]
@@ -99,31 +112,41 @@ def _assign_wide(
         for cid in cids
     ]
     dists = dims.join(F.broadcast(wide), "d").groupBy(id_col).agg(*sums)
-    cols = [F.col(f"d{cid}") for cid in cids]
-    best = F.least(*cols) if len(cols) > 1 else cols[0]
-    chain = None
-    for cid in cids:
-        cond = F.col(f"d{cid}") == best
-        chain = (
-            F.when(cond, F.lit(cid))
-            if chain is None
-            else chain.when(cond, F.lit(cid))
-        )
+    best, chain = argmin_chain(cids)
     return dists.select(
         id_col, chain.cast("int").alias("cid"), best.alias("dist")
     )
 
 
-def _final_assignment(
+def argmin_chain(cids: list[int], prefix: str = "d"):
+    """(best, chain) Column pair for the tie-broken argmin over the
+    ``{prefix}<cid>`` distance columns: ``best`` is the least distance,
+    ``chain`` resolves to the SMALLEST cid attaining it. ONE definition —
+    the batch assignment and the streaming router both compile through
+    it, so their documented bit-parity is structural, not copy-paste."""
+    cols = [F.col(f"{prefix}{cid}") for cid in cids]
+    best = F.least(*cols) if len(cols) > 1 else cols[0]
+    chain = None
+    for cid in cids:
+        cond = F.col(f"{prefix}{cid}") == best
+        chain = (
+            F.when(cond, F.lit(cid))
+            if chain is None
+            else chain.when(cond, F.lit(cid))
+        )
+    return best, chain
+
+
+def _centroid_rounds(
     df: DataFrame,
     dims: DataFrame,
     k: int,
     iterations: int,
     id_col: str,
-) -> DataFrame:
+) -> list[tuple[int, int, int]]:
     """Run the bounded centroid rounds (init = k smallest ids' vectors,
-    `iterations` assign→update steps) and return the FINAL assignment
-    frame (id, cid, dist)."""
+    `iterations` assign→update steps) and return the trained centroid
+    cells as (cid, d, c) tuples."""
     init_ids = (
         df.select(id_col)
         .orderBy(id_col)
@@ -157,7 +180,40 @@ def _final_assignment(
         cent_rows = [
             (int(r["cid"]), int(r["d"]), int(r["c"])) for r in newc.collect()
         ]
-    return _assign_wide(dims, cent_rows, id_col)
+    return cent_rows
+
+
+def _final_assignment(
+    df: DataFrame,
+    dims: DataFrame,
+    k: int,
+    iterations: int,
+    id_col: str,
+) -> DataFrame:
+    """Train via :func:`_centroid_rounds`, then return the FINAL
+    assignment frame (id, cid, dist)."""
+    return _assign_wide(
+        dims, _centroid_rounds(df, dims, k, iterations, id_col), id_col
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """(cid, d, c) trained centroid frame — the standing table a batch
+    job persists and `streaming.stream_cluster_assign` routes against.
+    k·d rows; write it with a plain `.write.parquet` and reload it for
+    the stream."""
+    dims = embedding_dims(df, id_col, vec_col, scale)
+    cent_rows = _centroid_rounds(df, dims, k, iterations, id_col)
+    return df.sparkSession.createDataFrame(
+        cent_rows, "cid int, d int, c long"
+    )
 
 
 def kmeans_lattice(

@@ -61,10 +61,18 @@ def canonicalize_urls(
     with no surviving params skip it entirely via the left join +
     coalesce('')."""
     nofrag = F.substring_index(F.col(url_col), "#", 1)
-    scheme_raw = F.lower(
+    # scheme-less inputs: protocol-relative '//host/p' gets 'http:',
+    # bare 'host/p' gets 'http://' — otherwise the host/path extractors
+    # (which anchor on '<scheme>://') would see '' and collapse every
+    # malformed URL into one 'http:///' dedup group
+    nofrag = (
+        F.when(nofrag.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), nofrag)
+        .when(nofrag.startswith("//"), F.concat(F.lit("http:"), nofrag))
+        .otherwise(F.concat(F.lit("http://"), nofrag))
+    )
+    scheme = F.lower(
         F.regexp_extract(nofrag, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
     )
-    scheme = F.when(scheme_raw == "", F.lit("http")).otherwise(scheme_raw)
     host = F.lower(
         F.regexp_extract(nofrag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
     )

@@ -92,6 +92,22 @@ def kmv_distinct(
     )
 
 
+def _cms_cell(r, key, width: int):
+    """Cell column for CMS row `r` and key `key`: md5('cms<r>:'||key)'s
+    60-bit prefix mod width. THE single hash definition — build and
+    estimate both compile through it, so the two sides cannot drift."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cms"), r, F.lit(":"), key)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
 def cms_build(
     df: DataFrame,
     key_col: str,
@@ -114,18 +130,7 @@ def cms_build(
         (F.col(weight_col) if weight_col else F.lit(1)).alias("_w"),
         F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
     )
-    col = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("cms"), F.col("r"), F.lit(":"), F.col("_k"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % width
-    )
+    col = _cms_cell(F.col("r"), F.col("_k"), width)
     return (
         rows.select("r", col.alias("col"), "_w")
         .groupBy("r", "col")
@@ -144,18 +149,7 @@ def cms_estimate(
         F.col(key_col).alias("_k"),
         F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
     )
-    col = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("cms"), F.col("r"), F.lit(":"), F.col("_k"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % width
-    )
+    col = _cms_cell(F.col("r"), F.col("_k"), width)
     joined = fan.select("_k", "r", col.alias("col")).join(
         F.broadcast(sketch), ["r", "col"], "left"
     )

@@ -403,10 +403,9 @@ def stream_cluster_assign(
     scale: int = 127,
 ) -> DataFrame:
     """Continuously assign arriving embeddings to a STANDING centroid
-    table (the output of a batch `clustering.kmeans_lattice` training
-    run, stored as (cid, d, c) rows): the streaming twin of the batch
-    assignment step, e.g. routing fresh documents into SemDeDup buckets
-    as they land.
+    table — the (cid, d, c) frame `clustering.kmeans_centroids` trains
+    and a batch job persists — e.g. routing fresh documents into
+    SemDeDup buckets as they land.
 
     Stateless per-row shape: the batch path's explode -> groupBy
     aggregate would make the stream an AGGREGATION (update/complete
@@ -415,15 +414,23 @@ def stream_cluster_assign(
     interpreted HOFs, the documented 2-4x constant-factor tax, paid
     deliberately to keep the stream append-mode and stateless. Values
     are the same exact BIGINTs as the batch lattice (same round, same
-    squared-difference sum, same smaller-cid tie-break), so a record
+    squared-difference sum, and the argmin compiles through the SAME
+    `clustering.argmin_chain` the batch assignment uses), so a record
     routed on the stream lands in the cluster a batch re-run would
     assign, bit-for-bit."""
     from pyspark.sql import functions as F
+
+    from ndr_import_spark.operators.clustering import argmin_chain
 
     cent: dict[int, dict[int, int]] = {}
     for r in centroids.collect():
         cent.setdefault(int(r["cid"]), {})[int(r["d"])] = int(r["c"])
     cids = sorted(cent)
+    if not cids:
+        raise ValueError(
+            "stream_cluster_assign needs a non-empty centroid table "
+            "(got zero (cid, d, c) rows — did the training write fail?)"
+        )
     qvec = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
@@ -439,16 +446,7 @@ def stream_cluster_assign(
         )
         dist_cols.append(dist.alias(f"d{cid}"))
     scored = base.select(id_col, *dist_cols)
-    cols = [F.col(f"d{cid}") for cid in cids]
-    best = F.least(*cols) if len(cols) > 1 else cols[0]
-    chain = None
-    for cid in cids:
-        cond = F.col(f"d{cid}") == best
-        chain = (
-            F.when(cond, F.lit(cid))
-            if chain is None
-            else chain.when(cond, F.lit(cid))
-        )
+    best, chain = argmin_chain(cids)
     return scored.select(
         id_col, chain.cast("int").alias("cid"), best.alias("dist")
     )

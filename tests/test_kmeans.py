@@ -58,6 +58,32 @@ def test_empty_cluster_drops(spark):
     assert rows[0]["wcss"] == 0
 
 
+def test_guards_raise_clear_errors(spark):
+    import pytest
+
+    from ndr_import_spark.operators.clustering import (
+        _assign_wide,
+        embedding_dims,
+        kmeans_centroids,
+    )
+    from ndr_import_spark.streaming import stream_cluster_assign
+
+    df = _emb(spark, [0.1, 0.2])
+    dims = embedding_dims(df)
+    with pytest.raises(ValueError, match="non-empty centroid"):
+        _assign_wide(dims, [], "vec_id")
+    # ragged centroid cells (vector-length mismatch) -> clear message
+    with pytest.raises(ValueError, match="ragged centroid"):
+        _assign_wide(dims, [(0, 0, 5), (1, 0, 5), (1, 1, 5)], "vec_id")
+    empty = spark.createDataFrame([], "cid int, d int, c long")
+    with pytest.raises(ValueError, match="non-empty centroid"):
+        stream_cluster_assign(df, empty)
+    # and the public trained-centroid frame is streaming-consumable
+    cents = kmeans_centroids(df, k=1, iterations=1)
+    assert set(cents.columns) == {"cid", "d", "c"}
+    assert cents.count() == 1  # 1 cluster x 1 dim
+
+
 def test_wide_assign_bit_identical_to_narrow_spec(spark):
     # _assign (join ×k fan-out + min(struct)) is the executable spec;
     # _assign_wide (conditional-aggregate pipeline) must agree value-for-

@@ -45,6 +45,27 @@ def test_normal_form_rules(spark, url, expected):
     assert _canon(spark, url)["url_canon"] == expected
 
 
+@pytest.mark.parametrize(
+    "url,expected",
+    [
+        # scheme-less inputs must NOT collapse to 'http:///'
+        ("example.com/a", "http://example.com/a"),
+        ("//cdn.example.com/lib.js", "http://cdn.example.com/lib.js"),
+        ("Example.COM", "http://example.com/"),
+    ],
+)
+def test_schemeless_urls_keep_their_identity(spark, url, expected):
+    assert _canon(spark, url)["url_canon"] == expected
+
+
+def test_schemeless_urls_do_not_merge(spark):
+    df = spark.createDataFrame(
+        [(1, "example.com/a"), (2, "other.org/b")],
+        "doc_id long, url string",
+    )
+    assert url_dedup(df).count() == 2
+
+
 def test_parts_columns(spark):
     row = _canon(spark, "HTTPS://WWW.Site.Test:443//x//y/?b=2&a=1&utm_x=0#f")
     assert row["scheme"] == "https"
