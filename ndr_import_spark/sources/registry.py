@@ -85,7 +85,7 @@ def _register_builtins() -> None:
         from ndr_import_spark.sources import xmlfile  # noqa: F401
     except Exception:  # pragma: no cover
         pass
-    from ndr_import_spark.sources import archive, excel, pdf, acroform, worddoc, warc  # noqa: F401
+    from ndr_import_spark.sources import archive, excel, pdf, acroform, worddoc, warc, columnar  # noqa: F401
 
 
 _register_builtins()
