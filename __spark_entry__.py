@@ -2900,6 +2900,53 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster", "a_id", "b_id")
 
 
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language unigram Shannon entropy (bits/token): H = log2(T) −
+    Σ c·log2(c) / T over the token frequency table — the corpus-diversity
+    twin of zipf_fit (low entropy flags templated/machine text). log2
+    quantised to 6dp before the decimal sum; one vocab-sized aggregate."""
+    from ndr_import_spark.operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("lang"), F.explode(tokens(F.col("text"))).alias("w")
+    )
+    freqs = toks.groupBy("lang", "w").agg(F.count("*").alias("c"))
+    qlog = F.round(F.log2(F.col("c").cast("double")), 6).cast("decimal(12,6)")
+    agg = freqs.groupBy("lang").agg(
+        F.count("*").alias("vocab"),
+        F.sum("c").alias("total_tokens"),
+        F.sum(F.col("c") * qlog).cast("double").alias("_s"),
+    )
+    h = F.log2(F.col("total_tokens").cast("double")) - F.col("_s") / F.col(
+        "total_tokens"
+    )
+    return agg.select(
+        "lang", "vocab", "total_tokens", F.round(h, 6).alias("entropy_bits")
+    ).orderBy("lang")
+
+
+_ORACLE_SOURCE_ENTROPY = r"""
+WITH t AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), freqs AS (
+  SELECT lang, w, count(*) AS c FROM t GROUP BY lang, w
+), agg AS (
+  SELECT lang, count(*) AS vocab, CAST(sum(c) AS BIGINT) AS total_tokens,
+         CAST(sum(c * CAST(round(log2(CAST(c AS DOUBLE)), 6)
+                           AS DECIMAL(12,6))) AS DOUBLE) AS s
+  FROM freqs GROUP BY lang
+)
+SELECT lang, vocab, total_tokens,
+       round(log2(CAST(total_tokens AS DOUBLE)) - s / total_tokens, 6)
+         AS entropy_bits
+FROM agg ORDER BY lang
+"""
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language Zipf rank-frequency OLS fit over the token frequency
     table — corpus-health signal (natural text slopes near -1). Logs are
@@ -5917,6 +5964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "id_validity_scan": q_id_validity_scan,
+        "source_entropy": q_source_entropy,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -6045,6 +6093,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _ORACLE_TRIANGLES,
         "cms_heavy_hitters": _ORACLE_CMS,
         "id_validity_scan": _oracle_id_scan(),
+        "source_entropy": _ORACLE_SOURCE_ENTROPY,
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,
