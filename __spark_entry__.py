@@ -2900,6 +2900,109 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster", "a_id", "b_id")
 
 
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law vocabulary-growth fit V(n) ≈ K·n^β over the corpus in
+    doc_id order: per-doc cumulative (tokens, distinct types) points,
+    decimal-quantised log-log OLS (the zipf_fit recipe). β far from the
+    0.4-0.6 natural-text band flags synthetic or exhausted vocabulary.
+    The two cumulative windows run over the DOC-COUNT-sized frame (not
+    the token stream); at 100 TB pre-bucket doc ranges first."""
+    from pyspark.sql import Window
+
+    from ndr_import_spark.operators.textstats import token_count, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", token_count(F.col("text")).alias("_nt")
+    )
+    firsts = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_new"))
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pts = (
+        per_doc.join(firsts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("_nt").over(w).alias("_cn"),
+            F.sum(F.coalesce(F.col("_new"), F.lit(0))).over(w).alias("_cv"),
+        )
+        .where((F.col("_cn") > 0) & (F.col("_cv") > 0))
+    )
+    x = F.round(F.log(F.col("_cn").cast("double")), 6).cast("decimal(12,6)")
+    y = F.round(F.log(F.col("_cv").cast("double")), 6).cast("decimal(12,6)")
+    terms = pts.select(
+        x.alias("_x"), y.alias("_y"), (x * y).alias("_xy"), (x * x).alias("_xx"),
+        F.col("_cn"), F.col("_cv"),
+    )
+    agg = terms.agg(
+        F.count("*").alias("_n"),
+        F.max("_cn").alias("total_tokens"),
+        F.max("_cv").alias("vocab"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum("_xy").cast("double").alias("_sxy"),
+        F.sum("_xx").cast("double").alias("_sxx"),
+    )
+    n = F.col("_n").cast("double")
+    denom = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    beta = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / denom
+    lnk = (F.col("_sy") - beta * F.col("_sx")) / n
+    return agg.select(
+        F.col("_n").alias("n_points"),
+        "total_tokens",
+        "vocab",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp(lnk), 6).alias("heaps_k"),
+    )
+
+
+_ORACLE_HEAPS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS wds
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, len(wds) AS nt FROM t
+), firsts AS (
+  SELECT doc_id, count(*) AS newt FROM (
+    SELECT w, min(doc_id) AS doc_id
+    FROM (SELECT doc_id, unnest(wds) AS w FROM t) GROUP BY w
+  ) GROUP BY doc_id
+), pts AS (
+  SELECT p.doc_id,
+         sum(p.nt) OVER (ORDER BY p.doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cn,
+         sum(coalesce(f.newt, 0)) OVER (ORDER BY p.doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cv
+  FROM per_doc p LEFT JOIN firsts f ON p.doc_id = f.doc_id
+), terms AS (
+  SELECT cn, cv,
+         CAST(round(ln(CAST(cn AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+         CAST(round(ln(CAST(cv AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+  FROM pts WHERE cn > 0 AND cv > 0
+), agg AS (
+  SELECT count(*) AS n, CAST(max(cn) AS BIGINT) AS total_tokens,
+         CAST(max(cv) AS BIGINT) AS vocab,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx
+  FROM terms
+)
+SELECT n AS n_points, total_tokens, vocab,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
+  round(exp((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n), 6)
+    AS heaps_k
+FROM agg
+"""
+
+
 def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language unigram Shannon entropy (bits/token): H = log2(T) −
     Σ c·log2(c) / T over the token frequency table — the corpus-diversity
@@ -5965,6 +6068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "id_validity_scan": q_id_validity_scan,
         "source_entropy": q_source_entropy,
+        "heaps_law": q_heaps_law,
         "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
@@ -6094,6 +6198,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": _ORACLE_CMS,
         "id_validity_scan": _oracle_id_scan(),
         "source_entropy": _ORACLE_SOURCE_ENTROPY,
+        "heaps_law": _ORACLE_HEAPS,
         "hash_split": _ORACLE_HASH_SPLIT,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,

@@ -51,6 +51,31 @@ def test_single_token_group_is_null_not_error(spark):
     assert rows["de"]["vocab"] == 3
 
 
+def test_heaps_beta_one_when_vocab_grows_linearly(spark):
+    # every doc introduces exactly one new type plus one shared token:
+    # V(n) = n + 1, N(n) = 2n  ->  ln V vs ln N slope -> 1 as n grows
+    import __spark_entry__ as entry
+
+    rows = [(i, "en", f"t{i} shared") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    import tempfile
+    import shutil
+
+    tmp = tempfile.mkdtemp()
+    try:
+        df.write.parquet(f"{tmp}/documents.parquet")
+        r = entry.queries()["heaps_law"](spark, tmp).collect()[0]
+        assert r["n_points"] == 60
+        assert r["vocab"] == 61
+        assert r["total_tokens"] == 120
+        # exact line is ln(n+1) vs ln(2n): slope -> 1 asymptotically but
+        # the small-n (+1, x2) offsets bow it slightly below 1 at n=60
+        assert 0.85 < r["heaps_beta"] <= 1.02
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_groups_are_independent(spark):
     df = spark.createDataFrame(
         [(1, "en", "a a a a b b c"), (2, "fr", "x y")],
