@@ -1611,6 +1611,20 @@ def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fertility(docs, merges).orderBy("lang")
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge table itself, hash-gated: 12 greedy merges over the
+    top-500-word vocabulary (operators/bpe.py learn_bpe — one corpus scan,
+    then vocab-sized rounds). Oracle: the full trainer unrolled into
+    DuckDB CTEs via the run-parity form of greedy pair merging
+    (bpe_merges_oracle_sql) — the same executable-spec pattern as
+    kmeans/pagerank, closing the one rows-only gap bpe_tokenizer had."""
+    from ndr_import_spark.operators.bpe import learn_bpe, merges_df
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=12, max_vocab=500)
+    return merges_df(spark, merges).orderBy("rank")
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots.txt compliance filtering end-to-end (operators/crawl.py):
     six hosts publish a real robots.txt (Disallow + longest-match Allow
@@ -6093,6 +6107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "embedding_norm_outliers": q_embedding_norm_outliers,
         "cohort_retention": q_cohort_retention,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -6101,6 +6116,7 @@ def oracle_sql() -> dict[str, str]:
         kmeans_oracle_sql,
         semantic_dedup_oracle_sql,
     )
+    from ndr_import_spark.operators.bpe import bpe_merges_oracle_sql
     from ndr_import_spark.operators.graph import pagerank_oracle_sql
 
     return {
@@ -6223,4 +6239,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": _ORACLE_DOC_FINGERPRINTS,
         "embedding_norm_outliers": _ORACLE_NORM_OUTLIERS,
         "cohort_retention": _ORACLE_COHORT,
+        "bpe_merges": bpe_merges_oracle_sql(n_merges=12, max_vocab=500),
     }

@@ -22,10 +22,17 @@ with Subword Units"), restructured for Spark's execution model:
   counts back onto the corpus token stream — the corpus never meets
   Python.
 
-Iterative argmax loops are not SQL-expressible, so `learn_bpe` carries no
-DuckDB oracle; its executable spec is a pure-Python reference BPE in
-`tests/test_bpe.py` that must produce the IDENTICAL merge table on the
-real documents corpus.
+The merge loop IS oracle-able for a fixed round count: greedy
+left-to-right pair merging equals "merge at even offsets within each
+maximal run of consecutive pair-matches" (if positions i..j all match
+pair (a,b), greedy takes i, i+2, ...; a run of length >1 forces a == b,
+so the parity rule is exactly the greedy schedule). That run-parity form
+is window-function SQL, so `bpe_merges_oracle_sql` unrolls the full
+trainer — vocab → chars → K × (pair-count argmax → run-parity merge) —
+into materialised DuckDB CTEs, the same executable-spec pattern as
+`kmeans_oracle_sql` / `pagerank_oracle_sql`. A second, independent spec
+(pure-Python greedy BPE in `tests/test_bpe.py`) must produce the
+IDENTICAL merge table on the real documents corpus.
 """
 
 from __future__ import annotations
@@ -182,6 +189,71 @@ def learn_bpe(
         merges.append((rank, a, b, n))
         syms = _merge_pass(syms, a, b)
     return merges
+
+
+def bpe_merges_oracle_sql(n_merges: int = 12, max_vocab: int = 500) -> str:
+    """DuckDB transcription of `learn_bpe` unrolled to `n_merges` rounds.
+
+    Same vocabulary (freq-desc / word-asc top `max_vocab`), same argmax
+    tie-break (count desc, then lexicographically-least pair), and the
+    greedy adjacent merge expressed as the run-parity rule: pm flags each
+    position whose (sym, next sym) equals the round's winning pair; within
+    each maximal pm-run (gaps-and-islands grouping) the even offsets are
+    the greedy merge sites. The merged row keeps `a || b`, the following
+    row is dropped, positions renumber. CTEs are MATERIALIZED because each
+    state{k} is referenced several times per round — DuckDB's default
+    inlining would re-evaluate the whole chain exponentially.
+
+    Only valid while no round's best pair falls under `min_pair_freq`
+    (true for the synthetic corpus at every tested sf; the Spark side
+    would stop early, the unrolled SQL cannot)."""
+    parts = [f"""WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), vocab AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY word
+  ORDER BY freq DESC, word ASC LIMIT {max_vocab}
+), state0 AS MATERIALIZED (
+  SELECT word, freq, CAST(i AS BIGINT) AS pos,
+         CASE WHEN i <= len(word) THEN word[i] ELSE '{END_OF_WORD}' END AS sym
+  FROM vocab, unnest(generate_series(1, len(word)+1)) AS t(i)
+)"""]
+    for k in range(n_merges):
+        parts.append(f""", top{k} AS MATERIALIZED (
+  SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+  FROM (SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b,
+               freq
+        FROM state{k}) p
+  WHERE b IS NOT NULL GROUP BY a, b
+  ORDER BY n DESC, a ASC, b ASC LIMIT 1
+), s{k} AS MATERIALIZED (
+  SELECT *, pm AND ((pos - min(pos) OVER (PARTITION BY word, pm, grp ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) % 2 = 0) AS ms
+  FROM (
+    SELECT *, pos - row_number() OVER (PARTITION BY word, pm ORDER BY pos) AS grp
+    FROM (
+      SELECT word, freq, pos, sym,
+             COALESCE(sym = (SELECT a FROM top{k})
+                      AND lead(sym) OVER (PARTITION BY word ORDER BY pos)
+                          = (SELECT b FROM top{k}),
+                      FALSE) AS pm
+      FROM state{k}) m) r
+), state{k + 1} AS MATERIALIZED (
+  SELECT word, freq, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN ms THEN sym || (SELECT b FROM top{k}) ELSE sym END AS sym
+  FROM (SELECT *, lag(ms, 1, FALSE) OVER (PARTITION BY word ORDER BY pos)
+                  AS prev_ms
+        FROM s{k}) q
+  WHERE NOT prev_ms
+)""")
+    rows = "\nUNION ALL ".join(
+        f'SELECT {k} AS "rank", a AS "left", b AS "right", n AS pair_freq '
+        f"FROM top{k}"
+        for k in range(n_merges)
+    )
+    parts.append(f'\nSELECT * FROM ({rows}) ORDER BY "rank"')
+    return "".join(parts)
 
 
 def merges_df(spark, merges: list[tuple[int, str, str, int]]) -> DataFrame:

@@ -144,3 +144,64 @@ class TestLearnBpe:
             assert rows[lang]["pieces_per_word"] == pytest.approx(
                 round(exp / rows[lang]["n_words"], 5)
             )
+
+
+class TestMergesOracleSql:
+    """bpe_merges_oracle_sql is a THIRD independent spec (run-parity window
+    SQL) — it must match the pure-Python greedy reference exactly where
+    naive replace-based merging provably diverges: maximal runs of a
+    self-pair (greedy merges even offsets only: 'aaaaa' -> [aa, aa, a],
+    never [aa, a, aa])."""
+
+    def _oracle(self, texts, n_merges):
+        import duckdb
+
+        from ndr_import_spark.operators.bpe import bpe_merges_oracle_sql
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in texts])
+        sql = bpe_merges_oracle_sql(n_merges=n_merges, max_vocab=500)
+        return [tuple(r) for r in con.execute(sql).fetchall()]
+
+    def test_self_pair_runs_match_greedy(self):
+        # 'aaaaa': after merging (a,a) greedily the symbols are
+        # [aa, aa, a, </w>]; a replace-style scan would give [aa, a, aa].
+        # The follow-up merges then differ, so divergence is observable
+        # in the merge table itself.
+        texts = ["aaaaa aaaaa aaaaa aaaa", "aaa aaaaa b b b"]
+        ref = [tuple(m) for m in ref_learn_bpe(texts, 6, min_pair_freq=1)]
+        # min_pair_freq=1 in ref; the unrolled SQL has no stop, so only
+        # compare the rounds the ref actually ran.
+        got = self._oracle(texts, len(ref))
+        assert got == ref
+
+    def test_alternating_and_mixed_words(self):
+        texts = [
+            "abababab abab xyxyxy",
+            "banana bandana cabana",
+            "abababab banana banana",
+        ]
+        ref = [tuple(m) for m in ref_learn_bpe(texts, 8, min_pair_freq=1)]
+        got = self._oracle(texts, len(ref))
+        assert got == ref
+
+    def test_matches_spark_learn_bpe_on_documents(self, spark):
+        import duckdb
+
+        from ndr_import_spark.operators.bpe import (
+            bpe_merges_oracle_sql,
+            learn_bpe,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        merges = learn_bpe(docs, n_merges=6, max_vocab=200)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        sql = bpe_merges_oracle_sql(n_merges=6, max_vocab=200)
+        got = [tuple(r) for r in con.execute(sql).fetchall()]
+        assert got == merges
