@@ -2539,6 +2539,20 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_lattice(emb, k=8, iterations=3).orderBy("cluster")
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embeddings table (operators/pca.py):
+    one Arrow-batched QᵀQ pass builds the augmented integer gram matrix
+    (sums + count ride along as a homogeneous coordinate), then exact
+    integer power iteration (8 rounds, 10^6 lattice) on the
+    floored-centered covariance yields the first principal direction —
+    bit-reproducible on any executor count; the oracle unrolls the
+    identical recurrence (pca_oracle_sql)."""
+    from ndr_import_spark.operators.pca import pca_first_component
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_first_component(emb, dim=64).orderBy("d")
+
+
 def q_id_validity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identifier check-digit scan: 100 synthetic NHS numbers (Modulus 11)
     + 100 synthetic 12-digit Luhn PANs, built from md5 digits with the
@@ -6108,6 +6122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_outliers": q_embedding_norm_outliers,
         "cohort_retention": q_cohort_retention,
         "bpe_merges": q_bpe_merges,
+        "embedding_pca": q_embedding_pca,
     }
 
 
@@ -6118,6 +6133,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from ndr_import_spark.operators.bpe import bpe_merges_oracle_sql
     from ndr_import_spark.operators.graph import pagerank_oracle_sql
+    from ndr_import_spark.operators.pca import pca_oracle_sql
 
     return {
         "map_clean_fields": _ORACLE_MAP_CLEAN,
@@ -6240,4 +6256,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norm_outliers": _ORACLE_NORM_OUTLIERS,
         "cohort_retention": _ORACLE_COHORT,
         "bpe_merges": bpe_merges_oracle_sql(n_merges=12, max_vocab=500),
+        "embedding_pca": pca_oracle_sql(dim=64),
     }
