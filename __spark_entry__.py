@@ -2553,6 +2553,30 @@ def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_first_component(emb, dim=64).orderBy("d")
 
 
+PHRASE_LIST = [
+    "big data merge",
+    "part filter scan",
+    "row column sort",
+    "slow hash batch",
+    "stream table hash",
+    "wholly absent phrase",
+]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase scan over the corpus via a positional inverted index
+    (operators/retrieval.py phrase_search): one vocabulary-pruned postings
+    build, then per-phrase offset equijoins — the Manning et al. IR
+    positional-index algebra, distributed. The oracle reruns the same
+    algebra independently in DuckDB (lateral-unnest postings + offset
+    self-joins); the absent phrase pins zero-hit behaviour on both
+    sides."""
+    from ndr_import_spark.operators.retrieval import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, PHRASE_LIST).orderBy("phrase")
+
+
 def q_id_validity_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identifier check-digit scan: 100 synthetic NHS numbers (Modulus 11)
     + 100 synthetic 12-digit Luhn PANs, built from md5 digits with the
@@ -6123,6 +6147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "bpe_merges": q_bpe_merges,
         "embedding_pca": q_embedding_pca,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -6134,6 +6159,7 @@ def oracle_sql() -> dict[str, str]:
     from ndr_import_spark.operators.bpe import bpe_merges_oracle_sql
     from ndr_import_spark.operators.graph import pagerank_oracle_sql
     from ndr_import_spark.operators.pca import pca_oracle_sql
+    from ndr_import_spark.operators.retrieval import phrase_search_oracle_sql
 
     return {
         "map_clean_fields": _ORACLE_MAP_CLEAN,
@@ -6257,4 +6283,5 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _ORACLE_COHORT,
         "bpe_merges": bpe_merges_oracle_sql(n_merges=12, max_vocab=500),
         "embedding_pca": pca_oracle_sql(dim=64),
+        "phrase_search": phrase_search_oracle_sql(PHRASE_LIST),
     }

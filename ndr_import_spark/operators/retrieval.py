@@ -135,3 +135,116 @@ def bm25_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def positional_postings(
+    df: DataFrame,
+    terms: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, term) positional inverted-index postings — posexplode
+    over the whitespace tokens. `terms` prunes corpus-side BEFORE any
+    shuffle (broadcast `isin` literal filter): phrase matching only ever
+    needs the postings of the phrase's own words, so the exchange carries
+    matching tokens, never the corpus vocabulary."""
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    if terms is not None:
+        out = out.filter(F.col("term").isin(list(set(terms))))
+    return out
+
+
+def phrase_search(
+    df: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(phrase, n_docs, n_hits): exact-phrase occurrence counts via the
+    classic positional-index join — term_i postings equijoined on
+    (doc, first-term position) with `pos - i` realignment (Manning et al.
+    IR ch. 2, public). One corpus scan builds the pruned postings for ALL
+    phrases; each phrase then chains vocabulary-filtered joins whose
+    inputs are posting-list-sized, so a 100 TB corpus costs one scan plus
+    joins proportional to the phrase terms' document frequency. Phrases
+    with zero hits produce no row (both engines agree).
+
+    The DuckDB oracle mirrors the positional algebra independently
+    (lateral-unnest postings + per-phrase offset self-joins) — the
+    dual-pipeline pattern, since RE2's lack of lookaround makes a
+    regexp-count oracle miss back-to-back phrase repeats."""
+    vocab = set()
+    parsed: list[tuple[str, list[str]]] = []
+    for p in phrases:
+        ts = [t for t in p.lower().split() if t]
+        if ts:
+            parsed.append((p, ts))
+            vocab.update(ts)
+    # Materialise the pruned postings ONCE (vocabulary-filtered, so tiny
+    # relative to the corpus): every per-phrase join chain re-reads this
+    # frame, and without the checkpoint each branch would re-scan the
+    # corpus — ~2 scans per phrase instead of 1 total.
+    post = positional_postings(df, sorted(vocab), id_col, text_col)
+    post = post.localCheckpoint(eager=True)
+    per_phrase = []
+    for phrase, ts in parsed:
+        cur = (
+            post.filter(F.col("term") == ts[0])
+            .select(id_col, F.col("pos").alias("p0"))
+        )
+        for i, t in enumerate(ts[1:], start=1):
+            nxt = post.filter(F.col("term") == t).select(
+                id_col, (F.col("pos") - i).alias("p0")
+            )
+            cur = cur.join(nxt, [id_col, "p0"])
+        per_phrase.append(
+            cur.agg(
+                F.lit(phrase).alias("phrase"),
+                F.count_distinct(F.col(id_col)).alias("n_docs"),
+                F.count(F.lit(1)).alias("n_hits"),
+            ).filter(F.col("n_hits") > 0)
+        )
+    out = per_phrase[0]
+    for frame in per_phrase[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+def phrase_search_oracle_sql(
+    phrases: list[str], table: str = "documents"
+) -> str:
+    """DuckDB positional-join transcription of `phrase_search`."""
+    import json
+
+    post = rf"""WITH w AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS wds
+  FROM {table}
+), post AS MATERIALIZED (
+  SELECT doc_id, i AS pos, wds[i] AS term
+  FROM w, unnest(generate_series(1, len(wds))) AS t(i)
+)"""
+    selects = []
+    for p in phrases:
+        ts = [t for t in p.lower().split() if t]
+        if not ts:
+            continue
+        lit = json.dumps(p).replace("'", "''").strip('"')
+        joins = " ".join(
+            f"JOIN post t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{t}'"
+            for i, t in enumerate(ts[1:], start=1)
+        )
+        selects.append(f"""
+  SELECT '{lit}' AS phrase,
+         CAST(count(DISTINCT t0.doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM post t0 {joins}
+  WHERE t0.term = '{ts[0]}'
+  HAVING count(*) > 0""")
+    body = "\nUNION ALL".join(selects)
+    return f"{post}\nSELECT * FROM ({body}) ORDER BY phrase"
