@@ -2447,7 +2447,28 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_stupid_backoff(test, uni, bi, total).orderBy("doc_id")
 
 
-_ORACLE_BIGRAM_LM = r"""
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality partitioning (Wenzek et al. 2020): rank the
+    held-out split by Stupid-Backoff log-prob within each language and
+    ntile into head/middle/tail thirds; per (lang, bucket) size, mean
+    log-prob and backoff rate (operators/lm.py perplexity_buckets).
+    DECIMAL score sums keep the bucket means reduction-order-free."""
+    from ndr_import_spark.operators.lm import (
+        perplexity_buckets,
+        train_bigram_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    uni, bi, total = train_bigram_counts(train)
+    return perplexity_buckets(test, uni, bi, total).orderBy("lang", "bucket")
+
+
+# Shared Stupid-Backoff scoring pipeline (train split -> counts -> held-out
+# per-pair scores) — prefix for both the per-doc LM oracle and the CCNet
+# bucket oracle.
+_LM_SCORED_CTE = r"""
 WITH w AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -2479,12 +2500,33 @@ bi AS (
   LEFT JOIN uni u1 ON p.w1 = u1.w
   LEFT JOIN uni u2 ON p.w2 = u2.w
   CROSS JOIN tot
+), doc_scores AS (
+  SELECT doc_id, count(*) AS n_pairs,
+         CAST(sum(bo) AS BIGINT) AS backoff_pairs,
+         round(CAST(sum(CAST(round(log10(s), 6) AS DECIMAL(12,6))) AS DOUBLE)
+               / count(*), 6) AS avg_logprob
+  FROM sc GROUP BY doc_id
+)"""
+
+_ORACLE_BIGRAM_LM = _LM_SCORED_CTE + r"""
+SELECT doc_id, n_pairs, backoff_pairs, avg_logprob
+FROM doc_scores ORDER BY doc_id
+"""
+
+_ORACLE_PERPLEXITY_BUCKETS = _LM_SCORED_CTE + r"""
+, ranked AS (
+  SELECT d.lang, s.doc_id, s.n_pairs, s.backoff_pairs,
+         CAST(s.avg_logprob AS DECIMAL(12,6)) AS lp,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY CAST(s.avg_logprob AS DECIMAL(12,6)) DESC,
+                                 s.doc_id ASC) AS bucket
+  FROM doc_scores s JOIN documents d USING (doc_id)
 )
-SELECT doc_id, count(*) AS n_pairs,
-       CAST(sum(bo) AS BIGINT) AS backoff_pairs,
-       round(CAST(sum(CAST(round(log10(s), 6) AS DECIMAL(12,6))) AS DOUBLE)
-             / count(*), 6) AS avg_logprob
-FROM sc GROUP BY doc_id ORDER BY doc_id
+SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS mean_logprob,
+       round(CAST(sum(backoff_pairs) AS DOUBLE) / CAST(sum(n_pairs) AS DOUBLE),
+             6) AS backoff_rate
+FROM ranked GROUP BY lang, bucket ORDER BY lang, bucket
 """
 
 
@@ -6148,6 +6190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "embedding_pca": q_embedding_pca,
         "phrase_search": q_phrase_search,
+        "perplexity_buckets": q_perplexity_buckets,
     }
 
 
@@ -6284,4 +6327,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": bpe_merges_oracle_sql(n_merges=12, max_vocab=500),
         "embedding_pca": pca_oracle_sql(dim=64),
         "phrase_search": phrase_search_oracle_sql(PHRASE_LIST),
+        "perplexity_buckets": _ORACLE_PERPLEXITY_BUCKETS,
     }

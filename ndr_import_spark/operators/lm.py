@@ -31,7 +31,7 @@ UDFs, no HOF lambdas anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textstats import tokens
@@ -116,4 +116,48 @@ def score_stupid_backoff(
             ).alias("avg_logprob"),
         )
         .withColumnRenamed("_id", id_col)
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    total: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style quality partitioning (Wenzek et al. 2020, public): rank
+    each scored document by LM log-probability within its language and
+    split into `n_buckets` ntile buckets (1 = head/most-fluent … tail);
+    per (lang, bucket) report size, mean log-prob and backoff rate.
+
+    Determinism: the per-doc score is the 6dp-quantised DECIMAL the LM
+    emits, ranking ties break on doc_id, and bucket means sum DECIMALs
+    (order-free) before one final double division. Scale: ntile costs a
+    per-language sort — the CCNet paper itself thresholds on percentiles
+    estimated from a sample, which is the drop-in replacement once a
+    single language outgrows a sort (the bucket columns stay identical)."""
+    scored = score_stupid_backoff(df, uni, bi, total, id_col, text_col)
+    j = scored.join(df.select(id_col, group_col), id_col)
+    j = j.withColumn("_lp", F.col("avg_logprob").cast("decimal(12,6)"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_lp").desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("_lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_logprob"),
+            F.round(
+                F.sum("backoff_pairs").cast("double")
+                / F.sum("n_pairs").cast("double"),
+                6,
+            ).alias("backoff_rate"),
+        )
     )

@@ -68,3 +68,48 @@ def test_perfect_memorisation_scores_higher(spark, counts):
     }
     # (b,a) is the most-seen bigram; (c,c) always backs off
     assert got[1] > got[2]
+
+
+class TestPerplexityBuckets:
+    def _lang_docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_bucket_sizes_and_ordering(self, spark, counts):
+        from ndr_import_spark.operators.lm import perplexity_buckets
+
+        uni, bi, total = counts
+        # 7 scoreable docs in one language: ntile(3) -> sizes 3/2/2,
+        # head bucket = highest avg_logprob (memorised bigrams).
+        rows = [
+            (i, t, "en")
+            for i, t in enumerate(
+                ["a b", "b a", "a b a", "c c", "zz zz", "a zz", "b a c"]
+            )
+        ]
+        out = {
+            (r["lang"], r["bucket"]): r
+            for r in perplexity_buckets(
+                self._lang_docs(spark, rows), uni, bi, total
+            ).collect()
+        }
+        sizes = [out[("en", b)]["n_docs"] for b in (1, 2, 3)]
+        assert sizes == [3, 2, 2]
+        means = [out[("en", b)]["mean_logprob"] for b in (1, 2, 3)]
+        assert means == sorted(means, reverse=True)
+        # tail bucket is the all-backoff docs
+        assert out[("en", 3)]["backoff_rate"] == 1.0
+
+    def test_tie_break_is_doc_id(self, spark, counts):
+        from ndr_import_spark.operators.lm import perplexity_buckets
+
+        uni, bi, total = counts
+        # Three identical docs tie exactly; ntile must split 1/1/1 by
+        # doc_id, deterministically, on every run.
+        rows = [(i, "a b", "en") for i in range(3)]
+        for _ in range(2):
+            out = perplexity_buckets(
+                self._lang_docs(spark, rows), uni, bi, total
+            ).collect()
+            assert sorted((r["bucket"], r["n_docs"]) for r in out) == [
+                (1, 1), (2, 1), (3, 1)
+            ]
