@@ -336,3 +336,37 @@ class TestSessionTwoPlanShapes:
         assert p.count("BroadcastNestedLoopJoin") == 2 * p.count(
             "BroadcastNestedLoopJoin Cross BuildRight"
         )
+
+
+class TestSession3Ops:
+    def test_phrase_search_postings_joins_are_equijoins(self, spark):
+        from ndr_import_spark.operators.retrieval import phrase_search
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        df = phrase_search(docs, ["slow hash batch", "big data merge"])
+        p = plan(df, "simple")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_perplexity_buckets_no_cartesian_on_corpus(self, spark):
+        p = plan(entry.queries()["perplexity_buckets"](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p
+
+    def test_pca_gram_shuffles_partials_not_corpus(self, spark):
+        from ndr_import_spark.operators.pca import augmented_gram
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        p = plan(augmented_gram(emb, 64), "formatted")
+        # exactly one exchange: the (batches x (d+1)^2) partial-gram rows;
+        # the corpus itself only flows into mapInPandas
+        assert p.count("Exchange") <= 2  # partial agg exchange (+AQE read)
+        assert "MapInPandas" in p
+        assert "Join" not in p
+
+    def test_logreg_feature_frame_is_narrow(self, spark):
+        from ndr_import_spark.operators.classifier import longform_features
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        p = plan(longform_features(docs), "formatted")
+        assert "Exchange" not in p
+        assert "Join" not in p
