@@ -3262,6 +3262,39 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab sizing curve (operators/corpus.py
+    vocab_coverage_curve): corpus token share covered by the top-k
+    vocabulary at doubling probe sizes. Global frequency ranks come from
+    a histogram-offset + per-frequency window (no global sort); all probe
+    coverages fold into one combinable conditional-sum aggregate."""
+    from ndr_import_spark.operators.corpus import vocab_coverage_curve
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage_curve(docs).orderBy("k")
+
+
+_ORACLE_VOCAB_COVERAGE = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), vocab AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY word
+), tot AS (SELECT CAST(sum(freq) AS BIGINT) AS t,
+                  CAST(count(*) AS BIGINT) AS nv FROM vocab),
+ranked AS MATERIALIZED (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, word ASC) AS r
+  FROM vocab
+)
+SELECT k, least(CAST(k AS BIGINT), tot.nv) AS n_words,
+       round(CAST(sum(CASE WHEN r <= k THEN freq ELSE 0 END) AS DOUBLE)
+             / tot.t, 6) AS coverage
+FROM ranked, tot, unnest([1, 4, 16, 64, 256, 1024, 4096, 16384]) AS tk(k)
+GROUP BY k, tot.nv, tot.t ORDER BY k
+"""
+
+
 _ORACLE_VOCAB = """
 WITH t AS (
   SELECT doc_id,
@@ -6213,6 +6246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "perplexity_buckets": q_perplexity_buckets,
         "logreg_distill": q_logreg_distill,
+        "vocab_coverage_curve": q_vocab_coverage_curve,
     }
 
 
@@ -6352,4 +6386,5 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": phrase_search_oracle_sql(PHRASE_LIST),
         "perplexity_buckets": _ORACLE_PERPLEXITY_BUCKETS,
         "logreg_distill": logreg_oracle_sql(rounds=4),
+        "vocab_coverage_curve": _ORACLE_VOCAB_COVERAGE,
     }

@@ -272,3 +272,51 @@ class TestDuplicatedSpanReport:
             [(0, "too short"), (1, "all words here are fully unique today")],
         )
         assert rep == {}
+
+
+class TestVocabCoverageCurve:
+    def test_hand_corpus(self, spark):
+        from ndr_import_spark.operators.corpus import vocab_coverage_curve
+
+        # freqs: a=4, b=2, c=1, d=1 (ties c/d break alphabetically)
+        df = spark.createDataFrame(
+            [(0, "a a b c"), (1, "a b d a")], "doc_id long, text string"
+        )
+        out = {r["k"]: r for r in
+               vocab_coverage_curve(df, ks=[1, 2, 3, 4, 16]).collect()}
+        assert out[1]["coverage"] == 0.5          # a: 4/8
+        assert out[2]["coverage"] == 0.75         # +b
+        assert out[3]["coverage"] == 0.875        # +c (alphabetic tie-break)
+        assert out[4]["coverage"] == 1.0
+        assert out[16]["n_words"] == 4            # capped at vocab size
+        assert out[16]["coverage"] == 1.0
+
+    def test_rank_matches_global_row_number(self, spark):
+        # The histogram-offset + per-freq-window rank must equal the naive
+        # global row_number() ordering on a corpus with heavy ties.
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        from ndr_import_spark.operators.corpus import vocab_coverage_curve
+        from ndr_import_spark.operators.textstats import tokens
+
+        rows = [(i, " ".join(f"w{(i * j) % 17}" for j in range(12)))
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ks = [1, 2, 3, 5, 8, 13, 17, 100]
+        got = [(r["k"], r["n_words"], r["coverage"])
+               for r in vocab_coverage_curve(df, ks=ks).orderBy("k").collect()]
+
+        vocab = (df.select(F.explode(tokens(F.col("text"))).alias("w"))
+                 .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+        naive = vocab.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("f"), F.col("w")))
+        )
+        total = vocab.agg(F.sum("f")).collect()[0][0]
+        nv = vocab.count()
+        exp = []
+        for k in ks:
+            c = (naive.filter(F.col("r") <= k)
+                 .agg(F.coalesce(F.sum("f"), F.lit(0))).collect()[0][0])
+            exp.append((k, min(k, nv), round(c / total, 6)))
+        assert got == exp
