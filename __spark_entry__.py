@@ -3262,6 +3262,19 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data profiler over the orders table
+    (operators/profile.py): per-column nulls / EXACT distincts / min-max /
+    top value in one melt + two keyed aggregates (one data shuffle bounded
+    by per-column cardinality). Canonical string casts (doubles via
+    round->DECIMAL, timestamps via a fixed format) keep both engines
+    bit-identical; top-value argmax is a combinable min(struct(-n, v)),
+    not a window."""
+    from ndr_import_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders")).orderBy("column_name")
+
+
 def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocab sizing curve (operators/corpus.py
     vocab_coverage_curve): corpus token share covered by the top-k
@@ -6247,6 +6260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "logreg_distill": q_logreg_distill,
         "vocab_coverage_curve": q_vocab_coverage_curve,
+        "table_profile": q_table_profile,
     }
 
 
@@ -6259,6 +6273,7 @@ def oracle_sql() -> dict[str, str]:
     from ndr_import_spark.operators.classifier import logreg_oracle_sql
     from ndr_import_spark.operators.graph import pagerank_oracle_sql
     from ndr_import_spark.operators.pca import pca_oracle_sql
+    from ndr_import_spark.operators.profile import profile_oracle_sql
     from ndr_import_spark.operators.retrieval import phrase_search_oracle_sql
 
     return {
@@ -6387,4 +6402,15 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": _ORACLE_PERPLEXITY_BUCKETS,
         "logreg_distill": logreg_oracle_sql(rounds=4),
         "vocab_coverage_curve": _ORACLE_VOCAB_COVERAGE,
+        "table_profile": profile_oracle_sql(
+            "orders",
+            [
+                ("o_orderkey", "int"),
+                ("o_custkey", "int"),
+                ("o_orderstatus", "str"),
+                ("o_totalprice", "double"),
+                ("o_orderdate", "ts"),
+                ("o_orderpriority", "str"),
+            ],
+        ),
     }

@@ -1,0 +1,69 @@
+"""Single-pass table profiler (operators/profile.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+
+from ndr_import_spark.operators.profile import (
+    profile_oracle_sql,
+    profile_table,
+)
+
+
+def _df(spark):
+    rows = [
+        (1, "a", 1.25, datetime.datetime(2024, 1, 2, 3, 4, 5)),
+        (2, "b", None, datetime.datetime(2024, 1, 2, 3, 4, 5)),
+        (3, "a", 0.5, None),
+        (4, None, 0.5, datetime.datetime(2023, 12, 31, 23, 59, 59)),
+        (5, "c", -1.0, None),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, s string, d double, ts timestamp"
+    )
+
+
+class TestProfile:
+    def test_counts_nulls_distincts_extremes(self, spark):
+        out = {r["column_name"]: r for r in profile_table(_df(spark)).collect()}
+        assert all(out[c]["n_rows"] == 5 for c in out)
+        assert out["s"]["n_nulls"] == 1
+        assert out["s"]["n_distinct"] == 3
+        assert out["s"]["min_v"] == "a" and out["s"]["max_v"] == "c"
+        assert (out["s"]["top_v"], out["s"]["top_n"]) == ("a", 2)
+        assert out["d"]["n_nulls"] == 1
+        # doubles canonicalise via round->DECIMAL(18,4): padded to scale
+        assert out["d"]["top_v"] == "0.5000" and out["d"]["top_n"] == 2
+        assert out["ts"]["n_distinct"] == 2
+        assert out["ts"]["min_v"] == "2023-12-31 23:59:59"
+
+    def test_top_tie_breaks_to_smallest_value(self, spark):
+        df = spark.createDataFrame(
+            [(1, "z"), (2, "y"), (3, "z"), (4, "y")], "id long, s string"
+        )
+        out = {r["column_name"]: r for r in profile_table(df, ["s"]).collect()}
+        assert (out["s"]["top_v"], out["s"]["top_n"]) == ("y", 2)
+
+    def test_matches_duckdb_oracle(self, spark):
+        df = _df(spark)
+        got = sorted(
+            tuple(r) for r in profile_table(df).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t (id BIGINT, s VARCHAR, d DOUBLE, ts TIMESTAMP)"
+        )
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?, ?, ?)",
+            [
+                (r["id"], r["s"], r["d"], r["ts"])
+                for r in df.collect()
+            ],
+        )
+        sql = profile_oracle_sql(
+            "t", [("id", "int"), ("s", "str"), ("d", "double"), ("ts", "ts")]
+        )
+        exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == exp
