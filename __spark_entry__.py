@@ -783,6 +783,79 @@ def _oracle_minhash(k: int = 16, bands: int = 4, shingle_n: int = 5, thr: float 
     return _oracle_banded_jaccard(sh, "", "mh", k, bands, thr)
 
 
+def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality meta-evaluation (operators/dedup.py
+    lsh_quality_report): recall & precision of the PRODUCTION banded
+    MinHash bucketing vs exact all-pairs Jaccard on the bounded
+    doc_id<300 sample — the MMDS S-curve validation you run before
+    trusting (k, bands) at corpus scale. The oracle reruns both the
+    candidate chain and the ground truth independently in DuckDB."""
+    from ndr_import_spark.operators.dedup import lsh_quality_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_quality_report(docs).orderBy("metric")
+
+
+def _oracle_lsh_quality(
+    k: int = 16, bands: int = 4, shingle_n: int = 5, thr: float = 0.5,
+    sample_max_id: int = 300,
+) -> str:
+    from ndr_import_spark.operators.dedup import MINHASH_P, minhash_perm_consts
+
+    rows = k // bands
+    consts = minhash_perm_consts(k, "mh")
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+    sh = (f"list_distinct(list_transform(range(1, greatest(length({norm}) - {shingle_n} + 1, 1) + 1), "
+          f"i -> substring({norm}, i, {shingle_n})))")
+    hs = ("list_distinct(list_transform(sh, s -> "
+          "cast(('0x' || substring(md5(s), 1, 15)) as bigint) "
+          f"& {(1 << 30) - 1}))")
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in consts
+    )
+    band_keys = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(array_to_string(sig[{b * rows + 1}:{(b + 1) * rows}], ',')) AS key FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, text FROM documents WHERE doc_id < {sample_max_id}),
+shingled AS (SELECT doc_id, {sh} AS sh FROM t),
+hashed AS MATERIALIZED (SELECT doc_id, {hs} AS hs FROM shingled),
+sigs AS MATERIALIZED (SELECT doc_id, [{sig_items}] AS sig FROM hashed),
+banded AS MATERIALIZED ({band_keys}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+),
+truth AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+  WHERE cast(len(list_intersect(a.hs, b.hs)) as double) /
+        len(list_distinct(list_concat(a.hs, b.hs))) >= {thr}
+),
+hits AS MATERIALIZED (
+  SELECT t.* FROM truth t JOIN cand c
+    ON t.id_a = c.id_a AND t.id_b = c.id_b
+),
+ns AS (SELECT (SELECT count(*) FROM truth) AS nt,
+              (SELECT count(*) FROM cand) AS nc,
+              (SELECT count(*) FROM hits) AS nh)
+SELECT metric, value FROM (
+  SELECT 'n_candidates' AS metric, CAST(nc AS DOUBLE) AS value FROM ns
+  UNION ALL SELECT 'n_hits', CAST(nh AS DOUBLE) FROM ns
+  UNION ALL SELECT 'n_truth', CAST(nt AS DOUBLE) FROM ns
+  UNION ALL SELECT 'precision',
+    CASE WHEN nc > 0 THEN round(CAST(nh AS DOUBLE) / nc, 5) ELSE 1.0 END
+    FROM ns
+  UNION ALL SELECT 'recall',
+    CASE WHEN nt > 0 THEN round(CAST(nh AS DOUBLE) / nt, 5) ELSE 1.0 END
+    FROM ns
+) ORDER BY metric
+"""
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup over documents: docs equi-join their
     embeddings on id, hyperplane-LSH buckets (8-bit sign signatures) limit
@@ -6261,6 +6334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_distill": q_logreg_distill,
         "vocab_coverage_curve": q_vocab_coverage_curve,
         "table_profile": q_table_profile,
+        "lsh_quality": q_lsh_quality,
     }
 
 
@@ -6413,4 +6487,5 @@ def oracle_sql() -> dict[str, str]:
                 ("o_orderpriority", "str"),
             ],
         ),
+        "lsh_quality": _oracle_lsh_quality(),
     }

@@ -1188,3 +1188,79 @@ def probe_neardup_index(
             pairs, new_hashed, old_sets, "new_id", "old_id", verify_threshold
         )
     )
+
+
+def lsh_quality_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_max_id: int = 300,
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(metric, value): recall/precision of the banded MinHash candidate
+    generator against exact-Jaccard ground truth on a BOUNDED sample —
+    the parameter-validation step you run before trusting (k, bands) on
+    the full corpus (Leskovec et al. MMDS ch. 3 S-curve, public).
+
+    Ground truth needs all sample pairs, so the all-pairs comparison is
+    restricted by contract to `id < sample_max_id` (documented bounded
+    side — the ONLY place the dedup family compares beyond its buckets);
+    candidates reuse the exact production `_band_keys` bucketing, so the
+    measured recall is the recall of the shipping index, not a replica.
+
+    recall = |truth ∩ candidates| / |truth| (1.0 when no truth pairs);
+    precision = |truth ∩ candidates| / |candidates| — candidates ∩ truth
+    equals candidates-above-threshold because truth contains every pair
+    at or above it."""
+    sample = df.filter(F.col(id_col) < sample_max_id)
+    base = _shingle_base(sample, text_col, id_col)
+    scope = _CacheScope()
+    hashed = scope.persist(
+        _hashed_sig_frame(_char_shingle_rows(base, shingle_n), k, "mh")
+    )
+    ids = hashed.select("_id")
+    allp = (
+        ids.alias("l")
+        .join(ids.alias("r"), F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    )
+    truth = _verify_jaccard(allp, hashed, hashed, "id_a", "id_b", threshold)
+    banded = _band_keys(hashed, k, bands, "mh")
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "key"])
+        .filter(F.col("l._id") < F.col("r._id"))
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    one = (
+        truth.agg(F.count(F.lit(1)).alias("_nt"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("_nc")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("_nh")))
+    )
+    nt, nc, nh = F.col("_nt"), F.col("_nc"), F.col("_nh")
+    metrics = F.array(
+        F.struct(F.lit("n_candidates").alias("metric"),
+                 nc.cast("double").alias("value")),
+        F.struct(F.lit("n_hits").alias("metric"),
+                 nh.cast("double").alias("value")),
+        F.struct(F.lit("n_truth").alias("metric"),
+                 nt.cast("double").alias("value")),
+        F.struct(
+            F.lit("precision").alias("metric"),
+            F.when(nc > 0, F.round(nh.cast("double") / nc, 5))
+            .otherwise(F.lit(1.0)).alias("value"),
+        ),
+        F.struct(
+            F.lit("recall").alias("metric"),
+            F.when(nt > 0, F.round(nh.cast("double") / nt, 5))
+            .otherwise(F.lit(1.0)).alias("value"),
+        ),
+    )
+    return scope.tie(
+        one.select(F.explode(metrics).alias("m")).select("m.metric", "m.value")
+    )

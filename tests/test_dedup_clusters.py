@@ -184,3 +184,36 @@ class TestConvergenceGuard:
         # and a sufficient budget converges to one component
         comp = connected_components(pairs, max_iterations=15)
         assert {r["component"] for r in comp.collect()} == {0}
+
+
+class TestLshQualityReport:
+    def test_planted_near_dups_are_recalled(self, spark):
+        from ndr_import_spark.operators.dedup import lsh_quality_report
+
+        base = "the quick brown fox jumps over the lazy dog " * 4
+        rows = [(i, base + f"tail variant {i}") for i in range(6)]
+        # plus unrelated docs that must not pollute truth
+        rows += [(10 + i, f"completely different text number {i} " * 6)
+                 for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["metric"]: r["value"]
+               for r in lsh_quality_report(df, sample_max_id=100).collect()}
+        # at least the 15 near-dup pairs of the 6 planted variants are
+        # truth (the filler docs may add their own pairs), and the banded
+        # index recalls every one of them
+        assert out["n_truth"] >= 15.0
+        assert out["recall"] == 1.0
+        assert out["n_hits"] == out["n_truth"]
+        assert 0.0 < out["precision"] <= 1.0
+
+    def test_sample_bound_is_respected(self, spark):
+        from ndr_import_spark.operators.dedup import lsh_quality_report
+
+        dup = "repeated passage for the sampler " * 5
+        df = spark.createDataFrame(
+            [(1, dup), (2, dup), (500, dup)], "doc_id long, text string"
+        )
+        out = {r["metric"]: r["value"]
+               for r in lsh_quality_report(df, sample_max_id=300).collect()}
+        # doc 500 is outside the sample: only the (1,2) pair counts
+        assert out["n_truth"] == 1.0 and out["n_hits"] == 1.0
