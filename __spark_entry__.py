@@ -5195,6 +5195,56 @@ ORDER BY score DESC, doc_id LIMIT 15
 """
 
 
+def q_retrieval_self_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-item retrieval eval (operators/retrieval.py
+    bm25_self_retrieval): each of the first 8 docs queries the corpus
+    with its own first 6 tokens through the BATCHED BM25 scorer
+    (bm25_batch_scores — one corpus scan for all queries, shuffle bounded
+    by query-term document frequency); the metric is the rank of the doc
+    itself and its reciprocal. Deterministic (score 6dp DESC, doc_id)
+    ranking; self_rank drifting from ~1 flags tokenisation/scoring bugs
+    absolute scores hide."""
+    from ndr_import_spark.operators.retrieval import bm25_self_retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_self_retrieval(docs).orderBy("query_id")
+
+
+_ORACLE_RETRIEVAL_SELF_EVAL = f"""
+WITH dl AS (
+  SELECT doc_id, len({_SQL_TOKS}) AS dl FROM documents
+), stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+q AS (
+  SELECT doc_id AS query_id, unnest(({_SQL_TOKS})[1:6]) AS tok
+  FROM documents WHERE doc_id < 8
+), toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY doc_id, tok
+), dft AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT q.query_id, t.doc_id,
+    round(sum(
+      ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+      * t.tf * 2.2
+      / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+    ), 6) AS score
+  FROM q JOIN tf t USING (tok) JOIN dft d USING (tok)
+  JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN stats s
+  GROUP BY q.query_id, t.doc_id
+), ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(rnk AS INT) AS self_rank, round(1.0 / rnk, 5) AS rr
+FROM ranked WHERE doc_id = query_id ORDER BY query_id
+"""
+
+
 def q_vocab_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise vocabulary overlap between sources, estimated from
     portable KMV sketches (Beyer et al. 2007): per-source k-min sketch of
@@ -6335,6 +6385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_curve": q_vocab_coverage_curve,
         "table_profile": q_table_profile,
         "lsh_quality": q_lsh_quality,
+        "retrieval_self_eval": q_retrieval_self_eval,
     }
 
 
@@ -6488,4 +6539,5 @@ def oracle_sql() -> dict[str, str]:
             ],
         ),
         "lsh_quality": _oracle_lsh_quality(),
+        "retrieval_self_eval": _ORACLE_RETRIEVAL_SELF_EVAL,
     }

@@ -248,3 +248,94 @@ def phrase_search_oracle_sql(
   HAVING count(*) > 0""")
     body = "\nUNION ALL".join(selects)
     return f"{post}\nSELECT * FROM ({body}) ORDER BY phrase"
+
+
+def bm25_batch_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(query_id, doc_id, score): BM25 for a BATCH of queries at once —
+    the realistic retrieval-eval shape. `queries` is a (query_id, term)
+    frame; repeated terms within a query keep standard BM25 query-side
+    multiplicity (each occurrence adds its term score).
+
+    One corpus tokenising scan: tf aggregates only for tokens in the
+    (broadcast, tiny) query vocabulary, so the shuffle carries matching
+    tokens; document frequencies and corpus scalars derive from that
+    same tf frame + a count-only scan. Scoring then joins the term →
+    query mapping (broadcast) and folds per (query, doc) — volume is
+    bounded by the query terms' document frequency, never N×queries."""
+    vocab = queries.select(F.col("term").alias("_t")).distinct()
+    dl = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("_dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).join(F.broadcast(vocab), "_t")
+    tf = toks.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    dft = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        queries.select("query_id", F.col("term").alias("_t"))
+        .join(tf, "_t")
+        .join(F.broadcast(dft), "_t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    tfd = F.col("_tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    s = (
+        idf * tfd * F.lit(k1 + 1.0)
+        / (tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")))
+    )
+    return (
+        scored.groupBy("query_id", id_col)
+        .agg(F.round(F.sum(s), 6).alias("score"))
+    )
+
+
+def bm25_self_retrieval(
+    docs: DataFrame,
+    n_queries: int = 8,
+    n_terms: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, self_rank, rr): known-item retrieval sanity — each query
+    is a document's own first `n_terms` tokens; the metric is the rank of
+    that document among all BM25-scored docs (deterministic (score 6dp
+    DESC, doc_id) order) and its reciprocal. A healthy index puts
+    self_rank at or near 1; drift flags tokenisation or scoring bugs the
+    absolute scores would hide."""
+    q = (
+        docs.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                F.slice(tokens(F.col(text_col)), 1, n_terms)
+            ).alias("term"),
+        )
+    )
+    scored = bm25_batch_scores(docs, q, id_col, text_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("self_rank", F.row_number().over(w))
+        .filter(F.col(id_col) == F.col("query_id"))
+        .select(
+            "query_id",
+            "self_rank",
+            F.round(F.lit(1.0) / F.col("self_rank"), 5).alias("rr"),
+        )
+    )
