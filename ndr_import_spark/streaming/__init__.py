@@ -2,6 +2,7 @@ from ndr_import_spark.streaming.pipeline import (
     session_window_stats,
     stateful_stream_dedup,
     stream_cluster_assign,
+    stream_phrase_flags,
     stream_decontaminate,
     stream_records,
     stream_tables,
@@ -16,6 +17,7 @@ __all__ = [
     "session_window_stats",
     "stateful_stream_dedup",
     "stream_cluster_assign",
+    "stream_phrase_flags",
     "stream_decontaminate",
     "stream_warc_ingest",
 ]

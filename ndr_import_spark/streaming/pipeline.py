@@ -450,3 +450,57 @@ def stream_cluster_assign(
     return scored.select(
         id_col, chain.cast("int").alias("cid"), best.alias("dist")
     )
+
+
+def stream_phrase_flags(
+    doc_stream: DataFrame,
+    phrases: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag arriving documents that contain any of a standing banned /
+    boilerplate phrase list — the streaming admission-control twin of
+    `retrieval.phrase_search`.
+
+    Stateless per-row shape (append-mode, no state store): each document
+    re-serialises its token stream with sentinel spaces and tests
+    `' phrase '` containment — a pure-codegen contains() per phrase.
+    Presence (unlike the batch operator's occurrence COUNT, which needs
+    the positional index to see delimiter-sharing repeats) is exactly
+    expressible this way: a phrase occurs iff its space-delimited form
+    appears in the delimited token stream, so the flag agrees with
+    `phrase_search`'s n_docs on every document, pinned by test."""
+    from pyspark.sql import functions as F
+
+    from ndr_import_spark.operators.textstats import tokens
+
+    parsed = []
+    for p in phrases:
+        ts = [t for t in p.lower().split() if t]
+        if ts:
+            parsed.append((p, " ".join(ts)))
+    if not parsed:
+        raise ValueError("stream_phrase_flags needs at least one phrase")
+    stream = F.concat(
+        F.lit(" "), F.concat_ws(" ", tokens(F.col(text_col))), F.lit(" ")
+    )
+    flags = [
+        F.contains(stream, F.lit(f" {canon} ")).alias(f"hit_{i}")
+        for i, (_p, canon) in enumerate(parsed)
+    ]
+    base = doc_stream.select(F.col(id_col), *flags)
+    any_hit = None
+    for i in range(len(parsed)):
+        c = F.col(f"hit_{i}")
+        any_hit = c if any_hit is None else (any_hit | c)
+    matched = F.array_compact(
+        F.array(*[
+            F.when(F.col(f"hit_{i}"), F.lit(p))
+            for i, (p, _c) in enumerate(parsed)
+        ])
+    )
+    return base.select(
+        id_col,
+        any_hit.alias("flagged"),
+        matched.alias("matched_phrases"),
+    )

@@ -85,3 +85,23 @@ class TestOracleParity:
         )
         exp = [tuple(r) for r in con.execute(pca_oracle_sql(dim=8)).fetchall()]
         assert got == exp
+
+
+class TestGramMergeability:
+    def test_gram_is_additive_across_batches(self, spark):
+        """Incremental-PCA contract: gram(A ∪ B) == gram(A) + gram(B), so a
+        stored gram can absorb a new batch without re-reading old data —
+        the streaming/backfill path for PCA refresh."""
+        import pyspark.sql.functions as F
+
+        a = _planted(spark, n=80)
+        b = _planted(spark, n=50)
+        b = b.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+        whole = {(r["di"], r["dj"]): r["g"]
+                 for r in augmented_gram(a.unionByName(b), 8).collect()}
+        merged = (
+            augmented_gram(a, 8).unionByName(augmented_gram(b, 8))
+            .groupBy("di", "dj").agg(F.sum("g").alias("g"))
+        )
+        parts = {(r["di"], r["dj"]): r["g"] for r in merged.collect()}
+        assert whole == parts

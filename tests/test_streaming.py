@@ -403,3 +403,63 @@ class TestStreamDecontaminate:
         # at exactly the cap the plan still builds
         ok_eval = spark.range(10).selectExpr("concat('text ', id) AS text")
         assert pl.stream_decontaminate(stream, ok_eval, n=5) is not None
+
+
+class TestStreamPhraseFlags:
+    def test_flags_match_batch_phrase_search(self, spark):
+        import json as _json
+        import shutil
+        import tempfile
+        import uuid
+
+        from ndr_import_spark.operators.retrieval import phrase_search
+        from ndr_import_spark.streaming import stream_phrase_flags
+
+        phrases = ["quick brown", "lazy dog", "absent phrase"]
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "quick brown quick brown"),
+            (2, "Quick  BROWN fox"),
+            (3, "nothing to see"),
+        ]
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        batch_docs = {
+            p: n for p, n in (
+                (r["phrase"], r["n_docs"])
+                for r in phrase_search(batch, phrases).collect()
+            )
+        }
+        tmp = tempfile.mkdtemp()
+        try:
+            with open(f"{tmp}/docs.json", "w") as f:
+                for i, t in rows:
+                    f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+            stream = (
+                spark.readStream.schema("doc_id long, text string").json(tmp)
+            )
+            flagged = stream_phrase_flags(stream, phrases)
+            assert flagged.isStreaming
+            name = f"spf_{uuid.uuid4().hex[:8]}"
+            q = (
+                flagged.writeStream.format("memory").queryName(name)
+                .outputMode("append")  # stateless: append must be legal
+                .trigger(availableNow=True).start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            got = spark.sql(f"select * from {name}").collect()
+            by_id = {r["doc_id"]: r for r in got}
+            assert by_id[0]["flagged"] and sorted(
+                by_id[0]["matched_phrases"]
+            ) == ["lazy dog", "quick brown"]
+            assert by_id[1]["matched_phrases"] == ["quick brown"]
+            assert by_id[2]["matched_phrases"] == ["quick brown"]
+            assert not by_id[3]["flagged"]
+            # per-phrase doc counts agree with the batch positional index
+            for p in phrases:
+                stream_n = sum(
+                    1 for r in got if p in (r["matched_phrases"] or [])
+                )
+                assert stream_n == batch_docs.get(p, 0), p
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
