@@ -5245,6 +5245,47 @@ FROM ranked WHERE doc_id = query_id ORDER BY query_id
 """
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage report (operators/corpus.py
+    split_leakage_report): near-dup pairs (production banded MinHash,
+    verified >= 0.5) classified by the hash_split labels of their
+    endpoints — cross-split rows ARE the leakage, max_jaccard sizes the
+    worst offender. Composes the shipping split and shipping dedup
+    definitions unchanged."""
+    from ndr_import_spark.operators.corpus import split_leakage_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_leakage_report(docs).orderBy("split_a", "split_b")
+
+
+def _oracle_split_leakage() -> str:
+    pairs_sql = _oracle_minhash(thr=0.5)
+    return f"""
+WITH pr AS MATERIALIZED (SELECT * FROM ({pairs_sql}) _p),
+h AS (
+  SELECT doc_id, md5('split:' || doc_id) AS hx FROM documents
+), nibs AS (
+  SELECT doc_id,
+    (CASE WHEN ascii(substr(hx,1,1)) >= 97 THEN ascii(substr(hx,1,1)) - 87 ELSE ascii(substr(hx,1,1)) - 48 END) * 4096 +
+    (CASE WHEN ascii(substr(hx,2,1)) >= 97 THEN ascii(substr(hx,2,1)) - 87 ELSE ascii(substr(hx,2,1)) - 48 END) * 256 +
+    (CASE WHEN ascii(substr(hx,3,1)) >= 97 THEN ascii(substr(hx,3,1)) - 87 ELSE ascii(substr(hx,3,1)) - 48 END) * 16 +
+    (CASE WHEN ascii(substr(hx,4,1)) >= 97 THEN ascii(substr(hx,4,1)) - 87 ELSE ascii(substr(hx,4,1)) - 48 END) AS bucket
+  FROM h
+), lab AS (
+  SELECT doc_id, CASE WHEN bucket % 10 < 8 THEN 'train'
+                      WHEN bucket % 10 < 9 THEN 'val'
+                      ELSE 'test' END AS split
+  FROM nibs
+)
+SELECT least(a.split, b.split) AS split_a,
+       greatest(a.split, b.split) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       max(pr.jaccard) AS max_jaccard
+FROM pr JOIN lab a ON a.doc_id = pr.id_a JOIN lab b ON b.doc_id = pr.id_b
+GROUP BY 1, 2 ORDER BY split_a, split_b
+"""
+
+
 def q_vocab_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise vocabulary overlap between sources, estimated from
     portable KMV sketches (Beyer et al. 2007): per-source k-min sketch of
@@ -6386,6 +6427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "lsh_quality": q_lsh_quality,
         "retrieval_self_eval": q_retrieval_self_eval,
+        "split_leakage": q_split_leakage,
     }
 
 
@@ -6540,4 +6582,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lsh_quality": _oracle_lsh_quality(),
         "retrieval_self_eval": _ORACLE_RETRIEVAL_SELF_EVAL,
+        "split_leakage": _oracle_split_leakage(),
     }

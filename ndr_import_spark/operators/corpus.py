@@ -1036,3 +1036,56 @@ def vocab_coverage_curve(
         one.select(F.explode(probes).alias("p"))
         .select("p.k", "p.n_words", "p.coverage")
     )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    weights: dict[str, int] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(split_a, split_b, n_pairs, max_jaccard): near-duplicate pairs that
+    straddle train/val/test splits — the leakage check an eval pipeline
+    runs after splitting (Lee et al. 2022 showed dedup-unaware splits
+    inflate eval scores; this reports exactly those pairs).
+
+    Composes the two production primitives unchanged: `hash_split` labels
+    (stable md5-bucket arithmetic) and `dedup.minhash_lsh_pairs`
+    candidates (banded, verified) — so the report measures the leakage of
+    the SHIPPING split against the SHIPPING near-dup definition. The
+    split-label join is a tiny projection on both pair sides; pair
+    endpoints canonicalise with least/greatest so (train, test) and
+    (test, train) fold together. A clean split shows only same-split
+    rows; any cross-split row is leakage, with max_jaccard sizing the
+    worst offender."""
+    from ndr_import_spark.operators.dedup import minhash_lsh_pairs
+
+    if weights is None:
+        weights = {"train": 8, "val": 1, "test": 1}
+    labels = hash_split(df, weights, id_col).select(id_col, "split")
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col, k=k, bands=bands,
+        verify_threshold=threshold, shingle_n=shingle_n,
+    )
+    a = labels.select(
+        F.col(id_col).alias("id_a"), F.col("split").alias("_sa")
+    )
+    b = labels.select(
+        F.col(id_col).alias("id_b"), F.col("split").alias("_sb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

@@ -320,3 +320,38 @@ class TestVocabCoverageCurve:
                  .agg(F.coalesce(F.sum("f"), F.lit(0))).collect()[0][0])
             exp.append((k, min(k, nv), round(c / total, 6)))
         assert got == exp
+
+
+class TestSplitLeakageReport:
+    def test_planted_cross_split_pair_is_reported(self, spark):
+        import pyspark.sql.functions as F
+
+        from ndr_import_spark.operators.corpus import (
+            hash_split,
+            split_leakage_report,
+        )
+
+        dup = "an identical passage repeated across the split boundary " * 4
+        filler = [(100 + i, f"unique noise document {i} with words " +
+                   " ".join(f"tok{i}{j}" for j in range(20)))
+                  for i in range(6)]
+        # find two ids landing in different splits under the real hash
+        probe = spark.createDataFrame(
+            [(i,) for i in range(40)], "doc_id long"
+        )
+        labs = {r["doc_id"]: r["split"] for r in
+                hash_split(probe, {"train": 8, "val": 1, "test": 1})
+                .collect()}
+        a = next(i for i in labs if labs[i] == "train")
+        b = next(i for i in labs if labs[i] != "train")
+        df = spark.createDataFrame(
+            [(a, dup), (b, dup)] + filler, "doc_id long, text string"
+        )
+        out = {(r["split_a"], r["split_b"]): r
+               for r in split_leakage_report(df).collect()}
+        key = tuple(sorted((labs[a], labs[b])))
+        assert key in out
+        assert out[key]["n_pairs"] == 1
+        assert out[key]["max_jaccard"] == 1.0
+        # no same-split near-dup rows among the distinct fillers
+        assert all(ka != kb and {ka, kb} == set(key) for ka, kb in out)
