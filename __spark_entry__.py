@@ -1487,6 +1487,44 @@ FROM f GROUP BY codec ORDER BY codec
 """
 
 
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format image dedup via integer-exact perceptual average-hash
+    (operators/multimodal.py ahash64 / image_dedup_groups): 20 distinct
+    md5-derived 4x4 gradients, each encoded through THREE real lossless
+    stdlib codecs (PNG, BMP, TIFF) — same pixels, same hash — must
+    collapse to 20 groups of 3 keeping the lowest id. The oracle derives
+    the expected groups ANALYTICALLY from the construction (ids i, i+20,
+    i+40 share gradient i), so a decode or hash defect in ANY of the
+    three codec paths breaks the match."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions.bmp import encode_bmp
+    from ndr_import_spark.functions.png import encode_png
+    from ndr_import_spark.functions.tiff import encode_tiff
+    from ndr_import_spark.operators import multimodal as MM
+
+    rows = []
+    for codec_ix, enc in enumerate((encode_png, encode_bmp, encode_tiff)):
+        for i in range(20):
+            b = _hl.md5(f"imgdedup{i}".encode()).digest()
+            rgb = bytes(v for px in b[:16] for v in (px, px, px))
+            rows.append(
+                (
+                    codec_ix * 20 + i, "image", "image/any",
+                    None, None, None, bytearray(enc(4, 4, rgb)),
+                )
+            )
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(8)
+    return MM.image_dedup_groups(media).orderBy("kept_id")
+
+
+_ORACLE_IMAGE_DEDUP = """
+SELECT CAST(i AS BIGINT) AS kept_id, CAST(3 AS BIGINT) AS n_copies
+FROM unnest(generate_series(0, 19)) AS t(i)
+ORDER BY kept_id
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stdlib WAV decode end-to-end (functions/wav.py, no injected
     decoder): a deterministic audio table of genuine RIFF/WAVE payloads —
@@ -6428,6 +6466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_quality": q_lsh_quality,
         "retrieval_self_eval": q_retrieval_self_eval,
         "split_leakage": q_split_leakage,
+        "image_dedup": q_image_dedup,
     }
 
 
@@ -6583,4 +6622,5 @@ def oracle_sql() -> dict[str, str]:
         "lsh_quality": _oracle_lsh_quality(),
         "retrieval_self_eval": _ORACLE_RETRIEVAL_SELF_EVAL,
         "split_leakage": _oracle_split_leakage(),
+        "image_dedup": _ORACLE_IMAGE_DEDUP,
     }

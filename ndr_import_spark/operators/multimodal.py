@@ -408,3 +408,108 @@ def synth_media_df(spark, n: int = 64) -> DataFrame:
     # a tiny table over default parallelism would spin up one Arrow python
     # worker per partition for a handful of rows each
     return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
+
+
+PHASH_SCHEMA = "media_id long, width int, height int, phash long"
+
+
+def ahash64(w: int, h: int, ch: int, px: bytes, grid: int = 8) -> int:
+    """Integer-exact average hash (aHash, public perceptual-hash family):
+    nearest-neighbour sample a grid×grid luminance lattice (same index
+    arithmetic as `resize_rgb`), threshold each cell against the lattice
+    mean via cross-multiplication (`v·g² > Σv`, ties → 0 — no division,
+    no floats), pack row-major MSB-first. Returned as a SIGNED 64-bit
+    value (two's complement) so it stores in a Spark/parquet LONG."""
+    g = grid
+    lum = []
+    for i in range(g):
+        sy = min(i * h // g, h - 1)
+        for j in range(g):
+            sx = min(j * w // g, w - 1)
+            base = (sy * w + sx) * ch
+            if ch == 1:
+                lum.append(299 * px[base] + 587 * px[base] + 114 * px[base])
+            else:
+                lum.append(
+                    299 * px[base] + 587 * px[base + 1] + 114 * px[base + 2]
+                )
+    total = sum(lum)
+    n = g * g
+    bits = 0
+    for idx, v in enumerate(lum):
+        if v * n > total:
+            bits |= 1 << (n - 1 - idx)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def _decode_raw(data: bytes):
+    """Magic-byte dispatch to the stdlib codecs' RAW pixel decoders —
+    shared by resize and perceptual hashing."""
+    from ndr_import_spark.functions.bmp import decode_bmp, is_bmp
+    from ndr_import_spark.functions.gif import decode_gif, is_gif
+    from ndr_import_spark.functions.jpeg import decode_jpeg, is_jpeg
+    from ndr_import_spark.functions.png import decode_png, is_png
+    from ndr_import_spark.functions.tiff import decode_tiff, is_tiff
+
+    if is_png(data):
+        return decode_png(data)
+    if is_jpeg(data):
+        return decode_jpeg(data)
+    if is_gif(data):
+        return decode_gif(data)
+    if is_bmp(data):
+        return decode_bmp(data)
+    if is_tiff(data):
+        return decode_tiff(data)
+    raise NotImplementedError(
+        "perceptual hashing requires PNG, baseline-JPEG, GIF, BMP or TIFF "
+        "payloads (stdlib codecs)"
+    )
+
+
+def perceptual_hash_images(df: DataFrame, grid: int = 8) -> DataFrame:
+    """(media_id, width, height, phash): aHash per image via the real
+    codec stack, Arrow-batched. The hash is pure integer arithmetic on
+    decoded pixels, so the same image encoded in ANY lossless format
+    (PNG/BMP/TIFF/GIF within palette limits) produces the SAME hash —
+    which is exactly what cross-format image dedup needs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, hashes = [], [], []
+            for p in pdf["payload"]:
+                w, h, ch, px = _decode_raw(bytes(p or b""))
+                ws.append(w)
+                hs.append(h)
+                hashes.append(ahash64(w, h, ch, px, grid))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": ws,
+                    "height": hs,
+                    "phash": hashes,
+                }
+            )
+
+    return df.mapInPandas(run, PHASH_SCHEMA)
+
+
+def image_dedup_groups(df: DataFrame, grid: int = 8) -> DataFrame:
+    """(kept_id, n_copies): cross-format exact perceptual-duplicate
+    groups — ONE combinable aggregate on the 64-bit hash (keep the lowest
+    media_id, the dedup family's election rule). Near-duplicate pairs at
+    Hamming distance d compose with the SimHash banding machinery
+    (`dedup.simhash_hamming_pairs` slices) on this same hash column; the
+    exact grouping here is the lossless-codec case where pixels — and
+    therefore hashes — are identical."""
+    return (
+        perceptual_hash_images(df, grid)
+        .groupBy("phash")
+        .agg(
+            F.min("media_id").alias("kept_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("kept_id", "n_copies")
+    )

@@ -285,3 +285,62 @@ class TestPaletteGuard:
         )
         with pytest.raises(PngError, match="out of range"):
             decode_png(png)
+
+
+class TestPerceptualHash:
+    def test_solid_image_hashes_to_zero(self):
+        from ndr_import_spark.operators.multimodal import ahash64
+
+        px = bytes([77] * (16 * 3))
+        # every cell equals the mean; strictly-greater rule -> all bits 0
+        assert ahash64(4, 4, 3, px) == 0
+
+    def test_hand_two_level_image(self):
+        from ndr_import_spark.operators.multimodal import ahash64
+
+        # 2x1 image: left black, right white; grid 8 NN-samples columns
+        # 0-3 from x=0 and 4-7 from x=1 -> right half above mean
+        px = bytes([0, 0, 0, 255, 255, 255])
+        h = ahash64(2, 1, 3, px) & ((1 << 64) - 1)
+        row = (h >> 56) & 0xFF  # first grid row, MSB-first
+        assert row == 0b00001111
+        # all 8 grid rows identical (height 1)
+        for r in range(8):
+            assert (h >> (56 - 8 * r)) & 0xFF == row
+
+    def test_cross_format_same_pixels_same_hash(self, spark):
+        import hashlib
+
+        from ndr_import_spark.functions.bmp import encode_bmp
+        from ndr_import_spark.functions.png import encode_png
+        from ndr_import_spark.functions.tiff import encode_tiff
+        from ndr_import_spark.operators import multimodal as MM
+
+        b = hashlib.md5(b"xformat").digest()
+        rgb = bytes(v for px in b[:16] for v in (px, px, px))
+        rows = [
+            (i, "image", "image/any", None, None, None,
+             bytearray(enc(4, 4, rgb)))
+            for i, enc in enumerate((encode_png, encode_bmp, encode_tiff))
+        ]
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        hashes = {r["media_id"]: r["phash"]
+                  for r in MM.perceptual_hash_images(media).collect()}
+        assert len(set(hashes.values())) == 1
+
+    def test_distinct_images_distinct_hashes(self, spark):
+        import hashlib
+
+        from ndr_import_spark.functions.png import encode_png
+        from ndr_import_spark.operators import multimodal as MM
+
+        rows = []
+        for i in range(10):
+            b = hashlib.md5(f"distinct{i}".encode()).digest()
+            rgb = bytes(v for px in b[:16] for v in (px, px, px))
+            rows.append((i, "image", "image/png", None, None, None,
+                         bytearray(encode_png(4, 4, rgb))))
+        media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        out = MM.image_dedup_groups(media).collect()
+        assert len(out) == 10
+        assert all(r["n_copies"] == 1 for r in out)
