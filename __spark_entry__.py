@@ -3373,6 +3373,23 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout locality report (operators/layout.py): Morton-
+    interleave (user_id, event-day) over the events table — 16-bit
+    integer-exact quantisation, unrolled mask/shift codegen key — then
+    bucket by the key's top byte (the files a sorted writer would cut)
+    and measure each bucket's span in BOTH dimensions: the pruning win
+    `OPTIMIZE ZORDER BY`-style layouts buy for either filter column.
+    Oracle reruns the identical bit arithmetic."""
+    from ndr_import_spark.operators.layout import zorder_locality_report
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr("datediff(to_date(ts), date'1970-01-01')").alias("day"),
+    )
+    return zorder_locality_report(ev, "user_id", "day").orderBy("bucket")
+
+
 def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass data profiler over the orders table
     (operators/profile.py): per-column nulls / EXACT distincts / min-max /
@@ -6467,6 +6484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_self_eval": q_retrieval_self_eval,
         "split_leakage": q_split_leakage,
         "image_dedup": q_image_dedup,
+        "zorder_locality": q_zorder_locality,
     }
 
 
@@ -6477,6 +6495,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from ndr_import_spark.operators.bpe import bpe_merges_oracle_sql
     from ndr_import_spark.operators.classifier import logreg_oracle_sql
+    from ndr_import_spark.operators.layout import zorder_oracle_sql
     from ndr_import_spark.operators.graph import pagerank_oracle_sql
     from ndr_import_spark.operators.pca import pca_oracle_sql
     from ndr_import_spark.operators.profile import profile_oracle_sql
@@ -6623,4 +6642,9 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_self_eval": _ORACLE_RETRIEVAL_SELF_EVAL,
         "split_leakage": _oracle_split_leakage(),
         "image_dedup": _ORACLE_IMAGE_DEDUP,
+        "zorder_locality": zorder_oracle_sql(
+            "events",
+            "user_id",
+            "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))",
+        ),
     }

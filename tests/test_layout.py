@@ -1,0 +1,79 @@
+"""Z-order layout operators (operators/layout.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from ndr_import_spark.operators.layout import (
+    morton_key,
+    quantise_dim,
+    zorder_locality_report,
+    zorder_oracle_sql,
+)
+
+
+def _morton_ref(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b + 1)
+        z |= ((y >> b) & 1) << (2 * b)
+    return z
+
+
+class TestMortonKey:
+    def test_matches_reference_interleave(self, spark):
+        rows = [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 3, 64, 65535)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = {
+            (r["x"], r["y"]): r["z"]
+            for r in df.select(
+                "x", "y", morton_key(F.col("x"), F.col("y")).alias("z")
+            ).collect()
+        }
+        for (x, y), z in got.items():
+            assert z == _morton_ref(x, y), (x, y)
+
+    def test_quantise_endpoints_and_degenerate(self, spark):
+        df = spark.createDataFrame([(0,), (50,), (100,)], "v long")
+        q = df.select(
+            quantise_dim(
+                F.col("v"), F.lit(0), F.lit(100), 16
+            ).alias("q")
+        ).collect()
+        vals = sorted(r["q"] for r in q)
+        assert vals[0] == 0 and vals[-1] == 65535
+        assert vals[1] == 50 * 65535 // 100
+        deg = df.select(
+            quantise_dim(F.col("v"), F.lit(7), F.lit(7), 16).alias("q")
+        ).collect()
+        assert all(r["q"] == 0 for r in deg)
+
+
+class TestLocalityReport:
+    def test_buckets_span_narrow_ranges_in_both_dims(self, spark):
+        # full 256x256 grid: each of the 256 top-byte buckets is a 16x16
+        # Z-curve tile -> span 15 in BOTH dimensions (vs 255 global)
+        rows = [(x, y) for x in range(256) for y in range(256)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        out = zorder_locality_report(df, "x", "y", bits=8, bucket_bits=8)
+        got = out.collect()
+        assert len(got) == 256
+        assert all(r["n"] == 256 for r in got)
+        assert all(r["x_span"] == 15 and r["y_span"] == 15 for r in got)
+
+    def test_matches_duckdb_oracle(self, spark):
+        rows = [((i * 37) % 500, (i * 91) % 300) for i in range(4000)]
+        df = spark.createDataFrame(rows, "x long, y long")
+        got = sorted(
+            tuple(r)
+            for r in zorder_locality_report(df, "x", "y").collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (x BIGINT, y BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        exp = sorted(
+            tuple(r)
+            for r in con.execute(zorder_oracle_sql("t", "x", "y")).fetchall()
+        )
+        assert got == exp
