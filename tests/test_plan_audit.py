@@ -370,3 +370,28 @@ class TestSession3Ops:
         p = plan(longform_features(docs), "formatted")
         assert "Exchange" not in p
         assert "Join" not in p
+
+    def test_zorder_key_is_narrow_codegen(self, spark):
+        from ndr_import_spark.operators.layout import morton_key, quantise_dim
+        import pyspark.sql.functions as F
+
+        df = spark.range(100).select(
+            F.col("id").alias("x"), (F.col("id") * 7 % 50).alias("y")
+        )
+        keyed = df.select(
+            morton_key(
+                quantise_dim(F.col("x"), F.lit(0), F.lit(99), 16),
+                quantise_dim(F.col("y"), F.lit(0), F.lit(49), 16),
+            ).alias("z")
+        )
+        p = plan(keyed, "formatted")
+        assert "Exchange" not in p and "BatchEvalPython" not in p
+        # '*' prefix marks whole-stage-codegen nodes in formatted mode
+        assert "* Project" in p
+
+    def test_table_profile_single_data_shuffle(self, spark):
+        p = plan(entry.queries()["table_profile"](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p
+        # melt + two keyed aggregates: exchanges only for the (c,v) and
+        # (c) hash aggregations (+ final sort), never a join
+        assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
