@@ -2205,6 +2205,79 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level semantic similarity map: per-source embedding
+    centroid SUMS on the integer lattice (round(v·127) — exact BIGINT
+    sums, and cosine is scale-invariant so sums need no division), then
+    pairwise cosine between the 20 source vectors — a sources²-sized
+    join on d, never corpus². The integer dot/norms are exact; the one
+    sqrt per pair rounds at 6dp. Flags sources that crawl the same
+    underlying site family."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    dims = (
+        emb.join(docs, "vec_id")
+        .select(
+            "source",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "d", "v"
+            ),
+        )
+        .select(
+            "source", "d",
+            F.round(F.col("v") * F.lit(127.0)).cast("long").alias("q"),
+        )
+    )
+    sums = dims.groupBy("source", "d").agg(F.sum("q").alias("s"))
+    pairs = (
+        sums.alias("a")
+        .join(sums.alias("b"), "d")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(
+            F.sum(F.col("a.s") * F.col("b.s")).alias("dot"),
+            F.sum(F.col("a.s") * F.col("a.s")).alias("_na"),
+            F.sum(F.col("b.s") * F.col("b.s")).alias("_nb"),
+        )
+    )
+    return pairs.select(
+        "src_a", "src_b", "dot",
+        F.round(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("_na").cast("double"))
+               * F.sqrt(F.col("_nb").cast("double"))),
+            6,
+        ).alias("cosine"),
+    ).orderBy("src_a", "src_b")
+
+
+_ORACLE_SOURCE_SIMILARITY = """
+WITH j AS (
+  SELECT d.source, e.embedding FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id
+), dims AS (
+  SELECT source, i - 1 AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 127) AS BIGINT) AS q
+  FROM j, unnest(generate_series(1, 64)) AS t(i)
+), sums AS MATERIALIZED (
+  SELECT source, dim, CAST(sum(q) AS BIGINT) AS s
+  FROM dims GROUP BY source, dim
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(sum(a.s * b.s) AS BIGINT) AS dot,
+       round(CAST(sum(a.s * b.s) AS DOUBLE)
+             / (sqrt(CAST(sum(a.s * a.s) AS DOUBLE))
+                * sqrt(CAST(sum(b.s * b.s) AS DOUBLE))), 6) AS cosine
+FROM sums a JOIN sums b ON a.dim = b.dim AND a.source < b.source
+GROUP BY a.source, b.source ORDER BY src_a, src_b
+"""
+
+
 _ORACLE_CENTROIDS = """
 WITH e AS (
   SELECT label, vec_id, cast(embedding as double[]) AS v FROM embeddings
@@ -6485,6 +6558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "image_dedup": q_image_dedup,
         "zorder_locality": q_zorder_locality,
+        "source_similarity": q_source_similarity,
     }
 
 
@@ -6642,6 +6716,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_self_eval": _ORACLE_RETRIEVAL_SELF_EVAL,
         "split_leakage": _oracle_split_leakage(),
         "image_dedup": _ORACLE_IMAGE_DEDUP,
+        "source_similarity": _ORACLE_SOURCE_SIMILARITY,
         "zorder_locality": zorder_oracle_sql(
             "events",
             "user_id",

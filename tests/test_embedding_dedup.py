@@ -104,3 +104,35 @@ class TestQuantizeEmbeddings:
         assert rows[3]["scale"] == 4.0
         assert rows[3]["qvec"] == [64, -127, 32]
         assert rows[3]["recon_err"] is not None and rows[3]["recon_err"] < 0.1
+
+
+class TestSourceSimilarity:
+    def test_hand_cosines(self, spark):
+        import __spark_entry__ as entry
+        import duckdb
+        import tempfile, os, shutil
+
+        # 3 sources: s0 and s1 share direction (scaled), s2 orthogonal
+        vecs = {
+            0: [1.0, 0.0] + [0.0] * 62,
+            1: [0.5, 0.0] + [0.0] * 62,   # same direction, half scale
+            2: [0.0, 1.0] + [0.0] * 62,
+        }
+        tmp = tempfile.mkdtemp()
+        try:
+            spark.createDataFrame(
+                [(i, vecs[i], 0) for i in range(3)],
+                "vec_id long, embedding array<float>, label int",
+            ).write.parquet(f"{tmp}/embeddings.parquet")
+            spark.createDataFrame(
+                [(i, f"s{i}", "en", f"doc {i}", 5) for i in range(3)],
+                "doc_id long, source string, lang string, text string, "
+                "n_chars long",
+            ).write.parquet(f"{tmp}/documents.parquet")
+            out = {(r["src_a"], r["src_b"]): r["cosine"] for r in
+                   entry.queries()["source_similarity"](spark, tmp).collect()}
+            assert out[("s0", "s1")] == 1.0     # same direction
+            assert out[("s0", "s2")] == 0.0     # orthogonal
+            assert out[("s1", "s2")] == 0.0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
