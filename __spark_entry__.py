@@ -2774,6 +2774,27 @@ SELECT * FROM (
 """
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hubs/authorities over the deterministic link graph
+    (operators/graph.py hits_fixed_point): the coupled-vector twin of
+    PageRank on the same exact-integer recurrence discipline —
+    non-negative lattice values, truncating max-rescale (Spark div ==
+    DuckDB // on non-negatives), two keyed aggregates per round, top 30
+    hubs via TakeOrdered. Oracle unrolls the identical recurrence."""
+    from ndr_import_spark.operators.graph import (
+        hits_fixed_point,
+        synthetic_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synthetic_link_graph(docs)
+    return (
+        hits_fixed_point(edges, iterations=4)
+        .orderBy(F.desc("hub"), "id")
+        .limit(30)
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-lattice Lloyd's k-means over the embeddings table (k=8,
     3 rounds) — SemDeDup-style semantic clustering. Quantised BIGINT
@@ -6559,6 +6580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup": q_image_dedup,
         "zorder_locality": q_zorder_locality,
         "source_similarity": q_source_similarity,
+        "hits_scores": q_hits_scores,
     }
 
 
@@ -6570,7 +6592,10 @@ def oracle_sql() -> dict[str, str]:
     from ndr_import_spark.operators.bpe import bpe_merges_oracle_sql
     from ndr_import_spark.operators.classifier import logreg_oracle_sql
     from ndr_import_spark.operators.layout import zorder_oracle_sql
-    from ndr_import_spark.operators.graph import pagerank_oracle_sql
+    from ndr_import_spark.operators.graph import (
+        hits_oracle_sql,
+        pagerank_oracle_sql,
+    )
     from ndr_import_spark.operators.pca import pca_oracle_sql
     from ndr_import_spark.operators.profile import profile_oracle_sql
     from ndr_import_spark.operators.retrieval import phrase_search_oracle_sql
@@ -6657,6 +6682,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_score": _ORACLE_REPETITION,
         "gopher_quality": _ORACLE_GOPHER,
         "pagerank": pagerank_oracle_sql(),
+        "hits_scores": hits_oracle_sql(iterations=4),
         "bigram_lm_score": _ORACLE_BIGRAM_LM,
         "zipf_fit": _ORACLE_ZIPF,
         "url_dedup": _ORACLE_URL_DEDUP,

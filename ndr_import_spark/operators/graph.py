@@ -203,3 +203,114 @@ SELECT id, score FROM r{iterations}
 ORDER BY score DESC, id LIMIT {top_k}"""
     )
     return "".join(parts)
+
+
+HITS_SCALE = 10**6
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    iterations: int = 4,
+    scale: int = HITS_SCALE,
+) -> DataFrame:
+    """(id, hub, authority): Kleinberg's HITS (1999, public) as an exact
+    integer recurrence — the coupled twin of `pagerank_fixed_point`:
+
+        a' = Aᵀ h   (authority = sum of pointing hubs)
+        h' = A a'   (hub = sum of pointed authorities)
+
+    with each vector rescaled after its matvec by truncating division
+    with ``max(1, max(v) div scale)`` — values stay non-negative (init
+    `scale`, sums of non-negatives), so Spark `div` == DuckDB `//` and
+    the whole trajectory is engine- and partitioning-exact. Per round:
+    two keyed join+agg jobs on the edge frame (map-side combined); state
+    between rounds is a node-sized frame, localCheckpoint-truncated like
+    connected components."""
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst")))
+        .distinct()
+    )
+    h = nodes.select("id", F.lit(scale).cast("long").alias("h"))
+    a = None
+    for _ in range(iterations):
+        # a' = sum over in-edges of h(src)
+        a_raw = (
+            edges.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("h").alias("v"))
+        )
+        a_raw = nodes.join(a_raw, "id", "left").select(
+            "id", F.coalesce("v", F.lit(0)).alias("v")
+        )
+        amax = a_raw.agg(F.max("v").alias("m"))
+        a = (
+            a_raw.crossJoin(F.broadcast(amax))
+            .select(
+                "id",
+                F.expr(f"v div greatest(1, m div {scale})").alias("a"),
+            )
+        )
+        # h' = sum over out-edges of a(dst)
+        h_raw = (
+            edges.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("a").alias("v"))
+        )
+        h_raw = nodes.join(h_raw, "id", "left").select(
+            "id", F.coalesce("v", F.lit(0)).alias("v")
+        )
+        hmax = h_raw.agg(F.max("v").alias("m"))
+        h = (
+            h_raw.crossJoin(F.broadcast(hmax))
+            .select(
+                "id",
+                F.expr(f"v div greatest(1, m div {scale})").alias("h"),
+            )
+        ).localCheckpoint(eager=False)
+    return h.join(a.withColumnRenamed("a", "authority"), "id").select(
+        "id", F.col("h").alias("hub"), "authority"
+    )
+
+
+def hits_oracle_sql(
+    iterations: int = 4,
+    out_degree: int = 3,
+    stride: int = LINK_STRIDE,
+    scale: int = HITS_SCALE,
+    top_k: int = 30,
+) -> str:
+    """DuckDB transcription of synthetic_link_graph + hits_fixed_point,
+    unrolled (MATERIALIZED per round — each state is referenced twice)."""
+    jays = ", ".join(str(j) for j in range(1, out_degree + 1))
+    parts = [f"""
+WITH dn AS (SELECT count(*) AS n FROM documents),
+edges AS MATERIALIZED (
+  SELECT d.doc_id AS src, (d.doc_id + j * {stride}) % dn.n AS dst
+  FROM documents d, dn, unnest([{jays}]) AS tj(j)
+  WHERE (d.doc_id + j * {stride}) % dn.n <> d.doc_id
+),
+nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+h0 AS (SELECT id, CAST({scale} AS BIGINT) AS h FROM nodes)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+ar{k} AS MATERIALIZED (
+  SELECT n.id, CAST(COALESCE(sum(p.h), 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN edges e ON e.dst = n.id
+  LEFT JOIN h{k - 1} p ON p.id = e.src
+  GROUP BY n.id
+), am{k} AS (SELECT greatest(1, CAST(max(v) AS BIGINT) // {scale}) AS m FROM ar{k}),
+a{k} AS MATERIALIZED (SELECT id, v // m AS a FROM ar{k}, am{k}),
+hr{k} AS MATERIALIZED (
+  SELECT n.id, CAST(COALESCE(sum(p.a), 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN edges e ON e.src = n.id
+  LEFT JOIN a{k} p ON p.id = e.dst
+  GROUP BY n.id
+), hm{k} AS (SELECT greatest(1, CAST(max(v) AS BIGINT) // {scale}) AS m FROM hr{k}),
+h{k} AS MATERIALIZED (SELECT id, v // m AS h FROM hr{k}, hm{k})""")
+    parts.append(f"""
+SELECT h.id, h.h AS hub, a.a AS authority
+FROM h{iterations} h JOIN a{iterations} a USING (id)
+ORDER BY hub DESC, id LIMIT {top_k}""")
+    return "".join(parts)

@@ -92,3 +92,37 @@ def test_edge_shuffle_reused_across_iterations(spark):
         pr._jdf.queryExecution(), "formatted"
     )
     assert "ReusedExchange" in plan
+
+
+class TestHits:
+    def test_hand_star_graph(self, spark):
+        from ndr_import_spark.operators.graph import hits_fixed_point
+
+        # hub node 0 points at 1,2,3; they point nowhere.
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+        )
+        out = {r["id"]: r for r in hits_fixed_point(edges, 2).collect()}
+        # node 0 is the only hub; 1-3 are equal authorities; node 0 has
+        # zero authority and 1-3 zero hub score
+        assert out[0]["hub"] > 0 and out[0]["authority"] == 0
+        assert len({out[i]["authority"] for i in (1, 2, 3)}) == 1
+        assert all(out[i]["hub"] == 0 for i in (1, 2, 3))
+
+    def test_partition_count_invariant(self, spark):
+        from ndr_import_spark.operators.graph import hits_fixed_point
+
+        rows = [(i, (i * 3 + 1) % 17) for i in range(17) for _ in (0,)]
+        rows += [(i, (i * 5 + 2) % 17) for i in range(17)]
+        rows = [r for r in rows if r[0] != r[1]]
+        a = sorted(
+            tuple(r) for r in hits_fixed_point(
+                spark.createDataFrame(rows, "src long, dst long")
+                .repartition(1), 3).collect()
+        )
+        b = sorted(
+            tuple(r) for r in hits_fixed_point(
+                spark.createDataFrame(rows, "src long, dst long")
+                .repartition(7), 3).collect()
+        )
+        assert a == b
