@@ -3497,6 +3497,32 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(_t(spark, sf_dir, "orders")).orderBy("column_name")
 
 
+_FD_PAIRS = [
+    ("o_orderkey", "int", "o_custkey", "int"),
+    ("o_orderkey", "int", "o_orderstatus", "str"),
+    ("o_orderkey", "int", "o_totalprice", "double"),
+    ("o_orderkey", "int", "o_orderdate", "ts"),
+    ("o_orderkey", "int", "o_orderpriority", "str"),
+    ("o_custkey", "int", "o_orderstatus", "str"),
+    ("o_orderdate", "ts", "o_orderpriority", "str"),
+    ("o_orderstatus", "str", "o_orderpriority", "str"),
+]
+
+
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency / candidate-key discovery over orders
+    (operators/profile.py fd_discovery): det->dep graded by counting
+    det-groups with >1 distinct dep value — o_orderkey must determine
+    every column (key), the cross-column pairs must fail. Single-shuffle
+    melt shape shared with the profiler."""
+    from ndr_import_spark.operators.profile import fd_discovery
+
+    pairs = [(d, p) for d, _dk, p, _pk in _FD_PAIRS]
+    return fd_discovery(_t(spark, sf_dir, "orders"), pairs).orderBy(
+        "det", "dep"
+    )
+
+
 def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocab sizing curve (operators/corpus.py
     vocab_coverage_curve): corpus token share covered by the top-k
@@ -6581,6 +6607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_locality": q_zorder_locality,
         "source_similarity": q_source_similarity,
         "hits_scores": q_hits_scores,
+        "fd_discovery": q_fd_discovery,
     }
 
 
@@ -6597,7 +6624,10 @@ def oracle_sql() -> dict[str, str]:
         pagerank_oracle_sql,
     )
     from ndr_import_spark.operators.pca import pca_oracle_sql
-    from ndr_import_spark.operators.profile import profile_oracle_sql
+    from ndr_import_spark.operators.profile import (
+        fd_oracle_sql,
+        profile_oracle_sql,
+    )
     from ndr_import_spark.operators.retrieval import phrase_search_oracle_sql
 
     return {
@@ -6743,6 +6773,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _oracle_split_leakage(),
         "image_dedup": _ORACLE_IMAGE_DEDUP,
         "source_similarity": _ORACLE_SOURCE_SIMILARITY,
+        "fd_discovery": fd_oracle_sql("orders", _FD_PAIRS),
         "zorder_locality": zorder_oracle_sql(
             "events",
             "user_id",

@@ -132,3 +132,92 @@ SELECT c AS column_name,
          AS top_n
 FROM pv GROUP BY c ORDER BY c
 """
+
+
+def fd_discovery(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    kinds: dict[str, str] | None = None,
+) -> DataFrame:
+    """(det, dep, n_groups, n_violations, holds): does det -> dep hold
+    functionally? A violation is a det-value whose rows carry more than
+    one distinct dep-value — n_violations == 0 means the dependency (and
+    for a det tried against every other column, a candidate key) holds.
+    Classic profiling primitive (TANE et al., public); here the
+    SEARCHED pair list is explicit and bounded.
+
+    Same one-shuffle shape as `profile_table`: each row melts into one
+    (pair, det-value, dep-value) struct per searched pair, ONE exchange
+    keyed by (pair, det-value) with map-side combine counts distinct
+    dep-values per group, and a pair-keyed rollup grades each
+    dependency. Row volume multiplies by |pairs| before the map-side
+    combine — the documented cost knob (profile a sample for wide
+    searches)."""
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    structs = [
+        F.struct(
+            F.lit(f"{det}->{dep}").alias("p"),
+            _canon(F.col(det), fields[det]).alias("a"),
+            _canon(F.col(dep), fields[dep]).alias("b"),
+        )
+        for det, dep in pairs
+    ]
+    long = df.select(F.explode(F.array(*structs)).alias("x")).select(
+        "x.p", "x.a", "x.b"
+    )
+    per_group = long.groupBy("p", "a").agg(
+        F.count_distinct("b").alias("nb")
+    )
+    return (
+        per_group.groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("nb") > 1, 1).otherwise(0)).alias(
+                "n_violations"
+            ),
+        )
+        .select(
+            F.split(F.col("p"), "->").getItem(0).alias("det"),
+            F.split(F.col("p"), "->").getItem(1).alias("dep"),
+            "n_groups",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("holds"),
+        )
+    )
+
+
+def fd_oracle_sql(
+    table: str,
+    typed_pairs: list[tuple[str, str, str, str]],
+) -> str:
+    """DuckDB transcription; `typed_pairs` is [(det, det_kind, dep,
+    dep_kind)] with the profile canonical-cast kinds."""
+
+    def cast(name: str, kind: str) -> str:
+        if kind == "double":
+            return (
+                f"CAST(CAST(round({name}, {PROFILE_DOUBLE_DP}) AS "
+                f"DECIMAL(18,{PROFILE_DOUBLE_DP})) AS VARCHAR)"
+            )
+        if kind == "ts":
+            return f"strftime({name}, '{_TS_FMT_DUCK}')"
+        return f"CAST({name} AS VARCHAR)"
+
+    arms = [
+        f"SELECT '{det}->{dep}' AS p, {cast(det, dk)} AS a, "
+        f"{cast(dep, pk)} AS b FROM {table}"
+        for det, dk, dep, pk in typed_pairs
+    ]
+    body = "\n  UNION ALL ".join(arms)
+    return f"""WITH long AS (
+  {body}
+), per_group AS MATERIALIZED (
+  SELECT p, a, count(DISTINCT b) AS nb FROM long GROUP BY p, a
+)
+SELECT string_split(p, '->')[1] AS det, string_split(p, '->')[2] AS dep,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(COALESCE(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_violations,
+       COALESCE(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END), 0) = 0 AS holds
+FROM per_group GROUP BY p ORDER BY det, dep
+"""

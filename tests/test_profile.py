@@ -67,3 +67,35 @@ class TestProfile:
         )
         exp = sorted(tuple(r) for r in con.execute(sql).fetchall())
         assert got == exp
+
+
+class TestFdDiscovery:
+    def test_key_holds_and_violations_counted(self, spark):
+        from ndr_import_spark.operators.profile import fd_discovery
+
+        rows = [
+            (1, "a", 10),
+            (2, "a", 10),
+            (3, "b", 20),
+            (4, "b", 21),   # b -> two prices: violation for s->p
+        ]
+        df = spark.createDataFrame(rows, "k long, s string, p long")
+        out = {(r["det"], r["dep"]): r for r in fd_discovery(
+            df, [("k", "s"), ("s", "p"), ("p", "s")]
+        ).collect()}
+        assert out[("k", "s")]["holds"] is True
+        assert out[("k", "s")]["n_groups"] == 4
+        sp = out[("s", "p")]
+        assert sp["holds"] is False and sp["n_violations"] == 1
+        assert sp["n_groups"] == 2
+        # p -> s holds (each price maps to one s)
+        assert out[("p", "s")]["holds"] is True
+
+    def test_null_det_groups_together(self, spark):
+        from ndr_import_spark.operators.profile import fd_discovery
+
+        rows = [(None, 1), (None, 2), ("x", 3)]
+        df = spark.createDataFrame(rows, "s string, p long")
+        out = fd_discovery(df, [("s", "p")]).collect()[0]
+        # NULL det is one group with 2 distinct deps -> one violation
+        assert out["n_groups"] == 2 and out["n_violations"] == 1
