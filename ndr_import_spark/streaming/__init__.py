@@ -2,6 +2,7 @@ from ndr_import_spark.streaming.pipeline import (
     session_window_stats,
     stateful_stream_dedup,
     stream_cluster_assign,
+    stream_cms_cells,
     stream_phrase_flags,
     stream_decontaminate,
     stream_records,
@@ -17,6 +18,7 @@ __all__ = [
     "session_window_stats",
     "stateful_stream_dedup",
     "stream_cluster_assign",
+    "stream_cms_cells",
     "stream_phrase_flags",
     "stream_decontaminate",
     "stream_warc_ingest",

@@ -504,3 +504,39 @@ def stream_phrase_flags(
         any_hit.alias("flagged"),
         matched.alias("matched_phrases"),
     )
+
+
+def stream_cms_cells(
+    key_stream: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Maintain a Count-Min sketch CONTINUOUSLY over a key stream — the
+    stateful-streaming twin of `sketches.cms_build`.
+
+    The CMS cell frame is a combinable aggregate, so the streaming form
+    is simply the same explode → groupBy(cell) → sum as a streaming
+    aggregation: Spark's state store holds exactly depth×width rows
+    (constant, corpus-independent — the textbook bounded-state sketch),
+    each micro-batch folds in map-side partials, and the sink reads the
+    running totals in update mode. Because the hash family is the
+    portable md5 ladder, the streamed cells equal a batch `cms_build`
+    over the same rows cell-for-cell (pinned by test), and remain
+    mergeable with any batch-built sketch by cell summation."""
+    from pyspark.sql import functions as F
+
+    from ndr_import_spark.operators.sketches import _cms_cell
+
+    rows = key_stream.select(
+        F.col(key_col).alias("_k"),
+        (F.col(weight_col) if weight_col else F.lit(1)).alias("_w"),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("r"),
+    )
+    col = _cms_cell(F.col("r"), F.col("_k"), width)
+    return (
+        rows.select("r", col.alias("col"), "_w")
+        .groupBy("r", "col")
+        .agg(F.sum("_w").alias("cnt"))
+    )

@@ -463,3 +463,53 @@ class TestStreamPhraseFlags:
                 assert stream_n == batch_docs.get(p, 0), p
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamCms:
+    def test_streamed_cells_match_batch_sketch(self, spark):
+        import json as _json
+        import shutil
+        import tempfile
+        import uuid
+
+        from ndr_import_spark.operators.sketches import cms_build
+        from ndr_import_spark.streaming import stream_cms_cells
+
+        rows = [(i, f"k{i % 7}") for i in range(60)]
+        batch = spark.createDataFrame(rows, "id long, k string")
+        expected = {
+            (r["r"], r["col"]): r["cnt"]
+            for r in cms_build(batch, "k", depth=4, width=32).collect()
+        }
+        tmp = tempfile.mkdtemp()
+        try:
+            # two files -> two micro-batches: state must accumulate
+            with open(f"{tmp}/a.json", "w") as f:
+                for i, k in rows[:30]:
+                    f.write(_json.dumps({"id": i, "k": k}) + "\n")
+            with open(f"{tmp}/b.json", "w") as f:
+                for i, k in rows[30:]:
+                    f.write(_json.dumps({"id": i, "k": k}) + "\n")
+            stream = (
+                spark.readStream.schema("id long, k string")
+                .option("maxFilesPerTrigger", 1).json(tmp)
+            )
+            cells = stream_cms_cells(stream, "k", depth=4, width=32)
+            assert cells.isStreaming
+            name = f"cms_{uuid.uuid4().hex[:8]}"
+            q = (
+                cells.writeStream.format("memory").queryName(name)
+                .outputMode("complete")  # running sketch totals
+                .trigger(availableNow=True).start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            got = {
+                (r["r"], r["col"]): r["cnt"]
+                for r in spark.sql(f"select * from {name}").collect()
+            }
+            assert got == expected
+            # bounded state: never more than depth x width cells
+            assert len(got) <= 4 * 32
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
