@@ -205,3 +205,20 @@ class TestMergesOracleSql:
         sql = bpe_merges_oracle_sql(n_merges=6, max_vocab=200)
         got = [tuple(r) for r in con.execute(sql).fetchall()]
         assert got == merges
+
+
+class TestPieceReconstruction:
+    def test_pieces_concatenate_back_to_words(self, spark):
+        """BPE merges only ever concatenate adjacent symbols, so the
+        learned segmentation of any word must concatenate back to
+        word + END_OF_WORD exactly — a corruption-detecting invariant
+        of the whole train/apply path."""
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        merges = learn_bpe(docs, n_merges=8, max_vocab=150)
+        vocab = word_frequencies(docs, "text").limit(80)
+        for r in vocab.collect():
+            w = r["word"]
+            s = list(w) + [END_OF_WORD]
+            for _rank, left, right, _n in merges:
+                s = ref_merge_word(s, left, right)
+            assert "".join(s) == w + END_OF_WORD, w
