@@ -4,8 +4,17 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion (count() of the result — forces the full
-plan, no driver materialisation of wide rows).
+Each query is executed to completion through the NOOP SINK
+(`df.write.format("noop")`) — the full physical plan runs, nothing
+materialises on the driver. Earlier rounds used `count()`, which lets
+Catalyst REWRITE the plan before timing it: a count over a final
+aggregate can prune the aggregate's value expressions (measured: a
+400k-distinct-key groupBy "shuffles" 472 bytes under count(), and
+q1/table_profile ran 3-5x faster under count() than their real plans).
+Round-5 session 3 found this while building the shuffle audit
+(tools/shuffle_audit.py) and switched; numbers from earlier rounds are
+therefore flattering for agg-final and map-only queries and are NOT
+comparable query-for-query with the noop-sink protocol.
 
 Measurement protocol (recorded as "protocol" in the JSON):
 
@@ -72,13 +81,13 @@ def _run_single(name: str, sf_dir: str, cpus: str) -> int:
     out = {"name": name}
     try:
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         out["cold"] = round(time.perf_counter() - t0, 4)
         steady = []
         for i in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             steady.append(time.perf_counter() - t0)
             # sample-count scales with magnitude: sub-second queries take
             # one steady sample (absolute noise is small), multi-second
@@ -132,7 +141,7 @@ def main() -> int:
                 # would make the driver's strict parse reject the artifact
                 "queries": {k: (v if v == v else None) for k, v in timings.items()},
                 "sf": sf,
-                "protocol": "forked_jvm_min_of_adaptive_steady_runs",
+                "protocol": "forked_jvm_min_of_adaptive_steady_runs_noop_sink",
                 "cold_run_sec": cold,
             },
             allow_nan=False,
