@@ -339,9 +339,23 @@ def gopher_stats_frame(
             ).alias("_gram"),
         )
     )
-    counted = grams.groupBy("_id", "_n", "_gram").agg(F.count("*").alias("_cnt"))
+    # Shuffle a 64-bit gram hash + length, never the gram string: the
+    # (id, n, gram) keys are mostly unique so partial aggregation cannot
+    # collapse them, and the n<=10-word gram strings dominated the
+    # exchange (~3x the bytes of the hashed form). Same trick as
+    # doc_fingerprints' LONG min-keys; counts-by-hash == counts-by-string
+    # up to 64-bit collisions (the dedup family's accepted risk class,
+    # at 2^-64 per in-document pair far below it).
+    hashed = grams.select(
+        "_id", "_n",
+        F.xxhash64("_gram").alias("_gh"),
+        F.length("_gram").alias("_glen"),
+    )
+    counted = hashed.groupBy("_id", "_n", "_gh").agg(
+        F.count("*").alias("_cnt"), F.max("_glen").alias("_glen")
+    )
     counted = counted.select(
-        "_id", "_n", "_cnt", (F.col("_cnt") * F.length("_gram")).alias("_cl")
+        "_id", "_n", "_cnt", (F.col("_cnt") * F.col("_glen")).alias("_cl")
     )
     per_n = counted.groupBy("_id", "_n").agg(
         (F.max("_cl") / F.sum("_cl")).alias("_top_frac"),
