@@ -165,8 +165,21 @@ def fd_discovery(
     long = df.select(F.explode(F.array(*structs)).alias("x")).select(
         "x.p", "x.a", "x.b"
     )
-    per_group = long.groupBy("p", "a").agg(
-        F.count_distinct("b").alias("nb")
+    # Shuffle 64-bit hashes, not the canonical strings (the gopher-gram /
+    # doc_fingerprints LONG-key trick): neither the det nor the dep VALUE
+    # is output, only group/violation counts, so grouping and
+    # distinct-counting by hash is value-identical up to 2^-64
+    # collisions. NULLs stay NULL on the dep side (count_distinct must
+    # keep ignoring them; xxhash64(NULL) would be a real value) — the det
+    # side hashes NULL to the seed constant, which still groups all NULL
+    # dets together.
+    hashed = long.select(
+        "p",
+        F.xxhash64("a").alias("_ah"),
+        F.when(F.col("b").isNotNull(), F.xxhash64("b")).alias("_bh"),
+    )
+    per_group = hashed.groupBy("p", "_ah").agg(
+        F.count_distinct("_bh").alias("nb")
     )
     return (
         per_group.groupBy("p")
