@@ -165,20 +165,21 @@ def fd_discovery(
     long = df.select(F.explode(F.array(*structs)).alias("x")).select(
         "x.p", "x.a", "x.b"
     )
-    # Shuffle 64-bit hashes, not the canonical strings (the gopher-gram /
-    # doc_fingerprints LONG-key trick): neither the det nor the dep VALUE
-    # is output, only group/violation counts, so grouping and
-    # distinct-counting by hash is value-identical up to 2^-64
-    # collisions. NULLs stay NULL on the dep side (count_distinct must
-    # keep ignoring them; xxhash64(NULL) would be a real value) — the det
-    # side hashes NULL to the seed constant, which still groups all NULL
-    # dets together.
+    # The dep VALUE is never output, only counted distinct — so the
+    # count-distinct expand runs on a 64-bit hash (value-identical up to
+    # 2^-64 collisions, the dedup family's accepted risk class), which
+    # keeps the distinct machinery on fixed-width longs instead of
+    # strings (measured 2.9 -> 2.5 s at sf0.1). NULL deps stay NULL so
+    # count_distinct keeps ignoring them (xxhash64(NULL) would be a real
+    # value). The det GROUP key stays the canonical string: typical
+    # canonical values (ids, dates) are shorter than an 8-byte hash, so
+    # hashing the key grew the exchange ~1.5x for no benefit.
     hashed = long.select(
         "p",
-        F.xxhash64("a").alias("_ah"),
+        "a",
         F.when(F.col("b").isNotNull(), F.xxhash64("b")).alias("_bh"),
     )
-    per_group = hashed.groupBy("p", "_ah").agg(
+    per_group = hashed.groupBy("p", "a").agg(
         F.count_distinct("_bh").alias("nb")
     )
     return (
