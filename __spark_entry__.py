@@ -3509,6 +3509,56 @@ _FD_PAIRS = [
 ]
 
 
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal stratified-sample allocation over event types
+    (operators/corpus.py neyman_allocation): n_h ∝ N_h·S_h from exact
+    decimal power sums, largest-remainder integer rounding summing
+    exactly to the 10,000 budget; remainder ties break by stratum."""
+    from ndr_import_spark.operators.corpus import neyman_allocation
+
+    return neyman_allocation(
+        _events(spark, sf_dir), "event_type", "value", budget=10_000
+    ).orderBy("stratum")
+
+
+_ORACLE_NEYMAN = """
+WITH sums AS (
+  SELECT event_type AS stratum, count(*) AS n_pop,
+    sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6))) AS s1,
+    sum(CAST(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6))
+             * CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(18,6))
+             AS DECIMAL(38,12))) AS s2
+  FROM events GROUP BY event_type
+), stats AS (
+  SELECT stratum, n_pop,
+    round(sqrt(greatest((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_pop)
+                        / n_pop, 0.0)), 5) AS std_value,
+    CAST(round(CAST(n_pop AS DOUBLE)
+               * sqrt(greatest((CAST(s2 AS DOUBLE)
+                                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                  / n_pop) / n_pop, 0.0)), 6)
+         AS DECIMAL(24,6)) AS w
+  FROM sums
+), ratio AS (
+  SELECT stratum, n_pop, std_value,
+    CAST(round(10000.0 * CAST(w AS DOUBLE)
+               / CAST((SELECT sum(w) FROM stats) AS DOUBLE), 6)
+         AS DECIMAL(18,6)) AS r
+  FROM stats
+), based AS (
+  SELECT stratum, n_pop, std_value, r,
+         CAST(floor(r) AS BIGINT) AS base, r - floor(r) AS rem
+  FROM ratio
+)
+SELECT stratum, n_pop, std_value,
+       base + CASE WHEN row_number() OVER (ORDER BY rem DESC, stratum ASC)
+                        <= 10000 - (SELECT sum(base) FROM based)
+                   THEN 1 ELSE 0 END AS alloc
+FROM based ORDER BY stratum
+"""
+
+
 def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency / candidate-key discovery over orders
     (operators/profile.py fd_discovery): det->dep graded by counting
@@ -6608,6 +6658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_similarity": q_source_similarity,
         "hits_scores": q_hits_scores,
         "fd_discovery": q_fd_discovery,
+        "neyman_allocation": q_neyman_allocation,
     }
 
 
@@ -6774,6 +6825,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dedup": _ORACLE_IMAGE_DEDUP,
         "source_similarity": _ORACLE_SOURCE_SIMILARITY,
         "fd_discovery": fd_oracle_sql("orders", _FD_PAIRS),
+        "neyman_allocation": _ORACLE_NEYMAN,
         "zorder_locality": zorder_oracle_sql(
             "events",
             "user_id",

@@ -1089,3 +1089,60 @@ def split_leakage_report(
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """(stratum, n_pop, std_value, alloc): optimal stratified-sample
+    allocation n_h ∝ N_h·S_h (Neyman 1934, public) with the
+    largest-remainder method making the integer allocations sum EXACTLY
+    to `budget`.
+
+    Determinism discipline (grouped_moments pattern): values quantise to
+    DECIMAL(18,6), power sums are exact decimals, the variance/sqrt
+    collapse to doubles only at the end (IEEE correctly-rounded), and
+    every fraction is re-quantised to a decimal before floor/remainder
+    arithmetic so both engines walk identical lattice points.
+    Remainder ties break by stratum name. The stratum frame is
+    aggregate-sized, so the two unpartitioned windows (total weight,
+    remainder rank) are bounded-input by construction."""
+    d = F.round(F.col(value_col).cast("double"), 6).cast("decimal(18,6)")
+    sums = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.sum(d).alias("_s1"),
+        F.sum((d * d).cast("decimal(38,12)")).alias("_s2"),
+    )
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    n = F.col("n_pop")
+    var = (s2 - s1 * s1 / n) / n  # population variance
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    w = F.round(n.cast("double") * sd, 6).cast("decimal(24,6)")
+    weighted = sums.select("stratum", "n_pop", F.round(sd, 5).alias("std_value"),
+                           w.alias("_w"))
+    wall = Window.partitionBy()
+    ratio = F.round(
+        F.lit(float(budget)) * F.col("_w").cast("double")
+        / F.sum("_w").over(wall).cast("double"),
+        6,
+    ).cast("decimal(18,6)")
+    based = weighted.select(
+        "stratum", "n_pop", "std_value",
+        ratio.alias("_r"),
+        F.floor(ratio).cast("long").alias("_base"),
+    ).withColumn("_rem", F.col("_r") - F.col("_base"))
+    leftover = F.lit(budget) - F.sum("_base").over(wall)
+    rk = F.row_number().over(
+        Window.orderBy(F.col("_rem").desc(), F.col("stratum").asc())
+    )
+    return (
+        based.withColumn("_extra", (rk <= leftover).cast("long"))
+        .select(
+            "stratum", "n_pop", "std_value",
+            (F.col("_base") + F.col("_extra")).alias("alloc"),
+        )
+    )

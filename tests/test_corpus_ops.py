@@ -355,3 +355,37 @@ class TestSplitLeakageReport:
         assert out[key]["max_jaccard"] == 1.0
         # no same-split near-dup rows among the distinct fillers
         assert all(ka != kb and {ka, kb} == set(key) for ka, kb in out)
+
+
+class TestNeymanAllocation:
+    def test_allocations_sum_to_budget_and_favor_variance(self, spark):
+        from ndr_import_spark.operators.corpus import neyman_allocation
+
+        rows = []
+        # stratum 'wide': values 0/100 alternating (huge std)
+        rows += [("wide", float(100 * (i % 2))) for i in range(50)]
+        # stratum 'tight': constant (zero std)
+        rows += [("tight", 5.0) for _ in range(50)]
+        # stratum 'mid': small spread
+        rows += [("mid", 10.0 + (i % 5)) for i in range(50)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["stratum"]: r for r in
+               neyman_allocation(df, "g", "v", budget=100).collect()}
+        assert sum(r["alloc"] for r in out.values()) == 100
+        # equal N, so allocation ranks by std: wide >> mid >> tight(=0)
+        assert out["wide"]["alloc"] > out["mid"]["alloc"] > out["tight"]["alloc"]
+        assert out["tight"]["alloc"] == 0
+        assert out["tight"]["std_value"] == 0.0
+
+    def test_largest_remainder_tie_breaks_by_stratum(self, spark):
+        from ndr_import_spark.operators.corpus import neyman_allocation
+
+        # three identical strata, budget 100 -> 33/33/33 + one remainder
+        # going to the alphabetically-first stratum (ties on remainder)
+        rows = [(g, float(v)) for g in ("a", "b", "c")
+                for v in (1, 2, 3, 4)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["stratum"]: r["alloc"] for r in
+               neyman_allocation(df, "g", "v", budget=100).collect()}
+        assert sum(out.values()) == 100
+        assert out == {"a": 34, "b": 33, "c": 33}
