@@ -28,14 +28,17 @@ def quantise_dim(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """floor((v - lo) * (2^bits - 1) / (hi - lo)) on BIGINTs — exact
     integer floor division (operands non-negative by construction);
     degenerate hi == lo maps to 0."""
-    span = (hi - lo).cast("long")
-    scaled = (col.cast("long") - lo.cast("long")) * F.lit((1 << bits) - 1)
-    # operands are non-negative, so truncating long division == floor ==
-    # DuckDB's `//`; the double quotient stays exact (< 2^53 by the
-    # quantisation budget: 16-bit mask × practical key ranges)
-    return F.when(span > 0, F.floor(scaled / span).cast("long")).otherwise(
-        F.lit(0).cast("long")
-    )
+    span = (hi - lo).cast("decimal(38,0)")
+    scaled = (col.cast("long") - lo.cast("long")).cast("decimal(38,0)") * F.lit(
+        (1 << bits) - 1
+    ).cast("decimal(38,0)")
+    # decimal(38,0) operands: the product (v - lo) * mask stays exact for
+    # ANY 64-bit range (< 2^80 < 10^38) where the old floor(double/double)
+    # rounded past 2^53 and a long product overflowed past 2^63; integral
+    # `div` then truncates == floor (non-negative) == DuckDB's `//`
+    return F.when(
+        span > 0, F.call_function("div", scaled, span).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
 
 
 def morton_key(xq: Column, yq: Column, bits: int = ZORDER_BITS) -> Column:

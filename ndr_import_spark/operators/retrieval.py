@@ -183,6 +183,11 @@ def phrase_search(
         if ts:
             parsed.append((p, ts))
             vocab.update(ts)
+    if not parsed:
+        raise ValueError(
+            "phrase_search: no non-empty phrases (got "
+            f"{len(phrases)} entries, all empty/whitespace)"
+        )
     # Materialise the pruned postings ONCE (vocabulary-filtered, so tiny
     # relative to the corpus): every per-phrase join chain re-reads this
     # frame, and without the checkpoint each branch would re-scan the

@@ -38,20 +38,37 @@ class Registry:
         return sorted(cls._readers)
 
 
+# Inner formats whose readers consume gzip/bzip2/xz transparently:
+# Spark-native line sources decode Hadoop compression codecs on read, and
+# the WARC reader gunzips whole-file bytes itself (sources/warc.py).
+TRANSPARENT_COMPRESSION_FORMATS = frozenset(
+    {"csv", "delimited", "txt", "text", "nontabular", "non_tabular",
+     "jsonl", "vcf", "warc"}
+)
+
+
 def format_for(filename: str, fmt: str | None = None) -> str:
     if fmt:
         return fmt
     base = filename
     ext = os.path.splitext(base)[1].lstrip(".").lower()
     if ext in ("gz", "bz2", "xz"):
-        # compound extensions dispatch on the INNER format — the readers
-        # involved consume the compression transparently (.warc.gz is the
-        # canonical Common Crawl shape; Spark's csv/text sources read
-        # .csv.gz natively)
+        # compound extensions dispatch on the INNER format ONLY for
+        # readers that consume the compression transparently (.warc.gz is
+        # the canonical Common Crawl shape; Spark's csv/text/jsonl sources
+        # read .csv.gz natively). Anything else (.xlsx.gz, .pdf.bz2, ...)
+        # would reach a byte-level parser as raw compressed bytes — keep
+        # the clear UnregisteredFiletypeError instead of a confusing
+        # parse failure deep inside the reader.
         base = os.path.splitext(base)[0]
         inner = os.path.splitext(base)[1].lstrip(".").lower()
-        if inner:
+        if inner in TRANSPARENT_COMPRESSION_FORMATS:
             ext = inner
+        elif inner:
+            raise UnregisteredFiletypeError(
+                f'Unregistered file format: "{inner}.{ext}" — the '
+                f'"{inner}" reader does not decompress .{ext} transparently'
+            )
     if not ext:
         raise UnregisteredFiletypeError(f'Unregistered file format: "{ext}"')
     return ext

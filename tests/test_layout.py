@@ -77,3 +77,25 @@ class TestLocalityReport:
             for r in con.execute(zorder_oracle_sql("t", "x", "y")).fetchall()
         )
         assert got == exp
+
+
+class TestQuantiseExactness:
+    def test_integer_div_exact_past_double_precision(self, spark):
+        # (v - lo) * (2^16 - 1) exceeds 2^53 for 64-bit id ranges; the
+        # `div` form must match Python // where floor(double/double)
+        # can round to the neighbouring bucket (ADVICE r5).
+        lo, hi = 0, (1 << 60)
+        vals = [(1 << 59) + 1, (1 << 59) - 1, (1 << 60) - 7, 12345678901234567]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = {
+            r["v"]: r["q"]
+            for r in df.select(
+                "v",
+                quantise_dim(
+                    F.col("v"), F.lit(lo), F.lit(hi), 16
+                ).alias("q"),
+            ).collect()
+        }
+        mask = (1 << 16) - 1
+        for v in vals:
+            assert got[v] == (v - lo) * mask // (hi - lo), v

@@ -95,3 +95,17 @@ class TestBm25SelfRetrieval:
         }
         for doc_id, score in single.items():
             assert batch[doc_id] == score, doc_id
+
+
+class TestEmptyPhraseGuard:
+    def test_all_whitespace_phrases_raise_value_error(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="no non-empty phrases"):
+            phrase_search(_docs(spark), ["", "   ", "\t"])
+
+    def test_empty_list_raises_value_error(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="no non-empty phrases"):
+            phrase_search(_docs(spark), [])

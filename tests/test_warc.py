@@ -245,6 +245,15 @@ class TestReviewRegressions:
         assert format_for("crawl-data.warc.gz") == "warc"
         assert format_for("rows.csv.gz") == "csv"
         assert format_for("plain.csv") == "csv"
+        # non-transparent inner formats refuse cleanly instead of handing
+        # raw gzip bytes to a byte-level parser (ADVICE r5)
+        import pytest as _pytest
+        from ndr_import_spark.sources.registry import UnregisteredFiletypeError
+
+        with _pytest.raises(UnregisteredFiletypeError, match="xlsx"):
+            format_for("book.xlsx.gz")
+        with _pytest.raises(UnregisteredFiletypeError, match="pdf"):
+            format_for("doc.pdf.bz2")
         data = write_warc([_rec("https://a.test/", b"<p>by ext</p>")])
         p = tmp_path / "byext.warc.gz"
         p.write_bytes(data)
