@@ -3225,10 +3225,12 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id order: per-doc cumulative (tokens, distinct types) points,
     decimal-quantised log-log OLS (the zipf_fit recipe). β far from the
     0.4-0.6 natural-text band flags synthetic or exhausted vocabulary.
-    The two cumulative windows run over the DOC-COUNT-sized frame (not
-    the token stream); at 100 TB pre-bucket doc ranges first."""
-    from pyspark.sql import Window
-
+    The cumulative sums run on the chunked prefix-sum machinery
+    (operators/prefix.py, the purchase_id_islands pattern): doc_id
+    buckets into 2^16-wide chunks, within-chunk windows in parallel,
+    one row per chunk carries the offsets — no doc-count-sized
+    single-reducer window anywhere in the plan."""
+    from ndr_import_spark.operators.prefix import chunked_inclusive_sums
     from ndr_import_spark.operators.textstats import token_count, tokens
 
     docs = _t(spark, sf_dir, "documents")
@@ -3242,18 +3244,23 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("_new"))
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    pts = (
+    base = (
         per_doc.join(firsts, "doc_id", "left")
         .select(
             "doc_id",
-            F.sum("_nt").over(w).alias("_cn"),
-            F.sum(F.coalesce(F.col("_new"), F.lit(0))).over(w).alias("_cv"),
+            F.col("_nt"),
+            F.coalesce(F.col("_new"), F.lit(0)).alias("_newc"),
+            F.lit(0).alias("_p"),
         )
-        .where((F.col("_cn") > 0) & (F.col("_cv") > 0))
+        # the prefix machinery reads its input twice (local window +
+        # per-chunk totals); without this checkpoint both reads would
+        # re-run the token explode + two aggregates. The checkpointed
+        # frame is doc-COUNT-sized (3 longs/doc), not token-sized.
+        .localCheckpoint(eager=False)
     )
+    pts = chunked_inclusive_sums(
+        base, "_p", "doc_id", {"_cn": F.col("_nt"), "_cv": F.col("_newc")}
+    ).where((F.col("_cn") > 0) & (F.col("_cv") > 0))
     x = F.round(F.log(F.col("_cn").cast("double")), 6).cast("decimal(12,6)")
     y = F.round(F.log(F.col("_cv").cast("double")), 6).cast("decimal(12,6)")
     terms = pts.select(

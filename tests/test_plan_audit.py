@@ -395,3 +395,33 @@ class TestSession3Ops:
         # melt + two keyed aggregates: exchanges only for the (c,v) and
         # (c) hash aggregations (+ final sort), never a join
         assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+class TestRound6PlanShapes:
+    def test_heaps_law_no_unpartitioned_doc_window(self, spark):
+        # r6 top ask: the cumulative (tokens, new-types) sums must run on
+        # the chunked prefix machinery — every window that orders by
+        # doc_id is partitioned by the chunk id, so no doc-count-sized
+        # frame ever funnels through one reducer. The only permissible
+        # SinglePartition window is the per-chunk offsets frame (one row
+        # per 2^16 docs).
+        p = plan(entry.queries()["heaps_law"](spark, SF_DIR), "simple")
+        for line in p.splitlines():
+            if "Window" in line and "doc_id" in line:
+                spec_prefix = line.split("windowspecdefinition(", 1)[1].split(
+                    "doc_id", 1
+                )[0]
+                assert "_ck" in spec_prefix, line
+        # and the offsets side aggregates BEFORE its tiny global window:
+        # the SinglePartition exchange may only sit under a Window that
+        # consumes per-chunk totals (_tot_*), never raw per-doc rows
+        lines = p.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                above = "\n".join(lines[max(0, i - 3):i])
+                # legitimate SinglePartition exchanges: the per-chunk
+                # offsets window (consumes _tot_* rows, one per 2^16
+                # docs) and the final scalar OLS aggregate (keys=[])
+                assert "_tot_" in above or "HashAggregate(keys=[]" in above, (
+                    f"SinglePartition feeds a non-chunk frame:\n{above}"
+                )
