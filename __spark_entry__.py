@@ -2774,6 +2774,87 @@ SELECT * FROM (
 """
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (operators/boilerplate.py): deterministic HTML
+    pages built from the documents table — nav bar, heading, two article
+    paragraphs (the doc's words split in half, an inline link in the
+    second), a link-farm 'related' block, a link-heavy footer, plus
+    script/style noise — run through the densitometric block classifier
+    (Kohlschuetter et al. WSDM 2010 NumWords/LinkDensity features). The
+    oracle rebuilds the same pages in SQL and runs the LITERAL same
+    regex pipeline; per-doc md5 of the extracted text pins every block
+    decision."""
+    from ndr_import_spark.operators.boilerplate import extract_main_content
+    from ndr_import_spark.operators.textstats import token_count, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    wds = tokens(F.col("text"))
+    n = F.size(wds)
+    half = F.floor((n + F.lit(1)) / F.lit(2)).cast("int")
+    p1 = F.array_join(F.slice(wds, F.lit(1), half), " ")
+    p2 = F.array_join(F.slice(wds, half + F.lit(1), n - half), " ")
+    did = F.col("doc_id").cast("string")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "), did,
+            F.lit("</title><style>.m{c:red}</style></head><body>"),
+            F.lit('<div id="nav"><a href="/">Home</a> <a href="/tags">Tags</a>'
+                  ' <a href="/p/'), did, F.lit('">Doc '), did,
+            F.lit("</a></div><h1>Doc "), did, F.lit("</h1><p>"), p1,
+            F.lit("</p><p>"), p2,
+            F.lit(' <a href="/next">next post</a></p>'
+                  '<div id="rel"><a href="/a">one</a> <a href="/b">two</a>'
+                  ' <a href="/c">three</a></div>'
+                  '<div id="footer"><a href="/contact">Contact</a>'
+                  ' <a href="/privacy">Privacy</a> Copyright 2024 Example'
+                  ' Site</div><script>var x=1;</script></body></html>'),
+        ).alias("html"),
+    )
+    out = extract_main_content(pages)
+    return out.select(
+        "doc_id",
+        "n_blocks",
+        "n_kept",
+        token_count(F.col("main_text")).alias("main_tokens"),
+        F.md5(F.col("main_text")).alias("main_md5"),
+    ).orderBy("doc_id")
+
+
+def _oracle_main_content() -> str:
+    from ndr_import_spark.operators.boilerplate import main_content_oracle_sql
+
+    pages_cte = r"""d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS wds
+  FROM documents
+), pg AS (
+  SELECT doc_id, len(wds) AS n, (len(wds) + 1) // 2 AS h, wds FROM d
+), pages AS (
+  SELECT doc_id,
+    '<html><head><title>Doc ' || doc_id
+    || '</title><style>.m{c:red}</style></head><body>'
+    || '<div id="nav"><a href="/">Home</a> <a href="/tags">Tags</a> <a href="/p/'
+    || doc_id || '">Doc ' || doc_id || '</a></div><h1>Doc ' || doc_id
+    || '</h1><p>' || array_to_string(wds[1:h], ' ')
+    || '</p><p>' || array_to_string(wds[h+1:n], ' ')
+    || ' <a href="/next">next post</a></p>'
+    || '<div id="rel"><a href="/a">one</a> <a href="/b">two</a>'
+    || ' <a href="/c">three</a></div>'
+    || '<div id="footer"><a href="/contact">Contact</a>'
+    || ' <a href="/privacy">Privacy</a> Copyright 2024 Example'
+    || ' Site</div><script>var x=1;</script></body></html>' AS html
+  FROM pg
+)"""
+    return main_content_oracle_sql(pages_cte) + r"""
+SELECT doc_id, n_blocks, n_kept,
+       CAST(CASE WHEN main_text = '' THEN 0
+            ELSE len(string_split(main_text, ' ')) END AS INT) AS main_tokens,
+       md5(main_text) AS main_md5
+FROM perdoc ORDER BY doc_id"""
+
+
 def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS hubs/authorities over the deterministic link graph
     (operators/graph.py hits_fixed_point): the coupled-vector twin of
@@ -6594,6 +6675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenizer": q_bpe_tokenizer,
         "warc_extract": q_warc_extract,
         "robots_filter": q_robots_filter,
+        "main_content": q_main_content,
         "ivf_cells": q_ivf_cells,
         "ivf_probe_topk": q_ivf_probe_topk,
         "quantize_embeddings": q_quantize_embeddings,
@@ -6838,4 +6920,5 @@ def oracle_sql() -> dict[str, str]:
             "user_id",
             "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))",
         ),
+        "main_content": _oracle_main_content(),
     }

@@ -235,8 +235,15 @@ WARC_DOC_SCHEMA = (
     "content_type string, text string, payload_bytes int"
 )
 
+# keep_html=True appends the decoded (pre-strip) HTML body so downstream
+# operators that need page STRUCTURE — operators/boilerplate.py main-
+# content extraction — can run on the reader's output ('' for non-HTML).
+WARC_DOC_SCHEMA_HTML = WARC_DOC_SCHEMA + ", raw_html string"
 
-def warc_records_to_rows(path: str, blob: bytes) -> list[tuple]:
+
+def warc_records_to_rows(
+    path: str, blob: bytes, keep_html: bool = False
+) -> list[tuple]:
     """One WARC blob → extracted document rows (shared by the Spark
     reader and the in-memory query path so both are THE same parse)."""
     rows = []
@@ -246,39 +253,41 @@ def warc_records_to_rows(path: str, blob: bytes) -> list[tuple]:
         ctype_l = ctype.lower()  # servers send Text/HTML etc. — match folded
         if status is not None:
             body = decode_http_body(http_headers, body)
+        html = ""
         if status is not None and "html" in ctype_l:
-            text = strip_html(body.decode("utf-8", "replace"))
+            html = body.decode("utf-8", "replace")
+            text = strip_html(html)
         elif status is not None:
             text = body.decode("utf-8", "replace") if ctype_l.startswith("text/") else ""
         else:
             text = ""
-        rows.append(
-            (
-                path,
-                i,
-                rec.warc_type,
-                rec.target_uri,
-                rec.headers.get("warc-date", ""),
-                status,
-                ctype,
-                text,
-                len(rec.payload),
-            )
+        row = (
+            path,
+            i,
+            rec.warc_type,
+            rec.target_uri,
+            rec.headers.get("warc-date", ""),
+            status,
+            ctype,
+            text,
+            len(rec.payload),
         )
+        rows.append(row + (html,) if keep_html else row)
     return rows
 
 
 def warc_map_batches(
-    batches: Iterator[pd.DataFrame],
+    batches: Iterator[pd.DataFrame], keep_html: bool = False
 ) -> Iterator[pd.DataFrame]:
     """The (path, content) → WARC_DOC_SCHEMA mapInPandas function — THE
     single wrapper both the batch reader and the streaming ingest use, so
     batch and streaming extraction cannot drift."""
-    cols = [f.split()[0] for f in WARC_DOC_SCHEMA.split(", ")]
+    schema = WARC_DOC_SCHEMA_HTML if keep_html else WARC_DOC_SCHEMA
+    cols = [f.split()[0] for f in schema.split(", ")]
     for pdf in batches:
         out: list[tuple] = []
         for p, blob in zip(pdf["path"], pdf["content"]):
-            out.extend(warc_records_to_rows(p, bytes(blob)))
+            out.extend(warc_records_to_rows(p, bytes(blob), keep_html))
         yield pd.DataFrame(out, columns=cols)
 
 
@@ -288,10 +297,15 @@ def read_warc(
     """Distributed WARC extraction: `binaryFile` ships whole archives to
     executors (one task per file — the Common Crawl partitioning), and an
     Arrow-batched `mapInPandas` parses records, splits HTTP messages and
-    strips HTML per file. Returns the WARC_DOC_SCHEMA document frame."""
+    strips HTML per file. Returns the WARC_DOC_SCHEMA document frame;
+    ``options={"keep_html": True}`` appends the decoded pre-strip HTML
+    body (WARC_DOC_SCHEMA_HTML) for structure-aware downstream stages
+    like boilerplate removal."""
+    keep_html = bool((options or {}).get("keep_html"))
     files = spark.read.format("binaryFile").load(path)
     return files.select("path", "content").mapInPandas(
-        warc_map_batches, WARC_DOC_SCHEMA
+        lambda it: warc_map_batches(it, keep_html),
+        WARC_DOC_SCHEMA_HTML if keep_html else WARC_DOC_SCHEMA,
     )
 
 
