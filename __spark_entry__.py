@@ -1711,10 +1711,11 @@ def q_bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces-per-word fertility via a vocab-side apply + broadcast-friendly
     keyed join (the corpus never meets Python).
 
-    No DuckDB oracle: the merge loop is an iterative argmax (not
-    SQL-expressible) — the driver's rows/schema check applies, and the
-    executable spec is the pure-Python reference BPE in tests/test_bpe.py
-    that must produce the IDENTICAL merge table on this same corpus."""
+    Fully hash-gated (r6): the oracle (bpe_fertility_oracle_sql) unrolls
+    the trainer into run-parity merge CTEs, applies the learned merges to
+    the full distinct vocabulary the same way, and reproduces the per-lang
+    fertility aggregate; the pure-Python reference BPE in tests/test_bpe.py
+    independently pins the merge table on this same corpus."""
     from ndr_import_spark.operators.bpe import bpe_fertility, learn_bpe
 
     docs = _t(spark, sf_dir, "documents")
@@ -6756,7 +6757,10 @@ def oracle_sql() -> dict[str, str]:
         kmeans_oracle_sql,
         semantic_dedup_oracle_sql,
     )
-    from ndr_import_spark.operators.bpe import bpe_merges_oracle_sql
+    from ndr_import_spark.operators.bpe import (
+        bpe_fertility_oracle_sql,
+        bpe_merges_oracle_sql,
+    )
     from ndr_import_spark.operators.classifier import logreg_oracle_sql
     from ndr_import_spark.operators.layout import zorder_oracle_sql
     from ndr_import_spark.operators.graph import (
@@ -6892,6 +6896,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_norm_outliers": _ORACLE_NORM_OUTLIERS,
         "cohort_retention": _ORACLE_COHORT,
         "bpe_merges": bpe_merges_oracle_sql(n_merges=12, max_vocab=500),
+        "bpe_tokenizer": bpe_fertility_oracle_sql(n_merges=12, max_vocab=500),
         "embedding_pca": pca_oracle_sql(dim=64),
         "phrase_search": phrase_search_oracle_sql(PHRASE_LIST),
         "perplexity_buckets": _ORACLE_PERPLEXITY_BUCKETS,

@@ -191,24 +191,40 @@ def learn_bpe(
     return merges
 
 
-def bpe_merges_oracle_sql(n_merges: int = 12, max_vocab: int = 500) -> str:
-    """DuckDB transcription of `learn_bpe` unrolled to `n_merges` rounds.
+def _merge_round_ctes(src: str, tag: str, out: str, sel_a: str, sel_b: str) -> str:
+    """One run-parity greedy merge round as CTE text: rewrite `src`
+    (word, freq, pos, sym) into `out` merging adjacent (sel_a, sel_b)
+    pairs. `tag` names the intermediate CTE uniquely."""
+    return f""", {tag} AS MATERIALIZED (
+  SELECT *, pm AND ((pos - min(pos) OVER (PARTITION BY word, pm, grp ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) % 2 = 0) AS ms
+  FROM (
+    SELECT *, pos - row_number() OVER (PARTITION BY word, pm ORDER BY pos) AS grp
+    FROM (
+      SELECT word, freq, pos, sym,
+             COALESCE(sym = {sel_a}
+                      AND lead(sym) OVER (PARTITION BY word ORDER BY pos)
+                          = {sel_b},
+                      FALSE) AS pm
+      FROM {src}) m) r
+), {out} AS MATERIALIZED (
+  SELECT word, freq, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN ms THEN sym || {sel_b} ELSE sym END AS sym
+  FROM (SELECT *, lag(ms, 1, FALSE) OVER (PARTITION BY word ORDER BY pos)
+                  AS prev_ms
+        FROM {tag}) q
+  WHERE NOT prev_ms
+)"""
 
-    Same vocabulary (freq-desc / word-asc top `max_vocab`), same argmax
-    tie-break (count desc, then lexicographically-least pair), and the
-    greedy adjacent merge expressed as the run-parity rule: pm flags each
-    position whose (sym, next sym) equals the round's winning pair; within
-    each maximal pm-run (gaps-and-islands grouping) the even offsets are
-    the greedy merge sites. The merged row keeps `a || b`, the following
-    row is dropped, positions renumber. CTEs are MATERIALIZED because each
-    state{k} is referenced several times per round — DuckDB's default
-    inlining would re-evaluate the whole chain exponentially.
 
-    Only valid while no round's best pair falls under `min_pair_freq`
-    (true for the synthetic corpus at every tested sf; the Spark side
-    would stop early, the unrolled SQL cannot)."""
+def _trainer_ctes(n_merges: int, max_vocab: int, with_lang: bool = False) -> str:
+    """The full unrolled trainer as a WITH-clause body: toks → vocab →
+    state0 → K × (top{k} argmax → run-parity merge → state{k+1}).
+    `with_lang=True` keeps the token's lang column in `toks` (the
+    fertility oracle joins it back; the trainer CTEs ignore it)."""
+    lang_sel = "lang, " if with_lang else ""
     parts = [f"""WITH toks AS (
-  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+  SELECT {lang_sel}unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                             x -> x <> '')) AS word
   FROM documents
 ), vocab AS MATERIALIZED (
@@ -227,32 +243,71 @@ def bpe_merges_oracle_sql(n_merges: int = 12, max_vocab: int = 500) -> str:
         FROM state{k}) p
   WHERE b IS NOT NULL GROUP BY a, b
   ORDER BY n DESC, a ASC, b ASC LIMIT 1
-), s{k} AS MATERIALIZED (
-  SELECT *, pm AND ((pos - min(pos) OVER (PARTITION BY word, pm, grp ORDER BY pos
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) % 2 = 0) AS ms
-  FROM (
-    SELECT *, pos - row_number() OVER (PARTITION BY word, pm ORDER BY pos) AS grp
-    FROM (
-      SELECT word, freq, pos, sym,
-             COALESCE(sym = (SELECT a FROM top{k})
-                      AND lead(sym) OVER (PARTITION BY word ORDER BY pos)
-                          = (SELECT b FROM top{k}),
-                      FALSE) AS pm
-      FROM state{k}) m) r
-), state{k + 1} AS MATERIALIZED (
-  SELECT word, freq, row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
-         CASE WHEN ms THEN sym || (SELECT b FROM top{k}) ELSE sym END AS sym
-  FROM (SELECT *, lag(ms, 1, FALSE) OVER (PARTITION BY word ORDER BY pos)
-                  AS prev_ms
-        FROM s{k}) q
-  WHERE NOT prev_ms
 )""")
+        parts.append(
+            _merge_round_ctes(
+                f"state{k}", f"s{k}", f"state{k + 1}",
+                f"(SELECT a FROM top{k})", f"(SELECT b FROM top{k})",
+            )
+        )
+    return "".join(parts)
+
+
+def bpe_merges_oracle_sql(n_merges: int = 12, max_vocab: int = 500) -> str:
+    """DuckDB transcription of `learn_bpe` unrolled to `n_merges` rounds.
+
+    Same vocabulary (freq-desc / word-asc top `max_vocab`), same argmax
+    tie-break (count desc, then lexicographically-least pair), and the
+    greedy adjacent merge expressed as the run-parity rule: pm flags each
+    position whose (sym, next sym) equals the round's winning pair; within
+    each maximal pm-run (gaps-and-islands grouping) the even offsets are
+    the greedy merge sites. The merged row keeps `a || b`, the following
+    row is dropped, positions renumber. CTEs are MATERIALIZED because each
+    state{k} is referenced several times per round — DuckDB's default
+    inlining would re-evaluate the whole chain exponentially.
+
+    Only valid while no round's best pair falls under `min_pair_freq`
+    (true for the synthetic corpus at every tested sf; the Spark side
+    would stop early, the unrolled SQL cannot)."""
     rows = "\nUNION ALL ".join(
         f'SELECT {k} AS "rank", a AS "left", b AS "right", n AS pair_freq '
         f"FROM top{k}"
         for k in range(n_merges)
     )
-    parts.append(f'\nSELECT * FROM ({rows}) ORDER BY "rank"')
+    return _trainer_ctes(n_merges, max_vocab) + (
+        f'\nSELECT * FROM ({rows}) ORDER BY "rank"'
+    )
+
+
+def bpe_fertility_oracle_sql(n_merges: int = 12, max_vocab: int = 500) -> str:
+    """DuckDB transcription of the WHOLE bpe_tokenizer query: the
+    unrolled trainer (`_trainer_ctes`), then the learned merges applied
+    to the FULL distinct vocabulary (`apply_bpe_to_vocab`'s semantics as
+    `n_merges` more run-parity rounds over app0..app{n}), then per-lang
+    fertility from the token stream joined on per-word piece counts —
+    closing the build's last rows-only oracle gap (r5 VERDICT item 3)."""
+    parts = [_trainer_ctes(n_merges, max_vocab, with_lang=True)]
+    parts.append(f""", app0 AS MATERIALIZED (
+  SELECT word, CAST(1 AS BIGINT) AS freq, CAST(i AS BIGINT) AS pos,
+         CASE WHEN i <= len(word) THEN word[i] ELSE '{END_OF_WORD}' END AS sym
+  FROM (SELECT DISTINCT word FROM toks) w,
+       unnest(generate_series(1, len(word)+1)) AS t(i)
+)""")
+    for k in range(n_merges):
+        parts.append(
+            _merge_round_ctes(
+                f"app{k}", f"as{k}", f"app{k + 1}",
+                f"(SELECT a FROM top{k})", f"(SELECT b FROM top{k})",
+            )
+        )
+    parts.append(f""", pieces AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS INT) AS n_pieces FROM app{n_merges} GROUP BY word
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       round(CAST(sum(n_pieces) AS DOUBLE) / count(*), 5) AS pieces_per_word
+FROM toks JOIN pieces USING (word)
+GROUP BY lang ORDER BY lang""")
     return "".join(parts)
 
 
