@@ -3302,6 +3302,22 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster", "a_id", "b_id")
 
 
+def q_semantic_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the r6 cluster-size cap: clusters above
+    max_cluster_size fall back to banded exact-match LSH on the
+    quantized lattice (operators/clustering.py semantic_dedup_pairs),
+    bounding pairwise work even when k-means cannot split a pathological
+    mega-cluster. Exact inside small clusters; md5 band signatures
+    (literal same strings) decide candidates inside capped ones."""
+    from ndr_import_spark.operators.clustering import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(
+        emb, k=8, iterations=3, threshold_pct=25, max_cluster_size=60,
+        n_bands=4,
+    ).orderBy("cluster", "a_id", "b_id")
+
+
 def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps' law vocabulary-growth fit V(n) ≈ K·n^β over the corpus in
     doc_id order: per-doc cumulative (tokens, distinct types) points,
@@ -6702,6 +6718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_capped": q_semantic_dedup_capped,
         "record_linkage": q_record_linkage,
         "events_fill_forward": q_events_fill_forward,
         "triangle_count": q_triangle_count,
@@ -6755,6 +6772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from ndr_import_spark.operators.clustering import (
         kmeans_oracle_sql,
+        semantic_dedup_capped_oracle_sql,
         semantic_dedup_oracle_sql,
     )
     from ndr_import_spark.operators.bpe import (
@@ -6863,6 +6881,10 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": kmeans_oracle_sql(k=8, iterations=3),
         "semantic_dedup": semantic_dedup_oracle_sql(
             k=8, iterations=3, threshold_pct=25
+        ),
+        "semantic_dedup_capped": semantic_dedup_capped_oracle_sql(
+            k=8, iterations=3, threshold_pct=25, max_cluster_size=60,
+            n_bands=4,
         ),
         "record_linkage": _ORACLE_RECORD_LINKAGE,
         "events_fill_forward": _ORACLE_FILL_FORWARD,

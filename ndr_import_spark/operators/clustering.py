@@ -244,6 +244,8 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = KMEANS_SCALE,
+    max_cluster_size: int | None = None,
+    n_bands: int = 4,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means first, then near-duplicate
     pairs ONLY within each cluster — the clustering bounds the pairwise
@@ -254,7 +256,18 @@ def semantic_dedup_pairs(
     Cosine in pure integers on the same lattice as the clustering:
     cos(a,b) ≥ p/100  ⇔  dot > 0  ∧  dot²·10⁴ ≥ p²·|a|²·|b|²
     — every quantity BIGINT, so pair decisions are bit-reproducible.
-    Returns (cluster, a_id, b_id, int_dot) — a_id < b_id."""
+    Returns (cluster, a_id, b_id, int_dot) — a_id < b_id.
+
+    ``max_cluster_size`` caps the worst cluster (r5 VERDICT item 4):
+    Σ m_c² is only bounded if no cluster is huge, and k-means cannot
+    split a cluster of (near-)identical vectors. Clusters above the cap
+    fall back to banded exact-match LSH on the SAME quantized lattice:
+    each member gets ``n_bands`` signatures (md5 of its q-values on the
+    dims ≡ b mod n_bands, in d order) and only pairs sharing a band
+    signature are dotted — near-identical vectors agree on every band,
+    far pairs in a pathological mega-cluster are skipped instead of
+    dotted. Exact within small clusters, documented-recall within capped
+    ones; pair decisions stay bit-reproducible either way."""
     dims = embedding_dims(df, id_col, vec_col, scale)
     assign = _final_assignment(df, dims, k, iterations, id_col).select(
         id_col, "cid"
@@ -263,10 +276,43 @@ def semantic_dedup_pairs(
     norms = tagged.groupBy(id_col, "cid").agg(
         F.sum((F.col("q").cast("long")) * F.col("q")).alias("n2")
     )
-    a = tagged.select(
+    if max_cluster_size is None:
+        pair_src = tagged
+        cand = None
+    else:
+        # k-row sizes frame, broadcast onto the lattice
+        sizes = assign.groupBy("cid").agg(F.count("*").alias("_m"))
+        t2 = tagged.join(F.broadcast(sizes), "cid")
+        pair_src = t2.where(F.col("_m") <= max_cluster_size).drop("_m")
+        big = t2.where(F.col("_m") > max_cluster_size).drop("_m")
+        sig = (
+            big.select(
+                "cid",
+                id_col,
+                (F.col("d") % F.lit(n_bands)).alias("band"),
+                F.struct(F.col("d"), F.col("q").cast("string").alias("qs")).alias("_dq"),
+            )
+            .groupBy("cid", id_col, "band")
+            .agg(
+                F.md5(
+                    F.array_join(
+                        F.sort_array(F.collect_list("_dq")).getField("qs"), ","
+                    )
+                ).alias("sig")
+            )
+        )
+        ca = sig.select("cid", "band", "sig", F.col(id_col).alias("a_id"))
+        cb = sig.select("cid", "band", "sig", F.col(id_col).alias("b_id"))
+        cand = (
+            ca.join(cb, ["cid", "band", "sig"])
+            .where(F.col("a_id") < F.col("b_id"))
+            .select("cid", "a_id", "b_id")
+            .distinct()
+        )
+    a = pair_src.select(
         F.col("cid"), F.col(id_col).alias("a_id"), "d", F.col("q").alias("qa")
     )
-    b = tagged.select(
+    b = pair_src.select(
         F.col("cid"), F.col(id_col).alias("b_id"), "d", F.col("q").alias("qb")
     )
     dots = (
@@ -277,6 +323,16 @@ def semantic_dedup_pairs(
             F.sum((F.col("qa").cast("long")) * F.col("qb")).alias("int_dot")
         )
     )
+    if cand is not None:
+        da = dims.select(F.col(id_col).alias("a_id"), "d", F.col("q").alias("qa"))
+        db = dims.select(F.col(id_col).alias("b_id"), "d", F.col("q").alias("qb"))
+        dots_big = (
+            cand.join(da, "a_id")
+            .join(db, ["b_id", "d"])
+            .groupBy("cid", "a_id", "b_id")
+            .agg(F.sum((F.col("qa").cast("long")) * F.col("qb")).alias("int_dot"))
+        )
+        dots = dots.unionByName(dots_big)
     na = norms.select(F.col(id_col).alias("a_id"), F.col("n2").alias("_n2a"))
     nb = norms.select(F.col(id_col).alias("b_id"), F.col("n2").alias("_n2b"))
     p2 = threshold_pct * threshold_pct
@@ -387,6 +443,78 @@ dots AS (
   FROM tagged ta JOIN tagged tb
     ON ta.cid = tb.cid AND ta.d = tb.d AND ta.vec_id < tb.vec_id
   GROUP BY ta.cid, ta.vec_id, tb.vec_id
+)
+SELECT d.cid AS cluster, d.a_id, d.b_id, d.int_dot
+FROM dots d
+JOIN norms na ON na.vec_id = d.a_id AND na.cid = d.cid
+JOIN norms nb ON nb.vec_id = d.b_id AND nb.cid = d.cid
+WHERE d.int_dot > 0
+  AND d.int_dot * d.int_dot * 10000 >= {p2} * na.n2 * nb.n2
+ORDER BY cluster, a_id, b_id"""
+    )
+
+
+def semantic_dedup_capped_oracle_sql(
+    k: int = 8,
+    iterations: int = 3,
+    threshold_pct: int = 25,
+    scale: int = KMEANS_SCALE,
+    max_cluster_size: int = 60,
+    n_bands: int = 4,
+) -> str:
+    """DuckDB transcription of semantic_dedup_pairs with a cluster-size
+    cap: full pair join inside small clusters, banded exact-match LSH
+    (md5 of the per-band q-values in d order — the LITERAL same strings
+    Spark hashes) inside oversized ones."""
+    p2 = threshold_pct * threshold_pct
+    fin = f"a{iterations + 1}"
+    return (
+        _kmeans_ctes(k, iterations, scale)
+        + f""",
+tagged AS (
+  SELECT a.cid, dm.vec_id, dm.d, dm.q
+  FROM {fin} a JOIN dims dm ON a.vec_id = dm.vec_id
+),
+norms AS (
+  SELECT cid, vec_id,
+         CAST(sum(CAST(q AS BIGINT) * q) AS BIGINT) AS n2
+  FROM tagged GROUP BY cid, vec_id
+),
+sizes AS (
+  SELECT cid, count(*) AS m FROM {fin} GROUP BY cid
+),
+small AS (
+  SELECT t.* FROM tagged t JOIN sizes s ON t.cid = s.cid
+  WHERE s.m <= {max_cluster_size}
+),
+big AS (
+  SELECT t.* FROM tagged t JOIN sizes s ON t.cid = s.cid
+  WHERE s.m > {max_cluster_size}
+),
+sig AS (
+  SELECT cid, vec_id, d % {n_bands} AS band,
+         md5(string_agg(CAST(q AS VARCHAR), ',' ORDER BY d)) AS sig
+  FROM big GROUP BY cid, vec_id, d % {n_bands}
+),
+cand AS (
+  SELECT DISTINCT sa.cid, sa.vec_id AS a_id, sb.vec_id AS b_id
+  FROM sig sa JOIN sig sb
+    ON sa.cid = sb.cid AND sa.band = sb.band AND sa.sig = sb.sig
+   AND sa.vec_id < sb.vec_id
+),
+dots AS (
+  SELECT ta.cid, ta.vec_id AS a_id, tb.vec_id AS b_id,
+         CAST(sum(CAST(ta.q AS BIGINT) * tb.q) AS BIGINT) AS int_dot
+  FROM small ta JOIN small tb
+    ON ta.cid = tb.cid AND ta.d = tb.d AND ta.vec_id < tb.vec_id
+  GROUP BY ta.cid, ta.vec_id, tb.vec_id
+  UNION ALL
+  SELECT c.cid, c.a_id, c.b_id,
+         CAST(sum(CAST(da.q AS BIGINT) * db.q) AS BIGINT) AS int_dot
+  FROM cand c
+  JOIN dims da ON da.vec_id = c.a_id
+  JOIN dims db ON db.vec_id = c.b_id AND db.d = da.d
+  GROUP BY c.cid, c.a_id, c.b_id
 )
 SELECT d.cid AS cluster, d.a_id, d.b_id, d.int_dot
 FROM dots d

@@ -157,3 +157,53 @@ def test_separated_blobs_converge_to_their_means(spark):
     assert rows[1]["n_members"] == 3
     assert rows[0]["min_vec_id"] == 0
     assert rows[1]["min_vec_id"] == 3
+
+
+def test_capped_semantic_dedup_bounds_dominant_cluster(spark):
+    """Adversarially dominant cluster (r5 VERDICT item 4): all vectors
+    land in ONE k-means cluster, but they are pairwise-distinct in every
+    quantized band, so the capped path generates ZERO candidate pairs
+    where the uncapped path dots all m(m-1)/2 — except the planted
+    identical twins, which agree on every band and are still found."""
+    from ndr_import_spark.operators.clustering import semantic_dedup_pairs
+
+    m = 40
+    rows = []
+    for i in range(m):
+        # base direction + a unique per-vector bump in BOTH bands
+        # (n_bands=2: band0 = dims {0,2}, band1 = dims {1,3}) -> all in
+        # one cluster, every band signature distinct
+        v = [1.0 + 0.05 * (i + 1), 1.0 + 0.07 * (i + 1), 1.0, 1.0]
+        rows.append((i, v))
+    # planted near-identical twins: same vector twice
+    rows.append((100, [2.0, 2.0, 2.0, 2.0]))
+    rows.append((101, [2.0, 2.0, 2.0, 2.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uncapped = semantic_dedup_pairs(df, k=1, iterations=1, threshold_pct=90)
+    capped = semantic_dedup_pairs(
+        df, k=1, iterations=1, threshold_pct=90, max_cluster_size=10, n_bands=2
+    )
+    got_capped = {(r["a_id"], r["b_id"]) for r in capped.collect()}
+    got_uncapped = {(r["a_id"], r["b_id"]) for r in uncapped.collect()}
+    # the twins survive the cap
+    assert (100, 101) in got_capped
+    assert got_capped <= got_uncapped
+    # and the candidate volume is bounded: only band-matching pairs are
+    # ever dotted -- the planted twins are the ONLY band collision
+    assert got_capped == {(100, 101)}
+    assert len(got_uncapped) > 50  # nearby 1.0-base vectors are >=90% cosine
+
+
+def test_capped_equals_uncapped_when_under_cap(spark):
+    from ndr_import_spark.operators.clustering import semantic_dedup_pairs
+
+    rows = [(i, [float(i % 3 + 1), 2.0, 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = semantic_dedup_pairs(df, k=2, iterations=2, threshold_pct=80)
+    capped = semantic_dedup_pairs(
+        df, k=2, iterations=2, threshold_pct=80, max_cluster_size=100
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
