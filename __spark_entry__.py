@@ -1550,13 +1550,22 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ndr_import_spark.operators import multimodal as MM
 
-    MM.set_audio_decoder(None)  # force stdlib WAV dispatch
+    from ndr_import_spark.functions.flac import encode_flac
+
+    MM.set_audio_decoder(None)  # force stdlib WAV/FLAC dispatch
     rows = []
-    for i in range(80):
+    for i in range(96):
         b = _hl.md5(f"audio{i}".encode()).digest()
         va = (b[0] - 128) * 128 / 32768.0
         vb = (b[1] - 128) * 128 / 32768.0
-        if i % 5 == 0:
+        if i >= 80:
+            # REAL FLAC: step wave -> FIXED-order-2 subframe with Rice
+            # residuals through the clean-room decoder (functions/flac.py);
+            # decoded samples equal the step exactly, so the mean is the
+            # same closed form as step16
+            sig = np.array([va] * 32 + [vb] * 32)
+            payload = encode_flac(12000 + (b[2] % 32) * 50, sig)
+        elif i % 5 == 0:
             sig = np.array([va] * 32 + [vb] * 32)
             payload = encode_wav(8000 + (b[2] % 32) * 25, sig, bits=16)
         elif i % 5 == 1:
@@ -1583,7 +1592,8 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.size(F.col("feature"))
     return (
         feats.select(
-            F.when(F.col("media_id") % 5 == 0, "step16")
+            F.when(F.col("media_id") >= 80, "flac16")
+            .when(F.col("media_id") % 5 == 0, "step16")
             .when(F.col("media_id") % 5 == 1, "stereo16")
             .when(F.col("media_id") % 5 == 2, "float32")
             .when(F.col("media_id") % 5 == 3, "mulaw")
@@ -1605,7 +1615,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_AUDIO_FEATURES = """
-WITH m AS (SELECT unnest(range(80)) AS i),
+WITH m AS (SELECT unnest(range(96)) AS i),
 d AS (SELECT i, md5('audio' || i) AS hx FROM m),
 b AS (
   SELECT i,
@@ -1616,16 +1626,19 @@ b AS (
 ),
 f AS (
   SELECT i,
-    CASE cast(i % 5 as int) WHEN 0 THEN 'step16' WHEN 1 THEN 'stereo16'
-      WHEN 2 THEN 'float32' WHEN 3 THEN 'mulaw' ELSE 'alaw' END AS wave,
-    CASE cast(i % 5 as int) WHEN 0 THEN 64.0 WHEN 1 THEN 48.0
-      WHEN 2 THEN 56.0 WHEN 3 THEN 40.0 ELSE 44.0 END AS ns,
-    CASE cast(i % 5 as int) WHEN 0 THEN cast(8000 + (b2 % 32) * 25 as double)
-      WHEN 1 THEN 16000.0 WHEN 2 THEN 22050.0 ELSE 8000.0 END AS rate,
-    -- step16: 4 slices at va + 4 at vb → mean (va+vb)/2;
+    CASE WHEN i >= 80 THEN 'flac16' ELSE
+      CASE cast(i % 5 as int) WHEN 0 THEN 'step16' WHEN 1 THEN 'stereo16'
+        WHEN 2 THEN 'float32' WHEN 3 THEN 'mulaw' ELSE 'alaw' END END AS wave,
+    CASE WHEN i >= 80 THEN 64.0 ELSE
+      CASE cast(i % 5 as int) WHEN 0 THEN 64.0 WHEN 1 THEN 48.0
+        WHEN 2 THEN 56.0 WHEN 3 THEN 40.0 ELSE 44.0 END END AS ns,
+    CASE WHEN i >= 80 THEN cast(12000 + (b2 % 32) * 50 as double) ELSE
+      CASE cast(i % 5 as int) WHEN 0 THEN cast(8000 + (b2 % 32) * 25 as double)
+        WHEN 1 THEN 16000.0 WHEN 2 THEN 22050.0 ELSE 8000.0 END END AS rate,
+    -- step16/flac16: 4 slices at va + 4 at vb → mean (va+vb)/2;
     -- stereo16: constant mono mix (va+vb)/2; float32: (b0-128)/128 exact;
     -- G.711 constants expand in closed form from (mantissa, exponent/seg)
-    CASE WHEN i % 5 IN (0, 1)
+    CASE WHEN i >= 80 OR i % 5 IN (0, 1)
       THEN ((b0 - 128) * 128 / 32768.0 + (b1 - 128) * 128 / 32768.0) / 2
       WHEN i % 5 = 2 THEN (b0 - 128) / 128.0
       WHEN i % 5 = 3 THEN

@@ -175,13 +175,16 @@ def extract_audio_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
             return None, None, None
         if decoder is not None:
             return decoder(bytes(payload))
+        from ndr_import_spark.functions.flac import flac_audio_decoder, is_flac
         from ndr_import_spark.functions.wav import is_wav, wav_audio_decoder
 
         raw = bytes(payload)
         if is_wav(raw):
             return wav_audio_decoder(raw)
+        if is_flac(raw):
+            return flac_audio_decoder(raw)
         raise NotImplementedError(
-            "Non-WAV audio needs an injected decoder; use "
+            "Non-WAV/FLAC audio needs an injected decoder; use "
             "multimodal.set_audio_decoder "
             "(deterministic_fake_audio_decoder available for tests)"
         )
