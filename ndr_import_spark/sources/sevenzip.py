@@ -55,6 +55,7 @@ COPY = b"\x00"
 DELTA = b"\x03"
 LZMA1 = b"\x03\x01\x01"
 BCJ_X86 = (b"\x03\x03\x01\x03", b"\x04")
+BCJ_ARM64 = b"\x0a"
 LZMA2 = b"\x21"
 AES256 = b"\x06\xf1\x07\x01"
 
@@ -351,6 +352,50 @@ def bcj_x86_filter(data: bytes, encoding: bool = False) -> bytes:
             pos += 1
 
 
+def bcj_arm64_filter(data: bytes, encoding: bool = False) -> bytes:
+    """BCJ ARM64 branch converter (codec 0x0a) — the transform 7-Zip's
+    Arm64.c / xz's arm64 filter apply to AArch64 executable streams.
+    Clean-room from the public algorithm (both sources public domain):
+
+    * BL (top 6 bits 100101): the 26-bit branch immediate is converted
+      between relative and absolute using the word-granular ip
+      ``pc = offset >> 2`` (add on encode, subtract on decode, mod 2²⁶).
+    * ADRP (mask 0x9F000000 == 0x90000000): the 21-bit page immediate is
+      converted with ``pc = offset >> 12`` — only when the immediate lies
+      in ±512 MiB (bits 18-20 are the sign-extension of bit 17), checked
+      as ``(src + 0x20000) & 0x1C0000 == 0``. The re-assembled
+      instruction sign-extends bit 17 back into bits 18-20, so every
+      converted ADRP passes the same check on the way back — encode and
+      decode are exact inverses by construction.
+
+    7z applies the filter to the whole folder output with ip = 0."""
+    buf = bytearray(data)
+    m32 = 0xFFFFFFFF
+    for i in range(0, len(buf) - 3, 4):
+        instr = int.from_bytes(buf[i:i + 4], "little")
+        if (instr >> 26) == 0x25:  # BL
+            pc = i >> 2
+            if not encoding:
+                pc = (0 - pc) & m32
+            instr = 0x94000000 | ((instr + pc) & 0x03FFFFFF)
+        elif (instr & 0x9F000000) == 0x90000000:  # ADRP
+            src = ((instr >> 29) & 3) | ((instr >> 3) & 0x001FFFFC)
+            if (src + 0x00020000) & 0x001C0000:
+                continue
+            pc = i >> 12
+            if not encoding:
+                pc = (0 - pc) & m32
+            dest = (src + pc) & m32
+            instr &= 0x9000001F
+            instr |= (dest & 3) << 29
+            instr |= (dest & 0x0003FFFC) << 3
+            instr |= (0 - (dest & 0x00020000)) & 0x00E00000
+        else:
+            continue
+        buf[i:i + 4] = (instr & m32).to_bytes(4, "little")
+    return bytes(buf)
+
+
 def _decode_coder(coder: _Coder, data: bytes, out_size: int, password: str | None) -> bytes:
     cid = coder.codec_id
     if cid == COPY:
@@ -390,6 +435,8 @@ def _decode_coder(coder: _Coder, data: bytes, out_size: int, password: str | Non
         return bytes(out)
     if cid in BCJ_X86:
         return bcj_x86_filter(data, encoding=False)[:out_size]
+    if cid == BCJ_ARM64:
+        return bcj_arm64_filter(data, encoding=False)[:out_size]
     if cid == AES256:
         if password is None:
             raise SevenZipError("7z archive is encrypted and no password was given")

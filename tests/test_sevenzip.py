@@ -72,6 +72,17 @@ def build_7z(members: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
             + _num(1) + _num(0)  # bind pair: BCJ.in(1) ← LZMA2.out(0)
         )
         unpack_sizes = [len(payload), len(payload)]
+    elif codec == "arm64_lzma2":
+        from ndr_import_spark.sources.sevenzip import bcj_arm64_filter
+
+        packed = _lzma2(bcj_arm64_filter(payload, encoding=True))
+        folder = (
+            _num(2)
+            + bytes([0x21, 0x21, 0x01, 14])      # coder 0: LZMA2, props 14
+            + bytes([0x01, 0x0A])                # coder 1: BCJ ARM64
+            + _num(1) + _num(0)  # bind pair: ARM64.in(1) ← LZMA2.out(0)
+        )
+        unpack_sizes = [len(payload), len(payload)]
     else:
         raise ValueError(codec)
 
@@ -225,3 +236,79 @@ class TestBcjX86:
         # plain-LZMA2 payload (the filter really ran)
         plain = build_7z([("prog.bin", code)], codec="lzma2")
         assert archive != plain
+
+
+class TestBcjArm64:
+    def test_bl_known_value(self):
+        from ndr_import_spark.sources.sevenzip import bcj_arm64_filter
+
+        # BL with imm 0 at offset 8 (pc = 2 words): decode subtracts pc
+        word = (0x94000000).to_bytes(4, "little")
+        data = b"\x00" * 8 + word
+        out = bcj_arm64_filter(data, encoding=False)
+        got = int.from_bytes(out[8:12], "little")
+        assert got == (0x94000000 | ((0 - 2) & 0x03FFFFFF))
+        assert bcj_arm64_filter(out, encoding=True) == data
+
+    def test_adrp_round_trip_and_range_gate(self):
+        from ndr_import_spark.sources.sevenzip import bcj_arm64_filter
+
+        def adrp(imm21):
+            # ADRP x5 with the 21-bit immediate laid out per the ISA
+            return (0x90000005 | ((imm21 & 3) << 29)
+                    | (((imm21 >> 2) & 0x7FFFF) << 5)).to_bytes(4, "little")
+
+        # in-range immediates (bits 18-20 sign-extend bit 17) convert...
+        blob = bytearray()
+        for imm in (0, 1, 0x1FFFF, 0x1FFFFF, 0x1E0000):
+            blob += adrp(imm)
+        # pad so ADRPs sit past one 4 KiB page (pc = offset >> 12 != 0)
+        blob = bytes(b"\x00" * 8192 + blob)
+        enc = bcj_arm64_filter(blob, encoding=True)
+        assert enc != blob
+        assert bcj_arm64_filter(enc, encoding=False) == blob
+        # ...out-of-range immediates pass through untouched
+        far = bytes(b"\x00" * 8192 + adrp(0x40000))
+        assert bcj_arm64_filter(far, encoding=True) == far
+
+    def test_non_branch_words_untouched(self):
+        from ndr_import_spark.sources.sevenzip import bcj_arm64_filter
+
+        data = bytes(range(256)) * 4  # no BL/ADRP patterns at word starts
+        filtered = bcj_arm64_filter(data, encoding=False)
+        for i in range(0, len(data), 4):
+            w = int.from_bytes(data[i:i + 4], "little")
+            if (w >> 26) != 0x25 and (w & 0x9F000000) != 0x90000000:
+                assert filtered[i:i + 4] == data[i:i + 4]
+
+    def test_mixed_code_round_trip(self):
+        import struct as _st
+
+        from ndr_import_spark.sources.sevenzip import bcj_arm64_filter
+
+        rng = list(range(600))
+        blob = bytearray()
+        for i in rng:
+            if i % 3 == 0:
+                blob += (0x94000000 | (i * 11 & 0x03FFFFFF)).to_bytes(4, "little")
+            elif i % 3 == 1:
+                imm = (i * 7) & 0x1FFFF
+                blob += (0x90000001 | ((imm & 3) << 29)
+                         | (((imm >> 2) & 0x7FFFF) << 5)).to_bytes(4, "little")
+            else:
+                blob += _st.pack("<I", 0xD10043FF)  # sub sp, sp, #16
+        blob = bytes(blob)
+        enc = bcj_arm64_filter(blob, encoding=True)
+        assert bcj_arm64_filter(enc, encoding=False) == blob
+
+    def test_archive_with_arm64_lzma2_chain_extracts_byte_exact(self):
+        # fake AArch64 object: BL call-sites with converging targets
+        code = bytearray()
+        for i in range(300):
+            code += (0x94000000 | ((0 - i * 9) & 0x03FFFFFF)).to_bytes(4, "little")
+            code += (0xD10043FF).to_bytes(4, "little")
+        code = bytes(code)
+        archive = build_7z([("libfake.so", code)], codec="arm64_lzma2")
+        members = extract_7z_bytes(archive)
+        assert [(m.name, m.data) for m in members] == [("libfake.so", code)]
+        assert archive != build_7z([("libfake.so", code)], codec="lzma2")
