@@ -65,10 +65,44 @@ def main() -> None:
     pq.write_table(pa.concat_tables(parts), f"{DST}/orders.parquet")
     print(f"orders: {orders.num_rows * SHARDS} rows")
 
+    # embeddings: per shard c, vec_id += c*1_000_000 and a shard-specific
+    # DIMENSION PERMUTATION (seed=c; shard 0 identity). Permuting dims is
+    # an isometry — every within-shard dot product, norm and cosine is
+    # preserved exactly, so each shard's near-dup/cluster structure equals
+    # sf0.1's, while cross-shard pairs decorrelate: the correct ~linear
+    # null for dedup/ANN scaling. (r6: semantic_dedup's second decade.)
+    emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pydict()
+    dim = len(emb["embedding"][0])
+    eout = {k: [] for k in emb}
+    for c in range(SHARDS):
+        dperm = list(range(dim))
+        if c:
+            random.Random(1000 + c).shuffle(dperm)
+        for i in range(len(emb["vec_id"])):
+            v = emb["embedding"][i]
+            eout["vec_id"].append(emb["vec_id"][i] + c * 1_000_000)
+            eout["embedding"].append([v[j] for j in dperm])
+            for k in emb:
+                if k not in ("vec_id", "embedding"):
+                    eout[k].append(emb[k][i])
+    esch = pa.schema(
+        [
+            (n, pa.int64() if n == "vec_id" else
+             pa.list_(pa.float32()) if n == "embedding" else
+             pa.array(eout[n]).type)
+            for n in emb
+        ]
+    )
+    link = f"{DST}/embeddings.parquet"
+    if os.path.islink(link):
+        os.remove(link)
+    pq.write_table(pa.table(eout, schema=esch), link)
+    print(f"embeddings: {len(eout['vec_id'])} rows")
+
     # symlink the untouched small dims so bench.py's generic loader works
     for name in (
         "region", "nation", "customer", "supplier", "part", "lineitem",
-        "events", "embeddings",
+        "events",
     ):
         link = f"{DST}/{name}.parquet"
         if not os.path.exists(link):
