@@ -56,6 +56,10 @@ DELTA = b"\x03"
 LZMA1 = b"\x03\x01\x01"
 BCJ_X86 = (b"\x03\x03\x01\x03", b"\x04")
 BCJ_ARM64 = b"\x0a"
+BCJ_PPC = (b"\x03\x03\x02\x05", b"\x05")
+BCJ_ARM = (b"\x03\x03\x05\x01", b"\x07")
+BCJ_ARMT = (b"\x03\x03\x07\x01", b"\x08")
+BCJ_SPARC = (b"\x03\x03\x08\x05", b"\x09")
 LZMA2 = b"\x21"
 AES256 = b"\x06\xf1\x07\x01"
 
@@ -396,6 +400,105 @@ def bcj_arm64_filter(data: bytes, encoding: bool = False) -> bytes:
     return bytes(buf)
 
 
+def bcj_arm_filter(data: bytes, encoding: bool = False) -> bytes:
+    """BCJ ARM (AArch32) branch converter (codec 0x07 / 03030501): the
+    24-bit immediate of every BL (last byte 0xEB, little-endian words)
+    converts between relative and absolute with pc = offset + 8 (the ARM
+    pipeline bias). Clean-room from the public 7-Zip/xz algorithm."""
+    buf = bytearray(data)
+    m32 = 0xFFFFFFFF
+    for i in range(0, len(buf) - 3, 4):
+        if buf[i + 3] != 0xEB:
+            continue
+        src = ((buf[i + 2] << 16) | (buf[i + 1] << 8) | buf[i]) << 2
+        pc = i + 8
+        dest = ((pc + src) if encoding else (src - pc)) & m32
+        dest >>= 2
+        buf[i] = dest & 0xFF
+        buf[i + 1] = (dest >> 8) & 0xFF
+        buf[i + 2] = (dest >> 16) & 0xFF
+    return bytes(buf)
+
+
+def bcj_armt_filter(data: bytes, encoding: bool = False) -> bytes:
+    """BCJ ARM-Thumb branch converter (codec 0x08 / 03030701): the
+    22-bit immediate of the two-halfword Thumb BL pair (0xF0xx 0xF8xx)
+    converts with pc = offset + 4; a converted pair consumes both
+    halfwords. Clean-room from the public 7-Zip/xz algorithm."""
+    buf = bytearray(data)
+    m32 = 0xFFFFFFFF
+    i = 0
+    while i + 4 <= len(buf):
+        if (buf[i + 1] & 0xF8) == 0xF0 and (buf[i + 3] & 0xF8) == 0xF8:
+            src = (
+                ((buf[i + 1] & 7) << 19)
+                | (buf[i] << 11)
+                | ((buf[i + 3] & 7) << 8)
+                | buf[i + 2]
+            ) << 1
+            pc = i + 4
+            dest = ((pc + src) if encoding else (src - pc)) & m32
+            dest >>= 1
+            buf[i + 1] = 0xF0 | ((dest >> 19) & 7)
+            buf[i] = (dest >> 11) & 0xFF
+            buf[i + 3] = 0xF8 | ((dest >> 8) & 7)
+            buf[i + 2] = dest & 0xFF
+            i += 2
+        i += 2
+    return bytes(buf)
+
+
+def bcj_ppc_filter(data: bytes, encoding: bool = False) -> bytes:
+    """BCJ PowerPC branch converter (codec 0x05 / 03030205): the 24-bit
+    word-aligned immediate of every big-endian `bl` (top bits 010010,
+    low bits AA=0 LK=1) converts with pc = offset. Clean-room from the
+    public 7-Zip/xz algorithm."""
+    buf = bytearray(data)
+    m32 = 0xFFFFFFFF
+    for i in range(0, len(buf) - 3, 4):
+        if (buf[i] & 0xFC) == 0x48 and (buf[i + 3] & 3) == 1:
+            src = (
+                ((buf[i] & 3) << 24)
+                | (buf[i + 1] << 16)
+                | (buf[i + 2] << 8)
+                | (buf[i + 3] & 0xFC)
+            )
+            dest = ((i + src) if encoding else (src - i)) & m32
+            buf[i] = 0x48 | ((dest >> 24) & 3)
+            buf[i + 1] = (dest >> 16) & 0xFF
+            buf[i + 2] = (dest >> 8) & 0xFF
+            buf[i + 3] = (buf[i + 3] & 3) | (dest & 0xFC)
+    return bytes(buf)
+
+
+def bcj_sparc_filter(data: bytes, encoding: bool = False) -> bytes:
+    """BCJ SPARC branch converter (codec 0x09 / 03030805): big-endian
+    CALL instructions whose 30-bit displacement starts 0x40/low or
+    0x7F/high convert with pc = offset; the canonical re-assembly
+    collapses the top bits to the 0x40000000 form with a 22-bit
+    sign-folded displacement. Clean-room from the public 7-Zip/xz
+    algorithm."""
+    buf = bytearray(data)
+    m32 = 0xFFFFFFFF
+    for i in range(0, len(buf) - 3, 4):
+        b0, b1 = buf[i], buf[i + 1]
+        if not (
+            (b0 == 0x40 and (b1 & 0xC0) == 0)
+            or (b0 == 0x7F and (b1 & 0xC0) == 0xC0)
+        ):
+            continue
+        src = (int.from_bytes(buf[i:i + 4], "big") << 2) & m32
+        dest = ((i + src) if encoding else (src - i)) & m32
+        dest >>= 2
+        dest = (
+            (0x40000000 - (dest & 0x400000))
+            | 0x40000000
+            | (dest & 0x3FFFFF)
+        ) & m32
+        buf[i:i + 4] = dest.to_bytes(4, "big")
+    return bytes(buf)
+
+
 def _decode_coder(coder: _Coder, data: bytes, out_size: int, password: str | None) -> bytes:
     cid = coder.codec_id
     if cid == COPY:
@@ -437,6 +540,14 @@ def _decode_coder(coder: _Coder, data: bytes, out_size: int, password: str | Non
         return bcj_x86_filter(data, encoding=False)[:out_size]
     if cid == BCJ_ARM64:
         return bcj_arm64_filter(data, encoding=False)[:out_size]
+    if cid in BCJ_ARM:
+        return bcj_arm_filter(data, encoding=False)[:out_size]
+    if cid in BCJ_ARMT:
+        return bcj_armt_filter(data, encoding=False)[:out_size]
+    if cid in BCJ_PPC:
+        return bcj_ppc_filter(data, encoding=False)[:out_size]
+    if cid in BCJ_SPARC:
+        return bcj_sparc_filter(data, encoding=False)[:out_size]
     if cid == AES256:
         if password is None:
             raise SevenZipError("7z archive is encrypted and no password was given")

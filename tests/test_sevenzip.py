@@ -312,3 +312,71 @@ class TestBcjArm64:
         members = extract_7z_bytes(archive)
         assert [(m.name, m.data) for m in members] == [("libfake.so", code)]
         assert archive != build_7z([("libfake.so", code)], codec="lzma2")
+
+
+class TestBcjBranchFamily:
+    """ARM/ARM-Thumb/PPC/SPARC branch filters: known-value decode + full
+    round-trip on mixed synthetic code, per architecture."""
+
+    def test_arm_bl_known_value_and_round_trip(self):
+        from ndr_import_spark.sources.sevenzip import bcj_arm_filter
+
+        # BL imm 0 at offset 4: decode gives (0 - (4+8)) >> 2 in 24 bits
+        data = b"\x00" * 4 + bytes([0x00, 0x00, 0x00, 0xEB])
+        out = bcj_arm_filter(data, encoding=False)
+        imm = out[4] | (out[5] << 8) | (out[6] << 16)
+        assert imm == ((0 - 12) & 0xFFFFFFFF) >> 2 & 0xFFFFFF
+        assert bcj_arm_filter(out, encoding=True) == data
+
+    def test_armt_bl_pair_round_trip(self):
+        from ndr_import_spark.sources.sevenzip import bcj_armt_filter
+
+        blob = bytearray(b"\x00\x20" * 6)  # movs r0,#0 halfwords
+        # Thumb BL pair with imm 0x12345 at a halfword offset
+        imm = 0x12345
+        blob += bytes([
+            (imm >> 12) & 0xFF, 0xF0 | ((imm >> 20) & 7),
+            (imm >> 1) & 0xFF, 0xF8 | ((imm >> 9) & 7),
+        ])
+        blob = bytes(blob)
+        enc = bcj_armt_filter(blob, encoding=True)
+        assert enc != blob
+        assert bcj_armt_filter(enc, encoding=False) == blob
+
+    def test_ppc_bl_known_value_and_round_trip(self):
+        from ndr_import_spark.sources.sevenzip import bcj_ppc_filter
+
+        # bl with displacement 0x100 at offset 8 (big-endian)
+        word = (0x48000000 | 0x100 | 1).to_bytes(4, "big")
+        data = b"\x00" * 8 + word
+        out = bcj_ppc_filter(data, encoding=False)
+        got = int.from_bytes(out[8:12], "big")
+        assert got & 3 == 1 and (got & 0xFC000000) == 0x48000000
+        assert (got & 0x03FFFFFC) == ((0x100 - 8) & 0x03FFFFFC)
+        assert bcj_ppc_filter(out, encoding=True) == data
+
+    def test_sparc_call_round_trip(self):
+        from ndr_import_spark.sources.sevenzip import bcj_sparc_filter
+
+        blob = bytearray()
+        for i in range(50):
+            blob += (0x40000000 | (i * 3 & 0x3FFFFF)).to_bytes(4, "big")
+            blob += (0x9DE3BF98).to_bytes(4, "big")  # save %sp (untouched)
+        blob = bytes(blob)
+        enc = bcj_sparc_filter(blob, encoding=True)
+        assert enc != blob
+        assert bcj_sparc_filter(enc, encoding=False) == blob
+
+    def test_non_matching_words_untouched_everywhere(self):
+        from ndr_import_spark.sources.sevenzip import (
+            bcj_arm_filter,
+            bcj_armt_filter,
+            bcj_ppc_filter,
+            bcj_sparc_filter,
+        )
+
+        data = bytes([0x11, 0x22, 0x33, 0x44] * 8)
+        for f in (bcj_arm_filter, bcj_armt_filter, bcj_ppc_filter,
+                  bcj_sparc_filter):
+            assert f(data, True) == data
+            assert f(data, False) == data
