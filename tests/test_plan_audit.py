@@ -425,3 +425,17 @@ class TestRound6PlanShapes:
                 assert "_tot_" in above or "HashAggregate(keys=[]" in above, (
                     f"SinglePartition feeds a non-chunk frame:\n{above}"
                 )
+
+    def test_main_content_single_regroup_no_python(self, spark):
+        # segmentation + block features are pure codegen maps; the only
+        # exchange is the per-doc regroup of already-KEPT blocks (the
+        # output itself), and nothing touches Python workers
+        p = plan(entry.queries()["main_content"](spark, SF_DIR), "simple")
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "CartesianProduct" not in p
+        assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+    def test_semantic_dedup_capped_no_cartesian(self, spark):
+        p = plan(entry.queries()["semantic_dedup_capped"](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
