@@ -1658,6 +1658,136 @@ FROM f GROUP BY wave ORDER BY wave
 """
 
 
+def q_adpcm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-WAV decode end-to-end: IMA (0x11) and MS (0x02)
+    ADPCM payloads built nibble-by-nibble so every decoded sample is
+    ANALYTIC (functions/adpcm.py): constant-nibble IMA streams from step
+    index 0 are exact arithmetic ramps (slope {0,1,3,4}, ± via the sign
+    bit); MS coeff pair 1 with zero nibbles extrapolates the exact line
+    through (sample2, sample1); MS coeff pair 0 holds sample1; stereo
+    IMA zero-nibbles hold each channel's predictor. Every 8-slice
+    feature mean is a mean of an arithmetic progression — exact dyadic
+    in float64 — so the DuckDB oracle reproduces the whole feature
+    pipeline from md5 arithmetic in closed form, proving block headers,
+    nibble order, the step/index walk, idelta adaptation, stereo
+    deinterleave and the Arrow batch plumbing."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions import adpcm as A
+    from ndr_import_spark.operators import multimodal as MM
+
+    MM.set_audio_decoder(None)  # stdlib dispatch: WAV container → adpcm.py
+    rows = []
+    for i in range(80):
+        b = _hl.md5(f"adpcm{i}".encode()).digest()
+        if i % 5 == 0:  # IMA ascending ramp, 17 samples
+            p0 = (b[0] - 128) * 16
+            nib = b[1] % 4
+            blocks = A.ima_block(p0, 0, [nib] * 16)
+            payload = A.encode_wav_ima(
+                11025 + (b[2] % 16) * 25, blocks, 1, 12
+            )
+        elif i % 5 == 1:  # IMA descending ramp (sign bit)
+            p0 = (b[0] - 128) * 16
+            nib = 8 | (b[1] % 4)
+            blocks = A.ima_block(p0, 0, [nib] * 16)
+            payload = A.encode_wav_ima(11025, blocks, 1, 12)
+        elif i % 5 == 2:  # MS exact line through (s2, s1), 16 samples
+            s2 = (b[0] - 128) * 8
+            d = b[1] - 128
+            blocks = A.ms_block(1, 16, s2 + d, s2, [0] * 14)
+            payload = A.encode_wav_ms(8000, blocks, 1, len(blocks))
+        elif i % 5 == 3:  # MS constant hold of sample1
+            s1 = (b[0] - 128) * 32
+            s2 = (b[1] - 128) * 32
+            blocks = A.ms_block(0, 16, s1, s2, [0] * 14)
+            payload = A.encode_wav_ms(8000, blocks, 1, len(blocks))
+        else:  # stereo IMA constants, 9 frames
+            pL = (b[0] - 128) * 16
+            pR = (b[1] - 128) * 16
+            blocks = A.ima_block([pL, pR], [0, 0], [0] * 16, channels=2)
+            payload = A.encode_wav_ima(16000, blocks, 2, 16)
+        rows.append(
+            (i, "audio", "audio/wav", None, None, None, bytearray(payload))
+        )
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(8)
+    feats = MM.extract_audio_features(media)
+    mean_feat = F.aggregate(
+        F.col("feature"), F.lit(0.0), lambda a, x: a + x
+    ) / F.size(F.col("feature"))
+    return (
+        feats.select(
+            F.element_at(
+                F.array(
+                    F.lit("ima_up"),
+                    F.lit("ima_down"),
+                    F.lit("ms_line"),
+                    F.lit("ms_const"),
+                    F.lit("ima_stereo"),
+                ),
+                (F.col("media_id") % 5 + 1).cast("int"),
+            ).alias("wave"),
+            F.col("n_samples").cast("double").alias("ns"),
+            F.col("sample_rate").cast("double").alias("rate"),
+            mean_feat.alias("mf"),
+        )
+        .groupBy("wave")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("ns").alias("avg_samples"),
+            F.avg("rate").alias("avg_rate"),
+            F.avg("mf").alias("avg_feat"),
+        )
+        .orderBy("wave")
+    )
+
+
+# mf closed forms: an 8-slice mean over s(t)=p0+slope*t, t in [0,n) with
+# floor boundaries is p0 + slope*C_n where C_n = (1/8)·Σ_j (lo_j+hi_j-1)/2
+# (slice means of arithmetic progressions are their middle values):
+# C_17 = 7.5625, C_16 = 7.5. ms_const: slice0 mean (s2+s1)/2, rest s1 →
+# (s2 + 15·s1)/16. ima_stereo: constant mono mix (pL+pR)/2. All exact
+# dyadics, so Spark float64 == DuckDB float64 bit-for-bit.
+_ORACLE_ADPCM_AUDIO = """
+WITH m AS (SELECT unnest(range(80)) AS i),
+d AS (SELECT i, md5('adpcm' || i) AS hx FROM m),
+b AS (
+  SELECT i,
+    cast(('0x' || substring(hx, 1, 2)) as int) AS b0,
+    cast(('0x' || substring(hx, 3, 2)) as int) AS b1,
+    cast(('0x' || substring(hx, 5, 2)) as int) AS b2
+  FROM d
+),
+f AS (
+  SELECT i,
+    CASE cast(i % 5 as int) WHEN 0 THEN 'ima_up' WHEN 1 THEN 'ima_down'
+      WHEN 2 THEN 'ms_line' WHEN 3 THEN 'ms_const' ELSE 'ima_stereo'
+    END AS wave,
+    CASE cast(i % 5 as int) WHEN 0 THEN 17.0 WHEN 1 THEN 17.0
+      WHEN 2 THEN 16.0 WHEN 3 THEN 16.0 ELSE 9.0 END AS ns,
+    CASE cast(i % 5 as int)
+      WHEN 0 THEN cast(11025 + (b2 % 16) * 25 as double)
+      WHEN 1 THEN 11025.0 WHEN 2 THEN 8000.0 WHEN 3 THEN 8000.0
+      ELSE 16000.0 END AS rate,
+    CASE cast(i % 5 as int)
+      WHEN 0 THEN ((b0 - 128) * 16
+                   + (CASE cast(b1 % 4 as int) WHEN 0 THEN 0 WHEN 1 THEN 1
+                        WHEN 2 THEN 3 ELSE 4 END) * 7.5625) / 32768.0
+      WHEN 1 THEN ((b0 - 128) * 16
+                   - (CASE cast(b1 % 4 as int) WHEN 0 THEN 0 WHEN 1 THEN 1
+                        WHEN 2 THEN 3 ELSE 4 END) * 7.5625) / 32768.0
+      WHEN 2 THEN ((b0 - 128) * 8 + (b1 - 128) * 7.5) / 32768.0
+      WHEN 3 THEN ((b1 - 128) * 32 + 15 * (b0 - 128) * 32) / 16.0 / 32768.0
+      ELSE (((b0 - 128) * 16 + (b1 - 128) * 16) / 2) / 32768.0
+    END AS mf
+  FROM b
+)
+SELECT wave, count(*) AS n, avg(ns) AS avg_samples, avg(rate) AS avg_rate,
+       avg(mf) AS avg_feat
+FROM f GROUP BY wave ORDER BY wave
+"""
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication report (Lee et al. 2022 style): every
     8-word window occurring verbatim elsewhere in the corpus, keep-first,
@@ -6700,6 +6830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_mixed_codecs": q_multimodal_mixed_codecs,
         "audio_features": q_audio_features,
+        "adpcm_audio": q_adpcm_audio,
         "video_features": q_video_features,
         "substring_dedup": q_substring_dedup,
         "bpe_tokenizer": q_bpe_tokenizer,
@@ -6863,6 +6994,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _ORACLE_MULTIMODAL,
         "multimodal_mixed_codecs": _ORACLE_MIXED_CODECS,
         "audio_features": _ORACLE_AUDIO_FEATURES,
+        "adpcm_audio": _ORACLE_ADPCM_AUDIO,
         "video_features": _ORACLE_VIDEO_FEATURES,
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "warc_extract": _ORACLE_WARC_EXTRACT,

@@ -11,9 +11,11 @@ corpus payloads:
   segment/mantissa expansion via 256-entry tables) sample frames, any
   channel count, chunk-walking that skips unknown chunks (LIST/fact/
   cue…) and tolerates the common off-spec RIFF size. WAVE_FORMAT_EXTENSIBLE
-  (0xFFFE) resolves through its SubFormat GUID to any of those. Other
-  compressed formats (ADPCM, MP3-in-WAV) raise `WavError` — an honest
-  unsupported-profile signal, not silent noise.
+  (0xFFFE) resolves through its SubFormat GUID to any of those. IMA ADPCM
+  (0x11) and MS ADPCM (0x02) dispatch to the exact-integer block decoders
+  in functions/adpcm.py. Remaining compressed formats (MP3-in-WAV, GSM…)
+  raise `WavError` — an honest unsupported-profile signal, not silent
+  noise.
 * encode: PCM 8/16-bit and float32 writer for fixtures and roundtrips,
   plus a RIFF wrapper for raw pre-companded G.711 byte streams.
 
@@ -55,9 +57,11 @@ def is_wav(data: bytes) -> bool:
 _KSDATAFORMAT_SUFFIX = bytes.fromhex("000000001000800000aa00389b71")
 
 _PCM = 1
+_MS_ADPCM = 2
 _IEEE_FLOAT = 3
 _ALAW = 6
 _MULAW = 7
+_IMA_ADPCM = 0x11
 _EXTENSIBLE = 0xFFFE
 
 
@@ -107,7 +111,7 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         if cid == b"fmt ":
             if len(body) < 16:
                 raise WavError("truncated fmt chunk")
-            tag, channels, rate, _brate, _balign, bits = struct.unpack(
+            tag, channels, rate, _brate, balign, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
             if tag == _EXTENSIBLE:
@@ -117,13 +121,15 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
                 if sub[2:] != _KSDATAFORMAT_SUFFIX:
                     raise WavError("unknown WAVE_FORMAT_EXTENSIBLE SubFormat")
                 tag = struct.unpack("<H", sub[:2])[0]
-            if tag not in (_PCM, _IEEE_FLOAT, _ALAW, _MULAW):
+            if tag not in (
+                _PCM, _IEEE_FLOAT, _ALAW, _MULAW, _MS_ADPCM, _IMA_ADPCM
+            ):
                 raise WavError(
-                    f"unsupported WAV format tag {tag} (PCM, IEEE float and "
-                    "G.711 only; other compressed WAV needs an injected "
-                    "decoder)"
+                    f"unsupported WAV format tag {tag} (PCM, IEEE float, "
+                    "G.711 and IMA/MS ADPCM only; other compressed WAV "
+                    "needs an injected decoder)"
                 )
-            fmt = (tag, channels, rate, bits)
+            fmt = (tag, channels, rate, bits, balign, bytes(body))
         elif cid == b"data":
             if len(body) < size:
                 raise WavError("truncated data chunk")
@@ -136,9 +142,33 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         raise WavError("missing fmt chunk")
     if raw is None:
         raise WavError("missing data chunk")
-    tag, channels, rate, bits = fmt
+    tag, channels, rate, bits, balign, fmt_body = fmt
     if channels < 1:
         raise WavError("invalid channel count")
+    if tag in (_MS_ADPCM, _IMA_ADPCM):
+        # compressed-WAV profiles: exact integer recurrences in
+        # functions/adpcm.py; the frame shape comes from block_align
+        from ndr_import_spark.functions import adpcm
+
+        if balign < 1:
+            raise WavError("ADPCM needs a positive block alignment")
+        try:
+            if tag == _IMA_ADPCM:
+                samples = adpcm.decode_ima(raw, channels, balign)
+            else:
+                coeffs = None
+                if len(fmt_body) >= 22:
+                    (ncoef,) = struct.unpack("<H", fmt_body[20:22])
+                    need = 22 + 4 * ncoef
+                    if ncoef and len(fmt_body) >= need:
+                        flat = struct.unpack(
+                            f"<{2 * ncoef}h", fmt_body[22:need]
+                        )
+                        coeffs = np.array(flat, np.int32).reshape(-1, 2)
+                samples = adpcm.decode_ms(raw, channels, balign, coeffs)
+        except adpcm.AdpcmError as exc:
+            raise WavError(str(exc)) from exc
+        return rate, channels, samples
     if tag == _PCM:
         if bits == 8:
             samples = (
