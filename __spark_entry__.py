@@ -1788,6 +1788,153 @@ FROM f GROUP BY wave ORDER BY wave
 """
 
 
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-media METADATA scan (sources/mediameta.py) over a
+    deterministic mixed-container column: MP3 elementary streams (MPEG-1
+    Layer III frame walk + Xing/LAME header), Ogg (page walk with RFC
+    3533 CRC, Vorbis + Opus id headers) and MP4 (box walk: mvhd
+    duration, stsd codec/dimensions, stsz counts). Every payload is
+    built by the analytic fixture builders with md5-derived parameters,
+    so each row's metadata is closed-form: durations are a single
+    integer-exact division both engines round identically. This is the
+    routing/budgeting layer a 100 TB crawl needs for compressed media
+    the engine deliberately does not decode (Layer III / Vorbis decode
+    would need spec tables that cannot be transcribed honestly
+    clean-room — see the mediameta module docstring)."""
+    import hashlib as _hl
+
+    from ndr_import_spark.operators import multimodal as MM
+    from ndr_import_spark.sources import mediameta as MD
+
+    rows = []
+    for i in range(90):
+        b = _hl.md5(f"media{i}".encode()).digest()
+        if i % 3 == 0:
+            payload = MD.build_mp3(
+                3,
+                3,
+                9 + b[0] % 5,
+                b[1] % 3,
+                8 + b[2] % 8,
+                mono=(b[0] % 2 == 0),
+                xing_frames=7 + b[2] % 8,
+                encoder="LAME3.100",
+            )
+            kind = "audio"
+        elif i % 3 == 1:
+            if b[0] % 2 == 0:
+                payload = MD.build_ogg_vorbis(
+                    32000 + (b[1] % 4) * 4000,
+                    1 + (b[2] % 2),
+                    (32000 + (b[1] % 4) * 4000) * (b[0] % 6),
+                    160000,
+                )
+            else:
+                payload = MD.build_ogg_opus(
+                    16000, 1, 48000 * (b[1] % 4) + 312, pre_skip=312
+                )
+            kind = "audio"
+        else:
+            if b[0] % 2 == 0:
+                payload = MD.build_mp4(
+                    1000,
+                    500 * (b[1] % 8),
+                    "avc1",
+                    width=320 + 16 * (b[2] % 8),
+                    height=240 + 16 * (b[1] % 4),
+                    n_samples=24 * (b[2] % 4),
+                )
+                kind = "video"
+            else:
+                payload = MD.build_mp4(
+                    1000,
+                    250 * (b[1] % 8),
+                    "mp4a",
+                    channels=1 + (b[2] % 2),
+                    sample_rate=44100,
+                    n_samples=50 + b[2] % 50,
+                )
+                kind = "audio"
+        rows.append(
+            (i, kind, None, None, None, None, bytearray(payload))
+        )
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(8)
+    return (
+        MM.extract_media_metadata(media)
+        .select(
+            "media_id",
+            "container",
+            "codec",
+            "sample_rate",
+            "channels",
+            "duration_ms",
+            "n_frames",
+            "declared_frames",
+            "width",
+            "height",
+            "encoder",
+        )
+        .orderBy("media_id")
+    )
+
+
+_ORACLE_MEDIA_METADATA = """
+WITH m AS (SELECT unnest(range(90)) AS i),
+d AS (SELECT i, md5('media' || i) AS hx FROM m),
+b AS (
+  SELECT i,
+    cast(('0x' || substring(hx, 1, 2)) as int) AS b0,
+    cast(('0x' || substring(hx, 3, 2)) as int) AS b1,
+    cast(('0x' || substring(hx, 5, 2)) as int) AS b2
+  FROM d
+)
+SELECT
+  i AS media_id,
+  CASE cast(i % 3 as int) WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
+    ELSE 'mp4' END AS container,
+  CASE cast(i % 3 as int)
+    WHEN 0 THEN 'mpeg1-layer3'
+    WHEN 1 THEN CASE WHEN b0 % 2 = 0 THEN 'vorbis' ELSE 'opus' END
+    ELSE CASE WHEN b0 % 2 = 0 THEN 'avc1' ELSE 'mp4a' END
+  END AS codec,
+  CASE cast(i % 3 as int)
+    WHEN 0 THEN CASE cast(b1 % 3 as int) WHEN 0 THEN 44100
+                  WHEN 1 THEN 48000 ELSE 32000 END
+    WHEN 1 THEN CASE WHEN b0 % 2 = 0 THEN 32000 + (b1 % 4) * 4000
+                  ELSE 16000 END
+    ELSE CASE WHEN b0 % 2 = 0 THEN NULL ELSE 44100 END
+  END AS sample_rate,
+  CASE cast(i % 3 as int)
+    WHEN 0 THEN CASE WHEN b0 % 2 = 0 THEN 1 ELSE 2 END
+    WHEN 1 THEN CASE WHEN b0 % 2 = 0 THEN 1 + (b2 % 2) ELSE 1 END
+    ELSE CASE WHEN b0 % 2 = 0 THEN NULL ELSE 1 + (b2 % 2) END
+  END AS channels,
+  CASE cast(i % 3 as int)
+    WHEN 0 THEN ((7 + b2 % 8) * 1152 * 1000.0)
+                / (CASE cast(b1 % 3 as int) WHEN 0 THEN 44100
+                     WHEN 1 THEN 48000 ELSE 32000 END)
+    WHEN 1 THEN CASE WHEN b0 % 2 = 0 THEN (b0 % 6) * 1000.0
+                  ELSE (b1 % 4) * 1000.0 END
+    ELSE CASE WHEN b0 % 2 = 0 THEN (b1 % 8) * 500.0
+           ELSE (b1 % 8) * 250.0 END
+  END AS duration_ms,
+  CASE cast(i % 3 as int)
+    WHEN 0 THEN 8 + b2 % 8
+    WHEN 1 THEN 2
+    ELSE CASE WHEN b0 % 2 = 0 THEN 24 * (b2 % 4) ELSE 50 + b2 % 50 END
+  END AS n_frames,
+  CASE WHEN cast(i % 3 as int) = 0 THEN cast(7 + b2 % 8 as bigint)
+    ELSE NULL END AS declared_frames,
+  CASE WHEN cast(i % 3 as int) = 2 AND b0 % 2 = 0
+    THEN 320 + 16 * (b2 % 8) ELSE NULL END AS width,
+  CASE WHEN cast(i % 3 as int) = 2 AND b0 % 2 = 0
+    THEN 240 + 16 * (b1 % 4) ELSE NULL END AS height,
+  CASE cast(i % 3 as int) WHEN 0 THEN 'LAME3.100'
+    WHEN 2 THEN 'isom' ELSE NULL END AS encoder
+FROM b ORDER BY media_id
+"""
+
+
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication report (Lee et al. 2022 style): every
     8-word window occurring verbatim elsewhere in the corpus, keep-first,
@@ -6831,6 +6978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mixed_codecs": q_multimodal_mixed_codecs,
         "audio_features": q_audio_features,
         "adpcm_audio": q_adpcm_audio,
+        "media_metadata": q_media_metadata,
         "video_features": q_video_features,
         "substring_dedup": q_substring_dedup,
         "bpe_tokenizer": q_bpe_tokenizer,
@@ -6995,6 +7143,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_mixed_codecs": _ORACLE_MIXED_CODECS,
         "audio_features": _ORACLE_AUDIO_FEATURES,
         "adpcm_audio": _ORACLE_ADPCM_AUDIO,
+        "media_metadata": _ORACLE_MEDIA_METADATA,
         "video_features": _ORACLE_VIDEO_FEATURES,
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "warc_extract": _ORACLE_WARC_EXTRACT,

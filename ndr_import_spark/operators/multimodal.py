@@ -204,6 +204,52 @@ def extract_audio_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
     return df.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
+MEDIA_META_SCHEMA = (
+    "media_id long, container string, codec string, sample_rate int, "
+    "channels int, duration_ms double, bit_rate double, n_frames int, "
+    "width int, height int, encoder string, declared_frames long, "
+    "vbr boolean"
+)
+
+
+def extract_media_metadata(df: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """Compressed-media METADATA scan: MP3 frame walk (+Xing/LAME), Ogg
+    page walk (Vorbis/Opus id headers, RFC 3533 CRC), MP4 box walk
+    (mvhd/stsd/stsz) via sources/mediameta.py — Arrow mapInPandas, one
+    probe per payload, no sample decode. Unrecognised or truncated
+    payloads yield container='unknown' with NULL fields (per-row
+    robustness: a 100 TB crawl's media column routes/budgets on this
+    output, so one bad payload must not fail a task)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ndr_import_spark.sources.mediameta import (
+            MediaMetaError,
+            probe_media,
+        )
+
+        cols = [
+            "container", "codec", "sample_rate", "channels", "duration_ms",
+            "bit_rate", "n_frames", "width", "height", "encoder",
+            "declared_frames", "vbr",
+        ]
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                try:
+                    m = probe_media(bytes(payload or b""))
+                except (MediaMetaError, IndexError, ValueError):
+                    m = {}
+                rows.append([m.get(c) if m else None for c in cols])
+            out = pd.DataFrame(rows, columns=cols)
+            if not len(out):
+                out = pd.DataFrame(columns=cols)
+            out.loc[out["container"].isna(), "container"] = "unknown"
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return df.mapInPandas(run, MEDIA_META_SCHEMA)
+
+
 VIDEO_FEATURE_SCHEMA = (
     "media_id long, n_frames int, width int, height int, duration_ms int, "
     "feature array<double>"

@@ -1,0 +1,205 @@
+"""Media-metadata probe tests (sources/mediameta.py +
+operators/multimodal.extract_media_metadata).
+
+External validation anchor: tests/fixtures/lame_mpeg2_mono.mp3 is a real
+LAME 3.98.2 encoding (Apache-2.0 test data shipped with gsutil,
+gslib/tests/test_data/test.mp3) — the MPEG-2 frame walk must consume the
+file BYTE-EXACTLY (45 frames ending at EOF), which a wrong bitrate table,
+sample-rate table or frame-size formula cannot fake. Synthetic builders
+cover MPEG-1 + Xing, Ogg Vorbis/Opus with RFC 3533 CRC, and MP4 box
+walks.
+"""
+
+import os
+import struct
+
+import pytest
+
+from ndr_import_spark.sources import mediameta as M
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "lame_mpeg2_mono.mp3"
+)
+
+
+class TestRealLameFile:
+    def test_frame_walk_is_byte_exact(self):
+        data = open(FIXTURE, "rb").read()
+        meta = M.probe_media(data)
+        assert meta["container"] == "mp3"
+        assert meta["codec"] == "mpeg2-layer3"
+        assert meta["sample_rate"] == 22050
+        assert meta["channels"] == 1
+        assert meta["n_frames"] == 45
+        # the walk must end exactly at EOF: resync at 32 (after ID3v2),
+        # then 45 frames of 208/209 bytes each
+        pos = 32
+        n = 0
+        while True:
+            fr = M._mp3_frame(data, pos)
+            if fr is None or pos + fr[0] > len(data):
+                break
+            pos += fr[0]
+            n += 1
+        assert (n, pos) == (45, len(data))
+        assert abs(meta["duration_ms"] - 45 * 576 * 1000 / 22050) < 1e-9
+        # LAME CBR: ~64 kbps from actual bytes/samples
+        assert 63000 < meta["bit_rate"] < 65000
+        assert meta["vbr"] is False
+
+
+class TestMp3Synthetic:
+    def test_xing_header_declares_frames_and_encoder(self):
+        mp3 = M.build_mp3(3, 3, 9, 0, 10, mono=False, xing_frames=9)
+        meta = M.probe_mp3(mp3)
+        assert meta["codec"] == "mpeg1-layer3"
+        assert (meta["sample_rate"], meta["channels"]) == (44100, 2)
+        assert meta["n_frames"] == 10  # walked, includes the Xing frame
+        assert meta["declared_frames"] == 9
+        assert meta["encoder"] == "LAME3.100"
+        assert abs(meta["duration_ms"] - 9 * 1152 * 1000 / 44100) < 1e-9
+
+    def test_id3v2_skip_and_resync(self):
+        mp3 = M.build_mp3(3, 3, 9, 1, 4, id3_pad=300)
+        meta = M.probe_mp3(mp3)
+        assert meta["sample_rate"] == 48000
+        assert meta["n_frames"] == 4
+
+    def test_mpeg25_layer3(self):
+        mp3 = M.build_mp3(0, 3, 3, 2, 6)  # MPEG-2.5, 24 kbps, 8000 Hz
+        meta = M.probe_mp3(mp3)
+        assert meta["codec"] == "mpeg2.5-layer3"
+        assert meta["sample_rate"] == 8000
+        assert meta["n_frames"] == 6
+        assert abs(meta["duration_ms"] - 6 * 576 * 1000 / 8000) < 1e-9
+
+    def test_truncated_final_frame_not_counted(self):
+        mp3 = M.build_mp3(3, 3, 9, 0, 3)
+        meta = M.probe_mp3(mp3[:-10])
+        assert meta["n_frames"] == 2
+
+    def test_garbage_raises(self):
+        with pytest.raises(M.MediaMetaError):
+            M.probe_mp3(b"\x00" * 100)
+
+
+class TestOgg:
+    def test_vorbis_id_header_and_granule_duration(self):
+        ogg = M.build_ogg_vorbis(44100, 2, 441000, 160000)
+        meta = M.probe_ogg(ogg)
+        assert meta["codec"] == "vorbis"
+        assert (meta["sample_rate"], meta["channels"]) == (44100, 2)
+        assert meta["duration_ms"] == pytest.approx(10000.0)
+        assert meta["bit_rate"] == 160000.0
+        assert meta["n_frames"] == 2
+        assert meta["crc_ok_pages"] == 2
+
+    def test_crc_detects_corruption(self):
+        ogg = bytearray(M.build_ogg_vorbis(44100, 2, 441000))
+        ogg[40] ^= 0xFF  # flip a byte inside the first page body
+        meta = M.probe_ogg(bytes(ogg))
+        assert meta["crc_ok_pages"] == 1
+
+    def test_opus_preskip_subtracted_at_48k(self):
+        meta = M.probe_ogg(M.build_ogg_opus(16000, 1, 48312, pre_skip=312))
+        assert meta["codec"] == "opus"
+        assert meta["sample_rate"] == 16000  # original input rate
+        assert meta["duration_ms"] == pytest.approx(1000.0)
+
+    def test_crc_is_rfc3533_variant(self):
+        # independent bit-by-bit CRC (no table) must agree with the
+        # table-driven one: unreflected, poly 0x04C11DB7, init/xorout 0
+        def bitwise(data: bytes) -> int:
+            reg = 0
+            for byte in data:
+                reg ^= byte << 24
+                for _ in range(8):
+                    reg = (
+                        ((reg << 1) ^ 0x04C11DB7)
+                        if reg & 0x80000000
+                        else (reg << 1)
+                    ) & 0xFFFFFFFF
+            return reg
+
+        for payload in (b"", b"123456789", bytes(range(64))):
+            assert M.ogg_page_crc(payload) == bitwise(payload)
+
+    def test_not_ogg_raises(self):
+        with pytest.raises(M.MediaMetaError):
+            M.probe_ogg(b"RIFF....")
+
+
+class TestMp4:
+    def test_video_track(self):
+        mp4 = M.build_mp4(600, 1200, "avc1", 1280, 720, n_samples=48)
+        meta = M.probe_mp4(mp4)
+        assert meta["codec"] == "avc1"
+        assert meta["duration_ms"] == pytest.approx(2000.0)
+        assert (meta["width"], meta["height"]) == (1280, 720)
+        assert meta["n_frames"] == 48
+        assert meta["encoder"] == "isom"
+
+    def test_audio_track(self):
+        mp4 = M.build_mp4(
+            44100, 441000, "mp4a", channels=2, sample_rate=44100,
+            n_samples=100,
+        )
+        meta = M.probe_mp4(mp4)
+        assert meta["codec"] == "mp4a"
+        assert (meta["channels"], meta["sample_rate"]) == (2, 44100)
+        assert meta["duration_ms"] == pytest.approx(10000.0)
+
+    def test_version1_mvhd_64bit_duration(self):
+        mp4 = bytearray(M.build_mp4(1000, 0, "avc1", 64, 64))
+        # rewrite the mvhd body as version 1 (64-bit times/duration)
+        i = mp4.find(b"mvhd")
+        body = i + 4
+        v1 = (
+            bytes([1, 0, 0, 0])
+            + struct.pack(">QQ", 0, 0)
+            + struct.pack(">I", 1000)
+            + struct.pack(">Q", 7500)
+            + bytes(80)
+        )
+        old_size = struct.unpack(">I", mp4[i - 4 : i])[0]
+        new = mp4[: i - 4] + struct.pack(">I", 8 + len(v1)) + b"mvhd" + v1
+        rest = mp4[i - 4 + old_size :]
+        # fix the enclosing moov size
+        j = new.find(b"moov")
+        moov_size = struct.unpack(">I", new[j - 4 : j])[0]
+        moov_size += (8 + len(v1)) - old_size
+        new = new[: j - 4] + struct.pack(">I", moov_size) + new[j:] + rest
+        meta = M.probe_mp4(bytes(new))
+        assert meta["duration_ms"] == pytest.approx(7500.0)
+
+    def test_not_bmff_raises(self):
+        with pytest.raises(M.MediaMetaError):
+            M.probe_mp4(b"\x00" * 32)
+
+
+class TestDispatchAndSpark:
+    def test_probe_media_dispatch(self):
+        assert M.probe_media(M.build_ogg_opus(48000, 1, 480))["codec"] == "opus"
+        assert M.probe_media(M.build_mp4(1000, 1000))["container"] == "mp4"
+        assert M.probe_media(M.build_mp3(3, 3, 9, 0, 2))["container"] == "mp3"
+        with pytest.raises(M.MediaMetaError):
+            M.probe_media(b"GIF89a")
+
+    def test_extract_media_metadata_total_over_mixed_column(self, spark):
+        from ndr_import_spark.operators import multimodal as MM
+
+        rows = [
+            (0, "audio", None, None, None, None,
+             bytearray(M.build_mp3(3, 3, 9, 0, 5, xing_frames=4))),
+            (1, "audio", None, None, None, None,
+             bytearray(M.build_ogg_vorbis(48000, 1, 96000))),
+            (2, "video", None, None, None, None,
+             bytearray(M.build_mp4(1000, 3000, "avc1", 640, 480))),
+            (3, "audio", None, None, None, None, bytearray(b"not media")),
+        ]
+        df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        out = {r.media_id: r for r in MM.extract_media_metadata(df).collect()}
+        assert out[0].container == "mp3" and out[0].declared_frames == 4
+        assert out[1].codec == "vorbis" and out[1].duration_ms == 2000.0
+        assert out[2].width == 640 and out[2].container == "mp4"
+        assert out[3].container == "unknown" and out[3].codec is None
