@@ -1788,6 +1788,80 @@ FROM f GROUP BY wave ORDER BY wave
 """
 
 
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + host-level link graph
+    (operators/crawl.extract_links → host_link_graph): deterministic
+    HTML pages over the documents table exercising every resolution
+    rule — absolute (single-quoted, uppercase <A HREF>), root-relative,
+    unquoted relative against the page directory, protocol-relative,
+    ``..`` collapse, rel=nofollow exclusion, and mailto:/fragment drops.
+    The link targets are doc_id arithmetic, so the oracle computes the
+    exact host edge list in closed form. This completes the crawl story
+    end-to-end: warc_extract → extract_links → host_link_graph →
+    pagerank/hits. Extraction is pure per-row codegen regexps; the graph
+    is one map-side-combinable aggregate whose shuffle is the DISTINCT
+    edge count."""
+    from ndr_import_spark.operators.crawl import (
+        extract_links,
+        host_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://host"),
+            (F.col("doc_id") % 16).cast("string"),
+            F.lit(".example.com/p/"),
+            did,
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><body><p>Doc "), did, F.lit("</p>"),
+            F.lit("<A HREF='https://host"),
+            ((F.col("doc_id") * 7 + 1) % 16).cast("string"),
+            F.lit(".example.com/x/"), did, F.lit("'>ext <b>"), did,
+            F.lit("</b></A>"),
+            F.lit('<a class="m" href="/about">About</a>'),
+            F.lit("<a href=sub/"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(">sub</a>"),
+            F.lit('<a href="//host'),
+            ((F.col("doc_id") * 3 + 2) % 16).cast("string"),
+            F.lit('.example.com/y" id="z">proto</a>'),
+            F.lit('<a rel="nofollow" href="https://spam.example.com/z">'
+                  "spam</a>"
+                  '<a href="mailto:a@b.com">mail</a>'
+                  '<a href="#top">top</a>'),
+            F.lit('<a href="../up/'),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit('">up</a></body></html>'),
+        ).alias("html"),
+    )
+    links = extract_links(pages)
+    return host_link_graph(links).orderBy("src_host", "dst_host")
+
+
+_ORACLE_LINK_GRAPH = """
+WITH d AS (SELECT doc_id, 'host' || cast(doc_id % 16 as int)
+                  || '.example.com' AS src FROM documents),
+e AS (
+  SELECT src AS src_host,
+         'host' || cast((doc_id * 7 + 1) % 16 as int) || '.example.com'
+           AS dst_host
+  FROM d
+  UNION ALL
+  SELECT src, src FROM d, unnest(range(3)) AS u(k)  -- about, sub, up
+  UNION ALL
+  SELECT src,
+         'host' || cast((doc_id * 3 + 2) % 16 as int) || '.example.com'
+  FROM d
+)
+SELECT src_host, dst_host, count(*) AS n_links
+FROM e GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+"""
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-media METADATA scan (sources/mediameta.py) over a
     deterministic mixed-container column: MP3 elementary streams (MPEG-1
@@ -6979,6 +7053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "adpcm_audio": q_adpcm_audio,
         "media_metadata": q_media_metadata,
+        "link_graph": q_link_graph,
         "video_features": q_video_features,
         "substring_dedup": q_substring_dedup,
         "bpe_tokenizer": q_bpe_tokenizer,
@@ -7144,6 +7219,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _ORACLE_AUDIO_FEATURES,
         "adpcm_audio": _ORACLE_ADPCM_AUDIO,
         "media_metadata": _ORACLE_MEDIA_METADATA,
+        "link_graph": _ORACLE_LINK_GRAPH,
         "video_features": _ORACLE_VIDEO_FEATURES,
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "warc_extract": _ORACLE_WARC_EXTRACT,

@@ -298,3 +298,139 @@ def per_domain_stats(
             F.round(F.avg("_n"), 5).alias("avg_chars"),
         )
     )
+
+
+# --------------------------------------------------------------- links
+
+# One regex, two capture groups: (1) the <a ...> attribute blob, (2) the
+# anchor markup up to the matching </a>. (?is): case-insensitive, dot
+# spans newlines. RE2/Java compatible — no lookarounds.
+_A_TAG_RE = r"(?is)<a\s([^>]*)>(.*?)</a>"
+
+
+def extract_links(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Outlink extraction for crawled HTML → one row per <a href> with
+    (src_host, href, anchor, nofollow, dst_url, dst_host).
+
+    Resolution (RFC 3986 subset, the crawl-graph normal form):
+    absolute ``scheme://`` hrefs pass through; ``//host/…`` inherits the
+    page scheme; ``/path`` is root-relative; anything else resolves
+    against the page's directory with a bounded ``..`` collapse (3
+    passes — deeper chains stay literal rather than silently wrong).
+    Non-navigational schemes (mailto:, javascript:, tel:, data:) and
+    fragment-only hrefs drop. Anchor text is the tag-stripped,
+    whitespace-collapsed inner markup.
+
+    Scale shape: everything is per-row codegen (regexp_extract_all +
+    explode) — no shuffle, no Python; the explode's fan-out is the
+    page's link count. Feed the result to host_link_graph (one
+    map-side-combinable aggregate) and onward to pagerank/hits over
+    hosts — the crawl story end-to-end: warc_extract → extract_links →
+    host_link_graph → graph algorithms."""
+    html = F.col(html_col)
+    attrs = F.regexp_extract_all(html, F.lit(_A_TAG_RE), F.lit(1))
+    texts = F.regexp_extract_all(html, F.lit(_A_TAG_RE), F.lit(2))
+    base = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = url_host(base)
+    bdir = F.regexp_replace(url_path(base), r"[^/]*$", "")
+
+    pairs = df.select(
+        F.col(id_col).alias("src_id"),
+        scheme.alias("_scheme"),
+        host.alias("src_host"),
+        bdir.alias("_dir"),
+        F.explode(F.arrays_zip(attrs.alias("a"), texts.alias("t"))).alias("_l"),
+    )
+    attr = F.col("_l.a")
+    # href value: double-quoted | single-quoted | bare token
+    href = F.when(
+        attr.rlike(r'(?i)href\s*=\s*"'),
+        F.regexp_extract(attr, r'(?i)href\s*=\s*"([^"]*)"', 1),
+    ).when(
+        attr.rlike(r"(?i)href\s*=\s*'"),
+        F.regexp_extract(attr, r"(?i)href\s*=\s*'([^']*)'", 1),
+    ).otherwise(
+        F.regexp_extract(attr, r"""(?i)href\s*=\s*([^\s>'"]+)""", 1)
+    )
+    href = F.trim(href)
+    nofollow = attr.rlike(r"""(?i)rel\s*=\s*['"]?[^'">]*nofollow""")
+    anchor = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_l.t"), r"(?s)<[^>]*>", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    rows = pairs.select(
+        "src_id",
+        "src_host",
+        "_scheme",
+        "_dir",
+        href.alias("href"),
+        anchor.alias("anchor"),
+        nofollow.alias("nofollow"),
+    ).where(
+        (F.col("href") != "")
+        & ~F.col("href").startswith("#")
+        & ~F.col("href").rlike(r"(?i)^(mailto|javascript|tel|data):")
+    )
+    nofrag = F.substring_index(F.col("href"), "#", 1)
+    resolved = (
+        F.when(nofrag.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), nofrag)
+        .when(
+            nofrag.startswith("//"),
+            F.concat(F.col("_scheme"), F.lit(":"), nofrag),
+        )
+        .when(
+            nofrag.startswith("/"),
+            F.concat(
+                F.col("_scheme"), F.lit("://"), F.col("src_host"), nofrag
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.col("_scheme"),
+                F.lit("://"),
+                F.col("src_host"),
+                F.col("_dir"),
+                nofrag,
+            )
+        )
+    )
+    dst = resolved
+    for _ in range(3):  # bounded ../ collapse
+        dst = F.regexp_replace(dst, r"/[^/.][^/]*/\.\./", "/")
+    return rows.select(
+        "src_id",
+        "src_host",
+        "href",
+        "anchor",
+        "nofollow",
+        dst.alias("dst_url"),
+        F.lower(F.regexp_extract(dst, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)).alias(
+            "dst_host"
+        ),
+    )
+
+
+def host_link_graph(
+    links: DataFrame, respect_nofollow: bool = True, drop_self: bool = False
+) -> DataFrame:
+    """(src_host, dst_host, n_links) — the host-level edge list feeding
+    pagerank/hits. One combinable groupBy on the (src, dst) pair —
+    shuffle volume is the DISTINCT edge count, not the link count
+    (partial aggregation collapses repeats map-side)."""
+    edges = links
+    if respect_nofollow:
+        edges = edges.where(~F.col("nofollow"))
+    if drop_self:
+        edges = edges.where(F.col("src_host") != F.col("dst_host"))
+    return edges.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )

@@ -176,3 +176,95 @@ class TestPerDomainStats:
         assert rows["x.test"]["total_chars"] == 10
         assert rows["x.test"]["avg_chars"] == pytest.approx(5.0)
         assert rows["y.test"]["n_docs"] == 1
+
+
+class TestExtractLinks:
+    """Outlink extraction + host graph (crawl.extract_links /
+    host_link_graph) — resolution matrix, anchor cleaning, nofollow."""
+
+    HTML = (
+        "<p>x</p><A HREF='https://h2.ex.com/x/1'>ext <b>1</b></A>"
+        '<a class="x" href="/about">About</a>'
+        "<a href=sub/3>sub</a>"
+        '<a href="//h5.ex.com/y" id="z">proto</a>'
+        '<a rel="nofollow" href="https://spam.ex.com/z">spam</a>'
+        '<a href="mailto:a@b">mail</a><a href="#top">top</a>'
+        '<a href="tel:+441234">call</a><a href="data:text/plain,x">d</a>'
+        '<a href="../up/2">up</a>'
+        '<a href="a/b/../c#frag">dots</a>'
+    )
+
+    def _links(self, spark):
+        from ndr_import_spark.operators.crawl import extract_links
+
+        df = spark.createDataFrame(
+            [(1, "https://h1.ex.com/p/1", self.HTML)],
+            "doc_id long, url string, html string",
+        )
+        return {r.href: r for r in extract_links(df).collect()}
+
+    def test_resolution_matrix(self, spark):
+        got = self._links(spark)
+        assert got["https://h2.ex.com/x/1"].dst_url == "https://h2.ex.com/x/1"
+        assert got["/about"].dst_url == "https://h1.ex.com/about"
+        assert got["sub/3"].dst_url == "https://h1.ex.com/p/sub/3"
+        assert got["//h5.ex.com/y"].dst_url == "https://h5.ex.com/y"
+        assert got["../up/2"].dst_url == "https://h1.ex.com/up/2"
+        # fragment stripped, one ../ collapsed inside the path
+        assert got["a/b/../c#frag"].dst_url == "https://h1.ex.com/p/a/c"
+        assert got["//h5.ex.com/y"].dst_host == "h5.ex.com"
+
+    def test_non_navigational_schemes_and_fragments_drop(self, spark):
+        got = self._links(spark)
+        assert "mailto:a@b" not in got
+        assert "#top" not in got
+        assert "tel:+441234" not in got
+        assert "data:text/plain,x" not in got
+        assert len(got) == 7
+
+    def test_anchor_markup_stripped_and_nofollow_flagged(self, spark):
+        got = self._links(spark)
+        assert got["https://h2.ex.com/x/1"].anchor == "ext 1"
+        assert got["https://spam.ex.com/z"].nofollow is True
+        assert got["/about"].nofollow is False
+
+    def test_host_graph_respects_nofollow_and_drop_self(self, spark):
+        from ndr_import_spark.operators.crawl import (
+            extract_links,
+            host_link_graph,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "https://h1.ex.com/p/1", self.HTML)],
+            "doc_id long, url string, html string",
+        )
+        links = extract_links(df)
+        g = {
+            (r.src_host, r.dst_host): r.n_links
+            for r in host_link_graph(links).collect()
+        }
+        assert g == {
+            ("h1.ex.com", "h1.ex.com"): 4,
+            ("h1.ex.com", "h2.ex.com"): 1,
+            ("h1.ex.com", "h5.ex.com"): 1,
+        }
+        with_spam = {
+            (r.src_host, r.dst_host): r.n_links
+            for r in host_link_graph(links, respect_nofollow=False).collect()
+        }
+        assert with_spam[("h1.ex.com", "spam.ex.com")] == 1
+        ext_only = {
+            (r.src_host, r.dst_host): r.n_links
+            for r in host_link_graph(links, drop_self=True).collect()
+        }
+        assert ("h1.ex.com", "h1.ex.com") not in ext_only
+
+    def test_plan_is_shuffle_free_until_the_graph_groupby(self, spark):
+        from ndr_import_spark.operators.crawl import extract_links
+
+        df = spark.createDataFrame(
+            [(1, "https://h1.ex.com/p/1", self.HTML)],
+            "doc_id long, url string, html string",
+        )
+        plan = extract_links(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
