@@ -1788,6 +1788,144 @@ FROM f GROUP BY wave ORDER BY wave
 """
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules end-to-end (operators/corpus.c4_clean — Raffel
+    et al. 2020 §2.2): deterministic punctuated pages over the documents
+    table — eight content sentences in a fixed 2/5/5/4/5/2/5/5-word
+    pattern (the 2-word ones die to the ≥3-words rule), a 'javascript'
+    sentence on doc_id%13 (line drop), a 3-sentence boilerplate block on
+    doc_id%4 (corpus span-dedup keeps only the first page's copy),
+    'lorem ipsum' on %11 and a '{' on %17 (page drops), and
+    blocklist=('stream',) exercising the bad-words rule against a real
+    corpus word. The oracle rebuilds the pages and replays the LITERAL
+    pipeline in SQL — regexp sentence extraction, filters, 60-bit span
+    hashing, first-occurrence ranking — and md5 of the cleaned text pins
+    every decision."""
+    from ndr_import_spark.operators.corpus import c4_clean
+    from ndr_import_spark.operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    wds = tokens(F.col("text"))
+    parts = []
+    for start, ln in [(1, 2), (3, 5), (8, 5), (13, 4), (17, 5),
+                      (22, 2), (24, 5), (29, 5)]:
+        parts.append(F.array_join(F.slice(wds, start, ln), " "))
+        parts.append(F.lit(". "))
+    body = F.concat(*parts[:-1], F.lit("."))
+    page = F.concat(
+        body,
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit(" please enable javascript to continue."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit(
+                " subscribe to our newsletter today."
+                " follow us on social media channels."
+                " all rights reserved by the site."
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(" lorem ipsum dolor sit.")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0, F.lit(" css { display none }.")
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    out = c4_clean(pages, blocklist=("stream",))
+    return out.select(
+        "doc_id",
+        "n_sentences",
+        "n_kept",
+        "n_span_dropped",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+_ORACLE_C4_CLEAN = r"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                x -> x <> '') AS wds
+  FROM documents
+), pg AS (
+  SELECT doc_id,
+    coalesce(array_to_string(wds[1:2], ' '), '') || '. ' ||
+    coalesce(array_to_string(wds[3:7], ' '), '') || '. ' ||
+    coalesce(array_to_string(wds[8:12], ' '), '') || '. ' ||
+    coalesce(array_to_string(wds[13:16], ' '), '') || '. ' ||
+    coalesce(array_to_string(wds[17:21], ' '), '') || '. ' ||
+    coalesce(array_to_string(wds[22:23], ' '), '') || '. ' ||
+    coalesce(array_to_string(wds[24:28], ' '), '') || '. ' ||
+    coalesce(array_to_string(wds[29:33], ' '), '') || '.'
+    || CASE WHEN doc_id % 13 = 0
+         THEN ' please enable javascript to continue.' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+         THEN ' subscribe to our newsletter today.'
+              || ' follow us on social media channels.'
+              || ' all rights reserved by the site.' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum dolor sit.'
+         ELSE '' END
+    || CASE WHEN doc_id % 17 = 0 THEN ' css { display none }.'
+         ELSE '' END
+    AS t
+  FROM d
+), p2 AS (
+  SELECT doc_id, t FROM pg
+  WHERE t NOT LIKE '%lorem ipsum%' AND t NOT LIKE '%{%'
+    AND NOT regexp_matches(t, '\b(stream)\b')
+), l AS (
+  SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]') AS ss FROM p2
+), s AS (
+  SELECT doc_id, CAST(u.i AS INT) AS i, trim(ss[CAST(u.i AS INT) + 1]) AS s
+  FROM l, unnest(range(len(ss))) AS u(i)
+), n_raw AS (
+  SELECT doc_id, count(*) AS n_sentences FROM s GROUP BY doc_id
+), kept0 AS (
+  SELECT doc_id, i, s FROM s
+  WHERE len(list_filter(string_split_regex(s, '\s+'), x -> x <> '')) >= 3
+    AND NOT regexp_matches(s, '\bjavascript\b')
+), pre AS (
+  SELECT doc_id, count(*) AS n_kept_pre FROM kept0 GROUP BY doc_id
+), kept AS (
+  SELECT k.* FROM kept0 k JOIN pre USING (doc_id)
+  WHERE pre.n_kept_pre >= 5
+), spans AS (
+  SELECT doc_id, i AS i0,
+    lead(i, 1) OVER w AS i1, lead(i, 2) OVER w AS i2,
+    CAST(('0x' || substring(md5(
+      s || ' ' || lead(s, 1) OVER w || ' ' || lead(s, 2) OVER w
+    ), 1, 15)) AS BIGINT) AS h
+  FROM kept
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(i, 2) OVER w IS NOT NULL
+), ranked AS (
+  SELECT doc_id, i0, i1, i2, h,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, i0) AS rn,
+    count(*) OVER (PARTITION BY h) AS c
+  FROM spans
+), drops AS (
+  SELECT DISTINCT doc_id, u.i
+  FROM ranked, unnest([i0, i1, i2]) AS u(i)
+  WHERE c > 1 AND rn > 1
+), survivors AS (
+  SELECT k.doc_id, k.i, k.s FROM kept k
+  ANTI JOIN drops d ON k.doc_id = d.doc_id AND k.i = d.i
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+    md5(string_agg(s, ' ' ORDER BY i)) AS clean_md5
+  FROM survivors GROUP BY doc_id
+)
+SELECT a.doc_id, n_raw.n_sentences, a.n_kept,
+  CAST(pre.n_kept_pre - a.n_kept AS BIGINT) AS n_span_dropped,
+  a.clean_md5
+FROM agg a JOIN n_raw USING (doc_id) JOIN pre USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
 def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction + host-level link graph
     (operators/crawl.extract_links → host_link_graph): deterministic
@@ -7054,6 +7192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adpcm_audio": q_adpcm_audio,
         "media_metadata": q_media_metadata,
         "link_graph": q_link_graph,
+        "c4_clean": q_c4_clean,
         "video_features": q_video_features,
         "substring_dedup": q_substring_dedup,
         "bpe_tokenizer": q_bpe_tokenizer,
@@ -7220,6 +7359,7 @@ def oracle_sql() -> dict[str, str]:
         "adpcm_audio": _ORACLE_ADPCM_AUDIO,
         "media_metadata": _ORACLE_MEDIA_METADATA,
         "link_graph": _ORACLE_LINK_GRAPH,
+        "c4_clean": _ORACLE_C4_CLEAN,
         "video_features": _ORACLE_VIDEO_FEATURES,
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "warc_extract": _ORACLE_WARC_EXTRACT,

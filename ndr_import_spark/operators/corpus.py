@@ -1146,3 +1146,126 @@ def neyman_allocation(
             (F.col("_base") + F.col("_extra")).alias("alloc"),
         )
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_sentence: int = 3,
+    min_sentences: int = 5,
+    blocklist: tuple[str, ...] = (),
+    span_sentences: int = 3,
+) -> DataFrame:
+    """C4-style corpus cleaning (Raffel et al. 2020 §2.2, the rules that
+    built the Colossal Clean Crawled Corpus), sentence-granular:
+
+    1. page drops: text containing ``lorem ipsum``, a ``{`` (code), or
+       any blocklist word (the paper's bad-words list — caller-supplied);
+    2. sentence extraction: only text terminated by ``.!?`` survives
+       (the terminal-punctuation rule) — one RE2-safe
+       ``regexp_extract_all``, no lookbehind;
+    3. sentence drops: fewer than `min_words_per_sentence` words, or
+       containing the word ``javascript``;
+    4. page drops again: fewer than `min_sentences` surviving sentences;
+    5. corpus-level span dedup: every run of `span_sentences`
+       consecutive surviving sentences is hashed (60-bit md5 long);
+       spans occurring more than once keep only the lexicographically
+       first (doc, start) occurrence — later occurrences' sentences are
+       removed from their pages (one pass, no recursion).
+
+    Returns surviving docs: (id, n_sentences, n_kept, n_span_dropped,
+    clean_text).
+
+    Plan shape at 100 TB: page rules and sentence extraction are per-row
+    codegen; the keep-decision per span is ONE map-side-combinable
+    aggregate on the 60-bit hash (count + min-struct — sentence text
+    never shuffles for the dedup decision); per-doc windows partition on
+    the doc key (bounded by page size); the drop-set anti-join is an
+    equi-join on (doc, sentence-idx)."""
+    import re as _re
+
+    from ndr_import_spark.operators.dedup import md5_long
+
+    low = F.lower(F.col(text_col))
+    page_bad = low.contains("lorem ipsum") | low.contains("{")
+    if blocklist:
+        pat = (
+            r"\b("
+            + "|".join(_re.escape(w.lower()) for w in blocklist)
+            + r")\b"
+        )
+        page_bad = page_bad | low.rlike(pat)
+    pages = df.select(F.col(id_col).alias("_id"), low.alias("_t")).where(
+        ~page_bad
+    )
+    sents = pages.select(
+        "_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(_t, '[^.!?]+[.!?]', 0)")
+        ).alias("_i", "_s"),
+    ).select("_id", "_i", F.trim("_s").alias("_s"))
+    n_raw = sents.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sentences"))
+    wc = F.size(F.filter(F.split(F.col("_s"), r"\s+"), lambda x: x != ""))
+    kept = sents.where(
+        (wc >= int(min_words_per_sentence))
+        & ~F.col("_s").rlike(r"\bjavascript\b")
+    )
+    pre = kept.groupBy("_id").agg(F.count(F.lit(1)).alias("n_kept_pre"))
+    kept = kept.join(
+        pre.where(F.col("n_kept_pre") >= int(min_sentences)).select("_id"),
+        "_id",
+    )
+    # span dedup over surviving sentences, original order
+    k = int(span_sentences)
+    win = Window.partitionBy("_id").orderBy("_i")
+    leads_txt = [F.col("_s")] + [F.lead("_s", j).over(win) for j in range(1, k)]
+    leads_idx = [F.col("_i")] + [F.lead("_i", j).over(win) for j in range(1, k)]
+    spans = (
+        kept.select(
+            "_id",
+            F.array(*leads_idx).alias("_is"),
+            md5_long(F.concat_ws(" ", *leads_txt)).alias("_h"),
+            leads_txt[-1].isNotNull().alias("_full"),
+        )
+        .where(F.col("_full"))
+        .select("_id", F.element_at("_is", 1).alias("_start"), "_is", "_h")
+    )
+    firsts = spans.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct("_id", "_start")).alias("_first"),
+    )
+    # NOT broadcast: the duplicated-span set is corpus-sized in the worst
+    # case (template boilerplate) — equi-join on the 60-bit hash and let
+    # AQE pick the strategy
+    drops = (
+        spans.join(firsts.where(F.col("_c") > 1), "_h")
+        .where(
+            (F.col("_id") != F.col("_first._id"))
+            | (F.col("_start") != F.col("_first._start"))
+        )
+        .select("_id", F.explode("_is").alias("_i"))
+        .distinct()
+    )
+    survivors = kept.join(drops, ["_id", "_i"], "left_anti")
+    out = survivors.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_s"))),
+                lambda s: s["_s"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        out.join(n_raw, "_id")
+        .join(pre, "_id")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_sentences",
+            "n_kept",
+            (F.col("n_kept_pre") - F.col("n_kept")).alias("n_span_dropped"),
+            "clean_text",
+        )
+    )

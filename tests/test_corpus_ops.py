@@ -389,3 +389,76 @@ class TestNeymanAllocation:
                neyman_allocation(df, "g", "v", budget=100).collect()}
         assert sum(out.values()) == 100
         assert out == {"a": 34, "b": 33, "c": 33}
+
+
+class TestC4Clean:
+    """C4 cleaning rules (corpus.c4_clean) — Raffel et al. 2020 §2.2."""
+
+    def _run(self, spark, rows, **kw):
+        from ndr_import_spark.operators.corpus import c4_clean
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in c4_clean(df, **kw).collect()}
+
+    def test_terminal_punctuation_and_min_words(self, spark):
+        # trailing text without .!? is dropped; sentences under 3 words die
+        rows = [(1, "one two three alpha. tiny. four five six beta! "
+                    "seven eight nine gamma? ten eleven twelve delta. "
+                    "last words here good. unterminated tail words")]
+        got = self._run(spark, rows)
+        assert got[1].n_sentences == 6  # the tail never became a sentence
+        assert got[1].n_kept == 5  # 'tiny.' lost to the 3-word rule
+
+    def test_javascript_line_drop_and_page_drops(self, spark):
+        def base(i):
+            return (
+                f"alpha{i} beta gamma one. delta{i} epsilon zeta two. "
+                f"eta{i} theta iota three. kappa{i} lam mu four. "
+                f"nu{i} xi pi five."
+            )
+
+        rows = [
+            (1, base(1)),
+            (2, base(2) + " please enable javascript now."),
+            (3, base(3) + " lorem ipsum dolor."),
+            (4, base(4) + " code { x }."),
+            (5, base(5) + " the banned word appears here."),
+        ]
+        got = self._run(spark, rows, blocklist=("banned",))
+        assert set(got) == {1, 2}
+        assert got[2].n_kept == got[1].n_kept  # js sentence dropped, rest kept
+
+    def test_min_sentences_page_gate(self, spark):
+        rows = [(1, "alpha beta gamma one. delta epsilon zeta two. "
+                    "eta theta iota three. kappa lam mu four.")]
+        assert self._run(spark, rows) == {}  # 4 kept < 5
+
+    def test_span_dedup_keeps_first_occurrence_only(self, spark):
+        boiler = ("subscribe to newsletter. follow us on media. "
+                  "all rights reserved.")
+        mk = lambda i: (f"unique{i} words here one. unique{i} words here "
+                        f"two. unique{i} words here three. ") + boiler
+        rows = [(i, mk(i)) for i in range(1, 4)]
+        got = self._run(spark, rows)
+        assert got[1].n_span_dropped == 0 and got[1].n_kept == 6
+        for i in (2, 3):
+            assert got[i].n_span_dropped == 3 and got[i].n_kept == 3
+        assert "subscribe" in got[1].clean_text
+        assert "subscribe" not in got[2].clean_text
+        assert "subscribe" not in got[3].clean_text
+
+    def test_span_window_partitions_on_doc(self, spark):
+        from ndr_import_spark.operators.corpus import c4_clean
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma one. delta epsilon zeta two. "
+                 "eta theta iota three. kappa lam mu four. "
+                 "nu xi pi five.")],
+            "doc_id long, text string",
+        )
+        plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        # every window spec must carry a partition key (no global windows)
+        for m in re.finditer(r"Window \[(.*?)\]", plan):
+            assert "windowspecdefinition(_id" in plan or "_id" in m.group(1)
