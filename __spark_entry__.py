@@ -1788,6 +1788,26 @@ FROM f GROUP BY wave ORDER BY wave
 """
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/corpus.dsir_resample — Xie et al.
+    2023): pick the 50 raw-pool documents (source != src0) whose hashed
+    unigram+bigram distribution best matches the src0 target domain,
+    via add-one-smoothed log-likelihood-ratio importance weights and
+    deterministic md5-seeded Gumbel top-k. The oracle replays the whole
+    pipeline — 60-bit gram hashing into 1024 buckets, the single-ratio
+    llr rounded to DECIMAL(20,9), exact decimal score sums, the
+    canonical 16-bit Gumbel seed — so ranks, weights and keys all
+    hash-match."""
+    from ndr_import_spark.operators.corpus import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    raw = docs.where(F.col("source") != "src0")
+    return dsir_resample(raw, target, 50).orderBy("rank")
+
+
+
+
 def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning rules end-to-end (operators/corpus.c4_clean — Raffel
     et al. 2020 §2.2): deterministic punctuated pages over the documents
@@ -5895,6 +5915,53 @@ def _sql_bucket16(salt: str) -> str:
     )
 
 
+_ORACLE_DSIR_RESAMPLE = rf"""
+WITH toks AS (
+  SELECT doc_id, source, {_SQL_TOKS} AS t FROM documents
+), uni AS (
+  SELECT doc_id, source, unnest(t) AS g FROM toks
+), big AS (
+  SELECT doc_id, source,
+         t[CAST(u.i AS INT)] || ' ' || t[CAST(u.i AS INT) + 1] AS g
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), grams AS (
+  SELECT * FROM uni UNION ALL SELECT * FROM big
+), fb AS (
+  SELECT doc_id, source,
+    CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % 1024 AS b
+  FROM grams
+), rawf AS (SELECT * FROM fb WHERE source <> 'src0'),
+tgtf AS (SELECT * FROM fb WHERE source = 'src0'),
+dc AS (SELECT doc_id, b, count(*) AS c FROM rawf GROUP BY doc_id, b),
+cq AS (SELECT b, count(*) AS cq FROM rawf GROUP BY b),
+cp AS (SELECT b, count(*) AS cp FROM tgtf GROUP BY b),
+nn AS (SELECT (SELECT count(*) FROM rawf) AS nq,
+              (SELECT count(*) FROM tgtf) AS np),
+llr AS (
+  SELECT cq.b,
+    CAST(round(ln(
+      CAST((coalesce(cp.cp, 0) + 1) * (nn.nq + 1024) AS DOUBLE)
+      / CAST((cq.cq + 1) * (nn.np + 1024) AS DOUBLE)
+    ), 9) AS DECIMAL(20,9)) AS llr
+  FROM cq LEFT JOIN cp USING (b) CROSS JOIN nn
+), sc AS (
+  SELECT doc_id, sum(c * llr) AS log_weight
+  FROM dc JOIN llr USING (b) GROUP BY doc_id
+), gk AS (
+  SELECT doc_id, log_weight,
+    log_weight + CAST(round(-ln(-ln(
+      (({_sql_bucket16('dsir')}) + 0.5) / 65536.0
+    )), 9) AS DECIMAL(20,9)) AS gumbel_key
+  FROM sc
+)
+SELECT CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, log_weight, gumbel_key
+FROM gk ORDER BY gumbel_key DESC, doc_id LIMIT 50
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (the GPT-pretraining batch
     assembly stage): documents ordered within md5 hash shards, token
@@ -7193,6 +7260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "link_graph": q_link_graph,
         "c4_clean": q_c4_clean,
+        "dsir_resample": q_dsir_resample,
         "video_features": q_video_features,
         "substring_dedup": q_substring_dedup,
         "bpe_tokenizer": q_bpe_tokenizer,
@@ -7360,6 +7428,7 @@ def oracle_sql() -> dict[str, str]:
         "media_metadata": _ORACLE_MEDIA_METADATA,
         "link_graph": _ORACLE_LINK_GRAPH,
         "c4_clean": _ORACLE_C4_CLEAN,
+        "dsir_resample": _ORACLE_DSIR_RESAMPLE,
         "video_features": _ORACLE_VIDEO_FEATURES,
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "warc_extract": _ORACLE_WARC_EXTRACT,

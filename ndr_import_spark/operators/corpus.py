@@ -1269,3 +1269,137 @@ def c4_clean(
             "clean_text",
         )
     )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    NeurIPS — DSIR): select `k` documents from the `raw` pool whose
+    hashed-n-gram distribution looks like the `target` domain.
+
+    1. featurize: unigrams + bigrams hash (60-bit md5 long) into
+       `buckets` buckets — the paper's hashed n-gram features;
+    2. importance weights: per-bucket log-likelihood ratio of the
+       add-one-smoothed target vs raw bucket distributions,
+       llr_b = ln( (cp_b+1)(Nq+m) / ((cq_b+1)(Np+m)) ), a per-doc
+       log-weight Σ c_b·llr_b;
+    3. Gumbel top-k: sampling without replacement proportional to the
+       importance weights via key = log_w + Gumbel(0,1), with the Gumbel
+       drawn DETERMINISTICALLY from the canonical 16-bit md5 bucket of
+       (salt, doc id) — reproducible across engines and runs.
+
+    Float discipline (the surprisal/perplexity pattern): each llr and
+    each Gumbel is ONE double division + one ln, rounded to 9 dp and
+    cast DECIMAL(20,9); every cross-row sum is exact decimal arithmetic,
+    so results are bit-identical on any engine regardless of
+    aggregation order. The single-ratio llr keeps (c+1)·(N+m) products
+    exact in int64 up to corpus sizes of ~2^26 tokens; beyond that split
+    the ratio into ln differences (documented cut line — the oracle
+    replica needs the single-division form).
+
+    Plan shape at 100 TB: featurization is per-row codegen explode; both
+    distributions aggregate to `buckets` rows (a BOUNDED frame — the
+    llr table broadcasts by construction); the per-doc score is one
+    combinable groupBy(doc); the top-k is TakeOrderedAndProject (limit
+    pushes into the sort — no global materialised sort). Docs with no
+    tokens have no features and are not candidates.
+
+    Returns k rows: (rank, id, log_weight, gumbel_key) by key desc."""
+    from ndr_import_spark.operators.dedup import md5_long
+    from ndr_import_spark.operators.packing import md5_bucket16
+    from ndr_import_spark.operators.textstats import tokens
+
+    m = int(buckets)
+
+    def feats(df: DataFrame) -> DataFrame:
+        toked = df.select(
+            F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
+        )
+        uni = toked.select("_id", F.explode("_t").alias("_g"))
+        big = toked.select(
+            "_id",
+            F.explode(
+                F.when(
+                    F.size("_t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_t") - 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("_t", i),
+                            F.element_at("_t", i + 1),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("_g"),
+        )
+        grams = uni.unionByName(big)
+        return grams.select("_id", (md5_long(F.col("_g")) % m).alias("_b"))
+
+    raw_f = feats(raw)
+    doc_counts = raw_f.groupBy("_id", "_b").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    q_counts = raw_f.groupBy("_b").agg(F.count(F.lit(1)).alias("_cq"))
+    p_counts = feats(target).groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cp")
+    )
+    nq = raw_f.agg(F.count(F.lit(1)).alias("_nq"))
+    np_ = feats(target).agg(F.count(F.lit(1)).alias("_np"))
+    llr_tbl = (
+        q_counts.join(p_counts, "_b", "left")
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "_b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("_cp"), F.lit(0)) + 1)
+                        * (F.col("_nq") + m)
+                    ).cast("double")
+                    / ((F.col("_cq") + 1) * (F.col("_np") + m)).cast(
+                        "double"
+                    )
+                ),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("_llr"),
+        )
+    )
+    scores = (
+        doc_counts.join(F.broadcast(llr_tbl), "_b")
+        .groupBy("_id")
+        .agg(
+            F.sum(
+                F.col("_c").cast("decimal(10,0)") * F.col("_llr")
+            ).cast("decimal(28,9)").alias("log_weight")
+        )  # decimal discipline: (10,0)x(20,9) multiplies at scale 9, and
+        # the sum is re-bounded to (28,9) so the later +gumbel addition
+        # stays under precision 38 — a LONG count or an unbounded sum
+        # makes Spark silently truncate the scale (6 resp. 8 digits)
+    )
+    u = (md5_bucket16(F.col("_id"), salt) + F.lit(0.5)) / F.lit(65536.0)
+    key = (
+        F.col("log_weight")
+        + F.round(-F.log(-F.log(u)), 9).cast("decimal(20,9)")
+    ).alias("gumbel_key")
+    picked = (
+        scores.select("_id", "log_weight", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col("_id"))
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.col("gumbel_key").desc(), F.col("_id"))
+    return picked.select(
+        F.row_number().over(w).alias("rank"),
+        F.col("_id").alias(id_col),
+        "log_weight",
+        "gumbel_key",
+    )

@@ -462,3 +462,47 @@ class TestC4Clean:
         # every window spec must carry a partition key (no global windows)
         for m in re.finditer(r"Window \[(.*?)\]", plan):
             assert "windowspecdefinition(_id" in plan or "_id" in m.group(1)
+
+
+class TestDsirResample:
+    """DSIR importance resampling (corpus.dsir_resample, Xie et al. 2023)."""
+
+    def test_target_like_docs_outweigh_dissimilar(self, spark):
+        from ndr_import_spark.operators.corpus import dsir_resample
+
+        target = spark.createDataFrame(
+            [(100 + i, "alpha beta alpha beta alpha beta") for i in range(4)],
+            "doc_id long, text string",
+        )
+        raw = spark.createDataFrame(
+            [(1, "alpha beta alpha beta alpha"),
+             (2, "gamma delta gamma delta gamma"),
+             (3, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dsir_resample(raw, target, 3).collect()}
+        w = {i: float(out[i].log_weight) for i in out}
+        assert w[1] > w[3] > w[2]  # target-similar ranks heaviest
+
+    def test_deterministic_and_k_bounded(self, spark):
+        from ndr_import_spark.operators.corpus import dsir_resample
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        target = docs.where("source = 'src0'")
+        raw = docs.where("source <> 'src0'")
+        a = [tuple(r) for r in dsir_resample(raw, target, 10).collect()]
+        b = [tuple(r) for r in dsir_resample(raw, target, 10).collect()]
+        assert a == b and len(a) == 10
+        assert [r[0] for r in a] == list(range(1, 11))
+
+    def test_llr_table_is_bounded_and_broadcast(self, spark):
+        from ndr_import_spark.operators.corpus import dsir_resample
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        target = docs.where("source = 'src0'")
+        raw = docs.where("source <> 'src0'")
+        plan = (
+            dsir_resample(raw, target, 5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan  # the m-row llr side broadcasts
