@@ -1788,6 +1788,40 @@ FROM f GROUP BY wave ORDER BY wave
 """
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (operators/graph.label_propagation — Raghavan et al. 2007, made
+    bit-reproducible with integer labels + smallest-label tie-break)
+    over a planted 16-block graph on the documents ids. Five rounds;
+    communities never cross the planted blocks, most blocks are stable
+    by round 4, and the sparse phantom tail of the last partial block
+    2-cycles forever (the known synchronous-LPA bipartite oscillation)
+    — which is exactly why the gate pins the EXACT round-5 labelling
+    rather than asserting convergence.
+    The oracle is the unrolled-CTE transcription of the same
+    recurrence, so the whole label trajectory is hash-gated, not just
+    'communities look right'. Per-round shuffles: one combinable
+    (node,label) count + one max-of-struct argmax — no corpus-wide
+    window."""
+    from ndr_import_spark.operators.graph import (
+        label_propagation,
+        synthetic_block_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synthetic_block_graph(docs, block=16, stride=3)
+    labels = label_propagation(edges, iterations=5)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("community")
+    )
+
+
 def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (operators/corpus.dsir_resample — Xie et al.
     2023): pick the 50 raw-pool documents (source != src0) whose hashed
@@ -7261,6 +7295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "c4_clean": q_c4_clean,
         "dsir_resample": q_dsir_resample,
+        "label_propagation": q_label_propagation,
         "video_features": q_video_features,
         "substring_dedup": q_substring_dedup,
         "bpe_tokenizer": q_bpe_tokenizer,
@@ -7357,6 +7392,7 @@ def oracle_sql() -> dict[str, str]:
     from ndr_import_spark.operators.layout import zorder_oracle_sql
     from ndr_import_spark.operators.graph import (
         hits_oracle_sql,
+        label_propagation_oracle_sql,
         pagerank_oracle_sql,
     )
     from ndr_import_spark.operators.pca import pca_oracle_sql
@@ -7429,6 +7465,9 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": _ORACLE_LINK_GRAPH,
         "c4_clean": _ORACLE_C4_CLEAN,
         "dsir_resample": _ORACLE_DSIR_RESAMPLE,
+        "label_propagation": label_propagation_oracle_sql(
+            iterations=5, block=16, stride=3
+        ),
         "video_features": _ORACLE_VIDEO_FEATURES,
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "warc_extract": _ORACLE_WARC_EXTRACT,

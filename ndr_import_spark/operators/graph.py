@@ -314,3 +314,141 @@ SELECT h.id, h.h AS hub, a.a AS authority
 FROM h{iterations} h JOIN a{iterations} a USING (id)
 ORDER BY hub DESC, id LIMIT {top_k}""")
     return "".join(parts)
+
+
+def synthetic_block_graph(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    block: int = 32,
+    out_degree: int = 3,
+    stride: int = 5,
+) -> DataFrame:
+    """(src, dst) edges with PLANTED community structure: node ``i``
+    links only inside its ``block``-sized id block, to
+    ``block_start + ((i % block + j*stride) % block)`` for j = 1..k —
+    the deterministic fixture for community detection (stride coprime to
+    block keeps each block connected). Pure per-row arithmetic; no
+    shuffle, no collect."""
+    i = F.col(id_col)
+    start = i - (i % block)
+    jays = F.array(*[F.lit(j) for j in range(1, out_degree + 1)])
+    return (
+        docs.select(i.alias("src"))
+        .select("src", F.explode(jays).alias("_j"))
+        .select(
+            "src",
+            (
+                (F.col("src") - (F.col("src") % block))
+                + ((F.col("src") % block + F.col("_j") * stride) % block)
+            ).alias("dst"),
+        )
+        .where(F.col("dst") != F.col("src"))
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """(id, label) after `iterations` SYNCHRONOUS label-propagation
+    rounds (Raghavan et al. 2007, "Near linear time algorithm to detect
+    community structures") over the undirected closure of `edges`,
+    made fully deterministic:
+
+        label_0(v)   = v
+        label_k+1(v) = the most frequent label among v's neighbours'
+                       label_k, ties broken to the SMALLEST label
+
+    Integer labels + the min-tie-break make the whole trajectory
+    bit-reproducible across partitionings and engines (the async
+    random-order variant of the paper is not) — same discipline as the
+    integer PageRank/HITS fixed points above.
+
+    Shuffle shape per round: join(und_edges, labels) on the neighbour
+    key → count per (node, label) — map-side combinable — → one
+    max-of-struct aggregate per node (cnt, -label) so the argmax needs
+    NO window over the corpus. The undirected edge frame is built once
+    and reused (ReusedExchange across rounds); labels shuffle as
+    (id, int64) pairs. `checkpoint_every` truncates lineage on deep
+    runs."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = und.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for it in range(iterations):
+        neigh = und.join(
+            labels.select(
+                F.col("id").alias("dst"), F.col("label").alias("_nl")
+            ),
+            "dst",
+        ).select(F.col("src").alias("id"), F.col("_nl"))
+        counted = neigh.groupBy("id", "_nl").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        labels = counted.groupBy("id").agg(
+            (-F.max(F.struct(F.col("_c"), (-F.col("_nl")).alias("_m")))["_m"]).alias(
+                "label"
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
+
+
+def label_propagation_oracle_sql(
+    iterations: int = 4,
+    block: int = 32,
+    out_degree: int = 3,
+    stride: int = 5,
+) -> str:
+    """DuckDB transcription of synthetic_block_graph + label_propagation:
+    the same deterministic recurrence unrolled into CTEs l0..l{k}, the
+    argmax expressed as row_number over (cnt DESC, label ASC)."""
+    jays = ", ".join(str(j) for j in range(1, out_degree + 1))
+    parts = [
+        f"""
+WITH raw_e AS (
+  SELECT doc_id AS src,
+         (doc_id - doc_id % {block})
+         + ((doc_id % {block} + j * {stride}) % {block}) AS dst
+  FROM documents, unnest([{jays}]) AS tj(j)
+  WHERE (doc_id - doc_id % {block})
+        + ((doc_id % {block} + j * {stride}) % {block}) <> doc_id
+),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM raw_e
+    UNION ALL SELECT dst AS src, src AS dst FROM raw_e
+  ) WHERE src <> dst
+),
+nodes AS (SELECT DISTINCT src AS id FROM und),
+l0 AS (SELECT id, id AS label FROM nodes)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+l{k} AS (
+  SELECT id, label FROM (
+    SELECT u.src AS id, p.label,
+      row_number() OVER (
+        PARTITION BY u.src
+        ORDER BY count(*) DESC, p.label ASC
+      ) AS rn
+    FROM und u JOIN l{k - 1} p ON u.dst = p.id
+    GROUP BY u.src, p.label
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT label AS community, count(*) AS n_members,
+       min(id) AS min_id, max(id) AS max_id
+FROM l{iterations}
+GROUP BY label ORDER BY community"""
+    )
+    return "".join(parts)

@@ -126,3 +126,80 @@ class TestHits:
                 .repartition(7), 3).collect()
         )
         assert a == b
+
+
+class TestLabelPropagation:
+    """Synchronous deterministic LPA (graph.label_propagation)."""
+
+    def test_two_cliques_converge_to_min_ids(self, spark):
+        from ndr_import_spark.operators.graph import label_propagation
+
+        # two 4-cliques joined by nothing: labels collapse to each
+        # clique's smallest id within 2 rounds
+        edges = []
+        for base in (0, 10):
+            ids = [base + i for i in range(4)]
+            edges += [(a, b) for a in ids for b in ids if a < b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.label for r in label_propagation(df, 3).collect()}
+        assert all(got[i] == 0 for i in range(4))
+        assert all(got[10 + i] == 10 for i in range(4))
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        from ndr_import_spark.operators.graph import label_propagation
+
+        # node 2 sees neighbours {0, 1} once each: tie → label 0
+        df = spark.createDataFrame([(0, 2), (1, 2)], "src long, dst long")
+        got = {r.id: r.label for r in label_propagation(df, 1).collect()}
+        assert got[2] == 0
+
+    def test_synchronous_trajectory_is_reproducible(self, spark):
+        from ndr_import_spark.operators.graph import (
+            label_propagation,
+            synthetic_block_graph,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        e = synthetic_block_graph(docs, block=16, stride=3)
+        a = sorted(map(tuple, label_propagation(e, 4).collect()))
+        b = sorted(map(tuple, label_propagation(e, 4).collect()))
+        assert a == b
+
+    def test_block_graph_communities_confined_to_blocks(self, spark):
+        from ndr_import_spark.operators.graph import (
+            label_propagation,
+            synthetic_block_graph,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        e = synthetic_block_graph(docs, block=16, stride=3)
+        l5 = sorted(map(tuple, label_propagation(e, 5).collect()))
+        # labels never cross the planted 16-blocks (edges don't either);
+        # NOTE synchronous LPA has no global fixed point here — the
+        # sparse phantom tail of the last partial block 2-cycles (the
+        # known bipartite oscillation), which is why the oracle gate
+        # pins the exact round-5 labelling rather than convergence
+        comm = {}
+        for nid, lab in l5:
+            comm.setdefault(lab, set()).add(nid // 16)
+        assert all(len(blocks) == 1 for blocks in comm.values())
+        assert len(comm) >= 32  # at least one community per full block
+
+    def test_argmax_has_no_global_window(self, spark):
+        from ndr_import_spark.operators.graph import (
+            label_propagation,
+            synthetic_block_graph,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            label_propagation(synthetic_block_graph(docs), 2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan  # argmax is max-of-struct, not row_number
