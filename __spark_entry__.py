@@ -1788,6 +1788,57 @@ FROM f GROUP BY wave ORDER BY wave
 """
 
 
+def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene (operators/unicode_clean.clean_unicode): five
+    exclusive artifact classes injected per doc_id%5 — single mojibake
+    (cp1252-mis-decoded UTF-8, repaired by the exact inverse), DOUBLE
+    mojibake (two repair passes), control characters (stripped +
+    counted), an NFD combining pair (NFC-composed), NBSP + zero-width
+    space (normalised / removed). The oracle appends the KNOWN repaired
+    forms in SQL, so md5(clean_text) pins the transcoding round-trip,
+    the pass-acceptance rule, the NFC composition and the category
+    walk. Real transcoding happens only in the Arrow mapInPandas batch
+    — zero shuffle."""
+    from ndr_import_spark.operators.unicode_clean import clean_unicode
+
+    docs = _t(spark, sf_dir, "documents")
+    single = "café".encode("utf-8").decode("cp1252")
+    double = single.encode("utf-8").decode("cp1252")
+    nfd = " caf" + "e" + "\u0301"  # NFD pair -> NFC 'e-acute'
+    spacey = " a\u00a0b\u200b"  # NBSP between words + zero-width tail
+    artifact = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" " + single))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" " + double))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" \x07x\x07"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(nfd))
+        .otherwise(F.lit(spacey))
+    )
+    dirty = docs.select(
+        "doc_id", F.concat(F.col("text"), artifact).alias("text")
+    )
+    out = clean_unicode(dirty)
+    return out.select(
+        "doc_id",
+        "mojibake_passes",
+        "n_removed",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+_ORACLE_UNICODE_CLEAN = """
+SELECT doc_id,
+  CASE cast(doc_id % 5 as int) WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 0 END
+    AS mojibake_passes,
+  CASE cast(doc_id % 5 as int) WHEN 2 THEN 2 WHEN 4 THEN 1 ELSE 0 END
+    AS n_removed,
+  md5(text || CASE cast(doc_id % 5 as int)
+    WHEN 2 THEN ' x'
+    WHEN 4 THEN ' a b'
+    ELSE ' caf' || chr(233) END) AS clean_md5
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous label propagation
     (operators/graph.label_propagation — Raghavan et al. 2007, made
@@ -7295,6 +7346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "c4_clean": q_c4_clean,
         "dsir_resample": q_dsir_resample,
+        "unicode_clean": q_unicode_clean,
         "label_propagation": q_label_propagation,
         "video_features": q_video_features,
         "substring_dedup": q_substring_dedup,
@@ -7465,6 +7517,7 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": _ORACLE_LINK_GRAPH,
         "c4_clean": _ORACLE_C4_CLEAN,
         "dsir_resample": _ORACLE_DSIR_RESAMPLE,
+        "unicode_clean": _ORACLE_UNICODE_CLEAN,
         "label_propagation": label_propagation_oracle_sql(
             iterations=5, block=16, stride=3
         ),
