@@ -1788,6 +1788,62 @@ FROM f GROUP BY wave ORDER BY wave
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (operators/sketches.hll_registers/estimate,
+    Flajolet et al. 2007) self-evaluated against exact distinct counts
+    over three key families — the KMV pattern extended to the MERGEABLE
+    register form (per-partition partial max IS the HLL merge). rho is
+    integer-exact via length(bin(w)); the harmonic denominator is a sum
+    of dyadic 2^-reg terms plus an integer zero count — exact in f64
+    regardless of order — so estimates are bit-identical across engines
+    and the oracle replays the registers in SQL."""
+    from ndr_import_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from ndr_import_spark.operators.textstats import tokens
+
+    parts = []
+    for name, df, col in [
+        ("custkey", _t(spark, sf_dir, "orders"), F.col("o_custkey")),
+        ("partkey", _t(spark, sf_dir, "lineitem"), F.col("l_partkey")),
+        (
+            "token",
+            _t(spark, sf_dir, "documents").select(
+                F.explode(tokens(F.col("text"))).alias("tok")
+            ),
+            F.col("tok"),
+        ),
+    ]:
+        keyed = df.select(col.cast("string").alias("k"))
+        est = hll_estimate(hll_registers(keyed, F.col("k")))
+        exact = keyed.agg(
+            F.countDistinct("k").alias("exact_distinct")
+        )
+        parts.append(
+            est.crossJoin(F.broadcast(exact)).select(
+                F.lit(name).alias("key_family"),
+                "exact_distinct",
+                "hll_estimate",
+                "empty_registers",
+                F.round(
+                    F.abs(
+                        F.col("hll_estimate")
+                        - F.col("exact_distinct").cast("double")
+                    )
+                    / F.col("exact_distinct").cast("double"),
+                    4,
+                ).alias("rel_err"),
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.orderBy("key_family")
+
+
+
+
 def q_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode hygiene (operators/unicode_clean.clean_unicode): five
     exclusive artifact classes injected per doc_id%5 — single mojibake
@@ -6047,6 +6103,56 @@ FROM gk ORDER BY gumbel_key DESC, doc_id LIMIT 50
 """
 
 
+_ORACLE_HLL_DISTINCT = f"""
+WITH keys AS (
+  SELECT 'custkey' AS key_family, CAST(o_custkey AS VARCHAR) AS k
+  FROM orders
+  UNION ALL
+  SELECT 'partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'token', t.tok FROM (
+    SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+  ) t
+), h AS (
+  SELECT key_family,
+    CAST(('0x' || substring(md5(k), 1, 15)) AS BIGINT) AS hv
+  FROM keys
+), regs AS (
+  SELECT key_family, hv >> 48 AS idx,
+    max(CASE WHEN (hv & 281474976710655) = 0 THEN 49
+         ELSE 48 - length(bin(hv & 281474976710655)) + 1 END) AS reg
+  FROM h GROUP BY key_family, idx
+), agg AS (
+  SELECT key_family,
+    sum(power(2.0, -reg)) AS s,
+    count(*) AS nz
+  FROM regs GROUP BY key_family
+), est AS (
+  SELECT key_family,
+    CAST('12098218.894406674' AS DOUBLE)
+      / (s + (4096 - nz)) AS raw,
+    4096 - nz AS zeros
+  FROM agg
+), fixed AS (
+  SELECT key_family,
+    CASE WHEN raw <= {2.5 * 4096} AND zeros > 0
+      THEN 4096.0 * ln(4096.0 / zeros) ELSE raw END AS e,
+    zeros
+  FROM est
+), ex AS (
+  SELECT key_family, count(DISTINCT k) AS exact_distinct FROM keys
+  GROUP BY key_family
+)
+SELECT f.key_family, ex.exact_distinct,
+  round(f.e, 4) AS hll_estimate,
+  CAST(f.zeros AS BIGINT) AS empty_registers,
+  round(abs(round(f.e, 4) - CAST(ex.exact_distinct AS DOUBLE))
+        / CAST(ex.exact_distinct AS DOUBLE), 4) AS rel_err
+FROM fixed f JOIN ex USING (key_family)
+ORDER BY key_family
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (the GPT-pretraining batch
     assembly stage): documents ordered within md5 hash shards, token
@@ -7346,6 +7452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "c4_clean": q_c4_clean,
         "dsir_resample": q_dsir_resample,
+        "hll_distinct": q_hll_distinct,
         "unicode_clean": q_unicode_clean,
         "label_propagation": q_label_propagation,
         "video_features": q_video_features,
@@ -7517,6 +7624,7 @@ def oracle_sql() -> dict[str, str]:
         "link_graph": _ORACLE_LINK_GRAPH,
         "c4_clean": _ORACLE_C4_CLEAN,
         "dsir_resample": _ORACLE_DSIR_RESAMPLE,
+        "hll_distinct": _ORACLE_HLL_DISTINCT,
         "unicode_clean": _ORACLE_UNICODE_CLEAN,
         "label_propagation": label_propagation_oracle_sql(
             iterations=5, block=16, stride=3

@@ -290,3 +290,81 @@ def kmv_jaccard(
     return est.join(exact, ["split_a", "split_b"]).select(
         "split_a", "split_b", "k_used", "n_both", "jaccard_est", "exact_jaccard"
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    key,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Portable HyperLogLog registers (Flajolet et al. 2007) over the
+    60-bit md5 hash: index = top `p` hash bits, rho = leading-zero count
+    of the remaining 60-p bits plus one, register = max(rho).
+
+    Same portability argument as KMV above: Spark's built-in HLL++ is
+    engine-private; these registers are bit-identical on any engine that
+    can md5, so sketches can be diffed exactly across systems. rho is
+    computed INTEGER-exactly as (60-p) - length(bin(w)) + 1 — no
+    floating log2 that could mis-round at power-of-two boundaries.
+
+    Plan shape: one map-side-combinable groupBy((group), idx).max —
+    register sets are tiny (2^p rows) and MERGEABLE by max, so
+    per-partition partial aggregation already is the classic HLL merge;
+    nothing key-sized ever shuffles except the (group, idx, rho) triple."""
+    from ndr_import_spark.operators.dedup import md5_long
+
+    gcols = list(group_cols or [])
+    h = md5_long(key)
+    w_bits = 60 - p
+    idx = F.shiftright(h, w_bits).alias("_idx")
+    w = h.bitwiseAND(F.lit((1 << w_bits) - 1))
+    rho = (
+        F.when(w == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits) - F.length(F.bin(w)) + 1)
+        .alias("_rho")
+    )
+    return (
+        df.select(*gcols, idx, rho)
+        .groupBy(*gcols, "_idx")
+        .agg(F.max("_rho").alias("_reg"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Cardinality estimate from `hll_registers` output, with the
+    standard small-range correction (linear counting when E <= 2.5m and
+    empty registers exist).
+
+    Float discipline: the harmonic denominator is a sum of DYADIC terms
+    2^-reg plus the exact integer count of empty registers — exact in
+    float64 regardless of summation order — so the raw estimate is ONE
+    double expression from exact inputs, bit-identical on any engine;
+    the linear-counting branch is one ln rounded at the output."""
+    m = 1 << p
+    # single precomputed double so any replica can embed ONE literal
+    # (alpha*m*m) rather than reproducing the multiply order
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    gcols = list(group_cols or [])
+    agg = registers.groupBy(*gcols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_reg"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nz"),
+    )
+    # absent registers are zeros: each contributes 2^0 = 1 to the sum
+    # and counts toward the linear-counting zero set
+    zeros = F.lit(m) - F.col("_nz")
+    denom = F.col("_s") + zeros.cast("double")
+    raw = F.lit((0.7213 / (1.0 + 1.079 / m)) * m * m) / denom
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *gcols,
+        F.round(est, 4).alias("hll_estimate"),
+        zeros.alias("empty_registers"),
+    )
