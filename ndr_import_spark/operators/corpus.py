@@ -1205,6 +1205,10 @@ def c4_clean(
             F.expr("regexp_extract_all(_t, '[^.!?]+[.!?]', 0)")
         ).alias("_i", "_s"),
     ).select("_id", "_i", F.trim("_s").alias("_s"))
+    # every branch below (raw counts, kept counts, spans, survivors)
+    # re-evaluates the sentence explode AND whatever expression built
+    # the input text column — checkpoint the exploded frame once, lazily
+    sents = sents.localCheckpoint(eager=False)
     n_raw = sents.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sentences"))
     wc = F.size(F.filter(F.split(F.col("_s"), r"\s+"), lambda x: x != ""))
     kept = sents.where(
