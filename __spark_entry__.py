@@ -2087,27 +2087,15 @@ ORDER BY a.doc_id
 """
 
 
-def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Outlink extraction + host-level link graph
-    (operators/crawl.extract_links → host_link_graph): deterministic
-    HTML pages over the documents table exercising every resolution
-    rule — absolute (single-quoted, uppercase <A HREF>), root-relative,
-    unquoted relative against the page directory, protocol-relative,
-    ``..`` collapse, rel=nofollow exclusion, and mailto:/fragment drops.
-    The link targets are doc_id arithmetic, so the oracle computes the
-    exact host edge list in closed form. This completes the crawl story
-    end-to-end: warc_extract → extract_links → host_link_graph →
-    pagerank/hits. Extraction is pure per-row codegen regexps; the graph
-    is one map-side-combinable aggregate whose shuffle is the DISTINCT
-    edge count."""
-    from ndr_import_spark.operators.crawl import (
-        extract_links,
-        host_link_graph,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
+def _link_fixture_pages(docs: DataFrame) -> DataFrame:
+    """The shared analytic HTML fixture for the crawl-graph queries
+    (link_graph, crawl_frontier): one page per doc on host doc_id%16
+    with links whose targets are doc_id arithmetic — every resolution
+    rule exercised (absolute single-quoted uppercase <A HREF>,
+    root-relative, unquoted relative, protocol-relative, ``..``
+    collapse, rel=nofollow, mailto:/fragment drops)."""
     did = F.col("doc_id").cast("string")
-    pages = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(
             F.lit("https://host"),
@@ -2137,7 +2125,127 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('">up</a></body></html>'),
         ).alias("html"),
     )
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier scheduling (operators/crawl.crawl_frontier): from the
+    shared link fixture, canonicalise candidate outlinks, anti-join the
+    already-crawled set (the page URLs themselves plus /about on even
+    hosts), score hosts by link-graph in-degree, and keep the top 3 per
+    host by (n_inlinks DESC, url ASC) through per_source_cap's SALTED
+    two-phase top-k. Everything is doc_id arithmetic, so the oracle
+    enumerates candidates, seen set, in-link counts and host scores in
+    closed form. Completes the crawl loop: extract → graph → rank →
+    schedule the next wave."""
+    from ndr_import_spark.operators.crawl import (
+        crawl_frontier,
+        extract_links,
+        host_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = _link_fixture_pages(docs)
     links = extract_links(pages)
+    host_scores = (
+        host_link_graph(links)
+        .groupBy(F.col("dst_host").alias("host"))
+        .agg(F.sum("n_links").alias("host_score"))
+    )
+    page_urls = pages.select(F.col("url").alias("url_canon"))
+    about_even = (
+        docs.where((F.col("doc_id") % 16) % 2 == 0)
+        .select(
+            F.concat(
+                F.lit("https://host"),
+                (F.col("doc_id") % 16).cast("string"),
+                F.lit(".example.com/about"),
+            ).alias("url_canon")
+        )
+        .distinct()
+    )
+    seen = page_urls.unionByName(about_even)
+    out = crawl_frontier(links, seen, host_scores, k_per_host=3)
+    return out.orderBy("host", "rank")
+
+
+_ORACLE_CRAWL_FRONTIER = """
+WITH d AS (SELECT doc_id, cast(doc_id % 16 as int) AS h FROM documents),
+cand AS (
+  SELECT 'host' || cast((doc_id * 7 + 1) % 16 as int) || '.example.com'
+           AS host,
+         'https://host' || cast((doc_id * 7 + 1) % 16 as int)
+           || '.example.com/x/' || doc_id AS url_canon
+  FROM d
+  UNION ALL
+  SELECT 'host' || h || '.example.com',
+         'https://host' || h || '.example.com/about' FROM d
+  UNION ALL
+  SELECT 'host' || h || '.example.com',
+         'https://host' || h || '.example.com/p/sub/'
+           || cast(doc_id % 5 as int) FROM d
+  UNION ALL
+  SELECT 'host' || cast((doc_id * 3 + 2) % 16 as int) || '.example.com',
+         'https://host' || cast((doc_id * 3 + 2) % 16 as int)
+           || '.example.com/y' FROM d
+  UNION ALL
+  SELECT 'host' || h || '.example.com',
+         'https://host' || h || '.example.com/up/'
+           || cast(doc_id % 3 as int) FROM d
+), per_url AS (
+  SELECT host, url_canon, count(*) AS n_inlinks
+  FROM cand GROUP BY host, url_canon
+), seen AS (
+  SELECT 'https://host' || h || '.example.com/p/' || doc_id AS url_canon
+  FROM d
+  UNION ALL
+  SELECT DISTINCT 'https://host' || h || '.example.com/about'
+  FROM d WHERE h % 2 = 0
+), fresh AS (
+  SELECT p.* FROM per_url p
+  ANTI JOIN seen s ON p.url_canon = s.url_canon
+), hs AS (
+  SELECT host, CAST(sum(cnt) AS BIGINT) AS host_score FROM (
+    SELECT 'host' || h || '.example.com' AS host, 3 AS cnt FROM d
+    UNION ALL
+    SELECT 'host' || cast((doc_id * 7 + 1) % 16 as int)
+             || '.example.com', 1 FROM d
+    UNION ALL
+    SELECT 'host' || cast((doc_id * 3 + 2) % 16 as int)
+             || '.example.com', 1 FROM d
+  ) GROUP BY host
+), ranked AS (
+  SELECT f.host, f.url_canon, f.n_inlinks,
+    coalesce(hs.host_score, 0) AS host_score,
+    CAST(row_number() OVER (
+      PARTITION BY f.host ORDER BY f.n_inlinks DESC, f.url_canon
+    ) AS INT) AS rank
+  FROM fresh f LEFT JOIN hs USING (host)
+)
+SELECT host, url_canon, n_inlinks, host_score, rank
+FROM ranked WHERE rank <= 3 ORDER BY host, rank
+"""
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + host-level link graph
+    (operators/crawl.extract_links → host_link_graph): deterministic
+    HTML pages over the documents table exercising every resolution
+    rule — absolute (single-quoted, uppercase <A HREF>), root-relative,
+    unquoted relative against the page directory, protocol-relative,
+    ``..`` collapse, rel=nofollow exclusion, and mailto:/fragment drops.
+    The link targets are doc_id arithmetic, so the oracle computes the
+    exact host edge list in closed form. This completes the crawl story
+    end-to-end: warc_extract → extract_links → host_link_graph →
+    pagerank/hits. Extraction is pure per-row codegen regexps; the graph
+    is one map-side-combinable aggregate whose shuffle is the DISTINCT
+    edge count."""
+    from ndr_import_spark.operators.crawl import (
+        extract_links,
+        host_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    links = extract_links(_link_fixture_pages(docs))
     return host_link_graph(links).orderBy("src_host", "dst_host")
 
 
@@ -7449,6 +7557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "adpcm_audio": q_adpcm_audio,
         "media_metadata": q_media_metadata,
+        "crawl_frontier": q_crawl_frontier,
         "link_graph": q_link_graph,
         "c4_clean": q_c4_clean,
         "dsir_resample": q_dsir_resample,
@@ -7621,6 +7730,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _ORACLE_AUDIO_FEATURES,
         "adpcm_audio": _ORACLE_ADPCM_AUDIO,
         "media_metadata": _ORACLE_MEDIA_METADATA,
+        "crawl_frontier": _ORACLE_CRAWL_FRONTIER,
         "link_graph": _ORACLE_LINK_GRAPH,
         "c4_clean": _ORACLE_C4_CLEAN,
         "dsir_resample": _ORACLE_DSIR_RESAMPLE,

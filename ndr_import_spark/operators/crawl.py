@@ -434,3 +434,66 @@ def host_link_graph(
     return edges.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).alias("n_links")
     )
+
+
+def crawl_frontier(
+    links: DataFrame,
+    seen_urls: DataFrame,
+    host_scores: DataFrame,
+    k_per_host: int = 100,
+) -> DataFrame:
+    """Next-wave crawl frontier from extracted outlinks: canonicalise
+    candidate URLs, drop the already-crawled set, rank within each host
+    and keep `k_per_host` (the politeness budget).
+
+    Inputs: `links` from extract_links (respects its nofollow flag);
+    `seen_urls` with a canonical ``url_canon`` column (what the crawl
+    store already holds); `host_scores` as (host, host_score) — e.g.
+    pagerank over host_link_graph.
+
+    Ranking: per host, by (n_inlinks DESC, url_canon ASC) — popular
+    pages first, deterministic ties. Output: (host, url_canon,
+    n_inlinks, host_score, rank).
+
+    Plan shape at 100 TB: candidate canonicalisation is the
+    canonicalize_urls pipeline (per-row codegen + a bounded param
+    sort); the seen filter is an equi anti-join on the canonical URL
+    (never a broadcast of the corpus-sized seen set); the per-host cap
+    reuses per_source_cap's SALTED two-phase top-k so a mega-host
+    cannot funnel one reducer; host_scores joins on the host equi-key
+    (host-count-sized frame)."""
+    from pyspark.sql import Window
+
+    from ndr_import_spark.operators.corpus import per_source_cap
+
+    cand = links.where(~F.col("nofollow")).select(
+        F.col("dst_url").alias("u")
+    )
+    canon = canonicalize_urls(cand, id_col="u", url_col="u")
+    per_url = canon.groupBy("url_canon", "host").agg(
+        F.count(F.lit(1)).alias("n_inlinks")
+    )
+    fresh = per_url.join(
+        seen_urls.select("url_canon"), "url_canon", "left_anti"
+    )
+    capped = per_source_cap(
+        fresh,
+        k_per_host,
+        score=F.col("n_inlinks"),
+        source_col="host",
+        id_col="url_canon",
+        score_col="_cap_score",
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_inlinks").desc(), F.col("url_canon")
+    )
+    return (
+        capped.join(host_scores, "host", "left")
+        .select(
+            "host",
+            "url_canon",
+            "n_inlinks",
+            F.coalesce(F.col("host_score"), F.lit(0)).alias("host_score"),
+            F.row_number().over(w).alias("rank"),
+        )
+    )

@@ -268,3 +268,68 @@ class TestExtractLinks:
         )
         plan = extract_links(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestCrawlFrontier:
+    """Frontier scheduling (crawl.crawl_frontier)."""
+
+    def _links(self, spark):
+        from ndr_import_spark.operators.crawl import extract_links
+
+        rows = []
+        for d in range(6):
+            html = (
+                f'<a href="/popular">p</a>'
+                f'<a href="/page{d}">q</a>'
+                f'<a rel="nofollow" href="/spam">s</a>'
+            )
+            rows.append((d, f"https://h{d % 2}.ex.com/p/{d}", html))
+        df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+        return extract_links(df)
+
+    def test_seen_filter_cap_and_ranking(self, spark):
+        from ndr_import_spark.operators.crawl import crawl_frontier
+
+        links = self._links(spark)
+        seen = spark.createDataFrame(
+            [("https://h0.ex.com/page0",)], "url_canon string"
+        )
+        scores = spark.createDataFrame(
+            [("h0.ex.com", 7), ("h1.ex.com", 3)], "host string, host_score long"
+        )
+        out = crawl_frontier(links, seen, scores, k_per_host=2).collect()
+        by_host = {}
+        for r in out:
+            by_host.setdefault(r.host, []).append(r)
+        # /popular has 3 inlinks per host -> rank 1; cap keeps 2 of the
+        # 3-4 candidates; the seen page0 never appears
+        for host, rows in by_host.items():
+            assert len(rows) == 2
+            assert rows[0].url_canon.endswith("/popular")
+            assert rows[0].n_inlinks == 3 and rows[0].rank == 1
+        assert all(
+            not r.url_canon.endswith("/page0") for r in by_host["h0.ex.com"]
+        )
+        assert all(not r.url_canon.endswith("/spam") for r in out)
+        assert by_host["h0.ex.com"][0].host_score == 7
+
+    def test_unknown_host_scores_default_zero(self, spark):
+        from ndr_import_spark.operators.crawl import crawl_frontier
+
+        links = self._links(spark)
+        seen = spark.createDataFrame([], "url_canon string")
+        scores = spark.createDataFrame([], "host string, host_score long")
+        out = crawl_frontier(links, seen, scores, k_per_host=1).collect()
+        assert all(r.host_score == 0 for r in out)
+
+    def test_per_host_cap_is_salted_two_phase(self, spark):
+        from ndr_import_spark.operators.crawl import crawl_frontier
+
+        links = self._links(spark)
+        seen = spark.createDataFrame([], "url_canon string")
+        scores = spark.createDataFrame([], "host string, host_score long")
+        plan = (
+            crawl_frontier(links, seen, scores, k_per_host=1)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "_psc_salt" in plan  # reuses per_source_cap's salted top-k
