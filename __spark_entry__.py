@@ -2127,6 +2127,51 @@ def _link_fixture_pages(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-maintenance compaction planning
+    (operators/layout.compaction_plan): a synthetic file inventory from
+    orders (path 'f<orderkey>', bytes from orderkey arithmetic,
+    partition = order priority) grouped into ~64 MB rewrite bins by
+    greedy cumulative-offset packing. Integer division throughout —
+    float '/' would round near-2^53 offsets. The oracle replays the
+    window cumsum + div in SQL. Inventory frames are file-count-sized
+    (metadata, not data); the window partitions per table partition."""
+    from ndr_import_spark.operators.layout import compaction_plan
+
+    orders = _t(spark, sf_dir, "orders")
+    inv = orders.select(
+        F.col("o_orderpriority").alias("partition"),
+        F.concat(F.lit("f"), F.col("o_orderkey").cast("string")).alias(
+            "path"
+        ),
+        ((F.col("o_orderkey") % 9973) * 10000 + 50000).alias("bytes"),
+    )
+    out = compaction_plan(inv, target_bytes=64 * 1024 * 1024)
+    return out.orderBy("partition", "bin")
+
+
+_ORACLE_COMPACTION_PLAN = """
+WITH inv AS (
+  SELECT o_orderpriority AS part, 'f' || o_orderkey AS path,
+         (o_orderkey % 9973) * 10000 + 50000 AS bytes
+  FROM orders
+), offs AS (
+  SELECT part, path, bytes,
+    sum(bytes) OVER (PARTITION BY part ORDER BY path
+                     ROWS UNBOUNDED PRECEDING) - bytes AS off
+  FROM inv
+), binned AS (
+  SELECT part, path, bytes, CAST(off // 67108864 AS BIGINT) AS bin FROM offs
+)
+SELECT part AS partition, bin,
+  count(*) AS n_files,
+  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+  min(path) AS first_path,
+  max(path) AS last_path
+FROM binned GROUP BY part, bin ORDER BY partition, bin
+"""
+
+
 def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier scheduling (operators/crawl.crawl_frontier): from the
     shared link fixture, canonicalise candidate outlinks, anti-join the
@@ -7557,6 +7602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "adpcm_audio": q_adpcm_audio,
         "media_metadata": q_media_metadata,
+        "compaction_plan": q_compaction_plan,
         "crawl_frontier": q_crawl_frontier,
         "link_graph": q_link_graph,
         "c4_clean": q_c4_clean,
@@ -7730,6 +7776,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _ORACLE_AUDIO_FEATURES,
         "adpcm_audio": _ORACLE_ADPCM_AUDIO,
         "media_metadata": _ORACLE_MEDIA_METADATA,
+        "compaction_plan": _ORACLE_COMPACTION_PLAN,
         "crawl_frontier": _ORACLE_CRAWL_FRONTIER,
         "link_graph": _ORACLE_LINK_GRAPH,
         "c4_clean": _ORACLE_C4_CLEAN,

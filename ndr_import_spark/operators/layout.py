@@ -18,7 +18,7 @@ the pruning win a sorted writer (`sinks.write_sorted`) realises on disk.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 ZORDER_BITS = 16
@@ -128,3 +128,61 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n,
        max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
 FROM z GROUP BY bucket ORDER BY bucket
 """
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    partition_col: str = "partition",
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Small-files compaction plan — the standard lake-maintenance pass
+    that groups a partition's files into ~`target_bytes` rewrite bins.
+
+    Greedy by cumulative offset: files order by path within their table
+    partition; a file joins bin ``(running_sum - own_bytes) div target``
+    — i.e. bins split at target-byte offsets. Deterministic (path
+    order), one pass, no driver loop. Exact semantics: a bin holds at
+    most `target` bytes plus the single file that crosses its boundary;
+    an oversized file inflates its bin and pushes later files into
+    higher bin indices (splitting oversized files is the writer's job,
+    not the planner's).
+
+    Returns (partition, bin, n_files, bin_bytes, first_path, last_path).
+
+    Plan shape at 100 TB: the inventory frame is FILE-count-sized
+    (millions of rows for petabyte tables — metadata, not data); the
+    running sum windows per table partition, so no global sort; a
+    partition with pathological file counts can swap the window for the
+    chunked prefix-sum machinery in operators/prefix.py (the
+    purchase_id_islands pattern), noted as the upgrade path."""
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(path_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(bytes_col)).over(w)
+    offs = files.select(
+        F.col(partition_col).alias("partition"),
+        F.col(path_col).alias("path"),
+        F.col(bytes_col).alias("bytes"),
+        (cum - F.col(bytes_col)).alias("_off"),
+    )
+    # integer division, not float '/': byte offsets near 2^53 would
+    # round in a double and disagree with any exact replica
+    binned = offs.select(
+        "partition",
+        "path",
+        "bytes",
+        F.expr(f"_off div {int(target_bytes)}").alias("bin"),
+    )
+    return (
+        binned.groupBy("partition", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("bin_bytes"),
+            F.min("path").alias("first_path"),
+            F.max("path").alias("last_path"),
+        )
+    )

@@ -99,3 +99,37 @@ class TestQuantiseExactness:
         mask = (1 << 16) - 1
         for v in vals:
             assert got[v] == (v - lo) * mask // (hi - lo), v
+
+
+class TestCompactionPlan:
+    """Small-files compaction planning (layout.compaction_plan)."""
+
+    def test_greedy_offset_bins(self, spark):
+        from ndr_import_spark.operators.layout import compaction_plan
+
+        rows = [("p", f"f{i}", 40) for i in range(5)]  # 200 bytes total
+        df = spark.createDataFrame(rows, "partition string, path string, bytes long")
+        out = {r.bin: r for r in compaction_plan(df, 100).collect()}
+        # offsets 0,40,80,120,160 -> bins 0,0,0,1,1
+        assert out[0].n_files == 3 and out[0].bin_bytes == 120
+        assert out[1].n_files == 2 and out[1].bin_bytes == 80
+        assert out[0].first_path == "f0" and out[0].last_path == "f2"
+
+    def test_oversized_file_gets_own_span(self, spark):
+        from ndr_import_spark.operators.layout import compaction_plan
+
+        rows = [("p", "a", 30), ("p", "b", 500), ("p", "c", 30)]
+        df = spark.createDataFrame(rows, "partition string, path string, bytes long")
+        out = {r.bin: r for r in compaction_plan(df, 100).collect()}
+        # offsets: a=0 (bin 0), b=30 (bin 0), c=530 (bin 5)
+        assert out[0].n_files == 2 and out[0].bin_bytes == 530
+        assert out[5].n_files == 1 and out[5].first_path == "c"
+
+    def test_partitions_independent(self, spark):
+        from ndr_import_spark.operators.layout import compaction_plan
+
+        rows = [("p1", "a", 90), ("p2", "a", 90), ("p1", "b", 90), ("p2", "b", 90)]
+        df = spark.createDataFrame(rows, "partition string, path string, bytes long")
+        out = compaction_plan(df, 100).collect()
+        got = {(r.partition, r.bin): r.n_files for r in out}
+        assert got == {("p1", 0): 2, ("p2", 0): 2}
