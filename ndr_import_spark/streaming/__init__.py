@@ -7,6 +7,7 @@ from ndr_import_spark.streaming.pipeline import (
     stream_decontaminate,
     stream_records,
     stream_tables,
+    stream_media_metadata,
     stream_warc_ingest,
     windowed_stats,
 )
@@ -22,4 +23,5 @@ __all__ = [
     "stream_phrase_flags",
     "stream_decontaminate",
     "stream_warc_ingest",
+    "stream_media_metadata",
 ]

@@ -540,3 +540,45 @@ def stream_cms_cells(
         .groupBy("r", "col")
         .agg(F.sum("_w").alias("cnt"))
     )
+
+
+def stream_media_metadata(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Continuous media-ingest metadata: a STREAMING twin of
+    `multimodal.extract_media_metadata` — media files landing in `path`
+    are probed (MP3 frame walk, Ogg pages, MP4 boxes) as micro-batches.
+    The probe is stateless per payload, so the streaming frame is the
+    SAME mapInPandas body the batch operator uses; file-source
+    checkpointing gives exactly-once per file. Output joins the other
+    streaming stages as a normal metadata frame (route by container,
+    budget by duration)."""
+    from ndr_import_spark.operators.multimodal import (
+        extract_media_metadata,
+    )
+
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+    )
+    # media_id: stable 60-bit hash of the file path (streaming sources
+    # have no natural id column)
+    from ndr_import_spark.operators.textstats import md5_long
+
+    payloads = files.select(
+        md5_long(F.col("path")).alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    return extract_media_metadata(payloads)

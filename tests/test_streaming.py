@@ -513,3 +513,61 @@ class TestStreamCms:
             assert len(got) <= 4 * 32
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamMediaMetadata:
+    def test_stream_probe_matches_batch(self, spark):
+        import os
+        import tempfile
+
+        from ndr_import_spark.operators.multimodal import (
+            extract_media_metadata,
+        )
+        from ndr_import_spark.operators.textstats import md5_long
+        from ndr_import_spark.sources import mediameta as M
+        from ndr_import_spark.streaming import stream_media_metadata
+
+        payloads = {
+            "a.mp3": M.build_mp3(3, 3, 9, 0, 5, xing_frames=4),
+            "b.ogg": M.build_ogg_vorbis(48000, 1, 96000),
+            "c.mp4": M.build_mp4(1000, 3000, "avc1", 640, 480),
+        }
+        tmp = tempfile.mkdtemp()
+        for name, data in payloads.items():
+            with open(os.path.join(tmp, name), "wb") as f:
+                f.write(data)
+
+        stream = stream_media_metadata(spark, tmp)
+        assert stream.isStreaming
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("media_meta_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.media_id: r
+            for r in spark.sql("SELECT * FROM media_meta_stream").collect()
+        }
+
+        batch_rows = [
+            (i, "audio", None, None, None, None, bytearray(data))
+            for i, data in enumerate(payloads.values())
+        ]
+        from ndr_import_spark.operators import multimodal as MM
+
+        batch = {
+            r.container: r
+            for r in extract_media_metadata(
+                spark.createDataFrame(batch_rows, MM.MEDIA_SCHEMA)
+            ).collect()
+        }
+        assert len(got) == 3
+        by_container = {r.container: r for r in got.values()}
+        for c in ("mp3", "ogg", "mp4"):
+            s, b = by_container[c], batch[c]
+            assert (s.codec, s.sample_rate, s.duration_ms, s.n_frames) == (
+                b.codec, b.sample_rate, b.duration_ms, b.n_frames
+            )

@@ -133,9 +133,19 @@ class TestErrorPaths:
     def test_compressed_format_rejected(self):
         data = bytearray(_handmade_wav_16bit(8000, [0] * 8))
         fmt_at = data.index(b"fmt ") + 8
-        data[fmt_at : fmt_at + 2] = struct.pack("<H", 2)  # MS ADPCM
+        data[fmt_at : fmt_at + 2] = struct.pack("<H", 0x55)  # MP3-in-WAV
         with pytest.raises(WavError, match="unsupported WAV format tag"):
             decode_wav(bytes(data))
+
+    def test_adpcm_tags_dispatch_not_reject(self):
+        # tags 2 / 0x11 now route to functions/adpcm.py; a malformed
+        # (PCM-shaped) body surfaces as WavError, not 'unsupported tag'
+        data = bytearray(_handmade_wav_16bit(8000, [0] * 8))
+        fmt_at = data.index(b"fmt ") + 8
+        data[fmt_at : fmt_at + 2] = struct.pack("<H", 2)  # MS ADPCM
+        with pytest.raises(WavError) as exc:
+            decode_wav(bytes(data))
+        assert "unsupported WAV format tag" not in str(exc.value)
 
     def test_truncations_raise_waverror(self):
         data = _handmade_wav_16bit(8000, list(range(-30, 30)))
