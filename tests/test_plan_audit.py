@@ -439,3 +439,52 @@ class TestRound6PlanShapes:
         p = plan(entry.queries()["semantic_dedup_capped"](spark, SF_DIR), "simple")
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+class TestRound6Session2PlanShapes:
+    def test_dsir_selection_is_take_ordered_not_global_sort(self, spark):
+        p = plan(entry.queries()["dsir_resample"](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in p
+        # the llr table (bounded by the 1024 hash buckets) broadcasts
+        assert "BroadcastHashJoin" in p
+
+    def test_c4_span_window_partitions_on_doc(self, spark):
+        import re
+
+        p = plan(entry.queries()["c4_clean"](spark, SF_DIR), "extended")
+        # every window spec must carry the doc partition key: a global
+        # window over the sentence frame is the 100 TB single-reducer bug
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", p):
+            assert "_id" in m.group(1)
+
+    def test_hll_registers_have_no_window_no_python(self, spark):
+        p = plan(entry.queries()["hll_distinct"](spark, SF_DIR))
+        assert "Window" not in p
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+    def test_label_propagation_argmax_is_aggregate_not_window(self, spark):
+        p = plan(entry.queries()["label_propagation"](spark, SF_DIR))
+        assert "Window" not in p
+
+    def test_link_graph_single_exchange(self, spark):
+        # extraction is per-row codegen; the ONLY exchange belongs to the
+        # host-edge aggregate (plus AQE reads)
+        p = plan(entry.queries()["link_graph"](spark, SF_DIR))
+        import re
+
+        n = len(re.findall(r"Exchange hashpartitioning", p))
+        assert n <= 2  # partial/final pair of the one aggregate
+
+    def test_compaction_window_partitions_per_table_partition(self, spark):
+        import re
+
+        p = plan(entry.queries()["compaction_plan"](spark, SF_DIR), "extended")
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+        assert specs and all("partition" in s for s in specs)
+
+    def test_unicode_clean_transform_shuffle_free(self, spark):
+        from ndr_import_spark.operators.unicode_clean import clean_unicode
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        p = plan(clean_unicode(docs))
+        assert "Exchange" not in p
