@@ -547,13 +547,20 @@ def build_mp4(
 
 def probe_media(data: bytes) -> dict:
     """Sniff + probe: MP3 / Ogg / MP4 metadata dict with a fixed key set
-    (missing fields None). Raises MediaMetaError for other payloads."""
-    if data[:4] == b"OggS":
-        return probe_ogg(data)
-    if len(data) >= 12 and data[4:8] == b"ftyp":
-        return probe_mp4(data)
-    if data[:3] == b"ID3" or (
-        len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
-    ):
-        return probe_mp3(data)
+    (missing fields None). Raises MediaMetaError for other payloads —
+    including structurally corrupt ones: a crawl's media column is
+    hostile, so parser-level struct/bounds errors (e.g. a bit-flipped
+    box size pointing a fixed-width read past EOF) normalise to the one
+    exception type the Spark operator maps to container='unknown'."""
+    try:
+        if data[:4] == b"OggS":
+            return probe_ogg(data)
+        if len(data) >= 12 and data[4:8] == b"ftyp":
+            return probe_mp4(data)
+        if data[:3] == b"ID3" or (
+            len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+        ):
+            return probe_mp3(data)
+    except (struct.error, IndexError, OverflowError) as exc:
+        raise MediaMetaError(f"corrupt media payload: {exc}") from exc
     raise MediaMetaError("unrecognised media container")

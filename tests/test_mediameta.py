@@ -203,3 +203,61 @@ class TestDispatchAndSpark:
         assert out[1].codec == "vorbis" and out[1].duration_ms == 2000.0
         assert out[2].width == 640 and out[2].container == "mp4"
         assert out[3].container == "unknown" and out[3].codec is None
+
+
+class TestProbeRobustness:
+    """A crawl's media column is hostile: truncated, corrupted, or
+    mislabelled payloads must surface as MediaMetaError (which the Spark
+    operator maps to container='unknown'), never as an uncaught
+    IndexError/struct.error crashing a task."""
+
+    def test_truncated_valid_payloads(self):
+        full = {
+            "mp3": M.build_mp3(3, 3, 9, 0, 4, xing_frames=3),
+            "ogg": M.build_ogg_vorbis(44100, 2, 441000),
+            "mp4": M.build_mp4(1000, 5000, "avc1", 320, 240, n_samples=8),
+        }
+        for name, data in full.items():
+            for cut in range(0, len(data), 7):
+                try:
+                    M.probe_media(data[:cut])
+                except M.MediaMetaError:
+                    pass  # honest rejection is fine; crashes are not
+
+    def test_random_bytes_fuzz(self):
+        import random
+
+        rng = random.Random(99)
+        for trial in range(300):
+            n = rng.randint(0, 64)
+            blob = bytes(rng.getrandbits(8) for _ in range(n))
+            # bias some trials toward magic prefixes to reach the parsers
+            if trial % 4 == 1:
+                blob = b"OggS" + blob
+            elif trial % 4 == 2:
+                blob = bytes(8)[:4] + b"ftyp" + blob
+            elif trial % 4 == 3:
+                blob = b"\xff\xfb" + blob
+            try:
+                M.probe_media(blob)
+            except M.MediaMetaError:
+                pass
+
+    def test_bitflip_fuzz_on_valid_payloads(self):
+        import random
+
+        rng = random.Random(5)
+        bases = [
+            M.build_mp3(3, 3, 9, 0, 4, xing_frames=3),
+            M.build_ogg_vorbis(44100, 2, 441000),
+            M.build_mp4(1000, 5000, "avc1", 320, 240, n_samples=8),
+        ]
+        for base in bases:
+            for _ in range(150):
+                data = bytearray(base)
+                for _ in range(rng.randint(1, 4)):
+                    data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+                try:
+                    M.probe_media(bytes(data))
+                except M.MediaMetaError:
+                    pass
