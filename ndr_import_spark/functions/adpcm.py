@@ -158,13 +158,14 @@ def decode_ima(
     tail = buf[nfull * block_align :]
     word = 4 * channels
     tail_len = 4 * channels + (tail.size - 4 * channels) // word * word
-    if rem and tail_len >= 4 * channels + word * min(1, rem):
-        if tail_len > 4 * channels:
-            parts.append(
-                _ima_decode_blocks(
-                    tail[:tail_len][None, :], channels
-                ).reshape(-1, channels)
-            )
+    # decode the tail iff it holds the per-channel headers plus at least
+    # one whole nibble word
+    if rem and tail_len >= 4 * channels + word:
+        parts.append(
+            _ima_decode_blocks(
+                tail[:tail_len][None, :], channels
+            ).reshape(-1, channels)
+        )
     if not parts:
         raise AdpcmError("no decodable IMA blocks")
     samples = np.concatenate(parts, axis=0)

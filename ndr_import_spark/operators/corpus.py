@@ -1346,7 +1346,11 @@ def dsir_resample(
         grams = uni.unionByName(big)
         return grams.select("_id", (md5_long(F.col("_g")) % m).alias("_b"))
 
-    raw_f = feats(raw)
+    # the featurize explode is the expensive stage: checkpoint each
+    # side once (review finding: three consumers re-ran the raw explode,
+    # two the target's) and derive the scalar totals from the ALREADY
+    # aggregated bucket counts instead of a third scan
+    raw_f = feats(raw).localCheckpoint(eager=False)
     doc_counts = raw_f.groupBy("_id", "_b").agg(
         F.count(F.lit(1)).alias("_c")
     )
@@ -1354,8 +1358,8 @@ def dsir_resample(
     p_counts = feats(target).groupBy("_b").agg(
         F.count(F.lit(1)).alias("_cp")
     )
-    nq = raw_f.agg(F.count(F.lit(1)).alias("_nq"))
-    np_ = feats(target).agg(F.count(F.lit(1)).alias("_np"))
+    nq = q_counts.agg(F.sum("_cq").alias("_nq"))
+    np_ = p_counts.agg(F.sum("_cp").alias("_np"))
     llr_tbl = (
         q_counts.join(p_counts, "_b", "left")
         .crossJoin(F.broadcast(nq))

@@ -348,15 +348,18 @@ def extract_links(
         F.explode(F.arrays_zip(attrs.alias("a"), texts.alias("t"))).alias("_l"),
     )
     attr = F.col("_l.a")
-    # href value: double-quoted | single-quoted | bare token
+    # href value: double-quoted | single-quoted | bare token. The
+    # (^|\s) anchor keeps data-href= / xlink:href-ish attributes from
+    # matching inside their own names (review finding: data-href="wrong"
+    # href=right extracted "wrong")
     href = F.when(
-        attr.rlike(r'(?i)href\s*=\s*"'),
-        F.regexp_extract(attr, r'(?i)href\s*=\s*"([^"]*)"', 1),
+        attr.rlike(r'(?i)(^|\s)href\s*=\s*"'),
+        F.regexp_extract(attr, r'(?i)(^|\s)href\s*=\s*"([^"]*)"', 2),
     ).when(
-        attr.rlike(r"(?i)href\s*=\s*'"),
-        F.regexp_extract(attr, r"(?i)href\s*=\s*'([^']*)'", 1),
+        attr.rlike(r"(?i)(^|\s)href\s*=\s*'"),
+        F.regexp_extract(attr, r"(?i)(^|\s)href\s*=\s*'([^']*)'", 2),
     ).otherwise(
-        F.regexp_extract(attr, r"""(?i)href\s*=\s*([^\s>'"]+)""", 1)
+        F.regexp_extract(attr, r"""(?i)(^|\s)href\s*=\s*([^\s>'"]+)""", 2)
     )
     href = F.trim(href)
     nofollow = attr.rlike(r"""(?i)rel\s*=\s*['"]?[^'">]*nofollow""")
@@ -403,9 +406,20 @@ def extract_links(
             )
         )
     )
-    dst = resolved
-    for _ in range(3):  # bounded ../ collapse
-        dst = F.regexp_replace(dst, r"/[^/.][^/]*/\.\./", "/")
+    # '..' collapse must never cross the authority: 'https://h/../b'
+    # would otherwise match '/h/../' and swallow the host (review
+    # finding). Split off scheme://host, collapse the path alone, clamp
+    # any climb above the root, then reassemble.
+    authority = F.regexp_extract(
+        resolved, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1
+    )
+    pathq = F.regexp_replace(
+        resolved, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""
+    )
+    for _ in range(3):  # bounded ../ collapse (path only)
+        pathq = F.regexp_replace(pathq, r"/[^/.][^/]*/\.\./", "/")
+    pathq = F.regexp_replace(pathq, r"^(/\.\.)+(/|$)", "/")
+    dst = F.concat(authority, pathq)
     return rows.select(
         "src_id",
         "src_host",

@@ -315,6 +315,8 @@ def hll_registers(
     from ndr_import_spark.operators.dedup import md5_long
 
     gcols = list(group_cols or [])
+    df = df.where(key.isNotNull())  # a null key would register a null
+    # index row that hll_estimate counts as occupied
     h = md5_long(key)
     w_bits = 60 - p
     idx = F.shiftright(h, w_bits).alias("_idx")
@@ -348,7 +350,7 @@ def hll_estimate(
     m = 1 << p
     # single precomputed double so any replica can embed ONE literal
     # (alpha*m*m) rather than reproducing the multiply order
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
     gcols = list(group_cols or [])
     agg = registers.groupBy(*gcols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("_reg"))).alias("_s"),
@@ -358,7 +360,7 @@ def hll_estimate(
     # and counts toward the linear-counting zero set
     zeros = F.lit(m) - F.col("_nz")
     denom = F.col("_s") + zeros.cast("double")
-    raw = F.lit((0.7213 / (1.0 + 1.079 / m)) * m * m) / denom
+    raw = F.lit(alpha_m2) / denom
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),

@@ -132,7 +132,7 @@ def probe_mp3(data: bytes) -> dict:
         pos = 10 + size
     # resync: scan forward a bounded distance for the first valid header
     start = None
-    for p in range(pos, min(pos + 4096, len(data) - 4)):
+    for p in range(pos, min(pos + 4096, len(data) - 3)):
         if _mp3_frame(data, p):
             start = p
             break
@@ -331,6 +331,8 @@ def probe_mp4(data: bytes) -> dict:
     codecs: list[str] = []
 
     def walk(start, end, depth=0):
+        if depth > 32:  # hostile nesting guard: 3000 nested 'moov'
+            return      # boxes must not RecursionError a task
         for btype, body, bend in _walk_boxes(data, start, end):
             if btype == b"mvhd":
                 ver = data[body]

@@ -333,3 +333,64 @@ class TestCrawlFrontier:
             ._jdf.queryExecution().optimizedPlan().toString()
         )
         assert "_psc_salt" in plan  # reuses per_source_cap's salted top-k
+
+
+class TestExtractLinksReviewRegressions:
+    """Pins for the round-6 review findings."""
+
+    def _one(self, spark, url, html):
+        from ndr_import_spark.operators.crawl import extract_links
+
+        df = spark.createDataFrame(
+            [(1, url, html)], "doc_id long, url string, html string"
+        )
+        return extract_links(df).collect()
+
+    def test_dotdot_never_crosses_the_authority(self, spark):
+        # '../../b.html' from a depth-1 page climbs above the root; the
+        # collapse must clamp at '/' — NOT swallow the host (the old
+        # regex produced dst_host='b.html')
+        rows = self._one(
+            spark,
+            "https://example.com/a/",
+            '<a href="../../b.html">x</a>',
+        )
+        assert rows[0].dst_host == "example.com"
+        assert rows[0].dst_url == "https://example.com/b.html"
+
+    def test_data_href_attribute_not_mistaken_for_href(self, spark):
+        rows = self._one(
+            spark,
+            "https://h.ex.com/p/1",
+            '<a data-href="https://wrong.ex.com/x" href=/right>r</a>',
+        )
+        assert len(rows) == 1
+        assert rows[0].dst_url == "https://h.ex.com/right"
+
+    def test_exact_depth_dotdot_still_collapses(self, spark):
+        rows = self._one(
+            spark,
+            "https://example.com/a/b/",
+            '<a href="../../c">x</a>',
+        )
+        assert rows[0].dst_url == "https://example.com/c"
+
+
+class TestMp4NestingGuard:
+    def test_hostile_nesting_raises_mediameta_error(self):
+        import struct as _s
+
+        from ndr_import_spark.sources import mediameta as M
+
+        ftyp = _s.pack(">I", 16) + b"ftyp" + b"isom" + _s.pack(">I", 0)
+        depth = 3000
+        inner = b""
+        for _ in range(depth):
+            inner = _s.pack(">I", 8 + len(inner)) + b"moov" + inner
+        payload = ftyp + inner
+        # must return a dict or raise MediaMetaError — never RecursionError
+        try:
+            meta = M.probe_media(payload)
+            assert meta["container"] == "mp4"
+        except M.MediaMetaError:
+            pass
