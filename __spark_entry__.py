@@ -2127,6 +2127,124 @@ def _link_fixture_pages(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom filter self-evaluation
+    (operators/sketches.bloom_build/probe): build over the even-order
+    customers, probe EVERY customer, and measure the one-sided error at
+    three (m, k) sizes — the FP-rate curve a filter-sizing decision
+    needs. The md5 bit positions are engine-portable, so the oracle
+    rebuilds the identical words and the pass/FP counts hash-match
+    exactly; membership never false-negatives by construction (pinned
+    in pytest). Filter frames are ceil(m/63) BIGINT words — broadcast
+    by construction; probing shuffles nothing but the final count."""
+    from ndr_import_spark.operators.sketches import bloom_build, bloom_probe
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    build = (
+        orders.where(F.col("o_orderkey") % 2 == 0)
+        .select(F.col("o_custkey").cast("string").alias("k"))
+        .distinct()
+    )
+    probe = customer.select(
+        F.col("c_custkey").cast("string").alias("k")
+    ).distinct()
+    members = probe.join(build, "k", "left_semi")
+    n_build = build.agg(F.count(F.lit(1)).alias("n_build"))
+    n_members = members.agg(F.count(F.lit(1)).alias("n_members"))
+    parts = []
+    for m, kk in [(4096, 3), (16384, 4), (65536, 5)]:
+        bl = bloom_build(build, F.col("k"), m_bits=m, k=kk)
+        pr = bloom_probe(probe, bl, F.col("k"), m_bits=m, k=kk)
+        agg = pr.agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum(F.col("maybe_member").cast("int")).alias("n_pass"),
+        )
+        parts.append(
+            agg.crossJoin(F.broadcast(n_build))
+            .crossJoin(F.broadcast(n_members))
+            .select(
+                F.lit(m).alias("m_bits"),
+                F.lit(kk).alias("k_hashes"),
+                "n_build",
+                "n_probe",
+                "n_members",
+                "n_pass",
+                (F.col("n_pass") - F.col("n_members")).alias(
+                    "false_positives"
+                ),
+                F.round(
+                    (F.col("n_pass") - F.col("n_members")).cast("double")
+                    / (F.col("n_probe") - F.col("n_members")).cast("double"),
+                    5,
+                ).alias("fp_rate"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("m_bits")
+
+
+def _oracle_bloom_filter() -> str:
+    cfgs = [(4096, 3), (16384, 4), (65536, 5)]
+    ctes = [
+        """build AS (
+  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+  WHERE o_orderkey % 2 = 0
+), probe AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer
+), nb AS (SELECT count(*) AS n_build FROM build),
+nm AS (SELECT count(*) AS n_members FROM probe
+       WHERE k IN (SELECT k FROM build))"""
+    ]
+    selects = []
+    for m, k in cfgs:
+        jays = ", ".join(str(j) for j in range(k))
+        ctes.append(
+            f"""bpos{m} AS (
+  SELECT CAST(('0x' || substring(md5('bloom' || j || ':' || k), 1, 15))
+         AS BIGINT) % {m} AS pos
+  FROM build, unnest([{jays}]) AS t(j)
+), words{m} AS (
+  SELECT pos // 63 AS word_idx,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))
+              AS BIGINT) AS word
+  FROM bpos{m} GROUP BY pos // 63
+), ppos{m} AS (
+  SELECT k, CAST(('0x' || substring(md5('bloom' || j || ':' || k), 1, 15))
+            AS BIGINT) % {m} AS pos
+  FROM probe, unnest([{jays}]) AS t(j)
+), pass{m} AS (
+  SELECT count(*) AS n_pass, (SELECT count(*) FROM probe) AS n_probe
+  FROM (
+    SELECT p.k FROM ppos{m} p
+    LEFT JOIN words{m} w ON p.pos // 63 = w.word_idx
+    GROUP BY p.k
+    HAVING sum(CASE WHEN coalesce(w.word, 0)
+                     & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INT)) <> 0
+               THEN 1 ELSE 0 END) = {k}
+  )
+)"""
+        )
+        selects.append(
+            f"""SELECT {m} AS m_bits, {k} AS k_hashes, nb.n_build,
+  pass{m}.n_probe, nm.n_members, pass{m}.n_pass,
+  pass{m}.n_pass - nm.n_members AS false_positives,
+  round(CAST(pass{m}.n_pass - nm.n_members AS DOUBLE)
+        / CAST(pass{m}.n_probe - nm.n_members AS DOUBLE), 5) AS fp_rate
+FROM pass{m}, nb, nm"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY m_bits"
+    )
+
+
+_ORACLE_BLOOM_FILTER = _oracle_bloom_filter()
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lake-maintenance compaction planning
     (operators/layout.compaction_plan): a synthetic file inventory from
@@ -7602,6 +7720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "adpcm_audio": q_adpcm_audio,
         "media_metadata": q_media_metadata,
+        "bloom_filter": q_bloom_filter,
         "compaction_plan": q_compaction_plan,
         "crawl_frontier": q_crawl_frontier,
         "link_graph": q_link_graph,
@@ -7776,6 +7895,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _ORACLE_AUDIO_FEATURES,
         "adpcm_audio": _ORACLE_ADPCM_AUDIO,
         "media_metadata": _ORACLE_MEDIA_METADATA,
+        "bloom_filter": _ORACLE_BLOOM_FILTER,
         "compaction_plan": _ORACLE_COMPACTION_PLAN,
         "crawl_frontier": _ORACLE_CRAWL_FRONTIER,
         "link_graph": _ORACLE_LINK_GRAPH,

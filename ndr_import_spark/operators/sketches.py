@@ -370,3 +370,90 @@ def hll_estimate(
         F.round(est, 4).alias("hll_estimate"),
         zeros.alias("empty_registers"),
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    key,
+    m_bits: int = 16384,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Portable Bloom filter (Bloom 1970) over the md5 hash family:
+    each key sets `k` bit positions pos_j = md5('<salt><j>:'||key) mod m;
+    the filter materialises as (word_idx, word) BIGINT rows of 63 bits
+    each (bit 63 avoided so the words stay positive on engines whose
+    ``<<`` overflows signed at 63).
+
+    Same portability argument as KMV/HLL above: the filter a Spark job
+    builds is bit-identical to one any md5-capable engine builds, so
+    membership sets can be exchanged between systems as plain tables.
+
+    Plan shape: one map-side-combinable ``bit_or`` groupBy over
+    ceil(m/63) word rows — the filter frame is BOUNDED by m, broadcasts
+    by construction, and merges with any other filter of the same
+    (m, k, salt) by a further bit_or (union = OR is the Bloom law)."""
+    from ndr_import_spark.operators.dedup import md5_long
+
+    m = int(m_bits)
+    positions = F.array(
+        *[
+            (md5_long(F.concat(F.lit(f"{salt}{j}:"), key)) % m).alias(
+                f"_p{j}"
+            )
+            for j in range(int(k))
+        ]
+    )
+    pos = df.select(F.explode(positions).alias("_pos"))
+    return (
+        pos.select(
+            (F.col("_pos") / 63).cast("long").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 63 AS INT))")
+            .alias("_b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_b").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key,
+    id_col: str = "k",
+    m_bits: int = 16384,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """(id, maybe_member) — the standard one-sided Bloom test: True may
+    be a false positive (rate ~(1-e^{-kn/m})^k), False is certain.
+
+    The filter side joins on the word index — ceil(m/63) rows, a
+    genuine broadcast — so probing a 100 TB key column is one broadcast
+    hash join plus a combinable all-bits-present aggregate; the probe
+    column never shuffles."""
+    from ndr_import_spark.operators.dedup import md5_long
+
+    m = int(m_bits)
+    positions = F.array(
+        *[
+            (md5_long(F.concat(F.lit(f"{salt}{j}:"), key)) % m)
+            for j in range(int(k))
+        ]
+    )
+    pos = df.select(key.alias(id_col), F.explode(positions).alias("_pos"))
+    probe = pos.select(
+        id_col,
+        (F.col("_pos") / 63).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 63 AS INT))")
+        .alias("_b"),
+    )
+    joined = probe.join(F.broadcast(bloom), "word_idx", "left").select(
+        id_col,
+        (
+            F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("_b")) != 0
+        ).cast("int").alias("_hit"),
+    )
+    return joined.groupBy(id_col).agg(
+        (F.sum("_hit") == int(k)).alias("maybe_member")
+    )
