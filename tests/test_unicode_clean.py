@@ -70,3 +70,64 @@ class TestCleanUnicodeSpark:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         plan = clean_unicode(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+
+    class TestMojibakeProperties:
+        @given(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=0x20, max_codepoint=0x7E
+                ),
+                max_size=80,
+            )
+        )
+        @settings(max_examples=200, deadline=None)
+        def test_ascii_is_always_identity(self, s):
+            assert fix_mojibake(s) == (s, 0)
+
+        @given(
+            st.text(
+                alphabet="éèàçñüöß€“”’– abcdefgh",
+                min_size=1,
+                max_size=60,
+            )
+        )
+        @settings(max_examples=200, deadline=None)
+        def test_cp1252_mojibake_roundtrip_restores(self, s):
+            # corrupt: utf-8 bytes mis-decoded as cp1252 (only when the
+            # byte sequence IS cp1252-decodable — the realistic case)
+            try:
+                bad = s.encode("utf-8").decode("cp1252")
+            except UnicodeDecodeError:
+                return
+            fixed, passes = fix_mojibake(bad)
+            # the repair either fully restores the original or (when the
+            # corruption produced no marker) leaves the input unchanged
+            if passes:
+                assert fixed == s
+            else:
+                assert fixed == bad
+
+        @given(
+            st.text(
+                alphabet="éèàçñüöß abcdefgh",
+                min_size=1,
+                max_size=40,
+            )
+        )
+        @settings(max_examples=100, deadline=None)
+        def test_clean_text_is_idempotent(self, s):
+            once, _, _ = clean_text(s)
+            twice, passes2, removed2 = clean_text(once)
+            assert twice == once
+            assert removed2 == 0
