@@ -2127,6 +2127,200 @@ def _link_fixture_pages(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition for the CRAWL stack — the HTML-to-clean-text
+    pipeline in ONE lazy plan: densitometric boilerplate removal
+    (operators/boilerplate.extract_main_content) feeding the C4 cleaning
+    rules (operators/corpus.c4_clean) — nav/footer/link-farm blocks die
+    at the extraction stage, then terminal-punctuation sentence rules,
+    javascript/lorem/brace/blocklist gates and corpus-level 3-sentence
+    span dedup run over the EXTRACTED text. Deterministic pages embed
+    punctuated article paragraphs built from each doc's words plus
+    per-doc_id artifact paragraphs; the oracle chains the two stages'
+    literal SQL replicas (main_content_oracle_sql → the c4 pipeline over
+    perdoc.main_text), so every block decision AND every sentence
+    decision is hash-gated through the composition — the crawl twin of
+    training_mix."""
+    from ndr_import_spark.operators.boilerplate import extract_main_content
+    from ndr_import_spark.operators.corpus import c4_clean
+    from ndr_import_spark.operators.textstats import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    wds = tokens(F.col("text"))
+    sent = []
+    for start, ln in [(1, 2), (3, 5), (8, 5), (13, 4),
+                      (17, 5), (22, 2), (24, 5), (29, 5)]:
+        sent.append(F.array_join(F.slice(wds, start, ln), " "))
+    p1 = F.concat(
+        sent[0], F.lit(". "), sent[1], F.lit(". "),
+        sent[2], F.lit(". "), sent[3], F.lit("."),
+    )
+    p2 = F.concat(
+        sent[4], F.lit(". "), sent[5], F.lit(". "),
+        sent[6], F.lit(". "), sent[7], F.lit("."),
+    )
+    html = F.concat(
+        F.lit('<html><body><div id="nav"><a href="/">Home</a> '
+              '<a href="/tags">Tags</a></div><p>'),
+        p1,
+        F.lit("</p><p>"),
+        p2,
+        F.lit(' <a href="/next">next post.</a></p>'),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("<p>please enable javascript to continue viewing "
+                  "all of the content.</p>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("<p>subscribe to our newsletter today. follow us on "
+                  "social media channels. all rights reserved by the "
+                  "site.</p>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("<p>lorem ipsum dolor sit amet consectetur adipiscing "
+                  "elit sed do work.</p>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.lit("<p>widget config uses braces { notation } for the "
+                  "whole layout here.</p>"),
+        ).otherwise(F.lit("")),
+        F.lit('<div id="f"><a href="/c">Contact</a> '
+              '<a href="/p">Privacy</a></div></body></html>'),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    mc = extract_main_content(pages)
+    cleaned = c4_clean(
+        mc.select("doc_id", F.col("main_text").alias("text")),
+        blocklist=("stream",),
+    )
+    out = cleaned.join(
+        mc.select(
+            "doc_id", "n_blocks", F.col("n_kept").alias("n_kept_blocks")
+        ),
+        "doc_id",
+    )
+    return out.select(
+        "doc_id",
+        "n_blocks",
+        "n_kept_blocks",
+        "n_sentences",
+        "n_kept",
+        "n_span_dropped",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+def _oracle_crawl_pipeline() -> str:
+    from ndr_import_spark.operators.boilerplate import main_content_oracle_sql
+
+    pages_cte = r"""dw AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                x -> x <> '') AS wds
+  FROM documents
+), pages AS (
+  SELECT doc_id,
+    '<html><body><div id="nav"><a href="/">Home</a> '
+    || '<a href="/tags">Tags</a></div><p>'
+    || coalesce(array_to_string(wds[1:2], ' '), '') || '. '
+    || coalesce(array_to_string(wds[3:7], ' '), '') || '. '
+    || coalesce(array_to_string(wds[8:12], ' '), '') || '. '
+    || coalesce(array_to_string(wds[13:16], ' '), '') || '.'
+    || '</p><p>'
+    || coalesce(array_to_string(wds[17:21], ' '), '') || '. '
+    || coalesce(array_to_string(wds[22:23], ' '), '') || '. '
+    || coalesce(array_to_string(wds[24:28], ' '), '') || '. '
+    || coalesce(array_to_string(wds[29:33], ' '), '') || '.'
+    || ' <a href="/next">next post.</a></p>'
+    || CASE WHEN doc_id % 13 = 0
+         THEN '<p>please enable javascript to continue viewing all of the content.</p>'
+         ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+         THEN '<p>subscribe to our newsletter today. follow us on social media channels. all rights reserved by the site.</p>'
+         ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+         THEN '<p>lorem ipsum dolor sit amet consectetur adipiscing elit sed do work.</p>'
+         ELSE '' END
+    || CASE WHEN doc_id % 17 = 0
+         THEN '<p>widget config uses braces { notation } for the whole layout here.</p>'
+         ELSE '' END
+    || '<div id="f"><a href="/c">Contact</a> <a href="/p">Privacy</a></div></body></html>'
+    AS html
+  FROM dw
+)"""
+    mc = main_content_oracle_sql(pages_cte)
+    return (
+        mc
+        + r""",
+p2 AS (
+  SELECT doc_id, n_blocks, n_kept AS n_kept_blocks, lower(main_text) AS t
+  FROM perdoc
+  WHERE lower(main_text) NOT LIKE '%lorem ipsum%'
+    AND lower(main_text) NOT LIKE '%{%'
+    AND NOT regexp_matches(lower(main_text), '\b(stream)\b')
+), l AS (
+  SELECT doc_id, n_blocks, n_kept_blocks,
+         regexp_extract_all(t, '[^.!?]+[.!?]') AS ss
+  FROM p2
+), s AS (
+  SELECT doc_id, n_blocks, n_kept_blocks, CAST(u.i AS INT) AS i,
+         trim(ss[CAST(u.i AS INT) + 1]) AS s
+  FROM l, unnest(range(len(ss))) AS u(i)
+), n_raw AS (
+  SELECT doc_id, count(*) AS n_sentences FROM s GROUP BY doc_id
+), kept0 AS (
+  SELECT doc_id, i, s FROM s
+  WHERE len(list_filter(string_split_regex(s, '\s+'), x -> x <> '')) >= 3
+    AND NOT regexp_matches(s, '\bjavascript\b')
+), pre AS (
+  SELECT doc_id, count(*) AS n_kept_pre FROM kept0 GROUP BY doc_id
+), kept AS (
+  SELECT k.* FROM kept0 k JOIN pre USING (doc_id)
+  WHERE pre.n_kept_pre >= 5
+), spans AS (
+  SELECT doc_id, i AS i0,
+    lead(i, 1) OVER w AS i1, lead(i, 2) OVER w AS i2,
+    CAST(('0x' || substring(md5(
+      s || ' ' || lead(s, 1) OVER w || ' ' || lead(s, 2) OVER w
+    ), 1, 15)) AS BIGINT) AS h
+  FROM kept
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(i, 2) OVER w IS NOT NULL
+), ranked AS (
+  SELECT doc_id, i0, i1, i2, h,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, i0) AS rn,
+    count(*) OVER (PARTITION BY h) AS c
+  FROM spans
+), drops AS (
+  SELECT DISTINCT doc_id, u.i
+  FROM ranked, unnest([i0, i1, i2]) AS u(i)
+  WHERE c > 1 AND rn > 1
+), survivors AS (
+  SELECT k.doc_id, k.i, k.s FROM kept k
+  ANTI JOIN drops d ON k.doc_id = d.doc_id AND k.i = d.i
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+    md5(string_agg(s, ' ' ORDER BY i)) AS clean_md5
+  FROM survivors GROUP BY doc_id
+)
+SELECT a.doc_id, p2.n_blocks, p2.n_kept_blocks,
+  n_raw.n_sentences, a.n_kept,
+  CAST(pre.n_kept_pre - a.n_kept AS BIGINT) AS n_span_dropped,
+  a.clean_md5
+FROM agg a
+JOIN p2 USING (doc_id)
+JOIN n_raw USING (doc_id)
+JOIN pre USING (doc_id)
+ORDER BY a.doc_id"""
+    )
+
+
+_ORACLE_CRAWL_PIPELINE = _oracle_crawl_pipeline()
+
+
 def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable Bloom filter self-evaluation
     (operators/sketches.bloom_build/probe): build over the even-order
@@ -7720,6 +7914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "adpcm_audio": q_adpcm_audio,
         "media_metadata": q_media_metadata,
+        "crawl_pipeline": q_crawl_pipeline,
         "bloom_filter": q_bloom_filter,
         "compaction_plan": q_compaction_plan,
         "crawl_frontier": q_crawl_frontier,
@@ -7895,6 +8090,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _ORACLE_AUDIO_FEATURES,
         "adpcm_audio": _ORACLE_ADPCM_AUDIO,
         "media_metadata": _ORACLE_MEDIA_METADATA,
+        "crawl_pipeline": _ORACLE_CRAWL_PIPELINE,
         "bloom_filter": _ORACLE_BLOOM_FILTER,
         "compaction_plan": _ORACLE_COMPACTION_PLAN,
         "crawl_frontier": _ORACLE_CRAWL_FRONTIER,
