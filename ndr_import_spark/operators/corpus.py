@@ -1411,3 +1411,58 @@ def dsir_resample(
         "log_weight",
         "gumbel_key",
     )
+
+
+def c4_clean_stateless(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_sentence: int = 3,
+    min_sentences: int = 5,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """The per-document subset of `c4_clean` as ONE row-local select —
+    no explode, no groupBy, no window: sentence extraction into an
+    array, the >=words / javascript filters as an array `filter`, the
+    page gates as plain predicates. Because every operation is
+    within-row, this form runs UNCHANGED on a Structured Streaming
+    DataFrame in append mode (streaming/pipeline.stream_c4_filter) —
+    the corpus-level 3-sentence span dedup is the one stage that cannot
+    be stateless and stays batch-only (`c4_clean`).
+
+    Returns surviving docs: (id, n_sentences, n_kept, clean_text) —
+    identical to `c4_clean`'s output on any corpus with no repeated
+    spans (pinned by the batch-parity test)."""
+    import re as _re
+
+    low = F.lower(F.col(text_col))
+    page_bad = low.contains("lorem ipsum") | low.contains("{")
+    if blocklist:
+        pat = (
+            r"\b("
+            + "|".join(_re.escape(w.lower()) for w in blocklist)
+            + r")\b"
+        )
+        page_bad = page_bad | low.rlike(pat)
+    sents = F.expr(
+        f"transform(regexp_extract_all(lower({text_col}),"
+        f" '[^.!?]+[.!?]', 0), s -> trim(s))"
+    )
+    kept = F.filter(
+        sents,
+        lambda s: (
+            F.size(F.filter(F.split(s, r"\s+"), lambda x: x != ""))
+            >= int(min_words_per_sentence)
+        )
+        & ~s.rlike(r"\bjavascript\b"),
+    )
+    return (
+        df.where(~page_bad)
+        .select(
+            F.col(id_col).alias(id_col),
+            F.size(sents).alias("n_sentences"),
+            F.size(kept).alias("n_kept"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+        .where(F.col("n_kept") >= int(min_sentences))
+    )

@@ -7,6 +7,7 @@ from ndr_import_spark.streaming.pipeline import (
     stream_decontaminate,
     stream_records,
     stream_tables,
+    stream_c4_filter,
     stream_media_metadata,
     stream_warc_ingest,
     windowed_stats,
@@ -24,4 +25,5 @@ __all__ = [
     "stream_decontaminate",
     "stream_warc_ingest",
     "stream_media_metadata",
+    "stream_c4_filter",
 ]

@@ -582,3 +582,23 @@ def stream_media_metadata(
         F.col("content").alias("payload"),
     )
     return extract_media_metadata(payloads)
+
+
+def stream_c4_filter(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming C4 cleaning: the row-local rule subset
+    (corpus.c4_clean_stateless — sentence extraction, >=3-words and
+    javascript drops, lorem/brace/blocklist and min-sentences gates) on
+    a document stream, append mode, zero state. The corpus-level
+    3-sentence span dedup is inherently cross-document and stays in the
+    batch operator; route the stream's survivors into batch `c4_clean`
+    (or `stateful_stream_dedup` for exact dups) for that stage."""
+    from ndr_import_spark.operators.corpus import c4_clean_stateless
+
+    return c4_clean_stateless(
+        docs_stream, text_col=text_col, id_col=id_col, blocklist=blocklist
+    )

@@ -571,3 +571,57 @@ class TestStreamMediaMetadata:
             assert (s.codec, s.sample_rate, s.duration_ms, s.n_frames) == (
                 b.codec, b.sample_rate, b.duration_ms, b.n_frames
             )
+
+
+class TestStreamC4Filter:
+    def test_stateless_rules_match_batch_on_span_free_corpus(self, spark):
+        import json as _json
+        import tempfile
+
+        from ndr_import_spark.operators.corpus import (
+            c4_clean,
+            c4_clean_stateless,
+        )
+        from ndr_import_spark.streaming import stream_c4_filter
+
+        def page(i):
+            return (
+                f"alpha{i} beta gamma one. tiny. delta{i} epsilon zeta "
+                f"two. eta{i} theta iota three. kappa{i} lam mu four. "
+                f"nu{i} xi pi five."
+                + (" please enable javascript now." if i % 2 else "")
+                + (" lorem ipsum dolor." if i == 3 else "")
+            )
+
+        rows = [(i, page(i)) for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        batch_full = {tuple(r) for r in c4_clean(df).select(
+            "doc_id", "n_sentences", "n_kept", "clean_text").collect()}
+        batch_stateless = {tuple(r) for r in
+                           c4_clean_stateless(df).collect()}
+        # span-free corpus (every doc unique): full == stateless
+        assert batch_full == batch_stateless
+
+        tmp = tempfile.mkdtemp()
+        with open(f"{tmp}/docs.json", "w") as f:
+            for i, t in rows:
+                f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, text string").json(tmp)
+        )
+        out = stream_c4_filter(stream)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("c4_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM c4_stream").collect()
+        }
+        assert streamed == batch_stateless
