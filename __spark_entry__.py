@@ -2191,7 +2191,10 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
               '<a href="/p">Privacy</a></div></body></html>'),
     )
     pages = docs.select("doc_id", html.alias("html"))
-    mc = extract_main_content(pages)
+    # two consumers (c4 input + the block-count join) would each re-run
+    # the page build + block classification — checkpoint the doc-sized
+    # extraction frame once, lazily
+    mc = extract_main_content(pages).localCheckpoint(eager=False)
     cleaned = c4_clean(
         mc.select("doc_id", F.col("main_text").alias("text")),
         blocklist=("stream",),
@@ -2335,14 +2338,19 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
+    # five consumers each side (3 builds/probes + counts + the members
+    # semi-join) — checkpoint the two small distinct key sets once
     build = (
         orders.where(F.col("o_orderkey") % 2 == 0)
         .select(F.col("o_custkey").cast("string").alias("k"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    probe = customer.select(
-        F.col("c_custkey").cast("string").alias("k")
-    ).distinct()
+    probe = (
+        customer.select(F.col("c_custkey").cast("string").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     members = probe.join(build, "k", "left_semi")
     n_build = build.agg(F.count(F.lit(1)).alias("n_build"))
     n_members = members.agg(F.count(F.lit(1)).alias("n_members"))

@@ -1148,6 +1148,28 @@ def neyman_allocation(
     )
 
 
+# The C4 rule constants shared by BOTH forms (batch c4_clean and the
+# row-local c4_clean_stateless) — one definition, or the streaming twin
+# silently diverges from the batch rules.
+C4_SENTENCE_RE = "[^.!?]+[.!?]"
+C4_JS_RE = r"\bjavascript\b"
+
+
+def _c4_page_bad(low, blocklist):
+    """Page-gate predicate over an already-lowercased text Column."""
+    import re as _re
+
+    bad = low.contains("lorem ipsum") | low.contains("{")
+    if blocklist:
+        pat = (
+            r"\b("
+            + "|".join(_re.escape(w.lower()) for w in blocklist)
+            + r")\b"
+        )
+        bad = bad | low.rlike(pat)
+    return bad
+
+
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",
@@ -1183,26 +1205,16 @@ def c4_clean(
     never shuffles for the dedup decision); per-doc windows partition on
     the doc key (bounded by page size); the drop-set anti-join is an
     equi-join on (doc, sentence-idx)."""
-    import re as _re
-
     from ndr_import_spark.operators.dedup import md5_long
 
     low = F.lower(F.col(text_col))
-    page_bad = low.contains("lorem ipsum") | low.contains("{")
-    if blocklist:
-        pat = (
-            r"\b("
-            + "|".join(_re.escape(w.lower()) for w in blocklist)
-            + r")\b"
-        )
-        page_bad = page_bad | low.rlike(pat)
     pages = df.select(F.col(id_col).alias("_id"), low.alias("_t")).where(
-        ~page_bad
+        ~_c4_page_bad(low, blocklist)
     )
     sents = pages.select(
         "_id",
         F.posexplode(
-            F.expr("regexp_extract_all(_t, '[^.!?]+[.!?]', 0)")
+            F.regexp_extract_all(F.col("_t"), F.lit(C4_SENTENCE_RE), F.lit(0))
         ).alias("_i", "_s"),
     ).select("_id", "_i", F.trim("_s").alias("_s"))
     # every branch below (raw counts, kept counts, spans, survivors)
@@ -1212,8 +1224,7 @@ def c4_clean(
     n_raw = sents.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sentences"))
     wc = F.size(F.filter(F.split(F.col("_s"), r"\s+"), lambda x: x != ""))
     kept = sents.where(
-        (wc >= int(min_words_per_sentence))
-        & ~F.col("_s").rlike(r"\bjavascript\b")
+        (wc >= int(min_words_per_sentence)) & ~F.col("_s").rlike(C4_JS_RE)
     )
     pre = kept.groupBy("_id").agg(F.count(F.lit(1)).alias("n_kept_pre"))
     kept = kept.join(
@@ -1433,20 +1444,14 @@ def c4_clean_stateless(
     Returns surviving docs: (id, n_sentences, n_kept, clean_text) —
     identical to `c4_clean`'s output on any corpus with no repeated
     spans (pinned by the batch-parity test)."""
-    import re as _re
-
     low = F.lower(F.col(text_col))
-    page_bad = low.contains("lorem ipsum") | low.contains("{")
-    if blocklist:
-        pat = (
-            r"\b("
-            + "|".join(_re.escape(w.lower()) for w in blocklist)
-            + r")\b"
-        )
-        page_bad = page_bad | low.rlike(pat)
-    sents = F.expr(
-        f"transform(regexp_extract_all(lower({text_col}),"
-        f" '[^.!?]+[.!?]', 0), s -> trim(s))"
+    page_bad = _c4_page_bad(low, blocklist)
+    # pure Column construction (no f-string SQL: exotic column names
+    # would break the parser) — same rules as c4_clean via the shared
+    # constants above
+    sents = F.transform(
+        F.regexp_extract_all(low, F.lit(C4_SENTENCE_RE), F.lit(0)),
+        lambda s: F.trim(s),
     )
     kept = F.filter(
         sents,
@@ -1454,7 +1459,7 @@ def c4_clean_stateless(
             F.size(F.filter(F.split(s, r"\s+"), lambda x: x != ""))
             >= int(min_words_per_sentence)
         )
-        & ~s.rlike(r"\bjavascript\b"),
+        & ~s.rlike(C4_JS_RE),
     )
     return (
         df.where(~page_bad)

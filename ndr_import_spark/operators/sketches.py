@@ -454,6 +454,10 @@ def bloom_probe(
             F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("_b")) != 0
         ).cast("int").alias("_hit"),
     )
+    # min-of-hits, not sum==k: a duplicated probe key doubles the row
+    # count (sum 2k != k -> FALSE NEGATIVE, violating the one-sided
+    # contract) and two j-hashes colliding onto one bit would likewise
+    # miscount; 'every row hit' is duplication- and collision-proof
     return joined.groupBy(id_col).agg(
-        (F.sum("_hit") == int(k)).alias("maybe_member")
+        (F.min("_hit") == 1).alias("maybe_member")
     )

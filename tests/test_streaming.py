@@ -619,9 +619,13 @@ class TestStreamC4Filter:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120)  # a timeout must fail loudly,
+        # not let the set comparison report a misleading partial diff
         streamed = {
             tuple(r)
             for r in spark.sql("SELECT * FROM c4_stream").collect()
         }
         assert streamed == batch_stateless
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
