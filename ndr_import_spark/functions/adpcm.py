@@ -158,9 +158,9 @@ def decode_ima(
     tail = buf[nfull * block_align :]
     word = 4 * channels
     tail_len = 4 * channels + (tail.size - 4 * channels) // word * word
-    # decode the tail iff it holds the per-channel headers plus at least
-    # one whole nibble word
-    if rem and tail_len >= 4 * channels + word:
+    # decode the tail iff it holds at least the per-channel headers —
+    # a header-only tail still encodes one predictor sample per channel
+    if rem and tail_len >= 4 * channels:
         parts.append(
             _ima_decode_blocks(
                 tail[:tail_len][None, :], channels
@@ -248,7 +248,9 @@ def decode_ms(
                 coeffs,
             ).reshape(-1, channels)
         )
-    if rem > 7 * channels:
+    # >=: a header-only tail (exactly 7 bytes/ch) still encodes the two
+    # per-channel header samples (sample2, sample1)
+    if rem >= 7 * channels:
         tail = buf[nfull * block_align :]
         usable = 7 * channels + (rem - 7 * channels) // channels * channels
         parts.append(

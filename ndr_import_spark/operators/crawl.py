@@ -54,12 +54,12 @@ def canonicalize_urls(
     slash removed (except root), tracking parameters removed and the
     remaining query parameters SORTED.
 
-    Scale shape: everything except the parameter sort is a per-row
-    codegen regexp map (no shuffle). Parameter canonicalisation is
-    explode → filter → ``sort_array(collect_list)`` per URL — the one
-    grouped step, over query params only (bounded fan-out per row); URLs
-    with no surviving params skip it entirely via the left join +
-    coalesce('')."""
+    Scale shape: fully per-row — every step including the parameter
+    sort runs as codegen array expressions (``split`` → higher-order
+    ``filter`` → ``array_sort`` → ``array_join``); ZERO shuffle.
+    Duplicate ``id_col`` values are therefore harmless (each row is
+    canonicalised independently) — callers may feed raw, non-distinct
+    link streams."""
     nofrag = F.substring_index(F.col(url_col), "#", 1)
     # scheme-less inputs: protocol-relative '//host/p' gets 'http:',
     # bare 'host/p' gets 'http://' — otherwise the host/path extractors
@@ -92,24 +92,18 @@ def canonicalize_urls(
     )
     query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
 
-    parts = df.select(
+    # Per-row array pipeline — no explode/groupBy/join round-trip, so
+    # duplicate ids cannot cross-contaminate each other's params.
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    out = df.select(
         F.col(id_col).alias("_id"),
         scheme.alias("scheme"),
         host.alias("host"),
         path.alias("path"),
-        query.alias("_q"),
-    )
-    params = (
-        parts.where(F.col("_q") != "")
-        .select("_id", F.explode(F.split(F.col("_q"), "&")).alias("_p"))
-        .where((F.col("_p") != "") & ~F.col("_p").rlike(TRACKING_PARAM_RE))
-    )
-    canonq = params.groupBy("_id").agg(
-        F.array_join(F.array_sort(F.collect_list("_p")), "&").alias("query_canon")
-    )
-    out = (
-        parts.join(canonq, "_id", "left")
-        .withColumn("query_canon", F.coalesce(F.col("query_canon"), F.lit("")))
+        F.array_join(F.array_sort(kept), "&").alias("query_canon"),
     )
     url_canon = F.concat(
         F.col("scheme"),

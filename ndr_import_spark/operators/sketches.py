@@ -407,7 +407,7 @@ def bloom_build(
     pos = df.select(F.explode(positions).alias("_pos"))
     return (
         pos.select(
-            (F.col("_pos") / 63).cast("long").alias("word_idx"),
+            F.expr("_pos div 63").alias("word_idx"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 63 AS INT))")
             .alias("_b"),
         )
@@ -444,7 +444,7 @@ def bloom_probe(
     pos = df.select(key.alias(id_col), F.explode(positions).alias("_pos"))
     probe = pos.select(
         id_col,
-        (F.col("_pos") / 63).cast("long").alias("word_idx"),
+        F.expr("_pos div 63").alias("word_idx"),
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_pos % 63 AS INT))")
         .alias("_b"),
     )

@@ -227,3 +227,31 @@ class TestWavContainer:
             lo, hi = j * 17 // 8, (j + 1) * 17 // 8
             exp.append(sum(range(lo, hi)) / (hi - lo) / 32768.0)
         assert np.allclose(row.feature, exp)
+
+
+class TestHeaderOnlyTails:
+    """ADVICE r6: a truncated final block holding ONLY the per-channel
+    headers still encodes real samples — 1/ch for IMA (predictor),
+    2/ch for MS (sample2, sample1) — and must not be dropped."""
+
+    def test_ima_header_only_tail_yields_predictor_sample(self):
+        full = adpcm.ima_block(0, 0, [1] * 16)
+        tail = adpcm.ima_block(500, 0, [1] * 16)[:4]  # headers only
+        got = adpcm.decode_ima(full + tail, 1, len(full))
+        assert got.shape[0] == 17 + 1
+        assert round(got[-1, 0] * 32768) == 500
+
+    def test_ms_header_only_tail_yields_two_header_samples(self):
+        full = adpcm.ms_block(0, 16, 10, 20, [0] * 4)
+        tail = adpcm.ms_block(0, 16, -7, 300, [0] * 4)[:7]  # headers only
+        got = adpcm.decode_ms(full + tail, 1, len(full))
+        assert got.shape[0] == 6 + 2
+        assert (got[-2:, 0] * 32768).round().astype(int).tolist() == [300, -7]
+
+    def test_sub_header_tail_still_dropped(self):
+        full = adpcm.ima_block(0, 0, [1] * 16)
+        got = adpcm.decode_ima(full + b"\x01\x02", 1, len(full))
+        assert got.shape[0] == 17
+        fullms = adpcm.ms_block(0, 16, 10, 20, [0] * 4)
+        gotms = adpcm.decode_ms(fullms + b"\x01\x02\x03", 1, len(fullms))
+        assert gotms.shape[0] == 6

@@ -87,3 +87,22 @@ def test_url_dedup_keeps_min_id(spark):
     assert got["http://a.test/x?a=1&b=1"]["n_variants"] == 2
     assert got["http://a.test/x?a=1&b=1"]["kept_id"] == 3
     assert got["http://a.test/y"]["n_variants"] == 1
+
+
+def test_duplicate_ids_canonicalise_independently(spark):
+    """ADVICE r6: a URL with query params linked N times must not get its
+    params duplicated N times (the old explode/groupBy form did)."""
+    df = spark.createDataFrame(
+        [("http://ex.com/p?b=2&a=1",)] * 3, ["u"]
+    )
+    rows = canonicalize_urls(df, id_col="u", url_col="u").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.query_canon == "a=1&b=2"
+        assert r.url_canon == "http://ex.com/p?a=1&b=2"
+
+
+def test_canonicalize_plan_is_shuffle_free(spark):
+    df = spark.createDataFrame([("http://ex.com/p?b=2&a=1", 1)], ["u", "x"])
+    plan = canonicalize_urls(df, id_col="u", url_col="u")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
