@@ -4429,12 +4429,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate pairs ONLY within each cluster — pairwise work bounded
     to Σ m_c² instead of n². Integer cosine (dot²·10⁴ ≥ p²·|a|²·|b|²) so
     every pair decision is bit-reproducible; p = 25 to match the
-    corpus's LSH near-dup threshold."""
+    corpus's LSH near-dup threshold. max_cluster_size=None opts into
+    the exact uncapped form (finite cap is the r7 default)."""
     from ndr_import_spark.operators.clustering import semantic_dedup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_dedup_pairs(
-        emb, k=8, iterations=3, threshold_pct=25
+        emb, k=8, iterations=3, threshold_pct=25, max_cluster_size=None
     ).orderBy("cluster", "a_id", "b_id")
 
 

@@ -244,7 +244,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = KMEANS_SCALE,
-    max_cluster_size: int | None = None,
+    max_cluster_size: int | None = 65536,
     n_bands: int = 4,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means first, then near-duplicate
@@ -260,7 +260,10 @@ def semantic_dedup_pairs(
 
     ``max_cluster_size`` caps the worst cluster (r5 VERDICT item 4):
     Σ m_c² is only bounded if no cluster is huge, and k-means cannot
-    split a cluster of (near-)identical vectors. Clusters above the cap
+    split a cluster of (near-)identical vectors. The cap is ON BY
+    DEFAULT (r6 VERDICT item 2: the measured uncapped shape goes 12×
+    for 10× data at sf1); pass ``max_cluster_size=None`` to explicitly
+    opt into the exact-but-quadratic form. Clusters above the cap
     fall back to banded exact-match LSH on the SAME quantized lattice:
     each member gets ``n_bands`` signatures (md5 of its q-values on the
     dims ≡ b mod n_bands, in d order) and only pairs sharing a band

@@ -180,7 +180,9 @@ def test_capped_semantic_dedup_bounds_dominant_cluster(spark):
     rows.append((101, [2.0, 2.0, 2.0, 2.0]))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
-    uncapped = semantic_dedup_pairs(df, k=1, iterations=1, threshold_pct=90)
+    uncapped = semantic_dedup_pairs(
+        df, k=1, iterations=1, threshold_pct=90, max_cluster_size=None
+    )
     capped = semantic_dedup_pairs(
         df, k=1, iterations=1, threshold_pct=90, max_cluster_size=10, n_bands=2
     )
@@ -206,4 +208,27 @@ def test_capped_equals_uncapped_when_under_cap(spark):
     )
     assert sorted(map(tuple, base.collect())) == sorted(
         map(tuple, capped.collect())
+    )
+
+
+def test_semantic_dedup_cap_is_default_on(spark):
+    """r6 VERDICT item 2: the scale guard must be opt-OUT. The default
+    max_cluster_size is finite (65536) so an unread-docs caller gets the
+    bounded shape; None is the explicit uncapped escape hatch."""
+    import inspect
+
+    from ndr_import_spark.operators.clustering import semantic_dedup_pairs
+
+    sig = inspect.signature(semantic_dedup_pairs)
+    assert sig.parameters["max_cluster_size"].default == 65536
+
+    # behavioural pin: with a tiny corpus the default equals uncapped
+    rows = [(i, [float(i % 3 + 1), 2.0, 1.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    default = semantic_dedup_pairs(df, k=2, iterations=2, threshold_pct=80)
+    uncapped = semantic_dedup_pairs(
+        df, k=2, iterations=2, threshold_pct=80, max_cluster_size=None
+    )
+    assert sorted(map(tuple, default.collect())) == sorted(
+        map(tuple, uncapped.collect())
     )
