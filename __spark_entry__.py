@@ -2248,7 +2248,7 @@ def _oracle_crawl_pipeline() -> str:
          THEN '<p>lorem ipsum dolor sit amet consectetur adipiscing elit sed do work.</p>'
          ELSE '' END
     || CASE WHEN doc_id % 17 = 0
-         THEN '<p>widget config uses braces { notation } for the whole layout here.</p>'
+         THEN '<p>widget config uses braces {{ notation }} for the whole layout here.</p>'
          ELSE '' END
     || '<div id="f"><a href="/c">Contact</a> <a href="/p">Privacy</a></div></body></html>'
     AS html
@@ -5322,6 +5322,520 @@ FROM labeled GROUP BY split ORDER BY split
 """
 
 
+# dirty/clean unicode-artifact literals for the training_pipeline fixture:
+# five exclusive classes (single mojibake, double mojibake, control char,
+# NFD combining pair, zero-width space) that ALL repair to the same token
+# 'café' — so identical raw texts still collide at the dedup stage no
+# matter which artifact class their doc_id drew.
+_TP_MOJI_SINGLE = "café".encode("utf-8").decode("cp1252")  # 'cafÃ©'
+_TP_MOJI_DOUBLE = _TP_MOJI_SINGLE.encode("utf-8").decode("cp1252")
+_TP_CTL = "caf\x07é"
+_TP_NFD = "cafe\u0301"
+_TP_ZW = "caf\u200b\u00e9"
+
+
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-data capstone (r6 VERDICT item 1): the
+    whole crawl-to-batches pipeline in ONE lazy plan —
+
+      HTML pages → boilerplate extraction (operators/boilerplate)
+      → unicode hygiene (operators/unicode_clean: five artifact classes
+        per doc_id%5, every one repairing to the token 'café')
+      → C4 cleaning rules (operators/corpus.c4_clean, blocklist=())
+      → exact dedup (min-id representative)
+      → MinHash-LSH near-dup cluster drop (connected components)
+      → benchmark decontamination (3-gram overlap vs the doc_id%50==0
+        eval slice of the SAME cleaned corpus)
+      → DSIR importance FILTER (corpus.dsir_log_weights > 0 against the
+        curated src0 target domain — a threshold, not top-k, so the
+        selected set stays corpus-proportional at any scale)
+      → deterministic hash train/val/test split
+      → concat-and-chunk sequence packing per (split, shard).
+
+    Output: one row per (split, shard) with doc/pack/token counts, id
+    range and a bit_xor fingerprint of the 60-bit md5 of every surviving
+    document's cleaned text — so every stage's per-document decision is
+    value-gated through the composition. The oracle chains the LITERAL
+    per-stage SQL replicas (pages → perdoc → unicode replace → c4 → LSH
+    → recursive CC → grams → llr → split → pack) into one WITH-chain.
+
+    The WARC container step is pinned separately (warc_extract reads
+    real .warc.gz archives); this chain starts at its output schema
+    (doc_id, html). Scale shape: per-stage lazy localCheckpoints cut
+    re-execution at every multi-consumer frame; every join is equi-key
+    or broadcast (eval grams, llr table); packing windows partition by
+    (split, shard) — num_shards is the parallelism knob; nothing
+    corpus-sized ever sits in one task."""
+    from ndr_import_spark.operators.boilerplate import extract_main_content
+    from ndr_import_spark.operators.corpus import (
+        c4_clean,
+        dsir_log_weights,
+        hash_split,
+        ngram_decontaminate,
+    )
+    from ndr_import_spark.operators.dedup import (
+        connected_components,
+        drop_exact_duplicates,
+        minhash_lsh_pairs,
+    )
+    from ndr_import_spark.operators.packing import pack_sequences
+    from ndr_import_spark.operators.textstats import (
+        md5_long,
+        token_count,
+        tokens,
+    )
+    from ndr_import_spark.operators.unicode_clean import clean_unicode
+
+    docs0 = _t(spark, sf_dir, "documents")
+    # planted duplication: doc_id%74==1 re-publishes the previous doc's
+    # words with '!' sentence endings (every sentence differs from the
+    # original, so C4's corpus span-dedup keeps both intact, but dedup
+    # normalisation strips punctuation -> EXACT duplicate); %74==38
+    # re-publishes with word slices shifted one right (all sentences
+    # differ -> span-dedup no-op, shingle overlap stays high -> NEAR
+    # duplicate for the MinHash stage). Page-level verbatim copies are
+    # deliberately absent: C4 span-dedup would annihilate them before
+    # the dedup stages could see them.
+    prev = docs0.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("_src_text"),
+    )
+    is_exact_copy = F.col("doc_id") % 74 == 1
+    is_near_copy = F.col("doc_id") % 74 == 38
+    docs = docs0.join(prev, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.when(
+            is_exact_copy | is_near_copy,
+            F.coalesce(F.col("_src_text"), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+        is_exact_copy.alias("_bang"),
+        is_near_copy.alias("_shift"),
+    )
+    wds = tokens(F.col("text"))
+    off = F.when(F.col("_shift"), F.lit(1)).otherwise(F.lit(0))
+    sent = []
+    for start, ln in [(1, 2), (3, 5), (8, 5), (13, 4),
+                      (17, 5), (22, 2), (24, 5), (29, 5)]:
+        sent.append(F.array_join(F.slice(wds, off + start, F.lit(ln)), " "))
+    dirty = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" " + _TP_MOJI_SINGLE))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" " + _TP_MOJI_DOUBLE))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" " + _TP_CTL))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" " + _TP_NFD))
+        .otherwise(F.lit(" " + _TP_ZW))
+    )
+    # '!' endings for the exact-copy class, '.' otherwise
+    dot = F.when(F.col("_bang"), F.lit("!")).otherwise(F.lit("."))
+    dotsp = F.concat(dot, F.lit(" "))
+    p1 = F.concat(
+        sent[0], dotsp, sent[1], dotsp,
+        sent[2], dotsp, sent[3], dot,
+    )
+    p2 = F.concat(
+        sent[4], dotsp, sent[5], dotsp,
+        sent[6], dotsp, sent[7], dirty, dot,
+    )
+    html = F.concat(
+        F.lit('<html><body><div id="nav"><a href="/">Home</a> '
+              '<a href="/tags">Tags</a></div><p>'),
+        p1,
+        F.lit("</p><p>"),
+        p2,
+        F.lit(' <a href="/next">next post.</a></p>'),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("<p>please enable javascript to continue viewing "
+                  "all of the content.</p>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("<p>subscribe to our newsletter today. follow us on "
+                  "social media channels. all rights reserved by the "
+                  "site.</p>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("<p>lorem ipsum dolor sit amet consectetur adipiscing "
+                  "elit sed do work.</p>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.lit("<p>widget config uses braces { notation } for the "
+                  "whole layout here.</p>"),
+        ).otherwise(F.lit("")),
+        F.lit('<div id="f"><a href="/c">Contact</a> '
+              '<a href="/p">Privacy</a></div></body></html>'),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    mc = extract_main_content(pages).localCheckpoint(eager=False)
+    uc = clean_unicode(
+        mc.select("doc_id", F.col("main_text").alias("text"))
+    )
+    c4 = c4_clean(
+        uc.select("doc_id", F.col("clean_text").alias("text")),
+        blocklist=(),
+    )
+    cleaned = (
+        c4.select("doc_id", "clean_text")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    eval_set = cleaned.where(F.col("doc_id") % 50 == 0)
+    corpus = cleaned.where(F.col("doc_id") % 50 != 0)
+    kept = drop_exact_duplicates(
+        corpus, text_col="clean_text"
+    ).localCheckpoint(eager=False)
+    pairs = minhash_lsh_pairs(
+        kept, text_col="clean_text", k=16, bands=4, verify_threshold=0.5
+    )
+    comp = connected_components(pairs)
+    neardup = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept2 = kept.join(neardup, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    cont = ngram_decontaminate(kept2, eval_set, n=3, text_col="clean_text")
+    clean = kept2.join(cont, "doc_id", "left_anti").localCheckpoint(
+        eager=False
+    )
+    pool = clean.where(F.col("source") != "src0")
+    target = clean.where(F.col("source") == "src0")
+    lw = dsir_log_weights(pool, target, text_col="clean_text")
+    # importance FILTER at the pool mean: w*n > Σw is exact decimal
+    # arithmetic ((20,9)x(10,0) -> (31,9) vs the (38,9) sum — no
+    # division, so the threshold is bit-identical on any engine) and
+    # keeps a corpus-PROPORTIONAL slice at any scale, unlike top-k
+    stats = lw.agg(
+        F.sum("log_weight").alias("_sum"),
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("_n"),
+    )
+    mixed = pool.join(
+        lw.crossJoin(F.broadcast(stats))
+        .where(
+            F.col("log_weight").cast("decimal(20,9)") * F.col("_n")
+            > F.col("_sum")
+        )
+        .select("doc_id"),
+        "doc_id",
+    )
+    final = target.select("doc_id", "clean_text").unionByName(
+        mixed.select("doc_id", "clean_text")
+    )
+    split = hash_split(final, {"train": 8, "val": 1, "test": 1})
+    toks = split.select(
+        "doc_id",
+        "split",
+        token_count(F.col("clean_text")).alias("n_tok"),
+        md5_long(F.col("clean_text")).alias("_fp"),
+    )
+    packed = pack_sequences(
+        toks, "n_tok", capacity=256, num_shards=4, salt="pack",
+        partition_cols=("split",),
+    )
+    return (
+        packed.groupBy("split", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.expr("bit_xor(_fp)").alias("text_fp"),
+        )
+        .orderBy("split", "shard")
+    )
+
+
+def _oracle_training_pipeline() -> str:
+    """The chained literal-SQL replica of q_training_pipeline: every
+    stage's oracle fragment (pages -> perdoc -> unicode replace -> c4 ->
+    exact dedup -> banded MinHash + recursive CC -> 3-gram decont ->
+    DSIR llr filter -> hash split -> packing) composed into ONE
+    WITH-chain, so the driver value-gates the whole composition."""
+    from ndr_import_spark.operators.boilerplate import main_content_oracle_sql
+    from ndr_import_spark.operators.dedup import MINHASH_P, minhash_perm_consts
+
+    dirty_sp = (
+        "CASE CAST(doc_id % 5 AS INT)"
+        f" WHEN 0 THEN ' {_TP_MOJI_SINGLE}'"
+        f" WHEN 1 THEN ' {_TP_MOJI_DOUBLE}'"
+        " WHEN 2 THEN ' caf' || chr(7) || 'é'"
+        f" WHEN 3 THEN ' {_TP_NFD}'"
+        f" ELSE ' {_TP_ZW}' END"
+    )
+    dirty_tok = (
+        "CASE CAST(doc_id % 5 AS INT)"
+        f" WHEN 0 THEN '{_TP_MOJI_SINGLE}'"
+        f" WHEN 1 THEN '{_TP_MOJI_DOUBLE}'"
+        " WHEN 2 THEN 'caf' || chr(7) || 'é'"
+        f" WHEN 3 THEN '{_TP_NFD}'"
+        f" ELSE '{_TP_ZW}' END"
+    )
+
+    def sl(start: int, ln: int) -> str:
+        return (f"coalesce(array_to_string(wds[{start}+o:{start + ln - 1}+o],"
+                " ' '), '')")
+
+    pages_cte = rf"""srcpick AS (
+  SELECT d.doc_id, d.source,
+    CASE WHEN d.doc_id % 74 IN (1, 38) THEN coalesce(s.text, d.text)
+         ELSE d.text END AS text,
+    CASE WHEN d.doc_id % 74 = 38 THEN 1 ELSE 0 END AS o,
+    CASE WHEN d.doc_id % 74 = 1 THEN '!' ELSE '.' END AS dt
+  FROM documents d LEFT JOIN documents s ON s.doc_id = d.doc_id - 1
+), dw AS (
+  SELECT doc_id, source, o, dt,
+    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                x -> x <> '') AS wds
+  FROM srcpick
+), pages AS (
+  SELECT doc_id,
+    '<html><body><div id="nav"><a href="/">Home</a> '
+    || '<a href="/tags">Tags</a></div><p>'
+    || {sl(1, 2)} || dt || ' '
+    || {sl(3, 5)} || dt || ' '
+    || {sl(8, 5)} || dt || ' '
+    || {sl(13, 4)} || dt
+    || '</p><p>'
+    || {sl(17, 5)} || dt || ' '
+    || {sl(22, 2)} || dt || ' '
+    || {sl(24, 5)} || dt || ' '
+    || {sl(29, 5)} || {dirty_sp} || dt
+    || ' <a href="/next">next post.</a></p>'
+    || CASE WHEN doc_id % 13 = 0
+         THEN '<p>please enable javascript to continue viewing all of the content.</p>'
+         ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+         THEN '<p>subscribe to our newsletter today. follow us on social media channels. all rights reserved by the site.</p>'
+         ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+         THEN '<p>lorem ipsum dolor sit amet consectetur adipiscing elit sed do work.</p>'
+         ELSE '' END
+    || CASE WHEN doc_id % 17 = 0
+         THEN '<p>widget config uses braces {{ notation }} for the whole layout here.</p>'
+         ELSE '' END
+    || '<div id="f"><a href="/c">Contact</a> <a href="/p">Privacy</a></div></body></html>'
+    AS html
+  FROM dw
+)"""
+    mc = main_content_oracle_sql(pages_cte)
+    assert mc.startswith("WITH ")
+    mc = mc.replace("WITH ", "WITH RECURSIVE ", 1)
+
+    # --- stage: unicode repair (closed form: each dirty token -> 'café'),
+    #     then the c4 pipeline over the repaired text (blocklist=()) ---
+    c4_part = rf""",
+ucl AS (
+  SELECT doc_id, replace(main_text, {dirty_tok}, 'café') AS t0
+  FROM perdoc
+), p2c AS (
+  SELECT doc_id, lower(t0) AS t FROM ucl
+  WHERE lower(t0) NOT LIKE '%lorem ipsum%'
+    AND lower(t0) NOT LIKE '%{{%'
+), l AS (
+  SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]') AS ss FROM p2c
+), s AS (
+  SELECT doc_id, CAST(u.i AS INT) AS i, trim(ss[CAST(u.i AS INT) + 1]) AS s
+  FROM l, unnest(range(len(ss))) AS u(i)
+), kept0 AS (
+  SELECT doc_id, i, s FROM s
+  WHERE len(list_filter(string_split_regex(s, '\s+'), x -> x <> '')) >= 3
+    AND NOT regexp_matches(s, '\bjavascript\b')
+), pre AS (
+  SELECT doc_id, count(*) AS n_kept_pre FROM kept0 GROUP BY doc_id
+), kept AS MATERIALIZED (
+  SELECT k.* FROM kept0 k JOIN pre USING (doc_id)
+  WHERE pre.n_kept_pre >= 5
+), spans AS (
+  SELECT doc_id, i AS i0,
+    lead(i, 1) OVER w AS i1, lead(i, 2) OVER w AS i2,
+    CAST(('0x' || substring(md5(
+      s || ' ' || lead(s, 1) OVER w || ' ' || lead(s, 2) OVER w
+    ), 1, 15)) AS BIGINT) AS h
+  FROM kept
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(i, 2) OVER w IS NOT NULL
+), ranked AS (
+  SELECT doc_id, i0, i1, i2, h,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, i0) AS rn,
+    count(*) OVER (PARTITION BY h) AS c
+  FROM spans
+), spdrops AS (
+  SELECT DISTINCT doc_id, u.i
+  FROM ranked, unnest([i0, i1, i2]) AS u(i)
+  WHERE c > 1 AND rn > 1
+), survivors AS (
+  SELECT k.doc_id, k.i, k.s FROM kept k
+  ANTI JOIN spdrops d ON k.doc_id = d.doc_id AND k.i = d.i
+), cleaned AS MATERIALIZED (
+  SELECT v.doc_id, string_agg(v.s, ' ' ORDER BY v.i) AS clean_text,
+         any_value(d.source) AS source
+  FROM survivors v JOIN documents d USING (doc_id)
+  GROUP BY v.doc_id
+), ev AS (
+  SELECT * FROM cleaned WHERE doc_id % 50 = 0
+), corp AS (
+  SELECT * FROM cleaned WHERE doc_id % 50 <> 0
+)"""
+
+    # --- stage: exact dedup + banded MinHash + recursive CC over the
+    #     cleaned corpus (the training_mix recipe retargeted) ---
+    normct = "trim(regexp_replace(lower(clean_text), '[^a-z0-9]+', ' ', 'g'))"
+    sh = (f"list_distinct(list_transform(range(1, greatest(length({normct})"
+          f" - 5 + 1, 1) + 1), i -> substring({normct}, i, 5)))")
+    hs = ("list_distinct(list_transform(sh, sg -> "
+          "cast(('0x' || substring(md5(sg), 1, 15)) as bigint) "
+          f"& {(1 << 30) - 1}))")
+    consts = minhash_perm_consts(16, "mh")
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        for a, b in consts
+    )
+    band_keys = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(array_to_string("
+        f"sig[{b * 4 + 1}:{(b + 1) * 4}], ',')) AS key FROM sigs"
+        for b in range(4)
+    )
+    dedup_part = rf""",
+hx AS (
+  SELECT *, md5({normct}) AS ch FROM corp
+), keep1 AS MATERIALIZED (
+  SELECT doc_id, clean_text, source FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY ch) AS mn FROM hx
+  ) WHERE doc_id = mn
+), shingled AS (
+  SELECT doc_id, {sh} AS sh FROM keep1
+), hashed AS MATERIALIZED (
+  SELECT doc_id, sh, {hs} AS hs FROM shingled
+), sigs AS (
+  SELECT doc_id, [{sig_items}] AS sig FROM hashed
+), banded AS ({band_keys}),
+cand AS (
+  SELECT DISTINCT lb.doc_id AS id_a, rb.doc_id AS id_b
+  FROM banded lb JOIN banded rb
+    ON lb.band = rb.band AND lb.key = rb.key AND lb.doc_id < rb.doc_id
+), prs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN hashed ha ON ha.doc_id = c.id_a
+  JOIN hashed hb ON hb.doc_id = c.id_b
+  WHERE cast(len(list_intersect(ha.hs, hb.hs)) as double) /
+        len(list_distinct(list_concat(ha.hs, hb.hs))) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs
+), reach(node, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.m
+), comp AS (
+  SELECT node, min(m) AS component FROM reach GROUP BY node
+), nddrops AS (
+  SELECT node AS doc_id FROM comp WHERE node <> component
+), kept2 AS MATERIALIZED (
+  SELECT * FROM keep1
+  WHERE doc_id NOT IN (SELECT doc_id FROM nddrops)
+)"""
+
+    # --- stage: 3-gram decontamination vs the cleaned eval slice ---
+    toks_ct = ("list_filter(string_split_regex(lower(clean_text), '\s+'),"
+               " x -> x <> '')")
+    decont_part = rf""",
+evg AS MATERIALIZED (
+  SELECT DISTINCT g FROM (
+    SELECT unnest(list_transform(range(1, greatest(len({toks_ct}) - 1, 1)),
+           i -> array_to_string({toks_ct}[i:i+2], ' '))) AS g
+    FROM ev
+  )
+), contaminated AS (
+  SELECT DISTINCT k.doc_id FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, greatest(len({toks_ct}) - 1, 1)),
+             i -> array_to_string({toks_ct}[i:i+2], ' '))) AS g
+    FROM kept2
+  ) k JOIN evg USING (g)
+), cleanf AS MATERIALIZED (
+  SELECT * FROM kept2
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)"""
+
+    # --- stage: DSIR llr importance filter (pool mean threshold) ---
+    dsir_part = rf""",
+dtoks AS (
+  SELECT doc_id, source, {toks_ct} AS t FROM cleanf
+), duni AS (
+  SELECT doc_id, source, unnest(t) AS g FROM dtoks
+), dbig AS (
+  SELECT doc_id, source,
+         t[CAST(u.i AS INT)] || ' ' || t[CAST(u.i AS INT) + 1] AS g
+  FROM dtoks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+), dgrams AS (
+  SELECT * FROM duni UNION ALL SELECT * FROM dbig
+), dfb AS (
+  SELECT doc_id, source,
+    CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % 1024 AS b
+  FROM dgrams
+), rawf AS (SELECT * FROM dfb WHERE source <> 'src0'),
+tgtf AS (SELECT * FROM dfb WHERE source = 'src0'),
+dcnt AS (SELECT doc_id, b, count(*) AS c FROM rawf GROUP BY doc_id, b),
+cqd AS (SELECT b, count(*) AS cq FROM rawf GROUP BY b),
+cpd AS (SELECT b, count(*) AS cp FROM tgtf GROUP BY b),
+nn AS (SELECT (SELECT count(*) FROM rawf) AS nq,
+              (SELECT count(*) FROM tgtf) AS np),
+llr AS (
+  SELECT cqd.b,
+    CAST(round(ln(
+      CAST((coalesce(cpd.cp, 0) + 1) * (nn.nq + 1024) AS DOUBLE)
+      / CAST((cqd.cq + 1) * (nn.np + 1024) AS DOUBLE)
+    ), 9) AS DECIMAL(20,9)) AS llr
+  FROM cqd LEFT JOIN cpd USING (b) CROSS JOIN nn
+), dsc AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(c * llr) AS DECIMAL(28,9)) AS log_weight
+  FROM dcnt JOIN llr USING (b) GROUP BY doc_id
+), thr AS (
+  SELECT CAST(sum(log_weight) AS DECIMAL(38,9)) AS sw,
+         CAST(count(*) AS DECIMAL(10,0)) AS nw
+  FROM dsc
+), mixed AS (
+  SELECT doc_id FROM dsc, thr
+  WHERE CAST(log_weight AS DECIMAL(20,9)) * nw > sw
+), final AS (
+  SELECT doc_id, clean_text FROM cleanf WHERE source = 'src0'
+  UNION ALL
+  SELECT c.doc_id, c.clean_text FROM cleanf c JOIN mixed USING (doc_id)
+)"""
+
+    # --- stage: hash split + packing + the (split, shard) gate ---
+    nibs = _sql_bucket16("split")
+    pack_part = rf""",
+labeled AS (
+  SELECT doc_id, clean_text,
+    CASE WHEN ({nibs}) % 10 < 8 THEN 'train'
+         WHEN ({nibs}) % 10 < 9 THEN 'val'
+         ELSE 'test' END AS split,
+    CAST(({_sql_bucket16("pack")}) % 4 AS INT) AS shard,
+    len({toks_ct}) AS n_tok,
+    CAST(('0x' || substring(md5(clean_text), 1, 15)) AS BIGINT) AS fp
+  FROM final
+), packed AS (
+  SELECT split, shard, doc_id, n_tok, fp,
+    COALESCE(SUM(n_tok) OVER (PARTITION BY split, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM labeled
+)
+SELECT split, shard, count(*) AS n_docs,
+  CAST(count(DISTINCT cumb // 256) AS BIGINT) AS n_packs,
+  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+  min(doc_id) AS min_id, max(doc_id) AS max_id,
+  CAST(bit_xor(fp) AS BIGINT) AS text_fp
+FROM packed GROUP BY split, shard ORDER BY split, shard"""
+
+    return mc + c4_part + dedup_part + decont_part + dsir_part + pack_part
+
+
+
 def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel conversion (view → click → purchase): each stage's
     timestamp is the user's earliest qualifying event AFTER the previous
@@ -7948,6 +8462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_source_cap": q_per_source_cap,
         "skew_salted_agg": q_skew_salted_agg,
         "training_mix": q_training_mix,
+        "training_pipeline": q_training_pipeline,
         "funnel_analysis": q_funnel_analysis,
         "events_value_percentiles": q_events_value_percentiles,
         "window_analytics": q_window_analytics,
@@ -8124,6 +8639,7 @@ def oracle_sql() -> dict[str, str]:
         "per_source_cap": _ORACLE_PER_SOURCE_CAP,
         "skew_salted_agg": _ORACLE_SKEW_SALTED_AGG,
         "training_mix": _oracle_training_mix(),
+        "training_pipeline": _oracle_training_pipeline(),
         "funnel_analysis": _ORACLE_FUNNEL,
         "events_value_percentiles": _ORACLE_PERCENTILES,
         "window_analytics": _ORACLE_WINDOW_ANALYTICS,

@@ -1327,8 +1327,49 @@ def dsir_resample(
     tokens have no features and are not candidates.
 
     Returns k rows: (rank, id, log_weight, gumbel_key) by key desc."""
-    from ndr_import_spark.operators.dedup import md5_long
     from ndr_import_spark.operators.packing import md5_bucket16
+
+    scores = dsir_log_weights(
+        raw, target, text_col=text_col, id_col=id_col, buckets=buckets
+    )
+    u = (md5_bucket16(F.col("_id"), salt) + F.lit(0.5)) / F.lit(65536.0)
+    key = (
+        F.col("log_weight")
+        + F.round(-F.log(-F.log(u)), 9).cast("decimal(20,9)")
+    ).alias("gumbel_key")
+    picked = (
+        scores.select(F.col(id_col).alias("_id"), "log_weight")
+        .select("_id", "log_weight", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col("_id"))
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.col("gumbel_key").desc(), F.col("_id"))
+    return picked.select(
+        F.row_number().over(w).alias("rank"),
+        F.col("_id").alias(id_col),
+        "log_weight",
+        "gumbel_key",
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance log-weights WITHOUT the resampling step — the
+    per-document Σ c_b·llr_b score of `dsir_resample` steps 1-2 (same
+    hashing, same add-one llr, same decimal discipline), returned for
+    EVERY raw-pool document as (id, log_weight DECIMAL(28,9)).
+
+    Factored out so pipelines can importance-FILTER corpus-proportionally
+    (e.g. keep log_weight > 0: docs more target-like than pool-like) —
+    a threshold stays corpus-sized at any scale, where a fixed top-k
+    would pin the output size regardless of input volume. dsir_resample
+    composes this with the Gumbel top-k."""
+    from ndr_import_spark.operators.dedup import md5_long
     from ndr_import_spark.operators.textstats import tokens
 
     m = int(buckets)
@@ -1405,23 +1446,7 @@ def dsir_resample(
         # stays under precision 38 — a LONG count or an unbounded sum
         # makes Spark silently truncate the scale (6 resp. 8 digits)
     )
-    u = (md5_bucket16(F.col("_id"), salt) + F.lit(0.5)) / F.lit(65536.0)
-    key = (
-        F.col("log_weight")
-        + F.round(-F.log(-F.log(u)), 9).cast("decimal(20,9)")
-    ).alias("gumbel_key")
-    picked = (
-        scores.select("_id", "log_weight", key)
-        .orderBy(F.col("gumbel_key").desc(), F.col("_id"))
-        .limit(int(k))
-    )
-    w = Window.orderBy(F.col("gumbel_key").desc(), F.col("_id"))
-    return picked.select(
-        F.row_number().over(w).alias("rank"),
-        F.col("_id").alias(id_col),
-        "log_weight",
-        "gumbel_key",
-    )
+    return scores.select(F.col("_id").alias(id_col), "log_weight")
 
 
 def c4_clean_stateless(

@@ -55,6 +55,7 @@ def pack_sequences(
     capacity: int = 2048,
     num_shards: int = 16,
     salt: str = "pack",
+    partition_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each document a (shard, pack_id, pack_offset) under
     concat-and-chunk packing with `capacity` tokens per pack.
@@ -63,6 +64,11 @@ def pack_sequences(
     the document's first token lands inside its pack. A document longer
     than the remaining room spans into the next pack(s) — consumers that
     need intact documents should pre-chunk with `corpus.chunk_documents`.
+
+    `partition_cols` prepends extra keys to the packing window (e.g.
+    ``("split",)`` so train/val/test never share a pack) — one window
+    over (cols..., shard) instead of one filtered pass per value, and
+    the extra keys multiply the available parallelism.
     """
     if capacity < 1:
         raise ValueError("pack_sequences requires capacity >= 1")
@@ -70,7 +76,7 @@ def pack_sequences(
         "shard", (md5_bucket16(F.col(id_col), salt) % num_shards).cast("int")
     )
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*partition_cols, "shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
