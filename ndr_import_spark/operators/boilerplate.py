@@ -140,6 +140,73 @@ def extract_main_content(
     )
 
 
+def extract_main_content_stateless(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_link_pct: int = 25,
+) -> DataFrame:
+    """`extract_main_content` as ONE row-local select: segmentation,
+    per-block features, the keep rule and ordered reassembly all run as
+    array expressions (transform/filter/array_join) inside the row —
+    no explode, no groupBy. Because every operation is within-row, this
+    form runs UNCHANGED on a Structured Streaming DataFrame in append
+    mode (streaming/pipeline.stream_extract_main_content); block order
+    is the array order, so reassembly needs no sort.
+
+    Same output contract as the batch operator (pinned by the parity
+    test): (id, n_blocks, n_kept, main_text), one row per input page.
+
+    The split array is emitted through a one-element explode so the
+    downstream lambdas capture a real attribute — Catalyst inlines
+    single-use aliases into lambda bodies, which would re-run the
+    script/style strip + split once per block element (the
+    dedup._shingle_base pattern)."""
+    stripped = F.regexp_replace(
+        F.regexp_replace(F.col(html_col), SCRIPT_RE, " "), STYLE_RE, " "
+    )
+    base = df.select(
+        id_col,
+        F.explode(F.array(F.split(stripped, BLOCK_TAG_RE))).alias("_raws"),
+    )
+
+    def feat(raw: Column) -> Column:
+        txt = _clean_text(raw)
+        anchor = F.length(
+            F.array_join(
+                F.regexp_extract_all(raw, F.lit(ANCHOR_TEXT_RE), 1), ""
+            )
+        )
+        return F.struct(txt.alias("txt"), anchor.alias("anchor"))
+
+    blocks = F.filter(
+        F.transform(F.col("_raws"), feat),
+        lambda s: F.length(s.getField("txt")) > 0,
+    )
+    kept = F.filter(
+        blocks,
+        lambda s: (
+            F.size(F.split(s.getField("txt"), " ")) >= min_words
+        )
+        & (
+            s.getField("anchor") * 100
+            <= F.length(s.getField("txt")) * max_link_pct
+        ),
+    )
+    out = base.select(
+        id_col,
+        F.size(blocks).cast("int").alias("n_blocks"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(kept, lambda s: s.getField("txt")), " "
+        ).alias("main_text"),
+    )
+    # batch parity: a page with zero non-empty blocks produces no row
+    # there (its doc never reaches the groupBy) — match that here
+    return out.where(F.col("n_blocks") > 0)
+
+
 def main_content_oracle_sql(
     pages_cte: str,
     id_col: str = "doc_id",

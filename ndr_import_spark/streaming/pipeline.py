@@ -602,3 +602,31 @@ def stream_c4_filter(
     return c4_clean_stateless(
         docs_stream, text_col=text_col, id_col=id_col, blocklist=blocklist
     )
+
+
+def stream_extract_main_content(
+    pages_stream: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_link_pct: int = 25,
+) -> DataFrame:
+    """Streaming boilerplate removal: the row-local array form
+    (boilerplate.extract_main_content_stateless — segmentation, block
+    features, keep rule, ordered reassembly all within the row) on an
+    HTML page stream, append mode, zero state. With stream_c4_filter
+    downstream, the whole crawl front half (WARC text -> boilerplate ->
+    unicode -> C4 row-local rules) runs on a live stream; only the
+    corpus-level stages (span dedup, MinHash, decontamination) stay
+    batch."""
+    from ndr_import_spark.operators.boilerplate import (
+        extract_main_content_stateless,
+    )
+
+    return extract_main_content_stateless(
+        pages_stream,
+        html_col=html_col,
+        id_col=id_col,
+        min_words=min_words,
+        max_link_pct=max_link_pct,
+    )

@@ -629,3 +629,102 @@ class TestStreamC4Filter:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamExtractMainContent:
+    def test_stateless_matches_batch_and_streams(self, spark):
+        """r7: boilerplate extraction is per-document row-local, so the
+        array form must equal the explode+groupBy batch form value-for-
+        value, and run unchanged on a stream in append mode."""
+        import json as _json
+        import shutil
+        import tempfile
+
+        from ndr_import_spark.operators.boilerplate import (
+            extract_main_content,
+            extract_main_content_stateless,
+        )
+        from ndr_import_spark.streaming import stream_extract_main_content
+
+        def page(i):
+            return (
+                '<html><body><div id="nav"><a href="/">Home</a> '
+                '<a href="/x">X</a></div>'
+                f"<p>alpha{i} beta gamma delta epsilon zeta eta theta "
+                f"iota kappa lam mu nu number {i} here today.</p>"
+                '<p>short one.</p>'
+                f"<p>second long paragraph {i} with plenty of ordinary "
+                'words to pass the gate <a href="/in">inline link</a> '
+                "and even more filler text after it.</p>"
+                '<div id="f"><a href="/c">Contact</a></div></body></html>'
+            )
+
+        rows = [(i, page(i)) for i in range(8)] + [(99, "<p> </p>")]
+        df = spark.createDataFrame(rows, "doc_id long, html string")
+        batch = {tuple(r) for r in extract_main_content(df).collect()}
+        stateless = {
+            tuple(r) for r in extract_main_content_stateless(df).collect()
+        }
+        assert batch == stateless
+        # the degenerate no-text page drops in both forms
+        assert 99 not in {t[0] for t in batch}
+        # real pages kept nav/footer-free
+        any_row = next(t for t in batch if t[0] == 0)
+        assert "Home" not in any_row[3] and "Contact" not in any_row[3]
+        assert "alpha0" in any_row[3]
+
+        tmp = tempfile.mkdtemp()
+        with open(f"{tmp}/pages.json", "w") as f:
+            for i, h in rows:
+                f.write(_json.dumps({"doc_id": i, "html": h}) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, html string").json(tmp)
+        )
+        out = stream_extract_main_content(stream)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("mc_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        streamed = {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM mc_stream").collect()
+        }
+        assert streamed == stateless
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_stateless_matches_batch_on_crawl_fixture_pages(self, spark):
+        """Parity on the REAL fixture page shapes the capstone uses
+        (nav/footer chrome, link-bearing paragraphs, artifact
+        paragraphs) over sf0.001 documents."""
+        import __spark_entry__ as e
+        import ndr_import_spark.operators.boilerplate as bp
+
+        captured = {}
+        orig = bp.extract_main_content
+
+        def spy(df, **k):
+            captured["pages"] = df
+            return orig(df, **k)
+
+        bp.extract_main_content = spy
+        try:
+            e.q_training_pipeline(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        finally:
+            bp.extract_main_content = orig
+        pages = captured["pages"]
+        batch = {
+            tuple(r) for r in bp.extract_main_content(pages).collect()
+        }
+        stateless = {
+            tuple(r)
+            for r in bp.extract_main_content_stateless(pages).collect()
+        }
+        assert batch == stateless
+        assert len(batch) == pages.count()
