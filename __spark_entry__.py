@@ -2653,8 +2653,55 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ndr_import_spark.sources import mediameta as MD
 
     rows = []
-    for i in range(90):
+    for i in range(150):
         b = _hl.md5(f"media{i}".encode()).digest()
+        if i >= 90:
+            # r7 classes: ADTS/AAC elementary streams (even i) and
+            # Matroska/WebM EBML (odd i)
+            if i % 2 == 0:
+                payload = MD.build_adts(
+                    b[0] % 4, 3 + b[1] % 5, 1 + b[2] % 3,
+                    5 + b[0] % 9, payload_len=32,
+                )
+                kind = "audio"
+            elif b[1] % 2 == 0:
+                payload = MD.build_webm(
+                    "webm",
+                    1000.0 * (1 + b[0] % 10),
+                    [
+                        {
+                            "type": "video",
+                            "codec": "V_VP9" if b[2] % 2 else "V_VP8",
+                            "width": 320 + 16 * (b[2] % 8),
+                            "height": 240 + 16 * (b[1] % 4),
+                        },
+                        {
+                            "type": "audio",
+                            "codec": "A_OPUS",
+                            "sample_rate": 48000,
+                            "channels": 1 + (b[0] % 2),
+                        },
+                    ],
+                )
+                kind = "video"
+            else:
+                payload = MD.build_webm(
+                    "webm",
+                    500.0 * (b[2] % 12),
+                    [
+                        {
+                            "type": "audio",
+                            "codec": "A_VORBIS",
+                            "sample_rate": 44100,
+                            "channels": 2,
+                        }
+                    ],
+                )
+                kind = "audio"
+            rows.append(
+                (i, kind, None, None, None, None, bytearray(payload))
+            )
+            continue
         if i % 3 == 0:
             payload = MD.build_mp3(
                 3,
@@ -2725,7 +2772,7 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_MEDIA_METADATA = """
-WITH m AS (SELECT unnest(range(90)) AS i),
+WITH m AS (SELECT unnest(range(150)) AS i),
 d AS (SELECT i, md5('media' || i) AS hx FROM m),
 b AS (
   SELECT i,
@@ -2777,7 +2824,38 @@ SELECT
     THEN 240 + 16 * (b1 % 4) ELSE NULL END AS height,
   CASE cast(i % 3 as int) WHEN 0 THEN 'LAME3.100'
     WHEN 2 THEN 'isom' ELSE NULL END AS encoder
-FROM b ORDER BY media_id
+FROM b WHERE i < 90
+UNION ALL
+SELECT
+  i AS media_id,
+  CASE WHEN i % 2 = 0 THEN 'adts' ELSE 'webm' END AS container,
+  CASE WHEN i % 2 = 0 THEN
+    CASE cast(b0 % 4 as int) WHEN 0 THEN 'aac-main' WHEN 1 THEN 'aac-lc'
+      WHEN 2 THEN 'aac-ssr' ELSE 'aac-ltp' END
+  WHEN b1 % 2 = 0 THEN
+    (CASE WHEN b2 % 2 = 1 THEN 'V_VP9' ELSE 'V_VP8' END) || '+A_OPUS'
+  ELSE 'A_VORBIS' END AS codec,
+  CASE WHEN i % 2 = 0 THEN
+    CASE cast(3 + b1 % 5 as int) WHEN 3 THEN 48000 WHEN 4 THEN 44100
+      WHEN 5 THEN 32000 WHEN 6 THEN 24000 ELSE 22050 END
+  WHEN b1 % 2 = 0 THEN 48000 ELSE 44100 END AS sample_rate,
+  CASE WHEN i % 2 = 0 THEN 1 + (b2 % 3)
+    WHEN b1 % 2 = 0 THEN 1 + (b0 % 2) ELSE 2 END AS channels,
+  CASE WHEN i % 2 = 0 THEN
+    ((5 + b0 % 9) * 1024 * 1000.0)
+    / (CASE cast(3 + b1 % 5 as int) WHEN 3 THEN 48000 WHEN 4 THEN 44100
+         WHEN 5 THEN 32000 WHEN 6 THEN 24000 ELSE 22050 END)
+  WHEN b1 % 2 = 0 THEN 1000.0 * (1 + b0 % 10)
+  ELSE 500.0 * (b2 % 12) END AS duration_ms,
+  CASE WHEN i % 2 = 0 THEN 5 + b0 % 9 ELSE NULL END AS n_frames,
+  NULL AS declared_frames,
+  CASE WHEN i % 2 = 1 AND b1 % 2 = 0 THEN 320 + 16 * (b2 % 8)
+    ELSE NULL END AS width,
+  CASE WHEN i % 2 = 1 AND b1 % 2 = 0 THEN 240 + 16 * (b1 % 4)
+    ELSE NULL END AS height,
+  CASE WHEN i % 2 = 1 THEN 'ndr-fixture' ELSE NULL END AS encoder
+FROM b WHERE i >= 90
+ORDER BY media_id
 """
 
 

@@ -377,6 +377,225 @@ def probe_mp4(data: bytes) -> dict:
     return meta
 
 
+# ----------------------------------------------------------- ADTS/AAC
+
+# ISO/IEC 14496-3 Table 1.18 sampling_frequency_index -> Hz
+_ADTS_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+               16000, 12000, 11025, 8000, 7350]
+_ADTS_PROFILES = ["aac-main", "aac-lc", "aac-ssr", "aac-ltp"]
+
+
+def probe_adts(data: bytes) -> dict:
+    """AAC ADTS elementary stream (ISO/IEC 14496-3 §1.A.2 framing):
+    full frame walk — syncword 0xFFF + layer 00, per-frame 13-bit
+    frame_length — counting frames and pinning profile/rate/channels
+    consistency. Each AAC frame carries 1024 PCM samples per raw data
+    block; duration follows from the frame count and the Table 1.18
+    sample rate. Payload (Huffman spectral data) is deliberately not
+    decoded — same cut line as MP3/Vorbis."""
+    pos = 0
+    n_frames = 0
+    profile = rate = channels = None
+    while pos + 7 <= len(data):
+        if not (data[pos] == 0xFF and (data[pos + 1] & 0xF6) == 0xF0):
+            raise MediaMetaError(f"ADTS sync lost at {pos}")
+        p = (data[pos + 2] >> 6) & 0x3
+        sr_idx = (data[pos + 2] >> 2) & 0xF
+        if sr_idx >= len(_ADTS_RATES):
+            raise MediaMetaError(f"reserved ADTS rate index {sr_idx}")
+        ch = ((data[pos + 2] & 0x1) << 2) | (data[pos + 3] >> 6)
+        flen = (
+            ((data[pos + 3] & 0x03) << 11)
+            | (data[pos + 4] << 3)
+            | (data[pos + 5] >> 5)
+        )
+        n_blocks = (data[pos + 6] & 0x03) + 1
+        if flen < 7 or pos + flen > len(data):
+            break  # truncated tail frame: count only whole frames
+        cur = (p, _ADTS_RATES[sr_idx], ch)
+        if profile is None:
+            profile, rate, channels = cur
+        elif cur != (profile, rate, channels):
+            raise MediaMetaError("ADTS stream parameters changed mid-file")
+        n_frames += n_blocks
+        pos += flen
+    if not n_frames:
+        raise MediaMetaError("no complete ADTS frames")
+    return {
+        "container": "adts",
+        "codec": _ADTS_PROFILES[profile],
+        "sample_rate": rate,
+        "channels": channels,
+        "duration_ms": n_frames * 1024 * 1000.0 / rate,
+        "bit_rate": None,
+        "n_frames": n_frames,
+        "vbr": None,
+        "encoder": None,
+        "declared_frames": None,
+        "declared_bytes": None,
+        "width": None,
+        "height": None,
+    }
+
+
+# ------------------------------------------------------ Matroska/WebM
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool):
+    """(value, next_pos) for one EBML variable-size integer (RFC 8794
+    §4): the count of leading zero bits of the first byte gives the
+    width; element IDs keep the marker bit, sizes clear it."""
+    if pos >= len(data):
+        raise MediaMetaError("EBML vint past end")
+    first = data[pos]
+    if first == 0:
+        raise MediaMetaError("EBML vint width > 8")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(data):
+        raise MediaMetaError("EBML vint truncated")
+    val = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for b in data[pos + 1 : pos + length]:
+        val = (val << 8) | b
+    return val, pos + length
+
+
+def _ebml_walk(data: bytes, start: int, end: int):
+    pos = start
+    while pos < end:
+        eid, p = _ebml_vint(data, pos, keep_marker=True)
+        size, body = _ebml_vint(data, p, keep_marker=False)
+        if body + size > end:
+            raise MediaMetaError("EBML element overruns parent")
+        yield eid, body, body + size
+        pos = body + size
+
+
+def _ebml_uint(data: bytes, body: int, bend: int) -> int:
+    v = 0
+    for b in data[body:bend]:
+        v = (v << 8) | b
+    return v
+
+
+def _ebml_float(data: bytes, body: int, bend: int) -> float:
+    n = bend - body
+    if n == 4:
+        return struct.unpack(">f", data[body:bend])[0]
+    if n == 8:
+        return struct.unpack(">d", data[body:bend])[0]
+    raise MediaMetaError(f"EBML float of width {n}")
+
+
+# Matroska element IDs used here (public Matroska spec / RFC 9559)
+_MKV_EBML = 0x1A45DFA3
+_MKV_DOCTYPE = 0x4282
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TSSCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_WRITINGAPP = 0x5741
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACKENTRY = 0xAE
+_MKV_TRACKTYPE = 0x83
+_MKV_CODECID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_PIXELW = 0xB0
+_MKV_PIXELH = 0xBA
+_MKV_AUDIO = 0xE1
+_MKV_SAMPLEFREQ = 0xB5
+_MKV_CHANNELS = 0x9F
+
+
+def probe_webm(data: bytes) -> dict:
+    """Matroska/WebM metadata (EBML, RFC 8794 + the public Matroska
+    element registry): EBML header DocType, Segment/Info
+    TimestampScale + Duration (duration_ms = ticks x scale(ns) / 1e6),
+    Segment/Tracks codec ids, video dimensions, audio rate/channels,
+    WritingApp as the encoder string. Cluster payloads are opaque —
+    the routing layer stops at the track headers."""
+    it = _ebml_walk(data, 0, len(data))
+    try:
+        eid, body, bend = next(it)
+    except StopIteration:
+        raise MediaMetaError("empty EBML stream") from None
+    if eid != _MKV_EBML:
+        raise MediaMetaError("not an EBML/Matroska file")
+    doctype = "matroska"
+    for ceid, cbody, cbend in _ebml_walk(data, body, bend):
+        if ceid == _MKV_DOCTYPE:
+            doctype = data[cbody:cbend].decode("latin-1").rstrip("\x00")
+    meta = {
+        "container": doctype,
+        "codec": None,
+        "sample_rate": None,
+        "channels": None,
+        "duration_ms": 0.0,
+        "bit_rate": None,
+        "n_frames": None,
+        "vbr": None,
+        "encoder": None,
+        "declared_frames": None,
+        "declared_bytes": None,
+        "width": None,
+        "height": None,
+    }
+    codecs: list[str] = []
+    scale = 1_000_000  # Matroska default TimestampScale (ns per tick)
+    dur_ticks = None
+    for eid, body, bend in it:
+        if eid != _MKV_SEGMENT:
+            continue
+        for seid, sbody, sbend in _ebml_walk(data, body, bend):
+            if seid == _MKV_INFO:
+                for ieid, ibody, ibend in _ebml_walk(data, sbody, sbend):
+                    if ieid == _MKV_TSSCALE:
+                        scale = _ebml_uint(data, ibody, ibend)
+                    elif ieid == _MKV_DURATION:
+                        dur_ticks = _ebml_float(data, ibody, ibend)
+                    elif ieid == _MKV_WRITINGAPP:
+                        meta["encoder"] = (
+                            data[ibody:ibend].decode("latin-1")
+                        )
+            elif seid == _MKV_TRACKS:
+                for teid, tbody, tbend in _ebml_walk(data, sbody, sbend):
+                    if teid != _MKV_TRACKENTRY:
+                        continue
+                    for feid, fbody, fbend in _ebml_walk(
+                        data, tbody, tbend
+                    ):
+                        if feid == _MKV_CODECID:
+                            codecs.append(
+                                data[fbody:fbend].decode("latin-1")
+                            )
+                        elif feid == _MKV_VIDEO:
+                            for veid, vbody, vbend in _ebml_walk(
+                                data, fbody, fbend
+                            ):
+                                if veid == _MKV_PIXELW:
+                                    meta["width"] = _ebml_uint(
+                                        data, vbody, vbend
+                                    )
+                                elif veid == _MKV_PIXELH:
+                                    meta["height"] = _ebml_uint(
+                                        data, vbody, vbend
+                                    )
+                        elif feid == _MKV_AUDIO:
+                            for aeid, abody, abend in _ebml_walk(
+                                data, fbody, fbend
+                            ):
+                                if aeid == _MKV_SAMPLEFREQ:
+                                    meta["sample_rate"] = int(
+                                        _ebml_float(data, abody, abend)
+                                    )
+                                elif aeid == _MKV_CHANNELS:
+                                    meta["channels"] = _ebml_uint(
+                                        data, abody, abend
+                                    )
+    if dur_ticks is not None:
+        meta["duration_ms"] = dur_ticks * scale / 1_000_000.0
+    meta["codec"] = "+".join(codecs) if codecs else None
+    return meta
+
+
 # ------------------------------------------------------------- builders
 # Analytic fixture builders (the adpcm.py ms_block pattern): valid
 # containers with zero-filled payload bodies, every metadata field chosen
@@ -547,6 +766,103 @@ def build_mp4(
 
 # ------------------------------------------------------------- dispatch
 
+def build_adts(
+    profile: int,
+    sr_idx: int,
+    channels: int,
+    n_frames: int,
+    payload_len: int = 64,
+) -> bytes:
+    """One ADTS stream: `n_frames` frames of `payload_len` zero bytes
+    each (protection absent, one raw data block per frame)."""
+    out = bytearray()
+    flen = 7 + payload_len
+    for _ in range(n_frames):
+        out += bytes(
+            [
+                0xFF,
+                0xF1,  # MPEG-4, layer 00, protection absent
+                ((profile & 0x3) << 6)
+                | ((sr_idx & 0xF) << 2)
+                | ((channels >> 2) & 0x1),
+                ((channels & 0x3) << 6) | ((flen >> 11) & 0x03),
+                (flen >> 3) & 0xFF,
+                ((flen & 0x07) << 5) | 0x1F,
+                0xFC,  # buffer fullness 0x7FF, 1 raw data block
+            ]
+        )
+        out += bytes(payload_len)
+    return bytes(out)
+
+
+def _ebml_size(n: int) -> bytes:
+    """EBML size vint (1-4 bytes, marker bit set)."""
+    for length in range(1, 5):
+        if n < (1 << (7 * length)) - 1:
+            v = n | (1 << (7 * length))
+            return v.to_bytes(length, "big")
+    raise MediaMetaError("fixture element too large")
+
+
+def _ebml_el(eid: int, payload: bytes) -> bytes:
+    nid = max(1, (eid.bit_length() + 7) // 8)
+    return eid.to_bytes(nid, "big") + _ebml_size(len(payload)) + payload
+
+
+def _ebml_uint_payload(v: int) -> bytes:
+    return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+
+
+def build_webm(
+    doctype: str,
+    duration_ticks: float,
+    tracks: list[dict],
+    timestamp_scale: int = 1_000_000,
+    writing_app: str = "ndr-fixture",
+) -> bytes:
+    """One Matroska/WebM file: EBML header + Segment(Info, Tracks).
+    Each track dict: {"codec": str, "type": "video"|"audio", and
+    width/height or sample_rate/channels}. Duration is written as an
+    8-byte float so integer tick values stay exact."""
+    header = _ebml_el(
+        _MKV_EBML, _ebml_el(_MKV_DOCTYPE, doctype.encode("latin-1"))
+    )
+    info = _ebml_el(
+        _MKV_INFO,
+        _ebml_el(_MKV_TSSCALE, _ebml_uint_payload(timestamp_scale))
+        + _ebml_el(_MKV_DURATION, struct.pack(">d", duration_ticks))
+        + _ebml_el(_MKV_WRITINGAPP, writing_app.encode("latin-1")),
+    )
+    entries = b""
+    for t in tracks:
+        body = _ebml_el(
+            _MKV_TRACKTYPE,
+            _ebml_uint_payload(1 if t["type"] == "video" else 2),
+        ) + _ebml_el(_MKV_CODECID, t["codec"].encode("latin-1"))
+        if t["type"] == "video":
+            body += _ebml_el(
+                _MKV_VIDEO,
+                _ebml_el(_MKV_PIXELW, _ebml_uint_payload(t["width"]))
+                + _ebml_el(_MKV_PIXELH, _ebml_uint_payload(t["height"])),
+            )
+        else:
+            body += _ebml_el(
+                _MKV_AUDIO,
+                _ebml_el(
+                    _MKV_SAMPLEFREQ,
+                    struct.pack(">d", float(t["sample_rate"])),
+                )
+                + _ebml_el(
+                    _MKV_CHANNELS, _ebml_uint_payload(t["channels"])
+                ),
+            )
+        entries += _ebml_el(_MKV_TRACKENTRY, body)
+    segment = _ebml_el(
+        _MKV_SEGMENT, info + _ebml_el(_MKV_TRACKS, entries)
+    )
+    return header + segment
+
+
 def probe_media(data: bytes) -> dict:
     """Sniff + probe: MP3 / Ogg / MP4 metadata dict with a fixed key set
     (missing fields None). Raises MediaMetaError for other payloads —
@@ -557,8 +873,19 @@ def probe_media(data: bytes) -> dict:
     try:
         if data[:4] == b"OggS":
             return probe_ogg(data)
+        if data[:4] == b"\x1a\x45\xdf\xa3":
+            return probe_webm(data)
         if len(data) >= 12 and data[4:8] == b"ftyp":
             return probe_mp4(data)
+        if (
+            len(data) >= 2
+            and data[0] == 0xFF
+            and (data[1] & 0xF6) == 0xF0
+        ):
+            # 0xFFF sync with layer bits 00: ADTS (an MPEG audio frame
+            # header always has a non-zero layer) — must sort before
+            # the broader MP3 sync test
+            return probe_adts(data)
         if data[:3] == b"ID3" or (
             len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
         ):

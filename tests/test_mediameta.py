@@ -261,3 +261,112 @@ class TestProbeRobustness:
                     M.probe_media(bytes(data))
                 except M.MediaMetaError:
                     pass
+
+
+class TestAdts:
+    """ADTS/AAC elementary streams (ISO/IEC 14496-3 §1.A.2 framing)."""
+
+    def test_frame_walk_and_duration(self):
+        m = M.probe_media(M.build_adts(1, 4, 2, 9, payload_len=32))
+        assert m["container"] == "adts"
+        assert m["codec"] == "aac-lc"
+        assert m["sample_rate"] == 44100 and m["channels"] == 2
+        assert m["n_frames"] == 9
+        assert m["duration_ms"] == 9 * 1024 * 1000.0 / 44100
+
+    def test_profiles_and_rate_table(self):
+        for p, name in enumerate(["aac-main", "aac-lc", "aac-ssr",
+                                  "aac-ltp"]):
+            assert M.probe_media(M.build_adts(p, 3, 1, 2))["codec"] == name
+        for idx, hz in enumerate(M._ADTS_RATES):
+            m = M.probe_adts(M.build_adts(1, idx, 1, 1))
+            assert m["sample_rate"] == hz
+
+    def test_dispatch_is_layer_aware(self):
+        # ADTS (layer 00) must not be swallowed by the MP3 sync test
+        assert M.probe_media(M.build_adts(1, 4, 1, 3))["container"] == "adts"
+        assert M.probe_media(M.build_mp3(3, 3, 9, 0, 3))["container"] == "mp3"
+
+    def test_truncated_tail_frame_not_counted(self):
+        data = M.build_adts(1, 4, 1, 3, payload_len=16)
+        m = M.probe_adts(data[:-5])
+        assert m["n_frames"] == 2
+
+    def test_parameter_change_mid_stream_raises(self):
+        data = M.build_adts(1, 4, 1, 2) + M.build_adts(1, 5, 1, 1)
+        with pytest.raises(M.MediaMetaError):
+            M.probe_adts(data)
+
+    def test_reserved_rate_index_raises(self):
+        with pytest.raises(M.MediaMetaError):
+            M.probe_adts(M.build_adts(1, 14, 1, 1))
+
+
+class TestWebm:
+    """Matroska/WebM EBML walk (RFC 8794 vints + Matroska registry)."""
+
+    def test_video_plus_audio_tracks(self):
+        m = M.probe_media(M.build_webm("webm", 5000.0, [
+            {"type": "video", "codec": "V_VP9", "width": 640,
+             "height": 360},
+            {"type": "audio", "codec": "A_OPUS", "sample_rate": 48000,
+             "channels": 2},
+        ], writing_app="app1"))
+        assert m["container"] == "webm"
+        assert m["codec"] == "V_VP9+A_OPUS"
+        assert (m["width"], m["height"]) == (640, 360)
+        assert (m["sample_rate"], m["channels"]) == (48000, 2)
+        assert m["duration_ms"] == 5000.0
+        assert m["encoder"] == "app1"
+
+    def test_doctype_and_timestamp_scale(self):
+        m = M.probe_webm(M.build_webm("matroska", 7.0, [
+            {"type": "audio", "codec": "A_FLAC", "sample_rate": 96000,
+             "channels": 1},
+        ], timestamp_scale=2_000_000))
+        assert m["container"] == "matroska"
+        # 7 ticks x 2ms/tick = 14 ms
+        assert m["duration_ms"] == 14.0
+
+    def test_vint_widths_round_trip(self):
+        # payload sizes crossing the 1/2/3-byte vint boundaries
+        for n in (1, 126, 127, 128, 16382, 16383, 16384, 70000):
+            el = M._ebml_el(0x4282, b"x" * n)
+            size, body = M._ebml_vint(el, 2, keep_marker=False)
+            assert size == n
+        with pytest.raises(M.MediaMetaError):
+            M._ebml_vint(b"\x00\x80", 0, keep_marker=True)
+
+    def test_overrunning_element_raises(self):
+        good = M.build_webm("webm", 1.0, [
+            {"type": "audio", "codec": "A_OPUS", "sample_rate": 48000,
+             "channels": 1},
+        ])
+        with pytest.raises(M.MediaMetaError):
+            M.probe_webm(good[:-3])
+
+    def test_fuzz_truncation_and_bitflips(self):
+        import random
+
+        rng = random.Random(17)
+        bases = [
+            M.build_adts(1, 4, 2, 5),
+            M.build_webm("webm", 100.0, [
+                {"type": "video", "codec": "V_VP8", "width": 320,
+                 "height": 240},
+            ]),
+        ]
+        for base in bases:
+            for cut in range(0, len(base), 3):
+                try:
+                    M.probe_media(base[:cut])
+                except M.MediaMetaError:
+                    pass
+            for _ in range(150):
+                data = bytearray(base)
+                for _ in range(rng.randint(1, 4)):
+                    data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+                try:
+                    M.probe_media(bytes(data))
+                except M.MediaMetaError:
+                    pass
