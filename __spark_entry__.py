@@ -2771,6 +2771,124 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF / JFIF / ICC / GPS metadata extraction + the image-side PII
+    scrub (functions/exif.py, operators/multimodal.py): deterministic
+    JPEG fixtures with md5-derived camera strings, orientation,
+    capture timestamps, JFIF densities, ICC headers and GPS
+    degree/minute/second RATIONAL triplets on every third image. GPS
+    is surfaced as exact integer micro-degrees (all-integer formula —
+    no float degree arithmetic, so the oracle is bit-exact), and the
+    same payloads are re-probed AFTER scrub_image_metadata to pin that
+    the scrub removes GPS/EXIF/ICC while the frame header (and hence
+    the image) survives. This is the pii_scrub of the image column —
+    GPS EXIF is the PII every training-data pipeline must strip."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions.exif import build_exif_jpeg
+    from ndr_import_spark.operators.multimodal import (
+        extract_image_metadata,
+        scrub_image_metadata,
+    )
+
+    rows = []
+    for i in range(120):
+        b = _hl.md5(f"exif{i}".encode()).digest()
+        gps = None
+        if i % 3 == 0:
+            gps = (
+                "S" if b[1] % 2 else "N",
+                [(b[0] % 90, 1), (b[1] % 60, 1), (b[2] % 6000, 100)],
+                "W" if b[2] % 2 else "E",
+                [(b[1] % 180, 1), (b[2] % 60, 1), (b[0] * 37 % 6000, 100)],
+                b[0] * 53 % 900000,
+                100,
+            )
+        payload = build_exif_jpeg(
+            320 + 16 * (b[0] % 16),
+            240 + 16 * (b[1] % 8),
+            make=f"Cam{b[0] % 4}",
+            model=f"M{b[1] % 10}",
+            orientation=1 + (b[2] % 8),
+            datetime_original=(
+                f"2021:06:{10 + b[2] % 20} {10 + b[0] % 14}:00:00"
+            ),
+            gps=gps,
+            icc=(i % 4 == 0),
+            xdensity=72 + b[0] % 4,
+            ydensity=72 + b[1] % 4,
+        )
+        rows.append((i, bytearray(payload)))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(8)
+    pre = extract_image_metadata(media)
+    post = extract_image_metadata(scrub_image_metadata(media)).select(
+        "media_id",
+        F.col("width").alias("post_width"),
+        F.col("has_gps").alias("post_has_gps"),
+        F.col("make").alias("post_make"),
+        F.col("icc_size").alias("post_icc_size"),
+    )
+    return (
+        pre.join(post, "media_id")
+        .select(
+            "media_id", "fmt", "width", "height", "orientation", "make",
+            "model", "datetime_original", "jfif_xdensity",
+            "icc_colorspace", "has_gps", "lat_micro", "lon_micro",
+            "alt_cm", "post_width", "post_has_gps", "post_make",
+            "post_icc_size",
+        )
+        .orderBy("media_id")
+    )
+
+
+_ORACLE_EXIF_METADATA = """
+WITH m AS (SELECT unnest(range(120)) AS i),
+d AS (SELECT i, md5('exif' || i) AS hx FROM m),
+b AS (
+  SELECT i,
+    cast(('0x' || substring(hx, 1, 2)) as int) AS b0,
+    cast(('0x' || substring(hx, 3, 2)) as int) AS b1,
+    cast(('0x' || substring(hx, 5, 2)) as int) AS b2
+  FROM d
+)
+SELECT
+  i AS media_id,
+  'jpeg' AS fmt,
+  320 + 16 * (b0 % 16) AS width,
+  240 + 16 * (b1 % 8) AS height,
+  1 + (b2 % 8) AS orientation,
+  'Cam' || (b0 % 4) AS make,
+  'M' || (b1 % 10) AS model,
+  '2021:06:' || (10 + b2 % 20) || ' ' || (10 + b0 % 14) || ':00:00'
+    AS datetime_original,
+  72 + b0 % 4 AS jfif_xdensity,
+  CASE WHEN i % 4 = 0 THEN 'RGB' ELSE NULL END AS icc_colorspace,
+  (i % 3 = 0) AS has_gps,
+  CASE WHEN i % 3 = 0 THEN
+    (CASE WHEN b1 % 2 = 1 THEN -1 ELSE 1 END) * (
+      CAST(b0 % 90 AS BIGINT) * 1000000
+      + (CAST(b1 % 60 AS BIGINT) * 1000000) // 60
+      + (CAST(b2 % 6000 AS BIGINT) * 1000000) // 360000)
+  ELSE NULL END AS lat_micro,
+  CASE WHEN i % 3 = 0 THEN
+    (CASE WHEN b2 % 2 = 1 THEN -1 ELSE 1 END) * (
+      CAST(b1 % 180 AS BIGINT) * 1000000
+      + (CAST(b2 % 60 AS BIGINT) * 1000000) // 60
+      + (CAST((b0 * 37) % 6000 AS BIGINT) * 1000000) // 360000)
+  ELSE NULL END AS lon_micro,
+  CASE WHEN i % 3 = 0
+    THEN CAST((b0 * 53) % 900000 AS BIGINT) * 100 // 100
+  ELSE NULL END AS alt_cm,
+  320 + 16 * (b0 % 16) AS post_width,
+  FALSE AS post_has_gps,
+  CAST(NULL AS VARCHAR) AS post_make,
+  CAST(NULL AS BIGINT) AS post_icc_size
+FROM b ORDER BY media_id
+"""
+
+
 _ORACLE_MEDIA_METADATA = """
 WITH m AS (SELECT unnest(range(150)) AS i),
 d AS (SELECT i, md5('media' || i) AS hx FROM m),
@@ -8515,6 +8633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "adpcm_audio": q_adpcm_audio,
         "media_metadata": q_media_metadata,
+        "exif_metadata": q_exif_metadata,
         "crawl_pipeline": q_crawl_pipeline,
         "bloom_filter": q_bloom_filter,
         "compaction_plan": q_compaction_plan,
@@ -8692,6 +8811,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _ORACLE_AUDIO_FEATURES,
         "adpcm_audio": _ORACLE_ADPCM_AUDIO,
         "media_metadata": _ORACLE_MEDIA_METADATA,
+        "exif_metadata": _ORACLE_EXIF_METADATA,
         "crawl_pipeline": _ORACLE_CRAWL_PIPELINE,
         "bloom_filter": _ORACLE_BLOOM_FILTER,
         "compaction_plan": _ORACLE_COMPACTION_PLAN,

@@ -250,6 +250,91 @@ def extract_media_metadata(df: DataFrame, batch_hint: int = 256) -> DataFrame:
     return df.mapInPandas(run, MEDIA_META_SCHEMA)
 
 
+IMAGE_META_SCHEMA = (
+    "media_id long, fmt string, width int, height int, orientation int, "
+    "make string, model string, datetime_original string, "
+    "jfif_xdensity int, jfif_ydensity int, icc_colorspace string, "
+    "icc_size long, has_gps boolean, lat_micro long, lon_micro long, "
+    "alt_cm long"
+)
+
+
+def extract_image_metadata(df: DataFrame) -> DataFrame:
+    """EXIF / JFIF / ICC metadata scan for JPEG/TIFF payloads
+    (functions/exif.py): camera make/model, orientation, capture
+    timestamp, JFIF densities, ICC colour space, and GPS position as
+    exact integer micro-degrees (the PII every training-data pipeline
+    must find before images ship). Arrow mapInPandas, per-row
+    robustness: unparseable payloads yield fmt='unknown' with NULL
+    fields."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        from ndr_import_spark.functions.exif import (
+            ExifError,
+            extract_image_meta,
+        )
+
+        cols = [
+            "fmt", "width", "height", "orientation", "make", "model",
+            "datetime_original", "jfif_xdensity", "jfif_ydensity",
+            "icc_colorspace", "icc_size", "has_gps", "lat_micro",
+            "lon_micro", "alt_cm",
+        ]
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                try:
+                    m = extract_image_meta(bytes(payload or b""))
+                except (ExifError, ValueError, IndexError, _struct.error):
+                    m = {}
+                rows.append([m.get(c) if m else None for c in cols])
+            out = pd.DataFrame(rows, columns=cols)
+            if not len(out):
+                out = pd.DataFrame(columns=cols)
+            out.loc[out["fmt"].isna(), "fmt"] = "unknown"
+            out["has_gps"] = out["has_gps"].astype("boolean").fillna(False)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return df.mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+def scrub_image_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, payload) with APP1 (EXIF/XMP incl. GPS) and APP2 (ICC)
+    stripped from JPEG payloads (functions/exif.strip_jpeg_metadata) —
+    the image-side pii_scrub. Non-JPEG / unparseable payloads pass
+    through UNCHANGED (the scrub must never destroy data it does not
+    understand — route those to quarantine by fmt instead)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        from ndr_import_spark.functions.exif import (
+            ExifError,
+            strip_jpeg_metadata,
+        )
+
+        for pdf in batches:
+            out_payloads = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload or b"")
+                try:
+                    out_payloads.append(strip_jpeg_metadata(raw))
+                except (ExifError, _struct.error):
+                    out_payloads.append(raw)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, payload_col: out_payloads}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} long, {payload_col} binary"
+    )
+
+
 VIDEO_FEATURE_SCHEMA = (
     "media_id long, n_frames int, width int, height int, duration_ms int, "
     "feature array<double>"
