@@ -1405,10 +1405,22 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ndr_import_spark.functions.tiff import encode_tiff
     from ndr_import_spark.operators import multimodal as MM
 
+    from ndr_import_spark.functions.webp import encode_webp
+
     MM.set_image_decoder(None)  # force stdlib magic-byte dispatch
     rows = []
-    for i in range(96):
+    for i in range(112):
         b = _hl.md5(f"media{i}".encode()).digest()
+        if i >= 96:
+            # r7 seventh codec path: WebP lossless (VP8L, stream-derived
+            # prefix codes) — same lossless 4x4 grayscale contract as
+            # PNG/GIF/BMP/TIFF, so the oracle's per-byte formula holds
+            rgb = bytes(v for px in b[:16] for v in (px, px, px))
+            rows.append(
+                (i, "image", "image/webp", None, None, None,
+                 bytearray(encode_webp(4, 4, rgb)))
+            )
+            continue
         if i % 6 in (0, 3):
             w, h = 8 + b[1] % 8, 8 + b[2] % 8
             enc = encode_jpeg if i % 6 == 0 else encode_jpeg_progressive
@@ -1433,7 +1445,8 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.size(F.col("feature"))
     return (
         feats.select(
-            F.when(F.col("media_id") % 6 == 0, "jpeg")
+            F.when(F.col("media_id") >= 96, "webp")
+            .when(F.col("media_id") % 6 == 0, "jpeg")
             .when(F.col("media_id") % 6 == 1, "png")
             .when(F.col("media_id") % 6 == 2, "gif")
             .when(F.col("media_id") % 6 == 3, "prog")
@@ -1457,20 +1470,22 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_MIXED_CODECS = """
-WITH m AS (SELECT unnest(range(96)) AS i),
+WITH m AS (SELECT unnest(range(112)) AS i),
 d AS (SELECT i, md5('media' || i) AS hx FROM m),
 f AS (
   SELECT i,
-    CASE cast(i % 6 as int) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-      WHEN 2 THEN 'gif' WHEN 3 THEN 'prog' WHEN 4 THEN 'bmp'
+    CASE WHEN i >= 96 THEN 'webp'
+      WHEN i % 6 = 0 THEN 'jpeg' WHEN i % 6 = 1 THEN 'png'
+      WHEN i % 6 = 2 THEN 'gif' WHEN i % 6 = 3 THEN 'prog'
+      WHEN i % 6 = 4 THEN 'bmp'
       ELSE 'tiff' END AS codec,
-    CASE WHEN i % 6 IN (0, 3)
+    CASE WHEN i < 96 AND i % 6 IN (0, 3)
       THEN cast(8 + (cast(('0x' || substring(hx, 3, 2)) as int) % 8) as double)
       ELSE 4.0 END AS w,
-    CASE WHEN i % 6 IN (0, 3)
+    CASE WHEN i < 96 AND i % 6 IN (0, 3)
       THEN cast(8 + (cast(('0x' || substring(hx, 5, 2)) as int) % 8) as double)
       ELSE 4.0 END AS ht,
-    CASE WHEN i % 6 IN (0, 3)
+    CASE WHEN i < 96 AND i % 6 IN (0, 3)
       -- solid-gray JPEG at q100 decodes exactly — for BOTH the baseline
       -- and the progressive (SOF2) scan structure: all 16 cells equal
       THEN round(cast(('0x' || substring(hx, 1, 2)) as int) / 255.0, 6)

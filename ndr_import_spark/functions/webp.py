@@ -1,0 +1,780 @@
+"""Clean-room WebP **lossless** (VP8L) codec — stdlib-only decode (and a
+literal/run encoder for fixtures) of the most common modern crawl image
+format.
+
+Written from the PUBLIC "WebP Lossless Bitstream Specification"
+(Google, also RFC 9649 annex) — no libwebp available in this container
+and none consulted:
+
+* RIFF container: ``RIFF <size> WEBP`` with a ``VP8L`` chunk.
+* VP8L stream: signature 0x2F, then an LSB-first bit stream — 14-bit
+  width-1 / height-1, alpha hint, 3-bit version (0).
+* Up to four TRANSFORMS (predictor, colour, subtract-green,
+  colour-indexing), each inverse applied in reverse order after pixel
+  decode; predictor/colour parameters are themselves entropy-coded
+  subimages.
+* Entropy-coded ARGB image: per spec the prefix codes are STREAM-DERIVED
+  (DEFLATE-style canonical codes described by code-length codes — the
+  reason a clean-room decode is feasible where MP3/Vorbis spec-Huffman
+  tables are not): 5 prefix codes per group (green+length+cache, red,
+  blue, alpha, distance), optional colour cache (multiplier 0x1e35a7bd
+  from the spec), optional meta-prefix image, LZ77 backward references
+  with the 120-entry close-neighbourhood 2D distance mapping.
+
+The 2D distance table is GENERATED, not transcribed: the spec's list is
+exactly the offsets (x, y), y in 0..7, x in -8..8, that precede the
+current pixel in scan order, sorted by (x² + y², |x|, x<0) and truncated
+to 120 — `_DIST_MAP` below asserts the generated prefix against the
+spec's published first rows.
+
+Codes are packed DEFLATE-style (code bits most-significant-first within
+the LSB-first stream). Parity with reference libwebp output cannot be
+tested in this container (no libwebp, no real .webp fixtures); what the
+oracle gates is round-trip self-consistency plus pixel parity with the
+PNG path on identical images (tests/test_webp.py).
+
+No counterpart in the reference (publichealthengland/ndr_import has no
+image handling).
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+class WebpError(ValueError):
+    pass
+
+
+def is_webp(data: bytes) -> bool:
+    return (
+        len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+    )
+
+
+# ------------------------------------------------------------ bit I/O
+
+
+class _BitReader:
+    """LSB-first bit reader (VP8L convention)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte_i, bit_i = divmod(self.pos, 8)
+            if byte_i >= len(self.data):
+                raise WebpError("VP8L stream truncated")
+            v |= ((self.data[byte_i] >> bit_i) & 1) << i
+            self.pos += 1
+        return v
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n):
+            self.bits.append((v >> i) & 1)
+
+    def write_code(self, code: int, length: int) -> None:
+        """Huffman code bits, MSB first (DEFLATE packing)."""
+        for i in range(length - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            if b:
+                out[i >> 3] |= 1 << (i & 7)
+        return bytes(out)
+
+
+# -------------------------------------------------------- prefix codes
+
+# spec: the order in which code-length-code lengths appear
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+              14, 15)
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical scheme (shorter codes
+    first; equal lengths by ascending symbol)."""
+    pairs = sorted(
+        (ln, sym) for sym, ln in enumerate(lengths) if ln > 0
+    )
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = pairs[0][0] if pairs else 0
+    for ln, sym in pairs:
+        code <<= ln - prev_len
+        codes[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return codes
+
+
+class _PrefixCode:
+    """Decoder for one canonical prefix code (bit-by-bit tree walk,
+    code bits MSB-first)."""
+
+    def __init__(self, lengths: list[int]) -> None:
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if len(nz) == 1:
+            self.single: int | None = nz[0][1]
+            self.table: dict[tuple[int, int], int] = {}
+            return
+        self.single = None
+        self.table = {
+            (code, ln): sym
+            for sym, (code, ln) in _canonical_codes(lengths).items()
+        }
+        if not self.table:
+            raise WebpError("empty prefix code")
+        # completeness check: Kraft sum must be exactly 1
+        if sum(1 << (15 - ln) for (_c, ln) in self.table) != (1 << 15):
+            raise WebpError("prefix code lengths not complete")
+
+    @classmethod
+    def simple(cls, symbols: list[int]) -> "_PrefixCode":
+        pc = cls.__new__(cls)
+        if len(symbols) == 1:
+            pc.single = symbols[0]
+            pc.table = {}
+        else:
+            pc.single = None
+            pc.table = {(0, 1): symbols[0], (1, 1): symbols[1]}
+        return pc
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code, ln = 0, 0
+        while ln <= 15:
+            code = (code << 1) | br.read(1)
+            ln += 1
+            sym = self.table.get((code, ln))
+            if sym is not None:
+                return sym
+        raise WebpError("invalid prefix code in stream")
+
+
+def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
+    if br.read(1):  # simple code
+        num_symbols = br.read(1) + 1
+        first_8bits = br.read(1)
+        sym0 = br.read(8 if first_8bits else 1)
+        symbols = [sym0]
+        if num_symbols == 2:
+            symbols.append(br.read(8))
+        if any(s >= alphabet_size for s in symbols):
+            raise WebpError("simple-code symbol out of alphabet")
+        return _PrefixCode.simple(symbols)
+    # code lengths, themselves prefix coded
+    num_codes = 4 + br.read(4)
+    clc_lengths = [0] * 19
+    for i in range(num_codes):
+        clc_lengths[_CLC_ORDER[i]] = br.read(3)
+    clc = _PrefixCode(clc_lengths)
+    if br.read(1):  # use length / max_symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    i = 0
+    while i < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        s = clc.read(br)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev_len = s
+        elif s == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if i < alphabet_size:
+                    lengths[i] = prev_len
+                    i += 1
+        elif s == 17:
+            i += 3 + br.read(3)
+        else:  # 18: long zero run
+            i += 11 + br.read(7)
+    if i > alphabet_size:
+        raise WebpError("code lengths overflow alphabet")
+    return _PrefixCode(lengths)
+
+
+# --------------------------------------------- LZ77 prefix value coding
+
+def _lz77_value(br: _BitReader, code: int) -> int:
+    """length/distance prefix coding (spec §5.2.2): small codes are
+    direct, larger split into (offset << extra) + extra bits."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _lz77_code(value: int) -> tuple[int, int, int]:
+    """inverse of _lz77_value: value -> (code, extra_bits_value, n_extra)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    extra = v.bit_length() - 2
+    offset = (2 + ((v >> extra) & 1)) << extra
+    return (
+        2 * extra + ((v >> extra) & 1) + 2,
+        value - offset - 1,
+        extra,
+    )
+
+
+def _gen_dist_map() -> list[tuple[int, int]]:
+    """The 120 close-neighbourhood (x, y) offsets, derived by the
+    documented ordering (module docstring)."""
+    cands = []
+    for y in range(0, 9):
+        for x in range(-8, 9):
+            if y == 0 and x <= 0:
+                continue  # not strictly before the current pixel
+            cands.append((x, y))
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]),
+                              p[0] < 0, p[1]))
+    return cands[:120]
+
+
+_DIST_MAP = _gen_dist_map()
+# pin the generation against the spec's published leading rows
+assert _DIST_MAP[:12] == [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2),
+], _DIST_MAP[:12]
+
+
+def _plane_distance(dist_code: int, xsize: int) -> int:
+    if dist_code > 120:
+        return dist_code - 120
+    x, y = _DIST_MAP[dist_code - 1]
+    return max(1, y * xsize + x)
+
+
+# ----------------------------------------------------- entropy decoding
+
+_CACHE_MULT = 0x1E35A7BD  # spec colour-cache hash multiplier
+
+
+def _read_code_group(br: _BitReader, cache_size: int) -> list[_PrefixCode]:
+    return [
+        _read_prefix_code(br, 256 + 24 + cache_size),
+        _read_prefix_code(br, 256),
+        _read_prefix_code(br, 256),
+        _read_prefix_code(br, 256),
+        _read_prefix_code(br, 40),
+    ]
+
+
+def _decode_image_stream(
+    br: _BitReader, w: int, h: int, is_level0: bool
+):
+    """One VP8L image stream -> (pixels as ARGB ints row-major,
+    transforms list) — transforms only read at level 0."""
+    transforms = []
+    xsize = w
+    if is_level0:
+        seen = set()
+        while br.read(1):
+            ttype = br.read(2)
+            if ttype in seen:
+                raise WebpError("duplicate transform")
+            seen.add(ttype)
+            if ttype == 2:  # subtract-green: no data
+                transforms.append((2, None, None))
+            elif ttype in (0, 1):  # predictor / colour
+                size_bits = br.read(3) + 2
+                bw = (xsize + (1 << size_bits) - 1) >> size_bits
+                bh = (h + (1 << size_bits) - 1) >> size_bits
+                sub, _ = _decode_image_stream(br, bw, bh, False)
+                transforms.append((ttype, size_bits, sub))
+            else:  # 3: colour indexing
+                pal_size = br.read(8) + 1
+                pal, _ = _decode_image_stream(br, pal_size, 1, False)
+                # palette is delta-coded per spec
+                for i in range(1, pal_size):
+                    pal[i] = _add_pixels(pal[i], pal[i - 1])
+                transforms.append((3, pal_size, pal))
+                if pal_size <= 2:
+                    bundle = 3
+                elif pal_size <= 4:
+                    bundle = 2
+                elif pal_size <= 16:
+                    bundle = 1
+                else:
+                    bundle = 0
+                if bundle:
+                    xsize = (xsize + (1 << bundle) - 1) >> bundle
+                    transforms[-1] = (3, pal_size, (pal, bundle, w))
+
+    cache_bits = br.read(4) if br.read(1) else 0
+    if cache_bits > 11:
+        raise WebpError("colour cache too large")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if is_level0 and br.read(1):  # meta prefix codes
+        meta_bits = br.read(3) + 2
+        mw = (xsize + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta, _ = _decode_image_stream(br, mw, mh, False)
+        n_groups = max(((p >> 8) & 0xFFFF) for p in meta) + 1
+
+    groups = [_read_code_group(br, cache_size) for _ in range(n_groups)]
+
+    n = xsize * h
+    out: list[int] = []
+    while len(out) < n:
+        if meta is not None:
+            x = len(out) % xsize
+            y = len(out) // xsize
+            mp = meta[
+                (y >> meta_bits)
+                * ((xsize + (1 << meta_bits) - 1) >> meta_bits)
+                + (x >> meta_bits)
+            ]
+            g = groups[(mp >> 8) & 0xFFFF]
+        else:
+            g = groups[0]
+        s = g[0].read(br)
+        if s < 256:  # literal
+            red = g[1].read(br)
+            blue = g[2].read(br)
+            alpha = g[3].read(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out.append(px)
+        elif s < 256 + 24:  # LZ77 backward reference
+            length = _lz77_value(br, s - 256)
+            dist_code = _lz77_value(br, g[4].read(br))
+            dist = _plane_distance(dist_code, xsize)
+            if dist > len(out):
+                raise WebpError("LZ77 distance before image start")
+            for _ in range(length):
+                if len(out) >= n:
+                    raise WebpError("LZ77 copy past image end")
+                out.append(out[len(out) - dist])
+        else:  # colour cache
+            idx = s - 256 - 24
+            if idx >= cache_size:
+                raise WebpError("cache index out of range")
+            out.append(cache[idx])
+        if cache_size:
+            # every emitted pixel enters the cache, including copies
+            start = len(out) - (
+                1 if s < 256 or s >= 256 + 24 else length
+            )
+            for px in out[start:]:
+                cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+    return out, transforms
+
+
+# ------------------------------------------------- inverse transforms
+
+def _add_pixels(a: int, b: int) -> int:
+    """per-channel mod-256 add."""
+    return (
+        (((a >> 24) + (b >> 24)) & 0xFF) << 24
+        | (((a >> 16 & 0xFF) + (b >> 16 & 0xFF)) & 0xFF) << 16
+        | (((a >> 8 & 0xFF) + (b >> 8 & 0xFF)) & 0xFF) << 8
+        | (((a & 0xFF) + (b & 0xFF)) & 0xFF)
+    )
+
+
+def _avg2(a: int, b: int) -> int:
+    return (
+        (((a >> 24 & 0xFF) + (b >> 24 & 0xFF)) >> 1) << 24
+        | (((a >> 16 & 0xFF) + (b >> 16 & 0xFF)) >> 1) << 16
+        | (((a >> 8 & 0xFF) + (b >> 8 & 0xFF)) >> 1) << 8
+        | (((a & 0xFF) + (b & 0xFF)) >> 1)
+    )
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _select(l: int, t: int, tl: int) -> int:  # noqa: E741
+    p_alpha = (l >> 24 & 0xFF) + (t >> 24 & 0xFF) - (tl >> 24 & 0xFF)
+    p_red = (l >> 16 & 0xFF) + (t >> 16 & 0xFF) - (tl >> 16 & 0xFF)
+    p_green = (l >> 8 & 0xFF) + (t >> 8 & 0xFF) - (tl >> 8 & 0xFF)
+    p_blue = (l & 0xFF) + (t & 0xFF) - (tl & 0xFF)
+    pl = (
+        abs(p_alpha - (l >> 24 & 0xFF)) + abs(p_red - (l >> 16 & 0xFF))
+        + abs(p_green - (l >> 8 & 0xFF)) + abs(p_blue - (l & 0xFF))
+    )
+    pt = (
+        abs(p_alpha - (t >> 24 & 0xFF)) + abs(p_red - (t >> 16 & 0xFF))
+        + abs(p_green - (t >> 8 & 0xFF)) + abs(p_blue - (t & 0xFF))
+    )
+    return l if pl < pt else t
+
+
+def _clamp_add_sub_full(l: int, t: int, tl: int) -> int:  # noqa: E741
+    return (
+        _clamp((l >> 24 & 0xFF) + (t >> 24 & 0xFF) - (tl >> 24 & 0xFF)) << 24
+        | _clamp((l >> 16 & 0xFF) + (t >> 16 & 0xFF) - (tl >> 16 & 0xFF)) << 16
+        | _clamp((l >> 8 & 0xFF) + (t >> 8 & 0xFF) - (tl >> 8 & 0xFF)) << 8
+        | _clamp((l & 0xFF) + (t & 0xFF) - (tl & 0xFF))
+    )
+
+
+def _clamp_add_sub_half(l: int, t: int, tl: int) -> int:  # noqa: E741
+    ave = _avg2(l, t)
+
+    def ch(shift):
+        a = ave >> shift & 0xFF
+        c = tl >> shift & 0xFF
+        return _clamp(a + (a - c) // 2)
+
+    return ch(24) << 24 | ch(16) << 16 | ch(8) << 8 | ch(0)
+
+
+def _predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:  # noqa: E741
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return l
+    if mode == 2:
+        return t
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(l, tr), t)
+    if mode == 6:
+        return _avg2(l, tl)
+    if mode == 7:
+        return _avg2(l, t)
+    if mode == 8:
+        return _avg2(tl, t)
+    if mode == 9:
+        return _avg2(t, tr)
+    if mode == 10:
+        return _avg2(_avg2(l, tl), _avg2(t, tr))
+    if mode == 11:
+        return _select(l, t, tl)
+    if mode == 12:
+        return _clamp_add_sub_full(l, t, tl)
+    if mode == 13:
+        return _clamp_add_sub_half(l, t, tl)
+    raise WebpError(f"predictor mode {mode} out of range")
+
+
+def _inv_predictor(px: list[int], w: int, h: int, size_bits, sub) -> None:
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = px[i - 1]  # mode 1 (left) on the top row
+            elif x == 0:
+                pred = px[i - w]  # mode 2 (top) on the left column
+            else:
+                mode = (sub[(y >> size_bits) * bw + (x >> size_bits)]
+                        >> 8) & 0xFF
+                tr = px[i - w + 1] if x + 1 < w else px[i - w]
+                pred = _predict(mode, px[i - 1], px[i - w],
+                                px[i - w - 1], tr)
+            px[i] = _add_pixels(px[i], pred)
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: signed-int8 product >> 5 (spec §4.2)."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _inv_color_transform(px, w, h, size_bits, sub) -> None:
+    bw = (w + (1 << size_bits) - 1) >> size_bits
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            cte = sub[(y >> size_bits) * bw + (x >> size_bits)]
+            g2r = cte & 0xFF
+            g2b = (cte >> 8) & 0xFF
+            r2b = (cte >> 16) & 0xFF
+            a = px[i] >> 24 & 0xFF
+            r = px[i] >> 16 & 0xFF
+            g = px[i] >> 8 & 0xFF
+            b = px[i] & 0xFF
+            r = (r + _ct_delta(g2r, g)) & 0xFF
+            b = (b + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+            px[i] = a << 24 | r << 16 | g << 8 | b
+
+
+def _inv_subtract_green(px: list[int]) -> None:
+    for i, p in enumerate(px):
+        g = p >> 8 & 0xFF
+        r = ((p >> 16 & 0xFF) + g) & 0xFF
+        b = ((p & 0xFF) + g) & 0xFF
+        px[i] = (p & 0xFF000000) | r << 16 | (g << 8) | b
+
+
+def _inv_color_index(px, w, h, pal_info):
+    if isinstance(pal_info, tuple):
+        pal, bundle, true_w = pal_info
+        per = 1 << bundle
+        bits = 8 >> bundle
+        mask = (1 << bits) - 1
+        packed_w = (true_w + per - 1) >> bundle
+        out = []
+        for y in range(h):
+            for x in range(true_w):
+                packed = px[y * packed_w + (x >> bundle)]
+                idx = ((packed >> 8) & 0xFF) >> (bits * (x % per)) & mask
+                if idx >= len(pal):
+                    raise WebpError("palette index out of range")
+                out.append(pal[idx])
+        return out, true_w
+    pal = pal_info
+    out = []
+    for p in px:
+        idx = (p >> 8) & 0xFF
+        if idx >= len(pal):
+            raise WebpError("palette index out of range")
+        out.append(pal[idx])
+    return out, w
+
+
+# ------------------------------------------------------------- decode
+
+def decode_vp8l(stream: bytes) -> tuple[int, int, int, bytes]:
+    """VP8L stream -> (width, height, 4, RGBA bytes row-major)."""
+    if not stream or stream[0] != 0x2F:
+        raise WebpError("bad VP8L signature")
+    br = _BitReader(stream[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise WebpError("unsupported VP8L version")
+    px, transforms = _decode_image_stream(br, w, h, True)
+    cur_w = w
+    for ttype, p1, p2 in reversed(transforms):
+        if ttype == 3:
+            px, cur_w = _inv_color_index(px, cur_w, h, p2)
+        elif ttype == 2:
+            _inv_subtract_green(px)
+        elif ttype == 0:
+            _inv_predictor(px, cur_w, h, p1, p2)
+        else:
+            _inv_color_transform(px, cur_w, h, p1, p2)
+    if cur_w != w:
+        raise WebpError("width mismatch after transforms")
+    out = bytearray(w * h * 4)
+    for i, p in enumerate(px):
+        out[4 * i] = p >> 16 & 0xFF
+        out[4 * i + 1] = p >> 8 & 0xFF
+        out[4 * i + 2] = p & 0xFF
+        out[4 * i + 3] = p >> 24 & 0xFF
+    return w, h, 4, bytes(out)
+
+
+def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
+    """WebP bytes -> (width, height, channels, pixel bytes). Lossless
+    (VP8L) only; lossy VP8 needs the full DCT/bool-coder stack and is
+    honestly gated."""
+    data = bytes(data)
+    if not is_webp(data):
+        raise WebpError("not a RIFF/WEBP file")
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise WebpError("truncated WebP chunk")
+        if fourcc == b"VP8L":
+            return decode_vp8l(body)
+        if fourcc == b"VP8 ":
+            raise NotImplementedError(
+                "lossy VP8 decode (boolean coder + DCT) not implemented"
+            )
+        pos += 8 + size + (size & 1)
+    raise WebpError("no VP8L chunk found")
+
+
+# ------------------------------------------------------------- encoder
+
+def _huff_lengths(freqs: dict[int, int], max_len: int = 15) -> dict[int, int]:
+    """Code lengths via plain package-free Huffman (heap), depth-limited
+    by construction for our tiny fixture alphabets."""
+    import heapq
+
+    syms = [s for s, f in freqs.items() if f > 0]
+    if not syms:
+        raise WebpError("empty alphabet")
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    heap = [(f, sym, None, None) for sym, f in freqs.items() if f > 0]
+    heap = [(f, i, node) for i, (f, *node) in enumerate(sorted(heap))]
+    counter = len(heap)
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        f1, _, n1 = heapq.heappop(heap)
+        f2, _, n2 = heapq.heappop(heap)
+        heapq.heappush(heap, (f1 + f2, counter, (None, n1, n2)))
+        counter += 1
+    lengths: dict[int, int] = {}
+
+    def walk(node, depth):
+        sym, l, r = node  # noqa: E741
+        if sym is not None:
+            lengths[sym] = max(1, depth)
+            return
+        walk(l, depth + 1)
+        walk(r, depth + 1)
+
+    walk(heap[0][2], 0)
+    if max(lengths.values()) > max_len:
+        raise WebpError("fixture alphabet too deep")  # not reachable here
+    return lengths
+
+
+def _write_prefix_code(
+    bw: _BitWriter, lengths_by_sym: dict[int, int], alphabet_size: int
+) -> dict[int, tuple[int, int]]:
+    """Emit a prefix-code description; returns symbol -> (code, len)."""
+    syms = sorted(lengths_by_sym)
+    if len(syms) <= 2 and all(s < 256 for s in syms):
+        bw.write(1, 1)  # simple
+        bw.write(len(syms) - 1, 1)
+        bw.write(1, 1)  # first symbol in 8 bits
+        bw.write(syms[0], 8)
+        if len(syms) == 2:
+            bw.write(syms[1], 8)
+        return {
+            s: (i, 1) if len(syms) == 2 else (0, 0)
+            for i, s in enumerate(syms)
+        }
+    bw.write(0, 1)  # normal code
+    lengths = [lengths_by_sym.get(s, 0) for s in range(alphabet_size)]
+    # code-length alphabet: plain 0-15 symbols, no repeats
+    clc_freq: dict[int, int] = {}
+    for ln in lengths:
+        clc_freq[ln] = clc_freq.get(ln, 0) + 1
+    clc_lengths = _huff_lengths(clc_freq, 7)
+    # num_code_lengths must cover every used clc symbol in _CLC_ORDER
+    need = max(
+        i for i, s in enumerate(_CLC_ORDER) if s in clc_lengths
+    ) + 1
+    need = max(need, 4)
+    bw.write(need - 4, 4)
+    for i in range(need):
+        bw.write(clc_lengths.get(_CLC_ORDER[i], 0), 3)
+    bw.write(0, 1)  # no max_symbol shortcut
+    clc_codes = _canonical_codes(
+        [clc_lengths.get(s, 0) for s in range(19)]
+    )
+    for ln in lengths:
+        c, cl = clc_codes[ln]
+        bw.write_code(c, cl)
+    return _canonical_codes(lengths)
+
+
+def _write_literal_image(
+    bw: _BitWriter, argb: list[int], level0: bool
+) -> None:
+    """Emit one entropy-coded image stream holding `argb` as pure
+    literals (no cache, no LZ77, no meta) — shared by encode_webp and
+    the hand-crafted transform test streams (the sub-streams transform
+    parameters travel in)."""
+    bw.write(0, 1)  # no colour cache
+    if level0:
+        bw.write(0, 1)  # no meta prefix codes
+
+    def freq(vals):
+        f: dict[int, int] = {}
+        for v in vals:
+            f[v] = f.get(v, 0) + 1
+        return f
+
+    greens = [p >> 8 & 0xFF for p in argb]
+    reds = [p >> 16 & 0xFF for p in argb]
+    blues = [p & 0xFF for p in argb]
+    alphas = [p >> 24 & 0xFF for p in argb]
+    tables = []
+    for vals, asize in (
+        (greens, 256 + 24), (reds, 256), (blues, 256), (alphas, 256),
+    ):
+        tables.append(
+            _write_prefix_code(bw, _huff_lengths(freq(vals)), asize)
+        )
+    # distance code: unused but must be present — single-symbol simple
+    bw.write(1, 1)
+    bw.write(0, 1)  # one symbol
+    bw.write(1, 1)  # 8-bit symbol
+    bw.write(0, 8)  # symbol 0
+    gt, rt, bt, at = tables
+    for i in range(len(argb)):
+        for table, val in (
+            (gt, greens[i]), (rt, reds[i]), (bt, blues[i]),
+            (at, alphas[i]),
+        ):
+            c, ln = table[val]
+            bw.write_code(c, ln)
+
+
+def _wrap_vp8l(bw: _BitWriter) -> bytes:
+    stream = b"\x2f" + bw.bytes()
+    riff_size = 4 + 8 + len(stream) + (len(stream) & 1)
+    out = (
+        b"RIFF" + struct.pack("<I", riff_size) + b"WEBP"
+        + b"VP8L" + struct.pack("<I", len(stream)) + stream
+    )
+    if len(stream) & 1:
+        out += b"\x00"
+    return out
+
+
+def encode_webp(width: int, height: int, rgb: bytes) -> bytes:
+    """(width, height, RGB bytes) -> lossless WebP (VP8L, literals only,
+    no transforms, no cache) — the fixture encoder; decode_webp is the
+    general path."""
+    if len(rgb) != width * height * 3:
+        raise WebpError("rgb length must be width*height*3")
+    bw = _BitWriter()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms (the transform-present flag)
+    argb = [
+        0xFF000000
+        | rgb[3 * i] << 16
+        | rgb[3 * i + 1] << 8
+        | rgb[3 * i + 2]
+        for i in range(width * height)
+    ]
+    _write_literal_image(bw, argb, level0=True)
+    return _wrap_vp8l(bw)
+
+
+def webp_image_decoder(data: bytes) -> tuple[int, int, list[float]]:
+    """`set_image_decoder`-shaped decoder over real WebP bytes."""
+    from ndr_import_spark.functions.png import grid_features
+
+    w, h, ch, px = decode_webp(data)
+    return w, h, grid_features(w, h, ch, px)

@@ -109,10 +109,13 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
         from ndr_import_spark.functions.jpeg import is_jpeg, jpeg_image_decoder
         from ndr_import_spark.functions.png import is_png, png_image_decoder
         from ndr_import_spark.functions.tiff import is_tiff, tiff_image_decoder
+        from ndr_import_spark.functions.webp import is_webp, webp_image_decoder
 
         raw = bytes(payload)
         if is_png(raw):
             return png_image_decoder(raw)
+        if is_webp(raw):
+            return webp_image_decoder(raw)
         if is_jpeg(raw):
             return jpeg_image_decoder(raw)
         if is_gif(raw):
@@ -122,7 +125,7 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
         if is_tiff(raw):
             return tiff_image_decoder(raw)
         raise NotImplementedError(
-            "Non-PNG/JPEG/GIF/BMP/TIFF media needs an injected decoder; use "
+            "Non-PNG/WebP/JPEG/GIF/BMP/TIFF media needs an injected decoder; use "
             "multimodal.set_image_decoder (deterministic_fake_decoder "
             "available for tests)"
         )
@@ -586,9 +589,12 @@ def _decode_raw(data: bytes):
     from ndr_import_spark.functions.jpeg import decode_jpeg, is_jpeg
     from ndr_import_spark.functions.png import decode_png, is_png
     from ndr_import_spark.functions.tiff import decode_tiff, is_tiff
+    from ndr_import_spark.functions.webp import decode_webp, is_webp
 
     if is_png(data):
         return decode_png(data)
+    if is_webp(data):
+        return decode_webp(data)
     if is_jpeg(data):
         return decode_jpeg(data)
     if is_gif(data):
@@ -598,7 +604,8 @@ def _decode_raw(data: bytes):
     if is_tiff(data):
         return decode_tiff(data)
     raise NotImplementedError(
-        "perceptual hashing requires PNG, baseline-JPEG, GIF, BMP or TIFF "
+        "perceptual hashing requires PNG, WebP-lossless, baseline-JPEG, GIF, "
+        "BMP or TIFF "
         "payloads (stdlib codecs)"
     )
 
