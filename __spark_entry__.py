@@ -2020,7 +2020,57 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_ORACLE_C4_CLEAN = r"""
+def _c4_span_chain_sql(src: str) -> str:
+    """The ONE literal DuckDB transcription of c4_clean's sentence rules
+    + corpus-level 3-sentence span dedup, parameterized by the source
+    CTE (columns: doc_id, t). Shared by every c4-bearing oracle
+    (c4_clean, crawl_pipeline, training_pipeline) so the replica of
+    operators/corpus.c4_clean has a single source of truth — r7 review
+    found the three hand-maintained copies had already drifted on a
+    fixture literal. Produces CTEs l/s/n_raw/kept0/pre/kept/spans/
+    ranked/c4spdrops/survivors; callers aggregate `survivors` and may
+    join n_raw/pre."""
+    return rf""", l AS (
+  SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]') AS ss FROM {src}
+), s AS (
+  SELECT doc_id, CAST(u.i AS INT) AS i, trim(ss[CAST(u.i AS INT) + 1]) AS s
+  FROM l, unnest(range(len(ss))) AS u(i)
+), n_raw AS (
+  SELECT doc_id, count(*) AS n_sentences FROM s GROUP BY doc_id
+), kept0 AS (
+  SELECT doc_id, i, s FROM s
+  WHERE len(list_filter(string_split_regex(s, '\s+'), x -> x <> '')) >= 3
+    AND NOT regexp_matches(s, '\bjavascript\b')
+), pre AS (
+  SELECT doc_id, count(*) AS n_kept_pre FROM kept0 GROUP BY doc_id
+), kept AS MATERIALIZED (
+  SELECT k.* FROM kept0 k JOIN pre USING (doc_id)
+  WHERE pre.n_kept_pre >= 5
+), spans AS (
+  SELECT doc_id, i AS i0,
+    lead(i, 1) OVER w AS i1, lead(i, 2) OVER w AS i2,
+    CAST(('0x' || substring(md5(
+      s || ' ' || lead(s, 1) OVER w || ' ' || lead(s, 2) OVER w
+    ), 1, 15)) AS BIGINT) AS h
+  FROM kept
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+  QUALIFY lead(i, 2) OVER w IS NOT NULL
+), ranked AS (
+  SELECT doc_id, i0, i1, i2, h,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, i0) AS rn,
+    count(*) OVER (PARTITION BY h) AS c
+  FROM spans
+), c4spdrops AS (
+  SELECT DISTINCT doc_id, u.i
+  FROM ranked, unnest([i0, i1, i2]) AS u(i)
+  WHERE c > 1 AND rn > 1
+), survivors AS (
+  SELECT k.doc_id, k.i, k.s FROM kept k
+  ANTI JOIN c4spdrops d ON k.doc_id = d.doc_id AND k.i = d.i
+)"""
+
+
+_ORACLE_C4_CLEAN = (r"""
 WITH d AS (
   SELECT doc_id,
     list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -2052,44 +2102,7 @@ WITH d AS (
   SELECT doc_id, t FROM pg
   WHERE t NOT LIKE '%lorem ipsum%' AND t NOT LIKE '%{%'
     AND NOT regexp_matches(t, '\b(stream)\b')
-), l AS (
-  SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]') AS ss FROM p2
-), s AS (
-  SELECT doc_id, CAST(u.i AS INT) AS i, trim(ss[CAST(u.i AS INT) + 1]) AS s
-  FROM l, unnest(range(len(ss))) AS u(i)
-), n_raw AS (
-  SELECT doc_id, count(*) AS n_sentences FROM s GROUP BY doc_id
-), kept0 AS (
-  SELECT doc_id, i, s FROM s
-  WHERE len(list_filter(string_split_regex(s, '\s+'), x -> x <> '')) >= 3
-    AND NOT regexp_matches(s, '\bjavascript\b')
-), pre AS (
-  SELECT doc_id, count(*) AS n_kept_pre FROM kept0 GROUP BY doc_id
-), kept AS (
-  SELECT k.* FROM kept0 k JOIN pre USING (doc_id)
-  WHERE pre.n_kept_pre >= 5
-), spans AS (
-  SELECT doc_id, i AS i0,
-    lead(i, 1) OVER w AS i1, lead(i, 2) OVER w AS i2,
-    CAST(('0x' || substring(md5(
-      s || ' ' || lead(s, 1) OVER w || ' ' || lead(s, 2) OVER w
-    ), 1, 15)) AS BIGINT) AS h
-  FROM kept
-  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-  QUALIFY lead(i, 2) OVER w IS NOT NULL
-), ranked AS (
-  SELECT doc_id, i0, i1, i2, h,
-    row_number() OVER (PARTITION BY h ORDER BY doc_id, i0) AS rn,
-    count(*) OVER (PARTITION BY h) AS c
-  FROM spans
-), drops AS (
-  SELECT DISTINCT doc_id, u.i
-  FROM ranked, unnest([i0, i1, i2]) AS u(i)
-  WHERE c > 1 AND rn > 1
-), survivors AS (
-  SELECT k.doc_id, k.i, k.s FROM kept k
-  ANTI JOIN drops d ON k.doc_id = d.doc_id AND k.i = d.i
-), agg AS (
+)""" + _c4_span_chain_sql("p2") + r""", agg AS (
   SELECT doc_id, count(*) AS n_kept,
     md5(string_agg(s, ' ' ORDER BY i)) AS clean_md5
   FROM survivors GROUP BY doc_id
@@ -2099,7 +2112,7 @@ SELECT a.doc_id, n_raw.n_sentences, a.n_kept,
   a.clean_md5
 FROM agg a JOIN n_raw USING (doc_id) JOIN pre USING (doc_id)
 ORDER BY a.doc_id
-"""
+""")
 
 
 def _link_fixture_pages(docs: DataFrame) -> DataFrame:
@@ -2263,7 +2276,7 @@ def _oracle_crawl_pipeline() -> str:
          THEN '<p>lorem ipsum dolor sit amet consectetur adipiscing elit sed do work.</p>'
          ELSE '' END
     || CASE WHEN doc_id % 17 = 0
-         THEN '<p>widget config uses braces {{ notation }} for the whole layout here.</p>'
+         THEN '<p>widget config uses braces { notation } for the whole layout here.</p>'
          ELSE '' END
     || '<div id="f"><a href="/c">Contact</a> <a href="/p">Privacy</a></div></body></html>'
     AS html
@@ -2279,47 +2292,9 @@ p2 AS (
   WHERE lower(main_text) NOT LIKE '%lorem ipsum%'
     AND lower(main_text) NOT LIKE '%{%'
     AND NOT regexp_matches(lower(main_text), '\b(stream)\b')
-), l AS (
-  SELECT doc_id, n_blocks, n_kept_blocks,
-         regexp_extract_all(t, '[^.!?]+[.!?]') AS ss
-  FROM p2
-), s AS (
-  SELECT doc_id, n_blocks, n_kept_blocks, CAST(u.i AS INT) AS i,
-         trim(ss[CAST(u.i AS INT) + 1]) AS s
-  FROM l, unnest(range(len(ss))) AS u(i)
-), n_raw AS (
-  SELECT doc_id, count(*) AS n_sentences FROM s GROUP BY doc_id
-), kept0 AS (
-  SELECT doc_id, i, s FROM s
-  WHERE len(list_filter(string_split_regex(s, '\s+'), x -> x <> '')) >= 3
-    AND NOT regexp_matches(s, '\bjavascript\b')
-), pre AS (
-  SELECT doc_id, count(*) AS n_kept_pre FROM kept0 GROUP BY doc_id
-), kept AS (
-  SELECT k.* FROM kept0 k JOIN pre USING (doc_id)
-  WHERE pre.n_kept_pre >= 5
-), spans AS (
-  SELECT doc_id, i AS i0,
-    lead(i, 1) OVER w AS i1, lead(i, 2) OVER w AS i2,
-    CAST(('0x' || substring(md5(
-      s || ' ' || lead(s, 1) OVER w || ' ' || lead(s, 2) OVER w
-    ), 1, 15)) AS BIGINT) AS h
-  FROM kept
-  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-  QUALIFY lead(i, 2) OVER w IS NOT NULL
-), ranked AS (
-  SELECT doc_id, i0, i1, i2, h,
-    row_number() OVER (PARTITION BY h ORDER BY doc_id, i0) AS rn,
-    count(*) OVER (PARTITION BY h) AS c
-  FROM spans
-), drops AS (
-  SELECT DISTINCT doc_id, u.i
-  FROM ranked, unnest([i0, i1, i2]) AS u(i)
-  WHERE c > 1 AND rn > 1
-), survivors AS (
-  SELECT k.doc_id, k.i, k.s FROM kept k
-  ANTI JOIN drops d ON k.doc_id = d.doc_id AND k.i = d.i
-), agg AS (
+)"""
+        + _c4_span_chain_sql("p2")
+        + r""", agg AS (
   SELECT doc_id, count(*) AS n_kept,
     md5(string_agg(s, ' ' ORDER BY i)) AS clean_md5
   FROM survivors GROUP BY doc_id
@@ -5845,42 +5820,9 @@ ucl AS (
   SELECT doc_id, lower(t0) AS t FROM ucl
   WHERE lower(t0) NOT LIKE '%lorem ipsum%'
     AND lower(t0) NOT LIKE '%{{%'
-), l AS (
-  SELECT doc_id, regexp_extract_all(t, '[^.!?]+[.!?]') AS ss FROM p2c
-), s AS (
-  SELECT doc_id, CAST(u.i AS INT) AS i, trim(ss[CAST(u.i AS INT) + 1]) AS s
-  FROM l, unnest(range(len(ss))) AS u(i)
-), kept0 AS (
-  SELECT doc_id, i, s FROM s
-  WHERE len(list_filter(string_split_regex(s, '\s+'), x -> x <> '')) >= 3
-    AND NOT regexp_matches(s, '\bjavascript\b')
-), pre AS (
-  SELECT doc_id, count(*) AS n_kept_pre FROM kept0 GROUP BY doc_id
-), kept AS MATERIALIZED (
-  SELECT k.* FROM kept0 k JOIN pre USING (doc_id)
-  WHERE pre.n_kept_pre >= 5
-), spans AS (
-  SELECT doc_id, i AS i0,
-    lead(i, 1) OVER w AS i1, lead(i, 2) OVER w AS i2,
-    CAST(('0x' || substring(md5(
-      s || ' ' || lead(s, 1) OVER w || ' ' || lead(s, 2) OVER w
-    ), 1, 15)) AS BIGINT) AS h
-  FROM kept
-  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
-  QUALIFY lead(i, 2) OVER w IS NOT NULL
-), ranked AS (
-  SELECT doc_id, i0, i1, i2, h,
-    row_number() OVER (PARTITION BY h ORDER BY doc_id, i0) AS rn,
-    count(*) OVER (PARTITION BY h) AS c
-  FROM spans
-), spdrops AS (
-  SELECT DISTINCT doc_id, u.i
-  FROM ranked, unnest([i0, i1, i2]) AS u(i)
-  WHERE c > 1 AND rn > 1
-), survivors AS (
-  SELECT k.doc_id, k.i, k.s FROM kept k
-  ANTI JOIN spdrops d ON k.doc_id = d.doc_id AND k.i = d.i
-), cleaned AS MATERIALIZED (
+)"""
+    c4_part += _c4_span_chain_sql("p2c")
+    c4_part += rf""", cleaned AS MATERIALIZED (
   SELECT v.doc_id, string_agg(v.s, ' ' ORDER BY v.i) AS clean_text,
          any_value(d.source) AS source
   FROM survivors v JOIN documents d USING (doc_id)

@@ -106,7 +106,9 @@ def micro_degrees(
     (dn, dd), (mn, md), (sn, sd) = dms[:3]
     if not (dd and md and sd):
         return None
-    sign = -1 if ref in neg_refs else 1
+    # NB: membership, not substring — '' in "SW" is True in Python, and
+    # a missing hemisphere ref must default to positive, not negated
+    sign = -1 if (ref and ref in neg_refs) else 1
     return sign * (
         dn * 1_000_000 // dd
         + mn * 1_000_000 // (md * 60)

@@ -285,7 +285,9 @@ def _decode_image_stream(
     br: _BitReader, w: int, h: int, is_level0: bool
 ):
     """One VP8L image stream -> (pixels as ARGB ints row-major,
-    transforms list) — transforms only read at level 0."""
+    transforms list, coded xsize) — transforms only read at level 0;
+    the coded xsize differs from `w` when a bundled colour-indexing
+    transform packed multiple pixels per coded pixel."""
     transforms = []
     xsize = w
     if is_level0:
@@ -301,11 +303,11 @@ def _decode_image_stream(
                 size_bits = br.read(3) + 2
                 bw = (xsize + (1 << size_bits) - 1) >> size_bits
                 bh = (h + (1 << size_bits) - 1) >> size_bits
-                sub, _ = _decode_image_stream(br, bw, bh, False)
+                sub, _, _ = _decode_image_stream(br, bw, bh, False)
                 transforms.append((ttype, size_bits, sub))
             else:  # 3: colour indexing
                 pal_size = br.read(8) + 1
-                pal, _ = _decode_image_stream(br, pal_size, 1, False)
+                pal, _, _ = _decode_image_stream(br, pal_size, 1, False)
                 # palette is delta-coded per spec
                 for i in range(1, pal_size):
                     pal[i] = _add_pixels(pal[i], pal[i - 1])
@@ -335,7 +337,7 @@ def _decode_image_stream(
         meta_bits = br.read(3) + 2
         mw = (xsize + (1 << meta_bits) - 1) >> meta_bits
         mh = (h + (1 << meta_bits) - 1) >> meta_bits
-        meta, _ = _decode_image_stream(br, mw, mh, False)
+        meta, _, _ = _decode_image_stream(br, mw, mh, False)
         n_groups = max(((p >> 8) & 0xFFFF) for p in meta) + 1
 
     groups = [_read_code_group(br, cache_size) for _ in range(n_groups)]
@@ -383,7 +385,7 @@ def _decode_image_stream(
             )
             for px in out[start:]:
                 cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
-    return out, transforms
+    return out, transforms, xsize
 
 
 # ------------------------------------------------- inverse transforms
@@ -442,7 +444,11 @@ def _clamp_add_sub_half(l: int, t: int, tl: int) -> int:  # noqa: E741
     def ch(shift):
         a = ave >> shift & 0xFF
         c = tl >> shift & 0xFF
-        return _clamp(a + (a - c) // 2)
+        d = a - c
+        # C-style truncation toward zero (the spec's (a-c)/2), NOT
+        # Python floor division — they differ on negative odd deltas
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        return _clamp(a + half)
 
     return ch(24) << 24 | ch(16) << 16 | ch(8) << 8 | ch(0)
 
@@ -493,7 +499,11 @@ def _inv_predictor(px: list[int], w: int, h: int, size_bits, sub) -> None:
             else:
                 mode = (sub[(y >> size_bits) * bw + (x >> size_bits)]
                         >> 8) & 0xFF
-                tr = px[i - w + 1] if x + 1 < w else px[i - w]
+                # TR addresses the 1D scan-order buffer: for the
+                # rightmost column i-w+1 wraps to the CURRENT row's
+                # first (already decoded) pixel — the spec's contiguous
+                # addressing, not a border special case
+                tr = px[i - w + 1]
                 pred = _predict(mode, px[i - 1], px[i - w],
                                 px[i - w - 1], tr)
             px[i] = _add_pixels(px[i], pred)
@@ -570,8 +580,11 @@ def decode_vp8l(stream: bytes) -> tuple[int, int, int, bytes]:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise WebpError("unsupported VP8L version")
-    px, transforms = _decode_image_stream(br, w, h, True)
-    cur_w = w
+    # inversion starts at the CODED width (reduced when a bundled
+    # colour-indexing transform follows other transforms in the stream):
+    # each inverse operates on the width current at ITS point in the
+    # reversed chain, and colour-index expansion restores the full width
+    px, transforms, cur_w = _decode_image_stream(br, w, h, True)
     for ttype, p1, p2 in reversed(transforms):
         if ttype == 3:
             px, cur_w = _inv_color_index(px, cur_w, h, p2)

@@ -180,12 +180,24 @@ def extract_main_content_stateless(
         )
         return F.struct(txt.alias("txt"), anchor.alias("anchor"))
 
-    blocks = F.filter(
-        F.transform(F.col("_raws"), feat),
-        lambda s: F.length(s.getField("txt")) > 0,
+    # second explode hop: `_blocks` is consumed three times below
+    # (n_blocks, the keep filter, main_text) — as a plain alias the
+    # regex-heavy per-block feature transform would be inlined and
+    # re-run for each consumer (r7 review finding); as an explode
+    # output it is a real attribute, evaluated once per row
+    blocks = base.select(
+        id_col,
+        F.explode(
+            F.array(
+                F.filter(
+                    F.transform(F.col("_raws"), feat),
+                    lambda s: F.length(s.getField("txt")) > 0,
+                )
+            )
+        ).alias("_blocks"),
     )
     kept = F.filter(
-        blocks,
+        F.col("_blocks"),
         lambda s: (
             F.size(F.split(s.getField("txt"), " ")) >= min_words
         )
@@ -194,9 +206,9 @@ def extract_main_content_stateless(
             <= F.length(s.getField("txt")) * max_link_pct
         ),
     )
-    out = base.select(
+    out = blocks.select(
         id_col,
-        F.size(blocks).cast("int").alias("n_blocks"),
+        F.size(F.col("_blocks")).cast("int").alias("n_blocks"),
         F.size(kept).cast("int").alias("n_kept"),
         F.array_join(
             F.transform(kept, lambda s: s.getField("txt")), " "

@@ -398,6 +398,8 @@ def probe_adts(data: bytes) -> dict:
     profile = rate = channels = None
     while pos + 7 <= len(data):
         if not (data[pos] == 0xFF and (data[pos + 1] & 0xF6) == 0xF0):
+            if n_frames:
+                break  # trailing junk/ID3v1 after the last whole frame
             raise MediaMetaError(f"ADTS sync lost at {pos}")
         p = (data[pos + 2] >> 6) & 0x3
         sr_idx = (data[pos + 2] >> 2) & 0xF
@@ -463,6 +465,11 @@ def _ebml_walk(data: bytes, start: int, end: int):
     while pos < end:
         eid, p = _ebml_vint(data, pos, keep_marker=True)
         size, body = _ebml_vint(data, p, keep_marker=False)
+        # all-ones size = the spec's "unknown size" (RFC 8794 §6.2),
+        # standard for live/streamed Segments: extends to parent end
+        width = body - p
+        if size == (1 << (7 * width)) - 1:
+            size = end - body
         if body + size > end:
             raise MediaMetaError("EBML element overruns parent")
         yield eid, body, body + size

@@ -178,3 +178,17 @@ class TestSparkScrub:
             r["media_id"]: bytes(r["payload"]) for r in scrubbed.collect()
         }
         assert raw[2] == garbage
+
+
+def test_missing_hemisphere_ref_defaults_positive():
+    """r7 review: '' in "SW" is True in Python — a GPS IFD without the
+    ref tag must NOT negate the coordinate."""
+    assert E.micro_degrees([(10, 1), (0, 1), (0, 1)], "") == 10_000_000
+    tiff = E._ser_tiff(
+        [(0x010F, 2, ["C"])],
+        [],
+        [(2, 5, [(10, 1), (0, 1), (0, 1)]),
+         (4, 5, [(20, 1), (0, 1), (0, 1)])],
+    )
+    m = E.extract_image_meta(tiff)
+    assert m["lat_micro"] == 10_000_000 and m["lon_micro"] == 20_000_000

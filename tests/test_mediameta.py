@@ -370,3 +370,34 @@ class TestWebm:
                     M.probe_media(bytes(data))
                 except M.MediaMetaError:
                     pass
+
+
+class TestReviewRegressions:
+    """r7 code-review findings on the new probes."""
+
+    def test_adts_trailing_id3v1_tag_tolerated(self):
+        data = M.build_adts(1, 4, 1, 3) + b"TAG" + bytes(125)
+        m = M.probe_adts(data)
+        assert m["n_frames"] == 3
+
+    def test_adts_all_junk_still_raises(self):
+        with pytest.raises(M.MediaMetaError):
+            M.probe_adts(b"TAGjunkjunkjunk")
+
+    def test_ebml_unknown_size_segment(self):
+        good = M.build_webm("webm", 7.0, [
+            {"type": "audio", "codec": "A_OPUS", "sample_rate": 48000,
+             "channels": 2},
+        ])
+        # rewrite the Segment's size vint as the all-ones 'unknown size'
+        seg_id = (0x18538067).to_bytes(4, "big")
+        i = good.index(seg_id) + 4
+        # original size vint starts at i; width from the first byte
+        first = good[i]
+        width = 8 - first.bit_length() + 1
+        unknown = bytes([(1 << (8 - 1)) | ((1 << 7) - 1)])  # 0xFF, width 1
+        body = good[i + width:]
+        patched = good[: i] + unknown + body
+        m = M.probe_webm(patched)
+        assert m["duration_ms"] == 7.0
+        assert m["codec"] == "A_OPUS"

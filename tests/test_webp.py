@@ -154,13 +154,8 @@ class TestHandCraftedStreams:
                 bw, [0xFF000000 | (mode << 8)], level0=False
             )
             bw.write(0, 1)
-            # top-left/top/left rows use fixed border predictors; give
-            # them zero-ish residuals relative to those
-            tl_res = base[0]
-            t_res = W._add_pixels(
-                base[1], 0x100000000 - 0 if False else 0
-            )
-            # emit residuals that reconstruct base for the 3 border px
+            # emit residuals that reconstruct base for the 3 border
+            # pixels (they use the fixed border predictors)
             def sub(a, b):
                 return (
                     (((a >> 24 & 0xFF) - (b >> 24 & 0xFF)) & 0xFF) << 24
@@ -181,7 +176,9 @@ class TestHandCraftedStreams:
             ]
             assert got[:3] == base, f"mode {mode} border"
             l, t, tl = base[2], base[1], base[0]  # noqa: E741
-            tr = base[1]  # x+1 out of range -> top used
+            # TR wraps in scan order: rightmost column reads the current
+            # row's first (already decoded) pixel — spec 1D addressing
+            tr = base[2]
             expect = W._add_pixels(resid, W._predict(mode, l, t, tl, tr))
             assert got[3] == expect, f"mode {mode}"
 
@@ -294,3 +291,73 @@ class TestRobustness:
     def test_not_webp_raises(self):
         with pytest.raises(W.WebpError):
             W.decode_webp(b"\x89PNG\r\n\x1a\n")
+
+
+class TestReviewRegressions:
+    """r7 code-review findings: C-truncation in predictor 13, TR scan
+    wrap, and predictor inversion at the CODED width when a bundled
+    colour-indexing transform follows in the stream."""
+
+    def test_mode13_truncates_toward_zero(self):
+        # ave(L,T)=10, TL=13: spec 10 + trunc(-3/2) = 9 (floor gives 8)
+        l = t = 0xFF000000 | (10 << 16) | (10 << 8) | 10  # noqa: E741
+        tl = 0xFF000000 | (13 << 16) | (13 << 8) | 13
+        got = W._predict(13, l, t, tl, 0)
+        assert (got >> 16 & 0xFF, got >> 8 & 0xFF, got & 0xFF) == (9, 9, 9)
+
+    def test_indexing_then_predictor_inverts_at_coded_width(self):
+        # stream order: colour-indexing (palette 4 -> bundled, coded
+        # width 1) THEN predictor; inversion must run the predictor at
+        # the CODED width before expanding
+        bw = W._BitWriter()
+        _hdr(bw, 8, 2)
+        bw.write(1, 1)
+        bw.write(3, 2)       # colour indexing first
+        bw.write(3, 8)       # palette size 4 -> 2-bit bundling
+        pal = [
+            0xFF000000 | (10 << 16) | (20 << 8) | 30,
+            0xFF000000 | (40 << 16) | (50 << 8) | 60,
+            0xFF000000 | (70 << 16) | (80 << 8) | 90,
+            0xFF000000 | (1 << 16) | (2 << 8) | 3,
+        ]
+
+        def sub(a, b):
+            return (
+                (((a >> 24 & 0xFF) - (b >> 24 & 0xFF)) & 0xFF) << 24
+                | (((a >> 16 & 0xFF) - (b >> 16 & 0xFF)) & 0xFF) << 16
+                | (((a >> 8 & 0xFF) - (b >> 8 & 0xFF)) & 0xFF) << 8
+                | (((a & 0xFF) - (b & 0xFF)) & 0xFF)
+            )
+
+        deltas = [pal[0]] + [sub(pal[i], pal[i - 1]) for i in (1, 2, 3)]
+        W._write_literal_image(bw, deltas, level0=False)
+        bw.write(1, 1)
+        bw.write(0, 2)       # then predictor over the CODED 1x2 image
+        bw.write(0, 3)       # size_bits 2
+        W._write_literal_image(bw, [0xFF000000 | (2 << 8)], level0=False)
+        bw.write(0, 1)       # no more transforms
+        idxs = [0, 1, 2, 3, 3, 2, 1, 0]
+        packed = [
+            sum(idxs[k] << (2 * (k % 4)) for k in range(j * 4, j * 4 + 4))
+            for j in range(2)
+        ]
+        # coded image is 2 wide x 2 high (4 px per coded pixel); both
+        # rows carry the same packed values, so with the block's mode 2
+        # (top) the second row's residuals are zero
+        p00 = 0xFF000000 | (packed[0] << 8)
+        p01 = 0xFF000000 | (packed[1] << 8)
+        res = [
+            sub(p00, 0xFF000000),  # (0,0): black predictor
+            sub(p01, p00),         # (1,0): top row -> left rule
+            sub(p00, p00),         # (0,1): left col -> top rule
+            sub(p01, p01),         # (1,1): block mode 2 (top)
+        ]
+        W._write_literal_image(bw, res, level0=True)
+        w, h, _c, px = W.decode_vp8l(b"\x2f" + bw.bytes())
+        assert (w, h) == (8, 2)
+        got = [
+            (px[4 * i + 3] << 24) | (px[4 * i] << 16)
+            | (px[4 * i + 1] << 8) | px[4 * i + 2]
+            for i in range(16)
+        ]
+        assert got == [pal[i] for i in idxs] * 2
