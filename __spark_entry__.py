@@ -1505,21 +1505,24 @@ FROM f GROUP BY codec ORDER BY codec
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-format image dedup via integer-exact perceptual average-hash
     (operators/multimodal.py ahash64 / image_dedup_groups): 20 distinct
-    md5-derived 4x4 gradients, each encoded through THREE real lossless
-    stdlib codecs (PNG, BMP, TIFF) — same pixels, same hash — must
-    collapse to 20 groups of 3 keeping the lowest id. The oracle derives
-    the expected groups ANALYTICALLY from the construction (ids i, i+20,
-    i+40 share gradient i), so a decode or hash defect in ANY of the
-    three codec paths breaks the match."""
+    md5-derived 4x4 gradients, each encoded through FOUR real lossless
+    stdlib codecs (PNG, BMP, TIFF + WebP/VP8L since r7) — same pixels,
+    same hash — must collapse to 20 groups of 4 keeping the lowest id.
+    The oracle derives the expected groups ANALYTICALLY from the
+    construction (ids i, i+20, i+40, i+60 share gradient i), so a decode
+    or hash defect in ANY of the four codec paths breaks the match."""
     import hashlib as _hl
 
     from ndr_import_spark.functions.bmp import encode_bmp
     from ndr_import_spark.functions.png import encode_png
     from ndr_import_spark.functions.tiff import encode_tiff
+    from ndr_import_spark.functions.webp import encode_webp
     from ndr_import_spark.operators import multimodal as MM
 
     rows = []
-    for codec_ix, enc in enumerate((encode_png, encode_bmp, encode_tiff)):
+    for codec_ix, enc in enumerate(
+        (encode_png, encode_bmp, encode_tiff, encode_webp)
+    ):
         for i in range(20):
             b = _hl.md5(f"imgdedup{i}".encode()).digest()
             rgb = bytes(v for px in b[:16] for v in (px, px, px))
@@ -1534,7 +1537,7 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_IMAGE_DEDUP = """
-SELECT CAST(i AS BIGINT) AS kept_id, CAST(3 AS BIGINT) AS n_copies
+SELECT CAST(i AS BIGINT) AS kept_id, CAST(4 AS BIGINT) AS n_copies
 FROM unnest(generate_series(0, 19)) AS t(i)
 ORDER BY kept_id
 """
