@@ -630,3 +630,31 @@ def stream_extract_main_content(
         min_words=min_words,
         max_link_pct=max_link_pct,
     )
+
+
+def stream_unicode_clean(
+    docs_stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming unicode hygiene: clean_unicode is one Arrow mapInPandas
+    pass with zero state, so it runs unchanged in append mode. With
+    stream_extract_main_content before it and stream_c4_filter after,
+    the whole crawl front half (WARC text -> boilerplate -> unicode ->
+    C4 row-local rules) runs on a live stream."""
+    from ndr_import_spark.operators.unicode_clean import clean_unicode
+
+    return clean_unicode(docs_stream, text_col=text_col, id_col=id_col)
+
+
+def stream_scrub_images(
+    media_stream: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Streaming image-side PII scrub: strip EXIF/GPS/ICC from JPEG
+    payloads as they arrive (multimodal.scrub_image_metadata — one
+    stateless Arrow pass; non-JPEG payloads pass through unchanged)."""
+    from ndr_import_spark.operators.multimodal import scrub_image_metadata
+
+    return scrub_image_metadata(
+        media_stream, payload_col=payload_col, id_col=id_col
+    )

@@ -728,3 +728,134 @@ class TestStreamExtractMainContent:
         }
         assert batch == stateless
         assert len(batch) == pages.count()
+
+
+class TestStreamCrawlFrontHalf:
+    def test_full_front_half_streams_and_matches_batch(self, spark):
+        """The whole crawl front half as ONE streaming chain — HTML ->
+        boilerplate (stateless) -> unicode hygiene -> C4 row-local
+        rules — against the identical batch chain on the same pages.
+        Stateless twins compose; only corpus-level stages (span dedup,
+        MinHash, decontamination) stay batch."""
+        import json as _json
+        import shutil
+        import tempfile
+
+        import pyspark.sql.functions as F
+
+        from ndr_import_spark.operators.boilerplate import (
+            extract_main_content_stateless,
+        )
+        from ndr_import_spark.operators.corpus import c4_clean_stateless
+        from ndr_import_spark.operators.unicode_clean import clean_unicode
+        from ndr_import_spark.streaming import (
+            stream_c4_filter,
+            stream_extract_main_content,
+            stream_unicode_clean,
+        )
+
+        moji = "café".encode("utf-8").decode("cp1252")
+
+        def page(i):
+            return (
+                '<html><body><div id="nav"><a href="/">Home</a></div>'
+                f"<p>alpha{i} beta gamma one word word word word word "
+                f"{moji} here. tiny. delta{i} epsilon zeta two ok fine. "
+                f"eta{i} theta iota three more pad. kappa{i} lam mu four "
+                f"pad pad. nu{i} xi pi five pad pad.</p>"
+                + ("<p>please enable javascript to continue now right "
+                   "here today ok.</p>" if i % 2 else "")
+                + '<div id="f"><a href="/c">C</a></div></body></html>'
+            )
+
+        rows = [(i, page(i)) for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, html string")
+
+        def chain(frame, mc_fn, uc_fn, c4_fn):
+            mc = mc_fn(frame)
+            uc = uc_fn(mc.select("doc_id", F.col("main_text").alias("text")))
+            return c4_fn(
+                uc.select("doc_id", F.col("clean_text").alias("text"))
+            )
+
+        batch = {
+            tuple(r)
+            for r in chain(
+                df, extract_main_content_stateless, clean_unicode,
+                c4_clean_stateless,
+            ).collect()
+        }
+        assert batch  # pages survive the whole chain
+        # the mojibake artifact was repaired before C4 saw the text
+        assert any("café" in t[-1] for t in batch)
+        assert not any(moji in t[-1] for t in batch)
+
+        tmp = tempfile.mkdtemp()
+        with open(f"{tmp}/pages.json", "w") as f:
+            for i, h in rows:
+                f.write(_json.dumps({"doc_id": i, "html": h}) + "\n")
+        stream = (
+            spark.readStream.schema("doc_id long, html string").json(tmp)
+        )
+        out = chain(
+            stream, stream_extract_main_content, stream_unicode_clean,
+            stream_c4_filter,
+        )
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("front_half")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        streamed = {
+            tuple(r)
+            for r in spark.sql("SELECT * FROM front_half").collect()
+        }
+        assert streamed == batch
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def test_stream_scrub_images(self, spark):
+        """GPS EXIF stripped from a live image stream; non-JPEG passes
+        through byte-identical."""
+        import shutil
+        import tempfile
+
+        from ndr_import_spark.functions.exif import (
+            build_exif_jpeg,
+            extract_image_meta,
+        )
+        from ndr_import_spark.streaming import stream_scrub_images
+
+        gps = ("N", [(51, 1), (30, 1), (0, 1)], "E",
+               [(7, 1), (0, 1), (0, 1)], 100, 1)
+        jpg = build_exif_jpeg(32, 16, gps=gps)
+        tmp = tempfile.mkdtemp()
+        df = spark.createDataFrame(
+            [(0, bytearray(jpg)), (1, bytearray(b"not an image"))],
+            "media_id long, payload binary",
+        )
+        df.write.mode("overwrite").parquet(f"{tmp}/media")
+        stream = spark.readStream.schema(
+            "media_id long, payload binary"
+        ).parquet(f"{tmp}/media")
+        out = stream_scrub_images(stream)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("scrubbed_images")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        got = {
+            r["media_id"]: bytes(r["payload"])
+            for r in spark.sql("SELECT * FROM scrubbed_images").collect()
+        }
+        m = extract_image_meta(got[0])
+        assert not m["has_gps"] and (m["width"], m["height"]) == (32, 16)
+        assert got[1] == b"not an image"
+        shutil.rmtree(tmp, ignore_errors=True)
