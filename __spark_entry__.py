@@ -760,9 +760,14 @@ WITH {pre_cte}shingled AS (
 ), sigs AS (
   SELECT doc_id, [{sig_items}] AS sig FROM hashed
 ), banded AS ({band_keys}),
+okb AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1024
+), bandedc AS (
+  SELECT b.* FROM banded b JOIN okb USING (band, key)
+),
 pairs AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+  FROM bandedc l JOIN bandedc r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
 )
 SELECT p.id_a, p.id_b,
   round(cast(len(list_intersect(a.hs, b.hs)) as double) /
@@ -5439,9 +5444,14 @@ WITH corpus AS (
 ), sigs AS (
   SELECT doc_id, [{sig_items}] AS sig FROM hashed
 ), banded AS ({band_keys}),
+okb AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1024
+), bandedc AS (
+  SELECT b.* FROM banded b JOIN okb USING (band, key)
+),
 cand AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+  FROM bandedc l JOIN bandedc r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
 )
 SELECT p.id_a, p.id_b
 FROM cand p
@@ -5868,9 +5878,14 @@ hx AS (
 ), sigs AS (
   SELECT doc_id, [{sig_items}] AS sig FROM hashed
 ), banded AS ({band_keys}),
+okb AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1024
+), bandedc AS (
+  SELECT b.* FROM banded b JOIN okb USING (band, key)
+),
 cand AS (
   SELECT DISTINCT lb.doc_id AS id_a, rb.doc_id AS id_b
-  FROM banded lb JOIN banded rb
+  FROM bandedc lb JOIN bandedc rb
     ON lb.band = rb.band AND lb.key = rb.key AND lb.doc_id < rb.doc_id
 ), prs AS (
   SELECT c.id_a, c.id_b
@@ -7990,9 +8005,14 @@ WITH shingled AS (
 ), sigs AS (
   SELECT doc_id, is_new, [{sig_items}] AS sig FROM hashed
 ), banded AS ({band_keys}),
+okb AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1024
+), bandedc AS (
+  SELECT b.* FROM banded b JOIN okb USING (band, key)
+),
 pairs AS (
   SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS old_id
-  FROM banded l JOIN banded r
+  FROM bandedc l JOIN bandedc r
     ON l.band = r.band AND l.key = r.key AND l.is_new = 1 AND r.is_new = 0
 )
 SELECT p.new_id, p.old_id,

@@ -398,6 +398,7 @@ def _banded_jaccard_pairs(
     bands: int,
     salt: str,
     verify_threshold: float | None,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Shared LSH core over a one-row-per-shingle (_id, _s) DataFrame.
 
@@ -406,6 +407,19 @@ def _banded_jaccard_pairs(
     (bucket-local, never corpus-quadratic) → distinct id pairs → exact
     Jaccard verification by joining the per-doc shingle sets back by id —
     shingles are computed PER DOC, never per candidate pair.
+
+    ``max_bucket_size`` (DEFAULT ON — the SemDeDup-cap lesson) skips
+    band buckets holding more than that many documents: a bucket of m
+    docs contributes m²/2 candidate pairs, and a SATURATED bucket —
+    small-vocabulary corpora, boilerplate-heavy crawls where long docs
+    cover the whole shingle space and share every minimum — turns the
+    verify join quadratic (measured at sf10: one 4,771-doc bucket ≈
+    23M pairs; the spill exhausted an 80 GB disk). The skip is an
+    explicit recall cut line: members of a skipped bucket can still
+    pair through their other (bands-1) keys, and clusters that big are
+    what exact/span dedup should consume. ``None`` restores the
+    uncapped exact-LSH form; the DuckDB oracles replay the same
+    HAVING-count rule.
 
     At cluster scale: the band-key join shuffles only (band, key, id); the
     verification join shuffles ids + HASHED shingle sets (int arrays) for
@@ -430,6 +444,17 @@ def _banded_jaccard_pairs(
     scope = _CacheScope()
     hashed = scope.persist(_hashed_sig_frame(shingle_rows, k, salt))
     banded = _band_keys(hashed, k, bands, salt)
+    if max_bucket_size is not None:
+        # hot-key list is tiny by definition (each entry represents >
+        # max_bucket_size docs) — broadcast anti-join, one combinable
+        # count aggregate
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("band", "key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     pairs = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "key"])
@@ -450,6 +475,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     verify_threshold: float | None = 0.6,
     shingle_n: int = 5,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH over char shingles.
 
@@ -461,7 +487,8 @@ def minhash_lsh_pairs(
     """
     base = _shingle_base(df, text_col, id_col)
     return _banded_jaccard_pairs(
-        _char_shingle_rows(base, shingle_n), k, bands, "mh", verify_threshold
+        _char_shingle_rows(base, shingle_n), k, bands, "mh",
+        verify_threshold, max_bucket_size=max_bucket_size,
     )
 
 
@@ -660,6 +687,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k: int = 8,
     bands: int = 2,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard pairs with banded-MinHash blocking.
 
@@ -683,7 +711,8 @@ def ngram_jaccard_pairs(
         F.explode(F.array(toks_arr)).alias("_toks"),
     )
     return _banded_jaccard_pairs(
-        _word_ngram_rows(toked, ngram_n), k, bands, "ng", threshold
+        _word_ngram_rows(toked, ngram_n), k, bands, "ng", threshold,
+        max_bucket_size=max_bucket_size,
     )
 
 
@@ -1003,6 +1032,7 @@ def incremental_neardup_pairs(
     bands: int = 4,
     verify_threshold: float | None = 0.5,
     shingle_n: int = 5,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs between a NEW ingest batch and the EXISTING
     corpus — the production shape for continuously-refreshed corpora:
@@ -1045,6 +1075,17 @@ def incremental_neardup_pairs(
         )
     )
     banded = _band_keys(hashed, k, bands, "mh", carry=["_new"])
+    if max_bucket_size is not None:
+        # same hot-bucket guard as _banded_jaccard_pairs: the cap counts
+        # across BOTH sides (the probe join's volume is |new∩bucket| x
+        # |old∩bucket| — saturated buckets explode it the same way)
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("band", "key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     pairs = (
         banded.filter(F.col("_new") == 1)
         .alias("l")

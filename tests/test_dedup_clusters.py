@@ -217,3 +217,79 @@ class TestLshQualityReport:
                for r in lsh_quality_report(df, sample_max_id=300).collect()}
         # doc 500 is outside the sample: only the (1,2) pair counts
         assert out["n_truth"] == 1.0 and out["n_hits"] == 1.0
+
+
+class TestHotBucketCap:
+    """r7: saturated band buckets (small vocab / boilerplate-heavy
+    corpora — every long doc shares the global shingle minima) turn the
+    verify join quadratic; measured at sf10 one 4,771-doc bucket alone
+    contributed ~23M candidate pairs and exhausted an 80 GB disk. The
+    cap (default 1024) skips such buckets; None restores exact LSH."""
+
+    def _saturated(self, spark, n=40):
+        # tiny 3-word vocab: every doc covers the whole shingle space,
+        # so all signatures (and all band keys) coincide
+        text = "aa bb cc " * 30
+        rows = [(i, text) for i in range(n)]
+        # plus one genuinely distinct near-dup pair outside the bucket
+        rows += [(1000, "unique words here flow gently down the river"),
+                 (1001, "unique words here flow gently down the stream")]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_cap_skips_saturated_bucket_keeps_normal_pairs(self, spark):
+        from ndr_import_spark.operators.dedup import minhash_lsh_pairs
+
+        df = self._saturated(spark)
+        capped = minhash_lsh_pairs(
+            df, k=16, bands=4, verify_threshold=0.5, max_bucket_size=10
+        )
+        got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        # saturated docs produce no pairs; the distinct near-dup survives
+        assert got == {(1000, 1001)}
+
+    def test_uncapped_form_still_exact(self, spark):
+        from ndr_import_spark.operators.dedup import minhash_lsh_pairs
+
+        df = self._saturated(spark, n=12)
+        full = minhash_lsh_pairs(
+            df, k=16, bands=4, verify_threshold=0.5, max_bucket_size=None
+        )
+        got = {(r["id_a"], r["id_b"]) for r in full.collect()}
+        assert (1000, 1001) in got
+        assert len(got) == 12 * 11 // 2 + 1  # all saturated pairs found
+
+    def test_default_cap_is_on(self):
+        import inspect
+
+        from ndr_import_spark.operators.dedup import (
+            incremental_neardup_pairs,
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        for fn in (minhash_lsh_pairs, ngram_jaccard_pairs,
+                   incremental_neardup_pairs):
+            sig = inspect.signature(fn)
+            assert sig.parameters["max_bucket_size"].default == 1024, fn
+
+    def test_incremental_probe_caps_too(self, spark):
+        from ndr_import_spark.operators.dedup import incremental_neardup_pairs
+
+        text = "aa bb cc " * 30
+        old = spark.createDataFrame(
+            [(i, text) for i in range(20)]
+            + [(90, "unique words here flow gently down the river")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(100 + i, text) for i in range(20)]
+            + [(190, "unique words here flow gently down the stream")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["new_id"], r["old_id"])
+            for r in incremental_neardup_pairs(
+                old, new, max_bucket_size=10
+            ).collect()
+        }
+        assert got == {(190, 90)}
