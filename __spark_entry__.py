@@ -732,11 +732,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_banded_jaccard(sh_expr: str, pre_cte: str, salt: str, k: int,
-                           bands: int, thr: float) -> str:
-    """Shared DuckDB replica of dedup._banded_jaccard_pairs: shingle-hash
-    once (distinct 30-bit ints), k affine permutations, banded keys,
-    exact-Jaccard verify over the hashed shingle sets (matching the Spark
-    side, which never ships string shingles into the verify join)."""
+                           bands: int, thr: float,
+                           star: bool = False) -> str:
+    """Shared DuckDB replica of dedup._banded_jaccard_pairs /
+    dedup.minhash_lsh_star_edges: shingle-hash once (distinct 30-bit
+    ints), k affine permutations, banded keys, exact-Jaccard verify over
+    the hashed shingle sets (matching the Spark side, which never ships
+    string shingles into the verify join). ``star=True`` replays the
+    linear star-edge form (bucket min-id anchor -> member, no bucket
+    cap); the default replays pairwise candidates under the HAVING
+    bucket cap."""
     from ndr_import_spark.operators.dedup import MINHASH_P, minhash_perm_consts
 
     rows = k // bands
@@ -752,6 +757,25 @@ def _oracle_banded_jaccard(sh_expr: str, pre_cte: str, salt: str, k: int,
         f"SELECT doc_id, {b} AS band, md5(array_to_string(sig[{b * rows + 1}:{(b + 1) * rows}], ',')) AS key FROM sigs"
         for b in range(bands)
     )
+    if star:
+        cand_cte = """centers AS (
+  SELECT band, key, min(doc_id) AS ctr FROM banded GROUP BY band, key
+),
+pairs AS (
+  SELECT DISTINCT c.ctr AS id_a, b.doc_id AS id_b
+  FROM banded b JOIN centers c USING (band, key)
+  WHERE b.doc_id <> c.ctr
+)"""
+    else:
+        cand_cte = """okb AS (
+  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1024
+), bandedc AS (
+  SELECT b.* FROM banded b JOIN okb USING (band, key)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bandedc l JOIN bandedc r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)"""
     return f"""
 WITH {pre_cte}shingled AS (
   SELECT doc_id, {sh_expr} AS sh FROM {"t" if pre_cte else "documents"}
@@ -760,15 +784,7 @@ WITH {pre_cte}shingled AS (
 ), sigs AS (
   SELECT doc_id, [{sig_items}] AS sig FROM hashed
 ), banded AS ({band_keys}),
-okb AS (
-  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1024
-), bandedc AS (
-  SELECT b.* FROM banded b JOIN okb USING (band, key)
-),
-pairs AS (
-  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM bandedc l JOIN bandedc r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
-)
+{cand_cte}
 SELECT p.id_a, p.id_b,
   round(cast(len(list_intersect(a.hs, b.hs)) as double) /
         len(list_distinct(list_concat(a.hs, b.hs))), 5) AS jaccard
@@ -781,11 +797,12 @@ ORDER BY id_a, id_b
 """
 
 
-def _oracle_minhash(k: int = 16, bands: int = 4, shingle_n: int = 5, thr: float = 0.5) -> str:
+def _oracle_minhash(k: int = 16, bands: int = 4, shingle_n: int = 5, thr: float = 0.5,
+                    star: bool = False) -> str:
     norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
     sh = (f"list_distinct(list_transform(range(1, greatest(length({norm}) - {shingle_n} + 1, 1) + 1), "
           f"i -> substring({norm}, i, {shingle_n})))")
-    return _oracle_banded_jaccard(sh, "", "mh", k, bands, thr)
+    return _oracle_banded_jaccard(sh, "", "mh", k, bands, thr, star=star)
 
 
 def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5054,19 +5071,22 @@ FROM t GROUP BY tok ORDER BY n_total DESC, tok LIMIT 25
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: banded-MinHash pairs → connected
-    components (iterative min-label propagation, one shuffle join + one
+    """Near-duplicate CLUSTERS: banded-MinHash STAR edges (each band
+    bucket's members link to its min-id anchor — Σ(m-1) verified edges,
+    not Σ m²/2; the r7 scale form after sf10 measured 122M pairwise
+    candidates on a shingle-saturated corpus) → connected components
+    (iterative min-label propagation, one shuffle join + one
     min-aggregate per round, rounds = graph diameter) → per-doc cluster
     assignment with member counts. Pairwise output alone cannot collapse
     an a~b~c chain; this is the operator that turns similarity into
     dedup decisions at corpus scale."""
     from ndr_import_spark.operators.dedup import (
         connected_components,
-        minhash_lsh_pairs,
+        minhash_lsh_star_edges,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, k=16, bands=4, verify_threshold=0.5)
+    pairs = minhash_lsh_star_edges(docs, k=16, bands=4, verify_threshold=0.5)
     comp = connected_components(pairs)
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_members"))
     return (
@@ -5077,7 +5097,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dedup_clusters() -> str:
-    pairs_sql = _oracle_minhash().replace("ORDER BY id_a, id_b", "")
+    pairs_sql = _oracle_minhash(star=True).replace("ORDER BY id_a, id_b", "")
     return f"""
 WITH RECURSIVE p AS ({pairs_sql}),
 edges AS (
@@ -5371,7 +5391,7 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ndr_import_spark.operators.dedup import (
         connected_components,
         drop_exact_duplicates,
-        minhash_lsh_pairs,
+        minhash_lsh_star_edges,
     )
     from ndr_import_spark.operators.textstats import token_count
 
@@ -5386,7 +5406,7 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # there is no cache-registry entry to leak: the blocks are released
     # by the ContextCleaner when the query's plan is garbage-collected.
     kept = drop_exact_duplicates(corpus).localCheckpoint(eager=False)
-    pairs = minhash_lsh_pairs(kept, k=16, bands=4, verify_threshold=0.5)
+    pairs = minhash_lsh_star_edges(kept, k=16, bands=4, verify_threshold=0.5)
     comp = connected_components(pairs)
     neardup_drops = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
@@ -5444,14 +5464,13 @@ WITH corpus AS (
 ), sigs AS (
   SELECT doc_id, [{sig_items}] AS sig FROM hashed
 ), banded AS ({band_keys}),
-okb AS (
-  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1024
-), bandedc AS (
-  SELECT b.* FROM banded b JOIN okb USING (band, key)
+centers AS (
+  SELECT band, key, min(doc_id) AS ctr FROM banded GROUP BY band, key
 ),
 cand AS (
-  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM bandedc l JOIN bandedc r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+  SELECT DISTINCT c.ctr AS id_a, b.doc_id AS id_b
+  FROM banded b JOIN centers c USING (band, key)
+  WHERE b.doc_id <> c.ctr
 )
 SELECT p.id_a, p.id_b
 FROM cand p
@@ -5575,7 +5594,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ndr_import_spark.operators.dedup import (
         connected_components,
         drop_exact_duplicates,
-        minhash_lsh_pairs,
+        minhash_lsh_star_edges,
     )
     from ndr_import_spark.operators.packing import pack_sequences
     from ndr_import_spark.operators.textstats import (
@@ -5685,7 +5704,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = drop_exact_duplicates(
         corpus, text_col="clean_text"
     ).localCheckpoint(eager=False)
-    pairs = minhash_lsh_pairs(
+    pairs = minhash_lsh_star_edges(
         kept, text_col="clean_text", k=16, bands=4, verify_threshold=0.5
     )
     comp = connected_components(pairs)
@@ -5878,15 +5897,13 @@ hx AS (
 ), sigs AS (
   SELECT doc_id, [{sig_items}] AS sig FROM hashed
 ), banded AS ({band_keys}),
-okb AS (
-  SELECT band, key FROM banded GROUP BY band, key HAVING count(*) <= 1024
-), bandedc AS (
-  SELECT b.* FROM banded b JOIN okb USING (band, key)
+centers AS (
+  SELECT band, key, min(doc_id) AS ctr FROM banded GROUP BY band, key
 ),
 cand AS (
-  SELECT DISTINCT lb.doc_id AS id_a, rb.doc_id AS id_b
-  FROM bandedc lb JOIN bandedc rb
-    ON lb.band = rb.band AND lb.key = rb.key AND lb.doc_id < rb.doc_id
+  SELECT DISTINCT c.ctr AS id_a, b.doc_id AS id_b
+  FROM banded b JOIN centers c USING (band, key)
+  WHERE b.doc_id <> c.ctr
 ), prs AS (
   SELECT c.id_a, c.id_b
   FROM cand c

@@ -467,6 +467,56 @@ def _banded_jaccard_pairs(
     )
 
 
+def minhash_lsh_star_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    verify_threshold: float | None = 0.6,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Near-duplicate STAR EDGES for cluster consumers: within each band
+    bucket, connect every member to the bucket's min-id anchor instead
+    of enumerating all pairs — Σ(m-1) verified edges instead of Σ m²/2.
+
+    THE scale form for connected-components dedup (training_mix /
+    training_pipeline / dedup_clusters): pair enumeration is inherently
+    quadratic in duplicate DENSITY — measured at sf10, a shingle-
+    saturated corpus produced 122M candidate pairs (63M even under the
+    1024 bucket cap) and the verify join's spill exhausted an 80 GB
+    disk, while the star form emits ~1.4M edges from the same buckets.
+    Connectivity: every bucket member is linked to the same anchor, so
+    docs sharing a bucket land in one component exactly as with the
+    pairwise form. Documented recall cut line: an edge exists only
+    between anchor and member, so if the ANCHOR fails exact-Jaccard
+    verification with a member, that member does not join via THIS
+    bucket (it can still join via its other bands-1 buckets); the
+    pairwise form would also have tested member-member pairs. No bucket
+    cap is needed — the blowup the cap guards against cannot happen.
+
+    Returns (id_a, id_b, jaccard) with id_a = the bucket anchor
+    (min id), id_a < id_b."""
+    base = _shingle_base(df, text_col, id_col)
+    scope = _CacheScope()
+    hashed = scope.persist(
+        _hashed_sig_frame(_char_shingle_rows(base, shingle_n), k, "mh")
+    )
+    banded = _band_keys(hashed, k, bands, "mh")
+    centers = banded.groupBy("band", "key").agg(
+        F.min("_id").alias("_center")
+    )
+    edges = (
+        banded.join(centers, ["band", "key"])
+        .where(F.col("_id") != F.col("_center"))
+        .select(F.col("_center").alias("id_a"), F.col("_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return scope.tie(
+        _verify_jaccard(edges, hashed, hashed, "id_a", "id_b", verify_threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -293,3 +293,46 @@ class TestHotBucketCap:
             ).collect()
         }
         assert got == {(190, 90)}
+
+
+class TestStarEdges:
+    """r7: the linear star-edge LSH form for cluster consumers."""
+
+    def test_components_match_pairwise_on_real_corpus(self, spark):
+        from ndr_import_spark.operators.dedup import (
+            connected_components,
+            minhash_lsh_pairs,
+            minhash_lsh_star_edges,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        )
+        cp = {
+            (r["node"], r["component"])
+            for r in connected_components(
+                minhash_lsh_pairs(docs, verify_threshold=0.5)
+            ).collect()
+        }
+        cs = {
+            (r["node"], r["component"])
+            for r in connected_components(
+                minhash_lsh_star_edges(docs, verify_threshold=0.5)
+            ).collect()
+        }
+        assert cp == cs and cp
+
+    def test_saturated_bucket_is_linear_not_quadratic(self, spark):
+        from ndr_import_spark.operators.dedup import minhash_lsh_star_edges
+
+        n = 40
+        text = "aa bb cc " * 30
+        df = spark.createDataFrame(
+            [(i, text) for i in range(n)], "doc_id long, text string"
+        )
+        edges = minhash_lsh_star_edges(
+            df, verify_threshold=0.5
+        ).collect()
+        # every member links to the one anchor: n-1 edges, not n(n-1)/2
+        assert len(edges) == n - 1
+        assert all(r["id_a"] == 0 for r in edges)

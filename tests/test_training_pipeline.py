@@ -110,7 +110,7 @@ class TestTrainingPipelineFixture:
         from ndr_import_spark.operators import dedup as dd
 
         captured = {}
-        orig_pairs = dd.minhash_lsh_pairs
+        orig_pairs = dd.minhash_lsh_star_edges
         orig_ded = dd.drop_exact_duplicates
 
         def spy_pairs(df, **k):
@@ -130,12 +130,12 @@ class TestTrainingPipelineFixture:
             }
             return out
 
-        dd.minhash_lsh_pairs = spy_pairs
+        dd.minhash_lsh_star_edges = spy_pairs
         dd.drop_exact_duplicates = spy_ded
         try:
             e.q_training_pipeline(spark, "/root/testdata/sf0.01").collect()
         finally:
-            dd.minhash_lsh_pairs = orig_pairs
+            dd.minhash_lsh_star_edges = orig_pairs
             dd.drop_exact_duplicates = orig_ded
 
         exact_dropped = captured["pre"] - captured["post"]
