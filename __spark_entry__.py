@@ -8560,6 +8560,325 @@ ORDER BY f.cohort_week, week_offset
 """
 
 
+def q_parquet_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout introspection: per-table totals computed from
+    parquet FOOTERS ONLY (sources/parquet_meta.py — distributed pyarrow
+    footer reads, one task batch per path, zero data pages touched),
+    hash-gated against the oracle's full scans. Equality is the
+    integrity property min/max row-group pruning and compaction
+    planning rely on at 100 TB, where the inventory is millions of
+    files and footer reads are the only affordable pass."""
+    from ndr_import_spark.sources.parquet_meta import (
+        footer_table_summary,
+        parquet_footer_inventory,
+    )
+
+    targets = [
+        (f"{sf_dir}/lineitem.parquet", "l_orderkey"),
+        (f"{sf_dir}/orders.parquet", "o_orderkey"),
+        (f"{sf_dir}/documents.parquet", "doc_id"),
+    ]
+    inv = parquet_footer_inventory(spark, targets)
+    return footer_table_summary(inv).orderBy("table_name")
+
+
+_ORACLE_PARQUET_LAYOUT = """
+SELECT * FROM (
+  SELECT 'documents' AS table_name, cast(count(*) as bigint) AS total_rows,
+    (SELECT cast(count(*) as int) FROM pragma_table_info('documents')) AS n_columns,
+    cast(min(doc_id) as bigint) AS key_min,
+    cast(max(doc_id) as bigint) AS key_max
+  FROM documents
+  UNION ALL
+  SELECT 'lineitem', cast(count(*) as bigint),
+    (SELECT cast(count(*) as int) FROM pragma_table_info('lineitem')),
+    cast(min(l_orderkey) as bigint), cast(max(l_orderkey) as bigint)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders', cast(count(*) as bigint),
+    (SELECT cast(count(*) as int) FROM pragma_table_info('orders')),
+    cast(min(o_orderkey) as bigint), cast(max(o_orderkey) as bigint)
+  FROM orders
+)
+ORDER BY table_name
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q2-shaped (reshaped: the corpus has no partsupp table, so the
+    lineitem history is the price catalog): for ECONOMY parts of size <= 15,
+    the EUROPE supplier(s) quoting the minimum l_extendedprice for that
+    part. The correlated MIN subquery becomes a per-part window MIN +
+    filter — ONE lineitem scan and ONE partkey exchange, where the
+    textbook agg-plus-join-back shape scans lineitem twice and adds a
+    sort-merge self-join (verified via explain: this form is 2 scans
+    fewer). Window partitions by partkey (bounded groups — never a
+    global sort); nation/region broadcast; the part filter pushes to the
+    scan; top-100 is TakeOrderedAndProject. Reference parity: relational
+    breadth only (ndr_import has no SQL surface)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15)
+    ).select("p_partkey")
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", _dec("l_extendedprice").alias("price"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(eur, F.col("l_suppkey") == eur.s_suppkey)
+        .select("p_partkey", "s_name", "s_acctbal", "n_name", "price")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_price", F.min("price").over(w))
+        .filter(F.col("price") == F.col("min_price"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("min_price").cast("double").alias("min_price"),
+        )
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_ORACLE_Q2 = """
+WITH eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE'
+), offers AS (
+  SELECT p_partkey, s_name, s_acctbal, n_name,
+         cast(l_extendedprice as decimal(18,2)) AS price
+  FROM lineitem, part, eur
+  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+    AND p_type = 'ECONOMY' AND p_size <= 15
+)
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey,
+       cast(price as double) AS min_price
+FROM offers o
+WHERE price = (SELECT min(price) FROM offers i WHERE i.p_partkey = o.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q9-shaped (reshaped: no ps_supplycost column exists, so cost
+    is modelled as 60% of p_retailprice per unit): profit on 'widget'
+    parts per supplier nation per order year. Both money sums are exact
+    decimals; the 0.6 scaling happens once per GROUP in double AFTER the
+    exact sums (double ops are IEEE-identical across engines, so the
+    result is bit-deterministic). p_name LIKE pushes to the part scan;
+    nation broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = _t(spark, sf_dir, "nation")
+    cost_base = (_dec("p_retailprice") * _dec("l_quantity")).cast("decimal(38,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(_rev()).cast("double").alias("sum_rev"),
+            F.sum(cost_base).cast("double").alias("sum_cost_base"),
+        )
+        .withColumn("profit", F.col("sum_rev") - F.lit(0.6) * F.col("sum_cost_base"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_ORACLE_Q9 = """
+SELECT n_name AS nation,
+  cast(extract(year FROM o_orderdate) AS int) AS o_year,
+  cast(sum(cast(cast(l_extendedprice as decimal(18,2)) *
+    (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4)))
+    as double) AS sum_rev,
+  cast(sum(cast(cast(p_retailprice as decimal(18,2)) *
+    cast(l_quantity as decimal(18,2)) as decimal(38,4))) as double) AS sum_cost_base,
+  cast(sum(cast(cast(l_extendedprice as decimal(18,2)) *
+    (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,4)))
+    as double)
+  - 0.6 * cast(sum(cast(cast(p_retailprice as decimal(18,2)) *
+    cast(l_quantity as decimal(18,2)) as decimal(38,4))) as double) AS profit
+FROM lineitem, part, supplier, orders, nation
+WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q11-shaped (reshaped: value = shipped l_extendedprice of
+    NATION_3 suppliers instead of partsupp stock value): parts whose
+    value exceeds 0.01% of the nation's total. The HAVING-against-a-
+    global-scalar is a 1-row broadcast cross join, never a window over
+    everything; both sides of the comparison are the same exact decimal
+    sum cast to double, so the threshold test is bit-deterministic."""
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey")
+    )
+    flat = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", _dec("l_extendedprice").alias("price"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+    )
+    per_part = flat.groupBy("l_partkey").agg(
+        F.sum("price").cast("double").alias("part_value")
+    )
+    total = flat.agg(F.sum("price").cast("double").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") / F.lit(10000.0))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+_ORACLE_Q11 = """
+WITH flat AS (
+  SELECT l_partkey, cast(l_extendedprice as decimal(18,2)) AS price
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_3'
+)
+SELECT l_partkey AS p_partkey, cast(sum(price) as double) AS part_value
+FROM flat
+GROUP BY l_partkey
+HAVING cast(sum(price) as double) >
+  (SELECT cast(sum(price) as double) FROM flat) / 10000.0
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+def q12_late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q12-shaped (reshaped: the corpus has no l_shipmode /
+    l_commitdate, so lateness = shipped more than 90 days after the
+    order date, bucketed by l_linestatus): per status, how many late
+    lines belong to high- vs low-priority orders. One equi-join with the
+    interval predicate evaluated post-join (it references both sides);
+    both counts are one conditional map-side-combinable aggregate."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_ORACLE_Q12 = """
+SELECT l_linestatus,
+  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 0 ELSE 1 END) as bigint) AS low_line_count
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+  AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def q20_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-q20-shaped (reshaped: no partsupp availqty, so the nested
+    correlated aggregate compares a supplier's shipped quantity against
+    the part's corpus-wide total): suppliers who shipped more than 30%
+    of some 'bolt' part's total 1996 volume, i.e. EXISTS(part: dominant).
+    Two partial aggregates share one (partkey) shuffle alignment; the
+    supplier list is a LEFT SEMI join so fan-out never duplicates
+    suppliers; the 0.3 threshold is evaluated identically in both
+    engines (exact decimal sums cast to double, then one double
+    multiply/compare)."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("bolt")
+    ).select("p_partkey")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .select("l_partkey", "l_suppkey", _dec("l_quantity").alias("qty"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    )
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").cast("double").alias("supp_qty")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum("qty").cast("double").alias("part_qty")
+    )
+    dominant = (
+        per_supp.join(per_part, per_supp.l_partkey == per_part.pp_key)
+        .filter(F.col("supp_qty") > F.lit(0.3) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        sup.join(dominant, sup.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+_ORACLE_Q20 = """
+WITH flat AS (
+  SELECT l_partkey, l_suppkey, cast(l_quantity as decimal(18,2)) AS qty
+  FROM lineitem, part
+  WHERE l_partkey = p_partkey AND p_name LIKE '%bolt%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+), per_supp AS (
+  SELECT l_partkey, l_suppkey, cast(sum(qty) as double) AS supp_qty
+  FROM flat GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey, cast(sum(qty) as double) AS part_qty
+  FROM flat GROUP BY l_partkey
+)
+SELECT s_name, n_name
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey
+  AND s_suppkey IN (
+    SELECT ps.l_suppkey FROM per_supp ps JOIN per_part pp USING (l_partkey)
+    WHERE ps.supp_qty > 0.3 * pp.part_qty
+  )
+ORDER BY s_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8589,6 +8908,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_order_revenue": q17_small_order_revenue,
         "q19_disjunctive": q19_disjunctive,
         "q22_dormant_customers": q22_dormant_customers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q12_late_line_priority": q12_late_line_priority,
+        "q20_dominant_shippers": q20_dominant_shippers,
+        "parquet_layout": q_parquet_layout,
         "kmv_distinct": q_kmv_distinct,
         "grouped_moments": q_grouped_moments,
         "scd2_history": q_scd2_history,
@@ -8767,6 +9092,12 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_order_revenue": _ORACLE_Q17,
         "q19_disjunctive": _ORACLE_Q19,
         "q22_dormant_customers": _ORACLE_Q22,
+        "q2_min_cost_supplier": _ORACLE_Q2,
+        "q9_product_profit": _ORACLE_Q9,
+        "q11_important_parts": _ORACLE_Q11,
+        "q12_late_line_priority": _ORACLE_Q12,
+        "q20_dominant_shippers": _ORACLE_Q20,
+        "parquet_layout": _ORACLE_PARQUET_LAYOUT,
         "kmv_distinct": _ORACLE_KMV,
         "grouped_moments": _ORACLE_MOMENTS,
         "scd2_history": _ORACLE_SCD2,
