@@ -3961,6 +3961,32 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.orderBy(F.desc("score"), "id").limit(30)
 
 
+def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-expansion BFS (operators/graph.bfs_hops): minimum hop
+    counts from the doc_id%1000==0 seed set over the synthetic link
+    graph, 4 rounds, per-hop node census. The frontier working set —
+    not the node set — drives each round's join; the oracle is the
+    deliberately-different unrolled relaxation form (same answers by
+    induction, different plan)."""
+    from ndr_import_spark.operators.graph import bfs_hops, synthetic_link_graph
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synthetic_link_graph(docs)
+    seeds = docs.filter(F.col("doc_id") % 1000 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    dist = bfs_hops(edges, seeds, max_hops=4)
+    return (
+        dist.groupBy("hops")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        .orderBy("hops")
+    )
+
+
 def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid Backoff bigram LM (Brants et al. 2007): train counts on the
     doc_id%5!=0 split, score the held-out split — per-doc mean log10
@@ -8604,6 +8630,62 @@ ORDER BY table_name
 """
 
 
+def q_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-room zstd decode (functions/zstd.py, RFC 8878) gated
+    end-to-end: every 20th document's payload is framed by the
+    REFERENCE encoder (libzstd via pyarrow, level cycling 1/3/9/19 per
+    doc) inside the task, decoded back by the clean-room decoder, and
+    the decoded bytes' md5/length must equal the oracle's values for
+    the analytically-identical string — a wrong bit anywhere in the
+    FSE/Huffman/sequence machinery flips the hash. Arrow mapInPandas
+    (opaque bytes, the FLAC/ADPCM pattern); shuffle-free except the
+    output ordering; the sample keeps pure-Python decode (~10 MB/s/core
+    measured) test-scale while levels exercise raw, RLE and
+    FSE/Huffman block shapes."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+    )
+
+    def rt(batches):
+        import hashlib
+
+        import pandas as pd
+        import pyarrow as pa
+
+        from ndr_import_spark.functions.zstd import decompress
+
+        levels = (1, 3, 9, 19)
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                payload = ((text + " #" + str(did)) * (1 + did % 7)).encode()
+                codec = pa.Codec("zstd", compression_level=levels[did % 4])
+                decoded = decompress(codec.compress(payload, asbytes=True))
+                rows.append(
+                    (did, len(decoded), hashlib.md5(decoded).hexdigest())
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "orig_len", "payload_md5"])
+
+    return docs.mapInPandas(
+        rt, "doc_id long, orig_len bigint, payload_md5 string"
+    ).orderBy("doc_id")
+
+
+_ORACLE_ZSTD = """
+SELECT doc_id,
+  cast(strlen(repeat(text || ' #' || cast(doc_id as varchar),
+                     cast(1 + doc_id % 7 as int))) as bigint) AS orig_len,
+  md5(repeat(text || ' #' || cast(doc_id as varchar),
+             cast(1 + doc_id % 7 as int))) AS payload_md5
+FROM documents
+WHERE doc_id % 20 = 0
+ORDER BY doc_id
+"""
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-q2-shaped (reshaped: the corpus has no partsupp table, so the
     lineitem history is the price catalog): for ECONOMY parts of size <= 15,
@@ -8914,6 +8996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_late_line_priority": q12_late_line_priority,
         "q20_dominant_shippers": q20_dominant_shippers,
         "parquet_layout": q_parquet_layout,
+        "zstd_roundtrip": q_zstd_roundtrip,
         "kmv_distinct": q_kmv_distinct,
         "grouped_moments": q_grouped_moments,
         "scd2_history": q_scd2_history,
@@ -8993,6 +9076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": q_repetition_score,
         "gopher_quality": q_gopher_quality,
         "pagerank": q_pagerank,
+        "bfs_reachability": q_bfs_reachability,
         "bigram_lm_score": q_bigram_lm_score,
         "zipf_fit": q_zipf_fit,
         "url_dedup": q_url_dedup,
@@ -9062,6 +9146,7 @@ def oracle_sql() -> dict[str, str]:
     from ndr_import_spark.operators.classifier import logreg_oracle_sql
     from ndr_import_spark.operators.layout import zorder_oracle_sql
     from ndr_import_spark.operators.graph import (
+        bfs_oracle_sql,
         hits_oracle_sql,
         label_propagation_oracle_sql,
         pagerank_oracle_sql,
@@ -9098,6 +9183,7 @@ def oracle_sql() -> dict[str, str]:
         "q12_late_line_priority": _ORACLE_Q12,
         "q20_dominant_shippers": _ORACLE_Q20,
         "parquet_layout": _ORACLE_PARQUET_LAYOUT,
+        "zstd_roundtrip": _ORACLE_ZSTD,
         "kmv_distinct": _ORACLE_KMV,
         "grouped_moments": _ORACLE_MOMENTS,
         "scd2_history": _ORACLE_SCD2,
@@ -9177,6 +9263,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_score": _ORACLE_REPETITION,
         "gopher_quality": _ORACLE_GOPHER,
         "pagerank": pagerank_oracle_sql(),
+        "bfs_reachability": bfs_oracle_sql(max_hops=4, seed_mod=1000),
         "hits_scores": hits_oracle_sql(iterations=4),
         "bigram_lm_score": _ORACLE_BIGRAM_LM,
         "zipf_fit": _ORACLE_ZIPF,

@@ -400,6 +400,89 @@ def label_propagation(
     return labels
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(id, hops) for every node reachable from `seeds` within
+    `max_hops` directed hops — minimum hop count, frontier-expansion
+    BFS (the crawl-reachability / contamination-blast-radius pass).
+
+    This is the one iterative graph shape the fixed-point family above
+    doesn't cover: the WORKING SET is the frontier, not the node set.
+    Per round the join touches only last round's newly-discovered nodes
+    — on a 100 TB crawl graph where a seed set reaches a small
+    neighbourhood, rounds get *cheaper* as the frontier saturates,
+    where a Bellman-Ford-style relaxation would re-shuffle every
+    visited node every round. The frontier dedups (distinct on id)
+    before the anti-join against the visited set, so edge fan-in never
+    amplifies; `edges` is re-used across rounds (ReusedExchange) and
+    the visited set localCheckpoints every `checkpoint_every` rounds to
+    truncate the union lineage. All-integer — bit-identical across
+    engines and re-runs.
+    """
+    visited = seeds.select(
+        F.col("id").cast("long").alias("id"), F.lit(0).cast("int").alias("hops")
+    ).distinct()
+    frontier = visited.select("id")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new = nxt.join(visited, "id", "left_anti").select(
+            "id", F.lit(k).cast("int").alias("hops")
+        )
+        visited = visited.union(new)
+        if k % checkpoint_every == 0:
+            visited = visited.localCheckpoint(eager=False)
+        frontier = new.select("id")
+    return visited
+
+
+def bfs_oracle_sql(max_hops: int, seed_mod: int, out_degree: int = 3,
+                   stride: int = LINK_STRIDE) -> str:
+    """DuckDB transcription of synthetic_link_graph + bfs_hops, unrolled:
+    the oracle uses the simpler (and per-round heavier) relaxation form
+    d_k = min(d_{k-1}, 1 + d_{k-1} of any in-neighbour) — same results
+    by induction on hop count, deliberately NOT the same plan."""
+    jays = ", ".join(str(j) for j in range(1, out_degree + 1))
+    parts = [
+        f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id + j * {stride}) % (SELECT n FROM n) AS dst
+  FROM documents, unnest([{jays}]) AS tj(j)
+  WHERE (doc_id + j * {stride}) % (SELECT n FROM n) <> doc_id
+),
+d0 AS (
+  SELECT doc_id AS id, 0 AS hops FROM documents WHERE doc_id % {seed_mod} = 0
+)"""
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f""",
+d{k} AS (
+  SELECT id, min(hops) AS hops FROM (
+    SELECT id, hops FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS id, p.hops + 1 AS hops
+    FROM d{k - 1} p JOIN e ON e.src = p.id
+  ) GROUP BY id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT cast(hops as int) AS hops, cast(count(*) as bigint) AS n_nodes,
+       min(id) AS min_id, max(id) AS max_id
+FROM d{max_hops} GROUP BY hops ORDER BY hops"""
+    )
+    return "".join(parts)
+
+
 def label_propagation_oracle_sql(
     iterations: int = 4,
     block: int = 32,

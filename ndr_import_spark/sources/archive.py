@@ -141,6 +141,42 @@ def read_tar(spark: SparkSession, path: str | list[str], options: dict):
     return tables
 
 
+def expand_zstd(path: str, unzip_path: str | None = None) -> str:
+    """Decompress a `.zst` file with the clean-room RFC 8878 decoder
+    (functions/zstd.py) and return the inner file's path. The inner
+    format then dispatches through the registry as usual, so
+    `.jsonl.zst` (the Pile/RedPajama/Dolma shard shape), `.csv.zst`,
+    `.warc.zst` and `.tar.zst` all compose from existing readers —
+    decompress once, dispatch on what remains."""
+    from ndr_import_spark.functions.zstd import decompress
+
+    dest = unzip_path or os.path.join(os.getcwd(), ".tmp", "unzip")
+    os.makedirs(dest, exist_ok=True)
+    inner = os.path.basename(path)
+    if inner.lower().endswith((".zst", ".zstd")):
+        inner = inner[: inner.rfind(".")]
+    else:
+        inner += ".bin"
+    target = os.path.join(dest, inner)
+    with open(path, "rb") as f:
+        data = decompress(f.read())
+    with open(target, "wb") as f:
+        f.write(data)
+    return target
+
+
+def read_zstd(spark: SparkSession, path: str | list[str], options: dict):
+    files = list_input_files(spark, path)
+    tables = []
+    for f in files:
+        extracted = expand_zstd(f, options.get("unzip_path"))
+        tables.extend(
+            read_tables(spark, extracted, options.get("inner_format"), options)
+        )
+    return tables
+
+
 Registry.register(read_zip, "zip")
 Registry.register(read_seven_zip, "7z")
 Registry.register(read_tar, "tar", "tgz")
+Registry.register(read_zstd, "zst", "zstd")

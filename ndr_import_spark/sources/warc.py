@@ -75,11 +75,21 @@ def _maybe_gunzip(data: bytes) -> bytes:
             # BadGzipFile is OSError; mid-stream corruption surfaces as
             # zlib.error — both must honour the WarcError contract
             raise WarcError(f"corrupt gzip in WARC: {exc}") from exc
+    if data[:4] == b"\x28\xb5\x2f\xfd":
+        # .warc.zst: concatenated zstd frames (skippable dictionary
+        # frames are skipped — our clean-room decoder ignores them, and
+        # shared-dictionary frames raise an honest gate inside)
+        from ndr_import_spark.functions.zstd import ZstdError, decompress
+
+        try:
+            return decompress(data)
+        except ZstdError as exc:
+            raise WarcError(f"corrupt zstd in WARC: {exc}") from exc
     return data
 
 
 def parse_warc(data: bytes) -> list[WarcRecord]:
-    """Parse plain or gzipped WARC bytes into records."""
+    """Parse plain, gzipped, or zstd-framed WARC bytes into records."""
     data = _maybe_gunzip(data)
     records: list[WarcRecord] = []
     pos = 0

@@ -203,3 +203,46 @@ class TestLabelPropagation:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Window" not in plan  # argmax is max-of-struct, not row_number
+
+
+class TestBfsHops:
+    """Frontier BFS (operators/graph.bfs_hops): min-hop semantics on a
+    hand graph, unreachable exclusion, and the frontier (not relaxation)
+    plan property — each round's join input is only the new nodes."""
+
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    def _seeds(self, spark, ids):
+        return spark.createDataFrame([(i,) for i in ids], "id long")
+
+    def test_min_hop_distances(self, spark):
+        from ndr_import_spark.operators.graph import bfs_hops
+
+        # 0->1->2->3->4 chain plus a shortcut 0->3 and a cycle back 4->0:
+        # min-hop must win (3 is 1 hop, not 3), cycle must not loop forever
+        e = self._edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (4, 0)])
+        got = {r.id: r.hops for r in bfs_hops(e, self._seeds(spark, [0]), 4).collect()}
+        assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+
+    def test_unreachable_and_hop_budget(self, spark):
+        from ndr_import_spark.operators.graph import bfs_hops
+
+        # 10->11 disconnected; 0->1->2 with max_hops=1 stops at 1
+        e = self._edges(spark, [(0, 1), (1, 2), (10, 11)])
+        got = {r.id: r.hops for r in bfs_hops(e, self._seeds(spark, [0]), 1).collect()}
+        assert got == {0: 0, 1: 1}
+
+    def test_multi_seed_takes_nearest(self, spark):
+        from ndr_import_spark.operators.graph import bfs_hops
+
+        e = self._edges(spark, [(0, 1), (1, 2), (5, 2)])
+        got = {r.id: r.hops for r in bfs_hops(e, self._seeds(spark, [0, 5]), 3).collect()}
+        assert got[2] == 1  # via seed 5, not 2 hops via 0
+
+    def test_directed_edges_not_symmetrised(self, spark):
+        from ndr_import_spark.operators.graph import bfs_hops
+
+        e = self._edges(spark, [(1, 0)])  # points INTO the seed
+        got = {r.id: r.hops for r in bfs_hops(e, self._seeds(spark, [0]), 3).collect()}
+        assert got == {0: 0}
