@@ -8686,6 +8686,68 @@ ORDER BY doc_id
 """
 
 
+def q_compression_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole clean-room compression family in one gate: every 20th
+    (+1) document's payload is framed by the REFERENCE encoder for the
+    codec its doc_id selects — zstd (RFC 8878), LZ4 frame, or raw
+    Snappy, via pyarrow/liblz4 — then decoded by the matching
+    clean-room decoder (functions/zstd.py, lz4.py, snappy.py); decoded
+    md5/length must equal the oracle's analytic values. One Arrow
+    mapInPandas pass, shuffle-free except the output ordering."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 1)
+        .select("doc_id", "text")
+    )
+
+    def rt(batches):
+        import hashlib
+
+        import pandas as pd
+        import pyarrow as pa
+
+        from ndr_import_spark.functions.lz4 import decompress_frame
+        from ndr_import_spark.functions.snappy import decompress as sn_dec
+        from ndr_import_spark.functions.zstd import decompress as zs_dec
+
+        codecs = (
+            ("zstd", pa.Codec("zstd", compression_level=19), zs_dec),
+            ("lz4", pa.Codec("lz4"), decompress_frame),
+            ("snappy", pa.Codec("snappy"), sn_dec),
+        )
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                payload = ((text + " %" + str(did)) * (1 + did % 5)).encode()
+                name, codec, dec = codecs[did % 3]
+                decoded = dec(codec.compress(payload, asbytes=True))
+                rows.append(
+                    (did, name, len(decoded), hashlib.md5(decoded).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "codec", "orig_len", "payload_md5"]
+            )
+
+    return docs.mapInPandas(
+        rt, "doc_id long, codec string, orig_len bigint, payload_md5 string"
+    ).orderBy("doc_id")
+
+
+_ORACLE_COMPRESSION_MATRIX = """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'zstd' WHEN 1 THEN 'lz4' ELSE 'snappy' END
+    AS codec,
+  cast(strlen(repeat(text || ' %' || cast(doc_id as varchar),
+                     cast(1 + doc_id % 5 as int))) as bigint) AS orig_len,
+  md5(repeat(text || ' %' || cast(doc_id as varchar),
+             cast(1 + doc_id % 5 as int))) AS payload_md5
+FROM documents
+WHERE doc_id % 20 = 1
+ORDER BY doc_id
+"""
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-q2-shaped (reshaped: the corpus has no partsupp table, so the
     lineitem history is the price catalog): for ECONOMY parts of size <= 15,
@@ -8997,6 +9059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_dominant_shippers": q20_dominant_shippers,
         "parquet_layout": q_parquet_layout,
         "zstd_roundtrip": q_zstd_roundtrip,
+        "compression_matrix": q_compression_matrix,
         "kmv_distinct": q_kmv_distinct,
         "grouped_moments": q_grouped_moments,
         "scd2_history": q_scd2_history,
@@ -9184,6 +9247,7 @@ def oracle_sql() -> dict[str, str]:
         "q20_dominant_shippers": _ORACLE_Q20,
         "parquet_layout": _ORACLE_PARQUET_LAYOUT,
         "zstd_roundtrip": _ORACLE_ZSTD,
+        "compression_matrix": _ORACLE_COMPRESSION_MATRIX,
         "kmv_distinct": _ORACLE_KMV,
         "grouped_moments": _ORACLE_MOMENTS,
         "scd2_history": _ORACLE_SCD2,

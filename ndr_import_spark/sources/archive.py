@@ -176,7 +176,40 @@ def read_zstd(spark: SparkSession, path: str | list[str], options: dict):
     return tables
 
 
+def expand_lz4(path: str, unzip_path: str | None = None) -> str:
+    """Decompress a `.lz4` frame file with the clean-room decoder
+    (functions/lz4.py) and return the inner file's path — the same
+    dispatch-on-what-remains shape as expand_zstd."""
+    from ndr_import_spark.functions.lz4 import decompress_frame
+
+    dest = unzip_path or os.path.join(os.getcwd(), ".tmp", "unzip")
+    os.makedirs(dest, exist_ok=True)
+    inner = os.path.basename(path)
+    if inner.lower().endswith(".lz4"):
+        inner = inner[: inner.rfind(".")]
+    else:
+        inner += ".bin"
+    target = os.path.join(dest, inner)
+    with open(path, "rb") as f:
+        data = decompress_frame(f.read())
+    with open(target, "wb") as f:
+        f.write(data)
+    return target
+
+
+def read_lz4(spark: SparkSession, path: str | list[str], options: dict):
+    files = list_input_files(spark, path)
+    tables = []
+    for f in files:
+        extracted = expand_lz4(f, options.get("unzip_path"))
+        tables.extend(
+            read_tables(spark, extracted, options.get("inner_format"), options)
+        )
+    return tables
+
+
 Registry.register(read_zip, "zip")
 Registry.register(read_seven_zip, "7z")
 Registry.register(read_tar, "tar", "tgz")
 Registry.register(read_zstd, "zst", "zstd")
+Registry.register(read_lz4, "lz4")
