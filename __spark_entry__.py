@@ -8748,6 +8748,52 @@ ORDER BY doc_id
 """
 
 
+def q_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two snapshots of the orders feed with
+    drifted schemas (v1 predates o_orderpriority; v2 added it and
+    dropped o_orderstatus) combined BY COLUMN NAME with missing columns
+    null-filled — `unionByName(allowMissingColumns=True)`, the
+    mergeSchema/UNION ALL BY NAME lake-ingest behaviour, never
+    positional. The census proves the null-fill: per surviving status
+    value (NULL = rows that only v2 carries), row count, non-null
+    priority count, and the exact-decimal revenue sum."""
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return (
+        u.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderpriority").alias("n_priority"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_total"),
+        )
+        .orderBy(F.col("o_orderstatus").asc_nulls_first())
+    )
+
+
+_ORACLE_SCHEMA_DRIFT = """
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+), v2 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+), u AS (
+  SELECT * FROM v1 UNION ALL BY NAME SELECT * FROM v2
+)
+SELECT o_orderstatus, cast(count(*) as bigint) AS n_rows,
+  cast(count(o_orderpriority) as bigint) AS n_priority,
+  cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_total
+FROM u GROUP BY o_orderstatus
+ORDER BY o_orderstatus NULLS FIRST
+"""
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-q2-shaped (reshaped: the corpus has no partsupp table, so the
     lineitem history is the price catalog): for ECONOMY parts of size <= 15,
@@ -9060,6 +9106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_layout": q_parquet_layout,
         "zstd_roundtrip": q_zstd_roundtrip,
         "compression_matrix": q_compression_matrix,
+        "schema_drift_union": q_schema_drift_union,
         "kmv_distinct": q_kmv_distinct,
         "grouped_moments": q_grouped_moments,
         "scd2_history": q_scd2_history,
@@ -9248,6 +9295,7 @@ def oracle_sql() -> dict[str, str]:
         "parquet_layout": _ORACLE_PARQUET_LAYOUT,
         "zstd_roundtrip": _ORACLE_ZSTD,
         "compression_matrix": _ORACLE_COMPRESSION_MATRIX,
+        "schema_drift_union": _ORACLE_SCHEMA_DRIFT,
         "kmv_distinct": _ORACLE_KMV,
         "grouped_moments": _ORACLE_MOMENTS,
         "scd2_history": _ORACLE_SCD2,

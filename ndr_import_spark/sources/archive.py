@@ -208,6 +208,59 @@ def read_lz4(spark: SparkSession, path: str | list[str], options: dict):
     return tables
 
 
+def read_jsonl_zst_distributed(
+    spark: SparkSession,
+    paths: list[str],
+    n_slices: int | None = None,
+):
+    """Executor-side `.jsonl.zst` shard ingest — the 100 TB path.
+
+    The registry's `.zst` flow (expand_zstd → read_tables) mirrors the
+    reference's archive semantics: the DRIVER decompresses one file and
+    re-dispatches. Right for a handful of operator-submitted archives;
+    wrong for a corpus of thousands of shards, where the driver becomes
+    the decompression bottleneck and the decompressed copies hit local
+    disk. Here the shard list is the DataFrame: one task per shard
+    decompresses in-executor with the clean-room decoder
+    (functions/zstd.py) and emits the same (source_file, row_index,
+    cells_map) contract the jsonl reader produces — no driver bytes, no
+    intermediate files, shard-count parallelism. row_index is dense
+    per shard (line order within the frame).
+    """
+    import pandas as pd
+
+    src = spark.createDataFrame([(p,) for p in paths], "path string")
+    if n_slices is None:
+        n_slices = max(1, min(len(paths), 4096))
+
+    def expand(batches):
+        import json
+
+        from ndr_import_spark.functions.zstd import decompress
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                with open(path, "rb") as f:
+                    text = decompress(f.read()).decode("utf-8")
+                idx = 0
+                for line in text.splitlines():
+                    if not line.strip():
+                        continue
+                    obj = json.loads(line)
+                    cells = {
+                        k: (v if isinstance(v, str) else json.dumps(v))
+                        for k, v in obj.items()
+                    }
+                    rows.append((path, idx, cells))
+                    idx += 1
+            yield pd.DataFrame(rows, columns=["source_file", "row_index", "cells_map"])
+
+    return src.repartition(n_slices, "path").mapInPandas(
+        expand, "source_file string, row_index long, cells_map map<string,string>"
+    )
+
+
 Registry.register(read_zip, "zip")
 Registry.register(read_seven_zip, "7z")
 Registry.register(read_tar, "tar", "tgz")

@@ -17,6 +17,7 @@ import random
 import struct
 
 import pyarrow as pa
+from pyspark.sql import functions as F
 import pytest
 
 from ndr_import_spark.functions.zstd import ZstdError, decompress, xxh64
@@ -228,3 +229,29 @@ class TestZstdSources:
             assert False, "expected WarcError"
         except WarcError as e:
             assert "zstd" in str(e)
+
+    def test_distributed_jsonl_zst_ingest(self, spark, tmp_path):
+        """Executor-side shard ingest: N shards -> one frame with the
+        jsonl cells contract, no driver-side decompression, dense
+        per-shard row_index, parity with the registry path's rows."""
+        from ndr_import_spark.sources.archive import read_jsonl_zst_distributed
+
+        paths = []
+        for s in range(3):
+            rows = "\n".join(
+                '{"doc_id": %d, "shard": %d, "n": %d}' % (s * 100 + i, s, i * i)
+                for i in range(40)
+            )
+            p = tmp_path / f"shard-{s:02d}.jsonl.zst"
+            p.write_bytes(_z(rows.encode(), 9))
+            paths.append(str(p))
+        df = read_jsonl_zst_distributed(spark, paths)
+        assert df.count() == 120
+        got = {(r.cells_map["doc_id"], r.cells_map["shard"], r.row_index)
+               for r in df.collect()}
+        assert ("205", "2", 5) in got
+        # dense per-shard indexing: every shard carries 0..39
+        per_shard = df.groupBy("source_file").agg(
+            F.min("row_index").alias("lo"), F.max("row_index").alias("hi"),
+            F.count("*").alias("n")).collect()
+        assert all((r.lo, r.hi, r.n) == (0, 39, 40) for r in per_shard)
