@@ -9040,7 +9040,9 @@ def q20_dominant_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup.join(dominant, sup.s_suppkey == dominant.l_suppkey, "left_semi")
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .select("s_name", "n_name")
-        .orderBy("s_name")
+        # s_name is unique in the corpus, but the hash gate compares rows
+        # in order — keep the sort total under any future data
+        .orderBy("s_name", "n_name")
     )
 
 
@@ -9065,7 +9067,7 @@ WHERE s_nationkey = n_nationkey
     SELECT ps.l_suppkey FROM per_supp ps JOIN per_part pp USING (l_partkey)
     WHERE ps.supp_qty > 0.3 * pp.part_qty
   )
-ORDER BY s_name
+ORDER BY s_name, n_name
 """
 
 

@@ -79,42 +79,51 @@ def decompress_block(data: bytes, max_output: int = 1 << 31) -> bytes:
     """LZ4 block: token (lit len nibble | match len nibble), 255-run
     length extensions, 2-byte LE offsets, min-match 4, last sequence is
     literals-only."""
-    out = bytearray()
+    return _decode_sequences(data, b"", max_output)
+
+
+def _decode_sequences(block: bytes, history: bytes, max_output: int) -> bytes:
+    """Shared block core: decode `block` against `history` (empty for
+    independent blocks, the prior 64 KB for linked ones) and return only
+    the newly-produced bytes. ONE implementation so the truncation and
+    offset checks cannot diverge between the two modes."""
+    out = bytearray(history)
+    base = len(history)
     pos = 0
-    n = len(data)
+    n = len(block)
     try:
         while pos < n:
-            token = data[pos]
+            token = block[pos]
             pos += 1
             lit = token >> 4
             if lit == 15:
                 while True:
-                    b = data[pos]
+                    b = block[pos]
                     pos += 1
                     lit += b
                     if b != 255:
                         break
-            out += data[pos:pos + lit]
-            if len(data) - pos < lit:
+            if n - pos < lit:
                 raise Lz4Error("truncated literals")
+            out += block[pos:pos + lit]
             pos += lit
             if pos >= n:
                 break  # last sequence has no match
-            offset = data[pos] | (data[pos + 1] << 8)
+            if n - pos < 2:
+                raise Lz4Error("truncated match offset")
+            offset = block[pos] | (block[pos + 1] << 8)
             pos += 2
-            if offset == 0:
-                raise Lz4Error("zero match offset")
+            if offset == 0 or offset > len(out):
+                raise Lz4Error("bad match offset")
             ml = (token & 0x0F) + 4
             if (token & 0x0F) == 15:
                 while True:
-                    b = data[pos]
+                    b = block[pos]
                     pos += 1
                     ml += b
                     if b != 255:
                         break
-            if offset > len(out):
-                raise Lz4Error("match offset beyond output")
-            if len(out) + ml > max_output:
+            if len(out) - base + ml > max_output:
                 raise Lz4Error("output exceeds max_output guard")
             start = len(out) - offset
             if offset >= ml:
@@ -124,7 +133,7 @@ def decompress_block(data: bytes, max_output: int = 1 << 31) -> bytes:
                     out.append(out[start + k])
     except IndexError as exc:
         raise Lz4Error(f"truncated block: {exc}") from exc
-    return bytes(out)
+    return bytes(out[base:])
 
 
 # --- frame format ----------------------------------------------------------
@@ -201,15 +210,17 @@ def decompress_frame(data: bytes, max_output: int = 1 << 31) -> bytes:
                         raise Lz4Error("block checksum mismatch")
                 if uncompressed:
                     out += block
-                elif b_indep:
-                    out += decompress_block(block, max_output)
                 else:
-                    # linked blocks: decode against the carried window by
-                    # splicing the last 64 KB of history in front
-                    hist = bytes(out[max(frame_start, len(out) - 65536):])
-                    merged = _decompress_linked(block, hist, max_output)
-                    out += merged
-                if len(out) - frame_start > max_output:
+                    # independent blocks decode against empty history;
+                    # linked blocks against the frame's last 64 KB (the
+                    # spec's maximum match distance) — matches never
+                    # reach a previous concatenated frame
+                    hist = (b"" if b_indep
+                            else bytes(out[max(frame_start, len(out) - 65536):]))
+                    out += _decode_sequences(block, hist, max_output)
+                if len(out) > max_output:
+                    # total across ALL frames in this call — concatenated
+                    # frames must not multiply the bomb guard
                     raise Lz4Error("output exceeds max_output guard")
             if content_size is not None and len(out) - frame_start != content_size:
                 raise Lz4Error("frame content size mismatch")
@@ -223,46 +234,3 @@ def decompress_frame(data: bytes, max_output: int = 1 << 31) -> bytes:
     return bytes(out)
 
 
-def _decompress_linked(block: bytes, history: bytes, max_output: int) -> bytes:
-    """Decode one linked block whose matches may reach into `history`;
-    returns only the newly-produced bytes."""
-    out = bytearray(history)
-    base = len(history)
-    pos = 0
-    n = len(block)
-    while pos < n:
-        token = block[pos]
-        pos += 1
-        lit = token >> 4
-        if lit == 15:
-            while True:
-                b = block[pos]
-                pos += 1
-                lit += b
-                if b != 255:
-                    break
-        out += block[pos:pos + lit]
-        pos += lit
-        if pos >= n:
-            break
-        offset = block[pos] | (block[pos + 1] << 8)
-        pos += 2
-        if offset == 0 or offset > len(out):
-            raise Lz4Error("bad match offset in linked block")
-        ml = (token & 0x0F) + 4
-        if (token & 0x0F) == 15:
-            while True:
-                b = block[pos]
-                pos += 1
-                ml += b
-                if b != 255:
-                    break
-        if len(out) - base + ml > max_output:
-            raise Lz4Error("output exceeds max_output guard")
-        start = len(out) - offset
-        if offset >= ml:
-            out += out[start:start + ml]
-        else:
-            for k in range(ml):
-                out.append(out[start + k])
-    return bytes(out[base:])

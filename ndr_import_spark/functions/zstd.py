@@ -414,6 +414,12 @@ def _read_huf_weights(data: bytes):
         s2 = table.base[s2] + br.read(table.nbits[s2])
         if len(weights) > 255:
             raise ZstdError("runaway Huffman weight stream")
+    if len(weights) > 255:
+        # 256 symbols max and the LAST weight is implied, so more than
+        # 255 explicit weights cannot close a valid table; without this
+        # a crafted stream would push symbol 256 into the table fill and
+        # escape as a plain ValueError instead of ZstdError
+        raise ZstdError("too many explicit Huffman weights")
     return weights, 1 + csize
 
 
@@ -524,7 +530,7 @@ def _seq_table(mode: int, kind: str, fwd_data: bytes, pos: int,
 
 
 def _decode_block(block: bytes, st: _FrameState, out: bytearray,
-                  window: int) -> None:
+                  window: int, frame_start: int) -> None:
     lits, pos = _decode_literals(block, st)
 
     # Sequences section header (§3.1.1.3.2)
@@ -601,7 +607,9 @@ def _decode_block(block: bytes, st: _FrameState, out: bytearray,
 
         out += lits[lit_pos:lit_pos + ll]
         lit_pos += ll
-        if offset > len(out) or offset > window:
+        if offset > len(out) - frame_start or offset > window:
+            # frame-LOCAL history: RFC 8878 matches may not reach into a
+            # previous concatenated frame's output
             raise ZstdError("match offset beyond decoded history")
         if offset >= ml:
             start = len(out) - offset
@@ -726,10 +734,12 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
             if len(block) < bsize:
                 raise ZstdError("truncated compressed block")
             pos += bsize
-            _decode_block(block, st, out, window)
+            _decode_block(block, st, out, window, frame_start)
         else:
             raise ZstdError("reserved block type")
-        if len(out) - frame_start > max_output:
+        if len(out) > max_output:
+            # total across ALL frames in this call — N concatenated
+            # frames must not multiply the bound
             raise ZstdError("decoded output exceeds max_output guard")
         if last:
             break

@@ -151,6 +151,14 @@ def expand_zstd(path: str, unzip_path: str | None = None) -> str:
     from ndr_import_spark.functions.zstd import decompress
 
     dest = unzip_path or os.path.join(os.getcwd(), ".tmp", "unzip")
+    # expansion target is qualified by a digest of the SOURCE path:
+    # sharded inputs legitimately repeat basenames (part-0/data.jsonl.zst,
+    # part-1/data.jsonl.zst) and the Spark reads are lazy, so flattening
+    # to one shared basename would silently read the last-written shard
+    # twice (the same hazard expand_tar documents for its members)
+    import hashlib as _hl
+
+    dest = os.path.join(dest, _hl.md5(os.path.abspath(path).encode()).hexdigest()[:10])
     os.makedirs(dest, exist_ok=True)
     inner = os.path.basename(path)
     if inner.lower().endswith((".zst", ".zstd")):
@@ -183,6 +191,14 @@ def expand_lz4(path: str, unzip_path: str | None = None) -> str:
     from ndr_import_spark.functions.lz4 import decompress_frame
 
     dest = unzip_path or os.path.join(os.getcwd(), ".tmp", "unzip")
+    # expansion target is qualified by a digest of the SOURCE path:
+    # sharded inputs legitimately repeat basenames (part-0/data.jsonl.zst,
+    # part-1/data.jsonl.zst) and the Spark reads are lazy, so flattening
+    # to one shared basename would silently read the last-written shard
+    # twice (the same hazard expand_tar documents for its members)
+    import hashlib as _hl
+
+    dest = os.path.join(dest, _hl.md5(os.path.abspath(path).encode()).hexdigest()[:10])
     os.makedirs(dest, exist_ok=True)
     inner = os.path.basename(path)
     if inner.lower().endswith(".lz4"):
@@ -244,7 +260,11 @@ def read_jsonl_zst_distributed(
                 with open(path, "rb") as f:
                     text = decompress(f.read()).decode("utf-8")
                 idx = 0
-                for line in text.splitlines():
+                # split on \n ONLY (plus \r\n tolerance): JSONL records
+                # may legally contain unescaped U+2028/U+2029/U+0085
+                # inside strings, which str.splitlines() would break on
+                for line in text.split("\n"):
+                    line = line.rstrip("\r")
                     if not line.strip():
                         continue
                     obj = json.loads(line)

@@ -75,7 +75,16 @@ def _maybe_gunzip(data: bytes) -> bytes:
             # BadGzipFile is OSError; mid-stream corruption surfaces as
             # zlib.error — both must honour the WarcError contract
             raise WarcError(f"corrupt gzip in WARC: {exc}") from exc
-    if data[:4] == b"\x28\xb5\x2f\xfd":
+    if len(data) >= 4 and (
+        data[:4] == b"\x28\xb5\x2f\xfd"
+        # the IIPC .warc.zst convention LEADS with a skippable frame
+        # (magic 0x184D2A50..5F) carrying the shared dictionary — sniff
+        # those too so such files reach the decoder (which skips the
+        # skippable frame, then honestly gates dictionary-compressed
+        # content frames)
+        or (data[0] in range(0x50, 0x60)
+            and data[1:4] == b"\x2a\x4d\x18")
+    ):
         # .warc.zst: concatenated zstd frames (skippable dictionary
         # frames are skipped — our clean-room decoder ignores them, and
         # shared-dictionary frames raise an honest gate inside)

@@ -179,3 +179,27 @@ class TestSnappy:
                 pass  # raw snappy has no checksum; silent wrong bytes are
                 # possible by design — the gate is "never hang, never
                 # raise anything but SnappyError"
+
+
+class TestReviewFindings:
+    """Regression pins for the round-7 session-2 review findings."""
+
+    def test_truncated_linked_block_raises(self):
+        # linked-mode frame, no checksums: block declares 10 literals but
+        # carries 5 — must raise, never return silently short output
+        from ndr_import_spark.functions.lz4 import xxh32 as _x
+
+        hdr = bytes([0x40, 0x40])  # version 01, linked, no flags; 64 KB
+        hc = (_x(hdr) >> 8) & 0xFF
+        block = bytes([0xA0]) + b"SHORT"  # token lit=10, 5 bytes follow
+        frame = (struct.pack("<I", 0x184D2204) + hdr + bytes([hc])
+                 + struct.pack("<I", len(block)) + block
+                 + struct.pack("<I", 0))
+        with pytest.raises(Lz4Error, match="truncated literals"):
+            decompress_frame(frame)
+
+    def test_bomb_guard_spans_concatenated_frames(self):
+        one = _lz4f(b"B" * 1000, cck=0)
+        assert decompress_frame(one * 3, max_output=5000) == b"B" * 3000
+        with pytest.raises(Lz4Error, match="max_output"):
+            decompress_frame(one * 3, max_output=2500)

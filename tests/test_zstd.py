@@ -255,3 +255,98 @@ class TestZstdSources:
             F.min("row_index").alias("lo"), F.max("row_index").alias("hi"),
             F.count("*").alias("n")).collect()
         assert all((r.lo, r.hi, r.n) == (0, 39, 40) for r in per_shard)
+
+
+class TestReviewFindings:
+    """Regression pins for the round-7 session-2 review findings."""
+
+    def test_bomb_guard_spans_concatenated_frames(self):
+        # N frames each under the guard must still trip it in aggregate
+        one = _z(b"A" * 1000)
+        assert decompress(one * 3, max_output=5000) == b"A" * 3000
+        with pytest.raises(ZstdError, match="max_output"):
+            decompress(one * 3, max_output=2500)
+
+    @staticmethod
+    def _seq_frame(ll_sym, of_sym, bitstream_byte):
+        # hand-crafted frame: raw literals 'WXYZ' + ONE sequence with
+        # RLE-mode LL/OF/ML tables (alog=0, zero-bit states)
+        block = bytes([0x20]) + b"WXYZ" + bytes(
+            [0x01, 0x54, ll_sym, of_sym, 0x00, bitstream_byte]
+        )
+        bh = (len(block) << 3) | (2 << 1) | 1
+        return (struct.pack("<I", 0xFD2FB528) + bytes([0x00, 0x00])
+                + bh.to_bytes(3, "little") + block)
+
+    def test_handcrafted_sequence_block_decodes(self):
+        # ll=4 (copy WXYZ), of_code=2 with extra bits 0b11 -> of_val 7 ->
+        # offset 4, ml=3 -> output WXYZWXY
+        frame = self._seq_frame(ll_sym=0x04, of_sym=0x02, bitstream_byte=0x07)
+        assert decompress(frame) == b"WXYZWXY"
+
+    def test_match_cannot_reach_previous_frame(self):
+        # ll=0, of_code=4, extra=0 -> offset 13 with ZERO frame-local
+        # output: must raise even when a previous concatenated frame has
+        # >13 bytes of content the match could otherwise splice from
+        bad = self._seq_frame(ll_sym=0x00, of_sym=0x04, bitstream_byte=0x10)
+        with pytest.raises(ZstdError, match="match offset"):
+            decompress(bad)
+        prev = _z(b"ABCDEFGHIJKLMNOP")
+        with pytest.raises(ZstdError, match="match offset"):
+            decompress(prev + bad)
+
+    def test_warc_zst_leading_skippable_frame(self):
+        # the IIPC .warc.zst layout: dictionary skippable frame FIRST
+        from ndr_import_spark.sources.warc import parse_warc
+
+        body = b"<html>x</html>"
+        rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+               b"WARC-Target-URI: http://e.org/\r\n"
+               + f"Content-Length: {len(body)}\r\n\r\n".encode()
+               + body + b"\r\n\r\n")
+        skip = struct.pack("<II", 0x184D2A53, 4) + b"DICT"
+        records = parse_warc(skip + _z(rec))
+        assert len(records) == 1 and records[0].target_uri == "http://e.org/"
+
+    def test_sharded_same_basename_no_clobber(self, spark, tmp_path):
+        # part-0/data.jsonl.zst and part-1/data.jsonl.zst must both
+        # survive expansion (lazy reads would otherwise read the last
+        # written file twice)
+        from ndr_import_spark.sources.registry import read_tables
+
+        paths = []
+        for part, lo in (("part-0", 0), ("part-1", 100)):
+            d = tmp_path / part
+            d.mkdir()
+            rows = "\n".join('{"doc_id": %d}' % (lo + i) for i in range(10))
+            p = d / "data.jsonl.zst"
+            p.write_bytes(_z(rows.encode()))
+            paths.append(str(p))
+        tables = []
+        for p in paths:
+            tables += read_tables(
+                spark, p, options={"unzip_path": str(tmp_path / "out")}
+            )
+        ids = set()
+        for _, df in tables:
+            ids |= {r.cells_map["doc_id"] for r in df.collect()}
+        assert len(ids) == 20  # both shards' rows present
+
+    def test_distributed_ingest_preserves_u2028_in_strings(self, spark, tmp_path):
+        # json.dumps(ensure_ascii=False) legally leaves U+2028 unescaped
+        # inside strings; record splitting must not break on it
+        import json as _json
+
+        from ndr_import_spark.sources.archive import read_jsonl_zst_distributed
+
+        rows = "\n".join(
+            _json.dumps({"doc_id": i, "text": f"line\u2028sep {i}\u2029x\u0085y"},
+                        ensure_ascii=False)
+            for i in range(5)
+        )
+        p = tmp_path / "u2028.jsonl.zst"
+        p.write_bytes(_z(rows.encode("utf-8")))
+        df = read_jsonl_zst_distributed(spark, [str(p)])
+        got = {r.cells_map["doc_id"]: r.cells_map["text"] for r in df.collect()}
+        assert len(got) == 5
+        assert got["3"] == "line\u2028sep 3\u2029x\u0085y"
