@@ -488,3 +488,36 @@ class TestRound6Session2PlanShapes:
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         p = plan(clean_unicode(docs))
         assert "Exchange" not in p
+
+
+class TestSession2Plans:
+    """Plan pins for the round-7 session-2 queries."""
+
+    def test_q2_single_lineitem_scan(self, spark):
+        # the window-MIN form must scan lineitem ONCE; the textbook
+        # agg+join-back form it replaced scanned it twice
+        p = plan(entry.queries()["q2_min_cost_supplier"](spark, SF_DIR))
+        assert p.count("lineitem.parquet") == 1
+        assert "Window" in p  # the per-part MIN is the window, not a self-join
+
+    def test_q11_scalar_threshold_is_broadcast_not_window(self, spark):
+        p = plan(entry.queries()["q11_important_parts"](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+        assert "Window" not in p  # global total is a 1-row cross join
+
+    def test_q20_semi_join_no_supplier_duplication(self, spark):
+        p = plan(entry.queries()["q20_dominant_shippers"](spark, SF_DIR))
+        assert "LeftSemi" in p
+
+    def test_parquet_layout_reads_no_data_pages(self, spark):
+        # the probe's plan must contain NO parquet scan of the tables —
+        # footers are read inside the Python task, not by Spark's reader
+        p = plan(entry.queries()["parquet_layout"](spark, SF_DIR))
+        assert "lineitem.parquet" not in p.split("== Physical Plan ==")[-1] \
+            or "FileScan" not in p
+        assert "MapInPandas" in p
+
+    def test_bfs_no_global_window_or_cartesian(self, spark):
+        p = plan(entry.queries()["bfs_reachability"](spark, SF_DIR))
+        assert "CartesianProduct" not in p
+        assert "Window" not in p
