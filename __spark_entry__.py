@@ -8748,6 +8748,87 @@ ORDER BY doc_id
 """
 
 
+def q_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode end-to-end (functions/gif.py animation
+    frames with GCE delays, through the same extract_video_features
+    path as MJPEG-AVI — GIF is the second stdlib video container): a
+    deterministic table of genuine GIF89a animations holding 2-5 solid
+    gray frames whose levels and delays come from md5 bytes — solid
+    frames decode EXACTLY, so every per-frame mean is v/255 and the
+    DuckDB oracle reproduces the aggregate from md5 arithmetic alone,
+    proving the LZW decode, frame composition, delay accounting and
+    Arrow plumbing."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions.gif import encode_gif_animation
+    from ndr_import_spark.operators import multimodal as MM
+
+    MM.set_video_decoder(None)  # force stdlib container dispatch
+    rows = []
+    for i in range(60):
+        b = _hl.md5(f"gif{i}".encode()).digest()
+        n_frames = 2 + b[0] % 4
+        w = 4 * (1 + b[1] % 3)
+        frames = [
+            (1 + b[2 + j] % 9, bytes([b[2 + j]]) * (w * 4 * 3))
+            for j in range(n_frames)
+        ]
+        payload = encode_gif_animation(w, 4, frames)
+        rows.append((i, "video", "image/gif", w, 4, None, bytearray(payload)))
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(8)
+    feats = MM.extract_video_features(media)
+    mean_feat = F.aggregate(
+        F.col("feature"), F.lit(0.0), lambda a, x: a + x
+    ) / F.size(F.col("feature"))
+    return (
+        feats.select(
+            "n_frames",
+            F.col("width").cast("double").alias("w"),
+            F.col("duration_ms").cast("double").alias("dur"),
+            mean_feat.alias("mf"),
+        )
+        .groupBy("n_frames")
+        .agg(
+            F.count(F.lit(1)).alias("n_gifs"),
+            F.avg("w").alias("avg_w"),
+            F.avg("dur").alias("avg_duration_ms"),
+            (F.sum(F.col("mf").cast("decimal(18,6)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_feat"),
+        )
+        .orderBy("n_frames")
+    )
+
+
+_ORACLE_GIF_ANIMATION = """
+WITH m AS (SELECT unnest(range(60)) AS i),
+d AS (SELECT i, md5('gif' || i) AS hx FROM m),
+b AS (
+  SELECT i, hx,
+    cast(('0x' || substring(hx, 1, 2)) as int) AS b0,
+    cast(('0x' || substring(hx, 3, 2)) as int) AS b1
+  FROM d
+),
+f AS (
+  SELECT i,
+    2 + (b0 % 4) AS n_frames,
+    cast(4 * (1 + (b1 % 3)) as double) AS w,
+    -- duration_ms = 10 * sum over frames of (1 + v_j % 9)
+    cast(10 * list_sum(list_transform(range(2 + (b0 % 4)),
+      j -> 1 + cast(('0x' || substring(hx, (2 + j) * 2 + 1, 2)) as int) % 9
+    )) as double) AS dur,
+    -- solid frames: per-frame mean is exactly v/255
+    list_sum(list_transform(range(2 + (b0 % 4)),
+      j -> cast(('0x' || substring(hx, (2 + j) * 2 + 1, 2)) as int) / 255.0
+    )) / (2 + (b0 % 4)) AS mf
+  FROM b
+)
+SELECT n_frames, count(*) AS n_gifs, avg(w) AS avg_w,
+       avg(dur) AS avg_duration_ms,
+       cast(sum(cast(mf as decimal(18,6))) as double) / count(*) AS avg_feat
+FROM f GROUP BY n_frames ORDER BY n_frames
+"""
+
+
 def q_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution union: two snapshots of the orders feed with
     drifted schemas (v1 predates o_orderpriority; v2 added it and
@@ -9109,6 +9190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zstd_roundtrip": q_zstd_roundtrip,
         "compression_matrix": q_compression_matrix,
         "schema_drift_union": q_schema_drift_union,
+        "gif_animation": q_gif_animation,
         "kmv_distinct": q_kmv_distinct,
         "grouped_moments": q_grouped_moments,
         "scd2_history": q_scd2_history,
@@ -9298,6 +9380,7 @@ def oracle_sql() -> dict[str, str]:
         "zstd_roundtrip": _ORACLE_ZSTD,
         "compression_matrix": _ORACLE_COMPRESSION_MATRIX,
         "schema_drift_union": _ORACLE_SCHEMA_DRIFT,
+        "gif_animation": _ORACLE_GIF_ANIMATION,
         "kmv_distinct": _ORACLE_KMV,
         "grouped_moments": _ORACLE_MOMENTS,
         "scd2_history": _ORACLE_SCD2,

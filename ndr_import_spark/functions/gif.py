@@ -109,12 +109,29 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode the first frame → (width, height, 3, rgb_bytes) on the
     logical screen canvas — same contract shape as png.decode_png /
     jpeg.decode_jpeg."""
+    sw, sh, frames = decode_gif_frames(data, max_frames=1)
+    return sw, sh, 3, frames[0][1]
+
+
+def decode_gif_frames(
+    data: bytes, max_frames: int = 256
+) -> tuple[int, int, list[tuple[int, bytes]]]:
+    """Full animation decode → (screen_w, screen_h, [(delay_cs, rgb)]).
+
+    Each entry is the COMPOSED canvas after that frame renders, with the
+    GIF89a disposal semantics between frames: 0/1 leave the canvas, 2
+    clears the frame's rectangle (to zeros — the transparent-background
+    convention renderers use), 3 restores the canvas to its state before
+    the frame. Transparent pixels never overwrite the underlying canvas
+    (which is also what makes the first frame match the old single-frame
+    contract: the initial canvas is zeros). `max_frames` bounds hostile
+    frame counts the same way the compression decoders bound output."""
     if not is_gif(data):
         raise GifError("not a GIF (missing GIF87a/GIF89a signature)")
     if len(data) < 13:
         raise GifError("truncated GIF header")
     try:
-        return _decode_blocks(data)
+        return _decode_frames(data, max_frames)
     except GifError:
         raise
     except (IndexError, ValueError, struct.error) as exc:
@@ -124,7 +141,9 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
         raise GifError(f"truncated or corrupt GIF stream: {exc}") from exc
 
 
-def _decode_blocks(data: bytes) -> tuple[int, int, int, bytes]:
+def _decode_frames(
+    data: bytes, max_frames: int
+) -> tuple[int, int, list[tuple[int, bytes]]]:
     sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
     if sw == 0 or sh == 0:
         raise GifError("zero logical screen dimension")
@@ -137,20 +156,26 @@ def _decode_blocks(data: bytes) -> tuple[int, int, int, bytes]:
             raise GifError("truncated global colour table")
         pos += 3 * n
 
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames: list[tuple[int, bytes]] = []
     transparent_idx = None
+    delay_cs = 0
+    disposal = 0
     while pos < len(data):
         block = data[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
-            raise GifError("GIF contains no image descriptor")
+        if block == 0x3B:  # trailer
+            break
         if block == 0x21:  # extension
             label = data[pos]
             pos += 1
             if label == 0xF9:  # Graphic Control Extension
                 size = data[pos]
                 gce = data[pos + 1 : pos + 1 + size]
-                if size >= 4 and gce[0] & 0x01:
-                    transparent_idx = gce[3]
+                if size >= 4:
+                    disposal = (gce[0] >> 2) & 0x07
+                    delay_cs = gce[1] | (gce[2] << 8)
+                    transparent_idx = gce[3] if gce[0] & 0x01 else None
                 pos += 1 + size
                 if data[pos] != 0:
                     raise GifError("unterminated GCE")
@@ -212,38 +237,36 @@ def _decode_blocks(data: bytes) -> tuple[int, int, int, bytes]:
             indices = deinter
         if int(indices.max()) >= ct.shape[0]:
             raise GifError("pixel index outside colour table")
-        frame = ct[indices]  # (ih, iw, 3)
-        if transparent_idx is not None and transparent_idx < ct.shape[0]:
-            frame = frame.copy()
-            frame[indices == transparent_idx] = 0
-        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
         y2, x2 = min(iy + ih, sh), min(ix + iw, sw)
-        canvas[iy:y2, ix:x2] = frame[: y2 - iy, : x2 - ix]
-        return sw, sh, 3, canvas.tobytes()
-    raise GifError("truncated GIF: no image data")
+        vis = indices[: y2 - iy, : x2 - ix]
+        region = canvas[iy:y2, ix:x2]
+        before = canvas.copy() if disposal == 3 else None
+        frame_rgb = ct[vis]
+        if transparent_idx is not None:
+            # transparent pixels leave the UNDERLYING canvas visible
+            mask = vis != transparent_idx
+            region[mask] = frame_rgb[mask]
+        else:
+            region[...] = frame_rgb
+        frames.append((delay_cs, canvas.tobytes()))
+        if len(frames) >= max_frames:
+            return sw, sh, frames
+        # inter-frame disposal (applies AFTER the frame was shown)
+        if disposal == 2:
+            canvas[iy:y2, ix:x2] = 0
+        elif disposal == 3 and before is not None:
+            canvas = before
+        transparent_idx = None
+        delay_cs = 0
+        disposal = 0
+    if not frames:
+        raise GifError("GIF contains no image data")
+    return sw, sh, frames
 
 
-def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
-    """Minimal GIF89a encoder for fixtures/round-trips: builds a palette
-    from the distinct colours (≤256 required), emits ONE non-interlaced
-    frame with clear-code-per-symbol LZW (valid, unoptimised output)."""
-    arr = np.frombuffer(bytes(rgb), dtype=np.uint8)
-    if arr.size != width * height * 3:
-        raise GifError("pixel buffer does not match dimensions")
-    pixels = arr.reshape(-1, 3)
-    colours, indices = np.unique(pixels, axis=0, return_inverse=True)
-    if colours.shape[0] > 256:
-        raise GifError("encode_gif fixture encoder supports <=256 colours")
-    depth = max(2, int(colours.shape[0] - 1).bit_length())
-    table_n = 1 << depth
-    palette = np.zeros((table_n, 3), dtype=np.uint8)
-    palette[: colours.shape[0]] = colours
-
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
-    out += palette.tobytes()
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
-    min_code = depth
+def _lzw_emit(indices, min_code: int) -> bytes:
+    """Clear-code-per-symbol LZW (valid, unoptimised) shared by the
+    still and animation encoders."""
     clear = 1 << min_code
     eoi = clear + 1
     width_bits = min_code + 1
@@ -260,19 +283,92 @@ def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    # clear before every symbol keeps the dictionary (and code width)
-    # fixed — legal GIF, trivially correct, fine for fixture sizes
     for v in indices.ravel().tolist():
         put(clear)
         put(int(v))
     put(eoi)
     if nbits:
         payload.append(acc & 0xFF)
-    out += bytes([min_code])
+    out = bytearray([min_code])
     for i in range(0, len(payload), 255):
         chunk = payload[i : i + 255]
         out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
+    out += b"\x00"
+    return bytes(out)
+
+
+def _build_palette(pixel_arrays):
+    """Shared GCT over every frame's pixels (<=256 distinct colours)."""
+    allpix = np.concatenate([a.reshape(-1, 3) for a in pixel_arrays])
+    colours = np.unique(allpix, axis=0)
+    if colours.shape[0] > 256:
+        raise GifError("fixture encoders support <=256 distinct colours")
+    depth = max(2, int(colours.shape[0] - 1).bit_length())
+    table_n = 1 << depth
+    palette = np.zeros((table_n, 3), dtype=np.uint8)
+    palette[: colours.shape[0]] = colours
+    return palette, colours, depth
+
+
+def _indices_for(arr, colours):
+    flat = arr.reshape(-1, 3)
+    # row-wise lookup into the sorted unique colour table
+    keys = (colours[:, 0].astype(np.int64) << 16) | (
+        colours[:, 1].astype(np.int64) << 8) | colours[:, 2]
+    vals = (flat[:, 0].astype(np.int64) << 16) | (
+        flat[:, 1].astype(np.int64) << 8) | flat[:, 2]
+    return np.searchsorted(keys, vals).astype(np.uint8)
+
+
+def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal GIF89a encoder for fixtures/round-trips: builds a palette
+    from the distinct colours (≤256 required), emits ONE non-interlaced
+    frame with clear-code-per-symbol LZW (valid, unoptimised output)."""
+    arr = np.frombuffer(bytes(rgb), dtype=np.uint8)
+    if arr.size != width * height * 3:
+        raise GifError("pixel buffer does not match dimensions")
+    palette, colours, depth = _build_palette([arr])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    out += palette.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    out += _lzw_emit(_indices_for(arr, colours), depth)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def encode_gif_animation(
+    width: int,
+    height: int,
+    frames: list[tuple[int, bytes]],
+    loop: int = 0,
+) -> bytes:
+    """Animated GIF89a fixture encoder: `frames` is [(delay_cs, rgb)],
+    full-frame replacement (disposal 1), one shared global colour table,
+    a NETSCAPE2.0 loop block (`loop`=0 means forever). Round-trips
+    exactly through decode_gif_frames — the animation twin of the still
+    codec, exercising GCE delays and multi-image composition."""
+    if not frames:
+        raise GifError("animation needs at least one frame")
+    arrs = []
+    for _, rgb in frames:
+        arr = np.frombuffer(bytes(rgb), dtype=np.uint8)
+        if arr.size != width * height * 3:
+            raise GifError("frame pixel buffer does not match dimensions")
+        arrs.append(arr)
+    palette, colours, depth = _build_palette(arrs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    out += palette.tobytes()
+    # NETSCAPE2.0 application extension: animation loop count
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    for delay_cs, arr in zip((d for d, _ in frames), arrs):
+        # GCE: disposal 1 (leave), no transparency, the frame's delay
+        out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack(
+            "<H", delay_cs) + b"\x00\x00"
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+        out += _lzw_emit(_indices_for(arr, colours), depth)
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -282,3 +378,20 @@ def gif_image_decoder(data: bytes) -> tuple[int, int, list[float]]:
 
     w, h, ch, px = decode_gif(data)
     return w, h, grid_features(w, h, ch, px)
+
+
+def gif_video_decoder(
+    data: bytes, frame_stride: int = 1
+) -> tuple[int, int, int, int, list[float]]:
+    """`extract_video_features`-shaped decoder over an animated GIF:
+    (n_frames, width, height, duration_ms, per-sampled-frame mean/255).
+    Delays are GIF centiseconds -> ms x10; frames are the COMPOSED
+    canvases, so disposal/transparency affect the features exactly as a
+    renderer would show them."""
+    sw, sh, frames = decode_gif_frames(data)
+    duration_ms = sum(d for d, _ in frames) * 10
+    feats = []
+    for j in range(0, len(frames), max(1, frame_stride)):
+        arr = np.frombuffer(frames[j][1], dtype=np.uint8)
+        feats.append(float(arr.mean()) / 255.0)
+    return len(frames), sw, sh, duration_ms, feats

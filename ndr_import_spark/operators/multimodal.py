@@ -368,12 +368,17 @@ def extract_video_features(
         if decoder is not None:
             return decoder(bytes(payload))
         from ndr_import_spark.functions.avi import avi_video_decoder, is_avi
+        from ndr_import_spark.functions.gif import gif_video_decoder, is_gif
 
         raw = bytes(payload)
         if is_avi(raw):
             return avi_video_decoder(raw, frame_stride=frame_stride)
+        if is_gif(raw):
+            # animated GIF is a video-like container (frames + delays):
+            # the second real stdlib container on this path
+            return gif_video_decoder(raw, frame_stride=frame_stride)
         raise NotImplementedError(
-            "Non-AVI video needs an injected decoder; use "
+            "Non-AVI/GIF video needs an injected decoder; use "
             "multimodal.set_video_decoder"
         )
 

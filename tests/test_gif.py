@@ -207,3 +207,97 @@ class TestSparkIntegration:
         assert is_gif(bytes(out["payload"]))
         w, h, ch, px = decode_gif(bytes(out["payload"]))
         assert (w, h) == (5, 4)
+
+
+class TestAnimation:
+    """decode_gif_frames: GCE delays, disposal 2/3, transparency
+    compositing over the underlying canvas, encoder round-trip."""
+
+    def _anim(self, frames_spec, sw=4, sh=4):
+        # hand-assemble: frames_spec = [(delay, disposal, rect, color_idx,
+        # transparent_idx)] over a 3-colour GCT
+        import struct as st
+
+        import numpy as np
+
+        from ndr_import_spark.functions.gif import _lzw_emit
+
+        out = bytearray(b"GIF89a")
+        out += st.pack("<HHBBB", sw, sh, 0x80 | 1, 0, 0)  # 4-entry GCT
+        gct = bytes([250, 0, 0, 0, 250, 0, 0, 0, 250, 9, 9, 9])
+        out += gct
+        for delay, disposal, (ix, iy, iw, ih), cidx, tidx in frames_spec:
+            flags = (disposal << 2) | (1 if tidx is not None else 0)
+            out += b"\x21\xf9\x04" + bytes([flags]) + st.pack("<H", delay) \
+                + bytes([tidx if tidx is not None else 0, 0])
+            out += st.pack("<BHHHHB", 0x2C, ix, iy, iw, ih, 0)
+            idx = np.full(iw * ih, cidx, dtype=np.uint8)
+            out += _lzw_emit(idx, 2)
+        out += b"\x3b"
+        return bytes(out)
+
+    def test_disposal_2_clears_rect(self):
+        from ndr_import_spark.functions.gif import decode_gif_frames
+
+        g = self._anim([
+            (5, 2, (0, 0, 4, 4), 0, None),   # full red, then clear
+            (7, 0, (1, 1, 2, 2), 1, None),   # green 2x2 at (1,1)
+        ])
+        _, _, frames = decode_gif_frames(g)
+        assert frames[0][0] == 5 and frames[1][0] == 7
+        f0 = frames[0][1]
+        assert f0[:3] == bytes([250, 0, 0])  # full red visible
+        f1 = frames[1][1]
+        assert f1[:3] == b"\x00\x00\x00"     # cleared corner
+        # pixel (1,1) is green
+        off = (1 * 4 + 1) * 3
+        assert f1[off:off + 3] == bytes([0, 250, 0])
+
+    def test_disposal_3_restores_previous(self):
+        from ndr_import_spark.functions.gif import decode_gif_frames
+
+        g = self._anim([
+            (1, 1, (0, 0, 4, 4), 0, None),   # full red, keep
+            (1, 3, (0, 0, 2, 2), 1, None),   # green corner, then restore
+            (1, 0, (2, 2, 2, 2), 2, None),   # blue corner bottom-right
+        ])
+        _, _, frames = decode_gif_frames(g)
+        f2 = frames[2][1]
+        assert f2[:3] == bytes([250, 0, 0])  # top-left back to red
+        off = (2 * 4 + 2) * 3
+        assert f2[off:off + 3] == bytes([0, 0, 250])  # blue rect present
+
+    def test_transparency_composites_over_underlying(self):
+        from ndr_import_spark.functions.gif import decode_gif_frames
+
+        g = self._anim([
+            (1, 1, (0, 0, 4, 4), 0, None),   # full red
+            (1, 0, (0, 0, 4, 4), 1, 1),      # "green" frame, all transparent
+        ])
+        _, _, frames = decode_gif_frames(g)
+        assert frames[1][1][:3] == bytes([250, 0, 0])  # red shows through
+
+    def test_encoder_roundtrip_and_max_frames(self):
+        from ndr_import_spark.functions.gif import (
+            decode_gif_frames,
+            encode_gif_animation,
+        )
+
+        frames = [(i + 1, bytes([i * 40, 255 - i * 40, 7]) * 36)
+                  for i in range(5)]
+        g = encode_gif_animation(6, 6, frames, loop=3)
+        sw, sh, dec = decode_gif_frames(g)
+        assert (sw, sh) == (6, 6)
+        assert dec == frames
+        _, _, two = decode_gif_frames(g, max_frames=2)
+        assert len(two) == 2 and two == frames[:2]
+
+    def test_first_frame_contract_unchanged(self):
+        from ndr_import_spark.functions.gif import (
+            decode_gif,
+            encode_gif_animation,
+        )
+
+        frames = [(4, bytes([9, 9, 9]) * 16), (4, bytes([200, 0, 0]) * 16)]
+        w, h, ch, px = decode_gif(encode_gif_animation(4, 4, frames))
+        assert (w, h, ch, px) == (4, 4, 3, frames[0][1])
