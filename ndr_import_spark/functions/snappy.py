@@ -85,3 +85,45 @@ def decompress(data: bytes, max_output: int = 1 << 31) -> bytes:
         return bytes(out)
     except IndexError as exc:
         raise SnappyError(f"truncated snappy stream: {exc}") from exc
+
+
+def decompress_hadoop(data: bytes, max_output: int = 1 << 31) -> bytes:
+    """Hadoop BlockCompressorStream framing over raw snappy — the
+    on-disk shape of `.snappy` files written by Hadoop/Hive/older Spark
+    text outputs (public format: per internal block a 4-byte BIG-endian
+    uncompressed length, then [4-byte BE compressed length + raw snappy
+    chunk] until the block's length is covered; blocks repeat to EOF).
+    The raw codec below is reference-gated against libsnappy; this
+    layer adds only the framing walk, with the declared-length checks a
+    hostile stream needs."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    try:
+        while pos < n:
+            if n - pos < 4:
+                raise SnappyError("truncated hadoop block length")
+            block_len = int.from_bytes(data[pos:pos + 4], "big")
+            pos += 4
+            if len(out) + block_len > max_output:
+                raise SnappyError("declared size exceeds max_output guard")
+            got = 0
+            while got < block_len:
+                if n - pos < 4:
+                    raise SnappyError("truncated hadoop chunk length")
+                clen = int.from_bytes(data[pos:pos + 4], "big")
+                pos += 4
+                chunk = data[pos:pos + clen]
+                if len(chunk) < clen:
+                    raise SnappyError("truncated hadoop chunk")
+                pos += clen
+                dec = decompress(chunk, max_output=block_len - got)
+                got += len(dec)
+                out += dec
+            if got != block_len:
+                raise SnappyError(
+                    f"hadoop block decoded {got} bytes, declared {block_len}"
+                )
+    except IndexError as exc:
+        raise SnappyError(f"truncated hadoop snappy stream: {exc}") from exc
+    return bytes(out)

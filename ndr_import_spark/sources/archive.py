@@ -281,8 +281,44 @@ def read_jsonl_zst_distributed(
     )
 
 
+def expand_snappy(path: str, unzip_path: str | None = None) -> str:
+    """Decompress a Hadoop-framed `.snappy` file (the SnappyCodec
+    on-disk shape) with the clean-room decoder and return the inner
+    file's path — same dispatch-on-what-remains flow as .zst/.lz4."""
+    from ndr_import_spark.functions.snappy import decompress_hadoop
+
+    dest = unzip_path or os.path.join(os.getcwd(), ".tmp", "unzip")
+    import hashlib as _hl
+
+    dest = os.path.join(dest, _hl.md5(os.path.abspath(path).encode()).hexdigest()[:10])
+    os.makedirs(dest, exist_ok=True)
+    inner = os.path.basename(path)
+    if inner.lower().endswith(".snappy"):
+        inner = inner[: inner.rfind(".")]
+    else:
+        inner += ".bin"
+    target = os.path.join(dest, inner)
+    with open(path, "rb") as f:
+        data = decompress_hadoop(f.read())
+    with open(target, "wb") as f:
+        f.write(data)
+    return target
+
+
+def read_snappy(spark: SparkSession, path: str | list[str], options: dict):
+    files = list_input_files(spark, path)
+    tables = []
+    for f in files:
+        extracted = expand_snappy(f, options.get("unzip_path"))
+        tables.extend(
+            read_tables(spark, extracted, options.get("inner_format"), options)
+        )
+    return tables
+
+
 Registry.register(read_zip, "zip")
 Registry.register(read_seven_zip, "7z")
 Registry.register(read_tar, "tar", "tgz")
 Registry.register(read_zstd, "zst", "zstd")
 Registry.register(read_lz4, "lz4")
+Registry.register(read_snappy, "snappy")

@@ -203,3 +203,58 @@ class TestReviewFindings:
         assert decompress_frame(one * 3, max_output=5000) == b"B" * 3000
         with pytest.raises(Lz4Error, match="max_output"):
             decompress_frame(one * 3, max_output=2500)
+
+
+class TestHadoopSnappy:
+    """Hadoop BlockCompressorStream framing (the .snappy on-disk shape):
+    BE4 uncompressed block length + [BE4 chunk length + raw snappy]*.
+    The raw codec is reference-gated above; fixtures here are built from
+    the documented framing over libsnappy chunks."""
+
+    @staticmethod
+    def _enc(data: bytes, block: int = 257) -> bytes:
+        out = bytearray()
+        if not data:
+            return (0).to_bytes(4, "big")
+        for i in range(0, len(data), block):
+            b = data[i:i + block]
+            out += len(b).to_bytes(4, "big")
+            z = pa.Codec("snappy").compress(b, asbytes=True)
+            out += len(z).to_bytes(4, "big") + z
+        return bytes(out)
+
+    def test_round_trips(self):
+        from ndr_import_spark.functions.snappy import decompress_hadoop
+
+        rnd = random.Random(13)
+        for payload in (b"", b"hi", b"hello world " * 500,
+                        bytes(rnd.randrange(256) for _ in range(40000))):
+            assert decompress_hadoop(self._enc(payload)) == payload
+        # multi-block with a big block size too
+        big = b"structured repeats " * 30000
+        assert decompress_hadoop(self._enc(big, block=65536)) == big
+
+    def test_truncation_and_mismatch_raise(self):
+        from ndr_import_spark.functions.snappy import decompress_hadoop
+
+        z = self._enc(b"payload " * 100)
+        for cut in (2, 5, len(z) // 2, len(z) - 1):
+            try:
+                decompress_hadoop(z[:cut])
+            except SnappyError:
+                pass
+        # declared block length larger than chunks actually decode
+        bad = bytearray(z)
+        bad[3] ^= 0x01
+        with pytest.raises(SnappyError):
+            decompress_hadoop(bytes(bad))
+
+    def test_snappy_source_expansion(self, spark, tmp_path):
+        from ndr_import_spark.sources.registry import read_tables
+
+        p = tmp_path / "data.csv.snappy"
+        p.write_bytes(self._enc(b"a,b\n1,2\n3,4\n"))
+        tables = read_tables(
+            spark, str(p), options={"unzip_path": str(tmp_path / "out")}
+        )
+        assert tables[0][1].count() == 3
