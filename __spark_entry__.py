@@ -3293,7 +3293,6 @@ def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ndr_import_spark.functions.jpeg import encode_jpeg
     from ndr_import_spark.operators import multimodal as MM
 
-    MM.set_video_decoder(None)  # force stdlib AVI dispatch
     rows = []
     for i in range(60):
         b = _hl.md5(f"video{i}".encode()).digest()
@@ -3309,7 +3308,9 @@ def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             (i, "video", "video/avi", w, 8, None, bytearray(payload))
         )
     media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(8)
-    feats = MM.extract_video_features(media)
+    # decoder=None forces the stdlib container dispatch for this plan
+    # only, without clobbering any session-registered decoder
+    feats = MM.extract_video_features(media, decoder=None)
     mean_feat = F.aggregate(
         F.col("feature"), F.lit(0.0), lambda a, x: a + x
     ) / F.size(F.col("feature"))
@@ -5953,7 +5954,7 @@ cand AS (
 )"""
 
     # --- stage: 3-gram decontamination vs the cleaned eval slice ---
-    toks_ct = ("list_filter(string_split_regex(lower(clean_text), '\s+'),"
+    toks_ct = (r"list_filter(string_split_regex(lower(clean_text), '\s+'),"
                " x -> x <> '')")
     decont_part = rf""",
 evg AS MATERIALIZED (
@@ -8763,7 +8764,6 @@ def q_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ndr_import_spark.functions.gif import encode_gif_animation
     from ndr_import_spark.operators import multimodal as MM
 
-    MM.set_video_decoder(None)  # force stdlib container dispatch
     rows = []
     for i in range(60):
         b = _hl.md5(f"gif{i}".encode()).digest()
@@ -8776,7 +8776,9 @@ def q_gif_animation(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload = encode_gif_animation(w, 4, frames)
         rows.append((i, "video", "image/gif", w, 4, None, bytearray(payload)))
     media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(8)
-    feats = MM.extract_video_features(media)
+    # decoder=None forces the stdlib container dispatch for this plan
+    # only, without clobbering any session-registered decoder
+    feats = MM.extract_video_features(media, decoder=None)
     mean_feat = F.aggregate(
         F.col("feature"), F.lit(0.0), lambda a, x: a + x
     ) / F.size(F.col("feature"))
@@ -9165,8 +9167,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "map_clean_fields": q_map_clean_fields,
         "map_fixed_width": q_map_fixed_width,
+        "map_validation_errors": q_map_validation_errors,
+        "nontabular_extract": q_nontabular_extract,
+        "xml_extract": q_xml_extract,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup_capped": q_semantic_dedup_capped,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "c4_clean": q_c4_clean,
+        "gopher_quality": q_gopher_quality,
+        "quality_filter": q_quality_filter,
+        "lang_id": q_lang_id,
+        "training_pipeline": q_training_pipeline,
+        "training_mix": q_training_mix,
+        "bm25_search": q_bm25_search,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "pagerank": q_pagerank,
+        "bfs_reachability": q_bfs_reachability,
+        "triangle_count": q_triangle_count,
+        "multimodal_mixed_codecs": q_multimodal_mixed_codecs,
+        "exif_metadata": q_exif_metadata,
+        "image_dedup": q_image_dedup,
+        "media_metadata": q_media_metadata,
+        "audio_features": q_audio_features,
+        "zstd_roundtrip": q_zstd_roundtrip,
+        "compression_matrix": q_compression_matrix,
+        "parquet_layout": q_parquet_layout,
+        "compaction_plan": q_compaction_plan,
+        "hll_distinct": q_hll_distinct,
+        "bloom_filter": q_bloom_filter,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "bpe_tokenizer": q_bpe_tokenizer,
+        "pack_sequences": q_pack_sequences,
+        "hash_split": q_hash_split,
+        "decontaminate": q_decontaminate,
+        "split_leakage": q_split_leakage,
+        "scd2_history": q_scd2_history,
+        "asof_join": q_asof_join,
+        "window_analytics": q_window_analytics,
+        "skew_salted_agg": q_skew_salted_agg,
+        "embedding_pca": q_embedding_pca,
+        "logreg_distill": q_logreg_distill,
+        "table_profile": q_table_profile,
+        "fd_discovery": q_fd_discovery,
+        "gif_animation": q_gif_animation,
         "q5_supplier_volume": q5_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q10_returned_items": q10_returned_items,
@@ -9186,66 +9234,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": q11_important_parts,
         "q12_late_line_priority": q12_late_line_priority,
         "q20_dominant_shippers": q20_dominant_shippers,
-        "parquet_layout": q_parquet_layout,
-        "zstd_roundtrip": q_zstd_roundtrip,
-        "compression_matrix": q_compression_matrix,
         "schema_drift_union": q_schema_drift_union,
-        "gif_animation": q_gif_animation,
         "kmv_distinct": q_kmv_distinct,
         "grouped_moments": q_grouped_moments,
-        "scd2_history": q_scd2_history,
         "pivot_daily_events": q_pivot_daily_events,
         "json_props_stats": q_json_props_stats,
         "grouping_sets_revenue": q_grouping_sets_revenue,
         "q21_sole_latest_shipper": q21_sole_latest_shipper,
         "trailing_window_revenue": q_trailing_window_revenue,
         "melt_part_attrs": q_melt_part_attrs,
-        "map_validation_errors": q_map_validation_errors,
         "purchase_id_islands": q_purchase_id_islands,
         "value_histogram": q_value_histogram,
         "nation_top_customer": q_nation_top_customer,
-        "nontabular_extract": q_nontabular_extract,
-        "xml_extract": q_xml_extract,
         "rollup_revenue": q_rollup_revenue,
         "setops_steady_suppliers": q_setops_steady_suppliers,
-        "asof_join": q_asof_join,
         "events_sessionize": q_events_sessionize,
         "events_daily_stats": q_events_daily_stats,
         "events_top_users": q_events_top_users,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_clusters": q_dedup_clusters,
         "passage_dedup": q_passage_dedup,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "quality_filter": q_quality_filter,
         "corpus_pipeline": q_corpus_pipeline,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "ann_quantized_topk": q_ann_quantized_topk,
-        "ann_lsh_pairs": q_ann_lsh_pairs,
         "multimodal_features": q_multimodal_features,
-        "multimodal_mixed_codecs": q_multimodal_mixed_codecs,
-        "audio_features": q_audio_features,
         "adpcm_audio": q_adpcm_audio,
-        "media_metadata": q_media_metadata,
-        "exif_metadata": q_exif_metadata,
         "crawl_pipeline": q_crawl_pipeline,
-        "bloom_filter": q_bloom_filter,
-        "compaction_plan": q_compaction_plan,
         "crawl_frontier": q_crawl_frontier,
         "link_graph": q_link_graph,
-        "c4_clean": q_c4_clean,
         "dsir_resample": q_dsir_resample,
-        "hll_distinct": q_hll_distinct,
         "unicode_clean": q_unicode_clean,
         "label_propagation": q_label_propagation,
         "video_features": q_video_features,
         "substring_dedup": q_substring_dedup,
-        "bpe_tokenizer": q_bpe_tokenizer,
         "warc_extract": q_warc_extract,
         "robots_filter": q_robots_filter,
         "main_content": q_main_content,
@@ -9253,43 +9276,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_probe_topk": q_ivf_probe_topk,
         "quantize_embeddings": q_quantize_embeddings,
         "embedding_label_centroids": q_embedding_label_centroids,
-        "decontaminate": q_decontaminate,
         "pii_scrub": q_pii_scrub,
         "per_source_cap": q_per_source_cap,
-        "skew_salted_agg": q_skew_salted_agg,
-        "training_mix": q_training_mix,
-        "training_pipeline": q_training_pipeline,
         "funnel_analysis": q_funnel_analysis,
         "events_value_percentiles": q_events_value_percentiles,
-        "window_analytics": q_window_analytics,
-        "tfidf_top_terms": q_tfidf_top_terms,
         "deterministic_sample": q_deterministic_sample,
         "sessionize_events": q_sessionize_events,
         "range_join_windows": q_range_join_windows,
         "merge_upsert": q_merge_upsert,
         "repetition_score": q_repetition_score,
-        "gopher_quality": q_gopher_quality,
-        "pagerank": q_pagerank,
-        "bfs_reachability": q_bfs_reachability,
         "bigram_lm_score": q_bigram_lm_score,
         "zipf_fit": q_zipf_fit,
         "url_dedup": q_url_dedup,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_capped": q_semantic_dedup_capped,
         "record_linkage": q_record_linkage,
         "events_fill_forward": q_events_fill_forward,
-        "triangle_count": q_triangle_count,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
         "id_validity_scan": q_id_validity_scan,
         "source_entropy": q_source_entropy,
         "heaps_law": q_heaps_law,
-        "hash_split": q_hash_split,
         "chunk_documents": q_chunk_documents,
         "vocab_top_tokens": q_vocab_top_tokens,
-        "pack_sequences": q_pack_sequences,
         "length_buckets": q_length_buckets,
-        "bm25_search": q_bm25_search,
         "vocab_overlap_kmv": q_vocab_overlap_kmv,
         "mix_temperature": q_mix_temperature,
         "oov_rate": q_oov_rate,
@@ -9309,20 +9317,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_outliers": q_embedding_norm_outliers,
         "cohort_retention": q_cohort_retention,
         "bpe_merges": q_bpe_merges,
-        "embedding_pca": q_embedding_pca,
         "phrase_search": q_phrase_search,
         "perplexity_buckets": q_perplexity_buckets,
-        "logreg_distill": q_logreg_distill,
         "vocab_coverage_curve": q_vocab_coverage_curve,
-        "table_profile": q_table_profile,
         "lsh_quality": q_lsh_quality,
         "retrieval_self_eval": q_retrieval_self_eval,
-        "split_leakage": q_split_leakage,
-        "image_dedup": q_image_dedup,
         "zorder_locality": q_zorder_locality,
         "source_similarity": q_source_similarity,
         "hits_scores": q_hits_scores,
-        "fd_discovery": q_fd_discovery,
         "neyman_allocation": q_neyman_allocation,
     }
 

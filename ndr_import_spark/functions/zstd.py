@@ -719,12 +719,20 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
         last = bh & 1
         btype = (bh >> 1) & 3
         bsize = bh >> 3
+        # Block_Maximum_Size (RFC 8878 §3.1.1.2.3) bounds EVERY block's
+        # Block_Size, not just compressed ones: raw blocks carry content
+        # directly and RLE blocks regenerate bsize bytes, so both must
+        # respect min(window, 128 KiB) for strict conformance
+        if btype in (0, 1) and bsize > block_max:
+            raise ZstdError("block exceeds block size limit")
         if btype == 0:
-            out += data[pos:pos + bsize]
             if len(data) - pos < bsize:
                 raise ZstdError("truncated raw block")
+            out += data[pos:pos + bsize]
             pos += bsize
         elif btype == 1:
+            if len(data) - pos < 1:
+                raise ZstdError("truncated RLE block")
             out += bytes([data[pos]]) * bsize
             pos += 1
         elif btype == 2:

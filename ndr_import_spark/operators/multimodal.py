@@ -344,8 +344,14 @@ VIDEO_FEATURE_SCHEMA = (
 )
 
 
+_USE_GLOBAL = object()
+
+
 def extract_video_features(
-    df: DataFrame, frame_stride: int = 1, batch_hint: int = 64
+    df: DataFrame,
+    frame_stride: int = 1,
+    batch_hint: int = 64,
+    decoder=_USE_GLOBAL,
 ) -> DataFrame:
     """Video twin of `extract_features`: decode + per-frame feature
     extraction via Arrow-batched mapInPandas. MJPEG-in-AVI payloads (RIFF
@@ -355,12 +361,19 @@ def extract_video_features(
     precedence for other formats. `frame_stride` samples every n-th frame
     — the decode cost knob (feature = mean pixel per sampled frame).
     Non-AVI payloads with no injected decoder raise NotImplementedError —
-    the same honest env-gate contract as the image and audio paths."""
+    the same honest env-gate contract as the image and audio paths.
+
+    `decoder` threads an explicit choice through without touching the
+    module-global registration: omit it to use the `set_video_decoder`
+    global, pass `None` to force stdlib container dispatch, or pass a
+    callable to use it for this plan only (r7 ADVICE — callers used to
+    clobber the global to get the stdlib path)."""
     if frame_stride < 1:
         raise ValueError(
             f"frame_stride must be >= 1, got {frame_stride}"
         )
-    decoder = _video_decoder
+    if decoder is _USE_GLOBAL:
+        decoder = _video_decoder
 
     def one(payload):
         if payload is None:

@@ -141,6 +141,39 @@ def read_tar(spark: SparkSession, path: str | list[str], options: dict):
     return tables
 
 
+def _expand_compressed(
+    path: str,
+    unzip_path: str | None,
+    suffixes: tuple[str, ...],
+    decomp,
+) -> str:
+    """Shared whole-file decompress-to-disk flow for .zst/.lz4/.snappy.
+
+    The expansion target is qualified by a digest of the SOURCE path:
+    sharded inputs legitimately repeat basenames (part-0/data.jsonl.zst,
+    part-1/data.jsonl.zst) and the Spark reads are lazy, so flattening
+    to one shared basename would silently read the last-written shard
+    twice (the same hazard expand_tar documents for its members). The
+    FULL md5 hexdigest is used — a truncated digest re-opens exactly the
+    collision this digest exists to prevent at large shard counts."""
+    import hashlib as _hl
+
+    dest = unzip_path or os.path.join(os.getcwd(), ".tmp", "unzip")
+    dest = os.path.join(dest, _hl.md5(os.path.abspath(path).encode()).hexdigest())
+    os.makedirs(dest, exist_ok=True)
+    inner = os.path.basename(path)
+    if inner.lower().endswith(suffixes):
+        inner = inner[: inner.rfind(".")]
+    else:
+        inner += ".bin"
+    target = os.path.join(dest, inner)
+    with open(path, "rb") as f:
+        data = decomp(f.read())
+    with open(target, "wb") as f:
+        f.write(data)
+    return target
+
+
 def expand_zstd(path: str, unzip_path: str | None = None) -> str:
     """Decompress a `.zst` file with the clean-room RFC 8878 decoder
     (functions/zstd.py) and return the inner file's path. The inner
@@ -150,27 +183,7 @@ def expand_zstd(path: str, unzip_path: str | None = None) -> str:
     decompress once, dispatch on what remains."""
     from ndr_import_spark.functions.zstd import decompress
 
-    dest = unzip_path or os.path.join(os.getcwd(), ".tmp", "unzip")
-    # expansion target is qualified by a digest of the SOURCE path:
-    # sharded inputs legitimately repeat basenames (part-0/data.jsonl.zst,
-    # part-1/data.jsonl.zst) and the Spark reads are lazy, so flattening
-    # to one shared basename would silently read the last-written shard
-    # twice (the same hazard expand_tar documents for its members)
-    import hashlib as _hl
-
-    dest = os.path.join(dest, _hl.md5(os.path.abspath(path).encode()).hexdigest()[:10])
-    os.makedirs(dest, exist_ok=True)
-    inner = os.path.basename(path)
-    if inner.lower().endswith((".zst", ".zstd")):
-        inner = inner[: inner.rfind(".")]
-    else:
-        inner += ".bin"
-    target = os.path.join(dest, inner)
-    with open(path, "rb") as f:
-        data = decompress(f.read())
-    with open(target, "wb") as f:
-        f.write(data)
-    return target
+    return _expand_compressed(path, unzip_path, (".zst", ".zstd"), decompress)
 
 
 def read_zstd(spark: SparkSession, path: str | list[str], options: dict):
@@ -190,27 +203,7 @@ def expand_lz4(path: str, unzip_path: str | None = None) -> str:
     dispatch-on-what-remains shape as expand_zstd."""
     from ndr_import_spark.functions.lz4 import decompress_frame
 
-    dest = unzip_path or os.path.join(os.getcwd(), ".tmp", "unzip")
-    # expansion target is qualified by a digest of the SOURCE path:
-    # sharded inputs legitimately repeat basenames (part-0/data.jsonl.zst,
-    # part-1/data.jsonl.zst) and the Spark reads are lazy, so flattening
-    # to one shared basename would silently read the last-written shard
-    # twice (the same hazard expand_tar documents for its members)
-    import hashlib as _hl
-
-    dest = os.path.join(dest, _hl.md5(os.path.abspath(path).encode()).hexdigest()[:10])
-    os.makedirs(dest, exist_ok=True)
-    inner = os.path.basename(path)
-    if inner.lower().endswith(".lz4"):
-        inner = inner[: inner.rfind(".")]
-    else:
-        inner += ".bin"
-    target = os.path.join(dest, inner)
-    with open(path, "rb") as f:
-        data = decompress_frame(f.read())
-    with open(target, "wb") as f:
-        f.write(data)
-    return target
+    return _expand_compressed(path, unzip_path, (".lz4",), decompress_frame)
 
 
 def read_lz4(spark: SparkSession, path: str | list[str], options: dict):
@@ -240,8 +233,16 @@ def read_jsonl_zst_distributed(
     decompresses in-executor with the clean-room decoder
     (functions/zstd.py) and emits the same (source_file, row_index,
     cells_map) contract the jsonl reader produces — no driver bytes, no
-    intermediate files, shard-count parallelism. row_index is dense
-    per shard (line order within the frame).
+    intermediate files, shard-count parallelism. Contract parity with
+    read_jsonl (r7 ADVICE): JSON null → NULL map value, integer scalars
+    keep their raw token text, booleans are "true"/"false", nested
+    objects/arrays re-serialize compactly, and row_index counts every
+    physical line (blank lines consume an index and are then dropped,
+    matching read_lines_df's index-then-filter order). One deliberate
+    divergence, in fidelity's favour: FLOAT tokens keep their raw source
+    text here (1.50 stays "1.50"), whereas from_json parses them to
+    double and re-renders ("1.5") — measured on Spark 4.1, where the
+    "from_json keeps raw text" folklore only holds for integers.
     """
     import pandas as pd
 
@@ -254,26 +255,63 @@ def read_jsonl_zst_distributed(
 
         from ndr_import_spark.functions.zstd import decompress
 
+        class _RawNum(str):
+            """Numeric JSON token kept as its raw source text."""
+
+        decoder = json.JSONDecoder(parse_float=_RawNum, parse_int=_RawNum)
+
+        def dump_nested(v):
+            if isinstance(v, _RawNum):
+                return str(v)
+            if v is None:
+                return "null"
+            if v is True:
+                return "true"
+            if v is False:
+                return "false"
+            if isinstance(v, str):
+                return json.dumps(v)
+            if isinstance(v, list):
+                return "[" + ",".join(dump_nested(x) for x in v) + "]"
+            if isinstance(v, dict):
+                return "{" + ",".join(
+                    json.dumps(k) + ":" + dump_nested(x) for k, x in v.items()
+                ) + "}"
+            return json.dumps(v)
+
+        def cell(v):
+            if v is None:
+                return None
+            if isinstance(v, _RawNum):
+                return str(v)
+            if isinstance(v, str):
+                return v
+            if v is True:
+                return "true"
+            if v is False:
+                return "false"
+            return dump_nested(v)
+
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
                 with open(path, "rb") as f:
                     text = decompress(f.read()).decode("utf-8")
-                idx = 0
+                # a trailing newline terminates the last record rather than
+                # opening a blank line — mirror spark.read.text, which emits
+                # no row for it
+                if text.endswith("\n"):
+                    text = text[:-1]
                 # split on \n ONLY (plus \r\n tolerance): JSONL records
                 # may legally contain unescaped U+2028/U+2029/U+0085
                 # inside strings, which str.splitlines() would break on
-                for line in text.split("\n"):
+                for idx, line in enumerate(text.split("\n")):
                     line = line.rstrip("\r")
                     if not line.strip():
                         continue
-                    obj = json.loads(line)
-                    cells = {
-                        k: (v if isinstance(v, str) else json.dumps(v))
-                        for k, v in obj.items()
-                    }
+                    obj = decoder.decode(line)
+                    cells = {k: cell(v) for k, v in obj.items()}
                     rows.append((path, idx, cells))
-                    idx += 1
             yield pd.DataFrame(rows, columns=["source_file", "row_index", "cells_map"])
 
     return src.repartition(n_slices, "path").mapInPandas(
@@ -287,22 +325,7 @@ def expand_snappy(path: str, unzip_path: str | None = None) -> str:
     file's path — same dispatch-on-what-remains flow as .zst/.lz4."""
     from ndr_import_spark.functions.snappy import decompress_hadoop
 
-    dest = unzip_path or os.path.join(os.getcwd(), ".tmp", "unzip")
-    import hashlib as _hl
-
-    dest = os.path.join(dest, _hl.md5(os.path.abspath(path).encode()).hexdigest()[:10])
-    os.makedirs(dest, exist_ok=True)
-    inner = os.path.basename(path)
-    if inner.lower().endswith(".snappy"):
-        inner = inner[: inner.rfind(".")]
-    else:
-        inner += ".bin"
-    target = os.path.join(dest, inner)
-    with open(path, "rb") as f:
-        data = decompress_hadoop(f.read())
-    with open(target, "wb") as f:
-        f.write(data)
-    return target
+    return _expand_compressed(path, unzip_path, (".snappy",), decompress_hadoop)
 
 
 def read_snappy(spark: SparkSession, path: str | list[str], options: dict):

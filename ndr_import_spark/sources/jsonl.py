@@ -2,9 +2,11 @@
 each line parsed to a Hash; encoding probe).
 
 Rows are hash-shaped: the engine addresses cells by column name
-(`cells_map`), mirroring the reference's Hash rows. Values keep their raw
-JSON text form (numbers preserved — test/universal_importer_helper_test.rb:198-199);
-nested objects/arrays stay as JSON strings.
+(`cells_map`), mirroring the reference's Hash rows. Integer values keep
+their raw JSON text form (test/universal_importer_helper_test.rb:198-199);
+float tokens are parsed to double and re-rendered by from_json (1.50 →
+"1.5" — measured on Spark 4.1); nested objects/arrays stay as compact
+JSON strings; JSON null becomes a NULL map value.
 """
 
 from __future__ import annotations

@@ -350,3 +350,77 @@ class TestReviewFindings:
         got = {r.cells_map["doc_id"]: r.cells_map["text"] for r in df.collect()}
         assert len(got) == 5
         assert got["3"] == "line\u2028sep 3\u2029x\u0085y"
+
+
+class TestR8AdviceFindings:
+    """Regression pins for the round-8 ADVICE items."""
+
+    def test_block_max_applies_to_raw_and_rle_blocks(self):
+        # RFC 8878 §3.1.1.2.3: Block_Maximum_Size = min(window, 128 KiB)
+        # bounds raw and RLE block sizes too, not only compressed ones.
+        # Frame header: window_descriptor exponent 0 -> window 1 KiB.
+        hdr = struct.pack("<I", 0xFD2FB528) + bytes([0x00, 0x00])
+        # raw block claiming 2 KiB under a 1 KiB window: spec-invalid
+        bsize = 2048
+        bh = (bsize << 3) | (0 << 1) | 1
+        frame = hdr + bh.to_bytes(3, "little") + b"A" * bsize
+        with pytest.raises(ZstdError, match="block size limit"):
+            decompress(frame)
+        # RLE block regenerating 2 KiB under the same window: also invalid
+        bh = (bsize << 3) | (1 << 1) | 1
+        frame = hdr + bh.to_bytes(3, "little") + b"A"
+        with pytest.raises(ZstdError, match="block size limit"):
+            decompress(frame)
+        # in-bounds versions still decode
+        bh = (512 << 3) | (0 << 1) | 1
+        assert decompress(hdr + bh.to_bytes(3, "little") + b"B" * 512) == b"B" * 512
+        bh = (512 << 3) | (1 << 1) | 1
+        assert decompress(hdr + bh.to_bytes(3, "little") + b"C") == b"C" * 512
+
+    def test_expand_dir_uses_full_md5(self, tmp_path):
+        # 40-bit truncated digests can collide at large shard counts;
+        # the expansion dir must be qualified by the full 128-bit digest
+        from ndr_import_spark.sources.archive import expand_zstd
+
+        p = tmp_path / "x.jsonl.zst"
+        p.write_bytes(_z(b'{"a": 1}'))
+        out = expand_zstd(str(p), str(tmp_path / "unzip"))
+        import hashlib
+        digest_dir = out.split("/")[-2]
+        assert digest_dir == hashlib.md5(str(p).encode()).hexdigest()
+        assert len(digest_dir) == 32
+
+    def test_distributed_ingest_matches_read_jsonl_contract(self, spark, tmp_path):
+        """r7 ADVICE parity: null -> NULL map value, integer scalars keep
+        raw token text, booleans are true/false, blank lines consume a
+        row_index then drop — same cells as read_jsonl except the
+        documented float divergence (raw "1.50" here vs from_json's
+        re-rendered "1.5")."""
+        from ndr_import_spark.sources.archive import read_jsonl_zst_distributed
+        from ndr_import_spark.sources.jsonl import read_jsonl
+
+        text = (
+            '{"id": 1, "price": 1.50, "flag": true, "miss": null}\n'
+            "\n"
+            '{"id": 2, "n": 42, "flag": false, "s": "x"}\n'
+        )
+        zp = tmp_path / "contract.jsonl.zst"
+        zp.write_bytes(_z(text.encode()))
+        jp = tmp_path / "contract.jsonl"
+        jp.write_text(text)
+
+        dist = read_jsonl_zst_distributed(spark, [str(zp)])
+        [(_, ref)] = read_jsonl(spark, str(jp), {})
+
+        d = {r.row_index: dict(r.cells_map) for r in dist.collect()}
+        j = {r.row_index: dict(r.cells_map) for r in ref.collect()}
+        # blank line at physical index 1 consumed an index in both paths
+        assert sorted(d) == sorted(j) == [0, 2]
+        assert d[0]["miss"] is None and j[0]["miss"] is None
+        assert d[0]["flag"] == j[0]["flag"] == "true"
+        assert d[2] == j[2]  # ints/strings/bools identical end-to-end
+        # the one documented divergence: float tokens stay raw here,
+        # from_json re-renders them from the parsed double
+        assert d[0]["price"] == "1.50" and j[0]["price"] == "1.5"
+        assert {k: v for k, v in d[0].items() if k != "price"} == \
+               {k: v for k, v in j[0].items() if k != "price"}
