@@ -8638,7 +8638,12 @@ def q_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc) inside the task, decoded back by the clean-room decoder, and
     the decoded bytes' md5/length must equal the oracle's values for
     the analytically-identical string — a wrong bit anywhere in the
-    FSE/Huffman/sequence machinery flips the hash. Arrow mapInPandas
+    FSE/Huffman/sequence machinery flips the hash. The r8 dict_md5
+    column repeats the round-trip through a DICTIONARY frame (RFC 8878
+    §5): libzstd compresses against a raw-content dictionary sharing
+    the payload's text, the clean-room decoder replays it with the
+    dictionary as history prefix — a wrong prefix-match resolution or
+    repeat-offset init flips that hash independently. Arrow mapInPandas
     (opaque bytes, the FLAC/ADPCM pattern); shuffle-free except the
     output ordering; the sample keeps pure-Python decode (~10 MB/s/core
     measured) test-scale while levels exercise raw, RLE and
@@ -8650,12 +8655,22 @@ def q_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def rt(batches):
+        import ctypes
         import hashlib
 
         import pandas as pd
         import pyarrow as pa
 
         from ndr_import_spark.functions.zstd import decompress
+
+        lib = ctypes.CDLL("libzstd.so.1")
+        szt, vp, cp = ctypes.c_size_t, ctypes.c_void_p, ctypes.c_char_p
+        lib.ZSTD_compressBound.restype = szt
+        lib.ZSTD_compressBound.argtypes = [szt]
+        lib.ZSTD_createCCtx.restype = vp
+        lib.ZSTD_compress_usingDict.restype = szt
+        lib.ZSTD_compress_usingDict.argtypes = [vp, vp, szt, cp, szt, cp, szt, ctypes.c_int]
+        cctx = vp(lib.ZSTD_createCCtx())
 
         levels = (1, 3, 9, 19)
         for pdf in batches:
@@ -8665,13 +8680,26 @@ def q_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payload = ((text + " #" + str(did)) * (1 + did % 7)).encode()
                 codec = pa.Codec("zstd", compression_level=levels[did % 4])
                 decoded = decompress(codec.compress(payload, asbytes=True))
-                rows.append(
-                    (did, len(decoded), hashlib.md5(decoded).hexdigest())
+                # dictionary frame: raw-content dict = the doc text, so
+                # the compressor's matches land in the history prefix
+                dic = text.encode()
+                bound = lib.ZSTD_compressBound(len(payload))
+                dst = ctypes.create_string_buffer(bound)
+                m = lib.ZSTD_compress_usingDict(
+                    cctx, ctypes.cast(dst, vp), bound,
+                    payload, len(payload), dic, len(dic), 19,
                 )
-            yield pd.DataFrame(rows, columns=["doc_id", "orig_len", "payload_md5"])
+                dict_decoded = decompress(dst.raw[:m], dictionary=dic)
+                rows.append(
+                    (did, len(decoded), hashlib.md5(decoded).hexdigest(),
+                     hashlib.md5(dict_decoded).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "orig_len", "payload_md5", "dict_md5"]
+            )
 
     return docs.mapInPandas(
-        rt, "doc_id long, orig_len bigint, payload_md5 string"
+        rt, "doc_id long, orig_len bigint, payload_md5 string, dict_md5 string"
     ).orderBy("doc_id")
 
 
@@ -8680,7 +8708,9 @@ SELECT doc_id,
   cast(strlen(repeat(text || ' #' || cast(doc_id as varchar),
                      cast(1 + doc_id % 7 as int))) as bigint) AS orig_len,
   md5(repeat(text || ' #' || cast(doc_id as varchar),
-             cast(1 + doc_id % 7 as int))) AS payload_md5
+             cast(1 + doc_id % 7 as int))) AS payload_md5,
+  md5(repeat(text || ' #' || cast(doc_id as varchar),
+             cast(1 + doc_id % 7 as int))) AS dict_md5
 FROM documents
 WHERE doc_id % 20 = 0
 ORDER BY doc_id

@@ -23,10 +23,16 @@ Scope (decode-only):
   shift and the rep[0]-1 special case)
 * skippable frames, concatenated frames, content checksum (XXH64,
   implemented clean-room below from the public xxHash spec)
-* honest gates: dictionaries (Dictionary_ID != 0) raise
-  ``ZstdError('dictionary frames not supported')``; window sizes above
-  ``max_window`` (default 64 MiB) raise rather than let a hostile frame
-  balloon memory — the scale-safety guard a crawl ingest needs.
+* dictionaries (RFC 8878 §5, r8): structured `ZDICT`-format blobs
+  (magic 0xEC30A437 → entropy-table preload + repeat-offset init +
+  content-as-history-prefix) and raw-content dictionaries; pass the
+  blob via ``decompress(data, dictionary=...)``. A frame declaring a
+  Dictionary_ID still raises ``ZstdError('dictionary frames not
+  supported')`` when no dictionary is supplied, and raises on an ID
+  mismatch — silent wrong-dict decode is worse than an error.
+* honest gates: window sizes above ``max_window`` (default 64 MiB)
+  raise rather than let a hostile frame balloon memory — the
+  scale-safety guard a crawl ingest needs.
 
 Spark usage: per-blob decode inside Arrow ``mapInPandas`` batches
 (sources/archive.py, sources/warc.py), exactly the FLAC/ADPCM pattern —
@@ -40,7 +46,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["ZstdError", "decompress", "xxh64"]
+__all__ = ["ZstdDict", "ZstdError", "decompress", "xxh64"]
 
 
 class ZstdError(ValueError):
@@ -439,6 +445,66 @@ class _FrameState:
         self.rep = [1, 4, 8]
 
 
+_DICT_MAGIC = 0xEC30A437
+
+
+class ZstdDict:
+    """Parsed zstd dictionary (RFC 8878 §5).
+
+    Two accepted shapes, mirroring libzstd:
+    * structured (`ZDICT`) blobs — magic 0xEC30A437, Dictionary_ID,
+      entropy tables in the §5 order (Huffman for literals, then FSE for
+      offsets, match lengths, literals lengths — the same descriptions
+      compressed blocks carry), three 4-byte little-endian repeat
+      offsets replacing the {1,4,8} defaults, then raw content;
+    * raw-content blobs — no magic, the entire blob is history, entropy
+      state starts from the frame like a dictionary-less decode.
+
+    The content becomes a virtual history prefix: first-block matches may
+    reach back into it, which is the whole point of small-shard
+    dictionary compression.
+    """
+
+    __slots__ = ("dict_id", "huf", "ll", "of", "ml", "rep", "content")
+
+    def __init__(self, blob: bytes):
+        blob = bytes(blob)
+        if len(blob) >= 8 and struct.unpack_from("<I", blob, 0)[0] == _DICT_MAGIC:
+            (self.dict_id,) = struct.unpack_from("<I", blob, 4)
+            pos = 8
+            try:
+                weights, consumed = _read_huf_weights(blob[pos:])
+                self.huf = _HufTable(weights)
+                pos += consumed
+                tables: dict[str, _FseTable] = {}
+                # §5 entropy-table order: offsets, match lengths,
+                # literals lengths (after the literals Huffman table)
+                for kind in ("of", "ml", "ll"):
+                    fwd = _FwdBits(blob[pos:])
+                    alog, probs = _fse_read_ncount(
+                        fwd, _MAX_ALOG[kind], _MAX_SYM[kind]
+                    )
+                    tables[kind] = _FseTable(alog, probs)
+                    pos += fwd.bytes_consumed()
+            except (IndexError, struct.error) as exc:
+                raise ZstdError(f"corrupt dictionary entropy tables: {exc}") from exc
+            self.of, self.ml, self.ll = tables["of"], tables["ml"], tables["ll"]
+            if len(blob) - pos < 12:
+                raise ZstdError("truncated dictionary repeat offsets")
+            self.rep = list(struct.unpack_from("<III", blob, pos))
+            pos += 12
+            self.content = blob[pos:]
+            for r in self.rep:
+                if r == 0 or r > len(self.content):
+                    raise ZstdError("dictionary repeat offset out of range")
+        else:
+            self.dict_id = 0
+            self.huf = None
+            self.ll = self.of = self.ml = None
+            self.rep = [1, 4, 8]
+            self.content = blob
+
+
 def _decode_literals(block: bytes, st: _FrameState):
     """Literals section (§3.1.1.3.1): returns (literals, bytes consumed)."""
     b0 = block[0]
@@ -530,7 +596,7 @@ def _seq_table(mode: int, kind: str, fwd_data: bytes, pos: int,
 
 
 def _decode_block(block: bytes, st: _FrameState, out: bytearray,
-                  window: int, frame_start: int) -> None:
+                  window: int, frame_start: int, prefix: bytes = b"") -> None:
     lits, pos = _decode_literals(block, st)
 
     # Sequences section header (§3.1.1.3.2)
@@ -607,17 +673,37 @@ def _decode_block(block: bytes, st: _FrameState, out: bytearray,
 
         out += lits[lit_pos:lit_pos + ll]
         lit_pos += ll
-        if offset > len(out) - frame_start or offset > window:
-            # frame-LOCAL history: RFC 8878 matches may not reach into a
-            # previous concatenated frame's output
+        hist = len(out) - frame_start
+        if offset > hist + len(prefix) or offset > window + len(prefix):
+            # frame-LOCAL history (plus the dictionary content prefix
+            # when one is in play): RFC 8878 matches may not reach into
+            # a previous concatenated frame's output. The window bound
+            # extends by the prefix length — a single-segment frame's
+            # window equals its content size, yet its matches may reach
+            # anywhere in the dictionary (observed libzstd behaviour)
             raise ZstdError("match offset beyond decoded history")
-        if offset >= ml:
-            start = len(out) - offset
-            out += out[start:start + ml]
+        if offset <= hist:
+            if offset >= ml:
+                start = len(out) - offset
+                out += out[start:start + ml]
+            else:
+                start = len(out) - offset
+                for k in range(ml):  # overlapping copy
+                    out.append(out[start + k])
         else:
-            start = len(out) - offset
-            for k in range(ml):  # overlapping copy
-                out.append(out[start + k])
+            # match starts inside the dictionary content: positions
+            # before frame_start map to the tail of `prefix`
+            src = hist - offset  # negative = index back from prefix end
+            plen = len(prefix)
+            if src + ml <= 0:
+                out += prefix[plen + src:plen + src + ml]
+            else:
+                for k in range(ml):
+                    p = src + k
+                    if p < 0:
+                        out.append(prefix[plen + p])
+                    else:
+                        out.append(out[frame_start + p])
 
         if i < nseq - 1:
             ll_s = ll_t.base[ll_s] + br.read(ll_t.nbits[ll_s])
@@ -638,9 +724,16 @@ _SKIP_HI = 0x184D2A5F
 
 
 def decompress(data: bytes, max_output: int = 1 << 31,
-               max_window: int = 64 << 20) -> bytes:
+               max_window: int = 64 << 20,
+               dictionary: "bytes | ZstdDict | None" = None) -> bytes:
     """Decode all zstd frames in `data` (skippable frames skipped),
-    concatenating their content — the `.jsonl.zst` shard shape."""
+    concatenating their content — the `.jsonl.zst` shard shape.
+
+    `dictionary` accepts a raw blob (ZDICT-format or raw content) or a
+    pre-parsed ZstdDict — parse once when decoding many shards against
+    the same dictionary."""
+    if dictionary is not None and not isinstance(dictionary, ZstdDict):
+        dictionary = ZstdDict(dictionary)
     out = bytearray()
     pos = 0
     n = len(data)
@@ -660,7 +753,8 @@ def decompress(data: bytes, max_output: int = 1 << 31,
         if magic != _MAGIC:
             raise ZstdError(f"bad zstd magic 0x{magic:08X}")
         try:
-            pos = _decode_frame(data, pos, out, max_output, max_window)
+            pos = _decode_frame(data, pos, out, max_output, max_window,
+                                dictionary)
         except (IndexError, struct.error) as exc:
             # corrupt/truncated input must surface as ZstdError, never a
             # raw container exception — ingest error channels key on it
@@ -669,7 +763,8 @@ def decompress(data: bytes, max_output: int = 1 << 31,
 
 
 def _decode_frame(data: bytes, pos: int, out: bytearray,
-                  max_output: int, max_window: int) -> int:
+                  max_output: int, max_window: int,
+                  dictionary: ZstdDict | None = None) -> int:
     fhd = data[pos]
     pos += 1
     if fhd & 0x08:
@@ -692,7 +787,17 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
         did = int.from_bytes(data[pos:pos + did_len], "little")
         pos += did_len
         if did != 0:
-            raise ZstdError("dictionary frames not supported")
+            if dictionary is None:
+                raise ZstdError("dictionary frames not supported")
+            # a raw-content dictionary carries no ID (0) and may serve
+            # any frame; a structured dictionary must match exactly —
+            # decoding against the wrong dictionary yields garbage that
+            # only the (optional) checksum would catch
+            if dictionary.dict_id not in (0, did):
+                raise ZstdError(
+                    f"dictionary ID mismatch: frame wants {did}, "
+                    f"dictionary is {dictionary.dict_id}"
+                )
 
     fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
     fcs = None
@@ -709,6 +814,15 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
         raise ZstdError(f"window size {window} exceeds guard {max_window}")
 
     st = _FrameState()
+    prefix = b""
+    if dictionary is not None:
+        # §5: entropy tables preload the "repeat"/treeless modes, the
+        # recent-offsets triple replaces {1,4,8}, and the content is
+        # history the first blocks may match into
+        st.huf = dictionary.huf
+        st.ll, st.of, st.ml = dictionary.ll, dictionary.of, dictionary.ml
+        st.rep = list(dictionary.rep)
+        prefix = dictionary.content
     frame_start = len(out)
     block_max = min(window if window > 0 else 1, 128 << 10)
     while True:
@@ -742,7 +856,7 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
             if len(block) < bsize:
                 raise ZstdError("truncated compressed block")
             pos += bsize
-            _decode_block(block, st, out, window, frame_start)
+            _decode_block(block, st, out, window, frame_start, prefix)
         else:
             raise ZstdError("reserved block type")
         if len(out) > max_output:

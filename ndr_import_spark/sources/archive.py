@@ -174,23 +174,37 @@ def _expand_compressed(
     return target
 
 
-def expand_zstd(path: str, unzip_path: str | None = None) -> str:
+def expand_zstd(
+    path: str, unzip_path: str | None = None, dictionary: bytes | None = None
+) -> str:
     """Decompress a `.zst` file with the clean-room RFC 8878 decoder
     (functions/zstd.py) and return the inner file's path. The inner
     format then dispatches through the registry as usual, so
     `.jsonl.zst` (the Pile/RedPajama/Dolma shard shape), `.csv.zst`,
     `.warc.zst` and `.tar.zst` all compose from existing readers —
-    decompress once, dispatch on what remains."""
-    from ndr_import_spark.functions.zstd import decompress
+    decompress once, dispatch on what remains. `dictionary` (r8) is a
+    ZDICT-format or raw-content blob for dictionary-compressed shards
+    (RFC 8878 §5)."""
+    from ndr_import_spark.functions.zstd import ZstdDict, decompress
 
-    return _expand_compressed(path, unzip_path, (".zst", ".zstd"), decompress)
+    zd = ZstdDict(dictionary) if dictionary is not None else None
+    return _expand_compressed(
+        path, unzip_path, (".zst", ".zstd"),
+        lambda data: decompress(data, dictionary=zd),
+    )
 
 
 def read_zstd(spark: SparkSession, path: str | list[str], options: dict):
     files = list_input_files(spark, path)
+    # dictionary-compressed shard corpora: options["zstd_dictionary"] is
+    # the dictionary blob (bytes) or a local path to one
+    dic = options.get("zstd_dictionary")
+    if isinstance(dic, str):
+        with open(dic, "rb") as f:
+            dic = f.read()
     tables = []
     for f in files:
-        extracted = expand_zstd(f, options.get("unzip_path"))
+        extracted = expand_zstd(f, options.get("unzip_path"), dictionary=dic)
         tables.extend(
             read_tables(spark, extracted, options.get("inner_format"), options)
         )
@@ -221,6 +235,7 @@ def read_jsonl_zst_distributed(
     spark: SparkSession,
     paths: list[str],
     n_slices: int | None = None,
+    dictionary: bytes | None = None,
 ):
     """Executor-side `.jsonl.zst` shard ingest — the 100 TB path.
 
@@ -243,6 +258,11 @@ def read_jsonl_zst_distributed(
     text here (1.50 stays "1.50"), whereas from_json parses them to
     double and re-renders ("1.5") — measured on Spark 4.1, where the
     "from_json keeps raw text" folklore only holds for integers.
+
+    `dictionary` (r8): a zstd dictionary blob shared by every shard
+    (RFC 8878 §5 — the shape dictionary-trained corpus repacks ship).
+    Shipped to executors via closure capture and parsed once per task,
+    not once per frame.
     """
     import pandas as pd
 
@@ -253,7 +273,9 @@ def read_jsonl_zst_distributed(
     def expand(batches):
         import json
 
-        from ndr_import_spark.functions.zstd import decompress
+        from ndr_import_spark.functions.zstd import ZstdDict, decompress
+
+        zd = ZstdDict(dictionary) if dictionary is not None else None
 
         class _RawNum(str):
             """Numeric JSON token kept as its raw source text."""
@@ -296,7 +318,7 @@ def read_jsonl_zst_distributed(
             rows = []
             for path in pdf["path"]:
                 with open(path, "rb") as f:
-                    text = decompress(f.read()).decode("utf-8")
+                    text = decompress(f.read(), dictionary=zd).decode("utf-8")
                 # a trailing newline terminates the last record rather than
                 # opening a blank line — mirror spark.read.text, which emits
                 # no row for it

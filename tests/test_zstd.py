@@ -424,3 +424,142 @@ class TestR8AdviceFindings:
         assert d[0]["price"] == "1.50" and j[0]["price"] == "1.5"
         assert {k: v for k, v in d[0].items() if k != "price"} == \
                {k: v for k, v in j[0].items() if k != "price"}
+
+
+def _zstd_lib():
+    lib = ctypes.CDLL("libzstd.so.1")
+    sz, vp, cc = ctypes.c_size_t, ctypes.c_void_p, ctypes.c_char_p
+    lib.ZDICT_trainFromBuffer.restype = sz
+    lib.ZDICT_trainFromBuffer.argtypes = [vp, sz, cc, ctypes.POINTER(sz), ctypes.c_uint]
+    lib.ZDICT_isError.restype = ctypes.c_uint
+    lib.ZDICT_isError.argtypes = [sz]
+    lib.ZSTD_compressBound.restype = sz
+    lib.ZSTD_compressBound.argtypes = [sz]
+    lib.ZSTD_createCCtx.restype = vp
+    lib.ZSTD_compress_usingDict.restype = sz
+    lib.ZSTD_compress_usingDict.argtypes = [vp, vp, sz, cc, sz, cc, sz, ctypes.c_int]
+    lib.ZSTD_isError.restype = ctypes.c_uint
+    lib.ZSTD_isError.argtypes = [sz]
+    return lib
+
+
+def _z_dict(lib, cctx, data: bytes, dic: bytes, level: int = 3) -> bytes:
+    bound = lib.ZSTD_compressBound(len(data))
+    dst = ctypes.create_string_buffer(bound)
+    n = lib.ZSTD_compress_usingDict(
+        cctx, ctypes.cast(dst, ctypes.c_void_p), bound,
+        data, len(data), dic, len(dic), level,
+    )
+    assert not lib.ZSTD_isError(n)
+    return dst.raw[:n]
+
+
+class TestDictionaryFrames:
+    """RFC 8878 §5 dictionary support, round-tripped against libzstd's
+    ZDICT trainer + ZSTD_compress_usingDict (reference ENCODER only)."""
+
+    @classmethod
+    def setup_class(cls):
+        from ndr_import_spark.functions.zstd import ZstdDict
+
+        cls.lib = _zstd_lib()
+        cls.cctx = ctypes.c_void_p(cls.lib.ZSTD_createCCtx())
+        rnd = random.Random(7)
+        words = ["alpha", "beta", "gamma", "delta", "query", "spark",
+                 "shard", "tokens", "corpus", "dedup"]
+        cls.samples = [
+            (('{"doc_id": %d, "text": "' % i)
+             + " ".join(rnd.choice(words) for _ in range(30)) + '"}\n').encode()
+            for i in range(200)
+        ]
+        concat = b"".join(cls.samples)
+        sizes = (ctypes.c_size_t * len(cls.samples))(*[len(s) for s in cls.samples])
+        buf = ctypes.create_string_buffer(64 * 1024)
+        n = cls.lib.ZDICT_trainFromBuffer(buf, len(buf), concat, sizes, len(cls.samples))
+        assert not cls.lib.ZDICT_isError(n)
+        cls.dict_blob = buf.raw[:n]
+        cls.zd = ZstdDict(cls.dict_blob)
+
+    def test_parsed_dictionary_shape(self):
+        assert self.dict_blob[:4] == bytes.fromhex("37a430ec")
+        assert self.zd.dict_id != 0
+        assert len(self.zd.content) > 1000
+        assert all(0 < r <= len(self.zd.content) for r in self.zd.rep)
+        assert self.zd.huf is not None and self.zd.of is not None
+
+    def test_roundtrip_trained_dict_all_levels(self):
+        for level in (1, 3, 9, 19):
+            for s in self.samples[:40]:
+                c = _z_dict(self.lib, self.cctx, s, self.dict_blob, level)
+                assert decompress(c, dictionary=self.zd) == s
+        # raw blob accepted too (parsed internally)
+        c = _z_dict(self.lib, self.cctx, self.samples[0], self.dict_blob)
+        assert decompress(c, dictionary=self.dict_blob) == self.samples[0]
+
+    def test_roundtrip_raw_content_dict(self):
+        raw = self.zd.content
+        for s in self.samples[:10]:
+            c = _z_dict(self.lib, self.cctx, s, raw)
+            assert decompress(c, dictionary=raw) == s
+
+    def test_multiblock_frame_with_dict(self):
+        big = b"".join(self.samples) * 3  # > 128 KiB: multiple blocks
+        c = _z_dict(self.lib, self.cctx, big, self.dict_blob, 9)
+        assert decompress(c, dictionary=self.zd) == big
+
+    def test_missing_dict_still_raises_honest_gate(self):
+        c = _z_dict(self.lib, self.cctx, self.samples[0], self.dict_blob)
+        with pytest.raises(ZstdError, match="dictionary frames not supported"):
+            decompress(c)
+
+    def test_wrong_dict_id_raises(self):
+        c = _z_dict(self.lib, self.cctx, self.samples[0], self.dict_blob)
+        bad = bytearray(self.dict_blob)
+        struct.pack_into("<I", bad, 4, self.zd.dict_id ^ 1)
+        with pytest.raises(ZstdError, match="dictionary ID mismatch"):
+            decompress(c, dictionary=bytes(bad))
+
+    def test_corrupt_dictionary_raises_zstderror(self):
+        from ndr_import_spark.functions.zstd import ZstdDict
+
+        # valid magic, garbage entropy section
+        blob = self.dict_blob[:8] + b"\xff" * 4
+        with pytest.raises(ZstdError):
+            ZstdDict(blob)
+
+    def test_plain_frames_still_decode_with_dict_supplied(self):
+        # a dictionary in hand must not break dictionary-less frames
+        data = b"".join(self.samples[:5])
+        assert decompress(_z(data), dictionary=self.zd) == data
+
+    def test_distributed_ingest_with_dictionary(self, spark, tmp_path):
+        from ndr_import_spark.sources.archive import read_jsonl_zst_distributed
+
+        paths = []
+        for s in range(3):
+            rows = b"".join(self.samples[s * 20:(s + 1) * 20])
+            p = tmp_path / f"shard-{s}.jsonl.zst"
+            p.write_bytes(_z_dict(self.lib, self.cctx, rows, self.dict_blob, 19))
+            paths.append(str(p))
+        df = read_jsonl_zst_distributed(spark, paths, dictionary=self.dict_blob)
+        assert df.count() == 60
+        ids = {int(r.cells_map["doc_id"]) for r in df.collect()}
+        assert ids == set(range(60))
+
+    def test_registry_zst_path_with_dictionary_option(self, spark, tmp_path):
+        from ndr_import_spark.sources.registry import read_tables
+
+        rows = b"".join(self.samples[:10])
+        p = tmp_path / "data.jsonl.zst"
+        p.write_bytes(_z_dict(self.lib, self.cctx, rows, self.dict_blob, 19))
+        dp = tmp_path / "shards.dict"
+        dp.write_bytes(self.dict_blob)
+        tables = read_tables(
+            spark, str(p),
+            options={"unzip_path": str(tmp_path / "out"),
+                     "zstd_dictionary": str(dp)},
+        )
+        ids = set()
+        for _, df in tables:
+            ids |= {int(r.cells_map["doc_id"]) for r in df.collect()}
+        assert ids == set(range(10))
