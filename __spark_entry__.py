@@ -2858,6 +2858,196 @@ def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTIMODAL capstone (r7 VERDICT #6): the image analogue of
+    training_pipeline — EXIF/GPS PII scrub -> cross-format perceptual
+    ahash dedup -> nearest-neighbour resize + REAL JPEG re-encode ->
+    byte-budget shard packing, all in ONE lazy plan over REAL baseline
+    JPEGs (functions/jpeg.py scans with functions/exif.py APP1 splices).
+
+    Fixture: 60 JPEGs, pixel gradient g = id % 20 (so ids g, g+20, g+40
+    are pixel-identical triplets with DIFFERENT per-id EXIF; exactly one
+    of each triplet carries GPS since {g, g+1, g+2} mod 3 hits 0 once).
+    The plan scrubs APP1/APP2 (entropy data byte-identical), hashes the
+    scrubbed pixels (same pixels -> same hash regardless of which EXIF
+    was removed), elects min-id per group, resizes survivors to 4x4
+    with a real decode->resample->re-encode roundtrip (receipt column
+    proves the resized payload decodes as 4x4 JPEG), and packs by the
+    analytic decoded-size estimate through the SAME pack_sequences
+    window as the token capstone. The DuckDB oracle reproduces every
+    column from md5 arithmetic alone — group structure, GPS counts,
+    kept camera make, packing assignment.
+
+    100 TB shape: three Arrow mapInPandas decode stages (per-payload,
+    no shuffle), ONE hash groupBy, ONE broadcast-sized semi-join of
+    survivors, ONE running-sum window partitioned by uniform md5 shard
+    — the same bounded-wide-ops discipline as training_pipeline."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions.exif import build_exif_app1
+    from ndr_import_spark.functions.jpeg import encode_jpeg
+    from ndr_import_spark.operators import multimodal as MM
+    from ndr_import_spark.operators.packing import pack_sequences
+
+    rows = []
+    for i in range(60):
+        g = i % 20
+        b = _hl.md5(f"imgpipe{g}".encode()).digest()
+        w = 4 * (1 + g % 3)
+        greys = (b * 4)[: w * 4]
+        rgb = bytes(v for px in greys for v in (px, px, px))
+        jpeg = encode_jpeg(w, 4, rgb)
+        e = _hl.md5(f"imgpipeexif{i}".encode()).digest()
+        gps = None
+        if i % 3 == 0:
+            gps = (
+                "S" if e[1] % 2 else "N",
+                [(e[0] % 90, 1), (e[1] % 60, 1), (e[2] % 6000, 100)],
+                "W" if e[2] % 2 else "E",
+                [(e[1] % 180, 1), (e[2] % 60, 1), (e[0] * 37 % 6000, 100)],
+                e[0] * 53 % 900000,
+                100,
+            )
+        app1 = build_exif_app1(
+            make=f"Cam{e[0] % 4}",
+            model=f"M{e[1] % 10}",
+            orientation=1 + (e[2] % 8),
+            gps=gps,
+        )
+        rows.append((i, bytearray(jpeg[:2] + app1 + jpeg[2:])))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(8)
+
+    pre = MM.extract_image_metadata(media).select(
+        "media_id", "has_gps", "make"
+    )
+    scrubbed = MM.scrub_image_metadata(media)
+    post = MM.extract_image_metadata(scrubbed).select(
+        "media_id",
+        F.col("has_gps").alias("post_has_gps"),
+        F.col("make").alias("post_make"),
+    )
+    hashes = MM.perceptual_hash_images(scrubbed)
+    joined = hashes.join(pre, "media_id").join(post, "media_id")
+    groups = joined.groupBy("phash").agg(
+        F.min("media_id").alias("kept_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum(F.col("has_gps").cast("int")).alias("gps_before"),
+        F.sum(F.col("post_has_gps").cast("int")).alias("gps_after"),
+        F.max("width").alias("orig_w"),
+        F.max("height").alias("orig_h"),
+    )
+    kept_make = pre.select(
+        F.col("media_id").alias("kept_id"), F.col("make").alias("kept_make")
+    )
+    survivors = scrubbed.join(
+        F.broadcast(groups.select("kept_id")),
+        scrubbed.media_id == F.col("kept_id"),
+    ).select("media_id", "payload")
+    resized = MM.resize_images(survivors, 4, 4)
+
+    def receipt(batches):
+        import pandas as pd
+
+        from ndr_import_spark.functions.jpeg import decode_jpeg, is_jpeg
+
+        for pdf in batches:
+            fmts, oks = [], []
+            for p in pdf["payload"]:
+                raw = bytes(p or b"")
+                fmts.append("jpeg" if is_jpeg(raw) else "other")
+                try:
+                    w, h, _ch, _px = decode_jpeg(raw)
+                    oks.append(w == 4 and h == 4)
+                except Exception:  # noqa: BLE001
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "kept_id": pdf["media_id"].values,
+                    "resized_w": pdf["width"].values,
+                    "resized_h": pdf["height"].values,
+                    "resized_fmt": fmts,
+                    "resized_ok": oks,
+                }
+            )
+
+    receipts = resized.mapInPandas(
+        receipt,
+        "kept_id long, resized_w int, resized_h int, "
+        "resized_fmt string, resized_ok boolean",
+    )
+    packed = pack_sequences(
+        groups.withColumn(
+            "est_bytes", (F.col("orig_w") * F.col("orig_h") * 3).cast("long")
+        ),
+        "est_bytes",
+        id_col="kept_id",
+        capacity=256,
+        num_shards=4,
+        salt="imgpack",
+    ).select("kept_id", "est_bytes", "shard", "pack_id", "pack_offset")
+    return (
+        groups.join(kept_make, "kept_id")
+        .join(receipts, "kept_id")
+        .join(packed, "kept_id")
+        .select(
+            "kept_id", "n_copies", "gps_before", "gps_after", "orig_w",
+            "orig_h", "kept_make", "resized_w", "resized_h", "resized_fmt",
+            "resized_ok", "est_bytes", "shard", "pack_id", "pack_offset",
+        )
+        .orderBy("kept_id")
+    )
+
+
+def _oracle_image_pipeline() -> str:
+    nib = (
+        "(CASE WHEN ascii(substr(md5('imgpack:' || kept_id), {p}, 1)) >= 97 "
+        "THEN ascii(substr(md5('imgpack:' || kept_id), {p}, 1)) - 87 "
+        "ELSE ascii(substr(md5('imgpack:' || kept_id), {p}, 1)) - 48 END)"
+    )
+    bucket = " + ".join(
+        f"{nib.format(p=p)} * {w}"
+        for p, w in ((1, 4096), (2, 256), (3, 16), (4, 1))
+    )
+    return f"""
+WITH g AS (SELECT unnest(range(20)) AS kept_id),
+e AS (
+  SELECT kept_id,
+    cast(('0x' || substring(md5('imgpipeexif' || kept_id), 1, 2)) as int)
+      AS e0
+  FROM g
+),
+base AS (
+  SELECT kept_id,
+    CAST(3 AS BIGINT) AS n_copies,
+    CAST(1 AS BIGINT) AS gps_before,
+    CAST(0 AS BIGINT) AS gps_after,
+    4 * (1 + cast(kept_id % 3 as int)) AS orig_w,
+    4 AS orig_h,
+    'Cam' || (e0 % 4) AS kept_make,
+    4 AS resized_w,
+    4 AS resized_h,
+    'jpeg' AS resized_fmt,
+    TRUE AS resized_ok,
+    CAST(4 * (1 + cast(kept_id % 3 as int)) * 4 * 3 AS BIGINT) AS est_bytes,
+    CAST(({bucket}) % 4 AS INT) AS shard
+  FROM e
+),
+cum AS (
+  SELECT *,
+    COALESCE(SUM(est_bytes) OVER (PARTITION BY shard ORDER BY kept_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM base
+)
+SELECT kept_id, n_copies, gps_before, gps_after, orig_w, orig_h, kept_make,
+       resized_w, resized_h, resized_fmt, resized_ok, est_bytes, shard,
+       CAST(cumb // 256 AS BIGINT) AS pack_id,
+       CAST(cumb % 256 AS BIGINT) AS pack_offset
+FROM cum ORDER BY kept_id
+"""
+
+
 _ORACLE_EXIF_METADATA = """
 WITH m AS (SELECT unnest(range(120)) AS i),
 d AS (SELECT i, md5('exif' || i) AS hx FROM m),
@@ -9222,6 +9412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mixed_codecs": q_multimodal_mixed_codecs,
         "exif_metadata": q_exif_metadata,
         "image_dedup": q_image_dedup,
+        "image_pipeline": q_image_pipeline,
         "media_metadata": q_media_metadata,
         "audio_features": q_audio_features,
         "zstd_roundtrip": q_zstd_roundtrip,
@@ -9558,6 +9749,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_self_eval": _ORACLE_RETRIEVAL_SELF_EVAL,
         "split_leakage": _oracle_split_leakage(),
         "image_dedup": _ORACLE_IMAGE_DEDUP,
+        "image_pipeline": _oracle_image_pipeline(),
         "source_similarity": _ORACLE_SOURCE_SIMILARITY,
         "fd_discovery": fd_oracle_sql("orders", _FD_PAIRS),
         "neyman_allocation": _ORACLE_NEYMAN,

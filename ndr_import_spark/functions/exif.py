@@ -345,27 +345,18 @@ def _ser_tiff(
     return hdr + b0 + h0 + be + he + bg + hg
 
 
-def build_exif_jpeg(
-    width: int,
-    height: int,
+def build_exif_app1(
     make: str = "CamCo",
     model: str = "X100",
     orientation: int = 1,
     datetime_original: str | None = None,
     gps: tuple | None = None,
-    icc: bool = False,
-    xdensity: int = 72,
-    ydensity: int = 72,
 ) -> bytes:
-    """Structurally valid JPEG carrying JFIF + EXIF (+GPS) (+ICC) +
-    SOF0 dims + a 2-byte fake scan. `gps` is (lat_ref, lat_dms,
-    lon_ref, lon_dms, alt_num, alt_den) with dms as three (num, den)
-    pairs."""
-    app0 = b"JFIF\x00\x01\x02\x00" + struct.pack(
-        ">HH", xdensity, ydensity
-    ) + b"\x00\x00"
-    segs = [b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0]
-
+    """A complete APP1 segment (marker + length + Exif TIFF body) ready
+    to splice after SOI in ANY JPEG — the fixture path for attaching
+    EXIF/GPS to real encoded scans (r8 image_pipeline capstone). `gps`
+    is (lat_ref, lat_dms, lon_ref, lon_dms, alt_num, alt_den) with dms
+    as three (num, den) pairs."""
     ifd0 = [
         (0x010F, 2, [make]),
         (0x0110, 2, [model]),
@@ -387,7 +378,33 @@ def build_exif_jpeg(
         ]
     tiff = _ser_tiff(ifd0, exif_ifd, gps_ifd)
     app1 = b"Exif\x00\x00" + tiff
-    segs.append(b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1)
+    return b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+
+
+def build_exif_jpeg(
+    width: int,
+    height: int,
+    make: str = "CamCo",
+    model: str = "X100",
+    orientation: int = 1,
+    datetime_original: str | None = None,
+    gps: tuple | None = None,
+    icc: bool = False,
+    xdensity: int = 72,
+    ydensity: int = 72,
+) -> bytes:
+    """Structurally valid JPEG carrying JFIF + EXIF (+GPS) (+ICC) +
+    SOF0 dims + a 2-byte fake scan. `gps` is (lat_ref, lat_dms,
+    lon_ref, lon_dms, alt_num, alt_den) with dms as three (num, den)
+    pairs."""
+    app0 = b"JFIF\x00\x01\x02\x00" + struct.pack(
+        ">HH", xdensity, ydensity
+    ) + b"\x00\x00"
+    segs = [b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0]
+
+    segs.append(
+        build_exif_app1(make, model, orientation, datetime_original, gps)
+    )
 
     if icc:
         hdr = struct.pack(">I", 128) + b"\x00" * 8 + b"mntr" + b"RGB "

@@ -1246,6 +1246,13 @@ def c4_clean(
         .where(F.col("_full"))
         .select("_id", F.element_at("_is", 1).alias("_start"), "_is", "_h")
     )
+    # spans feeds BOTH the firsts aggregate and the drops join: without a
+    # barrier the lead-window plan runs twice, and the fused
+    # window->md5->join->struct-compare stage trips a janino codegen bug
+    # ("Expression isNull_1 is not an rvalue" -> interpreted fallback, a
+    # real CPU tax at scale; r7 VERDICT #2). One lazy checkpoint fixes
+    # both: the window runs once and every downstream stage compiles.
+    spans = spans.localCheckpoint(eager=False)
     firsts = spans.groupBy("_h").agg(
         F.count(F.lit(1)).alias("_c"),
         F.min(F.struct("_id", "_start")).alias("_first"),
