@@ -3048,6 +3048,171 @@ FROM cum ORDER BY kept_id
 """
 
 
+def q_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP container metadata + PII scrub across ALL THREE flavours
+    (functions/webp.py webp_metadata/scrub_webp_metadata, r8): plain
+    lossy VP8 (dims parsed from the UNCOMPRESSED RFC 6386 §9.1 frame
+    header — no DCT/bool-coder needed for the probe), real VP8L
+    lossless streams, and VP8X extended containers carrying EXIF chunks
+    (raw TIFF bodies with GPS RATIONAL triplets — the same IFD walk as
+    JPEG APP1), XMP, and ANIM/ANMF animations. Each payload is probed,
+    scrubbed (EXIF/XMP/ICCP chunks dropped, VP8X flags cleared), and
+    re-probed IN THE SAME TASK; `image_intact` pins that the compressed
+    image chunk survives byte-identical — the scrub-never-touches-
+    entropy-data contract extended to WebP, and the reason the scrub
+    works for lossy payloads the engine cannot decode. Single
+    mapInPandas pass, shuffle-free except output ordering; oracle
+    reproduces every column from md5 arithmetic."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions.exif import build_exif_app1
+    from ndr_import_spark.functions.webp import (
+        build_vp8_keyframe_stub,
+        build_vp8x_header,
+        build_webp_container,
+        encode_webp,
+    )
+
+    rows = []
+    for i in range(90):
+        b = _hl.md5(f"webp{i}".encode()).digest()
+        if i % 3 == 0:
+            vp8 = build_vp8_keyframe_stub(
+                320 + 16 * (b[0] % 16), 240 + 16 * (b[1] % 8),
+                fill=bytes(b) * 3,
+            )
+            payload = build_webp_container([(b"VP8 ", vp8)])
+        elif i % 3 == 1:
+            rgb = bytes(v for px in b[:16] for v in (px, px, px))
+            payload = encode_webp(4, 4, rgb)
+        else:
+            e = _hl.md5(f"webpexif{i}".encode()).digest()
+            gps = (
+                "S" if e[1] % 2 else "N",
+                [(e[0] % 90, 1), (e[1] % 60, 1), (e[2] % 6000, 100)],
+                "W" if e[2] % 2 else "E",
+                [(e[1] % 180, 1), (e[2] % 60, 1), (e[0] * 37 % 6000, 100)],
+                e[0] * 53 % 900000,
+                100,
+            )
+            app1 = build_exif_app1(make=f"Cam{e[0] % 4}", gps=gps)
+            tiff = app1[10:]  # marker(2)+len(2)+'Exif\0\0'(6) -> raw TIFF
+            w = 320 + 16 * (b[0] % 16)
+            h = 240 + 16 * (b[1] % 8)
+            vp8 = build_vp8_keyframe_stub(w, h, fill=bytes(b) * 3)
+            chunks = [
+                (b"VP8X", build_vp8x_header(
+                    w, h, exif=True, xmp=True, animation=(i % 2 == 0))),
+            ]
+            if i % 2 == 0:
+                n_frames = 2 + b[2] % 3
+                for fidx in range(n_frames):
+                    anmf = bytes(16) + b"VP8 " + len(vp8).to_bytes(4, "little") + vp8
+                    chunks.append((b"ANMF", anmf))
+            else:
+                chunks.append((b"VP8 ", vp8))
+            chunks += [(b"EXIF", tiff), (b"XMP ", b"<x:xmpmeta/>")]
+            payload = build_webp_container(chunks)
+        rows.append((i, bytearray(payload)))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(8)
+
+    def probe(batches):
+        import pandas as pd
+
+        from ndr_import_spark.functions.exif import parse_exif_tiff
+        from ndr_import_spark.functions.webp import (
+            _walk_riff_chunks,
+            scrub_webp_metadata,
+            webp_metadata,
+        )
+
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                m = webp_metadata(raw)
+                lat = lon = None
+                has_gps = False
+                img_chunks = []
+                for fourcc, pos, size in _walk_riff_chunks(raw):
+                    body = raw[pos + 8:pos + 8 + size]
+                    if fourcc in (b"VP8 ", b"VP8L", b"ANMF"):
+                        img_chunks.append(body)
+                    elif fourcc == b"EXIF":
+                        t = parse_exif_tiff(body)
+                        has_gps = bool(t.get("has_gps"))
+                        lat, lon = t.get("lat_micro"), t.get("lon_micro")
+                scrubbed = scrub_webp_metadata(raw)
+                post = webp_metadata(scrubbed)
+                intact = all(c in scrubbed for c in img_chunks)
+                out.append((
+                    int(mid), m["variant"], m["codec"], m["width"],
+                    m["height"], m["n_frames"], m["has_exif"],
+                    m["has_xmp"], has_gps, lat, lon,
+                    post["has_exif"], post["has_xmp"], intact,
+                ))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "variant", "codec", "width", "height",
+                "n_frames", "has_exif", "has_xmp", "has_gps",
+                "lat_micro", "lon_micro", "post_has_exif",
+                "post_has_xmp", "image_intact",
+            ])
+
+    return media.mapInPandas(
+        probe,
+        "media_id long, variant string, codec string, width int, "
+        "height int, n_frames int, has_exif boolean, has_xmp boolean, "
+        "has_gps boolean, lat_micro long, lon_micro long, "
+        "post_has_exif boolean, post_has_xmp boolean, "
+        "image_intact boolean",
+    ).orderBy("media_id")
+
+
+_ORACLE_WEBP_METADATA = """
+WITH m AS (SELECT unnest(range(90)) AS i),
+d AS (SELECT i, md5('webp' || i) AS hx, md5('webpexif' || i) AS ex FROM m),
+b AS (
+  SELECT i,
+    cast(('0x' || substring(hx, 1, 2)) as int) AS b0,
+    cast(('0x' || substring(hx, 3, 2)) as int) AS b1,
+    cast(('0x' || substring(hx, 5, 2)) as int) AS b2,
+    cast(('0x' || substring(ex, 1, 2)) as int) AS e0,
+    cast(('0x' || substring(ex, 3, 2)) as int) AS e1,
+    cast(('0x' || substring(ex, 5, 2)) as int) AS e2
+  FROM d
+)
+SELECT
+  i AS media_id,
+  CASE cast(i % 3 as int) WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+    ELSE 'vp8x' END AS variant,
+  CASE WHEN i % 3 = 1 THEN 'vp8l' ELSE 'vp8' END AS codec,
+  CASE WHEN i % 3 = 1 THEN 4 ELSE 320 + 16 * (b0 % 16) END AS width,
+  CASE WHEN i % 3 = 1 THEN 4 ELSE 240 + 16 * (b1 % 8) END AS height,
+  CASE WHEN i % 3 = 2 AND i % 2 = 0 THEN 2 + b2 % 3 ELSE 1 END AS n_frames,
+  (i % 3 = 2) AS has_exif,
+  (i % 3 = 2) AS has_xmp,
+  (i % 3 = 2) AS has_gps,
+  CASE WHEN i % 3 = 2 THEN
+    (CASE WHEN e1 % 2 = 1 THEN -1 ELSE 1 END) * (
+      CAST(e0 % 90 AS BIGINT) * 1000000
+      + (CAST(e1 % 60 AS BIGINT) * 1000000) // 60
+      + (CAST(e2 % 6000 AS BIGINT) * 1000000) // 360000)
+  ELSE NULL END AS lat_micro,
+  CASE WHEN i % 3 = 2 THEN
+    (CASE WHEN e2 % 2 = 1 THEN -1 ELSE 1 END) * (
+      CAST(e1 % 180 AS BIGINT) * 1000000
+      + (CAST(e2 % 60 AS BIGINT) * 1000000) // 60
+      + (CAST((e0 * 37) % 6000 AS BIGINT) * 1000000) // 360000)
+  ELSE NULL END AS lon_micro,
+  FALSE AS post_has_exif,
+  FALSE AS post_has_xmp,
+  TRUE AS image_intact
+FROM b ORDER BY media_id
+"""
+
+
 _ORACLE_EXIF_METADATA = """
 WITH m AS (SELECT unnest(range(120)) AS i),
 d AS (SELECT i, md5('exif' || i) AS hx FROM m),
@@ -9414,6 +9579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dedup": q_image_dedup,
         "image_pipeline": q_image_pipeline,
         "media_metadata": q_media_metadata,
+        "webp_metadata": q_webp_metadata,
         "audio_features": q_audio_features,
         "zstd_roundtrip": q_zstd_roundtrip,
         "compression_matrix": q_compression_matrix,
@@ -9646,6 +9812,7 @@ def oracle_sql() -> dict[str, str]:
         "adpcm_audio": _ORACLE_ADPCM_AUDIO,
         "media_metadata": _ORACLE_MEDIA_METADATA,
         "exif_metadata": _ORACLE_EXIF_METADATA,
+        "webp_metadata": _ORACLE_WEBP_METADATA,
         "crawl_pipeline": _ORACLE_CRAWL_PIPELINE,
         "bloom_filter": _ORACLE_BLOOM_FILTER,
         "compaction_plan": _ORACLE_COMPACTION_PLAN,

@@ -33,6 +33,20 @@ tested in this container (no libwebp, no real .webp fixtures); what the
 oracle gates is round-trip self-consistency plus pixel parity with the
 PNG path on identical images (tests/test_webp.py).
 
+r8 adds the CONTAINER layer for all three flavours: `webp_metadata`
+probes plain lossy VP8 (dims from the uncompressed RFC 6386 §9.1 frame
+header — keyframe tag, 9D 01 2A start code, 14-bit dims), VP8L, and
+VP8X extended files (feature flags, canvas dims, EXIF/XMP/ICCP
+presence, ANIM/ANMF frame counts); `scrub_webp_metadata` drops
+EXIF/XMP/ICCP chunks with VP8X flags cleared, copying image chunks
+byte-identical — so the GPS/PII scrub covers lossy WebP without
+decoding it. Full lossy VP8 PIXEL decode remains honestly gated: the
+RFC 6386 normative tables (coefficient probabilities [4][8][3][11],
+token trees, quantizer lookups — 1000+ constants) are not reproducible
+from memory and this container has neither the RFC text nor any
+reference codec to validate a transcription against; a decoder whose
+tables cannot be verified would be worse than the gate.
+
 No counterpart in the reference (publichealthengland/ndr_import has no
 image handling).
 """
@@ -627,6 +641,184 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
             )
         pos += 8 + size + (size & 1)
     raise WebpError("no VP8L chunk found")
+
+
+# ------------------------------------------- container metadata + scrub
+
+def _walk_riff_chunks(data: bytes):
+    """Yield (fourcc, body_start, size) for every chunk after the RIFF
+    header; chunk payloads are padded to even length per RIFF."""
+    pos = 12
+    n = len(data)
+    while pos + 8 <= n:
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if pos + 8 + size > n:
+            raise WebpError("truncated WebP chunk")
+        yield fourcc, pos, size
+        pos += 8 + size + (size & 1)
+
+
+def webp_metadata(data: bytes) -> dict:
+    """Container-level probe for ALL three WebP flavours — including
+    lossy VP8, whose DIMENSIONS live in the uncompressed 10-byte frame
+    header (RFC 6386 §9.1: 3-byte frame tag with keyframe/version/
+    show_frame/first-partition-size, 3-byte start code 9D 01 2A, then
+    14-bit width/height with 2-bit upscale codes) and are therefore
+    parseable without the DCT/bool-coder stack that full decode needs.
+
+    Returns: variant ('vp8'|'vp8l'|'vp8x'), codec of the image payload,
+    width/height (canvas dims for VP8X), has_alpha, has_animation,
+    n_frames (ANMF count, 1 for stills), has_exif/has_xmp/has_icc +
+    exif_size, and the VP8-specific keyframe/show_frame/part1_size
+    fields. The EXIF chunk body is raw TIFF (WebP container spec), so
+    callers can feed it to exif.parse_exif_tiff for GPS."""
+    data = bytes(data)
+    if not is_webp(data):
+        raise WebpError("not a RIFF/WEBP file")
+    out = {
+        "variant": None, "codec": None, "width": None, "height": None,
+        "has_alpha": False, "has_animation": False, "n_frames": 0,
+        "has_exif": False, "has_xmp": False, "has_icc": False,
+        "exif_size": None, "keyframe": None, "show_frame": None,
+        "part1_size": None,
+    }
+    for fourcc, pos, size in _walk_riff_chunks(data):
+        body = data[pos + 8:pos + 8 + size]
+        if fourcc == b"VP8X" and out["variant"] is None:
+            out["variant"] = "vp8x"
+            flags = body[0]
+            out["has_icc"] = bool(flags & 0x20)
+            out["has_alpha"] = bool(flags & 0x10)
+            out["has_exif"] = bool(flags & 0x08)
+            out["has_xmp"] = bool(flags & 0x04)
+            out["has_animation"] = bool(flags & 0x02)
+            out["width"] = int.from_bytes(body[4:7], "little") + 1
+            out["height"] = int.from_bytes(body[7:10], "little") + 1
+        elif fourcc == b"VP8 ":
+            tag = int.from_bytes(body[0:3], "little")
+            out["codec"] = "vp8"
+            out["keyframe"] = (tag & 1) == 0
+            out["show_frame"] = bool((tag >> 4) & 1)
+            out["part1_size"] = tag >> 5
+            if out["keyframe"]:
+                if body[3:6] != b"\x9d\x01\x2a":
+                    raise WebpError("bad VP8 keyframe start code")
+                wraw = struct.unpack_from("<H", body, 6)[0]
+                hraw = struct.unpack_from("<H", body, 8)[0]
+                if out["variant"] is None:
+                    out["width"] = wraw & 0x3FFF
+                    out["height"] = hraw & 0x3FFF
+            if out["variant"] is None:
+                out["variant"] = "vp8"
+            if not out["n_frames"]:
+                out["n_frames"] = 1
+        elif fourcc == b"VP8L":
+            out["codec"] = "vp8l"
+            if body[0] != 0x2F:
+                raise WebpError("bad VP8L signature")
+            bits = int.from_bytes(body[1:5], "little")
+            if out["variant"] is None:
+                out["variant"] = "vp8l"
+                out["width"] = (bits & 0x3FFF) + 1
+                out["height"] = ((bits >> 14) & 0x3FFF) + 1
+                out["has_alpha"] = bool((bits >> 28) & 1)
+            if not out["n_frames"]:
+                out["n_frames"] = 1
+        elif fourcc == b"ANMF":
+            out["n_frames"] += 1
+            if out["codec"] is None and size > 16:
+                sub = body[16:20]
+                out["codec"] = {b"VP8 ": "vp8", b"VP8L": "vp8l"}.get(sub)
+        elif fourcc == b"EXIF":
+            out["has_exif"] = True
+            out["exif_size"] = size
+        elif fourcc == b"XMP ":
+            out["has_xmp"] = True
+        elif fourcc == b"ICCP":
+            out["has_icc"] = True
+    if out["variant"] is None:
+        raise WebpError("no VP8/VP8L/VP8X chunk found")
+    return out
+
+
+def scrub_webp_metadata(data: bytes) -> bytes:
+    """Drop EXIF, XMP and ICCP chunks from the RIFF container and clear
+    the matching VP8X feature flags — the WebP twin of
+    exif.strip_jpeg_metadata (GPS rides in the EXIF chunk's TIFF body).
+    Image payload chunks (VP8/VP8L/ALPH/ANIM/ANMF) are copied
+    byte-identical; the RIFF size is rewritten. Non-WebP input raises —
+    callers route by magic like the JPEG scrub does."""
+    data = bytes(data)
+    if not is_webp(data):
+        raise WebpError("not a RIFF/WEBP file")
+    kept = []
+    for fourcc, pos, size in _walk_riff_chunks(data):
+        if fourcc in (b"EXIF", b"XMP ", b"ICCP"):
+            continue
+        chunk = bytearray(data[pos:pos + 8 + size + (size & 1)])
+        if fourcc == b"VP8X":
+            chunk[8] &= ~(0x20 | 0x08 | 0x04)  # ICC, EXIF, XMP flags
+        kept.append(bytes(chunk))
+    payload = b"WEBP" + b"".join(kept)
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+# ----------------------------------------------- container fixture builders
+
+def build_vp8_keyframe_stub(width: int, height: int, fill: bytes = b"") -> bytes:
+    """A VP8 chunk body whose UNCOMPRESSED header (RFC 6386 §9.1) is
+    valid — keyframe tag, version 0, show_frame, first-partition size,
+    9D 01 2A start code, 14-bit dims — followed by `fill` as an opaque
+    compressed partition. Probe-path fixtures only: the partition is
+    never decoded (full VP8 decode stays honestly gated)."""
+    if not (0 < width < 1 << 14 and 0 < height < 1 << 14):
+        raise WebpError("VP8 dims must fit 14 bits")
+    part1 = len(fill)
+    tag = (part1 << 5) | (1 << 4) | (0 << 1) | 0
+    return (
+        tag.to_bytes(3, "little")
+        + b"\x9d\x01\x2a"
+        + struct.pack("<HH", width, height)
+        + fill
+    )
+
+
+def build_webp_container(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    """Assemble `RIFF....WEBP` from (fourcc, body) pairs with RIFF even
+    padding — the VP8X/EXIF/XMP fixture path for the metadata probe and
+    scrub tests."""
+    out = bytearray()
+    for fourcc, body in chunks:
+        if len(fourcc) != 4:
+            raise WebpError("fourcc must be 4 bytes")
+        out += fourcc + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            out += b"\x00"
+    payload = b"WEBP" + bytes(out)
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def build_vp8x_header(
+    width: int,
+    height: int,
+    icc: bool = False,
+    alpha: bool = False,
+    exif: bool = False,
+    xmp: bool = False,
+    animation: bool = False,
+) -> bytes:
+    """The 10-byte VP8X chunk body (flags + 24-bit canvas dims)."""
+    flags = (
+        (0x20 if icc else 0) | (0x10 if alpha else 0)
+        | (0x08 if exif else 0) | (0x04 if xmp else 0)
+        | (0x02 if animation else 0)
+    )
+    return (
+        bytes([flags, 0, 0, 0])
+        + (width - 1).to_bytes(3, "little")
+        + (height - 1).to_bytes(3, "little")
+    )
 
 
 # ------------------------------------------------------------- encoder

@@ -277,6 +277,12 @@ def extract_image_metadata(df: DataFrame) -> DataFrame:
         from ndr_import_spark.functions.exif import (
             ExifError,
             extract_image_meta,
+            parse_exif_tiff,
+        )
+        from ndr_import_spark.functions.webp import (
+            WebpError,
+            is_webp,
+            webp_metadata,
         )
 
         cols = [
@@ -285,12 +291,44 @@ def extract_image_metadata(df: DataFrame) -> DataFrame:
             "icc_colorspace", "icc_size", "has_gps", "lat_micro",
             "lon_micro", "alt_cm",
         ]
+
+        from ndr_import_spark.functions.webp import (
+            _walk_riff_chunks as _walk_webp,
+        )
+
+        def webp_meta(raw: bytes) -> dict:
+            # container probe works for all three flavours (incl. lossy
+            # VP8 dims from the uncompressed frame header); the EXIF
+            # chunk body is raw TIFF per the container spec -> same IFD
+            # walk as JPEG APP1 surfaces make/GPS
+            wm = webp_metadata(raw)
+            m = {
+                "fmt": "webp", "width": wm["width"],
+                "height": wm["height"], "has_gps": False,
+            }
+            for fourcc, pos, size in _walk_webp(raw):
+                if fourcc == b"ICCP":
+                    m["icc_size"] = size
+                elif fourcc == b"EXIF":
+                    body = raw[pos + 8:pos + 8 + size]
+                    if body[:6] == b"Exif\x00\x00":
+                        body = body[6:]
+                    exif = parse_exif_tiff(body)
+                    exif.pop("width", None), exif.pop("height", None)
+                    m.update(exif)
+            return m
+
         for pdf in batches:
             rows = []
             for payload in pdf["payload"]:
+                raw = bytes(payload or b"")
                 try:
-                    m = extract_image_meta(bytes(payload or b""))
-                except (ExifError, ValueError, IndexError, _struct.error):
+                    if is_webp(raw):
+                        m = webp_meta(raw)
+                    else:
+                        m = extract_image_meta(raw)
+                except (WebpError, ExifError, ValueError, IndexError,
+                        _struct.error):
                     m = {}
                 rows.append([m.get(c) if m else None for c in cols])
             out = pd.DataFrame(rows, columns=cols)
@@ -307,11 +345,15 @@ def extract_image_metadata(df: DataFrame) -> DataFrame:
 def scrub_image_metadata(
     df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
-    """(id, payload) with APP1 (EXIF/XMP incl. GPS) and APP2 (ICC)
-    stripped from JPEG payloads (functions/exif.strip_jpeg_metadata) —
-    the image-side pii_scrub. Non-JPEG / unparseable payloads pass
-    through UNCHANGED (the scrub must never destroy data it does not
-    understand — route those to quarantine by fmt instead)."""
+    """(id, payload) with metadata stripped: JPEG loses APP1 (EXIF/XMP
+    incl. GPS) and APP2 (ICC) via exif.strip_jpeg_metadata; WebP (r8)
+    loses its EXIF/XMP/ICCP chunks with the VP8X feature flags cleared
+    via webp.scrub_webp_metadata — GPS rides in the WebP EXIF chunk's
+    TIFF body exactly as in APP1, and the scrub works for LOSSY VP8 too
+    (container surgery never touches the compressed payload). Other /
+    unparseable payloads pass through UNCHANGED (the scrub must never
+    destroy data it does not understand — route those to quarantine by
+    fmt instead)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
@@ -320,14 +362,22 @@ def scrub_image_metadata(
             ExifError,
             strip_jpeg_metadata,
         )
+        from ndr_import_spark.functions.webp import (
+            WebpError,
+            is_webp,
+            scrub_webp_metadata,
+        )
 
         for pdf in batches:
             out_payloads = []
             for payload in pdf[payload_col]:
                 raw = bytes(payload or b"")
                 try:
-                    out_payloads.append(strip_jpeg_metadata(raw))
-                except (ExifError, _struct.error):
+                    if is_webp(raw):
+                        out_payloads.append(scrub_webp_metadata(raw))
+                    else:
+                        out_payloads.append(strip_jpeg_metadata(raw))
+                except (WebpError, ExifError, _struct.error):
                     out_payloads.append(raw)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].values, payload_col: out_payloads}

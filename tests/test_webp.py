@@ -361,3 +361,126 @@ class TestReviewRegressions:
             for i in range(16)
         ]
         assert got == [pal[i] for i in idxs] * 2
+
+
+class TestWebpContainerMetadata:
+    """r8: VP8X/VP8/VP8L container probe + EXIF/XMP/ICCP scrub."""
+
+    @staticmethod
+    def _lossy(w=320, h=240, fill=b"\xAB" * 40):
+        from ndr_import_spark.functions.webp import (
+            build_vp8_keyframe_stub,
+            build_webp_container,
+        )
+
+        return build_webp_container(
+            [(b"VP8 ", build_vp8_keyframe_stub(w, h, fill=fill))]
+        )
+
+    def test_lossy_vp8_dims_from_uncompressed_header(self):
+        from ndr_import_spark.functions.webp import webp_metadata
+
+        m = webp_metadata(self._lossy(1234, 567))
+        assert (m["variant"], m["codec"]) == ("vp8", "vp8")
+        assert (m["width"], m["height"]) == (1234, 567)
+        assert m["keyframe"] and m["show_frame"] and m["part1_size"] == 40
+
+    def test_vp8l_probe_matches_decoder(self):
+        import hashlib
+
+        from ndr_import_spark.functions.webp import (
+            decode_webp,
+            encode_webp,
+            webp_metadata,
+        )
+
+        b = hashlib.md5(b"wm").digest()
+        rgb = bytes(v for px in b[:16] for v in (px, px, px))
+        payload = encode_webp(4, 4, rgb)
+        m = webp_metadata(payload)
+        w, h, _ch, _px = decode_webp(payload)
+        assert (m["width"], m["height"]) == (w, h) == (4, 4)
+        assert m["variant"] == "vp8l"
+
+    def test_vp8x_exif_gps_and_scrub(self):
+        from ndr_import_spark.functions.exif import (
+            build_exif_app1,
+            parse_exif_tiff,
+        )
+        from ndr_import_spark.functions.webp import (
+            build_vp8_keyframe_stub,
+            build_vp8x_header,
+            build_webp_container,
+            scrub_webp_metadata,
+            webp_metadata,
+        )
+
+        app1 = build_exif_app1(make="CamW", gps=(
+            "N", [(10, 1), (20, 1), (300, 100)],
+            "E", [(30, 1), (40, 1), (500, 100)], 77, 1,
+        ))
+        tiff = app1[10:]
+        vp8 = build_vp8_keyframe_stub(320, 240, fill=b"\xCD" * 33)
+        payload = build_webp_container([
+            (b"VP8X", build_vp8x_header(320, 240, exif=True, xmp=True)),
+            (b"VP8 ", vp8),
+            (b"EXIF", tiff),
+            (b"XMP ", b"<x:xmpmeta/>"),
+        ])
+        m = webp_metadata(payload)
+        assert m["variant"] == "vp8x" and m["has_exif"] and m["has_xmp"]
+        assert parse_exif_tiff(tiff)["has_gps"]
+        scrubbed = scrub_webp_metadata(payload)
+        post = webp_metadata(scrubbed)
+        assert not post["has_exif"] and not post["has_xmp"]
+        # the compressed image chunk must survive byte-identical — the
+        # reason the scrub works for payloads the engine cannot decode
+        assert vp8 in scrubbed
+        assert b"EXIF" not in scrubbed and b"XMP " not in scrubbed
+
+    def test_animation_frame_count(self):
+        from ndr_import_spark.functions.webp import (
+            build_vp8_keyframe_stub,
+            build_vp8x_header,
+            build_webp_container,
+            webp_metadata,
+        )
+
+        vp8 = build_vp8_keyframe_stub(16, 16, fill=b"\x01" * 7)
+        anmf = bytes(16) + b"VP8 " + len(vp8).to_bytes(4, "little") + vp8
+        payload = build_webp_container(
+            [(b"VP8X", build_vp8x_header(16, 16, animation=True))]
+            + [(b"ANMF", anmf)] * 3
+        )
+        m = webp_metadata(payload)
+        assert m["has_animation"] and m["n_frames"] == 3
+        assert m["codec"] == "vp8"
+
+    def test_scrub_passthrough_in_operator(self, spark):
+        # non-JPEG/non-WebP payloads pass through the operator unchanged
+        from ndr_import_spark.operators.multimodal import (
+            scrub_image_metadata,
+        )
+
+        junk = b"\x00\x01garbage" * 4
+        df = spark.createDataFrame(
+            [(1, bytearray(junk)), (2, bytearray(self._lossy()))],
+            "media_id long, payload binary",
+        )
+        got = {r.media_id: bytes(r.payload)
+               for r in scrub_image_metadata(df).collect()}
+        assert got[1] == junk
+        assert got[2] == self._lossy()  # nothing to scrub -> identical
+
+    def test_extract_image_metadata_routes_webp(self, spark):
+        from ndr_import_spark.operators.multimodal import (
+            extract_image_metadata,
+        )
+
+        df = spark.createDataFrame(
+            [(7, bytearray(self._lossy(640, 480)))],
+            "media_id long, payload binary",
+        )
+        r = extract_image_metadata(df).collect()[0]
+        assert (r.fmt, r.width, r.height) == ("webp", 640, 480)
+        assert r.has_gps is False
