@@ -9058,6 +9058,95 @@ def q_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_zstd_dict_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed zstd dictionary TRAINING + round-trip through the
+    clean-room dictionary decoder (r8): operators/corpus.py
+    train_zstd_dictionary picks the top-64 fixed-stride shingles from
+    the doc_id%5 sample (a pure DataFrame aggregation whose output a
+    DuckDB oracle rebuilds bit-for-bit — no sampling-based trainer can
+    say that), then every doc_id%25 document is compressed IN-TASK by
+    libzstd's ZSTD_compress_usingDict against that raw-content
+    dictionary and decoded back by functions/zstd.py with the
+    dictionary as history prefix. roundtrip_md5 pins the decode;
+    dict_md5 pins the trained dictionary itself. The broadcast join
+    ships one sketch-sized row; the corpus never shuffles."""
+    from ndr_import_spark.operators.corpus import train_zstd_dictionary
+
+    docs = _t(spark, sf_dir, "documents")
+    dictionary = train_zstd_dictionary(
+        docs.where(F.col("doc_id") % 5 == 0)
+    ).select("dictionary")
+    sample = docs.where(F.col("doc_id") % 25 == 0).select("doc_id", "text")
+    withdict = sample.crossJoin(F.broadcast(dictionary))
+
+    def rt(batches):
+        import ctypes
+        import hashlib
+
+        import pandas as pd
+
+        from ndr_import_spark.functions.zstd import ZstdDict, decompress
+
+        lib = ctypes.CDLL("libzstd.so.1")
+        szt, vp, cp = ctypes.c_size_t, ctypes.c_void_p, ctypes.c_char_p
+        lib.ZSTD_compressBound.restype = szt
+        lib.ZSTD_compressBound.argtypes = [szt]
+        lib.ZSTD_createCCtx.restype = vp
+        lib.ZSTD_compress_usingDict.restype = szt
+        lib.ZSTD_compress_usingDict.argtypes = [
+            vp, vp, szt, cp, szt, cp, szt, ctypes.c_int,
+        ]
+        cctx = vp(lib.ZSTD_createCCtx())
+        for pdf in batches:
+            rows = []
+            zd = None
+            for did, text, dic in zip(
+                pdf["doc_id"], pdf["text"], pdf["dictionary"]
+            ):
+                if zd is None:
+                    dic_b = dic.encode()
+                    zd = ZstdDict(dic_b)
+                payload = text.encode()
+                bound = lib.ZSTD_compressBound(len(payload))
+                dst = ctypes.create_string_buffer(bound)
+                m = lib.ZSTD_compress_usingDict(
+                    cctx, ctypes.cast(dst, vp), bound,
+                    payload, len(payload), dic_b, len(dic_b), 19,
+                )
+                decoded = decompress(dst.raw[:m], dictionary=zd)
+                rows.append((
+                    int(did), len(decoded),
+                    hashlib.md5(decoded).hexdigest(),
+                    hashlib.md5(dic_b).hexdigest(),
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "orig_len", "roundtrip_md5", "dict_md5"],
+            )
+
+    return withdict.mapInPandas(
+        rt,
+        "doc_id long, orig_len bigint, roundtrip_md5 string, "
+        "dict_md5 string",
+    ).orderBy("doc_id")
+
+
+_ORACLE_ZSTD_DICT_TRAIN = """
+WITH sh AS (
+  SELECT substr(text, cast(o * 8 + 1 as int), 16) AS s
+  FROM documents, unnest(range(0, (length(text) - 16) // 8 + 1)) AS t(o)
+  WHERE doc_id % 5 = 0 AND length(text) >= 16
+), cnt AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+topk AS (SELECT s, c FROM cnt ORDER BY c DESC, s ASC LIMIT 64),
+dict AS (SELECT string_agg(s, '' ORDER BY c ASC, s ASC) AS d FROM topk)
+SELECT doc_id,
+  cast(strlen(text) as bigint) AS orig_len,
+  md5(text) AS roundtrip_md5,
+  (SELECT md5(d) FROM dict) AS dict_md5
+FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id
+"""
+
+
 _ORACLE_ZSTD = """
 SELECT doc_id,
   cast(strlen(repeat(text || ' #' || cast(doc_id as varchar),
@@ -9583,6 +9672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "zstd_roundtrip": q_zstd_roundtrip,
         "compression_matrix": q_compression_matrix,
+        "zstd_dict_train": q_zstd_dict_train,
         "parquet_layout": q_parquet_layout,
         "compaction_plan": q_compaction_plan,
         "hll_distinct": q_hll_distinct,
@@ -9767,6 +9857,7 @@ def oracle_sql() -> dict[str, str]:
         "q20_dominant_shippers": _ORACLE_Q20,
         "parquet_layout": _ORACLE_PARQUET_LAYOUT,
         "zstd_roundtrip": _ORACLE_ZSTD,
+        "zstd_dict_train": _ORACLE_ZSTD_DICT_TRAIN,
         "compression_matrix": _ORACLE_COMPRESSION_MATRIX,
         "schema_drift_union": _ORACLE_SCHEMA_DRIFT,
         "gif_animation": _ORACLE_GIF_ANIMATION,

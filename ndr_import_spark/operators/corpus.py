@@ -1503,3 +1503,62 @@ def c4_clean_stateless(
         )
         .where(F.col("n_kept") >= int(min_sentences))
     )
+
+
+def train_zstd_dictionary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 16,
+    stride: int = 8,
+    k: int = 64,
+) -> DataFrame:
+    """Train a RAW-CONTENT zstd dictionary from a corpus sample — the
+    companion to functions/zstd.py's dictionary DECODER (r8): pick the
+    `k` most frequent fixed-stride shingles and concatenate them with
+    the most frequent LAST, so the hottest content sits closest to the
+    compression window (the convention ZDICT follows for its samples).
+    Raw-content dictionaries need no entropy tables, carry no ID, and
+    are accepted verbatim by both libzstd's ZSTD_compress_usingDict and
+    this repo's decompress(dictionary=...) — so a pure DataFrame
+    aggregation is a complete, portable trainer.
+
+    Deterministic end to end: shingles at offsets 0, stride, 2*stride…
+    (full-length only), counted exactly, top-k by (count DESC, shingle
+    ASC), concatenated by (count ASC, shingle ASC). Every step is plain
+    SQL, so a DuckDB oracle can rebuild the dictionary bit-for-bit —
+    a property no sampling-based trainer has.
+
+    Returns ONE row: (dictionary string, n_shingles, total_len).
+    Plan shape at 100 TB: shingling is per-row codegen explode; the
+    count is one map-side-combinable groupBy on bounded-length keys;
+    top-k is TakeOrderedAndProject (limit pushes into sort); the final
+    concat folds k<=64 rows — the dictionary is sketch-sized by
+    construction and the full corpus never shuffles.
+    """
+    L, S = int(shingle_len), int(stride)
+    if L < 1 or S < 1:
+        raise ValueError("shingle_len and stride must be >= 1")
+    eligible = df.where(F.length(F.col(text_col)) >= L)
+    n_sh = F.floor((F.length(F.col(text_col)) - L) / S).cast("int")
+    shingles = eligible.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_sh),
+                lambda i: F.col(text_col).substr(i * S + 1, F.lit(L)),
+            )
+        ).alias("s")
+    )
+    cnt = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    topk = cnt.orderBy(F.col("c").desc(), F.col("s").asc()).limit(int(k))
+    return topk.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("c", "s"))),
+                lambda x: x["s"],
+            ),
+            "",
+        ).alias("dictionary"),
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.length("s")).alias("total_len"),
+    )

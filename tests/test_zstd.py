@@ -563,3 +563,51 @@ class TestDictionaryFrames:
         for _, df in tables:
             ids |= {int(r.cells_map["doc_id"]) for r in df.collect()}
         assert ids == set(range(10))
+
+
+class TestDictionaryTraining:
+    """r8: the distributed raw-content dictionary trainer
+    (operators/corpus.train_zstd_dictionary) end-to-end with libzstd."""
+
+    def test_trained_dict_improves_small_shard_compression(self, spark):
+        from ndr_import_spark.operators.corpus import train_zstd_dictionary
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        dic = train_zstd_dictionary(docs).collect()[0].dictionary.encode()
+        assert len(dic) == 64 * 16
+        lib = _zstd_lib()
+        cctx = ctypes.c_void_p(lib.ZSTD_createCCtx())
+        sample = [r.text.encode() for r in docs.limit(30).collect()]
+        with_dict = sum(len(_z_dict(lib, cctx, s, dic, 19)) for s in sample)
+        without = sum(len(_z(s, 19)) for s in sample)
+        # the dictionary is built FROM this corpus's hottest shingles, so
+        # per-doc frames must compress strictly smaller in aggregate
+        assert with_dict < without, (with_dict, without)
+        # and the clean-room decoder round-trips every frame
+        for s in sample[:10]:
+            assert decompress(_z_dict(lib, cctx, s, dic, 19), dictionary=dic) == s
+
+    def test_trainer_is_deterministic_across_runs(self, spark):
+        from ndr_import_spark.operators.corpus import train_zstd_dictionary
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).where("doc_id % 3 = 0")
+        a = train_zstd_dictionary(docs, k=16).collect()[0]
+        b = train_zstd_dictionary(docs.repartition(13), k=16).collect()[0]
+        assert a.dictionary == b.dictionary  # partitioning-independent
+        assert a.n_shingles == 16
+
+    def test_short_docs_are_skipped_not_crashed(self, spark):
+        from ndr_import_spark.operators.corpus import train_zstd_dictionary
+
+        df = spark.createDataFrame(
+            [(1, "tiny"), (2, "x" * 40), (3, "")],
+            "doc_id long, text string",
+        )
+        r = train_zstd_dictionary(df, shingle_len=16, stride=8, k=8).collect()[0]
+        # only doc 2 is eligible: shingles at offsets 0,8,16,24
+        assert r.n_shingles == 1  # all four shingles identical ("x"*16)
+        assert r.dictionary == "x" * 16
