@@ -5158,6 +5158,63 @@ FROM agg
 """
 
 
+def q_source_lexical_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions over the shared top-200 vocabulary
+    (operators/corpus.source_lexical_divergence, r8) — the no-vectors
+    lexical drift map (embedding twin: source_similarity). Add-one
+    smoothing; every KL term's log2 argument is a ratio of exact int64
+    products so both engines feed log2 identical doubles; 9dp-rounded
+    decimal sums, 6dp output. Counts are one combinable
+    groupBy(source, token) pruned by the broadcast vocabulary; the
+    pairwise stage is sources^2 x V — bounded."""
+    from ndr_import_spark.operators.corpus import source_lexical_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_lexical_divergence(docs).orderBy("source_a", "source_b")
+
+
+def _oracle_source_lexical_drift() -> str:
+    return f"""
+WITH toks AS (
+  SELECT source AS src, unnest({_SQL_TOKS}) AS w FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM toks GROUP BY w
+    ORDER BY c DESC, w ASC LIMIT 200)
+), cnt AS (
+  SELECT src, w, count(*) AS c FROM toks
+  WHERE w IN (SELECT w FROM vocab) GROUP BY src, w
+), srcs AS (SELECT DISTINCT source AS src FROM documents),
+dense AS (
+  SELECT s.src, v.w, COALESCE(c.c, 0) AS c
+  FROM srcs s CROSS JOIN vocab v
+  LEFT JOIN cnt c ON c.src = s.src AND c.w = v.w
+), tot AS (SELECT src, sum(c) AS t FROM dense GROUP BY src),
+d2 AS (
+  SELECT dense.src, w, CAST(c + 1 AS BIGINT) AS a,
+         CAST(t + 200 AS BIGINT) AS d
+  FROM dense JOIN tot USING (src)
+), pairs AS (
+  SELECT x.src AS source_a, y.src AS source_b,
+         x.a AS aa, x.d AS da, y.a AS ab, y.d AS db
+  FROM d2 x JOIN d2 y ON x.w = y.w AND x.src < y.src
+), terms AS (
+  SELECT source_a, source_b,
+    CAST(round(
+      (aa / CAST(da AS DOUBLE))
+        * log2(2.0 * aa * db / CAST(aa * db + ab * da AS DOUBLE))
+      + (ab / CAST(db AS DOUBLE))
+        * log2(2.0 * ab * da / CAST(aa * db + ab * da AS DOUBLE)),
+      9) AS DECIMAL(20,9)) AS q
+  FROM pairs
+)
+SELECT source_a, source_b,
+  round(CAST(sum(q) / 2 AS DOUBLE), 6) AS js_bits
+FROM terms GROUP BY source_a, source_b ORDER BY source_a, source_b
+"""
+
+
 def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language unigram Shannon entropy (bits/token): H = log2(T) −
     Σ c·log2(c) / T over the token frequency table — the corpus-diversity
@@ -7843,6 +7900,202 @@ ORDER BY score DESC, doc_id LIMIT 15
 """
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-wise global shuffle (r8) — the data-loader
+    order for multi-epoch training WITHOUT materializing a permutation:
+    epoch e's order is simply sort by (md5('epoch' || e || ':' || id),
+    id), a distributed sort any cluster size reproduces bit-identically.
+    Per epoch the query emits the head of the permutation plus a
+    position-weighted checksum sum(position * doc_id) over the WHOLE
+    permutation — so the oracle pins every position of every epoch, not
+    just the first page, and any two epochs' orders differ. 100 TB
+    shape: one sort per epoch (what any loader must do) + one
+    combinable aggregate; nothing else."""
+    epochs = spark.range(4).select(F.col("id").cast("int").alias("epoch"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.crossJoin(F.broadcast(epochs)).withColumn(
+        "_h",
+        F.md5(F.concat(F.lit("epoch"), F.col("epoch"), F.lit(":"),
+                       F.col("doc_id"))),
+    )
+    w = Window.partitionBy("epoch").orderBy("_h", "doc_id")
+    pos = keyed.withColumn("position", F.row_number().over(w))
+    return (
+        pos.groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("position").cast("long") * F.col("doc_id"))
+            .alias("perm_checksum"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("position") <= 5,
+                                   F.struct("position", "doc_id"))
+                        )
+                    ),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("head5"),
+        )
+        .orderBy("epoch")
+    )
+
+
+_ORACLE_EPOCH_SHUFFLE = """
+WITH e AS (SELECT unnest(range(4)) AS epoch),
+keyed AS (
+  SELECT cast(e.epoch as int) AS epoch, d.doc_id,
+         md5('epoch' || e.epoch || ':' || d.doc_id) AS h
+  FROM documents d, e
+), pos AS (
+  SELECT epoch, doc_id,
+    row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS position
+  FROM keyed
+)
+SELECT epoch, count(*) AS n_docs,
+  CAST(sum(position * doc_id) AS BIGINT) AS perm_checksum,
+  string_agg(CASE WHEN position <= 5 THEN cast(doc_id as varchar) END,
+             ',' ORDER BY position) AS head5
+FROM pos GROUP BY epoch ORDER BY epoch
+"""
+
+
+def q_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter planner (r8): the s-curve table every
+    banded-dedup deployment is tuned from. For each (bands b, rows r)
+    split of a 128-hash signature and each similarity s on a 0.1 grid,
+    the candidate probability 1 - (1 - s^r)^b and the threshold
+    (1/b)^(1/r) where the curve crosses ~0.5 (Leskovec/Rajaraman/Ullman,
+    Mining of Massive Datasets §3.4). Pure closed-form arithmetic on a
+    literal grid — no data read at all — but exactly the table that
+    justifies operators/dedup.py's default banding, now oracle-pinned
+    so a banding change has to change this table too."""
+    b_r = spark.createDataFrame(
+        [(128 // r, r) for r in (2, 4, 8, 16)], "bands int, rows int"
+    )
+    s_grid = spark.range(1, 10).select(
+        (F.col("id") / 10.0).alias("s")
+    )
+    grid = b_r.crossJoin(s_grid)
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.col("s"), F.col("rows")), F.col("bands")
+    )
+    thr = F.pow(F.lit(1.0) / F.col("bands"), F.lit(1.0) / F.col("rows"))
+    return grid.select(
+        "bands", "rows",
+        F.round(F.col("s"), 1).alias("s"),
+        F.round(p, 6).alias("p_candidate"),
+        F.round(thr, 6).alias("threshold"),
+    ).orderBy("bands", "s")
+
+
+_ORACLE_LSH_PLANNER = """
+WITH br AS (
+  SELECT 128 // r AS bands, r AS rows
+  FROM unnest([2, 4, 8, 16]) AS t(r)
+), s AS (SELECT i / 10.0 AS s FROM unnest(range(1, 10)) AS t(i))
+SELECT bands, rows, round(s, 1) AS s,
+  round(1.0 - pow(1.0 - pow(s, rows), bands), 6) AS p_candidate,
+  round(pow(1.0 / bands, 1.0 / rows), 6) AS threshold
+FROM br, s ORDER BY bands, s
+"""
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (operators/retrieval
+    rrf_fuse, Cormack et al. 2009, r8): the BM25 lexical top-20 for the
+    fixed query terms fused with the embedding-cosine top-20 for query
+    vector 0 (vec_id == doc_id in the synthetic corpus), score(d) =
+    1/(60+r_bm25) + 1/(60+r_cos) with missing-list terms 0, final
+    (score 9dp DESC, doc_id) top-15 — the standard RAG retrieval
+    combiner. Both rankers are already engine-deterministic (6dp / 5dp
+    rounded scores, id tie-breaks), the fusion joins two <=20-row
+    frames (sketch-sized regardless of corpus scale), and the oracle
+    replays both rankers AND the fusion arithmetic literally."""
+    from ndr_import_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from ndr_import_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, _BM25_TERMS, k=20)
+    wbm = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    bm_ranked = bm.select(
+        "doc_id", F.row_number().over(wbm).alias("rank")
+    )
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cos_ranked = cosine_topk(emb, q0, k=20).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse(
+        bm_ranked, cos_ranked, id_col="doc_id", topk=15
+    ).select(
+        "doc_id",
+        F.col("rank_a").alias("bm_rank"),
+        F.col("rank_b").alias("cos_rank"),
+        "rrf_score",
+        "fused_rank",
+    ).orderBy("fused_rank")
+
+
+def _oracle_hybrid_rrf() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH dl AS (
+  SELECT doc_id, len({_SQL_TOKS}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks
+  WHERE tok IN ({terms}) GROUP BY doc_id, tok
+), dft AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), bscored AS (
+  SELECT t.doc_id,
+    round(sum(
+      ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+      * t.tf * 2.2
+      / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+    ), 6) AS score
+  FROM tf t JOIN dft d USING (tok) JOIN dl l USING (doc_id) CROSS JOIN stats s
+  GROUP BY t.doc_id
+), bm AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+    AS rank_a
+  FROM bscored ORDER BY score DESC, doc_id LIMIT 20
+), emb AS (SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+cscored AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cos
+  FROM emb e, q WHERE e.vec_id <> 0
+), cs AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS INT)
+    AS rank_b
+  FROM cscored ORDER BY cos DESC, doc_id LIMIT 20
+), fused AS (
+  SELECT COALESCE(bm.doc_id, cs.doc_id) AS doc_id, rank_a, rank_b,
+    round(COALESCE(1.0 / (60 + rank_a), 0.0)
+          + COALESCE(1.0 / (60 + rank_b), 0.0), 9) AS rrf_score
+  FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id
+)
+SELECT doc_id, rank_a AS bm_rank, rank_b AS cos_rank, rrf_score,
+  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+    AS fused_rank
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 15
+"""
+
+
 def q_retrieval_self_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Known-item retrieval eval (operators/retrieval.py
     bm25_self_retrieval): each of the first 8 docs queries the corpus
@@ -9648,6 +9901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "lsh_planner": q_lsh_planner,
         "dedup_clusters": q_dedup_clusters,
         "semantic_dedup_capped": q_semantic_dedup_capped,
         "ann_lsh_pairs": q_ann_lsh_pairs,
@@ -9659,6 +9913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "training_mix": q_training_mix,
         "bm25_search": q_bm25_search,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
         "tfidf_top_terms": q_tfidf_top_terms,
         "pagerank": q_pagerank,
         "bfs_reachability": q_bfs_reachability,
@@ -9681,15 +9936,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenizer": q_bpe_tokenizer,
         "pack_sequences": q_pack_sequences,
         "hash_split": q_hash_split,
+        "epoch_shuffle": q_epoch_shuffle,
         "decontaminate": q_decontaminate,
         "split_leakage": q_split_leakage,
         "scd2_history": q_scd2_history,
+        "embedding_pca": q_embedding_pca,
+        "table_profile": q_table_profile,
         "asof_join": q_asof_join,
         "window_analytics": q_window_analytics,
         "skew_salted_agg": q_skew_salted_agg,
-        "embedding_pca": q_embedding_pca,
         "logreg_distill": q_logreg_distill,
-        "table_profile": q_table_profile,
         "fd_discovery": q_fd_discovery,
         "gif_animation": q_gif_animation,
         "q5_supplier_volume": q5_supplier_volume,
@@ -9801,6 +10057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_self_eval": q_retrieval_self_eval,
         "zorder_locality": q_zorder_locality,
         "source_similarity": q_source_similarity,
+        "source_lexical_drift": q_source_lexical_drift,
         "hits_scores": q_hits_scores,
         "neyman_allocation": q_neyman_allocation,
     }
@@ -9884,6 +10141,7 @@ def oracle_sql() -> dict[str, str]:
         "events_top_users": _ORACLE_EVENTS_TOP_USERS,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "dedup_minhash": _oracle_minhash(),
+        "lsh_planner": _ORACLE_LSH_PLANNER,
         "dedup_clusters": _oracle_dedup_clusters(),
         "passage_dedup": _ORACLE_PASSAGE_DEDUP,
         "dedup_simhash": _oracle_simhash(),
@@ -9962,11 +10220,13 @@ def oracle_sql() -> dict[str, str]:
         "source_entropy": _ORACLE_SOURCE_ENTROPY,
         "heaps_law": _ORACLE_HEAPS,
         "hash_split": _ORACLE_HASH_SPLIT,
+        "epoch_shuffle": _ORACLE_EPOCH_SHUFFLE,
         "chunk_documents": _ORACLE_CHUNKS,
         "vocab_top_tokens": _ORACLE_VOCAB,
         "pack_sequences": _oracle_pack_sequences(),
         "length_buckets": _ORACLE_LENGTH_BUCKETS,
         "bm25_search": _oracle_bm25(),
+        "hybrid_search_rrf": _oracle_hybrid_rrf(),
         "vocab_overlap_kmv": _ORACLE_VOCAB_OVERLAP,
         "mix_temperature": _ORACLE_MIX_TEMPERATURE,
         "oov_rate": _ORACLE_OOV_RATE,
@@ -10009,6 +10269,7 @@ def oracle_sql() -> dict[str, str]:
         "image_dedup": _ORACLE_IMAGE_DEDUP,
         "image_pipeline": _oracle_image_pipeline(),
         "source_similarity": _ORACLE_SOURCE_SIMILARITY,
+        "source_lexical_drift": _oracle_source_lexical_drift(),
         "fd_discovery": fd_oracle_sql("orders", _FD_PAIRS),
         "neyman_allocation": _ORACLE_NEYMAN,
         "zorder_locality": zorder_oracle_sql(

@@ -1562,3 +1562,87 @@ def train_zstd_dictionary(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum(F.length("s")).alias("total_len"),
     )
+
+
+def source_lexical_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    vocab_k: int = 200,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between per-source
+    unigram distributions over the corpus-wide top-`vocab_k` vocabulary
+    — the lexical drift map that flags sources crawling the same
+    template family or a source whose content shifted between snapshots
+    (the embedding twin is source_similarity; this one needs no vectors
+    and its arithmetic is oracle-exact).
+
+    Add-one smoothing over the shared vocabulary keeps every p > 0.
+    Float discipline (the surprisal/entropy pattern): for tokens w with
+    smoothed counts A=c_a+1, B=c_b+1 and denominators Da=T_a+V,
+    Db=T_b+V, each KL term is computed as
+    (A/Da) * log2(2*A*Db / (A*Db + B*Da)) — the log argument is a ratio
+    of EXACT int64 products, so both engines feed log2 the identical
+    double; each term rounds to 9dp, crosses rows as DECIMAL, and the
+    half-sum rounds to 6dp. JS is symmetric and bounded by 1 bit.
+
+    Plan shape at 100 TB: token counts are one map-side-combinable
+    groupBy(source, token) pruned by the broadcast top-V vocabulary; the
+    densify and pairwise join are sources² x V — bounded frames that
+    never touch the corpus again."""
+    from ndr_import_spark.operators.textstats import tokens
+
+    V = int(vocab_k)
+    toks = df.select(
+        F.col(source_col).alias("_src"),
+        F.explode(tokens(F.col(text_col))).alias("_w"),
+    )
+    vocab = (
+        toks.groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_w").asc())
+        .limit(V)
+        .select("_w")
+    )
+    cnt = (
+        toks.join(F.broadcast(vocab), "_w")
+        .groupBy("_src", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    srcs = df.select(F.col(source_col).alias("_src")).distinct()
+    dense = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .join(cnt, ["_src", "_w"], "left")
+        .select("_src", "_w", F.coalesce(F.col("_c"), F.lit(0)).alias("_c"))
+    )
+    tot = dense.groupBy("_src").agg(F.sum("_c").alias("_t"))
+    dense = dense.join(tot, "_src").select(
+        "_src", "_w",
+        (F.col("_c") + 1).cast("long").alias("_a"),
+        (F.col("_t") + V).cast("long").alias("_d"),
+    )
+    a = dense.select(
+        F.col("_src").alias("source_a"), "_w",
+        F.col("_a").alias("_aa"), F.col("_d").alias("_da"),
+    )
+    b = dense.select(
+        F.col("_src").alias("source_b"), "_w",
+        F.col("_a").alias("_ab"), F.col("_d").alias("_db"),
+    )
+    pairs = a.join(b, "_w").where(F.col("source_a") < F.col("source_b"))
+    num_a = 2.0 * F.col("_aa") * F.col("_db")
+    num_b = 2.0 * F.col("_ab") * F.col("_da")
+    den = (F.col("_aa") * F.col("_db") + F.col("_ab") * F.col("_da")).cast(
+        "double"
+    )
+    term = (
+        (F.col("_aa") / F.col("_da")) * F.log2(num_a / den)
+        + (F.col("_ab") / F.col("_db")) * F.log2(num_b / den)
+    )
+    qterm = F.round(term, 9).cast("decimal(20,9)")
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.round((F.sum(qterm) / 2).cast("double"), 6).alias("js_bits")
+        )
+    )

@@ -344,3 +344,44 @@ def bm25_self_retrieval(
             F.round(F.lit(1.0) / F.col("self_rank"), 5).alias("rr"),
         )
     )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    rank_a_col: str = "rank",
+    rank_b_col: str = "rank",
+    k_const: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two ranked lists —
+    the standard hybrid-search combiner (BM25 lexical + embedding
+    cosine): score(d) = Σ 1/(k + rank_i(d)) over the lists that ranked
+    d, k=60 per the paper. Full-outer join on the item id (an item found
+    by only one ranker still scores), sum with missing-list terms as 0,
+    deterministic (score 9dp DESC, id) cut to `topk`.
+
+    Both inputs are top-k frames (bounded), so the join and the final
+    rank are sketch-sized regardless of corpus scale — fusion cost is
+    O(k), never O(corpus).
+
+    Returns (id, rank_a, rank_b, rrf_score, fused_rank)."""
+    fa = a.select(F.col(id_col).alias("_id"), F.col(rank_a_col).alias("rank_a"))
+    fb = b.select(F.col(id_col).alias("_id"), F.col(rank_b_col).alias("rank_b"))
+    fused = fa.join(fb, "_id", "full_outer")
+    score = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(k_const) + F.col("rank_a")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(k_const) + F.col("rank_b")), F.lit(0.0)),
+        9,
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("_id"))
+    return (
+        fused.withColumn("rrf_score", score)
+        .withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= int(topk))
+        .select(
+            F.col("_id").alias(id_col),
+            "rank_a", "rank_b", "rrf_score", "fused_rank",
+        )
+    )

@@ -651,8 +651,10 @@ def stream_scrub_images(
     id_col: str = "media_id",
 ) -> DataFrame:
     """Streaming image-side PII scrub: strip EXIF/GPS/ICC from JPEG
-    payloads as they arrive (multimodal.scrub_image_metadata — one
-    stateless Arrow pass; non-JPEG payloads pass through unchanged)."""
+    payloads — and (r8) EXIF/XMP/ICCP chunks from WebP containers,
+    lossy VP8 included — as they arrive (multimodal.scrub_image_metadata
+    — one stateless Arrow pass; unrecognised payloads pass through
+    unchanged)."""
     from ndr_import_spark.operators.multimodal import scrub_image_metadata
 
     return scrub_image_metadata(

@@ -92,3 +92,26 @@ class TestSessionize:
         assert stats[(1, 2)]["duration_s"] == 0
         assert stats[(2, 1)]["n_events"] == 2
         assert stats[(2, 1)]["duration_s"] == 1740
+
+
+class TestSourceLexicalDivergence:
+    """r8: pairwise JS divergence between per-source unigram dists."""
+
+    def test_bounds_symmetry_and_self_zero(self, spark):
+        from ndr_import_spark.operators.corpus import (
+            source_lexical_divergence,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta beta gamma", "A"),
+             (2, "alpha beta beta gamma", "B"),       # identical to A
+             (3, "delta delta epsilon zeta", "C")],   # disjoint content
+            "doc_id long, text string, source string",
+        )
+        rows = {(r.source_a, r.source_b): r.js_bits
+                for r in source_lexical_divergence(df, vocab_k=8).collect()}
+        assert set(rows) == {("A", "B"), ("A", "C"), ("B", "C")}
+        # identical distributions -> 0 bits; JS is bounded by 1 bit
+        assert rows[("A", "B")] == 0.0
+        assert 0.0 < rows[("A", "C")] <= 1.0
+        assert rows[("A", "C")] == rows[("B", "C")]  # symmetry via equality

@@ -859,3 +859,59 @@ class TestStreamCrawlFrontHalf:
         assert not m["has_gps"] and (m["width"], m["height"]) == (32, 16)
         assert got[1] == b"not an image"
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamWebpScrub:
+    def test_stream_scrub_strips_webp_exif(self, spark):
+        """r8: the streaming PII scrub covers WebP containers too —
+        EXIF/XMP chunks dropped from a lossy-VP8 VP8X file on a live
+        stream while the compressed image chunk survives byte-identical
+        (stream == batch by construction: same stateless operator)."""
+        import shutil
+        import tempfile
+
+        from ndr_import_spark.functions.exif import build_exif_app1
+        from ndr_import_spark.functions.webp import (
+            build_vp8_keyframe_stub,
+            build_vp8x_header,
+            build_webp_container,
+            webp_metadata,
+        )
+        from ndr_import_spark.streaming import stream_scrub_images
+
+        app1 = build_exif_app1(make="CamS", gps=(
+            "N", [(51, 1), (30, 1), (0, 1)], "E",
+            [(7, 1), (0, 1), (0, 1)], 100, 1,
+        ))
+        vp8 = build_vp8_keyframe_stub(64, 32, fill=b"\xEE" * 21)
+        payload = build_webp_container([
+            (b"VP8X", build_vp8x_header(64, 32, exif=True, xmp=True)),
+            (b"VP8 ", vp8),
+            (b"EXIF", app1[10:]),
+            (b"XMP ", b"<x/>"),
+        ])
+        tmp = tempfile.mkdtemp()
+        df = spark.createDataFrame(
+            [(0, bytearray(payload))], "media_id long, payload binary"
+        )
+        df.write.mode("overwrite").parquet(f"{tmp}/media")
+        stream = spark.readStream.schema(
+            "media_id long, payload binary"
+        ).parquet(f"{tmp}/media")
+        q = (
+            stream_scrub_images(stream)
+            .writeStream.format("memory")
+            .queryName("scrubbed_webp")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        got = bytes(
+            spark.sql("SELECT * FROM scrubbed_webp").collect()[0]["payload"]
+        )
+        m = webp_metadata(got)
+        assert not m["has_exif"] and not m["has_xmp"]
+        assert (m["width"], m["height"]) == (64, 32)
+        assert vp8 in got
+        shutil.rmtree(tmp, ignore_errors=True)
