@@ -9217,6 +9217,65 @@ def q_parquet_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return footer_table_summary(inv).orderBy("table_name")
 
 
+def q_scan_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group pruning planner gated footer-vs-scan (r8, the
+    partition-elimination receipt): lineitem keys are rewritten into
+    range buckets (l_orderkey // 1500, one parquet file per bucket via
+    repartition-then-partitionBy), the per-file footers are read back
+    through sources/parquet_meta.parquet_footer_inventory (key min/max
+    statistics ONLY — zero data bytes), and the plan decides which
+    buckets a predicate [4000, 9000] must scan. The DuckDB oracle
+    recomputes every column from the RAW table, so a wrong footer stat,
+    a wrong pruning inequality, or a row lost in the rewrite all break
+    the hash. This is the property `spark.sql.parquet.filterPushdown`
+    relies on, pinned end-to-end through this engine's own writer and
+    footer reader. Bounded everywhere: the inventory is
+    one-row-per-row-group, the plan is bucket-count-sized."""
+    import glob as _glob
+    import os as _os
+
+    from ndr_import_spark.sources.parquet_meta import (
+        parquet_footer_inventory,
+    )
+
+    lo, hi, step = 4000, 9000, 1500
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    tag = _os.path.basename(sf_dir.rstrip("/"))
+    out_dir = _os.path.join(".tmp", "prune_plan", tag)
+    (
+        li.withColumn("bucket", F.floor(F.col("l_orderkey") / step))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    files = sorted(_glob.glob(_os.path.join(out_dir, "bucket=*", "*.parquet")))
+    inv = parquet_footer_inventory(
+        spark, [(f, "l_orderkey") for f in files]
+    )
+    plan = inv.groupBy(
+        F.floor(F.col("key_min") / step).cast("bigint").alias("bucket")
+    ).agg(
+        F.sum("rg_rows").alias("n_rows"),
+        F.min("key_min").alias("key_min"),
+        F.max("key_max").alias("key_max"),
+    )
+    return plan.select(
+        "bucket", "n_rows", "key_min", "key_max",
+        ((F.col("key_max") >= lo) & (F.col("key_min") <= hi)).alias("kept"),
+    ).orderBy("bucket")
+
+
+_ORACLE_SCAN_PRUNE = """
+SELECT CAST(l_orderkey // 1500 AS BIGINT) AS bucket,
+  count(*) AS n_rows,
+  cast(min(l_orderkey) as bigint) AS key_min,
+  cast(max(l_orderkey) as bigint) AS key_max,
+  (max(l_orderkey) >= 4000 AND min(l_orderkey) <= 9000) AS kept
+FROM lineitem GROUP BY 1 ORDER BY bucket
+"""
+
+
 _ORACLE_PARQUET_LAYOUT = """
 SELECT * FROM (
   SELECT 'documents' AS table_name, cast(count(*) as bigint) AS total_rows,
@@ -9930,6 +9989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zstd_dict_train": q_zstd_dict_train,
         "parquet_layout": q_parquet_layout,
         "compaction_plan": q_compaction_plan,
+        "scan_prune_plan": q_scan_prune_plan,
         "hll_distinct": q_hll_distinct,
         "bloom_filter": q_bloom_filter,
         "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -10113,6 +10173,7 @@ def oracle_sql() -> dict[str, str]:
         "q12_late_line_priority": _ORACLE_Q12,
         "q20_dominant_shippers": _ORACLE_Q20,
         "parquet_layout": _ORACLE_PARQUET_LAYOUT,
+        "scan_prune_plan": _ORACLE_SCAN_PRUNE,
         "zstd_roundtrip": _ORACLE_ZSTD,
         "zstd_dict_train": _ORACLE_ZSTD_DICT_TRAIN,
         "compression_matrix": _ORACLE_COMPRESSION_MATRIX,

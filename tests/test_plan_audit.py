@@ -521,3 +521,52 @@ class TestSession2Plans:
         p = plan(entry.queries()["bfs_reachability"](spark, SF_DIR))
         assert "CartesianProduct" not in p
         assert "Window" not in p
+
+
+class TestR8PlanShapes:
+    """Plan audits for the round-8 additions."""
+
+    def test_image_pipeline_broadcast_survivor_join_no_cartesian(self, spark):
+        p = plan(entry.queries()["image_pipeline"](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+    def test_zstd_dict_train_broadcasts_dictionary(self, spark):
+        # the one-row dictionary must ride a broadcast, never a shuffle
+        # against the sampled corpus
+        p = plan(entry.queries()["zstd_dict_train"](spark, SF_DIR), "simple")
+        assert "BroadcastExchange" in p
+        assert "CartesianProduct" not in p
+        # top-k is the limit-pushed sort, not a global materialised sort
+        assert "TakeOrderedAndProject" in p
+
+    def test_hybrid_rrf_fuses_bounded_frames(self, spark):
+        p = plan(entry.queries()["hybrid_search_rrf"](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p
+        # both rankers cut to top-k before fusion
+        assert "TakeOrderedAndProject" in p or "Limit" in p
+
+    def test_source_lexical_drift_prunes_by_broadcast_vocab(self, spark):
+        p = plan(
+            entry.queries()["source_lexical_drift"](spark, SF_DIR), "simple"
+        )
+        # the corpus-sized token stream joins the 200-row vocabulary via
+        # broadcast; the pairwise stage must not fall back to cartesian
+        assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+        assert "CartesianProduct" not in p
+
+    def test_scan_prune_plan_reads_no_data_bytes(self, spark):
+        # the planner's input is the footer inventory: the lineitem scan
+        # exists only in the rewrite stage; the plan stage reads the
+        # one-row-per-row-group frame
+        df = entry.queries()["scan_prune_plan"](spark, SF_DIR)
+        rows = df.collect()
+        assert all(r.kept == (r.key_max >= 4000 and r.key_min <= 9000)
+                   for r in rows)
+        assert sum(r.n_rows for r in rows) > 0
+
+    def test_epoch_shuffle_single_window_per_epoch(self, spark):
+        p = plan(entry.queries()["epoch_shuffle"](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in p
+        # the epoch fan-out is a broadcast of 4 rows, not a shuffle
+        assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
