@@ -3439,6 +3439,94 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges_df(spark, merges).orderBy("rank")
 
 
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap frontier seeding (operators/crawl.parse_sitemaps, r8):
+    eight hosts publish namespaced <urlset> sitemaps with md5-derived
+    url counts/lastmods/priorities (host k=7 omits per-url lastmod and
+    priority — the partial-annotation case must yield NULLs, never
+    misaligned metadata), two more publish <sitemapindex> files with
+    child sitemap locs. Parsing is Spark's JVM-side xpath with
+    local-name() predicates — the XML never reaches Python — and the
+    oracle rebuilds every row from the md5 arithmetic that built the
+    fixtures."""
+    import hashlib as _hl
+
+    from ndr_import_spark.operators.crawl import parse_sitemaps
+
+    rows = []
+    for k in range(8):
+        b = _hl.md5(f"sitemap{k}".encode()).digest()
+        n = 3 + b[0] % 5
+        entries = []
+        for j in range(n):
+            loc = f"https://site{k}.test/p{j}"
+            if k == 7:
+                entries.append(f"<url><loc>{loc}</loc></url>")
+            else:
+                lastmod = f"2021-06-{10 + (b[1] + j) % 18:02d}"
+                prio = ((b[2] + j) % 10) / 10.0
+                entries.append(
+                    f"<url><loc>{loc}</loc><lastmod>{lastmod}</lastmod>"
+                    f"<priority>{prio:.1f}</priority></url>"
+                )
+        xml = (
+            '<?xml version="1.0"?><urlset '
+            'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(entries) + "</urlset>"
+        )
+        rows.append((f"site{k}.test", xml))
+    for k in range(2):
+        b = _hl.md5(f"sitemapindex{k}".encode()).digest()
+        n = 2 + b[0] % 3
+        xml = (
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+            'sitemap/0.9">'
+            + "".join(
+                f"<sitemap><loc>https://idx{k}.test/s{j}.xml</loc>"
+                "</sitemap>" for j in range(n)
+            )
+            + "</sitemapindex>"
+        )
+        rows.append((f"idx{k}.test", xml))
+    df = spark.createDataFrame(rows, "host string, sitemap_xml string")
+    return parse_sitemaps(df).orderBy("host", "kind", "loc")
+
+
+_ORACLE_SITEMAP = """
+WITH h AS (SELECT unnest(range(8)) AS k),
+d AS (
+  SELECT k,
+    cast(('0x' || substring(md5('sitemap' || k), 1, 2)) as int) AS b0,
+    cast(('0x' || substring(md5('sitemap' || k), 3, 2)) as int) AS b1,
+    cast(('0x' || substring(md5('sitemap' || k), 5, 2)) as int) AS b2
+  FROM h
+), urls AS (
+  SELECT 'site' || k || '.test' AS host, 'url' AS kind,
+    'https://site' || k || '.test/p' || j AS loc,
+    CASE WHEN k = 7 THEN NULL
+      ELSE '2021-06-' || lpad(cast(10 + (b1 + j) % 18 as varchar), 2, '0')
+    END AS lastmod,
+    CASE WHEN k = 7 THEN NULL
+      ELSE ((b2 + j) % 10) / 10.0 END AS priority
+  FROM d, unnest(range(0, 8)) AS t(j)
+  WHERE j < 3 + b0 % 5
+), ih AS (SELECT unnest(range(2)) AS k),
+idx AS (
+  SELECT 'idx' || k || '.test' AS host, 'index' AS kind,
+    'https://idx' || k || '.test/s' || j || '.xml' AS loc,
+    CAST(NULL AS VARCHAR) AS lastmod, CAST(NULL AS DOUBLE) AS priority
+  FROM (
+    SELECT k,
+      cast(('0x' || substring(md5('sitemapindex' || k), 1, 2)) as int) AS b0
+    FROM ih
+  ), unnest(range(0, 5)) AS t(j)
+  WHERE j < 2 + b0 % 3
+)
+SELECT * FROM (SELECT * FROM urls UNION ALL SELECT * FROM idx)
+ORDER BY host, kind, loc
+"""
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots.txt compliance filtering end-to-end (operators/crawl.py):
     six hosts publish a real robots.txt (Disallow + longest-match Allow
@@ -6572,6 +6660,76 @@ WITH daily AS (
 SELECT user_id, day, n_events, mov7, cum_events, busy_rank,
        cast(days_to_next as int) AS days_to_next
 FROM win WHERE busy_rank <= 5 ORDER BY user_id, day
+"""
+
+
+def q_quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log2-histogram quantile sketch WITH self-evaluation
+    (operators/sketches.log2_histogram / histogram_quantiles, r8): the
+    sketch bins floor(value*100) by integer bit length (no float log —
+    every engine bins identically), estimates p50/p90/p99 as covering-
+    bin upper edges, and the SAME query computes the exact interpolated
+    percentile so the output carries estimate, truth and their ratio.
+    The sketch is one combinable groupBy over <= 64 bins (a KB of
+    executor state at any scale — the approx path events_value_
+    percentiles' docstring promises at 100 TB); the eval join is
+    3 rows x 1 row. Oracle replays binning, cumulative election and
+    quantile_cont literally."""
+    from ndr_import_spark.operators.sketches import (
+        histogram_quantiles,
+        log2_histogram,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    hist = log2_histogram(events, "value")
+    est = histogram_quantiles(hist, (0.5, 0.9, 0.99))
+    exact = events.agg(
+        F.round(F.expr("percentile(value, 0.5)"), 5).alias("e50"),
+        F.round(F.expr("percentile(value, 0.9)"), 5).alias("e90"),
+        F.round(F.expr("percentile(value, 0.99)"), 5).alias("e99"),
+    )
+    ex = exact.selectExpr(
+        "stack(3, 0.5D, e50, 0.9D, e90, 0.99D, e99) as (q, exact_value)"
+    )
+    return (
+        est.join(ex, "q")
+        .select(
+            "q", "n", "est_value", "exact_value",
+            F.round(F.col("est_value") / F.col("exact_value"), 5)
+            .alias("ratio"),
+        )
+        .orderBy("q")
+    )
+
+
+_ORACLE_QUANTILE_SKETCH = """
+WITH u AS (
+  SELECT CAST(FLOOR(value * 100) AS BIGINT) AS units FROM events
+), b AS (
+  SELECT length(bin(units)) AS bin, count(*) AS cnt FROM u GROUP BY 1
+), c AS (
+  SELECT bin, cnt,
+    sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS cum,
+    sum(cnt) OVER () AS n
+  FROM b
+), qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+est AS (
+  SELECT q, n,
+    (SELECT min(bin) FROM c WHERE cum >= ceil(q * c2.n)) AS pick
+  FROM qs, (SELECT DISTINCT n FROM c) c2
+), ex AS (
+  SELECT unnest([0.5, 0.9, 0.99]) AS q,
+         unnest([round(quantile_cont(value, 0.5), 5),
+                 round(quantile_cont(value, 0.9), 5),
+                 round(quantile_cont(value, 0.99), 5)]) AS exact_value
+  FROM events
+)
+SELECT est.q, CAST(n AS BIGINT) AS n,
+  ((2.0 ** pick) - 1) / 100 AS est_value,
+  exact_value,
+  round((((2.0 ** pick) - 1) / 100) / exact_value, 5) AS ratio
+FROM est JOIN ex ON est.q = ex.q ORDER BY est.q
 """
 
 
@@ -9993,6 +10151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "bloom_filter": q_bloom_filter,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "quantile_sketch_eval": q_quantile_sketch_eval,
         "bpe_tokenizer": q_bpe_tokenizer,
         "pack_sequences": q_pack_sequences,
         "hash_split": q_hash_split,
@@ -10064,6 +10223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup": q_substring_dedup,
         "warc_extract": q_warc_extract,
         "robots_filter": q_robots_filter,
+        "sitemap_extract": q_sitemap_extract,
         "main_content": q_main_content,
         "ivf_cells": q_ivf_cells,
         "ivf_probe_topk": q_ivf_probe_topk,
@@ -10239,6 +10399,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "warc_extract": _ORACLE_WARC_EXTRACT,
         "robots_filter": _ORACLE_ROBOTS_FILTER,
+        "sitemap_extract": _ORACLE_SITEMAP,
         "ivf_cells": _oracle_ivf(),
         "ivf_probe_topk": _oracle_ivf_probe(),
         "quantize_embeddings": _ORACLE_QUANTIZE,
@@ -10277,6 +10438,7 @@ def oracle_sql() -> dict[str, str]:
         "events_fill_forward": _ORACLE_FILL_FORWARD,
         "triangle_count": _ORACLE_TRIANGLES,
         "cms_heavy_hitters": _ORACLE_CMS,
+        "quantile_sketch_eval": _ORACLE_QUANTILE_SKETCH,
         "id_validity_scan": _oracle_id_scan(),
         "source_entropy": _ORACLE_SOURCE_ENTROPY,
         "heaps_law": _ORACLE_HEAPS,

@@ -461,3 +461,69 @@ def bloom_probe(
     return joined.groupBy(id_col).agg(
         (F.min("_hit") == 1).alias("maybe_member")
     )
+
+
+def log2_histogram(
+    df: DataFrame, value_col: str, scale: int = 100
+) -> DataFrame:
+    """Mergeable power-of-two histogram sketch over a positive numeric
+    column (r8): values quantise to integer units (floor(value*scale) —
+    floor of the identical IEEE double, so every engine bins
+    identically; no float log anywhere), the bin is the unit count's
+    BIT LENGTH (the length_bucket trick: conv to base-2 + string
+    length), and the sketch is one map-side-combinable groupBy over
+    <= 64 bins. Two sketches merge by adding counts — the property that
+    lets 1000 executors histogram 100 TB with a KB of state each.
+    Returns (bin, cnt, lo_unit, hi_unit) with [lo, hi] the bin's unit
+    range."""
+    units = F.floor(F.col(value_col) * scale).cast("long")
+    bins = df.select(
+        F.length(F.conv(units.cast("string"), 10, 2)).alias("bin")
+    )
+    one = F.conv(
+        F.concat(F.lit("1"), F.repeat(F.lit("0"), F.col("bin") - 1)), 2, 10
+    ).cast("long")
+    return (
+        bins.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bin", "cnt",
+            one.alias("lo_unit"),
+            (one * 2 - 1).alias("hi_unit"),
+        )
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame, qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    scale: int = 100,
+) -> DataFrame:
+    """Quantile estimates from a log2_histogram sketch: for each q the
+    smallest bin whose cumulative count reaches ceil(q*N); the estimate
+    is the bin's upper edge in value units (a <= 2x one-sided
+    overestimate by construction — the resolution/state trade every
+    log-binned sketch makes). The window runs over <= 64 bins."""
+    from pyspark.sql import Window
+
+    n = hist.agg(F.sum("cnt").alias("_n"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(n)
+    )
+    parts = []
+    for q in qs:
+        need = F.ceil(F.lit(q) * F.col("_n"))
+        parts.append(
+            cum.where(F.col("cum") >= need)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(q).alias("q"),
+                F.col("_n").alias("n"),
+                (F.col("hi_unit") / scale).alias("est_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

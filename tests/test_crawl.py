@@ -394,3 +394,63 @@ class TestMp4NestingGuard:
             assert meta["container"] == "mp4"
         except M.MediaMetaError:
             pass
+
+
+class TestParseSitemaps:
+    """r8: sitemap ingestion via JVM-side xpath."""
+
+    def test_namespaced_urlset_and_index(self, spark):
+        from ndr_import_spark.operators.crawl import parse_sitemaps
+
+        xml1 = (
+            '<?xml version="1.0"?><urlset '
+            'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>https://a.test/p1</loc><lastmod>2021-06-10"
+            "</lastmod><priority>0.8</priority></url>"
+            "<url><loc>https://a.test/p2</loc><lastmod>2021-06-11"
+            "</lastmod><priority>0.5</priority></url></urlset>"
+        )
+        xml2 = (
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
+            'sitemap/0.9"><sitemap><loc>https://b.test/s1.xml</loc>'
+            "</sitemap></sitemapindex>"
+        )
+        df = spark.createDataFrame(
+            [("a.test", xml1), ("b.test", xml2)],
+            "host string, sitemap_xml string",
+        )
+        rows = sorted(
+            parse_sitemaps(df).collect(), key=lambda r: (r.host, r.loc)
+        )
+        assert [(r.kind, r.loc, r.lastmod, r.priority) for r in rows] == [
+            ("url", "https://a.test/p1", "2021-06-10", 0.8),
+            ("url", "https://a.test/p2", "2021-06-11", 0.5),
+            ("index", "https://b.test/s1.xml", None, None),
+        ]
+
+    def test_partial_lastmod_yields_nulls_not_misalignment(self, spark):
+        from ndr_import_spark.operators.crawl import parse_sitemaps
+
+        # only ONE of two urls has lastmod: positional zip would
+        # misattribute it — the contract is NULLs for the whole doc
+        xml = (
+            "<urlset><url><loc>https://c.test/x</loc></url>"
+            "<url><loc>https://c.test/y</loc>"
+            "<lastmod>2021-01-01</lastmod></url></urlset>"
+        )
+        df = spark.createDataFrame(
+            [("c.test", xml)], "host string, sitemap_xml string"
+        )
+        rows = parse_sitemaps(df).collect()
+        assert len(rows) == 2
+        assert all(r.lastmod is None and r.priority is None for r in rows)
+
+    def test_no_python_stage_in_plan(self, spark):
+        from ndr_import_spark.operators.crawl import parse_sitemaps
+
+        df = spark.createDataFrame(
+            [("h", "<urlset><url><loc>u</loc></url></urlset>")],
+            "host string, sitemap_xml string",
+        )
+        plan = parse_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan  # xpath stays JVM-side

@@ -127,3 +127,52 @@ class TestBloom:
         df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
         words = bloom_build(df, F.col("k"), m_bits=1024, k=4).collect()
         assert all(r.word > 0 for r in words)  # bit 63 never used
+
+
+class TestLog2HistogramQuantiles:
+    """r8: mergeable power-of-two histogram quantile sketch."""
+
+    def test_bins_and_merge_property(self, spark):
+        from ndr_import_spark.operators.sketches import log2_histogram
+
+        df = spark.createDataFrame(
+            [(v,) for v in (0.01, 0.02, 0.5, 1.0, 2.0, 300.0)], "value double"
+        )
+        rows = {r.bin: (r.cnt, r.lo_unit, r.hi_unit)
+                for r in log2_histogram(df, "value").collect()}
+        # units: 1, 2, 50, 100, 200, 30000 -> bit lengths 1, 2, 6, 7, 8, 15
+        assert rows[1] == (1, 1, 1)
+        assert rows[2] == (1, 2, 3)
+        assert rows[6] == (1, 32, 63)
+        assert rows[15][0] == 1
+        # split-and-merge == whole (the mergeability claim)
+        a = log2_histogram(df.limit(3), "value")
+        b = log2_histogram(df.subtract(df.limit(3)), "value")
+        merged = {
+            r.bin: r.cnt
+            for r in a.unionAll(b).groupBy("bin")
+            .agg(__import__("pyspark").sql.functions.sum("cnt").alias("cnt"))
+            .collect()
+        }
+        assert merged == {k: v[0] for k, v in rows.items()}
+
+    def test_estimate_is_bounded_one_sided(self, spark):
+        from pyspark.sql import functions as F
+
+        from ndr_import_spark.operators.sketches import (
+            histogram_quantiles,
+            log2_histogram,
+        )
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        hist = log2_histogram(events, "value")
+        est = {r.q: r.est_value
+               for r in histogram_quantiles(hist, (0.5, 0.9)).collect()}
+        exact = events.agg(
+            F.expr("percentile(value, 0.5)").alias("e50"),
+            F.expr("percentile(value, 0.9)").alias("e90"),
+        ).collect()[0]
+        # upper-edge estimates: >= truth, < 2x + one unit of truth
+        for q, truth in ((0.5, exact.e50), (0.9, exact.e90)):
+            assert est[q] >= truth * 0.99
+            assert est[q] <= truth * 2.0 + 0.02
