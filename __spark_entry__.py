@@ -1314,6 +1314,70 @@ SELECT * FROM (
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding training (r8): for each of
+    the first 6 query vectors, the top-3 most-cosine-similar corpus
+    vectors with a DIFFERENT label — the contrastive-pair selection
+    step every embedding fine-tune needs (in-batch negatives miss the
+    hard ones; these are the hard ones). Same determinism discipline as
+    ann_cosine_topk (5dp cosine, id tie-break); the label filter rides
+    the broadcast scored join, so the plan is the brute-force topk's
+    with one extra predicate — and at scale the same LSH/IVF bucketing
+    drops in front unchanged."""
+    from ndr_import_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).filter(
+        (F.col("query_id") != F.col("vec_id"))
+        & (F.col("label") != F.col("query_label"))
+    )
+    from ndr_import_spark.operators.similarity import cosine as _cos
+
+    scored = scored.select(
+        "query_id", "vec_id", "label",
+        F.round(_cos(F.col("embedding"), F.col("query_vec")), 5).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    )
+
+
+_ORACLE_HARD_NEGATIVES = """
+WITH emb AS (
+  SELECT vec_id, cast(embedding as double[]) AS v, label FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, label AS ql FROM emb WHERE vec_id < 6
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         round(list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 5) AS cos
+  FROM emb e, q
+  WHERE q.query_id <> e.vec_id AND e.label <> q.ql
+)
+SELECT * FROM (
+  SELECT query_id, vec_id, label, cos,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
 def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed similarity pairs — the 100 TB ANN path: random-hyperplane
     sign signatures (deterministic md5-derived planes), compare only within
@@ -10123,6 +10187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_capped": q_semantic_dedup_capped,
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "hard_negatives": q_hard_negatives,
         "c4_clean": q_c4_clean,
         "gopher_quality": q_gopher_quality,
         "quality_filter": q_quality_filter,
@@ -10374,6 +10439,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": _oracle_quality(),
         "corpus_pipeline": _oracle_corpus_pipeline(),
         "ann_cosine_topk": _ORACLE_ANN,
+        "hard_negatives": _ORACLE_HARD_NEGATIVES,
         "ann_quantized_topk": _ORACLE_ANN_QUANTIZED,
         "ann_lsh_pairs": _oracle_ann_lsh(),
         "multimodal_features": _ORACLE_MULTIMODAL,

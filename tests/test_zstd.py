@@ -611,3 +611,67 @@ class TestDictionaryTraining:
         # only doc 2 is eligible: shingles at offsets 0,8,16,24
         assert r.n_shingles == 1  # all four shingles identical ("x"*16)
         assert r.dictionary == "x" * 16
+
+
+class TestDictionaryFuzz:
+    """Hostile-input hardening for the r8 dictionary path: corrupt
+    dictionaries and corrupt dict-frames must raise ZstdError, never an
+    uncaught container exception."""
+
+    def test_bitflip_fuzz_dict_frames(self):
+        import hashlib
+
+        from ndr_import_spark.functions.zstd import ZstdDict
+
+        lib = _zstd_lib()
+        cctx = ctypes.c_void_p(lib.ZSTD_createCCtx())
+        rnd = random.Random(99)
+        dic = (b"the quick brown fox jumps over the lazy dog " * 40)[:1024]
+        payload = dic[:400] + b" tail content that differs"
+        frame = _z_dict(lib, cctx, payload, dic, 19)
+        zd = ZstdDict(dic)
+        assert decompress(frame, dictionary=zd) == payload
+        ok = flagged = 0
+        for _ in range(300):
+            buf = bytearray(frame)
+            i = rnd.randrange(len(buf))
+            buf[i] ^= 1 << rnd.randrange(8)
+            try:
+                out = decompress(bytes(buf), dictionary=zd, max_output=1 << 22)
+                ok += 1
+                assert len(out) <= 1 << 22
+            except ZstdError:
+                flagged += 1
+            except NotImplementedError:
+                flagged += 1  # flip may fabricate an unsupported feature bit
+        assert ok + flagged == 300
+        # corrupt frames overwhelmingly raise rather than decode
+        assert flagged > 150, (ok, flagged)
+
+    def test_truncated_structured_dict_raises(self):
+        import struct as _struct
+
+        from ndr_import_spark.functions.zstd import ZstdDict
+
+        lib = _zstd_lib()
+        cctx = ctypes.c_void_p(lib.ZSTD_createCCtx())
+        rnd = random.Random(5)
+        words = ["alpha", "beta", "gamma", "delta"]
+        samples = [
+            (" ".join(rnd.choice(words) for _ in range(40)) + "\n").encode()
+            for _ in range(120)
+        ]
+        concat = b"".join(samples)
+        sizes = (ctypes.c_size_t * len(samples))(*[len(s) for s in samples])
+        buf = ctypes.create_string_buffer(32 * 1024)
+        n = lib.ZDICT_trainFromBuffer(buf, len(buf), concat, sizes, len(samples))
+        assert not lib.ZDICT_isError(n)
+        blob = buf.raw[:n]
+        # cuts inside the entropy-table header must raise; cuts inside
+        # the CONTENT region are undetectable by design (raw content has
+        # no length field) and legitimately parse to a shorter dict
+        for cut in (9, 12, 20):
+            with pytest.raises(ZstdError):
+                ZstdDict(blob[:cut])
+        header_end = n - len(ZstdDict(blob).content)
+        assert header_end > 20  # the early cuts really were in-header
