@@ -3662,6 +3662,133 @@ FROM f WHERE kept GROUP BY host ORDER BY host
 """
 
 
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl revisit/mirror detection by payload digest (r8) —
+    the Common Crawl dedup pattern: two crawl snapshots of the same
+    site,every record sha256-fingerprinted, grouped by digest. A digest
+    seen at the SAME URI in both crawls is a `revisit` (store one copy
+    + a revisit record, the WARC-Type: revisit convention); the same
+    digest at DIFFERENT URIs is a `mirror`; everything else is
+    `unique`. The fixture plants both: every third page is unchanged
+    between crawls, and four mirror URLs republish earlier pages'
+    bodies. Spark side digests the EXTRACTED text through the real WARC
+    reader (container parse -> HTTP split); the oracle rebuilds the
+    same sha256 from the md5-derived body strings — a digest mismatch
+    anywhere in the container/HTTP chain breaks the hash."""
+    import glob as _glob
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from ndr_import_spark.sources.warc import (
+        http_response_bytes,
+        read_warc,
+        write_warc,
+    )
+
+    out_dir = _os.path.join(_tf.gettempdir(), "ndr_warc_revisit")
+    _os.makedirs(out_dir, exist_ok=True)
+    for stale in _glob.glob(f"{out_dir}/*.warc.gz"):
+        _os.remove(stale)
+
+    def body(u: int, rev: int) -> bytes:
+        return f"content {u} rev{rev}".encode()
+
+    for crawl in range(2):
+        recs = []
+        for u in range(24):
+            b = _hl.md5(f"revisit{u}".encode()).digest()
+            rev = b[0] % 3 + (0 if (crawl == 0 or u % 3 == 0) else 1)
+            recs.append((
+                {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": f"https://site.test/p/{u:03d}",
+                    "WARC-Date": f"2024-0{crawl + 1}-01T00:00:00Z",
+                },
+                http_response_bytes(
+                    body(u, rev), status=200, content_type="text/plain"
+                ),
+            ))
+        if crawl == 1:
+            for m in range(4):
+                src_u = m * 3
+                b = _hl.md5(f"revisit{src_u}".encode()).digest()
+                recs.append((
+                    {
+                        "WARC-Type": "response",
+                        "WARC-Target-URI": f"https://mirror.test/m/{m}",
+                        "WARC-Date": "2024-02-01T00:00:00Z",
+                    },
+                    http_response_bytes(
+                        body(src_u, b[0] % 3), status=200,
+                        content_type="text/plain",
+                    ),
+                ))
+        with open(f"{out_dir}/crawl{crawl}.warc.gz", "wb") as f:
+            f.write(write_warc(recs))
+
+    docs = read_warc(spark, f"{out_dir}/*.warc.gz")
+    digests = docs.select(
+        "target_uri",
+        F.substring(F.col("source_file"), -14, 6).alias("crawl"),
+        F.sha2(F.col("text"), 256).alias("digest"),
+    )
+    return (
+        digests.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("target_uri").alias("n_uris"),
+            F.min("target_uri").alias("first_uri"),
+            F.countDistinct("crawl").alias("n_crawls"),
+        )
+        .select(
+            "digest", "n_records", "n_uris", "first_uri",
+            F.when(F.col("n_uris") > 1, "mirror")
+            .when(
+                (F.col("n_records") > 1) & (F.col("n_crawls") > 1),
+                "revisit",
+            )
+            .otherwise("unique")
+            .alias("kind"),
+        )
+        .orderBy("digest")
+    )
+
+
+_ORACLE_WARC_REVISIT = """
+WITH u AS (SELECT unnest(range(24)) AS u),
+d AS (
+  SELECT u, cast(('0x' || substring(md5('revisit' || u), 1, 2)) as int) % 3
+    AS rev0
+  FROM u
+), recs AS (
+  SELECT 'https://site.test/p/' || lpad(cast(u as varchar), 3, '0') AS uri,
+         'crawl0' AS crawl, 'content ' || u || ' rev' || rev0 AS body
+  FROM d
+  UNION ALL
+  SELECT 'https://site.test/p/' || lpad(cast(u as varchar), 3, '0'),
+         'crawl1',
+         'content ' || u || ' rev' ||
+           (rev0 + CASE WHEN u % 3 = 0 THEN 0 ELSE 1 END)
+  FROM d
+  UNION ALL
+  SELECT 'https://mirror.test/m/' || m, 'crawl1',
+         'content ' || (m * 3) || ' rev' ||
+           (SELECT rev0 FROM d WHERE u = m * 3)
+  FROM unnest(range(4)) AS t(m)
+), dig AS (
+  SELECT uri, crawl, sha256(body) AS digest FROM recs
+)
+SELECT digest, count(*) AS n_records,
+  count(DISTINCT uri) AS n_uris,
+  min(uri) AS first_uri,
+  CASE WHEN count(DISTINCT uri) > 1 THEN 'mirror'
+       WHEN count(*) > 1 AND count(DISTINCT crawl) > 1 THEN 'revisit'
+       ELSE 'unique' END AS kind
+FROM dig GROUP BY digest ORDER BY digest
+"""
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL distributed WARC extraction end-to-end (sources/warc.py): two
     genuine .warc.gz files (one gzip member per record, the Common Crawl
@@ -10287,6 +10414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features": q_video_features,
         "substring_dedup": q_substring_dedup,
         "warc_extract": q_warc_extract,
+        "warc_revisit": q_warc_revisit,
         "robots_filter": q_robots_filter,
         "sitemap_extract": q_sitemap_extract,
         "main_content": q_main_content,
@@ -10464,6 +10592,7 @@ def oracle_sql() -> dict[str, str]:
         "video_features": _ORACLE_VIDEO_FEATURES,
         "substring_dedup": _ORACLE_SUBSTRING_DEDUP,
         "warc_extract": _ORACLE_WARC_EXTRACT,
+        "warc_revisit": _ORACLE_WARC_REVISIT,
         "robots_filter": _ORACLE_ROBOTS_FILTER,
         "sitemap_extract": _ORACLE_SITEMAP,
         "ivf_cells": _oracle_ivf(),

@@ -660,3 +660,30 @@ def stream_scrub_images(
     return scrub_image_metadata(
         media_stream, payload_col=payload_col, id_col=id_col
     )
+
+
+def stream_log2_histogram(
+    value_stream: DataFrame,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Maintain the power-of-two histogram sketch CONTINUOUSLY — the
+    stateful-streaming twin of `sketches.log2_histogram` (r8). Same
+    shape as stream_cms_cells: the sketch is a combinable aggregate, so
+    the streaming form is the identical bit-length bin select →
+    groupBy(bin) → count with ≤64 rows of state-store state, and the
+    streamed cells equal a batch log2_histogram over the same rows
+    bin-for-bin (no float log anywhere — the binning is integer bit
+    length, so stream and batch cannot disagree on an edge).
+    Quantile reads apply `sketches.histogram_quantiles` to the sink
+    table between micro-batches."""
+    from pyspark.sql import functions as F
+
+    units = F.floor(F.col(value_col) * scale).cast("long")
+    return (
+        value_stream.select(
+            F.length(F.conv(units.cast("string"), 10, 2)).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

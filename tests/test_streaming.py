@@ -915,3 +915,42 @@ class TestStreamWebpScrub:
         assert (m["width"], m["height"]) == (64, 32)
         assert vp8 in got
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamLog2Histogram:
+    def test_stream_equals_batch_bin_for_bin(self, spark):
+        """r8: the streamed histogram's running cells equal a batch
+        log2_histogram over the same rows (integer bit-length binning
+        cannot disagree on an edge); quantile reads compose on top."""
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from ndr_import_spark.operators.sketches import log2_histogram
+        from ndr_import_spark.streaming import stream_log2_histogram
+
+        events = spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        ).select("value")
+        tmp = tempfile.mkdtemp()
+        events.write.mode("overwrite").parquet(f"{tmp}/vals")
+        stream = spark.readStream.schema("value double").parquet(f"{tmp}/vals")
+        q = (
+            stream_log2_histogram(stream, "value")
+            .writeStream.format("memory")
+            .queryName("hist_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        streamed = {
+            r.bin: r.cnt
+            for r in spark.sql("SELECT * FROM hist_stream").collect()
+        }
+        batch = {
+            r.bin: r.cnt for r in log2_histogram(events, "value").collect()
+        }
+        assert streamed == batch
+        shutil.rmtree(tmp, ignore_errors=True)
