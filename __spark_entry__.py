@@ -10313,7 +10313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "semantic_dedup_capped": q_semantic_dedup_capped,
         "ann_lsh_pairs": q_ann_lsh_pairs,
-        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_pca": q_embedding_pca,
         "hard_negatives": q_hard_negatives,
         "c4_clean": q_c4_clean,
         "gopher_quality": q_gopher_quality,
@@ -10326,7 +10326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "pagerank": q_pagerank,
         "bfs_reachability": q_bfs_reachability,
-        "triangle_count": q_triangle_count,
+        "scd2_history": q_scd2_history,
         "multimodal_mixed_codecs": q_multimodal_mixed_codecs,
         "exif_metadata": q_exif_metadata,
         "image_dedup": q_image_dedup,
@@ -10341,8 +10341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "scan_prune_plan": q_scan_prune_plan,
         "hll_distinct": q_hll_distinct,
+        "table_profile": q_table_profile,
         "bloom_filter": q_bloom_filter,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
         "quantile_sketch_eval": q_quantile_sketch_eval,
         "bpe_tokenizer": q_bpe_tokenizer,
         "pack_sequences": q_pack_sequences,
@@ -10350,9 +10350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "decontaminate": q_decontaminate,
         "split_leakage": q_split_leakage,
-        "scd2_history": q_scd2_history,
-        "embedding_pca": q_embedding_pca,
-        "table_profile": q_table_profile,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "triangle_count": q_triangle_count,
         "asof_join": q_asof_join,
         "window_analytics": q_window_analytics,
         "skew_salted_agg": q_skew_salted_agg,
