@@ -9582,6 +9582,7 @@ def q_scan_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row-per-row-group, the plan is bucket-count-sized."""
     import glob as _glob
     import os as _os
+    import tempfile as _tf
 
     from ndr_import_spark.sources.parquet_meta import (
         parquet_footer_inventory,
@@ -9590,7 +9591,9 @@ def q_scan_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi, step = 4000, 9000, 1500
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
     tag = _os.path.basename(sf_dir.rstrip("/"))
-    out_dir = _os.path.join(".tmp", "prune_plan", tag)
+    # absolute fixture dir: the driver's harness may not run from the
+    # repo root, and a relative path would scatter rewrites across cwds
+    out_dir = _os.path.join(_tf.gettempdir(), "ndr_prune_plan", tag)
     (
         li.withColumn("bucket", F.floor(F.col("l_orderkey") / step))
         .repartition("bucket")
