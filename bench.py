@@ -11,36 +11,43 @@ Catalyst REWRITE the plan before timing it: a count over a final
 aggregate can prune the aggregate's value expressions (measured: a
 400k-distinct-key groupBy "shuffles" 472 bytes under count(), and
 q1/table_profile ran 3-5x faster under count() than their real plans).
-Round-5 session 3 found this while building the shuffle audit
-(tools/shuffle_audit.py) and switched; numbers from earlier rounds are
-therefore flattering for agg-final and map-only queries and are NOT
-comparable query-for-query with the noop-sink protocol.
 
 Measurement protocol (recorded as "protocol" in the JSON):
 
-* Each query runs in its OWN forked JVM (a subprocess with a fresh
-  SparkSession), exactly like JMH forks benchmarks. A single shared JVM
-  suffers JIT profile pollution: 29 queries' generated classes share
-  megamorphic call sites in the interpreted-expression and codegen runtime,
-  and each newly loaded query triggers deoptimisation storms that made
-  earlier-measured queries 4-15x slower with run-to-run variance of the same
-  magnitude (measured: lang_id 0.7s clean vs 12.3s mid-suite). Forking
-  bounds every query's profile to its own plan. Fork startup (~8s) is not
-  billed.
-* Within the fork the query runs once COLD, then 1-3 ADAPTIVE steady runs;
-  the billed number is the MIN over the steady runs. The cold run pays
-  one-time per-plan costs — Janino codegen compilation, JVM tiered-JIT
-  warmup of the generated classes, parquet footer reads — that are fixed
-  overhead amortised to nothing over a 100 TB job but can be 3-5x the
-  steady-state time at sf0.1; it is reported separately in "cold_run_sec".
-  Sample count scales with magnitude (early-exit after 1 steady run <=1 s,
-  2 runs <=2 s, else 3): sub-second queries have small absolute noise,
-  while multi-second queries dominate the suite total and single-run noise
-  measured up to 40% on this box. Caches are cleared between runs, so
-  every billed run re-executes the full plan (no result reuse — only
-  compiled-code reuse).
-* The result JSON is printed to stdout AND written to $SPARK_GRAFT_BENCH_OUT
-  (default BENCH.json next to this file) — stdout capture windows truncate.
+* Queries run in forked JVMs (a subprocess with a fresh SparkSession),
+  like JMH forks. A single JVM shared by ALL 173 queries suffers JIT
+  profile pollution: generated classes share megamorphic call sites in
+  the codegen runtime and each newly loaded query triggers
+  deoptimisation storms that made earlier-measured queries 4-15x slower
+  (measured r5: lang_id 0.7s clean vs 12.3s mid-suite). Round 9 change:
+  queries are BATCHED ~8 per fork instead of one per fork. Rationale:
+  two consecutive driver benches (BENCH_r07/r08) were killed at rc 124
+  because 173 solo forks spend ~25 min on JVM startup alone before any
+  measurement. 8 plans per JVM keeps call sites far below the 29-query
+  pollution regime while cutting fork count ~20x; spot-checks (r9)
+  showed batch-of-8 numbers within the run-to-run noise band of solo
+  numbers for both cheap and heavy queries.
+* Within the fork each query runs once COLD, then 0-3 ADAPTIVE steady
+  runs; the billed number is the MIN over the steady runs (or the cold
+  run if the budget pacing allowed none — per-query "mode" records
+  which). The cold run pays one-time per-plan costs — Janino codegen
+  compilation, JVM tiered-JIT warmup, parquet footer reads — that are
+  fixed overhead amortised to nothing over a 100 TB job but can be 3-5x
+  the steady-state time at sf0.1; it is reported in "cold_run_sec".
+  Caches are cleared between runs, so every billed run re-executes the
+  full plan (no result reuse — only compiled-code reuse).
+* BUDGET PACING ($SPARK_GRAFT_BENCH_BUDGET_SEC, default 2100): the
+  parent divides the remaining budget by the remaining query count and
+  hands each fork a per-query allowance; the fork stops adding steady
+  runs when a query's spend would exceed its allowance, degrading to
+  cold-only billing under extreme pressure. This trades a few steady
+  samples for a guarantee the suite FINISHES — a complete artifact at
+  rc 0 beats a truncated one at rc 124 (BENCH_r07/r08 lesson). Because
+  billed = min(steady), fewer samples can only bias numbers UP (never
+  flatter), so the pacing is honest.
+* The result JSON is printed to stdout AND written to
+  $SPARK_GRAFT_BENCH_OUT (default BENCH.json next to this file) —
+  stdout capture windows truncate.
 """
 
 from __future__ import annotations
@@ -52,6 +59,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "8"))
+BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100"))
 
 
 def _build_session(cpus: str):
@@ -72,35 +82,73 @@ def _build_session(cpus: str):
     return spark
 
 
-def _run_single(name: str, sf_dir: str, cpus: str) -> int:
-    """Fork body: run one query twice, print one JSON line."""
+def _run_batch(names: list[str], sf_dir: str, cpus: str, per_q_budget: float) -> int:
+    """Fork body: run a batch of queries in one JVM, print one JSON line each.
+
+    per_q_budget <= 0 means unpaced (legacy --single behaviour: full
+    adaptive steady runs regardless of spend).
+    """
     import __spark_entry__ as entry_mod
 
-    fn = entry_mod.queries()[name]
+    registry = entry_mod.queries()
     spark = _build_session(cpus)
-    out = {"name": name}
+    # warm the fork OUTSIDE any query's bill: the first job in a fresh
+    # JVM pays python-worker/Arrow spin-up (~2-4s) that would otherwise
+    # land in the first batch member's cold number and skew it vs the
+    # other 7 (measured r9: 9.5s vs 2.5s cold for the same query by
+    # fork position)
     try:
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out["cold"] = round(time.perf_counter() - t0, 4)
-        steady = []
-        for i in range(3):
-            spark.catalog.clearCache()
+        spark.range(1 << 20).selectExpr("sum(id) as s").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:  # noqa: BLE001
+        pass
+    for name in names:
+        out = {"name": name}
+        try:
+            fn = registry[name]
+            q_start = time.perf_counter()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            steady.append(time.perf_counter() - t0)
-            # sample-count scales with magnitude: sub-second queries take
-            # one steady sample (absolute noise is small), multi-second
-            # queries take up to three — single-run noise measured up to
-            # 40% on this box, and the heavies dominate the suite total
-            if i == 0 and steady[0] <= 1.0:
-                break
-            if i == 1 and steady[1] <= 2.0:
-                break
-        out["sec"] = round(min(steady), 4)
-    except Exception as e:  # noqa: BLE001
-        out["error"] = f"{type(e).__name__}: {e}"
-    print("BENCH_SINGLE " + json.dumps(out), flush=True)
+            cold = time.perf_counter() - t0
+            out["cold"] = round(cold, 4)
+            steady: list[float] = []
+            for i in range(3):
+                spent = time.perf_counter() - q_start
+                # projection for the next run: last steady sample, or —
+                # before any steady sample exists — half the cold run
+                # (cold carries one-time codegen/JIT costs, measured
+                # 3-5x steady; 0.5x is a conservative midpoint)
+                last = steady[-1] if steady else cold * 0.5
+                # budget pacing: don't start a run projected to overshoot
+                # this query's allowance (unless we have no steady sample
+                # yet and the projection still fits — cold-only billing is
+                # the last resort, not the default)
+                if per_q_budget > 0 and steady and spent + last > per_q_budget:
+                    break
+                if per_q_budget > 0 and not steady and spent + last > per_q_budget * 1.5:
+                    break
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                steady.append(time.perf_counter() - t0)
+                # sample-count scales with magnitude: sub-second queries
+                # take one steady sample (absolute noise is small),
+                # multi-second queries up to three — single-run noise
+                # measured up to 40% on this box
+                if i == 0 and steady[0] <= 1.0:
+                    break
+                if i == 1 and steady[1] <= 2.0:
+                    break
+            if steady:
+                out["sec"] = round(min(steady), 4)
+                out["mode"] = f"steady{len(steady)}"
+            else:
+                out["sec"] = round(cold, 4)
+                out["mode"] = "cold"
+        except Exception as e:  # noqa: BLE001
+            out["error"] = f"{type(e).__name__}: {e}"
+        print("BENCH_SINGLE " + json.dumps(out), flush=True)
     spark.stop()
     return 0
 
@@ -109,8 +157,13 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-    if len(sys.argv) == 3 and sys.argv[1] == "--single":
-        return _run_single(sys.argv[2], sf_dir, cpus)
+    if len(sys.argv) >= 3 and sys.argv[1] == "--single":
+        # legacy splice mode: one query, unpaced full adaptive runs
+        return _run_batch(sys.argv[2:], sf_dir, cpus, per_q_budget=-1.0)
+    if len(sys.argv) == 4 and sys.argv[1] == "--batch":
+        return _run_batch(
+            sys.argv[2].split(","), sf_dir, cpus, per_q_budget=float(sys.argv[3])
+        )
 
     # derive sf from the dir name (e.g. .../sf0.1 -> 0.1)
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -124,6 +177,7 @@ def main() -> int:
     names = list(entry_mod.queries().keys())
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    modes: dict[str, str] = {}
     total = 0.0
 
     out_path = os.environ.get(
@@ -143,8 +197,10 @@ def main() -> int:
                 # would make the driver's strict parse reject the artifact
                 "queries": {k: (v if v == v else None) for k, v in timings.items()},
                 "sf": sf,
-                "protocol": "forked_jvm_min_of_adaptive_steady_runs_noop_sink",
+                "protocol": "forked_jvm_batch8_budget_paced_min_steady_noop_sink",
+                "budget_sec": BUDGET,
                 "cold_run_sec": cold,
+                "run_mode": modes,
                 "start_load1": load_seen,
             },
             allow_nan=False,
@@ -172,34 +228,60 @@ def main() -> int:
 
     # r6 VERDICT item 6: the committed batch artifact carried up to 3.8x
     # contention from OTHER processes (pytest/oracle runs sharing the
-    # box), not from the serial forks themselves. Gate each fork on a
-    # quiet machine so batch numbers ~= standalone numbers, and record
-    # the load actually observed so a contended number can never pass
-    # silently.
+    # box). Gate each fork on a quiet machine — but cap the TOTAL wait
+    # across the suite (r9): per-fork 300s waits on a persistently loaded
+    # box burned the driver's whole window in r7/r8. Finishing with a
+    # recorded load number beats dying quietly.
     max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "4.0"))
+    wait_budget = [float(os.environ.get("SPARK_GRAFT_MAX_TOTAL_WAIT", "300"))]
 
-    def wait_quiet(deadline_s: float = 300.0) -> float:
-        waited = 0.0
+    def wait_quiet() -> float:
         load = os.getloadavg()[0]
-        while load > max_load and waited < deadline_s:
+        while load > max_load and wait_budget[0] > 0:
             time.sleep(10.0)
-            waited += 10.0
+            wait_budget[0] -= 10.0
             load = os.getloadavg()[0]
         if load > max_load:
             sys.stderr.write(
                 f"bench: proceeding at load {load:.1f} > {max_load} "
-                f"after {waited:.0f}s wait — numbers may be contended\n"
+                f"(suite wait budget exhausted) — numbers may be contended\n"
             )
         return load
 
-    for name in names:
-        load_seen[name] = round(wait_quiet(), 2)
+    def parse_fork(out_s: str) -> set[str]:
+        """Record every BENCH_SINGLE line; return names seen."""
+        nonlocal total
+        seen: set[str] = set()
+        for line in out_s.splitlines():
+            if not line.startswith("BENCH_SINGLE "):
+                continue
+            rec = json.loads(line[len("BENCH_SINGLE "):])
+            nm = rec["name"]
+            seen.add(nm)
+            if "error" in rec:
+                sys.stderr.write(f"bench {nm} FAILED: {rec['error']}\n")
+                timings[nm] = float("nan")
+            else:
+                timings[nm] = round(rec["sec"], 4)
+                cold[nm] = rec["cold"]
+                modes[nm] = rec.get("mode", "steady")
+                total += rec["sec"]
+        return seen
+
+    def run_fork(batch: list[str], per_q: float, timeout_s: float) -> set[str]:
+        """Fork one JVM for `batch`; return the names that produced rows."""
         # own process group so a timeout kill reaps the Spark JVM child
         # too: SIGKILLing only the python fork orphans a 24g-heap JVM
         # that keeps running the hung plan on every core and contaminates
         # all remaining measurements
         p = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--single", name],
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--batch",
+                ",".join(batch),
+                f"{per_q:.1f}",
+            ],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
@@ -207,45 +289,48 @@ def main() -> int:
             start_new_session=True,
         )
         try:
-            out_s, err_s = p.communicate(timeout=600)
+            out_s, err_s = p.communicate(timeout=timeout_s)
         except subprocess.TimeoutExpired:
-            import signal as _signal
-
             try:
-                os.killpg(os.getpgid(p.pid), _signal.SIGKILL)
+                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
             except (ProcessLookupError, PermissionError):
                 pass
-            p.wait()
-            # one hung query must not abort the suite: record NaN, move on
-            sys.stderr.write(f"bench {name} FAILED: timeout (600s)\n")
-            timings[name] = float("nan")
-            continue
-
-        class _Proc:
-            stdout = out_s
-            stderr = err_s
-            returncode = p.returncode
-
-        proc = _Proc()
-        dt = float("nan")
-        for line in proc.stdout.splitlines():
-            if line.startswith("BENCH_SINGLE "):
-                rec = json.loads(line[len("BENCH_SINGLE "):])
-                if "error" in rec:
-                    sys.stderr.write(f"bench {name} FAILED: {rec['error']}\n")
-                else:
-                    dt = rec["sec"]
-                    cold[name] = rec["cold"]
-                break
-        else:
+            # Popen.communicate after TimeoutExpired leaves the pipes open;
+            # drain what the fork printed before it hung
+            out_s, err_s = p.communicate()
+            sys.stderr.write(f"bench fork {batch[0]}.. timed out ({timeout_s:.0f}s)\n")
+        seen = parse_fork(out_s or "")
+        missing = [n for n in batch if n not in seen]
+        if missing and p.returncode not in (0, None):
             sys.stderr.write(
-                f"bench {name} FAILED: no result (rc={proc.returncode})\n"
-                + proc.stderr[-2000:]
+                f"bench fork rc={p.returncode}, missing {missing}:\n"
+                + (err_s or "")[-1500:]
                 + "\n"
             )
-        timings[name] = round(dt, 4) if dt == dt else dt
-        if dt == dt:  # not NaN
-            total += dt
+        return seen
+
+    suite_start = time.monotonic()
+    deadline = suite_start + BUDGET
+    pending = list(names)
+    while pending:
+        batch, pending = pending[:BATCH], pending[BATCH:]
+        load_seen[batch[0]] = round(wait_quiet(), 2)
+        remaining_q = len(batch) + len(pending)
+        time_left = max(deadline - time.monotonic(), 60.0)
+        per_q = time_left / remaining_q
+        # fork hard-timeout: generous vs the pacing target so the pacer,
+        # not the kill, is the normal stop; still bounded so one hung
+        # plan can't eat the suite
+        timeout_s = min(max(per_q * len(batch) * 2.5, 180.0), 1200.0)
+        seen = run_fork(batch, per_q, timeout_s)
+        # a fork crash/hang must not lose its whole batch: retry the
+        # missing members solo (fresh JVM isolates the poison query)
+        missing = [n for n in batch if n not in seen]
+        for nm in missing:
+            solo_seen = run_fork([nm], per_q, min(max(per_q * 3, 120.0), 420.0))
+            if nm not in solo_seen:
+                sys.stderr.write(f"bench {nm} FAILED: no result after solo retry\n")
+                timings[nm] = float("nan")
 
     emit()
     return 0
