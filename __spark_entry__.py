@@ -1421,9 +1421,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     'pixels' in SQL, proving the batch plumbing is lossless."""
     from ndr_import_spark.operators import multimodal as MM
 
-    MM.set_image_decoder(MM.deterministic_fake_decoder)
     media = MM.synth_media_df(spark, 256)
-    feats = MM.extract_features(media)
+    # per-call injection (r8 verdict): never clobbers a caller's
+    # session-wide set_image_decoder registration
+    feats = MM.extract_features(media, decoder=MM.deterministic_fake_decoder)
     mean_feat = F.aggregate(
         F.col("feature"), F.lit(0.0), lambda a, x: a + x
     ) / F.size(F.col("feature"))
@@ -1493,7 +1494,6 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ndr_import_spark.functions.webp import encode_webp
 
-    MM.set_image_decoder(None)  # force stdlib magic-byte dispatch
     rows = []
     for i in range(112):
         b = _hl.md5(f"media{i}".encode()).digest()
@@ -1525,7 +1525,9 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (i, "image", "image/mixed", None, None, None, bytearray(payload))
         )
     media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(8)
-    feats = MM.extract_features(media)
+    # decoder=None: force stdlib magic-byte dispatch regardless of any
+    # session-wide registration (per-call injection, r8 verdict)
+    feats = MM.extract_features(media, decoder=None)
     mean_feat = F.aggregate(
         F.col("feature"), F.lit(0.0), lambda a, x: a + x
     ) / F.size(F.col("feature"))
@@ -1656,7 +1658,6 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ndr_import_spark.functions.flac import encode_flac
 
-    MM.set_audio_decoder(None)  # force stdlib WAV/FLAC dispatch
     rows = []
     for i in range(96):
         b = _hl.md5(f"audio{i}".encode()).digest()
@@ -1690,7 +1691,8 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             (i, "audio", "audio/wav", None, None, None, bytearray(payload))
         )
     media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(8)
-    feats = MM.extract_audio_features(media)
+    # decoder=None: force stdlib WAV/FLAC dispatch (per-call injection)
+    feats = MM.extract_audio_features(media, decoder=None)
     mean_feat = F.aggregate(
         F.col("feature"), F.lit(0.0), lambda a, x: a + x
     ) / F.size(F.col("feature"))
@@ -1780,7 +1782,6 @@ def q_adpcm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ndr_import_spark.functions import adpcm as A
     from ndr_import_spark.operators import multimodal as MM
 
-    MM.set_audio_decoder(None)  # stdlib dispatch: WAV container → adpcm.py
     rows = []
     for i in range(80):
         b = _hl.md5(f"adpcm{i}".encode()).digest()
@@ -1815,7 +1816,8 @@ def q_adpcm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (i, "audio", "audio/wav", None, None, None, bytearray(payload))
         )
     media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(8)
-    feats = MM.extract_audio_features(media)
+    # decoder=None: force stdlib WAV/FLAC dispatch (per-call injection)
+    feats = MM.extract_audio_features(media, decoder=None)
     mean_feat = F.aggregate(
         F.col("feature"), F.lit(0.0), lambda a, x: a + x
     ) / F.size(F.col("feature"))
@@ -3675,7 +3677,6 @@ def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader (container parse -> HTTP split); the oracle rebuilds the
     same sha256 from the md5-derived body strings — a digest mismatch
     anywhere in the container/HTTP chain breaks the hash."""
-    import glob as _glob
     import hashlib as _hl
     import os as _os
     import tempfile as _tf
@@ -3686,10 +3687,21 @@ def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_warc,
     )
 
-    out_dir = _os.path.join(_tf.gettempdir(), "ndr_warc_revisit")
+    # r8 advice: a fixed shared dir + glob-delete lets two concurrent
+    # sessions clobber or cross-read each other's fixtures. Qualify the
+    # dir with a digest of (repo, sf_dir, fixture version) — the
+    # _expand_compressed full-md5 pattern — and write atomically via
+    # os.replace; the fixture bytes are deterministic, so concurrent
+    # same-digest sessions converge instead of racing.
+    _fixture_key = "\x00".join(
+        (_os.path.dirname(_os.path.abspath(__file__)),
+         _os.path.abspath(sf_dir), "warc_revisit_v1")
+    )
+    out_dir = _os.path.join(
+        _tf.gettempdir(),
+        "ndr_warc_revisit_" + _hl.md5(_fixture_key.encode()).hexdigest()[:16],
+    )
     _os.makedirs(out_dir, exist_ok=True)
-    for stale in _glob.glob(f"{out_dir}/*.warc.gz"):
-        _os.remove(stale)
 
     def body(u: int, rev: int) -> bytes:
         return f"content {u} rev{rev}".encode()
@@ -3724,8 +3736,11 @@ def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         content_type="text/plain",
                     ),
                 ))
-        with open(f"{out_dir}/crawl{crawl}.warc.gz", "wb") as f:
+        final = f"{out_dir}/crawl{crawl}.warc.gz"
+        tmp = f"{final}.{_os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
             f.write(write_warc(recs))
+        _os.replace(tmp, final)  # atomic: readers never see a partial file
 
     docs = read_warc(spark, f"{out_dir}/*.warc.gz")
     digests = docs.select(
@@ -6897,7 +6912,11 @@ _ORACLE_QUANTILE_SKETCH = """
 WITH u AS (
   SELECT CAST(FLOOR(value * 100) AS BIGINT) AS units FROM events
 ), b AS (
-  SELECT length(bin(units)) AS bin, count(*) AS cnt FROM u GROUP BY 1
+  -- positive-only contract (r8 advice): the engine filters units < 1
+  -- before binning; mirror it so the semantics stay pinned even if a
+  -- future fixture carries zeros/negatives
+  SELECT length(bin(units)) AS bin, count(*) AS cnt FROM u
+  WHERE units >= 1 GROUP BY 1
 ), c AS (
   SELECT bin, cnt,
     sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
@@ -9581,6 +9600,7 @@ def q_scan_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer reader. Bounded everywhere: the inventory is
     one-row-per-row-group, the plan is bucket-count-sized."""
     import glob as _glob
+    import hashlib as _hl
     import os as _os
     import tempfile as _tf
 
@@ -9590,10 +9610,20 @@ def q_scan_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lo, hi, step = 4000, 9000, 1500
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
-    tag = _os.path.basename(sf_dir.rstrip("/"))
     # absolute fixture dir: the driver's harness may not run from the
-    # repo root, and a relative path would scatter rewrites across cwds
-    out_dir = _os.path.join(_tf.gettempdir(), "ndr_prune_plan", tag)
+    # repo root, and a relative path would scatter rewrites across cwds.
+    # r8 advice: keying only by the sf_dir BASENAME let two repos (or
+    # two concurrent sessions pointing at different roots with the same
+    # sf tag) clobber each other's rewrites — qualify with a digest of
+    # the full (repo, sf_dir) paths, the _expand_compressed pattern
+    _fixture_key = "\x00".join(
+        (_os.path.dirname(_os.path.abspath(__file__)),
+         _os.path.abspath(sf_dir), "prune_plan_v1")
+    )
+    out_dir = _os.path.join(
+        _tf.gettempdir(),
+        "ndr_prune_plan_" + _hl.md5(_fixture_key.encode()).hexdigest()[:16],
+    )
     (
         li.withColumn("bucket", F.floor(F.col("l_orderkey") / step))
         .repartition("bucket")
@@ -9674,22 +9704,15 @@ def q_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def rt(batches):
-        import ctypes
         import hashlib
 
         import pandas as pd
         import pyarrow as pa
 
-        from ndr_import_spark.functions.zstd import decompress
-
-        lib = ctypes.CDLL("libzstd.so.1")
-        szt, vp, cp = ctypes.c_size_t, ctypes.c_void_p, ctypes.c_char_p
-        lib.ZSTD_compressBound.restype = szt
-        lib.ZSTD_compressBound.argtypes = [szt]
-        lib.ZSTD_createCCtx.restype = vp
-        lib.ZSTD_compress_usingDict.restype = szt
-        lib.ZSTD_compress_usingDict.argtypes = [vp, vp, szt, cp, szt, cp, szt, ctypes.c_int]
-        cctx = vp(lib.ZSTD_createCCtx())
+        from ndr_import_spark.functions.zstd import (
+            decompress,
+            libzstd_compress_dict,
+        )
 
         levels = (1, 3, 9, 19)
         for pdf in batches:
@@ -9700,15 +9723,13 @@ def q_zstd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 codec = pa.Codec("zstd", compression_level=levels[did % 4])
                 decoded = decompress(codec.compress(payload, asbytes=True))
                 # dictionary frame: raw-content dict = the doc text, so
-                # the compressor's matches land in the history prefix
+                # the compressor's matches land in the history prefix.
+                # libzstd_compress_dict checks ZSTD_isError and degrades
+                # to a dictionary-less pyarrow frame on hosts without
+                # libzstd.so.1 (r8 advice)
                 dic = text.encode()
-                bound = lib.ZSTD_compressBound(len(payload))
-                dst = ctypes.create_string_buffer(bound)
-                m = lib.ZSTD_compress_usingDict(
-                    cctx, ctypes.cast(dst, vp), bound,
-                    payload, len(payload), dic, len(dic), 19,
-                )
-                dict_decoded = decompress(dst.raw[:m], dictionary=dic)
+                comp = libzstd_compress_dict(payload, dic, level=19)
+                dict_decoded = decompress(comp, dictionary=dic)
                 rows.append(
                     (did, len(decoded), hashlib.md5(decoded).hexdigest(),
                      hashlib.md5(dict_decoded).hexdigest())
@@ -9744,23 +9765,16 @@ def q_zstd_dict_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     withdict = sample.crossJoin(F.broadcast(dictionary))
 
     def rt(batches):
-        import ctypes
         import hashlib
 
         import pandas as pd
 
-        from ndr_import_spark.functions.zstd import ZstdDict, decompress
+        from ndr_import_spark.functions.zstd import (
+            ZstdDict,
+            decompress,
+            libzstd_compress_dict,
+        )
 
-        lib = ctypes.CDLL("libzstd.so.1")
-        szt, vp, cp = ctypes.c_size_t, ctypes.c_void_p, ctypes.c_char_p
-        lib.ZSTD_compressBound.restype = szt
-        lib.ZSTD_compressBound.argtypes = [szt]
-        lib.ZSTD_createCCtx.restype = vp
-        lib.ZSTD_compress_usingDict.restype = szt
-        lib.ZSTD_compress_usingDict.argtypes = [
-            vp, vp, szt, cp, szt, cp, szt, ctypes.c_int,
-        ]
-        cctx = vp(lib.ZSTD_createCCtx())
         for pdf in batches:
             rows = []
             zd = None
@@ -9771,13 +9785,10 @@ def q_zstd_dict_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dic_b = dic.encode()
                     zd = ZstdDict(dic_b)
                 payload = text.encode()
-                bound = lib.ZSTD_compressBound(len(payload))
-                dst = ctypes.create_string_buffer(bound)
-                m = lib.ZSTD_compress_usingDict(
-                    cctx, ctypes.cast(dst, vp), bound,
-                    payload, len(payload), dic_b, len(dic_b), 19,
-                )
-                decoded = decompress(dst.raw[:m], dictionary=zd)
+                # error-checked reference encoder; dictionary-less
+                # pyarrow fallback on hosts without libzstd (r8 advice)
+                comp = libzstd_compress_dict(payload, dic_b, level=19)
+                decoded = decompress(comp, dictionary=zd)
                 rows.append((
                     int(did), len(decoded),
                     hashlib.md5(decoded).hexdigest(),
@@ -10299,6 +10310,35 @@ ORDER BY s_name, n_name
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the YAML-mapping compiler pipeline on sf0.001."""
     return q_map_clean_fields(spark, "/root/testdata/sf0.001")
+
+
+# The driver's CORRECTNESS gate verifies exactly the FIRST 50 entries of
+# queries() (insertion order IS the gate scope). GATED pins that window
+# EXPLICITLY (r8 advice: the r8 interleave silently swapped which queries
+# the gate verified; nothing recorded the change). Any reorder of the
+# registry's head now shows up as a diff on this literal, and
+# tests/test_gate_scope.py fails if the two drift apart. The window was
+# chosen in r8 to span >= 15 operator families — keep that property when
+# editing: one representative per family beats five neighbours from one.
+GATED = [
+    'map_clean_fields', 'map_fixed_width', 'map_validation_errors',
+    'nontabular_extract', 'xml_extract', 'q1_pricing_summary',
+    'q3_shipping_priority', 'dedup_exact', 'dedup_minhash',
+    'lsh_planner', 'dedup_clusters', 'semantic_dedup_capped',
+    'ann_lsh_pairs', 'embedding_pca', 'hard_negatives',
+    'c4_clean', 'gopher_quality', 'quality_filter',
+    'lang_id', 'training_pipeline', 'training_mix',
+    'bm25_search', 'hybrid_search_rrf', 'tfidf_top_terms',
+    'pagerank', 'bfs_reachability', 'scd2_history',
+    'multimodal_mixed_codecs', 'exif_metadata', 'image_dedup',
+    'image_pipeline', 'media_metadata', 'webp_metadata',
+    'audio_features', 'zstd_roundtrip', 'compression_matrix',
+    'zstd_dict_train', 'parquet_layout', 'compaction_plan',
+    'scan_prune_plan', 'hll_distinct', 'table_profile',
+    'bloom_filter', 'quantile_sketch_eval', 'bpe_tokenizer',
+    'pack_sequences', 'hash_split', 'epoch_shuffle',
+    'decontaminate', 'split_leakage',
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

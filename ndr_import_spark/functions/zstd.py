@@ -46,7 +46,13 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["ZstdDict", "ZstdError", "decompress", "xxh64"]
+__all__ = [
+    "ZstdDict",
+    "ZstdError",
+    "decompress",
+    "libzstd_compress_dict",
+    "xxh64",
+]
 
 
 class ZstdError(ValueError):
@@ -674,13 +680,18 @@ def _decode_block(block: bytes, st: _FrameState, out: bytearray,
         out += lits[lit_pos:lit_pos + ll]
         lit_pos += ll
         hist = len(out) - frame_start
-        if offset > hist + len(prefix) or offset > window + len(prefix):
-            # frame-LOCAL history (plus the dictionary content prefix
-            # when one is in play): RFC 8878 matches may not reach into
-            # a previous concatenated frame's output. The window bound
-            # extends by the prefix length — a single-segment frame's
-            # window equals its content size, yet its matches may reach
-            # anywhere in the dictionary (observed libzstd behaviour)
+        # frame-LOCAL history (plus the dictionary content prefix when
+        # one is in play): RFC 8878 matches may not reach into a
+        # previous concatenated frame's output. While hist < window the
+        # bound extends by the prefix length — a single-segment frame's
+        # window equals its content size, yet its matches may reach
+        # anywhere in the dictionary (observed libzstd behaviour). Once
+        # hist >= window the dictionary is no longer reachable, so the
+        # bound tightens to the plain window (r8 advice: without this, a
+        # hostile frame could reference window+dict_len deep for the
+        # whole frame, laxer than the dictionary-less path).
+        limit = window if hist >= window else window + len(prefix)
+        if offset > hist + len(prefix) or offset > limit:
             raise ZstdError("match offset beyond decoded history")
         if offset <= hist:
             if offset >= ml:
@@ -879,3 +890,83 @@ def _decode_frame(data: bytes, pos: int, out: bytearray,
         if got != want:
             raise ZstdError("content checksum mismatch")
     return pos
+
+
+# ---------------------------------------------------------------------------
+# system-libzstd dictionary COMPRESSION helper (test/bench fixture side)
+# ---------------------------------------------------------------------------
+# The clean-room code above only DECODES. Queries that round-trip through
+# dictionary frames (q_zstd_roundtrip / q_zstd_dict_train) need a reference
+# ENCODER for the fixture side; pyarrow's Codec has no dictionary API, so
+# that path goes through libzstd via ctypes. r8 advice: every compress
+# return must be checked with ZSTD_isError (an error code is a huge size_t
+# that would otherwise be used as a slice length and surface as a confusing
+# downstream ZstdError), and hosts without libzstd.so.1 must degrade
+# gracefully instead of failing the whole query.
+
+_LIBZSTD = None  # (lib, cctx) once loaded; False = load failed
+
+
+def _load_libzstd():
+    global _LIBZSTD
+    if _LIBZSTD is None:
+        import ctypes
+
+        try:
+            lib = ctypes.CDLL("libzstd.so.1")
+            szt, vp, cp = ctypes.c_size_t, ctypes.c_void_p, ctypes.c_char_p
+            lib.ZSTD_compressBound.restype = szt
+            lib.ZSTD_compressBound.argtypes = [szt]
+            lib.ZSTD_createCCtx.restype = vp
+            lib.ZSTD_compress_usingDict.restype = szt
+            lib.ZSTD_compress_usingDict.argtypes = [
+                vp, vp, szt, cp, szt, cp, szt, ctypes.c_int,
+            ]
+            lib.ZSTD_isError.restype = ctypes.c_uint
+            lib.ZSTD_isError.argtypes = [szt]
+            lib.ZSTD_getErrorName.restype = ctypes.c_char_p
+            lib.ZSTD_getErrorName.argtypes = [szt]
+            _LIBZSTD = (lib, ctypes.c_void_p(lib.ZSTD_createCCtx()))
+        except OSError:
+            _LIBZSTD = False
+    return _LIBZSTD
+
+
+def libzstd_compress_dict(payload: bytes, dictionary: bytes,
+                          level: int = 19) -> bytes:
+    """Compress `payload` against a raw-content `dictionary` with the
+    SYSTEM libzstd (reference encoder for dictionary-frame round-trip
+    tests). Raises ZstdError with libzstd's own error name on a
+    compressor failure.
+
+    Fallback: when libzstd.so.1 is absent, compresses WITHOUT the
+    dictionary via pyarrow (always present in this environment). The
+    resulting frame is still valid input to decompress(dictionary=...)
+    — the unused history prefix is harmless — so round-trip queries
+    keep working; they just stop exercising dictionary matches on such
+    hosts. The test suite pins the real dictionary path wherever
+    libzstd exists.
+    """
+    loaded = _load_libzstd()
+    if not loaded:
+        import pyarrow as pa
+
+        return pa.Codec("zstd", compression_level=level).compress(
+            payload, asbytes=True
+        )
+    import ctypes
+
+    lib, cctx = loaded
+    bound = lib.ZSTD_compressBound(len(payload))
+    dst = ctypes.create_string_buffer(bound)
+    n = lib.ZSTD_compress_usingDict(
+        cctx, ctypes.cast(dst, ctypes.c_void_p), bound,
+        payload, len(payload), dictionary, len(dictionary), level,
+    )
+    if lib.ZSTD_isError(n):
+        name = lib.ZSTD_getErrorName(n)
+        raise ZstdError(
+            "libzstd ZSTD_compress_usingDict failed: "
+            + (name.decode("ascii", "replace") if name else str(n))
+        )
+    return dst.raw[:n]

@@ -82,20 +82,32 @@ FEATURE_SCHEMA = (
 )
 
 
-def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
+_DECODER_UNSET = object()  # "caller didn't say": fall back to the module global
+
+
+def extract_features(
+    df: DataFrame, batch_hint: int = 256, decoder=_DECODER_UNSET
+) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow record batches).
 
     PNG and baseline-JPEG payloads decode with the stdlib codecs
     (functions/png.py, functions/jpeg.py) by default; an injected decoder
-    (`set_image_decoder`) takes precedence for other formats. Payloads in
-    neither format with no injected decoder raise NotImplementedError
-    per batch.
+    takes precedence for other formats. Payloads in neither format with
+    no injected decoder raise NotImplementedError per batch.
+
+    Decoder injection (r8 verdict): prefer the per-call ``decoder=``
+    parameter — passing ``decoder=None`` explicitly forces stdlib
+    magic-byte dispatch. The module-global ``set_image_decoder``
+    registration remains for library users configuring a session-wide
+    decoder once, and applies only when the parameter is left unset;
+    per-call injection never mutates (or is clobbered by) the global.
     """
 
     # capture the decoder at PLAN time: executors re-import this module in a
     # fresh interpreter, so reading the global inside the UDF would always
     # see None there
-    decoder = _image_decoder
+    if decoder is _DECODER_UNSET:
+        decoder = _image_decoder
 
     def one(payload):
         if payload is None:
@@ -162,16 +174,22 @@ def deterministic_fake_audio_decoder(data: bytes) -> tuple[int, int, list[float]
     return n, 16000, [x / 255.0 for x in b[:8]]
 
 
-def extract_audio_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
+def extract_audio_features(
+    df: DataFrame, batch_hint: int = 256, decoder=_DECODER_UNSET
+) -> DataFrame:
     """Audio twin of `extract_features`: decode + feature-extract via
     Arrow-batched mapInPandas. WAV/PCM payloads (RIFF magic) decode with
     the stdlib codec (functions/wav.py — PCM 8/16/24/32-bit, IEEE float,
-    WAVE_FORMAT_EXTENSIBLE) by default; an injected decoder
-    (`set_audio_decoder`) takes precedence for other formats (the
-    deterministic fake serves tests). Non-WAV payloads with no injected
-    decoder raise NotImplementedError — the same honest env-gate contract
-    as the image path."""
-    decoder = _audio_decoder
+    WAVE_FORMAT_EXTENSIBLE) by default; an injected decoder takes
+    precedence for other formats (the deterministic fake serves tests).
+    Non-WAV payloads with no injected decoder raise NotImplementedError —
+    the same honest env-gate contract as the image path.
+
+    Decoder injection follows extract_features: per-call ``decoder=``
+    preferred (``None`` forces stdlib dispatch); the module-global
+    ``set_audio_decoder`` applies only when the parameter is unset."""
+    if decoder is _DECODER_UNSET:
+        decoder = _audio_decoder
 
     def one(payload):
         if payload is None:

@@ -475,10 +475,18 @@ def log2_histogram(
     <= 64 bins. Two sketches merge by adding counts — the property that
     lets 1000 executors histogram 100 TB with a KB of state each.
     Returns (bin, cnt, lo_unit, hi_unit) with [lo, hi] the bin's unit
-    range."""
+    range.
+
+    POSITIVE-ONLY contract, enforced (r8 advice): units <= 0 are
+    filtered out rather than silently misbinned — conv('0') has length
+    1, which would fold zeros into bin 1 whose [1,1] label lies about
+    them, and negative units diverge between Spark's conv (unsigned
+    64-bit two's complement -> bin 64) and other engines' bin()
+    ('-101' -> length 4), breaking the documented bin-for-bin
+    mergeability across engines."""
     units = F.floor(F.col(value_col) * scale).cast("long")
-    bins = df.select(
-        F.length(F.conv(units.cast("string"), 10, 2)).alias("bin")
+    bins = df.select(units.alias("_u")).where(F.col("_u") >= 1).select(
+        F.length(F.conv(F.col("_u").cast("string"), 10, 2)).alias("bin")
     )
     one = F.conv(
         F.concat(F.lit("1"), F.repeat(F.lit("0"), F.col("bin") - 1)), 2, 10

@@ -676,13 +676,19 @@ def stream_log2_histogram(
     bin-for-bin (no float log anywhere — the binning is integer bit
     length, so stream and batch cannot disagree on an edge).
     Quantile reads apply `sketches.histogram_quantiles` to the sink
-    table between micro-batches."""
+    table between micro-batches.
+
+    Positive-only contract enforced exactly as in the batch twin (r8
+    advice): units <= 0 are filtered, so zeros/negatives can never make
+    stream and batch sketches diverge bin-for-bin."""
     from pyspark.sql import functions as F
 
     units = F.floor(F.col(value_col) * scale).cast("long")
     return (
-        value_stream.select(
-            F.length(F.conv(units.cast("string"), 10, 2)).alias("bin")
+        value_stream.select(units.alias("_u"))
+        .where(F.col("_u") >= 1)
+        .select(
+            F.length(F.conv(F.col("_u").cast("string"), 10, 2)).alias("bin")
         )
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
