@@ -8,12 +8,21 @@ falls back to the pure-stdlib OCF decoder in `sources.avro_ocf`
 distributed path). Parity quirk: a synthetic field-name row is prepended at
 row_index 0 so Avro::Table's header consumption works unchanged.
 
-ENVIRONMENT NOTE: this build/test container has no spark-avro jar, so the
-`spark.read.format("avro")` branch (lines 36, 56-70) is exercised only by
-inspection here — the stdlib OCF fallback is the fixture-tested path
-(tests/test_avro_ocf.py). On a cluster with the jar, the jar branch wins
-automatically; its row/stringify semantics mirror the fallback's, which IS
-pinned against the reference's fake_dids.avro fixture.
+ENVIRONMENT NOTE (r9, closing the r4-carried gap): this container has no
+spark-avro jar, so `spark.read.format("avro").load(...)` itself cannot run
+here. Everything AROUND that one call is now tested without the jar:
+
+* the row-semantics transformation (stringify every value, prepend the
+  field-name header row at row_index 0, 1-based data row indexes) lives in
+  `frame_to_reference_rows` and is unit-tested against a parquet-read
+  DataFrame standing in for the avro read (tests/test_avro_jar_branch.py)
+  — the jar and fallback paths share those pinned semantics;
+* `avro_available` is tested to report False cleanly in a jar-less env;
+* a @skipif(no jar) parity test runs the real jar branch end-to-end on any
+  cluster that has it.
+
+The stdlib OCF fallback remains the fixture-tested decode path against the
+reference's fake_dids.avro (tests/test_avro_ocf.py).
 """
 
 from __future__ import annotations
@@ -33,6 +42,35 @@ def avro_available(spark: SparkSession) -> bool:
         if "Failed to find data source" in msg or "AVRO" in msg and "data source" in msg.lower():
             return False
     return True
+
+
+def frame_to_reference_rows(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Reference row semantics for a schema'd frame (avro.rb:18-27):
+    stringify every value (`avro_row.values.map(&:to_s)` — logicalType
+    date arrives as DateType → ISO strings, matching the reference's
+    daysafter-from-epoch scaffolding), prepend one synthetic field-name
+    row per source file at row_index 0, number data rows from 1.
+
+    Shared by the spark-avro jar branch and unit-tested independently of
+    it — any columnar DataFrame (e.g. parquet) exercises the identical
+    code path the jar feeds."""
+    names = df.columns
+    data = df.select(
+        F.input_file_name().alias("source_file"),
+        F.array(*[F.col(c).cast("string") for c in names]).alias("cells"),
+    )
+    data = attach_row_index(data).withColumn("row_index", F.col("row_index") + 1)
+
+    header = spark.createDataFrame(
+        [
+            (f, 0, names)
+            for f in sorted(
+                {r["source_file"] for r in data.select("source_file").distinct().collect()}
+            )
+        ],
+        "source_file string, row_index long, cells array<string>",
+    )
+    return header.unionByName(data.select("source_file", "row_index", "cells"))
 
 
 def read_avro(
@@ -60,21 +98,7 @@ def read_avro(
             tables.append((None, tdf))
         return tables
 
-    names = df.columns
-    # stringify every value (avro.rb:26 `avro_row.values.map(&:to_s)`);
-    # logicalType date arrives as DateType → ISO strings, matching the
-    # reference's daysafter-from-epoch scaffolding expectations.
-    data = df.select(
-        F.input_file_name().alias("source_file"),
-        F.array(*[F.col(c).cast("string") for c in names]).alias("cells"),
-    )
-    data = attach_row_index(data).withColumn("row_index", F.col("row_index") + 1)
-
-    header = spark.createDataFrame(
-        [(f, 0, names) for f in sorted({r["source_file"] for r in data.select("source_file").distinct().collect()})],
-        "source_file string, row_index long, cells array<string>",
-    )
-    return [(None, header.unionByName(data.select("source_file", "row_index", "cells")))]
+    return [(None, frame_to_reference_rows(spark, df))]
 
 
 Registry.register(read_avro, "avro")
