@@ -28,10 +28,9 @@ to 120 — `_DIST_MAP` below asserts the generated prefix against the
 spec's published first rows.
 
 Codes are packed DEFLATE-style (code bits most-significant-first within
-the LSB-first stream). Parity with reference libwebp output cannot be
-tested in this container (no libwebp, no real .webp fixtures); what the
-oracle gates is round-trip self-consistency plus pixel parity with the
-PNG path on identical images (tests/test_webp.py).
+the LSB-first stream). What the oracle gates is round-trip
+self-consistency plus pixel parity with the PNG path on identical
+images (tests/test_webp.py).
 
 r8 adds the CONTAINER layer for all three flavours: `webp_metadata`
 probes plain lossy VP8 (dims from the uncompressed RFC 6386 §9.1 frame
@@ -40,12 +39,17 @@ VP8X extended files (feature flags, canvas dims, EXIF/XMP/ICCP
 presence, ANIM/ANMF frame counts); `scrub_webp_metadata` drops
 EXIF/XMP/ICCP chunks with VP8X flags cleared, copying image chunks
 byte-identical — so the GPS/PII scrub covers lossy WebP without
-decoding it. Full lossy VP8 PIXEL decode remains honestly gated: the
-RFC 6386 normative tables (coefficient probabilities [4][8][3][11],
-token trees, quantizer lookups — 1000+ constants) are not reproducible
-from memory and this container has neither the RFC text nor any
-reference codec to validate a transcription against; a decoder whose
-tables cannot be verified would be worse than the gate.
+decoding it.
+
+r9 closes the lossy PIXEL gap: `decode_webp` / `decode_webp_yuv` route
+plain-VP8 chunks through the clean-room keyframe decoder
+(functions/vp8.py, RFC 6386). The r8 gating rationale — "no reference
+codec to validate a transcription against" — dissolved on discovering
+the container DOES ship libwebp.so.7: the normative tables were
+transcribed with it as the cross-check and the whole decoder is pinned
+byte-exact against libwebp's WebPDecodeYUV (tests/test_vp8.py), the
+same encoder-as-oracle pattern test_zstd uses with libzstd. Interframe
+(non-keyframe) VP8 remains out of scope and raises.
 
 No counterpart in the reference (publichealthengland/ndr_import has no
 image handling).
@@ -621,8 +625,11 @@ def decode_vp8l(stream: bytes) -> tuple[int, int, int, bytes]:
 
 def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     """WebP bytes -> (width, height, channels, pixel bytes). Lossless
-    (VP8L) only; lossy VP8 needs the full DCT/bool-coder stack and is
-    honestly gated."""
+    (VP8L) decodes to RGBA (channels=4). Lossy VP8 keyframes (r9,
+    functions/vp8.py — clean-room RFC 6386) decode to the LUMA plane as
+    grayscale (channels=1): YUV->RGB conversion is not part of RFC 6386
+    (it's a renderer choice with upsampling variants), so the honest
+    pixel contract for lossy is the plane the codec actually defines."""
     data = bytes(data)
     if not is_webp(data):
         raise WebpError("not a RIFF/WEBP file")
@@ -636,11 +643,29 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
         if fourcc == b"VP8L":
             return decode_vp8l(body)
         if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 decode (boolean coder + DCT) not implemented"
-            )
+            from ndr_import_spark.functions.vp8 import decode_vp8_keyframe
+
+            w, h, y, _u, _v = decode_vp8_keyframe(body)
+            return w, h, 1, y.tobytes()
         pos += 8 + size + (size & 1)
     raise WebpError("no VP8L chunk found")
+
+
+def decode_webp_yuv(data: bytes):
+    """Lossy-WebP pixel API: (width, height, Y, U, V) numpy planes from
+    the VP8 keyframe chunk (clean-room functions/vp8.py). The plane
+    contract matches libwebp's WebPDecodeYUV, which the test suite pins
+    byte-exactly. Raises WebpError when no VP8 chunk exists and
+    NotImplementedError for interframes."""
+    data = bytes(data)
+    if not is_webp(data):
+        raise WebpError("not a RIFF/WEBP file")
+    for fourcc, pos, size in _walk_riff_chunks(data):
+        if fourcc == b"VP8 ":
+            from ndr_import_spark.functions.vp8 import decode_vp8_keyframe
+
+            return decode_vp8_keyframe(data[pos + 8:pos + 8 + size])
+    raise WebpError("no VP8 chunk found")
 
 
 # ------------------------------------------- container metadata + scrub

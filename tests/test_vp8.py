@@ -1,0 +1,262 @@
+"""Clean-room VP8 keyframe decoder vs the SYSTEM libwebp, byte-exact.
+
+The test_zstd pattern (libzstd as reference encoder for the clean-room
+zstd decoder), applied to VP8: libwebp — the reference WebP
+implementation, present in this container as libwebp.so.7 — encodes
+randomized fixtures across sizes, qualities, content classes, segment
+counts, filter types/sharpness and token-partition counts; the
+clean-room decoder (functions/vp8.py, RFC 6386) must reproduce
+libwebp's own WebPDecodeYUV output EXACTLY, plane for plane, byte for
+byte. A single wrong probability-table entry, scan position, predictor
+tap, dequant clamp or loop-filter limit breaks exact parity on these
+fixtures immediately — this is the strongest gate a from-spec decoder
+can have short of the conformance vectors.
+
+The simple WebPEncodeRGB API never emits segmentation, the simple
+filter, sharpness, or multiple token partitions, so the advanced
+WebPEncode config API is driven via ctypes to force those regimes
+(segments 2-4, filter_type simple, sharpness 5, 8 token partitions via
+the method-0 token loop).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from ndr_import_spark.functions.vp8 import VP8Error, decode_vp8_keyframe
+from ndr_import_spark.functions.webp import decode_webp, decode_webp_yuv
+
+try:
+    _LIB = ctypes.CDLL("libwebp.so.7")
+except OSError:  # pragma: no cover - this container ships libwebp
+    _LIB = None
+
+pytestmark = pytest.mark.skipif(
+    _LIB is None, reason="libwebp.so.7 (reference codec) not present"
+)
+
+if _LIB is not None:
+    _LIB.WebPEncodeRGB.restype = ctypes.c_size_t
+    _LIB.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_void_p),
+    ]
+    _LIB.WebPFree.argtypes = [ctypes.c_void_p]
+    _LIB.WebPInitDecoderConfigInternal.restype = ctypes.c_int
+    _LIB.WebPInitDecoderConfigInternal.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    _LIB.WebPDecode.restype = ctypes.c_int
+    _LIB.WebPDecode.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p]
+    _LIB.WebPFreeDecBuffer.argtypes = [ctypes.c_void_p]
+    _LIB.WebPConfigInitInternal.restype = ctypes.c_int
+    _LIB.WebPConfigInitInternal.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+    ]
+    _LIB.WebPPictureInitInternal.restype = ctypes.c_int
+    _LIB.WebPPictureInitInternal.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    _LIB.WebPPictureImportRGB.restype = ctypes.c_int
+    _LIB.WebPPictureImportRGB.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+    ]
+    _LIB.WebPEncode.restype = ctypes.c_int
+    _LIB.WebPEncode.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    _LIB.WebPPictureFree.argtypes = [ctypes.c_void_p]
+    _LIB.WebPMemoryWriterInit.argtypes = [ctypes.c_void_p]
+    _LIB.WebPMemoryWriterClear.argtypes = [ctypes.c_void_p]
+
+_ABI = 0x0209  # accepted by 1.2.x; ABI check is major-version based
+
+
+def encode_simple(rgb: bytes, w: int, h: int, q: float) -> bytes:
+    out = ctypes.c_void_p()
+    n = _LIB.WebPEncodeRGB(rgb, w, h, w * 3, q, ctypes.byref(out))
+    assert n > 0
+    data = ctypes.string_at(out.value, n)
+    _LIB.WebPFree(out)
+    return data
+
+
+def encode_advanced(rgb: bytes, w: int, h: int, q: float = 75.0, *,
+                    segments: int = 1, filter_strength: int = 60,
+                    sharpness: int = 0, filter_type: int = 1,
+                    partitions: int = 0, sns: int = 50,
+                    method: int = 4) -> bytes:
+    """WebPEncode with an explicit WebPConfig (struct offsets per the
+    public encode.h layout for 1.2.x, 64-bit)."""
+    cfg = ctypes.create_string_buffer(256)
+    assert _LIB.WebPConfigInitInternal(cfg, 0, ctypes.c_float(q), _ABI)
+    for off, val in ((8, method), (24, segments), (28, sns),
+                     (32, filter_strength), (36, sharpness),
+                     (40, filter_type), (72, partitions)):
+        struct.pack_into("<i", cfg, off, val)
+    pic = ctypes.create_string_buffer(512)
+    assert _LIB.WebPPictureInitInternal(pic, _ABI)
+    struct.pack_into("<ii", pic, 8, w, h)
+    assert _LIB.WebPPictureImportRGB(pic, rgb, w * 3)
+    mw = ctypes.create_string_buffer(64)
+    _LIB.WebPMemoryWriterInit(mw)
+    struct.pack_into(
+        "<Q", pic, 96, ctypes.cast(_LIB.WebPMemoryWrite, ctypes.c_void_p).value
+    )
+    struct.pack_into("<Q", pic, 104, ctypes.addressof(mw))
+    ok = _LIB.WebPEncode(cfg, pic)
+    _LIB.WebPPictureFree(pic)
+    assert ok, "WebPEncode failed"
+    mem, size = struct.unpack_from("<QQ", mw, 0)
+    data = ctypes.string_at(mem, size)
+    _LIB.WebPMemoryWriterClear(mw)
+    return data
+
+
+def ref_decode_yuv(webp: bytes):
+    """libwebp's own YUV planes (loop filter applied) via WebPDecode."""
+    cfg = ctypes.create_string_buffer(512)
+    assert _LIB.WebPInitDecoderConfigInternal(cfg, _ABI)
+    OUT = 40  # WebPDecBuffer offset inside WebPDecoderConfig
+    struct.pack_into("<i", cfg, OUT, 11)  # colorspace = MODE_YUV
+    rc = _LIB.WebPDecode(webp, len(webp), cfg)
+    assert rc == 0, f"WebPDecode status {rc}"
+    w, h = struct.unpack_from("<ii", cfg, OUT + 4)
+    yp, up, vp, _ap = struct.unpack_from("<4Q", cfg, OUT + 16)
+    ys, us, vs, _ = struct.unpack_from("<4i", cfg, OUT + 48)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+
+    def grab(ptr, stride, hh, ww):
+        buf = (ctypes.c_uint8 * (stride * hh)).from_address(ptr)
+        return np.frombuffer(buf, dtype=np.uint8).reshape(hh, stride)[:, :ww].copy()
+
+    out = w, h, grab(yp, ys, h, w), grab(up, us, ch, cw), grab(vp, vs, ch, cw)
+    _LIB.WebPFreeDecBuffer(ctypes.byref(cfg, OUT))
+    return out
+
+
+def vp8_chunk(webp: bytes) -> bytes:
+    pos = 12
+    while pos < len(webp):
+        tag = webp[pos:pos + 4]
+        size = struct.unpack("<I", webp[pos + 4:pos + 8])[0]
+        if tag == b"VP8 ":
+            return webp[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise AssertionError("no VP8 chunk")
+
+
+def gen_rgb(w: int, h: int, kind: str) -> bytes:
+    n = w * h * 3
+    if kind == "noise":
+        return bytes(
+            hashlib.md5(f"px{i // 16}".encode()).digest()[i % 16]
+            for i in range(n)
+        )
+    if kind == "flat":
+        return bytes([128]) * n
+    if kind == "gradient":
+        arr = np.zeros((h, w, 3), np.uint8)
+        for y in range(h):
+            for x in range(w):
+                arr[y, x] = ((x * 255) // max(w - 1, 1),
+                             (y * 255) // max(h - 1, 1), 128)
+        return arr.tobytes()
+    # blocks: hard 8px checkerboard edges (loop-filter stress)
+    arr = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            v = 230 if ((x // 8) + (y // 8)) % 2 else 30
+            arr[y, x] = (v, 255 - v, v // 2)
+    return arr.tobytes()
+
+
+def assert_parity(webp: bytes) -> None:
+    w, h, Yr, Ur, Vr = ref_decode_yuv(webp)
+    w2, h2, Y, U, V = decode_vp8_keyframe(vp8_chunk(webp))
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(Y, Yr), f"luma mismatch {int((Y != Yr).sum())} px"
+    assert np.array_equal(U, Ur), "U plane mismatch"
+    assert np.array_equal(V, Vr), "V plane mismatch"
+
+
+@pytest.mark.parametrize("kind", ["flat", "gradient", "blocks", "noise"])
+@pytest.mark.parametrize("dims", [(16, 16), (32, 24), (33, 17), (64, 40)])
+@pytest.mark.parametrize("q", [10.0, 75.0, 95.0])
+def test_parity_matrix(kind, dims, q):
+    w, h = dims
+    assert_parity(encode_simple(gen_rgb(w, h, kind), w, h, q))
+
+
+def _mixed_rgb(w, h):
+    """Half smooth gradient, half noise — drives the segmenter to
+    actually split segments."""
+    arr = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            if x < w // 2:
+                arr[y, x] = ((x * 255) // max(w - 1, 1),
+                             (y * 255) // max(h - 1, 1), 100)
+            else:
+                d = hashlib.md5(f"m{x},{y}".encode()).digest()
+                arr[y, x] = (d[0], d[1], d[2])
+    return arr.tobytes()
+
+
+def test_parity_segmentation_four_segments():
+    rgb = _mixed_rgb(128, 96)
+    assert_parity(encode_advanced(rgb, 128, 96, q=30, segments=4, sns=100))
+
+
+def test_parity_simple_loop_filter():
+    rgb = _mixed_rgb(128, 96)
+    assert_parity(encode_advanced(rgb, 128, 96, q=50, segments=4, sns=100,
+                                  filter_type=0, filter_strength=30))
+
+
+def test_parity_sharpness():
+    rgb = _mixed_rgb(128, 96)
+    assert_parity(encode_advanced(rgb, 128, 96, q=20, segments=2, sns=80,
+                                  sharpness=5))
+
+
+def test_parity_eight_token_partitions():
+    # method=0 uses the token-loop encoder, the path that honours
+    # config.partitions (the default method ignores it in 1.2.x)
+    rgb = gen_rgb(160, 160, "noise")
+    webp = encode_advanced(rgb, 160, 160, q=60, partitions=3, method=0)
+    chunk = vp8_chunk(webp)
+    # confirm the stream really has 8 partitions (tag -> part0 -> L(2))
+    tag = chunk[0] | (chunk[1] << 8) | (chunk[2] << 16)
+    assert not (tag & 1)
+    assert_parity(webp)
+
+
+def test_interframe_raises_not_implemented():
+    chunk = bytearray(vp8_chunk(encode_simple(gen_rgb(16, 16, "flat"), 16, 16, 75.0)))
+    chunk[0] |= 1  # frame tag bit 0 = interframe
+    with pytest.raises(NotImplementedError):
+        decode_vp8_keyframe(bytes(chunk))
+
+
+def test_corrupt_start_code_raises():
+    chunk = bytearray(vp8_chunk(encode_simple(gen_rgb(16, 16, "flat"), 16, 16, 75.0)))
+    chunk[3] = 0x00
+    with pytest.raises(VP8Error):
+        decode_vp8_keyframe(bytes(chunk))
+
+
+def test_truncated_raises():
+    with pytest.raises(VP8Error):
+        decode_vp8_keyframe(b"\x00\x00\x00")
+
+
+def test_decode_webp_lossy_luma_path():
+    """The container-level API returns the luma plane as grayscale for
+    lossy payloads, byte-equal to the reference Y plane."""
+    webp = encode_simple(gen_rgb(32, 24, "gradient"), 32, 24, 75.0)
+    w, h, ch, px = decode_webp(webp)
+    assert (w, h, ch) == (32, 24, 1)
+    _, _, Yr, _, _ = ref_decode_yuv(webp)
+    assert px == Yr.tobytes()
+    w2, h2, Y, U, V = decode_webp_yuv(webp)
+    assert (w2, h2) == (32, 24) and Y.tobytes() == px

@@ -282,10 +282,13 @@ class TestRobustness:
             except (W.WebpError, NotImplementedError):
                 pass
 
-    def test_lossy_vp8_honestly_gated(self):
+    def test_lossy_vp8_corrupt_payload_raises(self):
+        # r9: lossy VP8 now DECODES (functions/vp8.py, pinned against
+        # libwebp in test_vp8.py); a garbage VP8 chunk must still raise
+        # a clean error, not crash
         lossy = (b"RIFF" + b"\x10\x00\x00\x00" + b"WEBP"
                  + b"VP8 " + b"\x04\x00\x00\x00" + b"\x00" * 4)
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):  # VP8Error is a ValueError
             W.decode_webp(lossy)
 
     def test_not_webp_raises(self):

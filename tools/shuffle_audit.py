@@ -11,6 +11,17 @@ dedup_minhash's verify join must move far less than corpus × signature.
 
 Usage: python tools/shuffle_audit.py [sf_dir] query [query ...]
        python tools/shuffle_audit.py --out SHUFFLE.json [sf_dir] q ...
+       python tools/shuffle_audit.py --out SHUFFLE.json --all [sf_dir]
+       python tools/shuffle_audit.py --merge SHUFFLE.json [sf_dir] q ...
+
+--all audits every queries() entry (r9: SHUFFLE.json covers the full
+registry; tests/test_shuffle_artifact.py guards against drift).
+--merge updates named rows in an existing artifact instead of
+overwriting it (incremental refresh after adding a query).
+
+Byte counts are contention-immune (unlike wall-clock bench numbers), so
+the sweep can run alongside other work; a failed query records an
+"error" row rather than aborting the sweep.
 """
 
 from __future__ import annotations
@@ -48,13 +59,18 @@ def audit(queries: list[str], sf_dir: str) -> dict:
     out = {}
     for name in queries:
         before = {s["stageId"] for s in stages()}
-        df = qs[name](spark, sf_dir)
-        # noop sink: materialises the REAL plan. A count() here would let
-        # Catalyst rewrite the aggregates (measured: a 400k-distinct-key
-        # groupBy "shuffles" 472 bytes under count()) and the audit would
-        # measure the rewrite, not the query.
-        df.write.format("noop").mode("overwrite").save()
-        n = -1
+        try:
+            df = qs[name](spark, sf_dir)
+            # noop sink: materialises the REAL plan. A count() here would
+            # let Catalyst rewrite the aggregates (measured: a
+            # 400k-distinct-key groupBy "shuffles" 472 bytes under
+            # count()) and the audit would measure the rewrite, not the
+            # query.
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 - record, don't abort the sweep
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"{name}: ERROR {e}", flush=True)
+            continue
         import time as _t
         _t.sleep(1)  # let stage metrics settle before reading the API
         rows = [s for s in stages() if s["stageId"] not in before]
@@ -83,15 +99,32 @@ def audit(queries: list[str], sf_dir: str) -> dict:
 def main():
     args = sys.argv[1:]
     out_path = None
-    if args and args[0] == "--out":
-        out_path = args[1]
-        args = args[2:]
+    merge = False
+    run_all = False
+    while args and args[0] in ("--out", "--merge", "--all"):
+        if args[0] == "--all":
+            run_all = True
+            args = args[1:]
+        else:
+            merge = args[0] == "--merge"
+            out_path = args[1]
+            args = args[2:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.1"
     names = [a for a in args if "/" not in a]
+    if run_all:
+        import __spark_entry__ as entry
+
+        names = list(entry.queries().keys())
     res = audit(names, sf_dir)
     if out_path:
+        payload = {"sf_dir": sf_dir, "queries": res}
+        if merge:
+            with open(out_path) as f:
+                prev = json.load(f)
+            prev["queries"].update(res)
+            payload = prev
         with open(out_path, "w") as f:
-            json.dump({"sf_dir": sf_dir, "queries": res}, f, indent=1)
+            json.dump(payload, f, indent=1)
 
 
 if __name__ == "__main__":
