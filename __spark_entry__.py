@@ -1482,21 +1482,55 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoder. The per-codec feature aggregate is therefore fully
     reproducible by the SQL oracle from md5 arithmetic alone, proving
     magic-byte dispatch + all six codec paths + the Arrow batch
-    plumbing, not just the plumbing."""
+    plumbing, not just the plumbing.
+
+    r9 eighth codec path: LOSSY VP8 (functions/vp8.py, RFC 6386
+    keyframes). Lossy output is not md5-arithmetic-reproducible, so its
+    oracle gate is cross-decoder parity instead: each payload's
+    reference luma features are computed at fixture time with the
+    SYSTEM libwebp (the reference codec, the test_zstd pattern) and the
+    in-task CLEAN-ROOM decode must reproduce them exactly — the 'vp8'
+    row's avg_feat is 1.0 iff every decoded plane matched the
+    reference. One broadcast join of a 16-row frame; the decode stays
+    Arrow-batched and shuffle-free."""
     import hashlib as _hl
 
     from ndr_import_spark.functions.bmp import encode_bmp
     from ndr_import_spark.functions.gif import encode_gif
     from ndr_import_spark.functions.jpeg import encode_jpeg, encode_jpeg_progressive
-    from ndr_import_spark.functions.png import encode_png
+    from ndr_import_spark.functions.png import encode_png, grid_features
     from ndr_import_spark.functions.tiff import encode_tiff
     from ndr_import_spark.operators import multimodal as MM
 
-    from ndr_import_spark.functions.webp import encode_webp
+    from ndr_import_spark.functions.webp import (
+        encode_webp,
+        libwebp_decode_yuv,
+        libwebp_encode_rgb,
+    )
 
     rows = []
-    for i in range(112):
+    ref_rows = []  # (media_id, reference mean-feature) for lossy VP8
+    for i in range(128):
         b = _hl.md5(f"media{i}".encode()).digest()
+        if i >= 112:
+            # lossy VP8: 32x32 noise, quality cycling across the
+            # quantizer range; reference features from libwebp's own
+            # decode of the same payload
+            rgb = bytes(
+                _hl.md5(f"media{i}px{j // 16}".encode()).digest()[j % 16]
+                for j in range(32 * 32 * 3)
+            )
+            payload = libwebp_encode_rgb(
+                rgb, 32, 32, quality=(30.0, 60.0, 75.0, 90.0)[i % 4]
+            )
+            _, _, yref, _, _ = libwebp_decode_yuv(payload)
+            cells = grid_features(32, 32, 1, yref.tobytes())
+            ref_rows.append((i, sum(cells) / len(cells)))
+            rows.append(
+                (i, "image", "image/webp", None, None, None,
+                 bytearray(payload))
+            )
+            continue
         if i >= 96:
             # r7 seventh codec path: WebP lossless (VP8L, stream-derived
             # prefix codes) — same lossless 4x4 grayscale contract as
@@ -1525,15 +1559,25 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (i, "image", "image/mixed", None, None, None, bytearray(payload))
         )
     media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(8)
+    ref = spark.createDataFrame(ref_rows, "media_id long, ref_mf double")
     # decoder=None: force stdlib magic-byte dispatch regardless of any
     # session-wide registration (per-call injection, r8 verdict)
     feats = MM.extract_features(media, decoder=None)
     mean_feat = F.aggregate(
         F.col("feature"), F.lit(0.0), lambda a, x: a + x
     ) / F.size(F.col("feature"))
+    # lossy rows: the feature becomes the cross-decoder parity check —
+    # 1.0 iff the clean-room luma features equal libwebp's bit-for-bit
+    # (byte-equal planes -> identical rounded cells -> identical fold)
+    feats = feats.join(F.broadcast(ref), "media_id", "left")
+    checked = F.when(
+        F.col("ref_mf").isNotNull(),
+        (mean_feat == F.col("ref_mf")).cast("double"),
+    ).otherwise(mean_feat)
     return (
         feats.select(
-            F.when(F.col("media_id") >= 96, "webp")
+            F.when(F.col("media_id") >= 112, "vp8")
+            .when(F.col("media_id") >= 96, "webp")
             .when(F.col("media_id") % 6 == 0, "jpeg")
             .when(F.col("media_id") % 6 == 1, "png")
             .when(F.col("media_id") % 6 == 2, "gif")
@@ -1543,7 +1587,7 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("codec"),
             F.col("width").cast("double").alias("w"),
             F.col("height").cast("double").alias("h"),
-            mean_feat.alias("mf"),
+            checked.alias("mf"),
         )
         .groupBy("codec")
         .agg(
@@ -1558,22 +1602,30 @@ def q_multimodal_mixed_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_MIXED_CODECS = """
-WITH m AS (SELECT unnest(range(112)) AS i),
+WITH m AS (SELECT unnest(range(128)) AS i),
 d AS (SELECT i, md5('media' || i) AS hx FROM m),
 f AS (
   SELECT i,
-    CASE WHEN i >= 96 THEN 'webp'
+    CASE WHEN i >= 112 THEN 'vp8'
+      WHEN i >= 96 THEN 'webp'
       WHEN i % 6 = 0 THEN 'jpeg' WHEN i % 6 = 1 THEN 'png'
       WHEN i % 6 = 2 THEN 'gif' WHEN i % 6 = 3 THEN 'prog'
       WHEN i % 6 = 4 THEN 'bmp'
       ELSE 'tiff' END AS codec,
-    CASE WHEN i < 96 AND i % 6 IN (0, 3)
+    CASE WHEN i >= 112 THEN 32.0
+      WHEN i < 96 AND i % 6 IN (0, 3)
       THEN cast(8 + (cast(('0x' || substring(hx, 3, 2)) as int) % 8) as double)
       ELSE 4.0 END AS w,
-    CASE WHEN i < 96 AND i % 6 IN (0, 3)
+    CASE WHEN i >= 112 THEN 32.0
+      WHEN i < 96 AND i % 6 IN (0, 3)
       THEN cast(8 + (cast(('0x' || substring(hx, 5, 2)) as int) % 8) as double)
       ELSE 4.0 END AS ht,
-    CASE WHEN i < 96 AND i % 6 IN (0, 3)
+    CASE
+      -- lossy VP8 rows carry the cross-decoder parity flag: 1.0 iff the
+      -- clean-room decode's luma features equal the reference
+      -- libwebp decode's, bit-for-bit
+      WHEN i >= 112 THEN 1.0
+      WHEN i < 96 AND i % 6 IN (0, 3)
       -- solid-gray JPEG at q100 decodes exactly — for BOTH the baseline
       -- and the progressive (SOF2) scan structure: all 16 cells equal
       THEN round(cast(('0x' || substring(hx, 1, 2)) as int) / 255.0, 6)
@@ -3125,10 +3177,19 @@ def q_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrubbed (EXIF/XMP/ICCP chunks dropped, VP8X flags cleared), and
     re-probed IN THE SAME TASK; `image_intact` pins that the compressed
     image chunk survives byte-identical — the scrub-never-touches-
-    entropy-data contract extended to WebP, and the reason the scrub
-    works for lossy payloads the engine cannot decode. Single
-    mapInPandas pass, shuffle-free except output ordering; oracle
-    reproduces every column from md5 arithmetic."""
+    entropy-data contract extended to WebP. Single mapInPandas pass,
+    shuffle-free except output ordering; oracle reproduces every column
+    from md5 arithmetic.
+
+    r9 pixel-stats columns: the plain-VP8 rows are now REAL lossy
+    streams (libwebp-encoded noise, quality cycling) and each task
+    DECODES them with the clean-room RFC 6386 decoder
+    (functions/vp8.py): `y_w`/`y_h` are the decoded luma plane dims and
+    `pixels_match_ref` pins the decoded Y/U/V planes byte-equal to the
+    reference libwebp decode (md5 computed at fixture time — executors
+    never need libwebp). VP8L rows verify their decoded RGBA against
+    the md5-analytic expectation in-task; VP8X rows (header-only stub
+    image data) carry NULLs."""
     import hashlib as _hl
 
     from ndr_import_spark.functions.exif import build_exif_app1
@@ -3137,17 +3198,28 @@ def q_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_vp8x_header,
         build_webp_container,
         encode_webp,
+        libwebp_decode_yuv,
+        libwebp_encode_rgb,
     )
 
     rows = []
     for i in range(90):
         b = _hl.md5(f"webp{i}".encode()).digest()
+        ref_md5 = None
         if i % 3 == 0:
-            vp8 = build_vp8_keyframe_stub(
-                320 + 16 * (b[0] % 16), 240 + 16 * (b[1] % 8),
-                fill=bytes(b) * 3,
+            w = 32 + 16 * (b[0] % 2)
+            h = 32
+            rgb = bytes(
+                _hl.md5(f"webplossy{i}p{j // 16}".encode()).digest()[j % 16]
+                for j in range(w * h * 3)
             )
-            payload = build_webp_container([(b"VP8 ", vp8)])
+            payload = libwebp_encode_rgb(
+                rgb, w, h, quality=(35.0, 65.0, 90.0)[(i // 3) % 3]
+            )
+            _, _, yr, ur, vr = libwebp_decode_yuv(payload)
+            ref_md5 = _hl.md5(
+                yr.tobytes() + ur.tobytes() + vr.tobytes()
+            ).hexdigest()
         elif i % 3 == 1:
             rgb = bytes(v for px in b[:16] for v in (px, px, px))
             payload = encode_webp(4, 4, rgb)
@@ -3179,9 +3251,9 @@ def q_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 chunks.append((b"VP8 ", vp8))
             chunks += [(b"EXIF", tiff), (b"XMP ", b"<x:xmpmeta/>")]
             payload = build_webp_container(chunks)
-        rows.append((i, bytearray(payload)))
+        rows.append((i, bytearray(payload), ref_md5))
     media = spark.createDataFrame(
-        rows, "media_id long, payload binary"
+        rows, "media_id long, payload binary, ref_md5 string"
     ).repartition(8)
 
     def probe(batches):
@@ -3194,9 +3266,18 @@ def q_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             webp_metadata,
         )
 
+        import hashlib as _h2
+
+        from ndr_import_spark.functions.webp import (
+            decode_webp,
+            decode_webp_yuv,
+        )
+
         for pdf in batches:
             out = []
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+            for mid, p, rmd5 in zip(
+                pdf["media_id"], pdf["payload"], pdf["ref_md5"]
+            ):
                 raw = bytes(p)
                 m = webp_metadata(raw)
                 lat = lon = None
@@ -3213,17 +3294,38 @@ def q_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 scrubbed = scrub_webp_metadata(raw)
                 post = webp_metadata(scrubbed)
                 intact = all(c in scrubbed for c in img_chunks)
+                # r9 pixel columns
+                y_w = y_h = None
+                match = None
+                if rmd5 is not None:
+                    # lossy VP8: clean-room decode vs reference-md5
+                    _w, _h, y, u, v = decode_webp_yuv(raw)
+                    y_h, y_w = y.shape
+                    match = _h2.md5(
+                        y.tobytes() + u.tobytes() + v.tobytes()
+                    ).hexdigest() == rmd5
+                elif int(mid) % 3 == 1:
+                    # VP8L: decoded RGBA vs the md5-analytic pixels
+                    bb = _h2.md5(f"webp{int(mid)}".encode()).digest()
+                    want = bytes(
+                        c for px in bb[:16] for c in (px, px, px, 255)
+                    )
+                    dw, dh, ch, px4 = decode_webp(raw)
+                    y_w, y_h = dw, dh
+                    match = (ch == 4 and px4 == want)
                 out.append((
                     int(mid), m["variant"], m["codec"], m["width"],
                     m["height"], m["n_frames"], m["has_exif"],
                     m["has_xmp"], has_gps, lat, lon,
                     post["has_exif"], post["has_xmp"], intact,
+                    y_w, y_h, match,
                 ))
             yield pd.DataFrame(out, columns=[
                 "media_id", "variant", "codec", "width", "height",
                 "n_frames", "has_exif", "has_xmp", "has_gps",
                 "lat_micro", "lon_micro", "post_has_exif",
                 "post_has_xmp", "image_intact",
+                "y_w", "y_h", "pixels_match_ref",
             ])
 
     return media.mapInPandas(
@@ -3232,7 +3334,8 @@ def q_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height int, n_frames int, has_exif boolean, has_xmp boolean, "
         "has_gps boolean, lat_micro long, lon_micro long, "
         "post_has_exif boolean, post_has_xmp boolean, "
-        "image_intact boolean",
+        "image_intact boolean, y_w int, y_h int, "
+        "pixels_match_ref boolean",
     ).orderBy("media_id")
 
 
@@ -3254,8 +3357,12 @@ SELECT
   CASE cast(i % 3 as int) WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
     ELSE 'vp8x' END AS variant,
   CASE WHEN i % 3 = 1 THEN 'vp8l' ELSE 'vp8' END AS codec,
-  CASE WHEN i % 3 = 1 THEN 4 ELSE 320 + 16 * (b0 % 16) END AS width,
-  CASE WHEN i % 3 = 1 THEN 4 ELSE 240 + 16 * (b1 % 8) END AS height,
+  CASE WHEN i % 3 = 1 THEN 4
+       WHEN i % 3 = 0 THEN 32 + 16 * (b0 % 2)
+       ELSE 320 + 16 * (b0 % 16) END AS width,
+  CASE WHEN i % 3 = 1 THEN 4
+       WHEN i % 3 = 0 THEN 32
+       ELSE 240 + 16 * (b1 % 8) END AS height,
   CASE WHEN i % 3 = 2 AND i % 2 = 0 THEN 2 + b2 % 3 ELSE 1 END AS n_frames,
   (i % 3 = 2) AS has_exif,
   (i % 3 = 2) AS has_xmp,
@@ -3274,7 +3381,17 @@ SELECT
   ELSE NULL END AS lon_micro,
   FALSE AS post_has_exif,
   FALSE AS post_has_xmp,
-  TRUE AS image_intact
+  TRUE AS image_intact,
+  -- r9 pixel columns: decoded luma plane dims + the cross-decoder
+  -- parity flag (clean-room RFC 6386 decode == reference libwebp,
+  -- byte-for-byte); VP8X rows carry header-only stub image data
+  CASE WHEN i % 3 = 1 THEN 4
+       WHEN i % 3 = 0 THEN 32 + 16 * (b0 % 2)
+       ELSE NULL END AS y_w,
+  CASE WHEN i % 3 = 1 THEN 4
+       WHEN i % 3 = 0 THEN 32
+       ELSE NULL END AS y_h,
+  CASE WHEN i % 3 = 2 THEN NULL ELSE TRUE END AS pixels_match_ref
 FROM b ORDER BY media_id
 """
 

@@ -1008,3 +1008,102 @@ def webp_image_decoder(data: bytes) -> tuple[int, int, list[float]]:
 
     w, h, ch, px = decode_webp(data)
     return w, h, grid_features(w, h, ch, px)
+
+
+# ----------------------------------------- system-libwebp fixture helpers
+# The clean-room code above DECODES; round-trip gates need the reference
+# ENCODER (and reference decoder) on the fixture side. Same pattern as
+# functions/zstd.py's libzstd_compress_dict: lazy ctypes, error-checked,
+# a clear error when the shared library is absent (no clean-room lossy
+# VP8 encoder exists to fall back to).
+
+_LIBWEBP = None  # module-global: loaded lib or False after a failed load
+
+
+def _load_libwebp():
+    global _LIBWEBP
+    if _LIBWEBP is None:
+        import ctypes
+
+        try:
+            lib = ctypes.CDLL("libwebp.so.7")
+            lib.WebPEncodeRGB.restype = ctypes.c_size_t
+            lib.WebPEncodeRGB.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.POINTER(ctypes.c_void_p),
+            ]
+            lib.WebPFree.argtypes = [ctypes.c_void_p]
+            lib.WebPInitDecoderConfigInternal.restype = ctypes.c_int
+            lib.WebPInitDecoderConfigInternal.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib.WebPDecode.restype = ctypes.c_int
+            lib.WebPDecode.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ]
+            lib.WebPFreeDecBuffer.argtypes = [ctypes.c_void_p]
+            _LIBWEBP = lib
+        except (OSError, AttributeError):
+            _LIBWEBP = False
+    return _LIBWEBP
+
+
+def libwebp_encode_rgb(rgb: bytes, width: int, height: int,
+                       quality: float = 75.0) -> bytes:
+    """Lossy-encode RGB24 with the SYSTEM libwebp (reference encoder for
+    the clean-room VP8 decoder's round-trip gates). Raises WebpError
+    when libwebp.so.7 is absent — there is no clean-room lossy encoder
+    to fall back to, and a fixture that silently switched to lossless
+    would stop exercising the VP8 path it exists to pin."""
+    import ctypes
+
+    lib = _load_libwebp()
+    if not lib:
+        raise WebpError(
+            "libwebp.so.7 not available: lossy-VP8 fixtures need the "
+            "reference encoder"
+        )
+    out = ctypes.c_void_p()
+    n = lib.WebPEncodeRGB(rgb, width, height, width * 3,
+                          ctypes.c_float(quality), ctypes.byref(out))
+    if not n:
+        raise WebpError("WebPEncodeRGB failed")
+    data = ctypes.string_at(out.value, n)
+    lib.WebPFree(out)
+    return data
+
+
+def libwebp_decode_yuv(data: bytes):
+    """Reference YUV planes from the SYSTEM libwebp (WebPDecode with
+    MODE_YUV output) — (width, height, Y, U, V) numpy arrays, the
+    ground truth the clean-room decoder is pinned against. Raises
+    WebpError when libwebp.so.7 is absent."""
+    import ctypes
+    import struct as _st
+
+    import numpy as np
+
+    lib = _load_libwebp()
+    if not lib:
+        raise WebpError("libwebp.so.7 not available")
+    cfg = ctypes.create_string_buffer(512)
+    if not lib.WebPInitDecoderConfigInternal(cfg, 0x0209):
+        raise WebpError("libwebp decoder ABI mismatch")
+    out_off = 40  # WebPDecBuffer offset inside WebPDecoderConfig
+    _st.pack_into("<i", cfg, out_off, 11)  # colorspace = MODE_YUV
+    rc = lib.WebPDecode(data, len(data), cfg)
+    if rc != 0:
+        raise WebpError(f"WebPDecode failed: status {rc}")
+    w, h = _st.unpack_from("<ii", cfg, out_off + 4)
+    yp, up, vp, _ap = _st.unpack_from("<4Q", cfg, out_off + 16)
+    ys, us, vs, _ = _st.unpack_from("<4i", cfg, out_off + 48)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+
+    def grab(ptr, stride, hh, ww):
+        buf = (ctypes.c_uint8 * (stride * hh)).from_address(ptr)
+        return np.frombuffer(buf, dtype=np.uint8).reshape(
+            hh, stride)[:, :ww].copy()
+
+    res = w, h, grab(yp, ys, h, w), grab(up, us, ch, cw), grab(vp, vs, ch, cw)
+    lib.WebPFreeDecBuffer(ctypes.byref(cfg, out_off))
+    return res
