@@ -3396,6 +3396,130 @@ FROM b ORDER BY media_id
 """
 
 
+def q_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-WebP frame extraction + per-frame pixel decode + frame
+    dedup (operators/multimodal.webp_frame_table, r9): 12 animations mix
+    REAL lossy-VP8 frames (libwebp-encoded noise, decoded in-task by the
+    clean-room RFC 6386 decoder) with VP8L lossless frames, with
+    deliberate content repeats. The frame table is one stateless Arrow
+    pass (geometry/duration from the 16-byte ANMF headers, pixel_md5
+    from the DECODED planes); everything downstream is JVM-side — a
+    broadcast join against the fixture-time expected digests and one
+    groupBy. Oracle-gated end to end: frame counts, summed durations and
+    codec splits are md5-analytic; `n_unique_frames` pins that
+    cross-frame dedup by decoded pixels collapses the planted repeats;
+    `frames_match_ref` pins EVERY frame's decode byte-equal to its
+    reference (libwebp planes for lossy, analytic RGBA for lossless).
+    Frame-level dedup is the dominant redundancy cut in animation
+    corpora, and it shuffles digests, never pixels."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions.webp import (
+        _walk_riff_chunks,
+        build_anmf_chunk,
+        build_vp8x_header,
+        build_webp_container,
+        encode_webp,
+        libwebp_decode_yuv,
+        libwebp_encode_rgb,
+    )
+    from ndr_import_spark.operators.multimodal import webp_frame_table
+
+    def image_chunk(webp_file: bytes, fourcc: bytes) -> bytes:
+        for cc, pos, size in _walk_riff_chunks(webp_file):
+            if cc == fourcc:
+                return webp_file[pos + 8:pos + 8 + size]
+        raise ValueError("chunk not found")
+
+    rows = []
+    refs = []
+    for i in range(12):
+        b = _hl.md5(f"anim{i}".encode()).digest()
+        n = 2 + b[0] % 4
+        chunks = [(b"VP8X", build_vp8x_header(32, 32, animation=True))]
+        for j in range(n):
+            dur = 40 + b[2 + j] % 60
+            if j % 2 == 0:
+                # VP8L lossless 4x4; content repeats with period 2 over
+                # the even frames
+                c = _hl.md5(f"anim{i}c{(j // 2) % 2}".encode()).digest()
+                rgb = bytes(v for px in c[:16] for v in (px, px, px))
+                frame = image_chunk(encode_webp(4, 4, rgb), b"VP8L")
+                want = bytes(x for px in c[:16] for x in (px, px, px, 255))
+                refs.append((i, j, _hl.md5(want).hexdigest()))
+                chunks.append((b"ANMF", build_anmf_chunk(
+                    0, 0, 4, 4, dur, frame, b"VP8L")))
+            else:
+                # lossy VP8 32x32; content repeats with period 2 over the
+                # odd frames (identical input -> identical stream ->
+                # identical decode, so dedup is analytic)
+                key = (j // 2) % 2
+                rgb = bytes(
+                    _hl.md5(f"anim{i}L{key}p{k // 16}".encode()).digest()[k % 16]
+                    for k in range(32 * 32 * 3)
+                )
+                enc = libwebp_encode_rgb(rgb, 32, 32, 75.0)
+                _, _, yr, ur, vr = libwebp_decode_yuv(enc)
+                refs.append((i, j, _hl.md5(
+                    yr.tobytes() + ur.tobytes() + vr.tobytes()).hexdigest()))
+                chunks.append((b"ANMF", build_anmf_chunk(
+                    0, 0, 32, 32, dur, image_chunk(enc, b"VP8 "), b"VP8 ")))
+        rows.append((i, bytearray(build_webp_container(chunks))))
+
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(4)
+    ref = spark.createDataFrame(
+        refs, "media_id long, frame_ix int, ref_md5 string"
+    )
+    frames = webp_frame_table(media)
+    joined = frames.join(F.broadcast(ref), ["media_id", "frame_ix"], "left")
+    return (
+        joined.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_frames"),
+            F.sum("duration_ms").cast("bigint").alias("total_duration_ms"),
+            F.sum((F.col("codec") == "vp8").cast("int")).cast("int")
+            .alias("n_vp8"),
+            F.sum((F.col("codec") == "vp8l").cast("int")).cast("int")
+            .alias("n_vp8l"),
+            F.countDistinct("pixel_md5").cast("int")
+            .alias("n_unique_frames"),
+            (F.min((F.col("pixel_md5") == F.col("ref_md5")).cast("int"))
+             == 1).alias("frames_match_ref"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_ORACLE_WEBP_ANIM = """
+WITH m AS (SELECT unnest(range(12)) AS i),
+d AS (SELECT i, md5('anim' || i) AS hx FROM m),
+n AS (
+  SELECT i, 2 + cast(('0x' || substring(hx, 1, 2)) as int) % 4 AS n, hx
+  FROM d
+),
+f AS (
+  SELECT i, n,
+    j,
+    40 + cast(('0x' || substring(hx, (2 + j) * 2 + 1, 2)) as int) % 60 AS dur
+  FROM n, unnest(range(n)) AS t(j)
+)
+SELECT i AS media_id,
+  cast(count(*) as int) AS n_frames,
+  cast(sum(dur) as bigint) AS total_duration_ms,
+  cast(sum(CASE WHEN j % 2 = 1 THEN 1 ELSE 0 END) as int) AS n_vp8,
+  cast(sum(CASE WHEN j % 2 = 0 THEN 1 ELSE 0 END) as int) AS n_vp8l,
+  -- planted repeats: even (VP8L) and odd (VP8) frames each cycle
+  -- through 2 contents, so uniques = min(count, 2) per codec
+  cast(least(sum(CASE WHEN j % 2 = 0 THEN 1 ELSE 0 END), 2)
+     + least(sum(CASE WHEN j % 2 = 1 THEN 1 ELSE 0 END), 2) as int)
+    AS n_unique_frames,
+  TRUE AS frames_match_ref
+FROM f GROUP BY i ORDER BY media_id
+"""
+
+
 _ORACLE_EXIF_METADATA = """
 WITH m AS (SELECT unnest(range(120)) AS i),
 d AS (SELECT i, md5('exif' || i) AS hx FROM m),
@@ -10633,6 +10757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_lexical_drift": q_source_lexical_drift,
         "hits_scores": q_hits_scores,
         "neyman_allocation": q_neyman_allocation,
+        "webp_anim_frames": q_webp_anim_frames,
     }
 
 
@@ -10850,6 +10975,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lexical_drift": _oracle_source_lexical_drift(),
         "fd_discovery": fd_oracle_sql("orders", _FD_PAIRS),
         "neyman_allocation": _ORACLE_NEYMAN,
+        "webp_anim_frames": _ORACLE_WEBP_ANIM,
         "zorder_locality": zorder_oracle_sql(
             "events",
             "user_id",

@@ -1107,3 +1107,83 @@ def libwebp_decode_yuv(data: bytes):
     res = w, h, grab(yp, ys, h, w), grab(up, us, ch, cw), grab(vp, vs, ch, cw)
     lib.WebPFreeDecBuffer(ctypes.byref(cfg, out_off))
     return res
+
+
+# --------------------------------------------------- animation frames (r9)
+
+def build_anmf_chunk(x: int, y: int, width: int, height: int,
+                     duration_ms: int, frame_chunk: bytes,
+                     fourcc: bytes = b"VP8 ",
+                     dispose: int = 0, blend: int = 0) -> bytes:
+    """An ANMF chunk BODY (WebP container spec): 16-byte frame header
+    (24-bit x/2, y/2, w-1, h-1, duration; 1 flag byte) followed by the
+    frame's image chunk. x and y must be even (the container stores
+    them halved)."""
+    if x % 2 or y % 2:
+        raise WebpError("ANMF frame offsets must be even")
+    head = (
+        (x // 2).to_bytes(3, "little")
+        + (y // 2).to_bytes(3, "little")
+        + (width - 1).to_bytes(3, "little")
+        + (height - 1).to_bytes(3, "little")
+        + int(duration_ms).to_bytes(3, "little")
+        + bytes([(dispose & 1) | ((blend & 1) << 1)])
+    )
+    return head + fourcc + len(frame_chunk).to_bytes(4, "little") + \
+        frame_chunk + (b"\x00" if len(frame_chunk) % 2 else b"")
+
+
+def iter_webp_frames(data: bytes):
+    """Yield the frames of a WebP file as dicts — one per ANMF chunk for
+    animations (frame geometry + duration from the 16-byte ANMF header,
+    payload = the embedded VP8/VP8L chunk body), or a single synthetic
+    frame for still images. Keys: frame_ix, x, y, width, height,
+    duration_ms, codec ('vp8'|'vp8l'), payload (bytes).
+
+    Header-sized parse; payloads are NOT decoded here — callers choose
+    (decode_vp8_keyframe for lossy, decode_vp8l for lossless)."""
+    data = bytes(data)
+    if not is_webp(data):
+        raise WebpError("not a RIFF/WEBP file")
+    ix = 0
+    saw_anim = False
+    for fourcc, pos, size in _walk_riff_chunks(data):
+        body = data[pos + 8:pos + 8 + size]
+        if fourcc == b"ANMF":
+            saw_anim = True
+            if len(body) < 24:
+                raise WebpError("truncated ANMF frame header")
+            x2 = int.from_bytes(body[0:3], "little")
+            y2 = int.from_bytes(body[3:6], "little")
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            sub = body[16:20]
+            (ssize,) = struct.unpack("<I", body[20:24])
+            payload = body[24:24 + ssize]
+            if len(payload) < ssize:
+                raise WebpError("ANMF frame payload truncated")
+            if sub not in (b"VP8 ", b"VP8L"):
+                raise WebpError(f"unsupported ANMF sub-chunk {sub!r}")
+            yield {
+                "frame_ix": ix, "x": 2 * x2, "y": 2 * y2,
+                "width": fw, "height": fh, "duration_ms": dur,
+                "codec": "vp8" if sub == b"VP8 " else "vp8l",
+                "payload": payload,
+            }
+            ix += 1
+    if saw_anim:
+        return
+    for fourcc, pos, size in _walk_riff_chunks(data):
+        if fourcc in (b"VP8 ", b"VP8L"):
+            body = data[pos + 8:pos + 8 + size]
+            m = webp_metadata(data)
+            yield {
+                "frame_ix": 0, "x": 0, "y": 0,
+                "width": m["width"], "height": m["height"],
+                "duration_ms": 0,
+                "codec": "vp8" if fourcc == b"VP8 " else "vp8l",
+                "payload": body,
+            }
+            return
+    raise WebpError("no image chunk found")
