@@ -36,6 +36,12 @@ Measurement protocol (recorded as "protocol" in the JSON):
   the steady-state time at sf0.1; it is reported in "cold_run_sec".
   Caches are cleared between runs, so every billed run re-executes the
   full plan (no result reuse — only compiled-code reuse).
+* HEAVY SOLO RE-MEASURE: after the batched pass, queries whose batched
+  steady exceeds $SPARK_GRAFT_HEAVY_SOLO_SEC (default 4.0) re-run in a
+  SOLO fork and the solo number replaces the batched one. The two most
+  codegen-heavy composed pipelines measured ~2x slower sharing a fork
+  (generated-class JIT profile pollution); solo is also the pre-r9
+  committed protocol, keeping heavy numbers comparable across rounds.
 * BUDGET PACING ($SPARK_GRAFT_BENCH_BUDGET_SEC, default 2100): the
   parent divides the remaining budget by the remaining query count and
   hands each fork a per-query allowance; the fork stops adding steady
@@ -197,7 +203,7 @@ def main() -> int:
                 # would make the driver's strict parse reject the artifact
                 "queries": {k: (v if v == v else None) for k, v in timings.items()},
                 "sf": sf,
-                "protocol": "forked_jvm_batch8_budget_paced_min_steady_noop_sink",
+                "protocol": "forked_jvm_batch8_heavysolo_budget_paced_min_steady_noop_sink",
                 "budget_sec": BUDGET,
                 "cold_run_sec": cold,
                 "run_mode": modes,
@@ -331,6 +337,40 @@ def main() -> int:
             if nm not in solo_seen:
                 sys.stderr.write(f"bench {nm} FAILED: no result after solo retry\n")
                 timings[nm] = float("nan")
+
+    # HEAVY RE-MEASURE (r9): queries whose batched steady exceeds the
+    # threshold get one SOLO fork each, and the solo number REPLACES the
+    # batched one (higher or lower). Measured: the two most
+    # codegen-heavy composed pipelines (training_pipeline/training_mix)
+    # run ~2x slower sharing a fork — their generated classes poison
+    # each other's JIT profiles, the very effect forking exists to
+    # avoid; 8-per-fork is below the pollution regime only for plans
+    # with modest codegen. Solo is also the pre-r9 committed protocol,
+    # so heavy numbers stay comparable round-over-round while the cheap
+    # 95% keep batch amortisation. Skipped when the budget is gone —
+    # a complete batched artifact beats a dead one.
+    heavy_thresh = float(os.environ.get("SPARK_GRAFT_HEAVY_SOLO_SEC", "4.0"))
+    heavies = [k for k, v in timings.items() if v == v and v > heavy_thresh]
+    for nm in heavies:
+        time_left = deadline - time.monotonic()
+        if time_left < 60.0:
+            sys.stderr.write(
+                f"bench: budget exhausted, keeping batched numbers for "
+                f"remaining heavies\n"
+            )
+            break
+        load_seen[nm] = round(wait_quiet(), 2)
+        batched_sec, batched_cold = timings[nm], cold.get(nm)
+        total -= batched_sec
+        solo_seen = run_fork([nm], min(time_left, 120.0),
+                             min(max(time_left + 60.0, 180.0), 600.0))
+        if nm in solo_seen and timings[nm] == timings[nm]:
+            modes[nm] = modes.get(nm, "steady") + "+solo"
+        else:  # solo fork died: restore the batched measurement
+            timings[nm] = batched_sec
+            if batched_cold is not None:
+                cold[nm] = batched_cold
+            total += batched_sec
 
     emit()
     return 0

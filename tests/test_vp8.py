@@ -260,3 +260,50 @@ def test_decode_webp_lossy_luma_path():
     assert px == Yr.tobytes()
     w2, h2, Y, U, V = decode_webp_yuv(webp)
     assert (w2, h2) == (32, 24) and Y.tobytes() == px
+
+
+class TestHostileStreams:
+    """Crawl-scale robustness: corrupt/truncated/bit-flipped VP8 frames
+    must raise a clean error (VP8Error / NotImplementedError) or return
+    — never crash the interpreter or hang. All loops in the decoder are
+    structurally bounded (coefficients <= 16, blocks <= 25, MBs = grid),
+    and reads past a partition end yield the spec's implicit zero
+    padding, so decode always terminates; this pins it."""
+
+    def _chunk(self):
+        return vp8_chunk(encode_simple(gen_rgb(32, 24, "noise"), 32, 24, 50.0))
+
+    def test_truncations_raise_or_return(self):
+        chunk = self._chunk()
+        for cut in range(0, len(chunk), max(1, len(chunk) // 50)):
+            try:
+                decode_vp8_keyframe(chunk[:cut])
+            except (VP8Error, NotImplementedError):
+                pass
+
+    def test_single_byte_flips_raise_or_return(self):
+        chunk = bytearray(self._chunk())
+        step = max(1, len(chunk) // 80)
+        for pos in range(0, len(chunk), step):
+            for bit in (0x01, 0x80):
+                mut = bytearray(chunk)
+                mut[pos] ^= bit
+                try:
+                    decode_vp8_keyframe(bytes(mut))
+                except (VP8Error, NotImplementedError):
+                    pass
+
+    def test_zero_dims_rejected(self):
+        chunk = bytearray(self._chunk())
+        chunk[6:8] = b"\x00\x00"  # width = 0
+        with pytest.raises(VP8Error):
+            decode_vp8_keyframe(bytes(chunk))
+
+    def test_partition_size_overrun_rejected(self):
+        chunk = bytearray(self._chunk())
+        # inflate the first-partition length beyond the frame
+        tag = chunk[0] | (chunk[1] << 8) | (chunk[2] << 16)
+        tag |= 0x7FFFF << 5
+        chunk[0:3] = tag.to_bytes(3, "little")
+        with pytest.raises(VP8Error):
+            decode_vp8_keyframe(bytes(chunk))
