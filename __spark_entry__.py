@@ -3189,7 +3189,16 @@ def q_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference libwebp decode (md5 computed at fixture time — executors
     never need libwebp). VP8L rows verify their decoded RGBA against
     the md5-analytic expectation in-task; VP8X rows (header-only stub
-    image data) carry NULLs."""
+    image data) carry NULLs.
+
+    r9 ALPH column: the non-animated VP8X rows (i%6==5) now carry a
+    REAL ALPH chunk — an analytic alpha pattern ((x+y+b0)%256)
+    FORWARD-FILTERED at fixture time with the container spec's
+    horizontal/vertical/gradient predictors, cycling the filter method.
+    Each task decodes it back through functions/webp.decode_alph (the
+    lossy-with-transparency quarter of WebP) and emits `alpha_sum`,
+    which the oracle recomputes from the closed form — a wrong
+    predictor border rule or filter inverse shifts the sum."""
     import hashlib as _hl
 
     from ndr_import_spark.functions.exif import build_exif_app1
@@ -3235,12 +3244,19 @@ def q_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             app1 = build_exif_app1(make=f"Cam{e[0] % 4}", gps=gps)
             tiff = app1[10:]  # marker(2)+len(2)+'Exif\0\0'(6) -> raw TIFF
-            w = 320 + 16 * (b[0] % 16)
-            h = 240 + 16 * (b[1] % 8)
+            if i % 2 == 0:
+                w = 320 + 16 * (b[0] % 16)
+                h = 240 + 16 * (b[1] % 8)
+            else:
+                # ALPH-bearing rows use a smaller canvas: the alpha plane
+                # is canvas-sized and decoded per task
+                w = 64 + 16 * (b[0] % 4)
+                h = 48
             vp8 = build_vp8_keyframe_stub(w, h, fill=bytes(b) * 3)
             chunks = [
                 (b"VP8X", build_vp8x_header(
-                    w, h, exif=True, xmp=True, animation=(i % 2 == 0))),
+                    w, h, exif=True, xmp=True, animation=(i % 2 == 0),
+                    alpha=(i % 2 == 1))),
             ]
             if i % 2 == 0:
                 n_frames = 2 + b[2] % 3
@@ -3248,6 +3264,34 @@ def q_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     anmf = bytes(16) + b"VP8 " + len(vp8).to_bytes(4, "little") + vp8
                     chunks.append((b"ANMF", anmf))
             else:
+                # real ALPH chunk: analytic alpha (x+y+b0)%256, forward-
+                # filtered with the container spec's predictors (method
+                # cycles 0..3); decode_alph must invert it exactly
+                fm = (i // 6) % 4
+                plane = [
+                    (x + y + b[0]) % 256
+                    for y in range(h) for x in range(w)
+                ]
+                res = bytearray(w * h)
+                for y in range(h):
+                    for x in range(w):
+                        p = y * w + x
+                        if fm == 0:
+                            pred = 0
+                        elif fm == 1 or y == 0:  # horizontal (+ row-0 rule)
+                            pred = (plane[p - 1] if x else
+                                    (plane[p - w] if y else 0))
+                        elif fm == 2:  # vertical
+                            pred = plane[p - w]
+                        else:  # gradient
+                            if x == 0:
+                                pred = plane[p - w]
+                            else:
+                                g = (plane[p - 1] + plane[p - w]
+                                     - plane[p - w - 1])
+                                pred = 0 if g < 0 else (255 if g > 255 else g)
+                        res[p] = (plane[p] - pred) & 0xFF
+                chunks.append((b"ALPH", bytes([fm << 2]) + bytes(res)))
                 chunks.append((b"VP8 ", vp8))
             chunks += [(b"EXIF", tiff), (b"XMP ", b"<x:xmpmeta/>")]
             payload = build_webp_container(chunks)
@@ -3270,6 +3314,7 @@ def q_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from ndr_import_spark.functions.webp import (
             decode_webp,
+            decode_webp_alpha,
             decode_webp_yuv,
         )
 
@@ -3297,6 +3342,10 @@ def q_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # r9 pixel columns
                 y_w = y_h = None
                 match = None
+                alpha_sum = None
+                if int(mid) % 6 == 5:
+                    _aw, _ah, plane = decode_webp_alpha(raw)
+                    alpha_sum = sum(plane)
                 if rmd5 is not None:
                     # lossy VP8: clean-room decode vs reference-md5
                     _w, _h, y, u, v = decode_webp_yuv(raw)
@@ -3318,14 +3367,14 @@ def q_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     m["height"], m["n_frames"], m["has_exif"],
                     m["has_xmp"], has_gps, lat, lon,
                     post["has_exif"], post["has_xmp"], intact,
-                    y_w, y_h, match,
+                    y_w, y_h, match, alpha_sum,
                 ))
             yield pd.DataFrame(out, columns=[
                 "media_id", "variant", "codec", "width", "height",
                 "n_frames", "has_exif", "has_xmp", "has_gps",
                 "lat_micro", "lon_micro", "post_has_exif",
                 "post_has_xmp", "image_intact",
-                "y_w", "y_h", "pixels_match_ref",
+                "y_w", "y_h", "pixels_match_ref", "alpha_sum",
             ])
 
     return media.mapInPandas(
@@ -3335,7 +3384,7 @@ def q_webp_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_gps boolean, lat_micro long, lon_micro long, "
         "post_has_exif boolean, post_has_xmp boolean, "
         "image_intact boolean, y_w int, y_h int, "
-        "pixels_match_ref boolean",
+        "pixels_match_ref boolean, alpha_sum bigint",
     ).orderBy("media_id")
 
 
@@ -3359,9 +3408,11 @@ SELECT
   CASE WHEN i % 3 = 1 THEN 'vp8l' ELSE 'vp8' END AS codec,
   CASE WHEN i % 3 = 1 THEN 4
        WHEN i % 3 = 0 THEN 32 + 16 * (b0 % 2)
+       WHEN i % 2 = 1 THEN 64 + 16 * (b0 % 4)
        ELSE 320 + 16 * (b0 % 16) END AS width,
   CASE WHEN i % 3 = 1 THEN 4
        WHEN i % 3 = 0 THEN 32
+       WHEN i % 2 = 1 THEN 48
        ELSE 240 + 16 * (b1 % 8) END AS height,
   CASE WHEN i % 3 = 2 AND i % 2 = 0 THEN 2 + b2 % 3 ELSE 1 END AS n_frames,
   (i % 3 = 2) AS has_exif,
@@ -3391,7 +3442,15 @@ SELECT
   CASE WHEN i % 3 = 1 THEN 4
        WHEN i % 3 = 0 THEN 32
        ELSE NULL END AS y_h,
-  CASE WHEN i % 3 = 2 THEN NULL ELSE TRUE END AS pixels_match_ref
+  CASE WHEN i % 3 = 2 THEN NULL ELSE TRUE END AS pixels_match_ref,
+  -- r9 ALPH column: the non-animated VP8X rows carry a real alpha
+  -- plane, analytic (x+y+b0)%256 over the 64..112 x 48 canvas; the
+  -- engine decodes the forward-filtered chunk back and sums it
+  CASE WHEN i % 6 = 5 THEN (
+    SELECT cast(sum((x + y + b0) % 256) as bigint)
+    FROM unnest(range(64 + 16 * (b0 % 4))) AS tx(x),
+         unnest(range(48)) AS ty(y)
+  ) ELSE NULL END AS alpha_sum
 FROM b ORDER BY media_id
 """
 

@@ -1187,3 +1187,92 @@ def iter_webp_frames(data: bytes):
             }
             return
     raise WebpError("no image chunk found")
+
+
+# --------------------------------------------------- ALPH alpha plane (r9)
+
+def decode_alph(body: bytes, width: int, height: int) -> bytes:
+    """Decode an ALPH chunk body into the alpha plane (row-major
+    width*height bytes) — the missing quarter of lossy-WebP-with-alpha.
+
+    Container spec layout: one header byte ((Rsv<<6)|(P<<4)|(F<<2)|C)
+    then the data. C=0 is raw filtered bytes; C=1 is a HEADERLESS VP8L
+    image stream of implicit dimensions whose GREEN channel carries the
+    alpha values (the same entropy machinery as decode_vp8l, reused).
+    The pre-processing bits describe an encode-time level reduction and
+    need no decoder inverse. Filtering (F=1 horizontal, 2 vertical,
+    3 gradient) is inverted row-by-row with the spec's border rules:
+    the first pixel of the image predicts from 0, the rest of row 0
+    from the left, the rest of column 0 from above."""
+    if not body:
+        raise WebpError("empty ALPH chunk")
+    c = body[0] & 3
+    f = (body[0] >> 2) & 3
+    n = width * height
+    if c == 0:
+        vals = bytearray(body[1:1 + n])
+        if len(vals) < n:
+            raise WebpError("raw ALPH data truncated")
+    elif c == 1:
+        br = _BitReader(body[1:])
+        px, transforms, cur_w = _decode_image_stream(br, width, height, True)
+        for ttype, p1, p2 in reversed(transforms):
+            if ttype == 3:
+                px, cur_w = _inv_color_index(px, cur_w, height, p2)
+            elif ttype == 2:
+                _inv_subtract_green(px)
+            elif ttype == 0:
+                _inv_predictor(px, cur_w, height, p1, p2)
+            else:
+                _inv_color_transform(px, cur_w, height, p1, p2)
+        if cur_w != width:
+            raise WebpError("ALPH width mismatch after transforms")
+        vals = bytearray((p >> 8) & 0xFF for p in px)  # green channel
+    else:
+        raise WebpError(f"unsupported ALPH compression method {c}")
+
+    if f == 0:
+        return bytes(vals)
+    out = bytearray(n)
+    for y in range(height):
+        row = y * width
+        prev = out[row - width:row] if y else None
+        if f == 2 and prev is not None:  # vertical: predictor = above
+            for x in range(width):
+                out[row + x] = (vals[row + x] + prev[x]) & 0xFF
+        elif f == 3 and prev is not None:  # gradient
+            left = prev[0]
+            top_left = prev[0]
+            for x in range(width):
+                top = prev[x]
+                g = left + top - top_left
+                g = 0 if g < 0 else (255 if g > 255 else g)
+                left = (vals[row + x] + g) & 0xFF
+                top_left = top
+                out[row + x] = left
+        else:
+            # horizontal — also the first row of vertical/gradient (the
+            # spec's border rule). Seed: 0 at the image's first pixel,
+            # the pixel ABOVE at later rows' first pixels.
+            acc = vals[row] & 0xFF if prev is None else (vals[row] + prev[0]) & 0xFF
+            out[row] = acc
+            for x in range(1, width):
+                acc = (vals[row + x] + acc) & 0xFF
+                out[row + x] = acc
+    return bytes(out)
+
+
+def decode_webp_alpha(data: bytes):
+    """(width, height, alpha bytes) from a VP8X container's ALPH chunk
+    (lossy WebP with transparency). Raises WebpError when the file has
+    no ALPH chunk — VP8L files carry alpha inside the ARGB decode
+    (decode_webp), and pure-lossy files have none."""
+    data = bytes(data)
+    if not is_webp(data):
+        raise WebpError("not a RIFF/WEBP file")
+    m = webp_metadata(data)
+    w, h = m["width"], m["height"]
+    for fourcc, pos, size in _walk_riff_chunks(data):
+        if fourcc == b"ALPH":
+            return w, h, decode_alph(data[pos + 8:pos + 8 + size], w, h)
+    raise WebpError("no ALPH chunk found")

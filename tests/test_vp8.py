@@ -307,3 +307,92 @@ class TestHostileStreams:
         chunk[0:3] = tag.to_bytes(3, "little")
         with pytest.raises(VP8Error):
             decode_vp8_keyframe(bytes(chunk))
+
+
+class TestAlphaPlane:
+    """ALPH chunk decode (lossy WebP with transparency) vs libwebp's
+    RGBA alpha channel, across both compression modes (raw / headerless
+    VP8L) and all three prediction filters, plus odd dims."""
+
+    @staticmethod
+    def _encode_rgba(rgba: bytes, w: int, h: int, alpha_comp: int,
+                     alpha_filt: int) -> bytes:
+        cfg = ctypes.create_string_buffer(256)
+        assert _LIB.WebPConfigInitInternal(cfg, 0, ctypes.c_float(75.0), _ABI)
+        struct.pack_into("<i", cfg, 48, alpha_comp)
+        struct.pack_into("<i", cfg, 52, alpha_filt)
+        struct.pack_into("<i", cfg, 56, 100)  # alpha_quality: lossless
+        pic = ctypes.create_string_buffer(512)
+        assert _LIB.WebPPictureInitInternal(pic, _ABI)
+        struct.pack_into("<ii", pic, 8, w, h)
+        _LIB.WebPPictureImportRGBA.restype = ctypes.c_int
+        _LIB.WebPPictureImportRGBA.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int,
+        ]
+        assert _LIB.WebPPictureImportRGBA(pic, rgba, w * 4)
+        mw = ctypes.create_string_buffer(64)
+        _LIB.WebPMemoryWriterInit(mw)
+        struct.pack_into(
+            "<Q", pic, 96,
+            ctypes.cast(_LIB.WebPMemoryWrite, ctypes.c_void_p).value,
+        )
+        struct.pack_into("<Q", pic, 104, ctypes.addressof(mw))
+        assert _LIB.WebPEncode(cfg, pic)
+        _LIB.WebPPictureFree(pic)
+        mem, size = struct.unpack_from("<QQ", mw, 0)
+        data = ctypes.string_at(mem, size)
+        _LIB.WebPMemoryWriterClear(mw)
+        return data
+
+    @staticmethod
+    def _ref_alpha(webp: bytes) -> np.ndarray:
+        _LIB.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+        _LIB.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        W = ctypes.c_int()
+        H = ctypes.c_int()
+        p = _LIB.WebPDecodeRGBA(webp, len(webp), ctypes.byref(W),
+                                ctypes.byref(H))
+        arr = np.ctypeslib.as_array(
+            p, shape=(H.value, W.value, 4))[:, :, 3].copy()
+        _LIB.WebPFree(ctypes.cast(p, ctypes.c_void_p))
+        return arr
+
+    @staticmethod
+    def _rgba(w: int, h: int, kind: str) -> bytes:
+        arr = np.zeros((h, w, 4), np.uint8)
+        for y in range(h):
+            for x in range(w):
+                d = hashlib.md5(f"a{x},{y}".encode()).digest()
+                arr[y, x, :3] = (d[0], d[1], d[2])
+                if kind == "grad":
+                    arr[y, x, 3] = (x * 255) // max(w - 1, 1)
+                elif kind == "noise":
+                    arr[y, x, 3] = d[3]
+                else:  # hard mask edges
+                    arr[y, x, 3] = 255 if (x + y) % 7 < 4 else 0
+        return arr.tobytes()
+
+    @pytest.mark.parametrize("kind", ["grad", "noise", "mask"])
+    @pytest.mark.parametrize("alpha_comp", [0, 1])
+    @pytest.mark.parametrize("alpha_filt", [0, 1, 2])
+    @pytest.mark.parametrize("dims", [(32, 24), (17, 13)])
+    def test_alpha_parity(self, kind, alpha_comp, alpha_filt, dims):
+        from ndr_import_spark.functions.webp import decode_webp_alpha
+
+        w, h = dims
+        webp = self._encode_rgba(self._rgba(w, h, kind), w, h,
+                                 alpha_comp, alpha_filt)
+        w2, h2, plane = decode_webp_alpha(webp)
+        assert (w2, h2) == (w, h)
+        mine = np.frombuffer(plane, np.uint8).reshape(h, w)
+        assert np.array_equal(mine, self._ref_alpha(webp))
+
+    def test_no_alph_raises(self):
+        from ndr_import_spark.functions.webp import WebpError, decode_webp_alpha
+
+        webp = encode_simple(gen_rgb(16, 16, "flat"), 16, 16, 75.0)
+        with pytest.raises(WebpError):
+            decode_webp_alpha(webp)
