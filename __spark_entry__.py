@@ -3579,6 +3579,137 @@ FROM f GROUP BY i ORDER BY media_id
 """
 
 
+def q_heif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVIF/HEIC probe + GPS scrub + decode cross-check
+    (functions/heif.py, r9): 20 real images — AV1 (AVIF) and HEVC
+    (HEIC) alternating, encoded at fixture time by the system libheif,
+    half carrying EXIF GPS items. Each task runs the CLEAN-ROOM
+    ISO-BMFF probe (pitm/iinf/ipma item tables, ispe dims, av1C/hvcC
+    codec, pixi depth, Exif item via iloc — no codec payload touched),
+    zeroes the Exif extents in place (`scrub_heif_exif`), re-probes,
+    and decodes pixels through the env-gated libheif binding:
+    `decode_matches_probe` pins the clean-room ispe dims against the
+    INDEPENDENT decoder's output, and `scrub_pixels_intact` pins that
+    the in-place scrub never perturbs a pixel. Dims/brand/codec/GPS are
+    md5-analytic for the oracle. Arrow mapInPandas, shuffle-free except
+    output ordering."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions.exif import build_exif_app1
+    from ndr_import_spark.functions.heif import libheif_encode_rgb
+
+    rows = []
+    for i in range(20):
+        b = _hl.md5(f"heif{i}".encode()).digest()
+        w = 32 + 16 * (b[0] % 3)
+        h = 24 + 8 * (b[1] % 2)
+        rgb = bytes(
+            _hl.md5(f"heif{i}px{k // 16}".encode()).digest()[k % 16]
+            for k in range(w * h * 3)
+        )
+        tiff = None
+        if i % 2 == 0:
+            e = _hl.md5(f"heifgps{i}".encode()).digest()
+            gps = (
+                "S" if e[1] % 2 else "N",
+                [(e[0] % 90, 1), (e[1] % 60, 1), (e[2] % 6000, 100)],
+                "W" if e[2] % 2 else "E",
+                [(e[1] % 180, 1), (e[2] % 60, 1), (e[0] * 37 % 6000, 100)],
+                e[0] * 53 % 900000,
+                100,
+            )
+            app1 = build_exif_app1(make=f"Cam{e[0] % 4}", gps=gps)
+            tiff = app1[10:]
+        payload = libheif_encode_rgb(
+            rgb, w, h, codec="av1" if i % 4 < 2 else "hevc",
+            exif_tiff=tiff,
+        )
+        rows.append((i, bytearray(payload)))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(4)
+
+    def probe(batches):
+        import pandas as pd
+
+        from ndr_import_spark.functions.heif import (
+            decode_heif,
+            heif_metadata,
+            scrub_heif_exif,
+        )
+
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                m = heif_metadata(raw)
+                scrubbed = scrub_heif_exif(raw)
+                post = heif_metadata(scrubbed)
+                dw, dh, _ch, px = decode_heif(raw)
+                _, _, _c2, px2 = decode_heif(scrubbed)
+                out.append((
+                    int(mid), m["brand"], m["codec"], m["width"],
+                    m["height"], m["bit_depth"], m["has_exif"],
+                    m["has_gps"], m["lat_micro"], m["lon_micro"],
+                    post["has_gps"],
+                    (dw, dh) == (m["width"], m["height"]),
+                    px == px2,
+                ))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "brand", "codec", "width", "height",
+                "bit_depth", "has_exif", "has_gps", "lat_micro",
+                "lon_micro", "post_has_gps", "decode_matches_probe",
+                "scrub_pixels_intact",
+            ])
+
+    return media.mapInPandas(
+        probe,
+        "media_id long, brand string, codec string, width int, "
+        "height int, bit_depth int, has_exif boolean, has_gps boolean, "
+        "lat_micro long, lon_micro long, post_has_gps boolean, "
+        "decode_matches_probe boolean, scrub_pixels_intact boolean",
+    ).orderBy("media_id")
+
+
+_ORACLE_HEIF_METADATA = """
+WITH m AS (SELECT unnest(range(20)) AS i),
+d AS (SELECT i, md5('heif' || i) AS hx, md5('heifgps' || i) AS ex FROM m),
+b AS (
+  SELECT i,
+    cast(('0x' || substring(hx, 1, 2)) as int) AS b0,
+    cast(('0x' || substring(hx, 3, 2)) as int) AS b1,
+    cast(('0x' || substring(ex, 1, 2)) as int) AS e0,
+    cast(('0x' || substring(ex, 3, 2)) as int) AS e1,
+    cast(('0x' || substring(ex, 5, 2)) as int) AS e2
+  FROM d
+)
+SELECT i AS media_id,
+  CASE WHEN i % 4 < 2 THEN 'avif' ELSE 'heic' END AS brand,
+  CASE WHEN i % 4 < 2 THEN 'av1' ELSE 'hevc' END AS codec,
+  32 + 16 * (b0 % 3) AS width,
+  24 + 8 * (b1 % 2) AS height,
+  8 AS bit_depth,
+  (i % 2 = 0) AS has_exif,
+  (i % 2 = 0) AS has_gps,
+  CASE WHEN i % 2 = 0 THEN
+    (CASE WHEN e1 % 2 = 1 THEN -1 ELSE 1 END) * (
+      CAST(e0 % 90 AS BIGINT) * 1000000
+      + (CAST(e1 % 60 AS BIGINT) * 1000000) // 60
+      + (CAST(e2 % 6000 AS BIGINT) * 1000000) // 360000)
+  ELSE NULL END AS lat_micro,
+  CASE WHEN i % 2 = 0 THEN
+    (CASE WHEN e2 % 2 = 1 THEN -1 ELSE 1 END) * (
+      CAST(e1 % 180 AS BIGINT) * 1000000
+      + (CAST(e2 % 60 AS BIGINT) * 1000000) // 60
+      + (CAST((e0 * 37) % 6000 AS BIGINT) * 1000000) // 360000)
+  ELSE NULL END AS lon_micro,
+  FALSE AS post_has_gps,
+  TRUE AS decode_matches_probe,
+  TRUE AS scrub_pixels_intact
+FROM b ORDER BY media_id
+"""
+
+
 _ORACLE_EXIF_METADATA = """
 WITH m AS (SELECT unnest(range(120)) AS i),
 d AS (SELECT i, md5('exif' || i) AS hx FROM m),
@@ -10817,6 +10948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "neyman_allocation": q_neyman_allocation,
         "webp_anim_frames": q_webp_anim_frames,
+        "heif_metadata": q_heif_metadata,
     }
 
 
@@ -11035,6 +11167,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_discovery": fd_oracle_sql("orders", _FD_PAIRS),
         "neyman_allocation": _ORACLE_NEYMAN,
         "webp_anim_frames": _ORACLE_WEBP_ANIM,
+        "heif_metadata": _ORACLE_HEIF_METADATA,
         "zorder_locality": zorder_oracle_sql(
             "events",
             "user_id",

@@ -118,6 +118,7 @@ def extract_features(
             return decoder(payload)
         from ndr_import_spark.functions.bmp import bmp_image_decoder, is_bmp
         from ndr_import_spark.functions.gif import gif_image_decoder, is_gif
+        from ndr_import_spark.functions.heif import heif_image_decoder, is_heif
         from ndr_import_spark.functions.jpeg import is_jpeg, jpeg_image_decoder
         from ndr_import_spark.functions.png import is_png, png_image_decoder
         from ndr_import_spark.functions.tiff import is_tiff, tiff_image_decoder
@@ -136,10 +137,14 @@ def extract_features(
             return bmp_image_decoder(raw)
         if is_tiff(raw):
             return tiff_image_decoder(raw)
+        if is_heif(raw):
+            # AVIF/HEIC: env-gated system-libheif decode (r9); raises
+            # NotImplementedError with a clear message when absent
+            return heif_image_decoder(raw)
         raise NotImplementedError(
-            "Non-PNG/WebP/JPEG/GIF/BMP/TIFF media needs an injected decoder; use "
-            "multimodal.set_image_decoder (deterministic_fake_decoder "
-            "available for tests)"
+            "Non-PNG/WebP/JPEG/GIF/BMP/TIFF/AVIF/HEIC media needs an injected "
+            "decoder; use multimodal.set_image_decoder "
+            "(deterministic_fake_decoder available for tests)"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
