@@ -373,10 +373,11 @@ def scrub_image_metadata(
     loses its EXIF/XMP/ICCP chunks with the VP8X feature flags cleared
     via webp.scrub_webp_metadata — GPS rides in the WebP EXIF chunk's
     TIFF body exactly as in APP1, and the scrub works for LOSSY VP8 too
-    (container surgery never touches the compressed payload). Other /
-    unparseable payloads pass through UNCHANGED (the scrub must never
-    destroy data it does not understand — route those to quarantine by
-    fmt instead)."""
+    (container surgery never touches the compressed payload); AVIF/HEIC
+    (r9) lose their Exif item via heif.scrub_heif_exif's in-place
+    extent zeroing. Other / unparseable payloads pass through UNCHANGED
+    (the scrub must never destroy data it does not understand — route
+    those to quarantine by fmt instead)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
@@ -384,6 +385,11 @@ def scrub_image_metadata(
         from ndr_import_spark.functions.exif import (
             ExifError,
             strip_jpeg_metadata,
+        )
+        from ndr_import_spark.functions.heif import (
+            HeifError,
+            is_heif,
+            scrub_heif_exif,
         )
         from ndr_import_spark.functions.webp import (
             WebpError,
@@ -398,9 +404,11 @@ def scrub_image_metadata(
                 try:
                     if is_webp(raw):
                         out_payloads.append(scrub_webp_metadata(raw))
+                    elif is_heif(raw):
+                        out_payloads.append(scrub_heif_exif(raw))
                     else:
                         out_payloads.append(strip_jpeg_metadata(raw))
-                except (WebpError, ExifError, _struct.error):
+                except (WebpError, HeifError, ExifError, _struct.error):
                     out_payloads.append(raw)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].values, payload_col: out_payloads}

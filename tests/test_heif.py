@@ -108,3 +108,21 @@ def test_truncations_raise_cleanly():
             heif_metadata(data[:cut])
         except (HeifError, Exception):  # noqa: BLE001 - must not hang/crash
             pass
+
+
+def test_scrub_dispatch_via_scrub_image_metadata(spark):
+    """The PII capstone's scrub operator routes AVIF payloads through
+    scrub_heif_exif (batch AND the streaming twin share this path)."""
+    from ndr_import_spark.functions.heif import heif_metadata, libheif_encode_rgb
+    from ndr_import_spark.operators.multimodal import scrub_image_metadata
+
+    data = libheif_encode_rgb(_rgb(32, 24, "s"), 32, 24, codec="av1",
+                              exif_tiff=_tiff(5, 15))
+    assert heif_metadata(data)["has_gps"]
+    df = spark.createDataFrame(
+        [(7, bytearray(data))], "media_id long, payload binary"
+    )
+    out = scrub_image_metadata(df).collect()[0]
+    post = heif_metadata(bytes(out.payload))
+    # the item structurally remains (in-place zeroing); its GPS is gone
+    assert not post["has_gps"] and post["lat_micro"] is None
