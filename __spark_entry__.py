@@ -1683,6 +1683,66 @@ ORDER BY kept_id
 """
 
 
+def q_cross_codec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-CODEC near-duplicate detection (r9) — the dominant
+    duplication mode for web images: the SAME source photo re-encoded
+    lossily all over the web. 20 high-contrast sources each encoded SIX
+    ways — lossless PNG, lossy WebP at q50 and q85 (clean-room RFC 6386
+    decode), AVIF and HEIC (env-gated libheif decode), grayscale
+    JPEG q85 — must collapse to 20 groups of 6 under the integer-exact
+    aHash: block-structured content quantises identically through every
+    codec's loss, so the 8x8 threshold lattice — and therefore the
+    64-bit hash — is invariant across re-encodes (verified for all six
+    codec paths before pinning). One combinable groupBy on the hash;
+    decoded pixels never shuffle. The oracle derives the groups from
+    the construction: ids i, i+20, ..., i+100 share source i."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions.heif import libheif_encode_rgb
+    from ndr_import_spark.functions.jpeg import encode_jpeg
+    from ndr_import_spark.functions.png import encode_png
+    from ndr_import_spark.functions.webp import libwebp_encode_rgb
+    from ndr_import_spark.operators import multimodal as MM
+
+    def src_rgb(i: int, w: int = 32, h: int = 32) -> bytes:
+        b = _hl.md5(f"xc{i}".encode()).digest()
+        out = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = 235 if (b[((x // 8) + 4 * (y // 8)) % 16] & 1) else 20
+                out += bytes((v, v, v))
+        return bytes(out)
+
+    encoders = (
+        lambda rgb: encode_png(32, 32, rgb),
+        lambda rgb: libwebp_encode_rgb(rgb, 32, 32, 50.0),
+        lambda rgb: libwebp_encode_rgb(rgb, 32, 32, 85.0),
+        lambda rgb: libheif_encode_rgb(rgb, 32, 32, codec="av1"),
+        lambda rgb: libheif_encode_rgb(rgb, 32, 32, codec="hevc"),
+        lambda rgb: encode_jpeg(
+            32, 32, bytes(rgb[j * 3] for j in range(32 * 32)),
+            channels=1, quality=85,
+        ),
+    )
+    rows = []
+    for i in range(20):
+        rgb = src_rgb(i)
+        for cix, enc in enumerate(encoders):
+            rows.append((
+                cix * 20 + i, "image", "image/any",
+                None, None, None, bytearray(enc(rgb)),
+            ))
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA).repartition(8)
+    return MM.image_dedup_groups(media).orderBy("kept_id")
+
+
+_ORACLE_CROSS_CODEC_DEDUP = """
+SELECT CAST(i AS BIGINT) AS kept_id, CAST(6 AS BIGINT) AS n_copies
+FROM unnest(generate_series(0, 19)) AS t(i)
+ORDER BY kept_id
+"""
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL stdlib WAV decode end-to-end (functions/wav.py, no injected
     decoder): a deterministic audio table of genuine RIFF/WAVE payloads —
@@ -10949,6 +11009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": q_neyman_allocation,
         "webp_anim_frames": q_webp_anim_frames,
         "heif_metadata": q_heif_metadata,
+        "cross_codec_dedup": q_cross_codec_dedup,
     }
 
 
@@ -11168,6 +11229,7 @@ def oracle_sql() -> dict[str, str]:
         "neyman_allocation": _ORACLE_NEYMAN,
         "webp_anim_frames": _ORACLE_WEBP_ANIM,
         "heif_metadata": _ORACLE_HEIF_METADATA,
+        "cross_codec_dedup": _ORACLE_CROSS_CODEC_DEDUP,
         "zorder_locality": zorder_oracle_sql(
             "events",
             "user_id",

@@ -702,10 +702,14 @@ def _decode_raw(data: bytes):
         return decode_bmp(data)
     if is_tiff(data):
         return decode_tiff(data)
+    from ndr_import_spark.functions.heif import decode_heif, is_heif
+
+    if is_heif(data):
+        # env-gated system-libheif decode (r9); raises when absent
+        return decode_heif(data)
     raise NotImplementedError(
-        "perceptual hashing requires PNG, WebP-lossless, baseline-JPEG, GIF, "
-        "BMP or TIFF "
-        "payloads (stdlib codecs)"
+        "perceptual hashing requires PNG, WebP, baseline-JPEG, GIF, "
+        "BMP, TIFF or AVIF/HEIC payloads"
     )
 
 
