@@ -66,47 +66,70 @@ def is_heif(data: bytes) -> bool:
 
 
 # ------------------------------------------------------------- metadata
+#
+# Bounds discipline (r10, ADVICE): every read below goes through _u8 /
+# _unpack / a length-checked slice so a malformed meta box (empty pitm,
+# oversized ipma count, truncated iloc entry) raises HeifError — never
+# IndexError — keeping scrub_image_metadata's documented
+# "unparseable payloads pass through unchanged" contract intact.
 
 
-def _parse_iloc(data: bytes, body: int, end: int) -> dict[int, list]:
-    """item_id -> [(offset, length), ...] for construction method 0
-    (absolute file offsets)."""
+def _u8(data: bytes, pos: int) -> int:
+    if pos >= len(data) or pos < 0:
+        raise HeifError("truncated box (byte read past end)")
+    return data[pos]
+
+
+def _unpack(fmt: str, data: bytes, pos: int):
+    try:
+        return struct.unpack_from(fmt, data, pos)
+    except struct.error as exc:
+        raise HeifError(f"truncated box: {exc}") from None
+
+
+def _parse_iloc(data: bytes, body: int, end: int) -> dict[int, tuple]:
+    """item_id -> (construction_method, [(offset, length), ...]).
+    Extent offsets for method 0 are absolute file offsets; method 1
+    (idat-relative) and 2 (item-relative) entries are preserved so
+    callers can refuse loudly instead of silently skipping them."""
     if body + 8 > end:
         raise HeifError("truncated iloc")
-    version = data[body]
+    version = _u8(data, body)
     pos = body + 4
-    sizes = data[pos]
+    sizes = _u8(data, pos)
     offset_size, length_size = sizes >> 4, sizes & 15
-    base_size = data[pos + 1] >> 4
-    index_size = (data[pos + 1] & 15) if version in (1, 2) else 0
+    base_size = _u8(data, pos + 1) >> 4
+    index_size = (_u8(data, pos + 1) & 15) if version in (1, 2) else 0
     pos += 2
     if version < 2:
-        (count,) = struct.unpack_from(">H", data, pos)
+        (count,) = _unpack(">H", data, pos)
         pos += 2
     else:
-        (count,) = struct.unpack_from(">I", data, pos)
+        (count,) = _unpack(">I", data, pos)
         pos += 4
 
     def read_n(p: int, n: int) -> tuple[int, int]:
+        if p + n > len(data):
+            raise HeifError("truncated iloc extent")
         v = int.from_bytes(data[p:p + n], "big") if n else 0
         return v, p + n
 
-    out: dict[int, list] = {}
+    out: dict[int, tuple] = {}
     for _ in range(count):
         if version < 2:
-            (item_id,) = struct.unpack_from(">H", data, pos)
+            (item_id,) = _unpack(">H", data, pos)
             pos += 2
         else:
-            (item_id,) = struct.unpack_from(">I", data, pos)
+            (item_id,) = _unpack(">I", data, pos)
             pos += 4
         method = 0
         if version in (1, 2):
-            (cm,) = struct.unpack_from(">H", data, pos)
+            (cm,) = _unpack(">H", data, pos)
             method = cm & 15
             pos += 2
         pos += 2  # data_reference_index
         base, pos = read_n(pos, base_size)
-        (n_ext,) = struct.unpack_from(">H", data, pos)
+        (n_ext,) = _unpack(">H", data, pos)
         pos += 2
         extents = []
         for _ in range(n_ext):
@@ -115,8 +138,7 @@ def _parse_iloc(data: bytes, body: int, end: int) -> dict[int, list]:
             off, pos = read_n(pos, offset_size)
             ln, pos = read_n(pos, length_size)
             extents.append((base + off, ln))
-        if method == 0:
-            out[item_id] = extents
+        out[item_id] = (method, extents)
     return out
 
 
@@ -137,57 +159,61 @@ def _parse_meta(data: bytes):
     iloc: dict[int, list] = {}
     for btype, body, end in _walk_boxes(data, meta[0], meta[1]):
         if btype == b"pitm":
-            v = data[body]
+            if body + 6 > end:
+                raise HeifError("truncated pitm box")
+            v = _u8(data, body)
             if v == 0:
-                (primary,) = struct.unpack_from(">H", data, body + 4)
+                (primary,) = _unpack(">H", data, body + 4)
             else:
-                (primary,) = struct.unpack_from(">I", data, body + 4)
+                (primary,) = _unpack(">I", data, body + 4)
         elif btype == b"iinf":
-            v = data[body]
+            v = _u8(data, body)
             pos = body + 4
             if v == 0:
-                (_n,) = struct.unpack_from(">H", data, pos)
+                (_n,) = _unpack(">H", data, pos)
                 pos += 2
             else:
-                (_n,) = struct.unpack_from(">I", data, pos)
+                (_n,) = _unpack(">I", data, pos)
                 pos += 4
             for it, ib, ie in _walk_boxes(data, pos, end):
                 if it != b"infe":
                     continue
-                iv = data[ib]
+                iv = _u8(data, ib)
                 if iv >= 2:
-                    (iid,) = struct.unpack_from(
+                    (iid,) = _unpack(
                         ">H" if iv == 2 else ">I", data, ib + 4)
                     # fullbox(4) + id(2|4) + protection(2) -> item_type
                     toff = ib + (8 if iv == 2 else 10)
+                    if toff + 4 > len(data):
+                        raise HeifError("truncated infe item_type")
                     items[iid] = data[toff:toff + 4]
         elif btype == b"iprp":
             for pt, pb, pe in _walk_boxes(data, body, end):
                 if pt == b"ipco":
                     props = list(_walk_boxes(data, pb, pe))
                 elif pt == b"ipma":
-                    v = data[pb]
+                    v = _u8(data, pb)
                     flags = int.from_bytes(data[pb + 1:pb + 4], "big")
                     pos = pb + 4
-                    (n,) = struct.unpack_from(">I", data, pos)
+                    (n,) = _unpack(">I", data, pos)
                     pos += 4
                     for _ in range(n):
                         if v < 1:
-                            (iid,) = struct.unpack_from(">H", data, pos)
+                            (iid,) = _unpack(">H", data, pos)
                             pos += 2
                         else:
-                            (iid,) = struct.unpack_from(">I", data, pos)
+                            (iid,) = _unpack(">I", data, pos)
                             pos += 4
-                        cnt = data[pos]
+                        cnt = _u8(data, pos)
                         pos += 1
                         idxs = []
                         for _ in range(cnt):
                             if flags & 1:
-                                (a,) = struct.unpack_from(">H", data, pos)
+                                (a,) = _unpack(">H", data, pos)
                                 pos += 2
                                 idxs.append(a & 0x7FFF)
                             else:
-                                idxs.append(data[pos] & 0x7F)
+                                idxs.append(_u8(data, pos) & 0x7F)
                                 pos += 1
                         assoc[iid] = idxs
         elif btype == b"iloc":
@@ -239,23 +265,31 @@ def heif_metadata(data: bytes) -> dict:
             break
     p = prop_for(primary, b"ispe")
     if p is not None:
-        w, h = struct.unpack_from(">II", data, p[1] + 4)
+        w, h = _unpack(">II", data, p[1] + 4)
         out["width"], out["height"] = w, h
     p = prop_for(primary, b"irot")
     if p is not None:
-        out["rotation"] = (data[p[1]] & 3) * 90
+        out["rotation"] = (_u8(data, p[1]) & 3) * 90
     p = prop_for(primary, b"imir")
     if p is not None:
-        out["mirror"] = "vertical" if data[p[1]] & 1 else "horizontal"
+        out["mirror"] = "vertical" if _u8(data, p[1]) & 1 else "horizontal"
     p = prop_for(primary, b"pixi")
     if p is not None:
-        n = data[p[1] + 4]
+        n = _u8(data, p[1] + 4)
         if n:
-            out["bit_depth"] = data[p[1] + 5]
+            out["bit_depth"] = _u8(data, p[1] + 5)
     for iid, typ in items.items():
         if typ == b"Exif" and iid in iloc:
+            # has_exif reflects the item table, whatever the iloc
+            # construction method — a method-1/2 (idat/item-relative)
+            # Exif must still show up here so quarantine routing has a
+            # signal (r10 ADVICE: the scrub refuses those; the probe
+            # must not simultaneously claim has_exif=False).
             out["has_exif"] = True
-            off, ln = iloc[iid][0]
+            method, extents = iloc[iid]
+            if method != 0 or not extents:
+                break
+            off, ln = extents[0]
             payload = data[off:off + ln]
             if len(payload) >= 4:
                 (toff,) = struct.unpack_from(">I", payload, 0)
@@ -276,16 +310,41 @@ def scrub_heif_exif(data: bytes) -> bytes:
     """Zero every Exif item's extents in place. No box is moved or
     resized, so the codec payload — and every file offset — survives
     byte-exact; the zeroed block no longer parses as TIFF, so GPS and
-    the rest of the Exif content are unrecoverable."""
+    the rest of the Exif content are unrecoverable.
+
+    Refusal over silence (r10 ADVICE): an Exif item this function
+    CANNOT zero — no iloc entry, iloc construction method 1/2
+    (idat-/item-relative storage), no extents, or an extent that
+    overruns the file — raises HeifError instead of returning the file
+    as "scrubbed" with the PII still in it. Callers
+    (scrub_image_metadata) route those payloads to quarantine."""
     data = bytearray(bytes(data))
     if not is_heif(data):
         raise HeifError("not an AVIF/HEIC (ftyp brand) file")
     _, items, _, _, iloc = _parse_meta(bytes(data))
     for iid, typ in items.items():
-        if typ == b"Exif":
-            for off, ln in iloc.get(iid, ()):
-                if off + ln <= len(data):
-                    data[off:off + ln] = bytes(ln)
+        if typ != b"Exif":
+            continue
+        entry = iloc.get(iid)
+        if entry is None:
+            raise HeifError(
+                f"Exif item {iid} has no iloc entry — cannot scrub in place"
+            )
+        method, extents = entry
+        if method != 0:
+            raise HeifError(
+                f"Exif item {iid} uses iloc construction method {method} "
+                "(idat/item-relative) — in-place scrub unsupported, refuse "
+                "rather than silently no-op"
+            )
+        if not extents:
+            raise HeifError(f"Exif item {iid} has no extents")
+        for off, ln in extents:
+            if off < 0 or ln < 0 or off + ln > len(data):
+                raise HeifError(
+                    f"Exif item {iid} extent ({off}, {ln}) overruns the file"
+                )
+            data[off:off + ln] = bytes(ln)
     return bytes(data)
 
 

@@ -571,13 +571,25 @@ def _filter_edge(plane: np.ndarray, x: int, y: int, n: int, vertical: bool,
 
 
 def decode_vp8_keyframe(data: bytes, _apply_loop_filter: bool = True,
-                        _debug: dict | None = None):
+                        _debug: dict | None = None,
+                        max_pixels: int = 1 << 26):
     """Decode a VP8 keyframe bitstream (the 'VP8 ' chunk payload of a
     lossy WebP). Returns (width, height, Y, U, V) with Y a (h, w) uint8
     array and U/V ((h+1)//2, (w+1)//2) uint8 arrays.
 
     Raises NotImplementedError for interframes and VP8Error for corrupt
-    or unsupported streams."""
+    or unsupported streams.
+
+    Decode-bomb guards (r10 ADVICE): the boolean decoder zero-pads past
+    partition end by design, so a ~20-byte hostile frame can declare
+    16383x16383 and cost ~335 MB of planes plus ~1M macroblocks of
+    work. Two checks reject that shape before any allocation: (a) a
+    pixel budget `max_pixels` (default 2^26 ≈ 8192x8192 — above any
+    sane crawl image; trusted callers may raise it), and (b) a
+    plausibility floor — a real encoder spends well over 1/512 byte
+    per macroblock even on a solid-color frame, so a stream whose
+    total bytes fall under mb_count/512 is declared-dimensions fraud,
+    not data."""
     if len(data) < 10:
         raise VP8Error("truncated VP8 frame")
     tag = data[0] | (data[1] << 8) | (data[2] << 16)
@@ -593,6 +605,17 @@ def decode_vp8_keyframe(data: bytes, _apply_loop_filter: bool = True,
     height = struct.unpack_from("<H", data, 8)[0] & 0x3FFF
     if width == 0 or height == 0:
         raise VP8Error("zero dimensions")
+    if width * height > max_pixels:
+        raise VP8Error(
+            f"declared {width}x{height} exceeds the {max_pixels}-pixel "
+            "budget for untrusted input (pass max_pixels= to raise it)"
+        )
+    _mb_count = (((width + 15) >> 4)) * (((height + 15) >> 4))
+    if len(data) * 512 < _mb_count:
+        raise VP8Error(
+            f"stream of {len(data)} bytes is implausibly small for "
+            f"{_mb_count} declared macroblocks — rejecting decode bomb"
+        )
     if 10 + part0_len > len(data):
         raise VP8Error("first partition overruns frame")
     bd = _Bool(data, 10, 10 + part0_len)

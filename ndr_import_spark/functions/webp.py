@@ -1114,11 +1114,13 @@ def libwebp_decode_yuv(data: bytes):
 def build_anmf_chunk(x: int, y: int, width: int, height: int,
                      duration_ms: int, frame_chunk: bytes,
                      fourcc: bytes = b"VP8 ",
-                     dispose: int = 0, blend: int = 0) -> bytes:
+                     dispose: int = 0, blend: int = 0,
+                     alph: bytes | None = None) -> bytes:
     """An ANMF chunk BODY (WebP container spec): 16-byte frame header
     (24-bit x/2, y/2, w-1, h-1, duration; 1 flag byte) followed by the
-    frame's image chunk. x and y must be even (the container stores
-    them halved)."""
+    frame's image chunk — preceded, for lossy frames with transparency,
+    by an optional ALPH chunk (`alph` = the ALPH body). x and y must be
+    even (the container stores them halved)."""
     if x % 2 or y % 2:
         raise WebpError("ANMF frame offsets must be even")
     head = (
@@ -1129,7 +1131,11 @@ def build_anmf_chunk(x: int, y: int, width: int, height: int,
         + int(duration_ms).to_bytes(3, "little")
         + bytes([(dispose & 1) | ((blend & 1) << 1)])
     )
-    return head + fourcc + len(frame_chunk).to_bytes(4, "little") + \
+    pre = b""
+    if alph is not None:
+        pre = (b"ALPH" + len(alph).to_bytes(4, "little") + alph
+               + (b"\x00" if len(alph) % 2 else b""))
+    return head + pre + fourcc + len(frame_chunk).to_bytes(4, "little") + \
         frame_chunk + (b"\x00" if len(frame_chunk) % 2 else b"")
 
 
@@ -1138,7 +1144,9 @@ def iter_webp_frames(data: bytes):
     animations (frame geometry + duration from the 16-byte ANMF header,
     payload = the embedded VP8/VP8L chunk body), or a single synthetic
     frame for still images. Keys: frame_ix, x, y, width, height,
-    duration_ms, codec ('vp8'|'vp8l'), payload (bytes).
+    duration_ms, codec ('vp8'|'vp8l'), payload (bytes), alph (the
+    frame's optional ALPH chunk body or None), dispose (0 none /
+    1 background), blend (0 alpha-blend / 1 overwrite).
 
     Header-sized parse; payloads are NOT decoded here — callers choose
     (decode_vp8_keyframe for lossy, decode_vp8l for lossless)."""
@@ -1158,24 +1166,43 @@ def iter_webp_frames(data: bytes):
             fw = int.from_bytes(body[6:9], "little") + 1
             fh = int.from_bytes(body[9:12], "little") + 1
             dur = int.from_bytes(body[12:15], "little")
-            sub = body[16:20]
-            (ssize,) = struct.unpack("<I", body[20:24])
-            payload = body[24:24 + ssize]
-            if len(payload) < ssize:
-                raise WebpError("ANMF frame payload truncated")
-            if sub not in (b"VP8 ", b"VP8L"):
-                raise WebpError(f"unsupported ANMF sub-chunk {sub!r}")
+            flags = body[15]
+            # Sub-chunks: an OPTIONAL ALPH chunk precedes the bitstream
+            # chunk for lossy-with-alpha frames (container spec; r10
+            # ADVICE — rejecting ALPH here threw on every animated
+            # lossy-alpha WebP). Walk past it to the VP8/VP8L chunk.
+            spos = 16
+            alph = None
+            while True:
+                if spos + 8 > len(body):
+                    raise WebpError("ANMF frame has no image sub-chunk")
+                sub = body[spos:spos + 4]
+                (ssize,) = struct.unpack("<I", body[spos + 4:spos + 8])
+                payload = body[spos + 8:spos + 8 + ssize]
+                if len(payload) < ssize:
+                    raise WebpError("ANMF sub-chunk payload truncated")
+                if sub == b"ALPH":
+                    alph = payload
+                    spos += 8 + ssize + (ssize & 1)  # chunks are padded
+                    continue
+                if sub not in (b"VP8 ", b"VP8L"):
+                    raise WebpError(f"unsupported ANMF sub-chunk {sub!r}")
+                break
             yield {
                 "frame_ix": ix, "x": 2 * x2, "y": 2 * y2,
                 "width": fw, "height": fh, "duration_ms": dur,
                 "codec": "vp8" if sub == b"VP8 " else "vp8l",
-                "payload": payload,
+                "payload": payload, "alph": alph,
+                "dispose": flags & 1, "blend": (flags >> 1) & 1,
             }
             ix += 1
     if saw_anim:
         return
+    still_alph = None
     for fourcc, pos, size in _walk_riff_chunks(data):
-        if fourcc in (b"VP8 ", b"VP8L"):
+        if fourcc == b"ALPH":
+            still_alph = data[pos + 8:pos + 8 + size]
+        elif fourcc in (b"VP8 ", b"VP8L"):
             body = data[pos + 8:pos + 8 + size]
             m = webp_metadata(data)
             yield {
@@ -1183,7 +1210,8 @@ def iter_webp_frames(data: bytes):
                 "width": m["width"], "height": m["height"],
                 "duration_ms": 0,
                 "codec": "vp8" if fourcc == b"VP8 " else "vp8l",
-                "payload": body,
+                "payload": body, "alph": still_alph,
+                "dispose": 0, "blend": 1,
             }
             return
     raise WebpError("no image chunk found")

@@ -785,8 +785,12 @@ def webp_frame_table(df: DataFrame, payload_col: str = "payload",
     import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ndr_import_spark.functions.vp8 import decode_vp8_keyframe
+        from ndr_import_spark.functions.vp8 import (
+            VP8Error,
+            decode_vp8_keyframe,
+        )
         from ndr_import_spark.functions.webp import (
+            WebpError,
             decode_vp8l,
             iter_webp_frames,
         )
@@ -794,19 +798,29 @@ def webp_frame_table(df: DataFrame, payload_col: str = "payload",
         for pdf in batches:
             out = []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                for fr in iter_webp_frames(bytes(p)):
-                    if fr["codec"] == "vp8":
-                        _w, _h, y, u, v = decode_vp8_keyframe(fr["payload"])
-                        digest = hashlib.md5(
-                            y.tobytes() + u.tobytes() + v.tobytes()
-                        ).hexdigest()
-                    else:
-                        _w, _h, _ch, px = decode_vp8l(fr["payload"])
-                        digest = hashlib.md5(px).hexdigest()
+                # Per-payload isolation (r10 ADVICE): one malformed
+                # animation must not fail the whole task — emit an
+                # error row (codec='error', null digest) and keep
+                # going; downstream quarantines on codec='error'.
+                try:
+                    for fr in iter_webp_frames(bytes(p)):
+                        if fr["codec"] == "vp8":
+                            _w, _h, y, u, v = decode_vp8_keyframe(
+                                fr["payload"])
+                            digest = hashlib.md5(
+                                y.tobytes() + u.tobytes() + v.tobytes()
+                            ).hexdigest()
+                        else:
+                            _w, _h, _ch, px = decode_vp8l(fr["payload"])
+                            digest = hashlib.md5(px).hexdigest()
+                        out.append((
+                            int(mid), fr["frame_ix"], fr["codec"],
+                            fr["width"], fr["height"], fr["duration_ms"],
+                            digest,
+                        ))
+                except (WebpError, VP8Error, NotImplementedError):
                     out.append((
-                        int(mid), fr["frame_ix"], fr["codec"],
-                        fr["width"], fr["height"], fr["duration_ms"],
-                        digest,
+                        int(mid), -1, "error", None, None, None, None,
                     ))
             yield pd.DataFrame(out, columns=[
                 "media_id", "frame_ix", "codec", "width", "height",

@@ -99,15 +99,20 @@ def test_is_heif_negatives():
 
 
 def test_truncations_raise_cleanly():
+    """Every truncation must either parse or raise HeifError — catching
+    ONLY the documented type so a foreign IndexError/struct.error fails
+    the test (r10 ADVICE: the old `except Exception` masked exactly the
+    contract break it was meant to catch)."""
     from ndr_import_spark.functions.heif import libheif_encode_rgb
 
     data = libheif_encode_rgb(_rgb(32, 24, "t"), 32, 24, codec="av1",
                               exif_tiff=_tiff(1, 2))
     for cut in range(12, len(data), max(1, len(data) // 40)):
-        try:
-            heif_metadata(data[:cut])
-        except (HeifError, Exception):  # noqa: BLE001 - must not hang/crash
-            pass
+        for fn in (heif_metadata, scrub_heif_exif):
+            try:
+                fn(data[:cut])
+            except HeifError:
+                pass
 
 
 def test_scrub_dispatch_via_scrub_image_metadata(spark):

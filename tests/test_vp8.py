@@ -299,6 +299,39 @@ class TestHostileStreams:
         with pytest.raises(VP8Error):
             decode_vp8_keyframe(bytes(chunk))
 
+    def test_decode_bomb_max_dims_rejected(self):
+        """A ~20-byte frame declaring 16383x16383 (the boolean decoder
+        zero-pads past partition end, so this 'decodes') used to cost
+        ~335 MB of planes + ~1M macroblocks of Python — it must be
+        rejected BEFORE any allocation (r10 ADVICE)."""
+        bomb = bytearray(20)
+        bomb[0:3] = (4 << 5).to_bytes(3, "little")  # keyframe, part0=4
+        bomb[3:6] = b"\x9d\x01\x2a"
+        bomb[6:8] = (16383).to_bytes(2, "little")
+        bomb[8:10] = (16383).to_bytes(2, "little")
+        with pytest.raises(VP8Error, match="pixel"):
+            decode_vp8_keyframe(bytes(bomb))
+
+    def test_decode_bomb_implausible_bytes_rejected(self):
+        """Dims under the pixel budget but a stream orders of magnitude
+        smaller than any real encoder emits (solid-color libwebp runs
+        ~0.54 bytes/MB; the floor is 1/512) — declared-dimension fraud,
+        not data."""
+        bomb = bytearray(20)
+        bomb[0:3] = (4 << 5).to_bytes(3, "little")
+        bomb[3:6] = b"\x9d\x01\x2a"
+        bomb[6:8] = (8000).to_bytes(2, "little")   # 64 Mpx < 2^26 budget
+        bomb[8:10] = (8000).to_bytes(2, "little")  # but 250k MBs vs 20 B
+        with pytest.raises(VP8Error, match="implausibly small"):
+            decode_vp8_keyframe(bytes(bomb))
+
+    def test_max_pixels_overridable_for_trusted_input(self):
+        chunk = self._chunk()  # 32x24 — passes any budget
+        w, h, *_ = decode_vp8_keyframe(chunk, max_pixels=32 * 24)
+        assert (w, h) == (32, 24)
+        with pytest.raises(VP8Error, match="pixel"):
+            decode_vp8_keyframe(chunk, max_pixels=100)
+
     def test_partition_size_overrun_rejected(self):
         chunk = bytearray(self._chunk())
         # inflate the first-partition length beyond the frame

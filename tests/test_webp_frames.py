@@ -82,6 +82,39 @@ class TestIterFrames:
         with pytest.raises(WebpError):
             list(iter_webp_frames(b"\x89PNG\r\n\x1a\n"))
 
+    def test_leading_alph_subchunk_skipped_to_bitstream(self):
+        """The container spec places an optional ALPH chunk BEFORE the
+        bitstream chunk inside an ANMF frame (lossy-with-alpha
+        animation); r9 raised 'unsupported ANMF sub-chunk' on every
+        such frame (r10 ADVICE). The ALPH body is now carried through
+        on the frame dict."""
+        chunk = _vp8l_chunk(GREY)
+        alph = b"\x00" + bytes(range(16))  # raw-compression ALPH, 4x4
+        anim = _anim([
+            build_anmf_chunk(0, 0, 4, 4, 40, chunk, b"VP8L", alph=alph),
+            build_anmf_chunk(0, 0, 4, 4, 60, chunk, b"VP8L"),
+        ])
+        frames = list(iter_webp_frames(anim))
+        assert [f["frame_ix"] for f in frames] == [0, 1]
+        assert frames[0]["alph"] == alph and frames[1]["alph"] is None
+        assert frames[0]["codec"] == "vp8l"
+        # odd-sized ALPH bodies are padded in the container
+        odd = b"\x00" + bytes(15)
+        (f,) = iter_webp_frames(_anim([
+            build_anmf_chunk(0, 0, 4, 4, 40, chunk, b"VP8L", alph=odd)]))
+        assert f["alph"] == odd
+
+    def test_dispose_blend_flags_roundtrip(self):
+        chunk = _vp8l_chunk(GREY)
+        anim = _anim([
+            build_anmf_chunk(0, 0, 4, 4, 10, chunk, b"VP8L",
+                             dispose=1, blend=1),
+            build_anmf_chunk(0, 0, 4, 4, 10, chunk, b"VP8L"),
+        ])
+        frames = list(iter_webp_frames(anim))
+        assert (frames[0]["dispose"], frames[0]["blend"]) == (1, 1)
+        assert (frames[1]["dispose"], frames[1]["blend"]) == (0, 0)
+
 
 class TestFrameTable:
     def test_dedup_by_decoded_pixels_across_animations(self, spark):
@@ -106,3 +139,22 @@ class TestFrameTable:
         assert len(rows) == 3
         assert by[(0, 0)].pixel_md5 == by[(1, 0)].pixel_md5
         assert by[(1, 1)].pixel_md5 != by[(1, 0)].pixel_md5
+
+    def test_per_payload_error_isolation(self, spark):
+        """One malformed animation must not fail the whole task: it
+        yields a quarantine row (codec='error', null digest) while the
+        good payload in the same batch still decodes (r10 ADVICE)."""
+        from ndr_import_spark.operators.multimodal import webp_frame_table
+
+        chunk = _vp8l_chunk(GREY)
+        good = _anim([build_anmf_chunk(0, 0, 4, 4, 10, chunk, b"VP8L")])
+        bad = _anim([b"\x00" * 10])  # truncated ANMF header
+        df = spark.createDataFrame(
+            [(0, bytearray(good)), (1, bytearray(bad))],
+            "media_id long, payload binary",
+        )
+        rows = {r.media_id: r for r in webp_frame_table(df).collect()}
+        assert len(rows) == 2
+        assert rows[0].codec == "vp8l" and rows[0].pixel_md5
+        assert rows[1].codec == "error" and rows[1].pixel_md5 is None
+        assert rows[1].frame_ix == -1
