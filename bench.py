@@ -149,9 +149,11 @@ def _run_batch(names: list[str], sf_dir: str, cpus: str, per_q_budget: float) ->
             if steady:
                 out["sec"] = round(min(steady), 4)
                 out["mode"] = f"steady{len(steady)}"
+                out["runs"] = [round(s, 4) for s in steady]
             else:
                 out["sec"] = round(cold, 4)
                 out["mode"] = "cold"
+                out["runs"] = []
         except Exception as e:  # noqa: BLE001
             out["error"] = f"{type(e).__name__}: {e}"
         print("BENCH_SINGLE " + json.dumps(out), flush=True)
@@ -184,6 +186,8 @@ def main() -> int:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     modes: dict[str, str] = {}
+    samples: dict[str, dict] = {}
+    solo_remeasured: list[str] = []
     total = 0.0
 
     out_path = os.environ.get(
@@ -207,6 +211,12 @@ def main() -> int:
                 "budget_sec": BUDGET,
                 "cold_run_sec": cold,
                 "run_mode": modes,
+                # variance receipts (r9 VERDICT ask 4): per-query steady
+                # sample count + spread so a round-over-round delta inside
+                # the spread band is dismissible without re-measuring.
+                # Kept in a sibling key — the "queries" values stay plain
+                # numbers because the driver's contract is {"q": sec}.
+                "samples": samples,
                 "start_load1": load_seen,
             },
             allow_nan=False,
@@ -219,6 +229,26 @@ def main() -> int:
                 f.write(payload + "\n")
         except OSError as e:
             sys.stderr.write(f"bench: could not write {out_path}: {e}\n")
+        # FINAL stdout line (r9 VERDICT ask 5): a <=1 KB machine-readable
+        # summary, so a 2 KB capture tail always carries parseable totals
+        # even when the full payload line gets truncated mid-JSON (the
+        # r7-r9 failure mode: BENCH_rN.json "parsed" was null every round).
+        ok = {k: v for k, v in timings.items() if v == v}
+        heaviest = dict(
+            sorted(((k, round(v, 2)) for k, v in ok.items()),
+                   key=lambda kv: -kv[1])[:10]
+        )
+        print(json.dumps({
+            "metric": "total_query_wall_sec",
+            "value": round(total, 4),
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "n_err": len(timings) - len(ok),
+            "n_solo_remeasured": len(solo_remeasured),
+            "heaviest": heaviest,
+            "full_artifact": out_path,
+        }, allow_nan=False), flush=True)
 
     # a driver-side `timeout` must still yield a JSON artifact: print the
     # queries measured so far on SIGTERM/SIGINT before exiting
@@ -271,6 +301,16 @@ def main() -> int:
                 timings[nm] = round(rec["sec"], 4)
                 cold[nm] = rec["cold"]
                 modes[nm] = rec.get("mode", "steady")
+                runs = sorted(rec.get("runs", []))
+                if runs:
+                    med = runs[len(runs) // 2]
+                    samples[nm] = {
+                        "n": len(runs),
+                        "med": round(med, 4),
+                        "spread": round(med - runs[0], 4),
+                    }
+                else:  # cold-only billing under extreme budget pressure
+                    samples[nm] = {"n": 0, "med": None, "spread": None}
                 total += rec["sec"]
         return seen
 
@@ -366,6 +406,7 @@ def main() -> int:
                              min(max(time_left + 60.0, 180.0), 600.0))
         if nm in solo_seen and timings[nm] == timings[nm]:
             modes[nm] = modes.get(nm, "steady") + "+solo"
+            solo_remeasured.append(nm)
         else:  # solo fork died: restore the batched measurement
             timings[nm] = batched_sec
             if batched_cold is not None:

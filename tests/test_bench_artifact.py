@@ -62,6 +62,25 @@ def test_bench_covers_every_query():
     assert not bad, f"non-numeric/unfinished bench entries committed: {bad}"
 
 
+def test_bench_variance_receipts():
+    """r9 VERDICT ask 4: every bench row carries its steady-sample count
+    and min/median spread so round-over-round deltas inside the noise
+    band are dismissible without re-measuring. (Kept under a sibling
+    "samples" key — the "queries" values stay plain numbers because the
+    driver's contract is {"q": sec}.)"""
+    art = _load_artifact()
+    if "samples" not in art:
+        import pytest
+
+        pytest.skip("committed artifact predates the r10 samples protocol")
+    missing = set(art["queries"]) - set(art["samples"])
+    assert not missing, f"bench rows without variance receipts: {missing}"
+    for name, s in art["samples"].items():
+        assert set(s) >= {"n", "med", "spread"}, (name, s)
+        if s["n"] > 0:
+            assert s["med"] is not None and s["spread"] >= 0, (name, s)
+
+
 def test_bench_total_is_sum_of_rows():
     art = _load_artifact()
     total = sum(art["queries"].values())
