@@ -209,6 +209,17 @@ def extract_audio_features(
             return wav_audio_decoder(raw)
         if is_flac(raw):
             return flac_audio_decoder(raw)
+        from ndr_import_spark.functions.mp3 import decode_mp3, is_mp3
+
+        if is_mp3(raw):
+            # env-gated: binds the system libmpg123 when present (the
+            # Avro-jar/libheif posture); raises NotImplementedError with
+            # the clean-room rationale otherwise (functions/mp3.py —
+            # structural analytics via mp3_structure_table need no
+            # decoder)
+            sr, nch, pcm = decode_mp3(raw)
+            feat = [float(abs(int(v))) / 32768.0 for v in pcm[:16]]
+            return len(pcm) // max(nch, 1), sr, feat
         raise NotImplementedError(
             "Non-WAV/FLAC audio needs an injected decoder; use "
             "multimodal.set_audio_decoder "
@@ -757,6 +768,49 @@ def image_dedup_groups(df: DataFrame, grid: int = 8) -> DataFrame:
         )
         .select("kept_id", "n_copies")
     )
+
+
+MP3_STRUCT_SCHEMA = (
+    "media_id long, n_frames int, sample_rate int, channels int, "
+    "mpeg1 boolean, duration_ms double, vbr boolean, verdict string, "
+    "max_reservoir_bytes int, huffman_bits long, scalefac_bits long, "
+    "n_long int, n_short int, n_mixed int"
+)
+
+
+def mp3_structure_table(df: DataFrame, payload_col: str = "payload",
+                        id_col: str = "media_id") -> DataFrame:
+    """Structural MP3 triage (r10): one row per payload with the frame
+    walk, bit-reservoir accounting, scalefactor budgets and an integrity
+    verdict (functions/mp3.mp3_structure) — the crawl-scale questions
+    (intact? cut mid-frame? reservoir spliced? exact duration?) answered
+    WITHOUT PCM decode, so the cost is side-info-sized, not audio-sized.
+
+    Arrow mapInPandas, stateless, shuffle-free — payloads never leave
+    their input split, identical scaling posture to extract_features.
+    Unparseable payloads get verdict='not_mp3' (per-payload isolation)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ndr_import_spark.functions.mp3 import Mp3Error, mp3_structure
+
+        cols = [
+            "n_frames", "sample_rate", "channels", "mpeg1", "duration_ms",
+            "vbr", "verdict", "max_reservoir_bytes", "huffman_bits",
+            "scalefac_bits", "n_long", "n_short", "n_mixed",
+        ]
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    s = mp3_structure(bytes(p or b""))
+                    out.append([int(mid)] + [s[c] for c in cols])
+                except Mp3Error:
+                    out.append(
+                        [int(mid), 0, None, None, None, 0.0, None,
+                         "not_mp3", 0, 0, 0, 0, 0, 0])
+            yield pd.DataFrame(out, columns=["media_id"] + cols)
+
+    return df.mapInPandas(run, MP3_STRUCT_SCHEMA)
 
 
 WEBP_FRAME_SCHEMA = (
