@@ -3639,6 +3639,318 @@ FROM f GROUP BY i ORDER BY media_id
 """
 
 
+def q_mp3_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 structural triage at crawl scale (functions/mp3.py +
+    operators/multimodal.mp3_structure_table, r10): 48 deterministic
+    Layer III streams — MPEG-2 LSF intact files, MPEG-1 streams cut
+    mid-frame, mid-stream reservoir splices, and corrupt side info
+    whose scalefactor budget overflows part2_3_length — every side-info
+    field (part2_3_length, scalefac_compress, block types,
+    main_data_begin) derived from md5 bytes so the frame walk,
+    bit-reservoir chain verification, scalefactor bit budgets (MPEG-1
+    slen pairs AND the MPEG-2 LSF partition rows), exact durations and
+    integrity verdicts are all closed-form for the DuckDB oracle.
+    Arrow mapInPandas, shuffle-free until the 4-group aggregate;
+    side-info-sized cost (PCM is never decoded) — at 100 TB the triage
+    reads ~2% of each audio payload's bytes."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions.mp3 import build_layer3_stream
+    from ndr_import_spark.operators import multimodal as MM
+
+    rows = []
+    for i in range(48):
+        hx = _hl.md5(f"mp3{i}".encode()).hexdigest()
+        b = [int(hx[k * 2:k * 2 + 2], 16) for k in range(6)]
+        c = i % 4
+        nfr = 2 + b[0] % 4
+        if c == 0:
+            # MPEG-2 LSF mono, intact: one granule per frame, long blocks
+            frames = [
+                {"granules": [[{
+                    "part2_3_length": 100 + (b[1] + 53 * f) % 800,
+                    "scalefac_compress": b[2] % 400,
+                }]]}
+                for f in range(nfr)
+            ]
+            data = build_layer3_stream(
+                frames, mpeg1=False, sr_idx=0, br_idx=8, mono=True)
+        elif c == 1:
+            # MPEG-1 mono, cut mid-frame
+            frames = [
+                {"granules": [[{
+                    "part2_3_length": 100 + (b[1] + 53 * f) % 800,
+                    "scalefac_compress": b[2] % 16,
+                }] for _ in range(2)]}
+                for f in range(nfr)
+            ]
+            data = build_layer3_stream(
+                frames, mpeg1=True, sr_idx=0, br_idx=9, mono=True)
+            data = data[:len(data) - (1 + b[5] % 100)]
+        elif c == 2:
+            # MPEG-1 mono, reservoir splice + mixed long/short blocks
+            frames = []
+            for f in range(nfr):
+                grs = []
+                for g in range(2):
+                    if (f + g + b[4]) % 3 == 0:
+                        grs.append({
+                            "part2_3_length":
+                                130 + (b[1] + 53 * f + 29 * g) % 700,
+                            "scalefac_compress": b[2] % 8,
+                            "block_type": 2,
+                        })
+                    else:
+                        grs.append({
+                            "part2_3_length":
+                                130 + (b[1] + 53 * f + 29 * g) % 700,
+                            "scalefac_compress": b[2] % 16,
+                        })
+                spec = {"granules": [[grs[0]], [grs[1]]]}
+                if f == 0:
+                    spec["main_data_begin"] = 10 + b[2] % 100
+                frames.append(spec)
+            data = build_layer3_stream(
+                frames, mpeg1=True, sr_idx=0, br_idx=9, mono=True)
+        else:
+            # corrupt side info: budget 74 bits vs part2_3_length 5
+            frames = [
+                {"granules": [[{
+                    "part2_3_length": 5, "scalefac_compress": 15,
+                }] for _ in range(2)]}
+                for _f in range(nfr)
+            ]
+            data = build_layer3_stream(
+                frames, mpeg1=True, sr_idx=0, br_idx=9, mono=True)
+        rows.append((i, bytearray(data)))
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary").repartition(8)
+    t = MM.mp3_structure_table(df)
+    return (
+        t.withColumn(
+            "category",
+            F.when(F.col("media_id") % 4 == 0, "lsf_intact")
+            .when(F.col("media_id") % 4 == 1, "truncated")
+            .when(F.col("media_id") % 4 == 2, "reservoir_spliced")
+            .otherwise("overflow"),
+        )
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_frames").alias("total_frames"),
+            F.round(F.sum("duration_ms") * 1000, 0).cast("long")
+            .alias("total_duration_us"),
+            F.min("verdict").alias("verdict"),
+            F.sum("huffman_bits").alias("total_huffman_bits"),
+            F.sum("scalefac_bits").alias("total_scalefac_bits"),
+            F.sum("n_short").alias("total_short"),
+            F.max("max_reservoir_bytes").alias("max_reservoir"),
+        )
+        .orderBy("category")
+    )
+
+
+_ORACLE_MP3_INTEGRITY = """
+WITH files AS (SELECT unnest(range(48)) AS i),
+slen(sfc, s1, s2) AS (VALUES
+  (0,0,0),(1,0,1),(2,0,2),(3,0,3),(4,3,0),(5,1,1),(6,1,2),(7,1,3),
+  (8,2,1),(9,2,2),(10,2,3),(11,3,1),(12,3,2),(13,3,3),(14,4,2),(15,4,3)),
+p AS (
+  SELECT i, i % 4 AS c,
+    cast(('0x' || substring(md5('mp3' || i), 1, 2)) as int) AS b0,
+    cast(('0x' || substring(md5('mp3' || i), 3, 2)) as int) AS b1,
+    cast(('0x' || substring(md5('mp3' || i), 5, 2)) as int) AS b2,
+    cast(('0x' || substring(md5('mp3' || i), 9, 2)) as int) AS b4,
+    cast(('0x' || substring(md5('mp3' || i), 11, 2)) as int) AS b5
+  FROM files
+),
+par AS (SELECT *, 2 + b0 % 4 AS nfr FROM p),
+-- one row per (file, frame, granule); c=0 has a single granule
+gr AS (
+  SELECT par.*, f.f, g.g
+  FROM par, unnest(range(nfr)) AS f(f), unnest(range(2)) AS g(g)
+  WHERE g.g < CASE WHEN c = 0 THEN 1 ELSE 2 END
+),
+calc AS (
+  SELECT gr.*,
+    CASE WHEN c = 3 THEN 5
+         WHEN c = 2 THEN 130 + (b1 + 53*f + 29*g) % 700
+         ELSE 100 + (b1 + 53*f) % 800 END AS p23,
+    CASE WHEN c = 2 AND (f + g + b4) % 3 = 0 THEN 1 ELSE 0 END AS is_short,
+    CASE
+      WHEN c = 0 THEN  -- LSF partition row 0 (sfc < 400), long blocks
+        6 * (((b2 % 400) // 16) // 5) + 5 * (((b2 % 400) // 16) % 5)
+        + 5 * (((b2 % 400) % 16) // 4) + 5 * ((b2 % 400) % 4)
+      WHEN c = 3 THEN 74  -- sfc 15 -> slen (4,3): 11*4 + 10*3
+      WHEN c = 2 AND (f + g + b4) % 3 = 0 THEN
+        (SELECT 18 * (s1 + s2) FROM slen WHERE sfc = b2 % 8)
+      ELSE (SELECT 11 * s1 + 10 * s2 FROM slen WHERE sfc = b2 % 16)
+    END AS part2,
+    -- truncated files: the cut final frame is never side-parsed
+    CASE WHEN c = 1 AND f = nfr - 1 THEN 0 ELSE 1 END AS counted
+  FROM gr
+),
+per_file AS (
+  SELECT i, c, nfr,
+    sum(CASE WHEN counted = 1 AND part2 <= p23
+             THEN p23 - part2 ELSE 0 END) AS hb,
+    sum(CASE WHEN counted = 1 THEN part2 ELSE 0 END) AS sb,
+    sum(CASE WHEN counted = 1 THEN is_short ELSE 0 END) AS nshort,
+    round((CASE WHEN c = 1 THEN nfr - 1 ELSE nfr END)
+          * (CASE WHEN c = 0 THEN 576000.0 / 22050
+                  ELSE 1152000.0 / 44100 END), 3) AS dur_ms,
+    CASE WHEN c = 2 THEN 10 + max(b2) % 100 ELSE 0 END AS resv
+  FROM calc GROUP BY i, c, nfr
+)
+SELECT
+  CASE c WHEN 0 THEN 'lsf_intact' WHEN 1 THEN 'truncated'
+         WHEN 2 THEN 'reservoir_spliced' ELSE 'overflow' END AS category,
+  count(*) AS n_files,
+  cast(sum(nfr) as bigint) AS total_frames,
+  cast(round(sum(dur_ms) * 1000, 0) as bigint) AS total_duration_us,
+  CASE c WHEN 0 THEN 'ok' WHEN 1 THEN 'truncated'
+         WHEN 2 THEN 'reservoir_broken' ELSE 'part2_overflow' END
+    AS verdict,
+  cast(sum(hb) as bigint) AS total_huffman_bits,
+  cast(sum(sb) as bigint) AS total_scalefac_bits,
+  cast(sum(nshort) as bigint) AS total_short,
+  cast(max(resv) as int) AS max_reservoir
+FROM per_file GROUP BY c ORDER BY category
+"""
+
+
+def q_webp_anim_canvas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-WebP CANVAS COMPOSITING (functions/webp.
+    composite_webp_frames + operators/multimodal.webp_canvas_table,
+    r10): 24 three-frame animations — a full-canvas opaque base, a
+    semi-transparent 4x4 overlay whose BLEND (alpha-composite vs
+    overwrite) and DISPOSE (clear-to-transparent vs keep) flags come
+    from md5 bits, then a corner patch — so every composited canvas is
+    a piecewise-rectangular function of the md5-derived colors and the
+    spec's blend formula in exact integer form: over an opaque base,
+    C = (Sc*Sa + Dc*(255-Sa)) // 255. The per-frame canvas channel
+    sums are therefore closed-form for the DuckDB oracle across all
+    four (blend, dispose) regimes — the viewer-visible state, not the
+    raw sub-rectangles. Frames are real VP8L streams with alpha
+    literals (encode_vp8l_chunk) decoded by the clean-room VP8L path.
+    Arrow mapInPandas, shuffle-free: canvases never leave their task;
+    only 32-byte digests/sums shuffle."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions.webp import (
+        build_anmf_chunk,
+        build_vp8x_header,
+        build_webp_container,
+        encode_vp8l_chunk,
+    )
+    from ndr_import_spark.operators import multimodal as MM
+
+    rows = []
+    for i in range(24):
+        hx = _hl.md5(f"canvas{i}".encode()).hexdigest()
+        b = [int(hx[k * 2:k * 2 + 2], 16) for k in range(14)]
+        c0 = bytes([b[0], b[1], b[2], 255])
+        c1 = bytes([b[3], b[4], b[5], b[6]])
+        c2 = bytes([b[7], b[8], b[9], 255])
+        bl1, d1 = b[10] % 2, (b[10] // 2) % 2
+        payload = build_webp_container(
+            [(b"VP8X", build_vp8x_header(8, 8, animation=True)),
+             (b"ANMF", build_anmf_chunk(
+                 0, 0, 8, 8, 10 + b[11] % 50,
+                 encode_vp8l_chunk(8, 8, c0 * 64), b"VP8L",
+                 dispose=0, blend=1)),
+             (b"ANMF", build_anmf_chunk(
+                 2, 2, 4, 4, 10 + b[12] % 50,
+                 encode_vp8l_chunk(4, 4, c1 * 16), b"VP8L",
+                 dispose=d1, blend=bl1)),
+             (b"ANMF", build_anmf_chunk(
+                 0, 0, 2, 2, 10 + b[13] % 50,
+                 encode_vp8l_chunk(2, 2, c2 * 4), b"VP8L",
+                 dispose=0, blend=0))]
+        )
+        rows.append((i, bytearray(payload)))
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary").repartition(8)
+    return (
+        MM.webp_canvas_table(df)
+        .select("media_id", "frame_ix", "duration_ms",
+                "sum_r", "sum_g", "sum_b", "sum_a")
+        .orderBy("media_id", "frame_ix")
+    )
+
+
+_ORACLE_WEBP_ANIM_CANVAS = """
+WITH a AS (SELECT unnest(range(24)) AS i),
+p AS (SELECT i, md5('canvas' || i) AS hx FROM a),
+b AS (
+  SELECT i,
+    cast(('0x' || substring(hx, 1, 2)) as int) AS c0r,
+    cast(('0x' || substring(hx, 3, 2)) as int) AS c0g,
+    cast(('0x' || substring(hx, 5, 2)) as int) AS c0b,
+    cast(('0x' || substring(hx, 7, 2)) as int) AS c1r,
+    cast(('0x' || substring(hx, 9, 2)) as int) AS c1g,
+    cast(('0x' || substring(hx, 11, 2)) as int) AS c1b,
+    cast(('0x' || substring(hx, 13, 2)) as int) AS a1,
+    cast(('0x' || substring(hx, 15, 2)) as int) AS c2r,
+    cast(('0x' || substring(hx, 17, 2)) as int) AS c2g,
+    cast(('0x' || substring(hx, 19, 2)) as int) AS c2b,
+    cast(('0x' || substring(hx, 21, 2)) as int) AS fl,
+    cast(('0x' || substring(hx, 23, 2)) as int) AS du0,
+    cast(('0x' || substring(hx, 25, 2)) as int) AS du1,
+    cast(('0x' || substring(hx, 27, 2)) as int) AS du2
+  FROM p
+),
+d AS (
+  SELECT *, fl % 2 AS bl1, (fl // 2) % 2 AS d1,
+    -- the spec blend formula over an opaque base, exact integer form
+    (c1r * a1 + c0r * (255 - a1)) // 255 AS vr,
+    (c1g * a1 + c0g * (255 - a1)) // 255 AS vg,
+    (c1b * a1 + c0b * (255 - a1)) // 255 AS vb,
+    -- the overlay pixel as shown: overwrite keeps (c1, a1), blend
+    -- resolves to (v*, 255)
+    CASE WHEN fl % 2 = 1 THEN 0 ELSE 1 END AS blended
+  FROM b
+),
+f AS (SELECT d.*, t.j FROM d, unnest(range(3)) AS t(j))
+SELECT i AS media_id, cast(j as int) AS frame_ix,
+  cast(CASE j WHEN 0 THEN 10 + du0 % 50 WHEN 1 THEN 10 + du1 % 50
+       ELSE 10 + du2 % 50 END as int) AS duration_ms,
+  cast(CASE j
+    WHEN 0 THEN 64 * c0r
+    WHEN 1 THEN 16 * (CASE WHEN bl1 = 1 THEN c1r ELSE vr END) + 48 * c0r
+    ELSE 4 * c2r
+      + (CASE WHEN d1 = 1 THEN 0
+              ELSE 16 * (CASE WHEN bl1 = 1 THEN c1r ELSE vr END) END)
+      + 44 * c0r
+  END as bigint) AS sum_r,
+  cast(CASE j
+    WHEN 0 THEN 64 * c0g
+    WHEN 1 THEN 16 * (CASE WHEN bl1 = 1 THEN c1g ELSE vg END) + 48 * c0g
+    ELSE 4 * c2g
+      + (CASE WHEN d1 = 1 THEN 0
+              ELSE 16 * (CASE WHEN bl1 = 1 THEN c1g ELSE vg END) END)
+      + 44 * c0g
+  END as bigint) AS sum_g,
+  cast(CASE j
+    WHEN 0 THEN 64 * c0b
+    WHEN 1 THEN 16 * (CASE WHEN bl1 = 1 THEN c1b ELSE vb END) + 48 * c0b
+    ELSE 4 * c2b
+      + (CASE WHEN d1 = 1 THEN 0
+              ELSE 16 * (CASE WHEN bl1 = 1 THEN c1b ELSE vb END) END)
+      + 44 * c0b
+  END as bigint) AS sum_b,
+  cast(CASE j
+    WHEN 0 THEN 64 * 255
+    WHEN 1 THEN 16 * (CASE WHEN bl1 = 1 THEN a1 ELSE 255 END) + 48 * 255
+    ELSE 4 * 255
+      + (CASE WHEN d1 = 1 THEN 0
+              ELSE 16 * (CASE WHEN bl1 = 1 THEN a1 ELSE 255 END) END)
+      + 44 * 255
+  END as bigint) AS sum_a
+FROM f ORDER BY media_id, frame_ix
+"""
+
+
 def q_heif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVIF/HEIC probe + GPS scrub + decode cross-check
     (functions/heif.py, r9): 20 real images — AV1 (AVIF) and HEVC
@@ -11010,6 +11322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webp_anim_frames": q_webp_anim_frames,
         "heif_metadata": q_heif_metadata,
         "cross_codec_dedup": q_cross_codec_dedup,
+        "mp3_integrity": q_mp3_integrity,
+        "webp_anim_canvas": q_webp_anim_canvas,
     }
 
 
@@ -11230,6 +11544,8 @@ def oracle_sql() -> dict[str, str]:
         "webp_anim_frames": _ORACLE_WEBP_ANIM,
         "heif_metadata": _ORACLE_HEIF_METADATA,
         "cross_codec_dedup": _ORACLE_CROSS_CODEC_DEDUP,
+        "mp3_integrity": _ORACLE_MP3_INTEGRITY,
+        "webp_anim_canvas": _ORACLE_WEBP_ANIM_CANVAS,
         "zorder_locality": zorder_oracle_sql(
             "events",
             "user_id",

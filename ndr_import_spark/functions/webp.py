@@ -1002,6 +1002,108 @@ def encode_webp(width: int, height: int, rgb: bytes) -> bytes:
     return _wrap_vp8l(bw)
 
 
+def encode_vp8l_chunk(width: int, height: int, rgba: bytes) -> bytes:
+    """(width, height, RGBA bytes) -> a raw VP8L stream (chunk body)
+    carrying real alpha literals — the fixture encoder for animation
+    frames (build_anmf_chunk embeds it directly)."""
+    if len(rgba) != width * height * 4:
+        raise WebpError("rgba length must be width*height*4")
+    bw = _BitWriter()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    has_alpha = any(rgba[i] != 255 for i in range(3, len(rgba), 4))
+    bw.write(1 if has_alpha else 0, 1)
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    argb = [
+        rgba[4 * i + 3] << 24
+        | rgba[4 * i] << 16
+        | rgba[4 * i + 1] << 8
+        | rgba[4 * i + 2]
+        for i in range(width * height)
+    ]
+    _write_literal_image(bw, argb, level0=True)
+    return b"\x2f" + bw.bytes()
+
+
+# ------------------------------------------------- canvas compositing (r10)
+
+
+def composite_webp_frames(data: bytes):
+    """Yield per-frame COMPOSITED canvases for an animated (or still)
+    WebP — what a viewer sees — honoring the VP8X canvas size and each
+    ANMF frame's x/y offset, dispose and blend flags. Yields dicts
+    {frame_ix, duration_ms, canvas} with canvas = RGBA bytes (row-major,
+    canvas_w*canvas_h*4); canvas dims come from webp_metadata.
+
+    Semantics (container spec): the canvas starts transparent black;
+    blend method 1 overwrites the frame rectangle, method 0
+    alpha-composites with the spec's non-premultiplied formula — here in
+    exact integer form: A_out = (255*Sa + Da*(255-Sa)) // 255 and
+    C_out = (Sc*Sa*255 + Dc*Da*(255-Sa)) // (255*Sa + Da*(255-Sa))
+    (0 when fully transparent), which reduces to the classic
+    (Sc*Sa + Dc*(255-Sa)) // 255 lerp over an opaque destination.
+    Dispose method 1 clears the frame rectangle to transparent black
+    AFTER the frame is shown.
+
+    Frame pixels: VP8L frames decode to exact RGBA (decode_vp8l, gated
+    by the repo's VP8L suite); lossy VP8 frames use the clean-room
+    keyframe decoder's luma as gray RGB (the repo's documented lossy
+    contract) with the frame's ALPH chunk decoded for alpha. The
+    container ships no libwebpdemux, so AnimDecoder parity is an
+    auto-activating env-gate in tests; the blend/dispose arithmetic is
+    pinned by analytic cases instead (opaque src == src, alpha-0 src ==
+    dst, the closed-form lerp over opaque backgrounds)."""
+    import numpy as np
+
+    data = bytes(data)
+    meta = webp_metadata(data)
+    cw, ch_ = meta["width"], meta["height"]
+    canvas = np.zeros((ch_, cw, 4), dtype=np.uint8)
+    for fr in iter_webp_frames(data):
+        fw, fh = fr["width"], fr["height"]
+        if fr["codec"] == "vp8l":
+            _w, _h, _c, px = decode_vp8l(fr["payload"])
+            frame = np.frombuffer(px, dtype=np.uint8).reshape(fh, fw, 4)
+        else:
+            from ndr_import_spark.functions.vp8 import decode_vp8_keyframe
+
+            _w, _h, y, _u, _v = decode_vp8_keyframe(fr["payload"])
+            frame = np.empty((fh, fw, 4), dtype=np.uint8)
+            frame[:, :, 0] = frame[:, :, 1] = frame[:, :, 2] = \
+                y[:fh, :fw]
+            if fr.get("alph"):
+                alpha = decode_alph(fr["alph"], fw, fh)
+                frame[:, :, 3] = np.frombuffer(
+                    alpha, dtype=np.uint8).reshape(fh, fw)
+            else:
+                frame[:, :, 3] = 255
+        x, y0 = fr["x"], fr["y"]
+        if x + fw > cw or y0 + fh > ch_:
+            raise WebpError("ANMF frame rectangle exceeds the canvas")
+        rect = canvas[y0:y0 + fh, x:x + fw]
+        if fr["blend"]:
+            rect[:] = frame
+        else:
+            sa = frame[:, :, 3:4].astype(np.int64)
+            da = rect[:, :, 3:4].astype(np.int64)
+            src = frame[:, :, :3].astype(np.int64)
+            dst = rect[:, :, :3].astype(np.int64)
+            denom = 255 * sa + da * (255 - sa)
+            a_out = denom // 255
+            num = src * sa * 255 + dst * da * (255 - sa)
+            rgb_out = np.where(denom > 0, num // np.maximum(denom, 1), 0)
+            rect[:, :, :3] = rgb_out.astype(np.uint8)
+            rect[:, :, 3:4] = a_out.astype(np.uint8)
+        yield {
+            "frame_ix": fr["frame_ix"],
+            "duration_ms": fr["duration_ms"],
+            "canvas": canvas.tobytes(),
+        }
+        if fr["dispose"]:
+            rect[:] = 0
+
+
 def webp_image_decoder(data: bytes) -> tuple[int, int, list[float]]:
     """`set_image_decoder`-shaped decoder over real WebP bytes."""
     from ndr_import_spark.functions.png import grid_features

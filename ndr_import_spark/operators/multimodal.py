@@ -770,6 +770,58 @@ def image_dedup_groups(df: DataFrame, grid: int = 8) -> DataFrame:
     )
 
 
+WEBP_CANVAS_SCHEMA = (
+    "media_id long, frame_ix int, duration_ms int, canvas_md5 string, "
+    "sum_r long, sum_g long, sum_b long, sum_a long"
+)
+
+
+def webp_canvas_table(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "media_id") -> DataFrame:
+    """Composited-canvas frame table (r10, the compositing twin of
+    webp_frame_table): one row per ANIMATION FRAME with the digest and
+    per-channel sums of the canvas AS A VIEWER SEES IT — VP8X
+    dispose/blend honored via functions/webp.composite_webp_frames — so
+    frame-level dedup/scrubbing operates on rendered content, not raw
+    sub-rectangles (two animations that LOOK identical but carve their
+    deltas differently collapse here and nowhere else).
+
+    Arrow mapInPandas, stateless, shuffle-free: the canvases of one
+    animation live and die inside one task; only digests and channel
+    sums (32 bytes/frame) ever reach the shuffle. Per-payload error
+    isolation: a malformed animation yields one frame_ix=-1 row."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ndr_import_spark.functions.vp8 import VP8Error
+        from ndr_import_spark.functions.webp import (
+            WebpError,
+            composite_webp_frames,
+        )
+
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    for fr in composite_webp_frames(bytes(p)):
+                        c = fr["canvas"]
+                        out.append((
+                            int(mid), fr["frame_ix"], fr["duration_ms"],
+                            hashlib.md5(c).hexdigest(),
+                            sum(c[0::4]), sum(c[1::4]),
+                            sum(c[2::4]), sum(c[3::4]),
+                        ))
+                except (WebpError, VP8Error, NotImplementedError):
+                    out.append((int(mid), -1, None, None,
+                                None, None, None, None))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "frame_ix", "duration_ms", "canvas_md5",
+                "sum_r", "sum_g", "sum_b", "sum_a",
+            ])
+
+    return df.mapInPandas(run, WEBP_CANVAS_SCHEMA)
+
+
 MP3_STRUCT_SCHEMA = (
     "media_id long, n_frames int, sample_rate int, channels int, "
     "mpeg1 boolean, duration_ms double, vbr boolean, verdict string, "
