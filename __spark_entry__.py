@@ -11133,13 +11133,13 @@ GATED = [
     'lang_id', 'training_pipeline', 'training_mix',
     'bm25_search', 'hybrid_search_rrf', 'tfidf_top_terms',
     'pagerank', 'bfs_reachability', 'scd2_history',
-    'multimodal_mixed_codecs', 'exif_metadata', 'image_dedup',
-    'image_pipeline', 'media_metadata', 'webp_metadata',
-    'audio_features', 'zstd_roundtrip', 'compression_matrix',
+    'multimodal_mixed_codecs', 'exif_metadata', 'heif_metadata',
+    'image_pipeline', 'webp_anim_frames', 'webp_metadata',
+    'audio_features', 'zstd_roundtrip', 'cross_codec_dedup',
     'zstd_dict_train', 'parquet_layout', 'compaction_plan',
     'scan_prune_plan', 'hll_distinct', 'table_profile',
-    'bloom_filter', 'quantile_sketch_eval', 'bpe_tokenizer',
-    'pack_sequences', 'hash_split', 'epoch_shuffle',
+    'bloom_filter', 'mp3_integrity', 'bpe_tokenizer',
+    'pack_sequences', 'hash_split', 'webp_anim_canvas',
     'decontaminate', 'split_leakage',
 ]
 
@@ -11175,13 +11175,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "multimodal_mixed_codecs": q_multimodal_mixed_codecs,
         "exif_metadata": q_exif_metadata,
-        "image_dedup": q_image_dedup,
+        "heif_metadata": q_heif_metadata,
         "image_pipeline": q_image_pipeline,
-        "media_metadata": q_media_metadata,
+        "webp_anim_frames": q_webp_anim_frames,
         "webp_metadata": q_webp_metadata,
         "audio_features": q_audio_features,
         "zstd_roundtrip": q_zstd_roundtrip,
-        "compression_matrix": q_compression_matrix,
+        "cross_codec_dedup": q_cross_codec_dedup,
         "zstd_dict_train": q_zstd_dict_train,
         "parquet_layout": q_parquet_layout,
         "compaction_plan": q_compaction_plan,
@@ -11189,11 +11189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "table_profile": q_table_profile,
         "bloom_filter": q_bloom_filter,
-        "quantile_sketch_eval": q_quantile_sketch_eval,
+        "mp3_integrity": q_mp3_integrity,
         "bpe_tokenizer": q_bpe_tokenizer,
         "pack_sequences": q_pack_sequences,
         "hash_split": q_hash_split,
-        "epoch_shuffle": q_epoch_shuffle,
+        "webp_anim_canvas": q_webp_anim_canvas,
         "decontaminate": q_decontaminate,
         "split_leakage": q_split_leakage,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -11319,11 +11319,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_lexical_drift": q_source_lexical_drift,
         "hits_scores": q_hits_scores,
         "neyman_allocation": q_neyman_allocation,
-        "webp_anim_frames": q_webp_anim_frames,
-        "heif_metadata": q_heif_metadata,
-        "cross_codec_dedup": q_cross_codec_dedup,
-        "mp3_integrity": q_mp3_integrity,
-        "webp_anim_canvas": q_webp_anim_canvas,
+        # rotated out of the 50-query driver-gate window in r10 to
+        # make room for the r9/r10 multimodal additions (VERDICT r9
+        # ask 6) - still oracle-gated here like every registry entry
+        "image_dedup": q_image_dedup,
+        "media_metadata": q_media_metadata,
+        "compression_matrix": q_compression_matrix,
+        "quantile_sketch_eval": q_quantile_sketch_eval,
+        "epoch_shuffle": q_epoch_shuffle,
     }
 
 
