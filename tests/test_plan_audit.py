@@ -570,3 +570,32 @@ class TestR8PlanShapes:
         assert "CartesianProduct" not in p
         # the epoch fan-out is a broadcast of 4 rows, not a shuffle
         assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+class TestRound10Plans:
+    """Plan pins for the r10 multimodal additions: both are stateless
+    Arrow passes whose ONLY exchanges are the final analytic aggregate
+    (mp3) / output ordering (canvas) — payloads must never shuffle."""
+
+    def test_mp3_integrity_payloads_never_shuffle(self, spark):
+        df = entry.queries()["mp3_integrity"](spark, SF_DIR)
+        p = plan(df, "simple")
+        assert "CartesianProduct" not in p
+        # the payload column must be consumed by the Python runner
+        # BEFORE any Exchange: the only shuffled rows are the
+        # 14-column structural summaries and the 4-group aggregate
+        python_part = p.split("MapInPandas", 1)[0]
+        assert "payload" not in python_part.split("Exchange")[0] or \
+            "Exchange" not in python_part, (
+                "payload bytes cross an exchange before the Arrow pass")
+
+    def test_webp_canvas_table_shuffles_sums_not_canvases(self, spark):
+        df = entry.queries()["webp_anim_canvas"](spark, SF_DIR)
+        p = plan(df, "simple")
+        assert "CartesianProduct" not in p
+        assert "MapInPandas" in p
+        # after the Arrow pass only digest/sum columns exist; the
+        # canvas bytes never appear in a post-MapInPandas exchange
+        post = p.split("MapInPandas", 1)[0]  # plan prints top-down:
+        # everything ABOVE MapInPandas is post-pass
+        assert "canvas " not in post
