@@ -3951,6 +3951,100 @@ FROM f ORDER BY media_id, frame_ix
 """
 
 
+def q_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3 tag extraction (functions/mp3.parse_id3v2/parse_id3v1 +
+    operators/multimodal.audio_tag_table, r10): 40 tagged MP3 payloads
+    across four regimes — ID3v2.4 UTF-8 with comment+picture, ID3v2.3
+    latin-1 with TYER/TSSE, ID3v2.4 UTF-16 (BOM decode) with an ID3v1
+    trailer supplying the fields the v2 tag lacks (fallback merge), and
+    ID3v1-only — every text value an md5-hex derivation so all eleven
+    output columns are closed-form for the DuckDB oracle. Tag-sized
+    cost: text frames decode, APIC/audio bytes are never touched.
+    Arrow mapInPandas, shuffle-free except output ordering."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions.mp3 import (
+        build_id3v1,
+        build_id3v2,
+        build_layer3_stream,
+    )
+    from ndr_import_spark.operators import multimodal as MM
+
+    body = build_layer3_stream(
+        [{"granules": [[{"part2_3_length": 100}], [{}]]}] * 2,
+        mpeg1=True, sr_idx=0, br_idx=9, mono=True)
+    rows = []
+    for i in range(40):
+        hx = _hl.md5(f"id3{i}".encode()).hexdigest()
+        title6, yearb = hx[0:6], int(hx[6:8], 16)
+        artist4, album6 = hx[8:12], hx[12:18]
+        genre4, enc4, com4 = hx[18:22], hx[22:26], hx[26:30]
+        c = i % 4
+        if c == 0:
+            tag = build_id3v2(
+                {"TIT2": f"T-{title6}", "TPE1": f"A-{artist4}",
+                 "TALB": f"L-{album6}", "TDRC": str(1950 + yearb % 70),
+                 "TCON": f"G-{genre4}"},
+                version=4, encoding=3, comment=f"c-{com4}", picture=True)
+            payload = tag + body
+        elif c == 1:
+            tag = build_id3v2(
+                {"TIT2": f"T-{title6}", "TPE1": f"A-{artist4}",
+                 "TALB": f"L-{album6}", "TYER": str(1950 + yearb % 70),
+                 "TCON": f"G-{genre4}", "TSSE": f"Lavf-{enc4}"},
+                version=3, encoding=0)
+            payload = tag + body
+        elif c == 2:
+            tag = build_id3v2(
+                {"TIT2": f"Tï-{hx[0:4]}", "TPE1": f"A-{artist4}"},
+                version=4, encoding=1)
+            payload = tag + body + build_id3v1(
+                title="ignored-v2-wins", album=f"L1-{hx[12:16]}",
+                year=str(1980 + yearb % 40), comment=f"vc-{com4}")
+        else:
+            payload = body + build_id3v1(
+                title=f"T1-{hx[0:4]}", artist=f"A1-{hx[8:12]}",
+                album=f"L1-{hx[12:16]}", year=str(1980 + yearb % 40),
+                comment=f"vc-{com4}")
+        rows.append((i, bytearray(payload)))
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary").repartition(8)
+    return MM.audio_tag_table(df).orderBy("media_id")
+
+
+_ORACLE_ID3_TAGS = """
+WITH a AS (SELECT unnest(range(40)) AS i),
+p AS (SELECT i, i % 4 AS c, md5('id3' || i) AS hx FROM a),
+d AS (
+  SELECT *,
+    substring(hx, 1, 6) AS t6, substring(hx, 1, 4) AS t4,
+    cast(('0x' || substring(hx, 7, 2)) as int) AS yb,
+    substring(hx, 9, 4) AS a4, substring(hx, 13, 6) AS l6,
+    substring(hx, 13, 4) AS l4, substring(hx, 19, 4) AS g4,
+    substring(hx, 23, 4) AS e4, substring(hx, 27, 4) AS c4
+  FROM p
+)
+SELECT i AS media_id,
+  CASE c WHEN 0 THEN '2.4' WHEN 1 THEN '2.3' WHEN 2 THEN '2.4'
+         ELSE '1' END AS id3_version,
+  CASE c WHEN 0 THEN 'T-' || t6 WHEN 1 THEN 'T-' || t6
+         WHEN 2 THEN 'Tï-' || t4 ELSE 'T1-' || t4 END AS title,
+  CASE c WHEN 3 THEN 'A1-' || a4 ELSE 'A-' || a4 END AS artist,
+  CASE c WHEN 0 THEN 'L-' || l6 WHEN 1 THEN 'L-' || l6
+         ELSE 'L1-' || l4 END AS album,
+  CASE WHEN c IN (0, 1) THEN cast(1950 + yb % 70 as varchar)
+       ELSE cast(1980 + yb % 40 as varchar) END AS year,
+  CASE WHEN c IN (0, 1) THEN 'G-' || g4 ELSE NULL END AS genre,
+  CASE WHEN c = 1 THEN 'Lavf-' || e4 ELSE NULL END AS encoder,
+  CASE c WHEN 0 THEN 'c-' || c4 WHEN 1 THEN NULL
+         ELSE 'vc-' || c4 END AS comment,
+  (c = 0) AS has_picture,
+  cast(CASE c WHEN 0 THEN 7 WHEN 1 THEN 6 WHEN 2 THEN 2
+       ELSE 0 END as int) AS n_frames
+FROM d ORDER BY media_id
+"""
+
+
 def q_heif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVIF/HEIC probe + GPS scrub + decode cross-check
     (functions/heif.py, r9): 20 real images — AV1 (AVIF) and HEVC
@@ -11327,6 +11421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_matrix": q_compression_matrix,
         "quantile_sketch_eval": q_quantile_sketch_eval,
         "epoch_shuffle": q_epoch_shuffle,
+        "id3_tags": q_id3_tags,
     }
 
 
@@ -11549,6 +11644,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_codec_dedup": _ORACLE_CROSS_CODEC_DEDUP,
         "mp3_integrity": _ORACLE_MP3_INTEGRITY,
         "webp_anim_canvas": _ORACLE_WEBP_ANIM_CANVAS,
+        "id3_tags": _ORACLE_ID3_TAGS,
         "zorder_locality": zorder_oracle_sql(
             "events",
             "user_id",

@@ -53,11 +53,15 @@ from ndr_import_spark.sources.mediameta import _mp3_frame
 
 __all__ = [
     "Mp3Error",
+    "build_id3v1",
+    "build_id3v2",
     "build_layer3_stream",
     "decode_mp3",
     "is_mp3",
     "iter_mp3_frames",
     "mp3_structure",
+    "parse_id3v1",
+    "parse_id3v2",
     "parse_side_info",
 ]
 
@@ -513,6 +517,183 @@ def build_layer3_stream(frames_spec: list[dict], *, mpeg1: bool = True,
         frame += bytes((0x5A + i) & 0xFF for i in range(pad))
         out += frame
     return bytes(out)
+
+
+# ------------------------------------------------------- ID3 tag parsing
+
+
+_ID3_TEXT_ENC = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def _unsync(data: bytes) -> bytes:
+    """Reverse ID3 unsynchronisation: every FF 00 pair becomes FF."""
+    return data.replace(b"\xff\x00", b"\xff")
+
+
+def _id3_text(body: bytes, version: int) -> str:
+    """Decode a text-frame body: encoding byte + text. v2.4 multi-value
+    strings (NUL separators) join with '/'."""
+    if not body:
+        return ""
+    enc = _ID3_TEXT_ENC.get(body[0], "latin-1")
+    raw = body[1:]
+    text = raw.decode(enc, "replace")
+    parts = [p for p in text.split("\x00") if p] if version >= 4 else \
+        [text.split("\x00", 1)[0]]
+    return "/".join(parts)
+
+
+def parse_id3v2(data: bytes) -> dict | None:
+    """Clean-room ID3v2.2/2.3/2.4 tag parse (header + text frames):
+    {version, tag_bytes, tags: {frame_id: text}, has_picture, n_frames,
+    comment}. Returns None when no leading ID3v2 tag exists. Handles
+    syncsafe vs plain frame sizes (2.4 vs 2.3), tag-level (2.3) and
+    frame-level (2.4) unsynchronisation, the 2.2 3-byte frame layout,
+    and the four text encodings. Unknown/binary frames are counted,
+    never decoded — APIC presence is reported without touching the
+    image bytes (the mediameta posture: metadata-sized cost)."""
+    data = bytes(data)
+    if data[:3] != b"ID3" or len(data) < 10:
+        return None
+    ver = data[3]
+    if ver not in (2, 3, 4):
+        return None
+    flags = data[5]
+    size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) | \
+        ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+    body = data[10:10 + size]
+    if ver == 3 and flags & 0x80:  # 2.3: tag-level unsync
+        body = _unsync(body)
+    pos = 0
+    if flags & 0x40 and ver >= 3:  # extended header
+        if pos + 4 > len(body):
+            return None
+        (esz,) = struct.unpack_from(">I", body, pos)
+        if ver == 4:
+            esz = ((esz >> 24) & 0x7F) << 21 | ((esz >> 16) & 0x7F) << 14 \
+                | ((esz >> 8) & 0x7F) << 7 | (esz & 0x7F)
+            pos += esz
+        else:
+            pos += 4 + esz
+    tags: dict[str, str] = {}
+    comment = None
+    has_picture = False
+    n_frames = 0
+    id_len, sz_len = (3, 3) if ver == 2 else (4, 4)
+    hdr_len = id_len + sz_len + (2 if ver >= 3 else 0)
+    while pos + hdr_len <= len(body):
+        fid = body[pos:pos + id_len]
+        if not fid.strip(b"\x00") or not all(
+                65 <= c <= 90 or 48 <= c <= 57 for c in fid):
+            break  # padding / garbage
+        pos += id_len
+        if ver == 2:
+            fsz = int.from_bytes(body[pos:pos + 3], "big")
+            pos += 3
+            fflags = 0
+        else:
+            (fsz,) = struct.unpack_from(">I", body, pos)
+            if ver == 4:
+                fsz = ((fsz >> 24) & 0x7F) << 21 \
+                    | ((fsz >> 16) & 0x7F) << 14 \
+                    | ((fsz >> 8) & 0x7F) << 7 | (fsz & 0x7F)
+            pos += 4
+            (fflags,) = struct.unpack_from(">H", body, pos)
+            pos += 2
+        frame = body[pos:pos + fsz]
+        if len(frame) < fsz:
+            break
+        pos += fsz
+        n_frames += 1
+        if ver == 4 and fflags & 0x02:  # 2.4: frame-level unsync
+            frame = _unsync(frame)
+        name = fid.decode("latin-1")
+        if name in ("APIC", "PIC"):
+            has_picture = True
+        elif name in ("COMM", "COM") and len(frame) >= 4:
+            enc = _ID3_TEXT_ENC.get(frame[0], "latin-1")
+            rest = frame[4:].decode(enc, "replace")
+            comment = rest.split("\x00")[-1] or rest.split("\x00")[0]
+        elif name.startswith("T") and name not in ("TXXX", "TXX"):
+            tags[name] = _id3_text(frame, ver)
+    return {
+        "version": f"2.{ver}",
+        "tag_bytes": 10 + size,
+        "tags": tags,
+        "has_picture": has_picture,
+        "n_frames": n_frames,
+        "comment": comment,
+    }
+
+
+def parse_id3v1(data: bytes) -> dict | None:
+    """ID3v1/v1.1 trailer (the fixed 128-byte 'TAG' block): title,
+    artist, album, year, comment, track (v1.1), genre index."""
+    data = bytes(data)
+    if len(data) < 128 or data[-128:-125] != b"TAG":
+        return None
+    blk = data[-128:]
+
+    def txt(lo, hi):
+        return blk[lo:hi].split(b"\x00")[0].decode(
+            "latin-1", "replace").strip() or None
+
+    track = blk[126] if blk[125] == 0 and blk[126] != 0 else None
+    return {
+        "title": txt(3, 33), "artist": txt(33, 63), "album": txt(63, 93),
+        "year": txt(93, 97),
+        "comment": txt(97, 125 if track is not None else 127),
+        "track": track, "genre": blk[127],
+    }
+
+
+def build_id3v2(tags: dict[str, str], *, version: int = 4,
+                comment: str | None = None, picture: bool = False,
+                encoding: int = 3, padding: int = 0) -> bytes:
+    """Analytic fixture builder: an ID3v2.3/2.4 tag from text frames
+    (the mediameta build_mp3 pattern — every field caller-chosen)."""
+    if version not in (3, 4):
+        raise Mp3Error("builder supports ID3v2.3 / v2.4")
+    if version == 3 and encoding in (2, 3):
+        raise Mp3Error("encodings 2/3 are v2.4-only")
+    frames = bytearray()
+
+    def frame(fid: bytes, body: bytes):
+        if version == 4:
+            sz = bytes([(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+                        (len(body) >> 7) & 0x7F, len(body) & 0x7F])
+        else:
+            sz = struct.pack(">I", len(body))
+        frames.extend(fid + sz + b"\x00\x00" + body)
+
+    codec = _ID3_TEXT_ENC[encoding]
+    for fid, text in tags.items():
+        frame(fid.encode("latin-1"),
+              bytes([encoding]) + text.encode(codec))
+    if comment is not None:
+        # COMM layout: enc + lang + NUL-terminated descriptor + text;
+        # built latin-1 regardless of the text-frame encoding so the
+        # descriptor terminator stays single-byte
+        frame(b"COMM", b"\x00eng\x00"
+              + comment.encode("latin-1", "replace"))
+    if picture:
+        frame(b"APIC", b"\x00image/png\x00\x03\x00" + b"\x89PNG" + bytes(16))
+    frames.extend(bytes(padding))
+    size = len(frames)
+    hdr = b"ID3" + bytes([version, 0, 0]) + bytes([
+        (size >> 21) & 0x7F, (size >> 14) & 0x7F,
+        (size >> 7) & 0x7F, size & 0x7F,
+    ])
+    return hdr + bytes(frames)
+
+
+def build_id3v1(title: str = "", artist: str = "", album: str = "",
+                year: str = "", comment: str = "", genre: int = 255) -> bytes:
+    def pad(s: str, n: int) -> bytes:
+        return s.encode("latin-1", "replace")[:n].ljust(n, b"\x00")
+
+    return (b"TAG" + pad(title, 30) + pad(artist, 30) + pad(album, 30)
+            + pad(year, 4) + pad(comment, 30) + bytes([genre]))
 
 
 # --------------------------------------------------- env-gated PCM decode

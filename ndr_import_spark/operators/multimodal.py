@@ -770,6 +770,78 @@ def image_dedup_groups(df: DataFrame, grid: int = 8) -> DataFrame:
     )
 
 
+AUDIO_TAG_SCHEMA = (
+    "media_id long, id3_version string, title string, artist string, "
+    "album string, year string, genre string, encoder string, "
+    "comment string, has_picture boolean, n_frames int"
+)
+
+
+def audio_tag_table(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "media_id") -> DataFrame:
+    """ID3 tag extraction (r10, the crawl-metadata companion of
+    mp3_structure_table): one row per payload with the common text
+    fields from a leading ID3v2.2/2.3/2.4 tag (functions/mp3.
+    parse_id3v2 — syncsafe/plain sizes, tag- and frame-level
+    unsynchronisation, all four text encodings) falling back to the
+    ID3v1 128-byte trailer for any field the v2 tag lacks. Cost is
+    tag-sized: frame bodies other than text frames are counted, never
+    decoded (APIC presence without touching image bytes).
+
+    Arrow mapInPandas, stateless, shuffle-free; untagged or non-MP3
+    payloads yield id3_version=NULL rather than failing the task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ndr_import_spark.functions.mp3 import parse_id3v1, parse_id3v2
+
+        # v2.4 / v2.3 / v2.2 frame ids for the common fields
+        fields = {
+            "title": ("TIT2", "TT2"), "artist": ("TPE1", "TP1"),
+            "album": ("TALB", "TAL"), "year": ("TDRC", "TYER", "TYE"),
+            "genre": ("TCON", "TCO"), "encoder": ("TSSE", "TSS"),
+        }
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p or b"")
+                v2 = parse_id3v2(raw)
+                v1 = parse_id3v1(raw)
+                rec: dict = {k: None for k in fields}
+                version = comment = None
+                has_pic = False
+                n_frames = 0
+                if v2 is not None:
+                    version = v2["version"]
+                    has_pic = v2["has_picture"]
+                    n_frames = v2["n_frames"]
+                    comment = v2["comment"]
+                    for k, fids in fields.items():
+                        for fid in fids:
+                            if v2["tags"].get(fid):
+                                rec[k] = v2["tags"][fid]
+                                break
+                if v1 is not None:
+                    version = version or "1"
+                    for k in ("title", "artist", "album", "year",
+                              "comment"):
+                        if k == "comment":
+                            comment = comment or v1["comment"]
+                        elif rec.get(k) is None:
+                            rec[k] = v1[k]
+                out.append((
+                    int(mid), version, rec["title"], rec["artist"],
+                    rec["album"], rec["year"], rec["genre"],
+                    rec["encoder"], comment, has_pic, n_frames,
+                ))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "id3_version", "title", "artist", "album",
+                "year", "genre", "encoder", "comment", "has_picture",
+                "n_frames",
+            ])
+
+    return df.mapInPandas(run, AUDIO_TAG_SCHEMA)
+
+
 WEBP_CANVAS_SCHEMA = (
     "media_id long, frame_ix int, duration_ms int, canvas_md5 string, "
     "sum_r long, sum_g long, sum_b long, sum_a long"

@@ -283,3 +283,106 @@ class TestOperator:
         assert rows[0].verdict == "ok" and rows[0].n_frames == 45
         assert rows[1].verdict == "reservoir_broken"
         assert rows[2].verdict == "not_mp3"
+
+
+class TestId3:
+    """ID3v2/v1 tag parsing. Real anchor: the LAME fixture carries an
+    ID3v2.4 tag with a single TSSE frame written by Lavf53.5.0 — the
+    parse must recover it exactly."""
+
+    def test_real_lavf_tag(self):
+        from ndr_import_spark.functions.mp3 import parse_id3v2
+
+        t = parse_id3v2(_lame())
+        assert t["version"] == "2.4"
+        assert t["tags"]["TSSE"] == "Lavf53.5.0"
+        assert t["n_frames"] == 1 and not t["has_picture"]
+        assert t["tag_bytes"] == 32  # frame walk resyncs at exactly 32
+
+    @pytest.mark.parametrize("version,encoding", [
+        (3, 0), (3, 1), (4, 0), (4, 1), (4, 2), (4, 3),
+    ])
+    def test_builder_roundtrip_all_encodings(self, version, encoding):
+        from ndr_import_spark.functions.mp3 import build_id3v2, parse_id3v2
+
+        tags = {"TIT2": "Tïtlé — ünïcode", "TPE1": "Artist",
+                "TALB": "Album"}
+        if encoding == 0:  # latin-1 cannot carry the em-dash
+            tags["TIT2"] = "Tïtlé"
+        data = build_id3v2(tags, version=version, encoding=encoding,
+                           comment="hello", picture=True, padding=17)
+        t = parse_id3v2(data + b"\xff\xfb\x90\x00")
+        assert t["version"] == f"2.{version}"
+        assert t["tags"]["TIT2"] == tags["TIT2"]
+        assert t["tags"]["TALB"] == "Album"
+        assert t["comment"] == "hello" and t["has_picture"]
+
+    def test_v23_tag_level_unsync(self):
+        from ndr_import_spark.functions.mp3 import parse_id3v2
+
+        # hand-build: TIT2 body whose text contains FF E0 (a false sync)
+        # stored unsynchronised as FF 00 E0, tag flag 0x80
+        text = b"\x00A\xff\xe0B"  # latin-1 "A ÿ à B"
+        frame = b"TIT2" + struct_pack_be(len(text)) + b"\x00\x00" + text
+        unsynced = frame.replace(b"\xff", b"\xff\x00")
+        size = len(unsynced)
+        hdr = b"ID3\x03\x00\x80" + bytes([
+            (size >> 21) & 0x7F, (size >> 14) & 0x7F,
+            (size >> 7) & 0x7F, size & 0x7F])
+        t = parse_id3v2(hdr + unsynced)
+        assert t["tags"]["TIT2"] == "AÿàB"
+
+    def test_v22_three_byte_frames(self):
+        from ndr_import_spark.functions.mp3 import parse_id3v2
+
+        body = b"\x00Old Title"
+        frame = b"TT2" + len(body).to_bytes(3, "big") + body
+        hdr = b"ID3\x02\x00\x00" + bytes([0, 0, 0, len(frame)])
+        t = parse_id3v2(hdr + frame)
+        assert t["version"] == "2.2"
+        assert t["tags"]["TT2"] == "Old Title"
+
+    def test_id3v1_trailer(self):
+        from ndr_import_spark.functions.mp3 import build_id3v1, parse_id3v1
+
+        blk = build_id3v1(title="T", artist="A", album="L", year="1999",
+                          comment="c", genre=17)
+        t = parse_id3v1(_lame() + blk)
+        assert (t["title"], t["artist"], t["album"]) == ("T", "A", "L")
+        assert t["year"] == "1999" and t["genre"] == 17
+        assert parse_id3v1(_lame()) is None
+
+    def test_untagged_returns_none(self):
+        from ndr_import_spark.functions.mp3 import parse_id3v2
+
+        assert parse_id3v2(b"\xff\xfb\x90\x00" + bytes(64)) is None
+        assert parse_id3v2(b"") is None
+
+    def test_truncated_tags_never_crash(self):
+        from ndr_import_spark.functions.mp3 import build_id3v2, parse_id3v2
+
+        data = build_id3v2({"TIT2": "x" * 40}, comment="y", picture=True)
+        for cut in range(0, len(data), 3):
+            parse_id3v2(data[:cut])  # None or partial dict, never raise
+
+    def test_operator_v2_with_v1_fallback(self, spark):
+        from ndr_import_spark.functions.mp3 import build_id3v1, build_id3v2
+        from ndr_import_spark.operators.multimodal import audio_tag_table
+
+        v2 = build_id3v2({"TIT2": "V2 Title"}, version=4, encoding=3)
+        payload = v2 + _lame() + build_id3v1(
+            title="v1 loses", album="V1 Album", year="1984")
+        df = spark.createDataFrame(
+            [(0, bytearray(payload)), (1, bytearray(b"no tags here"))],
+            "media_id long, payload binary")
+        rows = {r.media_id: r for r in audio_tag_table(df).collect()}
+        assert rows[0].title == "V2 Title"      # v2 wins
+        assert rows[0].album == "V1 Album"      # v1 fills the gap
+        assert rows[0].year == "1984"
+        assert rows[1].id3_version is None
+
+
+def struct_pack_be(n: int) -> bytes:
+    import struct as _s
+
+    return _s.pack(">I", n)
