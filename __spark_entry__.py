@@ -4045,6 +4045,103 @@ FROM d ORDER BY media_id
 """
 
 
+def q_audio_tags_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-container tag extraction (functions/audiotags.py +
+    audio_tag_table, r10): 36 REAL audio files — FLAC (encode_flac
+    streams with a VORBIS_COMMENT block spliced after STREAMINFO and an
+    optional PICTURE block), Ogg Vorbis and Ogg Opus (comment header
+    packets behind proper page lacing), and WAV (RIFF LIST/INFO
+    appended with a patched RIFF size) — one unified schema across all
+    four, every text value an md5-hex derivation so the DuckDB oracle
+    is closed-form. Proves the container dispatch, the shared
+    VorbisComment parse (incl. key-case folding and picture
+    detection), and the latin-1 RIFF sub-chunk walk. Tag-sized cost;
+    Arrow mapInPandas, shuffle-free except output ordering."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from ndr_import_spark.functions.audiotags import (
+        build_flac_with_comments,
+        build_ogg_opus_tagged,
+        build_ogg_vorbis_tagged,
+        build_riff_info,
+    )
+    from ndr_import_spark.functions.flac import encode_flac
+    from ndr_import_spark.functions.wav import encode_wav
+    from ndr_import_spark.operators import multimodal as MM
+
+    sig = np.array([0.25] * 32 + [-0.25] * 32)
+    flac_base = encode_flac(8000, sig)
+    wav_base = encode_wav(8000, sig, bits=16)
+    rows = []
+    for i in range(36):
+        hx = _hl.md5(f"atag{i}".encode()).hexdigest()
+        t6, a4, l6 = hx[0:6], hx[8:12], hx[12:18]
+        yearb = int(hx[6:8], 16)
+        g4, e4, c4 = hx[18:22], hx[22:26], hx[26:30]
+        year = str(1950 + yearb % 70)
+        c = i % 4
+        if c == 0:
+            payload = build_flac_with_comments(
+                flac_base,
+                {"TITLE": f"T-{t6}", "ARTIST": f"A-{a4}",
+                 "ALBUM": f"L-{l6}", "DATE": year, "GENRE": f"G-{g4}",
+                 "COMMENT": f"c-{c4}"},
+                vendor="ndr-spark", picture=(yearb % 2 == 0))
+        elif c == 1:
+            payload = build_ogg_vorbis_tagged(
+                44100, 2,
+                {"TITLE": f"T-{t6}", "ARTIST": f"A-{a4}",
+                 "ALBUM": f"L-{l6}", "DATE": year,
+                 "ENCODER": f"enc-{e4}"})
+        elif c == 2:
+            payload = build_ogg_opus_tagged(
+                48000, 1,
+                {"title": f"T-{t6}", "artist": f"A-{a4}",
+                 "DESCRIPTION": f"c-{c4}"})  # lowercase keys fold up
+        else:
+            payload = build_riff_info(
+                wav_base,
+                {"INAM": f"T-{t6}", "IART": f"A-{a4}", "IPRD": f"L-{l6}",
+                 "ICRD": year, "IGNR": f"G-{g4}", "ISFT": f"enc-{e4}",
+                 "ICMT": f"c-{c4}"})
+        rows.append((i, bytearray(payload)))
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary").repartition(8)
+    return MM.audio_tag_table(df).orderBy("media_id")
+
+
+_ORACLE_AUDIO_TAGS_MULTI = """
+WITH a AS (SELECT unnest(range(36)) AS i),
+p AS (SELECT i, i % 4 AS c, md5('atag' || i) AS hx FROM a),
+d AS (
+  SELECT *,
+    substring(hx, 1, 6) AS t6,
+    cast(('0x' || substring(hx, 7, 2)) as int) AS yb,
+    substring(hx, 9, 4) AS a4, substring(hx, 13, 6) AS l6,
+    substring(hx, 19, 4) AS g4, substring(hx, 23, 4) AS e4,
+    substring(hx, 27, 4) AS c4
+  FROM p
+)
+SELECT i AS media_id,
+  CASE c WHEN 0 THEN 'flac' WHEN 1 THEN 'vorbis' WHEN 2 THEN 'opus'
+         ELSE 'riff' END AS id3_version,
+  'T-' || t6 AS title,
+  'A-' || a4 AS artist,
+  CASE WHEN c IN (0, 1, 3) THEN 'L-' || l6 ELSE NULL END AS album,
+  CASE WHEN c = 2 THEN NULL
+       ELSE cast(1950 + yb % 70 as varchar) END AS year,
+  CASE WHEN c IN (0, 3) THEN 'G-' || g4 ELSE NULL END AS genre,
+  CASE WHEN c IN (1, 3) THEN 'enc-' || e4 ELSE NULL END AS encoder,
+  CASE WHEN c IN (0, 2, 3) THEN 'c-' || c4 ELSE NULL END AS comment,
+  (c = 0 AND yb % 2 = 0) AS has_picture,
+  cast(CASE c WHEN 0 THEN 6 WHEN 1 THEN 5 WHEN 2 THEN 3
+       ELSE 7 END as int) AS n_frames
+FROM d ORDER BY media_id
+"""
+
+
 def q_heif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVIF/HEIC probe + GPS scrub + decode cross-check
     (functions/heif.py, r9): 20 real images — AV1 (AVIF) and HEVC
@@ -11422,6 +11519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_eval": q_quantile_sketch_eval,
         "epoch_shuffle": q_epoch_shuffle,
         "id3_tags": q_id3_tags,
+        "audio_tags_multi": q_audio_tags_multi,
     }
 
 
@@ -11645,6 +11743,7 @@ def oracle_sql() -> dict[str, str]:
         "mp3_integrity": _ORACLE_MP3_INTEGRITY,
         "webp_anim_canvas": _ORACLE_WEBP_ANIM_CANVAS,
         "id3_tags": _ORACLE_ID3_TAGS,
+        "audio_tags_multi": _ORACLE_AUDIO_TAGS_MULTI,
         "zorder_locality": zorder_oracle_sql(
             "events",
             "user_id",

@@ -779,19 +779,28 @@ AUDIO_TAG_SCHEMA = (
 
 def audio_tag_table(df: DataFrame, payload_col: str = "payload",
                     id_col: str = "media_id") -> DataFrame:
-    """ID3 tag extraction (r10, the crawl-metadata companion of
-    mp3_structure_table): one row per payload with the common text
-    fields from a leading ID3v2.2/2.3/2.4 tag (functions/mp3.
-    parse_id3v2 — syncsafe/plain sizes, tag- and frame-level
-    unsynchronisation, all four text encodings) falling back to the
-    ID3v1 128-byte trailer for any field the v2 tag lacks. Cost is
-    tag-sized: frame bodies other than text frames are counted, never
-    decoded (APIC presence without touching image bytes).
+    """Audio tag extraction across every container a crawl sees (r10):
+    one row per payload with the common text fields from a leading
+    ID3v2.2/2.3/2.4 tag (functions/mp3.parse_id3v2 — syncsafe/plain
+    sizes, tag- and frame-level unsynchronisation, all four text
+    encodings) with ID3v1-trailer fallback, or — when no ID3 exists —
+    the VorbisComment family (FLAC metadata block 4, Ogg Vorbis, Ogg
+    Opus) and WAV RIFF LIST/INFO (functions/audiotags.py), mapped onto
+    one unified schema (`id3_version` carries the container: '2.4',
+    '1', 'flac', 'vorbis', 'opus', 'riff'). Cost is tag-sized: frame
+    bodies other than text are counted, never decoded (APIC / FLAC
+    PICTURE presence without touching image bytes).
 
-    Arrow mapInPandas, stateless, shuffle-free; untagged or non-MP3
-    payloads yield id3_version=NULL rather than failing the task."""
+    Arrow mapInPandas, stateless, shuffle-free; untagged payloads yield
+    id3_version=NULL rather than failing the task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ndr_import_spark.functions.audiotags import (
+            AudioTagError,
+            flac_comments,
+            ogg_comments,
+            riff_info,
+        )
         from ndr_import_spark.functions.mp3 import parse_id3v1, parse_id3v2
 
         # v2.4 / v2.3 / v2.2 frame ids for the common fields
@@ -800,34 +809,67 @@ def audio_tag_table(df: DataFrame, payload_col: str = "payload",
             "album": ("TALB", "TAL"), "year": ("TDRC", "TYER", "TYE"),
             "genre": ("TCON", "TCO"), "encoder": ("TSSE", "TSS"),
         }
+        # VorbisComment and RIFF/INFO key maps onto the same columns
+        vorbis_map = {
+            "title": ("TITLE",), "artist": ("ARTIST",),
+            "album": ("ALBUM",), "year": ("DATE", "YEAR"),
+            "genre": ("GENRE",), "encoder": ("ENCODER",),
+        }
+        riff_map = {
+            "title": ("INAM",), "artist": ("IART",), "album": ("IPRD",),
+            "year": ("ICRD",), "genre": ("IGNR",), "encoder": ("ISFT",),
+        }
+
+        def pick(tags: dict, fids) -> str | None:
+            for fid in fids:
+                if tags.get(fid):
+                    return tags[fid]
+            return None
+
         for pdf in batches:
             out = []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(p or b"")
-                v2 = parse_id3v2(raw)
-                v1 = parse_id3v1(raw)
                 rec: dict = {k: None for k in fields}
                 version = comment = None
                 has_pic = False
                 n_frames = 0
+                v2 = parse_id3v2(raw)
+                v1 = parse_id3v1(raw)
                 if v2 is not None:
                     version = v2["version"]
                     has_pic = v2["has_picture"]
                     n_frames = v2["n_frames"]
                     comment = v2["comment"]
                     for k, fids in fields.items():
-                        for fid in fids:
-                            if v2["tags"].get(fid):
-                                rec[k] = v2["tags"][fid]
-                                break
+                        rec[k] = pick(v2["tags"], fids)
                 if v1 is not None:
                     version = version or "1"
-                    for k in ("title", "artist", "album", "year",
-                              "comment"):
-                        if k == "comment":
-                            comment = comment or v1["comment"]
-                        elif rec.get(k) is None:
-                            rec[k] = v1[k]
+                    for k in ("title", "artist", "album", "year"):
+                        rec[k] = rec[k] or v1[k]
+                    comment = comment or v1["comment"]
+                if version is None:
+                    # VorbisComment family + RIFF INFO
+                    try:
+                        vc = (flac_comments(raw) or ogg_comments(raw))
+                        if vc is not None:
+                            version = vc.get("codec") or "flac"
+                            has_pic = bool(vc.get("has_picture"))
+                            n_frames = vc["n_comments"]
+                            for k, fids in vorbis_map.items():
+                                rec[k] = pick(vc["tags"], fids)
+                            comment = pick(
+                                vc["tags"], ("COMMENT", "DESCRIPTION"))
+                        else:
+                            ri = riff_info(raw)
+                            if ri is not None:
+                                version = "riff"
+                                n_frames = ri["n_comments"]
+                                for k, fids in riff_map.items():
+                                    rec[k] = pick(ri["tags"], fids)
+                                comment = pick(ri["tags"], ("ICMT",))
+                    except AudioTagError:
+                        version = "error"
                 out.append((
                     int(mid), version, rec["title"], rec["artist"],
                     rec["album"], rec["year"], rec["genre"],
