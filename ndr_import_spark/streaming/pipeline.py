@@ -693,3 +693,54 @@ def stream_log2_histogram(
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def stream_audio_triage(
+    media_stream: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Streaming audio triage (r10): route arriving audio payloads by
+    structural integrity + tags WITHOUT decoding PCM — the streaming
+    twin of mp3_structure_table + audio_tag_table, fused into ONE
+    stateless Arrow pass (a stream-stream self-join would add useless
+    state; per-payload both parses are side-info/tag-sized). The
+    output adds a `route` column ('keep' for structurally-intact
+    files, 'quarantine' otherwise) that a forEachBatch sink splits
+    on."""
+    import pandas as pd
+
+    def run(batches):
+        from ndr_import_spark.functions.mp3 import (
+            Mp3Error,
+            mp3_structure,
+            parse_id3v2,
+        )
+
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p or b"")
+                try:
+                    s = mp3_structure(raw)
+                    verdict = s["verdict"]
+                    dur = s["duration_ms"]
+                except Mp3Error:
+                    verdict, dur = "not_mp3", 0.0
+                v2 = parse_id3v2(raw)
+                title = None
+                if v2 is not None:
+                    title = v2["tags"].get("TIT2") or v2["tags"].get("TT2")
+                out.append((
+                    int(mid), verdict, dur, title,
+                    "keep" if verdict == "ok" else "quarantine",
+                ))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "verdict", "duration_ms", "title", "route",
+            ])
+
+    return media_stream.mapInPandas(
+        run,
+        "media_id long, verdict string, duration_ms double, "
+        "title string, route string",
+    )

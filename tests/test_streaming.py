@@ -954,3 +954,51 @@ class TestStreamLog2Histogram:
         }
         assert streamed == batch
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamAudioTriage:
+    def test_stream_routes_by_integrity_and_reads_tags(self, spark):
+        """r10: structural audio triage on a live stream — intact MP3s
+        route 'keep' with their ID3 title, mid-frame cuts and non-audio
+        route 'quarantine' (stream == batch by construction: one
+        stateless Arrow pass, the same functions the batch operators
+        use)."""
+        import shutil
+        import tempfile
+
+        from ndr_import_spark.functions.mp3 import (
+            build_id3v2,
+            build_layer3_stream,
+        )
+        from ndr_import_spark.streaming import stream_audio_triage
+
+        body = build_layer3_stream(
+            [{"granules": [[{"part2_3_length": 150}], [{}]]}] * 3,
+            mpeg1=True, sr_idx=0, br_idx=9, mono=True)
+        good = build_id3v2({"TIT2": "Keep Me"}, version=4) + body
+        cut = body[:len(body) - 40]
+        df = spark.createDataFrame(
+            [(0, bytearray(good)), (1, bytearray(cut)),
+             (2, bytearray(b"\x89PNG not audio"))],
+            "media_id long, payload binary")
+        tmp = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(f"{tmp}/media")
+        stream = spark.readStream.schema(
+            "media_id long, payload binary").parquet(f"{tmp}/media")
+        q = (
+            stream_audio_triage(stream)
+            .writeStream.format("memory")
+            .queryName("audio_triage")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        rows = {r.media_id: r for r in
+                spark.sql("SELECT * FROM audio_triage").collect()}
+        assert rows[0].route == "keep" and rows[0].title == "Keep Me"
+        assert rows[1].route == "quarantine"
+        assert rows[1].verdict == "truncated"
+        assert rows[2].route == "quarantine"
+        assert rows[2].verdict == "not_mp3"
+        shutil.rmtree(tmp, ignore_errors=True)
