@@ -279,14 +279,18 @@ def heif_metadata(data: bytes) -> dict:
         if n:
             out["bit_depth"] = _u8(data, p[1] + 5)
     for iid, typ in items.items():
-        if typ == b"Exif" and iid in iloc:
-            # has_exif reflects the item table, whatever the iloc
-            # construction method — a method-1/2 (idat/item-relative)
-            # Exif must still show up here so quarantine routing has a
-            # signal (r10 ADVICE: the scrub refuses those; the probe
-            # must not simultaneously claim has_exif=False).
+        if typ == b"Exif":
+            # has_exif reflects the item table alone — an Exif infe
+            # with NO iloc entry, or an idat-/item-relative (method
+            # 1/2) one, must still show up here so quarantine routing
+            # has a signal (r10 ADVICE: scrub_heif_exif refuses all
+            # those shapes; the probe must not simultaneously claim
+            # has_exif=False).
             out["has_exif"] = True
-            method, extents = iloc[iid]
+            entry = iloc.get(iid)
+            if entry is None:
+                break
+            method, extents = entry
             if method != 0 or not extents:
                 break
             off, ln = extents[0]

@@ -1064,11 +1064,25 @@ def composite_webp_frames(data: bytes):
         fw, fh = fr["width"], fr["height"]
         if fr["codec"] == "vp8l":
             _w, _h, _c, px = decode_vp8l(fr["payload"])
+            # attacker-controlled embedded streams can declare dims that
+            # disagree with the ANMF header — reshape would ValueError
+            # past the operator's WebpError catch (r10 ADVICE)
+            if (_w, _h) != (fw, fh):
+                raise WebpError(
+                    f"VP8L stream dims {_w}x{_h} disagree with ANMF "
+                    f"frame rectangle {fw}x{fh}")
             frame = np.frombuffer(px, dtype=np.uint8).reshape(fh, fw, 4)
         else:
             from ndr_import_spark.functions.vp8 import decode_vp8_keyframe
 
             _w, _h, y, _u, _v = decode_vp8_keyframe(fr["payload"])
+            if _w < fw or _h < fh:
+                # lossy VP8 pads to macroblock multiples, so decoded dims
+                # may legitimately EXCEED the frame rect (y[:fh,:fw]
+                # crops); smaller means the stream lied about its size
+                raise WebpError(
+                    f"VP8 stream dims {_w}x{_h} smaller than ANMF "
+                    f"frame rectangle {fw}x{fh}")
             frame = np.empty((fh, fw, 4), dtype=np.uint8)
             frame[:, :, 0] = frame[:, :, 1] = frame[:, :, 2] = \
                 y[:fh, :fw]

@@ -108,6 +108,11 @@ class TestScrubRefusal:
         iinf = _fullbox(
             b"iinf", 0, (1).to_bytes(2, "big") + _infe(1, b"Exif"))
         data = _heic(iinf)
+        # probe and scrub must agree (r10 ADVICE): the scrub refuses
+        # this shape, so the probe must still flag has_exif=True (no
+        # GPS extraction possible — the quarantine signal is the point)
+        m = heif_metadata(data)
+        assert m["has_exif"] and not m["has_gps"]
         with pytest.raises(HeifError, match="no iloc"):
             scrub_heif_exif(data)
 

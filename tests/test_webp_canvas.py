@@ -194,6 +194,19 @@ class TestCompositing:
         with pytest.raises(WebpError, match="exceeds the canvas"):
             list(composite_webp_frames(data))
 
+    @pytest.mark.parametrize("vw,vh", [(2, 2), (8, 8), (4, 2)])
+    def test_vp8l_dims_disagree_with_anmf_raises_webperror(self, vw, vh):
+        """ANMF says 4x4 but the embedded VP8L stream declares other
+        dims (attacker-controlled): must raise WebpError — a numpy
+        reshape ValueError escaped webp_canvas_table's isolation and
+        failed the whole task (r10 ADVICE)."""
+        from ndr_import_spark.functions.webp import WebpError
+
+        data = _anim([build_anmf_chunk(
+            0, 0, 4, 4, 10, _solid(vw, vh, BASE), b"VP8L", blend=1)])
+        with pytest.raises(WebpError, match="disagree"):
+            list(composite_webp_frames(data))
+
     def test_still_image_single_canvas(self):
         still = encode_webp(4, 4, bytes(BASE[:3]) * 16)
         frames = list(composite_webp_frames(still))
