@@ -57,6 +57,7 @@ __all__ = [
     "build_id3v2",
     "build_layer3_stream",
     "decode_mp3",
+    "id3_pictures",
     "is_mp3",
     "iter_mp3_frames",
     "mp3_structure",
@@ -234,7 +235,7 @@ def _lsf_scale_layout(scalefac_compress: int, block_class: int,
             row = 1
         else:
             t = sfc - 500
-            slen = [t >> 2, t & 3, 0, 0]
+            slen = [t // 3, t % 3, 0, 0]
             row = 2
             preflag = 1
     else:
@@ -543,15 +544,10 @@ def _id3_text(body: bytes, version: int) -> str:
     return "/".join(parts)
 
 
-def parse_id3v2(data: bytes) -> dict | None:
-    """Clean-room ID3v2.2/2.3/2.4 tag parse (header + text frames):
-    {version, tag_bytes, tags: {frame_id: text}, has_picture, n_frames,
-    comment}. Returns None when no leading ID3v2 tag exists. Handles
-    syncsafe vs plain frame sizes (2.4 vs 2.3), tag-level (2.3) and
-    frame-level (2.4) unsynchronisation, the 2.2 3-byte frame layout,
-    and the four text encodings. Unknown/binary frames are counted,
-    never decoded — APIC presence is reported without touching the
-    image bytes (the mediameta posture: metadata-sized cost)."""
+def _id3_body(data: bytes):
+    """Shared ID3v2 header parse: (version, body, first_frame_pos,
+    tag_bytes) or None when no leading ID3v2 tag exists. Applies 2.3
+    tag-level unsynchronisation and skips the extended header."""
     data = bytes(data)
     if data[:3] != b"ID3" or len(data) < 10:
         return None
@@ -575,10 +571,12 @@ def parse_id3v2(data: bytes) -> dict | None:
             pos += esz
         else:
             pos += 4 + esz
-    tags: dict[str, str] = {}
-    comment = None
-    has_picture = False
-    n_frames = 0
+    return ver, body, pos, 10 + size
+
+
+def _iter_id3_frames(ver: int, body: bytes, pos: int):
+    """Yield (frame_id, frame_bytes) for each ID3v2 frame, stopping at
+    padding/garbage; applies 2.4 frame-level unsynchronisation."""
     id_len, sz_len = (3, 3) if ver == 2 else (4, 4)
     hdr_len = id_len + sz_len + (2 if ver >= 3 else 0)
     while pos + hdr_len <= len(body):
@@ -604,10 +602,30 @@ def parse_id3v2(data: bytes) -> dict | None:
         if len(frame) < fsz:
             break
         pos += fsz
-        n_frames += 1
         if ver == 4 and fflags & 0x02:  # 2.4: frame-level unsync
             frame = _unsync(frame)
-        name = fid.decode("latin-1")
+        yield fid.decode("latin-1"), frame
+
+
+def parse_id3v2(data: bytes) -> dict | None:
+    """Clean-room ID3v2.2/2.3/2.4 tag parse (header + text frames):
+    {version, tag_bytes, tags: {frame_id: text}, has_picture, n_frames,
+    comment}. Returns None when no leading ID3v2 tag exists. Handles
+    syncsafe vs plain frame sizes (2.4 vs 2.3), tag-level (2.3) and
+    frame-level (2.4) unsynchronisation, the 2.2 3-byte frame layout,
+    and the four text encodings. Unknown/binary frames are counted,
+    never decoded — APIC presence is reported without touching the
+    image bytes (the mediameta posture: metadata-sized cost)."""
+    hdr = _id3_body(data)
+    if hdr is None:
+        return None
+    ver, body, pos, tag_bytes = hdr
+    tags: dict[str, str] = {}
+    comment = None
+    has_picture = False
+    n_frames = 0
+    for name, frame in _iter_id3_frames(ver, body, pos):
+        n_frames += 1
         if name in ("APIC", "PIC"):
             has_picture = True
         elif name in ("COMM", "COM") and len(frame) >= 4:
@@ -618,12 +636,56 @@ def parse_id3v2(data: bytes) -> dict | None:
             tags[name] = _id3_text(frame, ver)
     return {
         "version": f"2.{ver}",
-        "tag_bytes": 10 + size,
+        "tag_bytes": tag_bytes,
         "tags": tags,
         "has_picture": has_picture,
         "n_frames": n_frames,
         "comment": comment,
     }
+
+
+def id3_pictures(data: bytes) -> list[tuple[str, bytes]]:
+    """[(mime, image_bytes)] for every APIC (v2.3/2.4) / PIC (v2.2)
+    frame in a leading ID3v2 tag — the album-art payload extraction
+    parse_id3v2 deliberately skips (r11: feeds the image scrub/dedup
+    pipeline). APIC layout (public id3.org spec): text-encoding byte,
+    NUL-terminated latin-1 MIME, picture-type byte, NUL-terminated
+    description in the frame's text encoding (2-byte terminator for
+    the UTF-16 encodings), then raw image data. PIC replaces the MIME
+    with a 3-byte image format. Malformed frames are skipped, never
+    raised — per-payload isolation belongs to the operator above."""
+    hdr = _id3_body(data)
+    if hdr is None:
+        return []
+    ver, body, pos, _ = hdr
+    out: list[tuple[str, bytes]] = []
+    for name, frame in _iter_id3_frames(ver, body, pos):
+        if name not in ("APIC", "PIC") or len(frame) < 4:
+            continue
+        try:
+            enc = frame[0]
+            if name == "PIC":  # v2.2: 3-byte image format, not MIME
+                fmt = frame[1:4].decode("latin-1")
+                mime = {"PNG": "image/png", "JPG": "image/jpeg"}.get(
+                    fmt, fmt)
+                p = 4
+            else:
+                nul = frame.index(b"\x00", 1)
+                mime = frame[1:nul].decode("latin-1")
+                p = nul + 1
+            p += 1  # picture type
+            if enc in (1, 2):  # UTF-16 descriptions: 2-byte terminator
+                q = p
+                while q + 1 < len(frame) and frame[q:q + 2] != b"\x00\x00":
+                    q += 2
+                p = q + 2
+            else:
+                p = frame.index(b"\x00", p) + 1
+            if p <= len(frame):
+                out.append((mime, frame[p:]))
+        except ValueError:
+            continue  # unterminated MIME/description: skip the frame
+    return out
 
 
 def parse_id3v1(data: bytes) -> dict | None:
@@ -649,6 +711,8 @@ def parse_id3v1(data: bytes) -> dict | None:
 
 def build_id3v2(tags: dict[str, str], *, version: int = 4,
                 comment: str | None = None, picture: bool = False,
+                picture_data: bytes | None = None,
+                picture_mime: str = "image/jpeg",
                 encoding: int = 3, padding: int = 0) -> bytes:
     """Analytic fixture builder: an ID3v2.3/2.4 tag from text frames
     (the mediameta build_mp3 pattern — every field caller-chosen)."""
@@ -676,7 +740,10 @@ def build_id3v2(tags: dict[str, str], *, version: int = 4,
         # descriptor terminator stays single-byte
         frame(b"COMM", b"\x00eng\x00"
               + comment.encode("latin-1", "replace"))
-    if picture:
+    if picture_data is not None:
+        frame(b"APIC", b"\x00" + picture_mime.encode("latin-1")
+              + b"\x00\x03\x00" + picture_data)
+    elif picture:
         frame(b"APIC", b"\x00image/png\x00\x03\x00" + b"\x89PNG" + bytes(16))
     frames.extend(bytes(padding))
     size = len(frames)
@@ -719,7 +786,7 @@ def decode_mp3(data: bytes):
     """PCM decode via the system libmpg123 (ctypes, opaque handles) when
     present — the auto-activating env-gate posture of the Avro jar
     branch and libheif pixel decode. Returns (sample_rate, channels,
-    int16 numpy array, interleaved). Raises NotImplementedError with
+    interleaved int16 numpy array). Raises NotImplementedError with
     the clean-room rationale when no system decoder exists (see module
     docstring: the normative Huffman/synthesis tables cannot be pinned
     without an in-container reference)."""

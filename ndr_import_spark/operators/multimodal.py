@@ -785,11 +785,12 @@ def audio_tag_table(df: DataFrame, payload_col: str = "payload",
     sizes, tag- and frame-level unsynchronisation, all four text
     encodings) with ID3v1-trailer fallback, or — when no ID3 exists —
     the VorbisComment family (FLAC metadata block 4, Ogg Vorbis, Ogg
-    Opus) and WAV RIFF LIST/INFO (functions/audiotags.py), mapped onto
-    one unified schema (`id3_version` carries the container: '2.4',
-    '1', 'flac', 'vorbis', 'opus', 'riff'). Cost is tag-sized: frame
+    Opus), WAV RIFF LIST/INFO, or MP4/M4A iTunes-style ilst atoms
+    (functions/audiotags.py), mapped onto one unified schema
+    (`id3_version` carries the container: '2.4', '1', 'flac',
+    'vorbis', 'opus', 'riff', 'mp4'). Cost is tag-sized: frame
     bodies other than text are counted, never decoded (APIC / FLAC
-    PICTURE presence without touching image bytes).
+    PICTURE / covr presence without touching image bytes).
 
     Arrow mapInPandas, stateless, shuffle-free; untagged payloads yield
     id3_version=NULL rather than failing the task."""
@@ -798,6 +799,7 @@ def audio_tag_table(df: DataFrame, payload_col: str = "payload",
         from ndr_import_spark.functions.audiotags import (
             AudioTagError,
             flac_comments,
+            mp4_ilst,
             ogg_comments,
             riff_info,
         )
@@ -849,9 +851,10 @@ def audio_tag_table(df: DataFrame, payload_col: str = "payload",
                         rec[k] = rec[k] or v1[k]
                     comment = comment or v1["comment"]
                 if version is None:
-                    # VorbisComment family + RIFF INFO
+                    # VorbisComment family + RIFF INFO + MP4 ilst
                     try:
-                        vc = (flac_comments(raw) or ogg_comments(raw))
+                        vc = (flac_comments(raw) or ogg_comments(raw)
+                              or mp4_ilst(raw))
                         if vc is not None:
                             version = vc.get("codec") or "flac"
                             has_pic = bool(vc.get("has_picture"))
@@ -868,7 +871,10 @@ def audio_tag_table(df: DataFrame, payload_col: str = "payload",
                                 for k, fids in riff_map.items():
                                     rec[k] = pick(ri["tags"], fids)
                                 comment = pick(ri["tags"], ("ICMT",))
-                    except AudioTagError:
+                    except (AudioTagError, IndexError, _struct.error):
+                        # per-payload isolation: a malformed container
+                        # (truncated Ogg page, bad lacing) must yield an
+                        # error row, never fail the Spark task
                         version = "error"
                 out.append((
                     int(mid), version, rec["title"], rec["artist"],
@@ -882,6 +888,58 @@ def audio_tag_table(df: DataFrame, payload_col: str = "payload",
             ])
 
     return df.mapInPandas(run, AUDIO_TAG_SCHEMA)
+
+
+ALBUM_ART_SCHEMA = (
+    "media_id long, art_ix int, container string, mime string, "
+    "payload binary"
+)
+
+
+def extract_album_art(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "media_id") -> DataFrame:
+    """One row per embedded artwork in an audio payload (r11): ID3v2
+    APIC/PIC frames (functions/mp3.id3_pictures), FLAC PICTURE blocks
+    (functions/audiotags.flac_pictures) and MP4/M4A covr atoms
+    (functions/audiotags.mp4_covers), with the carrying container
+    named. The output payload column is the raw embedded IMAGE, so the
+    whole image pipeline — EXIF/GPS scrub (scrub_image_metadata),
+    perceptual-hash dedup (perceptual_hash_images), resize — composes
+    downstream unchanged: album art is how GPS-bearing JPEGs hide
+    inside audio corpora.
+
+    Arrow mapInPandas, stateless, shuffle-free; art-sized cost (audio
+    codec bytes are never read past the tag walk). Untagged or
+    malformed payloads yield no rows rather than failing the task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ndr_import_spark.functions.audiotags import (
+            AudioTagError,
+            flac_pictures,
+            mp4_covers,
+        )
+        from ndr_import_spark.functions.mp3 import id3_pictures
+
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p or b"")
+                try:
+                    arts = [("id3", m, d) for m, d in id3_pictures(raw)]
+                    if not arts:
+                        arts = [("flac", m, d)
+                                for m, d in flac_pictures(raw)]
+                    if not arts:
+                        arts = [("mp4", m, d) for m, d in mp4_covers(raw)]
+                except (AudioTagError, IndexError, _struct.error):
+                    continue  # malformed container: no art rows
+                for ix, (cont, mime, art) in enumerate(arts):
+                    out.append((int(mid), ix, cont, mime, art))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "art_ix", "container", "mime", "payload",
+            ])
+
+    return df.mapInPandas(run, ALBUM_ART_SCHEMA)
 
 
 WEBP_CANVAS_SCHEMA = (

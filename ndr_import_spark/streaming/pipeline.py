@@ -584,6 +584,45 @@ def stream_media_metadata(
     return extract_media_metadata(payloads)
 
 
+def stream_audio_tags(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Continuous audio-tag ingest (r11): the streaming twin of
+    `multimodal.audio_tag_table` over the binaryFile micro-batch
+    source, so tag triage (title/artist routing, has_picture album-art
+    quarantine) covers LIVE ingest across every container the batch
+    operator reads — ID3 MP3, FLAC, Ogg Vorbis/Opus, WAV RIFF/INFO and
+    MP4/M4A ilst. The tag walk is stateless per payload, so the
+    streaming frame IS the batch operator's mapInPandas body applied to
+    the stream (stream == batch parity by construction, pinned in
+    tests); file-source checkpointing gives exactly-once per file."""
+    from ndr_import_spark.operators.multimodal import audio_tag_table
+
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+    )
+    from ndr_import_spark.operators.textstats import md5_long
+
+    payloads = files.select(
+        md5_long(F.col("path")).alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    return audio_tag_table(payloads)
+
+
 def stream_c4_filter(
     docs_stream: DataFrame,
     text_col: str = "text",

@@ -98,6 +98,21 @@ class TestOgg:
     def test_not_ogg_returns_none(self):
         assert ogg_comments(b"RIFF....WAVE") is None
 
+    @pytest.mark.parametrize("cut", [5, 20, 26, 27])
+    def test_truncated_page_header_no_indexerror(self, cut):
+        """A payload truncated inside the 27-byte page header (or the
+        lacing table) must stop the packet walk cleanly — an IndexError
+        here escaped audio_tag_table's per-payload isolation and failed
+        the whole Spark task (r10 ADVICE)."""
+        data = build_ogg_vorbis_tagged(44100, 2, {"TITLE": "T"})[:cut]
+        assert ogg_comments(data) is None
+
+    def test_truncated_lacing_table_no_indexerror(self):
+        """Full header claiming 200 lacing segments but the buffer ends
+        first: the nseg bound check must break, not slice garbage."""
+        hdr = b"OggS" + b"\x00" * 22 + bytes([200]) + b"\x01\x02"
+        assert ogg_comments(hdr) is None
+
 
 class TestRiffInfo:
     def test_append_and_parse(self):
@@ -141,9 +156,69 @@ class TestVorbisCommentEdge:
             parse_vorbis_comments(body)
 
 
+class TestMp4Ilst:
+    """MP4/M4A moov/udta/meta/ilst walk (r11). Layout is the public
+    QuickTime/iTunes metadata structure; the builder+parser pair is
+    additionally cross-checked by keeping probe_mp4 working on the
+    same tagged bytes (the udta subtree must not break the codec
+    probe's stsd/stsz walk)."""
+
+    def _m4a(self, **kw):
+        from ndr_import_spark.functions.audiotags import build_m4a_tagged
+        from ndr_import_spark.sources.mediameta import build_mp4
+
+        base = build_mp4(44100, 88200, codec="mp4a", channels=2,
+                         sample_rate=44100, n_samples=16, brand="M4A ")
+        return build_m4a_tagged(base, **kw)
+
+    def test_text_atoms_roundtrip(self):
+        from ndr_import_spark.functions.audiotags import mp4_ilst
+
+        data = self._m4a(tags={"TITLE": "Song", "ARTIST": "A",
+                               "ALBUM": "LP", "DATE": "2019",
+                               "GENRE": "g", "ENCODER": "e",
+                               "COMMENT": "c"})
+        r = mp4_ilst(data)
+        assert r["codec"] == "mp4"
+        assert r["tags"]["TITLE"] == "Song"
+        assert r["tags"]["DATE"] == "2019"
+        assert r["n_comments"] == 7 and not r["has_picture"]
+
+    def test_covr_presence_without_decoding(self):
+        from ndr_import_spark.functions.audiotags import mp4_ilst
+
+        data = self._m4a(tags={"TITLE": "t"}, cover=b"\xff\xd8notjpeg")
+        r = mp4_ilst(data)
+        assert r["has_picture"] and r["n_comments"] == 2
+
+    def test_utf8_and_unknown_atoms_skipped(self):
+        from ndr_import_spark.functions.audiotags import mp4_ilst
+
+        data = self._m4a(tags={"TITLE": "Tït©"})
+        assert mp4_ilst(data)["tags"]["TITLE"] == "Tït©"
+
+    def test_probe_still_reads_tagged_stream(self):
+        from ndr_import_spark.sources.mediameta import probe_mp4
+
+        data = self._m4a(tags={"TITLE": "t"})
+        m = probe_mp4(data)
+        assert m["codec"] == "mp4a" and m["sample_rate"] == 44100
+
+    def test_untagged_and_non_bmff_return_none(self):
+        from ndr_import_spark.functions.audiotags import mp4_ilst
+        from ndr_import_spark.sources.mediameta import build_mp4
+
+        assert mp4_ilst(b"RIFF....WAVE") is None
+        base = build_mp4(44100, 44100, codec="mp4a", channels=2,
+                         sample_rate=44100, n_samples=4)
+        assert mp4_ilst(base) is None
+
+
 class TestOperatorDispatch:
     def test_all_containers_one_schema(self, spark):
+        from ndr_import_spark.functions.audiotags import build_m4a_tagged
         from ndr_import_spark.operators.multimodal import audio_tag_table
+        from ndr_import_spark.sources.mediameta import build_mp4
 
         flac = build_flac_with_comments(
             encode_flac(8000, SIG), {"TITLE": "F"})
@@ -151,12 +226,18 @@ class TestOperatorDispatch:
         opus = build_ogg_opus_tagged(48000, 1, {"TITLE": "O"})
         wav = build_riff_info(
             encode_wav(8000, SIG, bits=16), {"INAM": "W"})
+        m4a = build_m4a_tagged(
+            build_mp4(44100, 44100, codec="mp4a", channels=2,
+                      sample_rate=44100, n_samples=4, brand="M4A "),
+            {"TITLE": "M"}, cover=b"\xff\xd8x")
         df = spark.createDataFrame(
             [(0, bytearray(flac)), (1, bytearray(ogg)),
              (2, bytearray(opus)), (3, bytearray(wav)),
-             (4, bytearray(b"untagged junk"))],
+             (4, bytearray(b"untagged junk")), (5, bytearray(m4a))],
             "media_id long, payload binary")
         rows = {r.media_id: r for r in audio_tag_table(df).collect()}
-        assert [rows[i].id3_version for i in range(5)] == [
-            "flac", "vorbis", "opus", "riff", None]
-        assert [rows[i].title for i in range(4)] == ["F", "V", "O", "W"]
+        assert [rows[i].id3_version for i in range(6)] == [
+            "flac", "vorbis", "opus", "riff", None, "mp4"]
+        assert [rows[i].title for i in [0, 1, 2, 3, 5]] == [
+            "F", "V", "O", "W", "M"]
+        assert rows[5].has_picture and rows[5].n_frames == 2

@@ -170,6 +170,21 @@ class TestScalefacBudgets:
         assert preflag == (1 if row == 2 else 0)
         assert all(s >= 0 for s in slen)
 
+    @pytest.mark.parametrize("sfc,expect", [
+        # Row 2 (sfc >= 500): ISO 13818-3 uses base-3 split [t//3, t%3]
+        # like the intensity row 5 — NOT the [t>>2, t&3] bit split of
+        # row 1 (r10 ADVICE: mismatch vs mpg123/ffmpeg for sfc 503-511).
+        (500, [0, 0, 0, 0]),
+        (503, [1, 0, 0, 0]),
+        (511, [3, 2, 0, 0]),
+        # Pin the neighbouring rows too so a regression can't hide.
+        (399, [4, 4, 3, 3]),   # row 0: [(s>>4)//5, (s>>4)%5, (s&15)>>2, s&3]
+        (499, [4, 4, 3, 0]),   # row 1: [(t>>2)//5, (t>>2)%5, t&3, 0]
+    ])
+    def test_lsf_slen_values(self, sfc, expect):
+        slen, _nsfb, _pre = _lsf_scale_layout(sfc, 0, False)
+        assert slen == expect
+
 
 class TestSyntheticVerdicts:
     def test_intact_stream(self):

@@ -1002,3 +1002,97 @@ class TestStreamAudioTriage:
         assert rows[2].route == "quarantine"
         assert rows[2].verdict == "not_mp3"
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamAudioTags:
+    def test_stream_matches_batch_per_container(self, spark):
+        """r11: audio_tag_table on live binaryFile ingest — one tagged
+        file per container (MP3 ID3v2, FLAC, Ogg Vorbis, Ogg Opus, WAV
+        RIFF/INFO, M4A ilst) lands in a watched directory; every tag
+        column of the streamed result must equal the batch operator's
+        on the same payloads (stream == batch parity per container)."""
+        import os
+        import shutil
+        import tempfile
+
+        import numpy as np
+
+        from ndr_import_spark.functions.audiotags import (
+            build_flac_with_comments,
+            build_m4a_tagged,
+            build_ogg_opus_tagged,
+            build_ogg_vorbis_tagged,
+            build_riff_info,
+        )
+        from ndr_import_spark.functions.flac import encode_flac
+        from ndr_import_spark.functions.mp3 import (
+            build_id3v2,
+            build_layer3_stream,
+        )
+        from ndr_import_spark.functions.wav import encode_wav
+        from ndr_import_spark.operators.multimodal import audio_tag_table
+        from ndr_import_spark.sources.mediameta import build_mp4
+        from ndr_import_spark.streaming import stream_audio_tags
+
+        sig = np.array([0.25] * 32 + [-0.25] * 32)
+        mp3_body = build_layer3_stream(
+            [{"granules": [[{"part2_3_length": 100}], [{}]]}],
+            mpeg1=True, sr_idx=0, br_idx=9, mono=True)
+        payloads = {
+            "a.mp3": build_id3v2(
+                {"TIT2": "Tmp3", "TPE1": "amp3"}, version=4) + mp3_body,
+            "b.flac": build_flac_with_comments(
+                encode_flac(8000, sig),
+                {"TITLE": "Tflac", "ARTIST": "aflac"}),
+            "c.ogg": build_ogg_vorbis_tagged(
+                44100, 2, {"TITLE": "Togg", "ARTIST": "aogg"}),
+            "d.opus": build_ogg_opus_tagged(
+                48000, 1, {"TITLE": "Topus", "ARTIST": "aopus"}),
+            "e.wav": build_riff_info(
+                encode_wav(8000, sig, bits=16),
+                {"INAM": "Twav", "IART": "awav"}),
+            "f.m4a": build_m4a_tagged(
+                build_mp4(44100, 44100, codec="mp4a", channels=2,
+                          sample_rate=44100, n_samples=4, brand="M4A "),
+                {"TITLE": "Tm4a", "ARTIST": "am4a"},
+                cover=b"\xff\xd8c"),
+        }
+        tmp = tempfile.mkdtemp()
+        try:
+            for name, data in payloads.items():
+                with open(os.path.join(tmp, name), "wb") as f:
+                    f.write(data)
+            stream = stream_audio_tags(spark, tmp)
+            assert stream.isStreaming
+            q = (
+                stream.writeStream.format("memory")
+                .queryName("audio_tags_stream")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            streamed = {
+                r.id3_version: r for r in
+                spark.sql("SELECT * FROM audio_tags_stream").collect()
+            }
+            batch = {
+                r.id3_version: r for r in audio_tag_table(
+                    spark.createDataFrame(
+                        [(i, bytearray(d))
+                         for i, d in enumerate(payloads.values())],
+                        "media_id long, payload binary")
+                ).collect()
+            }
+            assert set(streamed) == {"2.4", "flac", "vorbis", "opus",
+                                     "riff", "mp4"}
+            for ver, s in streamed.items():
+                b = batch[ver]
+                assert (s.title, s.artist, s.album, s.year, s.genre,
+                        s.encoder, s.comment, s.has_picture,
+                        s.n_frames) == (
+                    b.title, b.artist, b.album, b.year, b.genre,
+                    b.encoder, b.comment, b.has_picture, b.n_frames)
+            assert streamed["mp4"].has_picture
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
