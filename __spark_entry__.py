@@ -4047,22 +4047,26 @@ FROM d ORDER BY media_id
 
 def q_audio_tags_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-container tag extraction (functions/audiotags.py +
-    audio_tag_table, r10): 36 REAL audio files — FLAC (encode_flac
-    streams with a VORBIS_COMMENT block spliced after STREAMINFO and an
-    optional PICTURE block), Ogg Vorbis and Ogg Opus (comment header
-    packets behind proper page lacing), and WAV (RIFF LIST/INFO
-    appended with a patched RIFF size) — one unified schema across all
-    four, every text value an md5-hex derivation so the DuckDB oracle
+    audio_tag_table, r10; +M4A r11): 45 REAL audio files — FLAC
+    (encode_flac streams with a VORBIS_COMMENT block spliced after
+    STREAMINFO and an optional PICTURE block), Ogg Vorbis and Ogg Opus
+    (comment header packets behind proper page lacing), WAV (RIFF
+    LIST/INFO appended with a patched RIFF size), and M4A (a build_mp4
+    mp4a stream with a moov/udta/meta/ilst subtree of iTunes-style
+    item atoms, optional covr art) — one unified schema across all
+    five, every text value an md5-hex derivation so the DuckDB oracle
     is closed-form. Proves the container dispatch, the shared
     VorbisComment parse (incl. key-case folding and picture
-    detection), and the latin-1 RIFF sub-chunk walk. Tag-sized cost;
-    Arrow mapInPandas, shuffle-free except output ordering."""
+    detection), the latin-1 RIFF sub-chunk walk, and the BMFF
+    udta/meta fullbox walk. Tag-sized cost; Arrow mapInPandas,
+    shuffle-free except output ordering."""
     import hashlib as _hl
 
     import numpy as np
 
     from ndr_import_spark.functions.audiotags import (
         build_flac_with_comments,
+        build_m4a_tagged,
         build_ogg_opus_tagged,
         build_ogg_vorbis_tagged,
         build_riff_info,
@@ -4070,18 +4074,21 @@ def q_audio_tags_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ndr_import_spark.functions.flac import encode_flac
     from ndr_import_spark.functions.wav import encode_wav
     from ndr_import_spark.operators import multimodal as MM
+    from ndr_import_spark.sources.mediameta import build_mp4
 
     sig = np.array([0.25] * 32 + [-0.25] * 32)
     flac_base = encode_flac(8000, sig)
     wav_base = encode_wav(8000, sig, bits=16)
+    m4a_base = build_mp4(44100, 44100, codec="mp4a", channels=2,
+                         sample_rate=44100, n_samples=8, brand="M4A ")
     rows = []
-    for i in range(36):
+    for i in range(45):
         hx = _hl.md5(f"atag{i}".encode()).hexdigest()
         t6, a4, l6 = hx[0:6], hx[8:12], hx[12:18]
         yearb = int(hx[6:8], 16)
         g4, e4, c4 = hx[18:22], hx[22:26], hx[26:30]
         year = str(1950 + yearb % 70)
-        c = i % 4
+        c = i % 5
         if c == 0:
             payload = build_flac_with_comments(
                 flac_base,
@@ -4100,12 +4107,19 @@ def q_audio_tags_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 48000, 1,
                 {"title": f"T-{t6}", "artist": f"A-{a4}",
                  "DESCRIPTION": f"c-{c4}"})  # lowercase keys fold up
-        else:
+        elif c == 3:
             payload = build_riff_info(
                 wav_base,
                 {"INAM": f"T-{t6}", "IART": f"A-{a4}", "IPRD": f"L-{l6}",
                  "ICRD": year, "IGNR": f"G-{g4}", "ISFT": f"enc-{e4}",
                  "ICMT": f"c-{c4}"})
+        else:
+            payload = build_m4a_tagged(
+                m4a_base,
+                {"TITLE": f"T-{t6}", "ARTIST": f"A-{a4}",
+                 "ALBUM": f"L-{l6}", "DATE": year, "GENRE": f"G-{g4}",
+                 "ENCODER": f"enc-{e4}", "COMMENT": f"c-{c4}"},
+                cover=(b"\xff\xd8cov" if yearb % 2 == 0 else None))
         rows.append((i, bytearray(payload)))
     df = spark.createDataFrame(
         rows, "media_id long, payload binary").repartition(8)
@@ -4113,8 +4127,8 @@ def q_audio_tags_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_AUDIO_TAGS_MULTI = """
-WITH a AS (SELECT unnest(range(36)) AS i),
-p AS (SELECT i, i % 4 AS c, md5('atag' || i) AS hx FROM a),
+WITH a AS (SELECT unnest(range(45)) AS i),
+p AS (SELECT i, i % 5 AS c, md5('atag' || i) AS hx FROM a),
 d AS (
   SELECT *,
     substring(hx, 1, 6) AS t6,
@@ -4126,19 +4140,152 @@ d AS (
 )
 SELECT i AS media_id,
   CASE c WHEN 0 THEN 'flac' WHEN 1 THEN 'vorbis' WHEN 2 THEN 'opus'
-         ELSE 'riff' END AS id3_version,
+         WHEN 3 THEN 'riff' ELSE 'mp4' END AS id3_version,
   'T-' || t6 AS title,
   'A-' || a4 AS artist,
-  CASE WHEN c IN (0, 1, 3) THEN 'L-' || l6 ELSE NULL END AS album,
+  CASE WHEN c IN (0, 1, 3, 4) THEN 'L-' || l6 ELSE NULL END AS album,
   CASE WHEN c = 2 THEN NULL
        ELSE cast(1950 + yb % 70 as varchar) END AS year,
-  CASE WHEN c IN (0, 3) THEN 'G-' || g4 ELSE NULL END AS genre,
-  CASE WHEN c IN (1, 3) THEN 'enc-' || e4 ELSE NULL END AS encoder,
-  CASE WHEN c IN (0, 2, 3) THEN 'c-' || c4 ELSE NULL END AS comment,
-  (c = 0 AND yb % 2 = 0) AS has_picture,
-  cast(CASE c WHEN 0 THEN 6 WHEN 1 THEN 5 WHEN 2 THEN 3
-       ELSE 7 END as int) AS n_frames
+  CASE WHEN c IN (0, 3, 4) THEN 'G-' || g4 ELSE NULL END AS genre,
+  CASE WHEN c IN (1, 3, 4) THEN 'enc-' || e4 ELSE NULL END AS encoder,
+  CASE WHEN c IN (0, 2, 3, 4) THEN 'c-' || c4 ELSE NULL END AS comment,
+  (c IN (0, 4) AND yb % 2 = 0) AS has_picture,
+  cast(CASE c WHEN 0 THEN 6 WHEN 1 THEN 5 WHEN 2 THEN 3 WHEN 3 THEN 7
+       ELSE 7 + (CASE WHEN yb % 2 = 0 THEN 1 ELSE 0 END)
+       END as int) AS n_frames
 FROM d ORDER BY media_id
+"""
+
+
+def q_album_art_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Album-art routing capstone (r11, the audio twin of
+    image_pipeline): APIC / FLAC PICTURE / MP4 covr payloads extracted
+    from REAL audio containers (operators/multimodal.extract_album_art)
+    and fed through the EXISTING image pipeline — EXIF/GPS scrub ->
+    cross-container perceptual-ahash dedup — as ONE lazy plan: album
+    art is how GPS-bearing JPEGs hide inside audio corpora.
+
+    Fixture: 48 audio files = 12 distinct JPEG arts x 4 copies
+    (i = g + 12k); copy k rides container k%3 (MP3 ID3v2 APIC, FLAC
+    PICTURE block, M4A ilst covr; k=3 a second MP3) — so each art
+    group spans all three containers. Per-copy EXIF APP1 differs
+    (make/orientation md5-derived); exactly ONE copy per group
+    (k == g % 4) carries GPS. The plan extracts the art, scrubs APP1
+    (pixels untouched), hashes scrubbed pixels — identical art across
+    MP3/FLAC/M4A collapses to ONE group — and proves gps_before=1 /
+    gps_after=0 per group. Every output column is md5-analytic for the
+    DuckDB oracle.
+
+    100 TB shape: two Arrow mapInPandas passes (art-sized — audio
+    codec bytes never read past the tag walk), ONE hash groupBy, a
+    broadcast-sized kept-make join; shuffle carries hashes + booleans,
+    never payload bytes."""
+    import hashlib as _hl
+
+    from ndr_import_spark.functions.audiotags import (
+        build_flac_with_comments,
+        build_m4a_tagged,
+    )
+    from ndr_import_spark.functions.exif import build_exif_app1
+    from ndr_import_spark.functions.flac import encode_flac
+    from ndr_import_spark.functions.jpeg import encode_jpeg
+    from ndr_import_spark.functions.mp3 import (
+        build_id3v2,
+        build_layer3_stream,
+    )
+    from ndr_import_spark.operators import multimodal as MM
+    from ndr_import_spark.sources.mediameta import build_mp4
+
+    import numpy as np
+
+    mp3_body = build_layer3_stream(
+        [{"granules": [[{"part2_3_length": 100}], [{}]]}],
+        mpeg1=True, sr_idx=0, br_idx=9, mono=True)
+    flac_base = encode_flac(8000, np.array([0.25] * 32 + [-0.25] * 32))
+    m4a_base = build_mp4(44100, 44100, codec="mp4a", channels=2,
+                         sample_rate=44100, n_samples=8, brand="M4A ")
+    rows = []
+    for i in range(48):
+        g, k = i % 12, i // 12
+        b = _hl.md5(f"aart{g}".encode()).digest()
+        w = 4 * (1 + g % 3)
+        greys = (b * 4)[: w * 4]
+        rgb = bytes(v for px in greys for v in (px, px, px))
+        jpeg = encode_jpeg(w, 4, rgb)
+        e = _hl.md5(f"aartexif{i}".encode()).digest()
+        gps = None
+        if k == g % 4:
+            gps = (
+                "S" if e[1] % 2 else "N",
+                [(e[0] % 90, 1), (e[1] % 60, 1), (e[2] % 6000, 100)],
+                "W" if e[2] % 2 else "E",
+                [(e[1] % 180, 1), (e[2] % 60, 1), (e[0] * 37 % 6000, 100)],
+                e[0] * 53 % 900000,
+                100,
+            )
+        app1 = build_exif_app1(
+            make=f"Cam{e[0] % 4}", model=f"M{e[1] % 10}",
+            orientation=1 + (e[2] % 8), gps=gps)
+        art = jpeg[:2] + app1 + jpeg[2:]
+        if k % 3 == 0:
+            payload = build_id3v2(
+                {"TIT2": f"T{i}"}, version=4, picture_data=art) + mp3_body
+        elif k % 3 == 1:
+            payload = build_flac_with_comments(
+                flac_base, {"TITLE": f"T{i}"}, picture_payload=art)
+        else:
+            payload = build_m4a_tagged(
+                m4a_base, {"TITLE": f"T{i}"}, cover=art)
+        rows.append((i, bytearray(payload)))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary").repartition(8)
+
+    art = MM.extract_album_art(media)
+    pre = MM.extract_image_metadata(art).select(
+        "media_id", "has_gps", "make")
+    scrubbed = MM.scrub_image_metadata(art)
+    post = MM.extract_image_metadata(scrubbed).select(
+        "media_id", F.col("has_gps").alias("post_has_gps"))
+    hashes = MM.perceptual_hash_images(scrubbed)
+    containers = art.select("media_id", "container")
+    joined = (hashes.join(pre, "media_id").join(post, "media_id")
+              .join(containers, "media_id"))
+    groups = joined.groupBy("phash").agg(
+        F.min("media_id").alias("kept_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("container").alias("n_containers"),
+        F.sum(F.col("has_gps").cast("int")).alias("gps_before"),
+        F.sum(F.col("post_has_gps").cast("int")).alias("gps_after"),
+        F.max("width").alias("art_w"),
+        F.max("height").alias("art_h"),
+    )
+    kept_make = pre.select(
+        F.col("media_id").alias("kept_id"),
+        F.col("make").alias("kept_make"))
+    return (
+        groups.join(F.broadcast(kept_make), "kept_id")
+        .select("kept_id", "n_copies", "n_containers", "gps_before",
+                "gps_after", "art_w", "art_h", "kept_make")
+        .orderBy("kept_id")
+    )
+
+
+_ORACLE_ALBUM_ART_PIPELINE = """
+WITH a AS (SELECT unnest(range(12)) AS g),
+d AS (
+  SELECT g,
+    cast(('0x' || substring(md5('aartexif' || g), 1, 2)) as int) AS e0
+  FROM a
+)
+SELECT g AS kept_id,
+  cast(4 as bigint) AS n_copies,
+  cast(3 as bigint) AS n_containers,
+  cast(1 as bigint) AS gps_before,
+  cast(0 as bigint) AS gps_after,
+  cast(4 * (1 + g % 3) as int) AS art_w,
+  cast(4 as int) AS art_h,
+  'Cam' || (e0 % 4) AS kept_make
+FROM d ORDER BY kept_id
 """
 
 
@@ -11324,8 +11471,8 @@ GATED = [
     'lang_id', 'training_pipeline', 'training_mix',
     'bm25_search', 'hybrid_search_rrf', 'tfidf_top_terms',
     'pagerank', 'bfs_reachability', 'scd2_history',
-    'multimodal_mixed_codecs', 'exif_metadata', 'heif_metadata',
-    'image_pipeline', 'webp_anim_frames', 'webp_metadata',
+    'multimodal_mixed_codecs', 'id3_tags', 'heif_metadata',
+    'image_pipeline', 'audio_tags_multi', 'webp_metadata',
     'audio_features', 'zstd_roundtrip', 'cross_codec_dedup',
     'zstd_dict_train', 'parquet_layout', 'compaction_plan',
     'scan_prune_plan', 'hll_distinct', 'table_profile',
@@ -11365,10 +11512,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_reachability": q_bfs_reachability,
         "scd2_history": q_scd2_history,
         "multimodal_mixed_codecs": q_multimodal_mixed_codecs,
-        "exif_metadata": q_exif_metadata,
+        "id3_tags": q_id3_tags,
         "heif_metadata": q_heif_metadata,
         "image_pipeline": q_image_pipeline,
-        "webp_anim_frames": q_webp_anim_frames,
+        "audio_tags_multi": q_audio_tags_multi,
         "webp_metadata": q_webp_metadata,
         "audio_features": q_audio_features,
         "zstd_roundtrip": q_zstd_roundtrip,
@@ -11518,8 +11665,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_matrix": q_compression_matrix,
         "quantile_sketch_eval": q_quantile_sketch_eval,
         "epoch_shuffle": q_epoch_shuffle,
-        "id3_tags": q_id3_tags,
-        "audio_tags_multi": q_audio_tags_multi,
+        # rotated out in r11 for id3_tags/audio_tags_multi (VERDICT r10
+        # ask 3): both are dominated by in-window siblings
+        # (image_pipeline exercises the EXIF extract+scrub path;
+        # webp_anim_canvas walks the same ANMF frames and composites
+        # them) - still oracle-gated here like every registry entry
+        "exif_metadata": q_exif_metadata,
+        "webp_anim_frames": q_webp_anim_frames,
+        "album_art_pipeline": q_album_art_pipeline,
     }
 
 
@@ -11744,6 +11897,7 @@ def oracle_sql() -> dict[str, str]:
         "webp_anim_canvas": _ORACLE_WEBP_ANIM_CANVAS,
         "id3_tags": _ORACLE_ID3_TAGS,
         "audio_tags_multi": _ORACLE_AUDIO_TAGS_MULTI,
+        "album_art_pipeline": _ORACLE_ALBUM_ART_PIPELINE,
         "zorder_locality": zorder_oracle_sql(
             "events",
             "user_id",

@@ -599,3 +599,18 @@ class TestRound10Plans:
         post = p.split("MapInPandas", 1)[0]  # plan prints top-down:
         # everything ABOVE MapInPandas is post-pass
         assert "canvas " not in post
+
+
+class TestRound11Plans:
+    def test_album_art_pipeline_broadcast_join_no_cartesian(self, spark):
+        """The capstone claims: art-sized Arrow passes, ONE hash
+        groupBy, a BROADCAST kept-make join — and image payload bytes
+        must never cross the post-hash exchanges."""
+        df = entry.queries()["album_art_pipeline"](spark, SF_DIR)
+        p = plan(df, "simple")
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p  # kept_make join is broadcast
+        # payload bytes (audio or art) must never be a shuffle key and
+        # the groupBy exchanges carry the 64-bit hash, not images
+        assert "hashpartitioning(payload" not in p
+        assert "hashpartitioning(phash" in p
