@@ -4289,6 +4289,103 @@ FROM d ORDER BY kept_id
 """
 
 
+def q_cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-codec AUDIO dedup (r11, the audio twin of
+    cross_codec_dedup): 16 source signals x 5 REAL codec routes — WAV
+    PCM16, FLAC, IMA ADPCM, G.711 µ-law, G.711 A-law — through
+    operators/multimodal.audio_fingerprint_table. The settled-window
+    fingerprint collapses each source's five encodings into ONE
+    candidate group (lossy transients decay inside the skipped window
+    halves); the exact pcm_md5 tier distinguishes the lossless pair
+    (WAV == FLAC bit-identical PCM) from the three lossy routes, so
+    n_exact = 4 per group is itself the proof that both tiers work.
+
+    Fixture analyticity: each source is 8 constant 128-sample segments
+    at amplitude-bin CENTERS (L+0.5)/8-1 with levels L in [2,13] —
+    inside the G.711 companding error margin (worst 0.016 vs half-bin
+    0.031, measured) — and levels 0/1 derive from the source index
+    (uniqueness by construction), 2..7 from md5 bytes, so the
+    fingerprint VALUE is closed-form for the DuckDB oracle:
+    fp = sum(L_j * 16^j).
+
+    100 TB shape: one stateless Arrow decode pass (samples never leave
+    the task; 48 bytes/row of keys shuffle), ONE combinable groupBy on
+    the fingerprint. Same discipline as image cross_codec_dedup."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from ndr_import_spark.functions.adpcm import encode_ima, encode_wav_ima
+    from ndr_import_spark.functions.audiofp import g711_encode
+    from ndr_import_spark.functions.flac import encode_flac
+    from ndr_import_spark.functions.wav import encode_wav, encode_wav_g711
+    from ndr_import_spark.operators import multimodal as MM
+
+    rows = []
+    for i in range(80):
+        s, k = i % 16, i // 16
+        b = _hl.md5(f"afp{s}".encode()).digest()
+        levels = [2 + (s % 12), 2 + (s // 12)] + [
+            2 + (b[j] % 12) for j in range(2, 8)]
+        sig = np.concatenate(
+            [np.full(128, (L + 0.5) / 8 - 1) for L in levels])
+        if k == 0:
+            payload = encode_wav(8000, sig, bits=16)
+        elif k == 1:
+            payload = encode_flac(8000, sig)
+        elif k == 2:
+            payload = encode_wav_ima(8000, encode_ima(sig, 256), 1, 256)
+        elif k == 3:
+            payload = encode_wav_g711(8000, g711_encode(sig, "mulaw"),
+                                      "mulaw")
+        else:
+            payload = encode_wav_g711(8000, g711_encode(sig, "alaw"),
+                                      "alaw")
+        rows.append((i, bytearray(payload)))
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary").repartition(8)
+    keys = MM.audio_fingerprint_table(df)
+    return (
+        keys.groupBy("fingerprint").agg(
+            F.min("media_id").alias("kept_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("codec").alias("n_codecs"),
+            F.countDistinct("pcm_md5").alias("n_exact"),
+            F.max("sample_rate").alias("sample_rate"),
+        )
+        .select("kept_id", "n_copies", "n_codecs", "n_exact",
+                "fingerprint", "sample_rate")
+        .orderBy("kept_id")
+    )
+
+
+_ORACLE_CROSS_CODEC_AUDIO = """
+WITH a AS (SELECT unnest(range(16)) AS s),
+d AS (SELECT s, md5('afp' || s) AS hx FROM a),
+lv AS (
+  SELECT s,
+    2 + (s % 12) AS l0,
+    2 + cast(floor(s / 12) as int) AS l1,
+    2 + (cast(('0x' || substring(hx, 5, 2)) as int) % 12) AS l2,
+    2 + (cast(('0x' || substring(hx, 7, 2)) as int) % 12) AS l3,
+    2 + (cast(('0x' || substring(hx, 9, 2)) as int) % 12) AS l4,
+    2 + (cast(('0x' || substring(hx, 11, 2)) as int) % 12) AS l5,
+    2 + (cast(('0x' || substring(hx, 13, 2)) as int) % 12) AS l6,
+    2 + (cast(('0x' || substring(hx, 15, 2)) as int) % 12) AS l7
+  FROM d
+)
+SELECT s AS kept_id,
+  cast(5 as bigint) AS n_copies,
+  cast(5 as bigint) AS n_codecs,
+  cast(4 as bigint) AS n_exact,
+  (cast(l0 as bigint) + l1 * 16 + l2 * 256 + l3 * 4096 + l4 * 65536
+   + l5 * 1048576 + cast(l6 as bigint) * 16777216
+   + cast(l7 as bigint) * 268435456) AS fingerprint,
+  cast(8000 as int) AS sample_rate
+FROM lv ORDER BY kept_id
+"""
+
+
 def q_heif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVIF/HEIC probe + GPS scrub + decode cross-check
     (functions/heif.py, r9): 20 real images — AV1 (AVIF) and HEVC
@@ -11673,6 +11770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_metadata": q_exif_metadata,
         "webp_anim_frames": q_webp_anim_frames,
         "album_art_pipeline": q_album_art_pipeline,
+        "cross_codec_audio_dedup": q_cross_codec_audio_dedup,
     }
 
 
@@ -11898,6 +11996,7 @@ def oracle_sql() -> dict[str, str]:
         "id3_tags": _ORACLE_ID3_TAGS,
         "audio_tags_multi": _ORACLE_AUDIO_TAGS_MULTI,
         "album_art_pipeline": _ORACLE_ALBUM_ART_PIPELINE,
+        "cross_codec_audio_dedup": _ORACLE_CROSS_CODEC_AUDIO,
         "zorder_locality": zorder_oracle_sql(
             "events",
             "user_id",

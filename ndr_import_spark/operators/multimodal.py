@@ -796,6 +796,8 @@ def audio_tag_table(df: DataFrame, payload_col: str = "payload",
     id3_version=NULL rather than failing the task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
         from ndr_import_spark.functions.audiotags import (
             AudioTagError,
             flac_comments,
@@ -890,6 +892,61 @@ def audio_tag_table(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(run, AUDIO_TAG_SCHEMA)
 
 
+AUDIO_FP_SCHEMA = (
+    "media_id long, codec string, sample_rate int, n_samples long, "
+    "pcm_md5 string, fingerprint long"
+)
+
+
+def audio_fingerprint_table(df: DataFrame, payload_col: str = "payload",
+                            id_col: str = "media_id") -> DataFrame:
+    """Cross-codec audio dedup keys (r11, the audio twin of
+    perceptual_hash_images): each payload decodes to mono PCM through
+    the clean-room codec stack (WAV PCM16/float32, G.711 µ/A-law, IMA/
+    MS ADPCM, FLAC) and yields the two-tier keys from
+    functions/audiofp.py — `pcm_md5` (exact: lossless re-encodes
+    collapse) and `fingerprint` (robust: faithful lossy re-encodes
+    collapse as candidates). One combinable groupBy on either column is
+    the dedup; samples never leave the Arrow task.
+
+    Arrow mapInPandas, stateless, shuffle-free; undecodable payloads
+    yield codec='error' with NULL keys rather than failing the task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        from ndr_import_spark.functions.audiofp import (
+            audio_codec_name,
+            audio_fingerprint,
+            decode_audio,
+            pcm_digest,
+        )
+
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p or b"")
+                try:
+                    codec = audio_codec_name(raw)
+                    sr, samples = decode_audio(raw)
+                    out.append((
+                        int(mid), codec, int(sr), int(samples.size),
+                        pcm_digest(samples),
+                        audio_fingerprint(samples),
+                    ))
+                except (ValueError, IndexError, _struct.error):
+                    # AudioFpError / WavError / AdpcmError and flac.py's
+                    # plain ValueErrors are all ValueError subclasses
+                    out.append((int(mid), "error", None, None, None,
+                                None))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "codec", "sample_rate", "n_samples",
+                "pcm_md5", "fingerprint",
+            ])
+
+    return df.mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
 ALBUM_ART_SCHEMA = (
     "media_id long, art_ix int, container string, mime string, "
     "payload binary"
@@ -913,6 +970,8 @@ def extract_album_art(df: DataFrame, payload_col: str = "payload",
     malformed payloads yield no rows rather than failing the task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
         from ndr_import_spark.functions.audiotags import (
             AudioTagError,
             flac_pictures,

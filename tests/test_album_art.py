@@ -123,6 +123,22 @@ class TestExtractAlbumArtOperator:
         assert all(bytes(rows[i].payload) == ART for i in range(3))
         assert all(rows[i].mime == "image/jpeg" for i in range(3))
 
+    def test_raising_payload_yields_no_rows_not_task_failure(self, spark):
+        """A payload that RAISES inside the art walk (truncated FLAC
+        metadata block -> AudioTagError) must be dropped silently —
+        drives the operator's except path for real (r11 NameError-in-
+        except-tuple lesson)."""
+        from ndr_import_spark.operators.multimodal import extract_album_art
+
+        flac = build_flac_with_comments(
+            _flac_base(), {"TITLE": "t"}, picture_payload=ART)
+        good = build_m4a_tagged(_m4a_base(), {"TITLE": "t"}, cover=ART)
+        df = spark.createDataFrame(
+            [(0, bytearray(flac[:20])), (1, bytearray(good))],
+            "media_id long, payload binary")
+        rows = extract_album_art(df).collect()
+        assert [r.media_id for r in rows] == [1]
+
     def test_art_feeds_image_pipeline_scrub_and_dedup(self, spark):
         """The capstone semantics in miniature: the SAME JPEG art (with
         per-copy different EXIF, one copy GPS-bearing) planted in an

@@ -1,0 +1,141 @@
+"""Cross-codec audio fingerprinting (functions/audiofp.py +
+operators/multimodal.audio_fingerprint_table, r11): the exact pcm_md5
+tier must collapse lossless re-encodes (WAV PCM16 == FLAC bit-identical
+decode), the settled-window fingerprint must additionally collapse
+faithful lossy re-encodes (IMA ADPCM, G.711 µ/A-law) while separating
+genuinely different audio."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ndr_import_spark.functions.adpcm import encode_ima, encode_wav_ima
+from ndr_import_spark.functions.audiofp import (
+    AudioFpError,
+    audio_codec_name,
+    audio_fingerprint,
+    decode_audio,
+    g711_encode,
+    pcm_digest,
+)
+from ndr_import_spark.functions.flac import encode_flac
+from ndr_import_spark.functions.wav import decode_wav, encode_wav, encode_wav_g711
+
+
+def _sig(levels):
+    return np.concatenate(
+        [np.full(128, (L + 0.5) / 8 - 1) for L in levels])
+
+
+LEVELS = [2, 13, 5, 9, 3, 12, 7, 6]
+
+
+def _routes(sig):
+    return {
+        "pcm16": encode_wav(8000, sig, bits=16),
+        "flac": encode_flac(8000, sig),
+        "adpcm-ima": encode_wav_ima(8000, encode_ima(sig, 256), 1, 256),
+        "g711-mulaw": encode_wav_g711(
+            8000, g711_encode(sig, "mulaw"), "mulaw"),
+        "g711-alaw": encode_wav_g711(
+            8000, g711_encode(sig, "alaw"), "alaw"),
+    }
+
+
+class TestTwoTiers:
+    def test_lossless_routes_share_exact_digest(self):
+        sig = _sig(LEVELS)
+        d = {}
+        for name in ("pcm16", "flac"):
+            _, s = decode_audio(_routes(sig)[name])
+            d[name] = pcm_digest(s)
+        assert d["pcm16"] == d["flac"]
+
+    def test_lossy_routes_differ_in_digest_but_share_fingerprint(self):
+        sig = _sig(LEVELS)
+        digests, fps = set(), set()
+        for name, payload in _routes(sig).items():
+            _, s = decode_audio(payload)
+            digests.add(pcm_digest(s))
+            fps.add(audio_fingerprint(s))
+        assert len(fps) == 1       # all five collapse as candidates
+        assert len(digests) == 4   # pcm16==flac exact; 3 lossy distinct
+
+    def test_different_audio_separates(self):
+        a = _sig(LEVELS)
+        b = _sig([L if i != 3 else L + 1 for i, L in enumerate(LEVELS)])
+        assert audio_fingerprint(a) != audio_fingerprint(b)
+
+    def test_fingerprint_value_closed_form(self):
+        fp = audio_fingerprint(_sig(LEVELS))
+        assert fp == sum(L << (4 * j) for j, L in enumerate(LEVELS))
+
+    def test_settled_window_skips_codec_transients(self):
+        """Full-window means of the IMA decode miss the source bins
+        (slew at segment jumps — measured up to 0.097 error); the
+        settled second-half means recover them exactly. This pins WHY
+        the fingerprint uses settled means."""
+        sig = _sig(LEVELS)
+        _, s = decode_audio(_routes(sig)["adpcm-ima"])
+        n = s.size // 8
+        full_err = max(
+            abs(float(np.mean(s[j * n:(j + 1) * n]))
+                - ((LEVELS[j] + 0.5) / 8 - 1))
+            for j in range(8))
+        assert full_err > 1 / 32  # full windows would misbin
+        assert audio_fingerprint(s) == audio_fingerprint(sig)
+
+
+class TestHelpers:
+    def test_codec_names(self):
+        sig = _sig(LEVELS)
+        for name, payload in _routes(sig).items():
+            assert audio_codec_name(payload) == name
+        with pytest.raises(AudioFpError, match="not a PCM"):
+            audio_codec_name(b"\xff\xfbgarbage")
+
+    def test_g711_encode_exact_at_representable_levels(self):
+        """Nearest-code encode then table decode must land within the
+        fingerprint margin (half-bin 1/32) at every fixture level."""
+        for L in range(2, 14):
+            v = (L + 0.5) / 8 - 1
+            for law in ("mulaw", "alaw"):
+                wav = encode_wav_g711(
+                    8000, g711_encode(np.full(16, v), law), law)
+                _, _, s = decode_wav(wav)
+                err = abs(float(np.asarray(s).reshape(-1)[0]) - v)
+                assert err < 1 / 32, (L, law, err)
+
+    def test_stereo_mixdown(self):
+        st = np.tile(np.array([[0.25, -0.25]]), (256, 1))
+        wav = encode_wav(8000, st, bits=16)
+        _, s = decode_audio(wav)
+        assert s.ndim == 1 and abs(float(s.mean())) < 1e-9
+
+    def test_too_short_raises(self):
+        with pytest.raises(AudioFpError, match="too short"):
+            audio_fingerprint(np.zeros(4), windows=8)
+
+
+class TestOperator:
+    def test_dedup_groups_and_error_isolation(self, spark):
+        from ndr_import_spark.operators.multimodal import (
+            audio_fingerprint_table,
+        )
+
+        sig_a, sig_b = _sig(LEVELS), _sig(list(reversed(LEVELS)))
+        rows = []
+        for i, (name, payload) in enumerate(_routes(sig_a).items()):
+            rows.append((i, bytearray(payload)))
+        rows.append((90, bytearray(_routes(sig_b)["flac"])))
+        rows.append((91, bytearray(b"not audio at all")))
+        df = spark.createDataFrame(
+            rows, "media_id long, payload binary")
+        out = {r.media_id: r for r in audio_fingerprint_table(df).collect()}
+        assert out[91].codec == "error" and out[91].pcm_md5 is None
+        fps = {out[i].fingerprint for i in range(5)}
+        assert len(fps) == 1 and out[90].fingerprint not in fps
+        assert len({out[i].pcm_md5 for i in range(5)}) == 4
+        assert {out[i].codec for i in range(5)} == {
+            "pcm16", "flac", "adpcm-ima", "g711-mulaw", "g711-alaw"}

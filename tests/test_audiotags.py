@@ -241,3 +241,19 @@ class TestOperatorDispatch:
         assert [rows[i].title for i in [0, 1, 2, 3, 5]] == [
             "F", "V", "O", "W", "M"]
         assert rows[5].has_picture and rows[5].n_frames == 2
+
+    def test_raising_payload_yields_error_row_not_task_failure(self, spark):
+        """A payload that RAISES inside the tag walk (truncated FLAC
+        metadata block) must produce an id3_version='error' row — this
+        drives the operator's except path for real (r11: a NameError
+        lurked in the except tuple itself and only an actually-raising
+        payload could expose it)."""
+        from ndr_import_spark.operators.multimodal import audio_tag_table
+
+        flac = build_flac_with_comments(
+            encode_flac(8000, SIG), {"TITLE": "F"})
+        truncated = flac[:20]  # mid-STREAMINFO: block walk overruns
+        df = spark.createDataFrame(
+            [(0, bytearray(truncated))], "media_id long, payload binary")
+        row = audio_tag_table(df).collect()[0]
+        assert row.id3_version == "error" and row.title is None

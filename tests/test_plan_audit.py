@@ -614,3 +614,12 @@ class TestRound11Plans:
         # the groupBy exchanges carry the 64-bit hash, not images
         assert "hashpartitioning(payload" not in p
         assert "hashpartitioning(phash" in p
+
+    def test_cross_codec_audio_dedup_groups_on_fingerprint(self, spark):
+        """Samples never leave the Arrow task: the single groupBy keys
+        on the 32-bit fingerprint; no cartesian, no payload exchange."""
+        df = entry.queries()["cross_codec_audio_dedup"](spark, SF_DIR)
+        p = plan(df, "simple")
+        assert "CartesianProduct" not in p
+        assert "hashpartitioning(fingerprint" in p
+        assert "hashpartitioning(payload" not in p
