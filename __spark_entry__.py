@@ -4291,14 +4291,14 @@ FROM d ORDER BY kept_id
 
 def q_cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-codec AUDIO dedup (r11, the audio twin of
-    cross_codec_dedup): 16 source signals x 5 REAL codec routes — WAV
-    PCM16, FLAC, IMA ADPCM, G.711 µ-law, G.711 A-law — through
+    cross_codec_dedup): 16 source signals x 6 REAL codec routes — WAV
+    PCM16, FLAC, IMA ADPCM, MS ADPCM, G.711 µ-law, G.711 A-law — through
     operators/multimodal.audio_fingerprint_table. The settled-window
     fingerprint collapses each source's five encodings into ONE
     candidate group (lossy transients decay inside the skipped window
     halves); the exact pcm_md5 tier distinguishes the lossless pair
-    (WAV == FLAC bit-identical PCM) from the three lossy routes, so
-    n_exact = 4 per group is itself the proof that both tiers work.
+    (WAV == FLAC bit-identical PCM) from the four lossy routes, so
+    n_exact = 5 per group is itself the proof that both tiers work.
 
     Fixture analyticity: each source is 8 constant 128-sample segments
     at amplitude-bin CENTERS (L+0.5)/8-1 with levels L in [2,13] —
@@ -4315,14 +4315,19 @@ def q_cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import numpy as np
 
-    from ndr_import_spark.functions.adpcm import encode_ima, encode_wav_ima
+    from ndr_import_spark.functions.adpcm import (
+        encode_ima,
+        encode_ms,
+        encode_wav_ima,
+        encode_wav_ms,
+    )
     from ndr_import_spark.functions.audiofp import g711_encode
     from ndr_import_spark.functions.flac import encode_flac
     from ndr_import_spark.functions.wav import encode_wav, encode_wav_g711
     from ndr_import_spark.operators import multimodal as MM
 
     rows = []
-    for i in range(80):
+    for i in range(96):
         s, k = i % 16, i // 16
         b = _hl.md5(f"afp{s}".encode()).digest()
         levels = [2 + (s % 12), 2 + (s // 12)] + [
@@ -4336,6 +4341,8 @@ def q_cross_codec_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         elif k == 2:
             payload = encode_wav_ima(8000, encode_ima(sig, 256), 1, 256)
         elif k == 3:
+            payload = encode_wav_ms(8000, encode_ms(sig, 256), 1, 256)
+        elif k == 4:
             payload = encode_wav_g711(8000, g711_encode(sig, "mulaw"),
                                       "mulaw")
         else:
@@ -4375,9 +4382,9 @@ lv AS (
   FROM d
 )
 SELECT s AS kept_id,
-  cast(5 as bigint) AS n_copies,
-  cast(5 as bigint) AS n_codecs,
-  cast(4 as bigint) AS n_exact,
+  cast(6 as bigint) AS n_copies,
+  cast(6 as bigint) AS n_codecs,
+  cast(5 as bigint) AS n_exact,
   (cast(l0 as bigint) + l1 * 16 + l2 * 256 + l3 * 4096 + l4 * 65536
    + l5 * 1048576 + cast(l6 as bigint) * 16777216
    + cast(l7 as bigint) * 268435456) AS fingerprint,

@@ -343,6 +343,45 @@ def encode_wav_ima(
     return _riff_wrap(fmt, blocks)
 
 
+def encode_ms(samples: np.ndarray, block_align: int = 256) -> bytes:
+    """Reference mono MS ADPCM ENCODER (greedy nibble selection with
+    coefficient pair 0, c1=256/c2=0, so prediction is the previous
+    sample) — the encode_ima twin for round-trip property tests and
+    cross-codec fixtures. Each block stores its first two samples
+    exactly; each later nibble is the idelta-scaled rounding of the
+    prediction error, so decode(encode(x)) tracks x within one idelta
+    step per sample and is EXACT on constant runs (error 0 once the
+    slew from a level jump settles)."""
+    x = np.clip(np.round(np.asarray(samples) * 32768.0), -32768, 32767)
+    x = x.astype(np.int64)
+    spb = ms_samples_per_block(block_align, 1)
+    out = bytearray()
+    pos = 0
+    while pos < x.size:
+        chunk = x[pos : pos + spb]
+        s2 = int(chunk[0])
+        s1 = int(chunk[1]) if chunk.size > 1 else s2
+        init_idelta = 256
+        idelta = init_idelta
+        nibbles: list[int] = []
+        for s in chunk[2:]:
+            predicted = s1  # coeff 0: (s1*256 + s2*0) >> 8
+            signed = max(-8, min(7, int(round((int(s) - predicted)
+                                              / idelta))))
+            nib = signed & 0x0F
+            sample = max(-32768, min(32767, predicted + signed * idelta))
+            s2, s1 = s1, sample
+            idelta = min(max(16, (int(MS_ADAPT[nib]) * idelta) >> 8),
+                         1 << 30)
+            nibbles.append(nib)
+        if len(nibbles) % 2:
+            nibbles.append(0)  # pad nibble decodes as one extra sample
+        out += ms_block(0, init_idelta, int(chunk[1]) if chunk.size > 1
+                        else s2, int(chunk[0]), nibbles, 1)
+        pos += spb
+    return bytes(out)
+
+
 def encode_wav_ms(
     sample_rate: int, blocks: bytes, channels: int, block_align: int
 ) -> bytes:

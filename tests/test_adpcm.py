@@ -209,6 +209,25 @@ class TestWavContainer:
         n = min(sig.size, dec.shape[0])
         assert np.abs(dec[:n, 0] - sig[:n]).max() < 0.02
 
+    def test_ms_encoder_roundtrip_error_bounded(self):
+        """encode_ms (r11, the encode_ima twin): greedy coeff-0 nibble
+        selection must track a smooth signal within one idelta step and
+        reproduce constant runs EXACTLY after the block's first two
+        stored samples."""
+        sig = np.sin(np.linspace(0, 20, 2000)) * 0.4
+        wav = adpcm.encode_wav_ms(
+            16000, adpcm.encode_ms(sig, block_align=256), 1, 256)
+        _, _, dec = decode_wav(wav)
+        n = min(sig.size, dec.shape[0])
+        assert np.abs(dec[:n, 0] - sig[:n]).max() < 0.02
+        const = np.full(600, 0.3125)
+        wav = adpcm.encode_wav_ms(
+            8000, adpcm.encode_ms(const, block_align=256), 1, 256)
+        _, _, dec = decode_wav(wav)
+        got = np.asarray(dec).reshape(-1)[:600]
+        # constant runs are exact: prediction == previous sample, error 0
+        assert np.abs(got - 0.3125).max() < 1e-9
+
     def test_multimodal_audio_features_dispatch(self, spark):
         from ndr_import_spark.operators import multimodal as MM
 

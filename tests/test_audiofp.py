@@ -10,7 +10,12 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from ndr_import_spark.functions.adpcm import encode_ima, encode_wav_ima
+from ndr_import_spark.functions.adpcm import (
+    encode_ima,
+    encode_ms,
+    encode_wav_ima,
+    encode_wav_ms,
+)
 from ndr_import_spark.functions.audiofp import (
     AudioFpError,
     audio_codec_name,
@@ -36,6 +41,7 @@ def _routes(sig):
         "pcm16": encode_wav(8000, sig, bits=16),
         "flac": encode_flac(8000, sig),
         "adpcm-ima": encode_wav_ima(8000, encode_ima(sig, 256), 1, 256),
+        "adpcm-ms": encode_wav_ms(8000, encode_ms(sig, 256), 1, 256),
         "g711-mulaw": encode_wav_g711(
             8000, g711_encode(sig, "mulaw"), "mulaw"),
         "g711-alaw": encode_wav_g711(
@@ -59,8 +65,8 @@ class TestTwoTiers:
             _, s = decode_audio(payload)
             digests.add(pcm_digest(s))
             fps.add(audio_fingerprint(s))
-        assert len(fps) == 1       # all five collapse as candidates
-        assert len(digests) == 4   # pcm16==flac exact; 3 lossy distinct
+        assert len(fps) == 1       # all six collapse as candidates
+        assert len(digests) == 5   # pcm16==flac exact; 4 lossy distinct
 
     def test_different_audio_separates(self):
         a = _sig(LEVELS)
@@ -134,8 +140,9 @@ class TestOperator:
             rows, "media_id long, payload binary")
         out = {r.media_id: r for r in audio_fingerprint_table(df).collect()}
         assert out[91].codec == "error" and out[91].pcm_md5 is None
-        fps = {out[i].fingerprint for i in range(5)}
+        fps = {out[i].fingerprint for i in range(6)}
         assert len(fps) == 1 and out[90].fingerprint not in fps
-        assert len({out[i].pcm_md5 for i in range(5)}) == 4
-        assert {out[i].codec for i in range(5)} == {
-            "pcm16", "flac", "adpcm-ima", "g711-mulaw", "g711-alaw"}
+        assert len({out[i].pcm_md5 for i in range(6)}) == 5
+        assert {out[i].codec for i in range(6)} == {
+            "pcm16", "flac", "adpcm-ima", "adpcm-ms", "g711-mulaw",
+            "g711-alaw"}
