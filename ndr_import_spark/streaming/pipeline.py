@@ -623,6 +623,46 @@ def stream_audio_tags(
     return audio_tag_table(payloads)
 
 
+def stream_audio_fingerprints(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Continuous cross-codec audio dedup keys (r11): the streaming
+    twin of `multimodal.audio_fingerprint_table` over the binaryFile
+    micro-batch source. Audio landing in `path` yields its two-tier
+    dedup keys (exact pcm_md5 + settled-window fingerprint) live; the
+    decode is stateless per payload so the streaming frame IS the
+    batch operator's body (stream == batch parity pinned in tests).
+    Compose with `stateful_stream_dedup` keyed on the fingerprint for
+    live near-duplicate detection across codecs."""
+    from ndr_import_spark.operators.multimodal import (
+        audio_fingerprint_table,
+    )
+
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+    )
+    from ndr_import_spark.operators.textstats import md5_long
+
+    payloads = files.select(
+        md5_long(F.col("path")).alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    return audio_fingerprint_table(payloads)
+
+
 def stream_c4_filter(
     docs_stream: DataFrame,
     text_col: str = "text",

@@ -123,6 +123,21 @@ class TestHelpers:
         with pytest.raises(AudioFpError, match="too short"):
             audio_fingerprint(np.zeros(4), windows=8)
 
+    def test_sample_rate_invariance(self):
+        """The fingerprint windows by SAMPLE-COUNT fractions, so the
+        same content at a different sample rate (time axis rescaled,
+        shape preserved) produces the SAME fingerprint — cross-rate
+        dedup comes for free."""
+        lo = _sig(LEVELS)                       # 128 samples/segment
+        hi = np.repeat(lo, 2)                   # same content at 2x rate
+        assert audio_fingerprint(lo) == audio_fingerprint(hi)
+        wav_lo = encode_wav(8000, lo, bits=16)
+        wav_hi = encode_wav(16000, hi, bits=16)
+        _, a = decode_audio(wav_lo)
+        _, b = decode_audio(wav_hi)
+        assert audio_fingerprint(a) == audio_fingerprint(b)
+        assert pcm_digest(a) != pcm_digest(b)   # exact tier still separates
+
 
 class TestOperator:
     def test_dedup_groups_and_error_isolation(self, spark):

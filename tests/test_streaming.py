@@ -1096,3 +1096,72 @@ class TestStreamAudioTags:
             assert streamed["mp4"].has_picture
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamAudioFingerprints:
+    def test_live_cross_codec_dedup_keys_match_batch(self, spark):
+        """r11: audio fingerprint keys on live binaryFile ingest — the
+        same signal landing as WAV, FLAC and IMA ADPCM must produce
+        ONE fingerprint group with the lossless pair digest-equal,
+        exactly as the batch operator computes on the same payloads."""
+        import os
+        import shutil
+        import tempfile
+
+        import numpy as np
+
+        from ndr_import_spark.functions.adpcm import (
+            encode_ima,
+            encode_wav_ima,
+        )
+        from ndr_import_spark.functions.flac import encode_flac
+        from ndr_import_spark.functions.wav import encode_wav
+        from ndr_import_spark.operators.multimodal import (
+            audio_fingerprint_table,
+        )
+        from ndr_import_spark.streaming import stream_audio_fingerprints
+
+        sig = np.concatenate(
+            [np.full(128, (L + 0.5) / 8 - 1) for L in [2, 13, 5, 9]])
+        payloads = {
+            "a.wav": encode_wav(8000, sig, bits=16),
+            "b.flac": encode_flac(8000, sig),
+            "c_ima.wav": encode_wav_ima(
+                8000, encode_ima(sig, 256), 1, 256),
+        }
+        tmp = tempfile.mkdtemp()
+        try:
+            for name, data in payloads.items():
+                with open(os.path.join(tmp, name), "wb") as f:
+                    f.write(data)
+            q = (
+                stream_audio_fingerprints(spark, tmp)
+                .writeStream.format("memory")
+                .queryName("audio_fp_stream")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            streamed = {
+                r.codec: r for r in
+                spark.sql("SELECT * FROM audio_fp_stream").collect()
+            }
+            batch = {
+                r.codec: r for r in audio_fingerprint_table(
+                    spark.createDataFrame(
+                        [(i, bytearray(d))
+                         for i, d in enumerate(payloads.values())],
+                        "media_id long, payload binary")
+                ).collect()
+            }
+            assert set(streamed) == {"pcm16", "flac", "adpcm-ima"}
+            for codec, s in streamed.items():
+                b = batch[codec]
+                assert (s.fingerprint, s.pcm_md5, s.sample_rate,
+                        s.n_samples) == (
+                    b.fingerprint, b.pcm_md5, b.sample_rate, b.n_samples)
+            assert len({r.fingerprint for r in streamed.values()}) == 1
+            assert streamed["pcm16"].pcm_md5 == streamed["flac"].pcm_md5
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
