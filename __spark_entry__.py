@@ -4393,6 +4393,92 @@ FROM lv ORDER BY kept_id
 """
 
 
+def q_audio_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio quality gate (r11, the audio twin of gopher_quality): 48
+    REAL audio files across four planted quality classes — clean
+    symmetric steps, clipped (a planted fraction of full-scale int16
+    samples), near-silent (a few nonzero samples in a zero field), and
+    DC-offset — alternating WAV PCM16 / FLAC containers, scored by
+    operators/multimodal.audio_quality_table. Every amplitude is a
+    dyadic rational (k/64 or int16 full scale) and every file is 1024
+    samples, so peak / mean-square / DC / ratios are EXACT in float64
+    and the DuckDB oracle replays them bit-for-bit from md5 arithmetic
+    — including the verdict precedence (clipped > silent > dc_offset >
+    ok). Stateless Arrow pass; stats shuffle, samples never do."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from ndr_import_spark.functions.flac import encode_flac
+    from ndr_import_spark.functions.wav import encode_wav
+    from ndr_import_spark.operators import multimodal as MM
+
+    FS = 32767.0 / 32768.0
+    rows = []
+    for i in range(48):
+        b = _hl.md5(f"aq{i}".encode()).digest()
+        c = i % 4
+        va = ((b[0] % 48) + 8) / 64.0
+        if c == 0:
+            sig = np.concatenate([np.full(512, va), np.full(512, -va)])
+        elif c == 1:
+            m = 128 + (b[2] % 4) * 64  # clipped samples, even
+            rest = 1024 - m
+            sig = np.concatenate([
+                np.full(m // 2, FS), np.full(m // 2, -FS),
+                np.full(rest // 2, va), np.full(rest - rest // 2, -va),
+            ])
+        elif c == 2:
+            k = 16 + (b[2] % 4) * 8    # nonzero samples
+            sig = np.concatenate([np.full(k, va), np.zeros(1024 - k)])
+        else:
+            sig = np.concatenate([
+                np.full(512, 0.25 + va / 8), np.full(512, 0.25 - va / 8),
+            ])
+        payload = (encode_wav(8000, sig, bits=16) if (i // 4) % 2 == 0
+                   else encode_flac(8000, sig))
+        rows.append((i, bytearray(payload)))
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary").repartition(8)
+    return MM.audio_quality_table(df).orderBy("media_id")
+
+
+_ORACLE_AUDIO_QUALITY = """
+WITH a AS (SELECT unnest(range(48)) AS i),
+p AS (
+  SELECT i, i % 4 AS c, md5('aq' || i) AS hx,
+    CASE WHEN (i // 4) % 2 = 0 THEN 'pcm16' ELSE 'flac' END AS codec
+  FROM a
+),
+d AS (
+  SELECT *,
+    ((cast(('0x' || substring(hx, 1, 2)) as int) % 48) + 8) / 64.0 AS va,
+    128 + (cast(('0x' || substring(hx, 5, 2)) as int) % 4) * 64 AS m,
+    16 + (cast(('0x' || substring(hx, 5, 2)) as int) % 4) * 8 AS k,
+    32767.0 / 32768.0 AS fs
+  FROM p
+)
+SELECT i AS media_id, codec,
+  cast(8000 as int) AS sample_rate,
+  cast(1024 as bigint) AS n_samples,
+  128.0 AS duration_ms,
+  CASE c WHEN 0 THEN va WHEN 1 THEN fs WHEN 2 THEN va
+         ELSE 0.25 + va / 8 END AS peak,
+  CASE c WHEN 0 THEN va * va
+         WHEN 1 THEN (m * fs * fs + (1024 - m) * va * va) / 1024
+         WHEN 2 THEN k * va * va / 1024
+         ELSE ((0.25 + va / 8) * (0.25 + va / 8)
+               + (0.25 - va / 8) * (0.25 - va / 8)) / 2 END AS mean_square,
+  CASE c WHEN 0 THEN 0.0 WHEN 1 THEN 0.0 WHEN 2 THEN k * va / 1024
+         ELSE 0.25 END AS dc_offset,
+  CASE c WHEN 1 THEN m / 1024.0 ELSE 0.0 END AS clip_ratio,
+  CASE c WHEN 2 THEN (1024 - k) / 1024.0 ELSE 0.0 END AS silence_ratio,
+  CASE c WHEN 0 THEN 'ok' WHEN 1 THEN 'clipped' WHEN 2 THEN 'silent'
+         ELSE 'dc_offset' END AS verdict
+FROM d ORDER BY media_id
+"""
+
+
 def q_heif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVIF/HEIC probe + GPS scrub + decode cross-check
     (functions/heif.py, r9): 20 real images — AV1 (AVIF) and HEVC
@@ -11778,6 +11864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webp_anim_frames": q_webp_anim_frames,
         "album_art_pipeline": q_album_art_pipeline,
         "cross_codec_audio_dedup": q_cross_codec_audio_dedup,
+        "audio_quality_filter": q_audio_quality_filter,
     }
 
 
@@ -12004,6 +12091,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_tags_multi": _ORACLE_AUDIO_TAGS_MULTI,
         "album_art_pipeline": _ORACLE_ALBUM_ART_PIPELINE,
         "cross_codec_audio_dedup": _ORACLE_CROSS_CODEC_AUDIO,
+        "audio_quality_filter": _ORACLE_AUDIO_QUALITY,
         "zorder_locality": zorder_oracle_sql(
             "events",
             "user_id",

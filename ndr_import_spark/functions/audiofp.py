@@ -36,6 +36,7 @@ __all__ = [
     "AudioFpError",
     "audio_codec_name",
     "audio_fingerprint",
+    "audio_quality_stats",
     "decode_audio",
     "g711_encode",
     "pcm_digest",
@@ -135,3 +136,56 @@ def g711_encode(samples: np.ndarray, law: str = "mulaw") -> bytes:
                            * 32768.0), -32768, 32767).astype(np.int64)
     codes = np.abs(table[None, :] - pcm[:, None]).argmin(axis=1)
     return codes.astype(np.uint8).tobytes()
+
+
+# ------------------------------------------------- quality scoring (r11)
+
+
+# Verdict thresholds — the audio analogue of the Gopher text-quality
+# rules: fractions/levels a curation pipeline would gate on. Checked in
+# precedence order (clipped > silent > dc_offset > ok) so a file gets
+# ONE routing verdict.
+CLIP_LEVEL = 32767.0 / 32768.0   # |sample| at int16 full scale
+CLIP_RATIO_MAX = 0.01
+SILENCE_LEVEL = 1.0 / 1024.0
+SILENCE_RATIO_MAX = 0.9
+DC_OFFSET_MAX = 0.1
+
+
+def audio_quality_stats(sample_rate: int, samples: np.ndarray) -> dict:
+    """Curation-grade quality stats over a decoded mono signal — the
+    audio twin of the text quality scorers: peak, mean square (power;
+    RMS² — kept squared so every stat is exact rational arithmetic on
+    dyadic samples), DC offset, clipped-sample ratio, near-silence
+    ratio, and a routing verdict. All integer/dyadic arithmetic: for
+    power-of-two sample counts the means are EXACT in float64, which is
+    what lets fixture oracles replay them bit-for-bit."""
+    s = np.asarray(samples, dtype=np.float64)
+    n = s.size
+    if n == 0:
+        raise AudioFpError("empty signal")
+    a = np.abs(s)
+    peak = float(a.max())
+    mean_square = float(np.mean(s * s))
+    dc_offset = float(np.mean(s))
+    clip_ratio = float(np.count_nonzero(a >= CLIP_LEVEL)) / n
+    silence_ratio = float(np.count_nonzero(a <= SILENCE_LEVEL)) / n
+    if clip_ratio > CLIP_RATIO_MAX:
+        verdict = "clipped"
+    elif silence_ratio > SILENCE_RATIO_MAX:
+        verdict = "silent"
+    elif abs(dc_offset) > DC_OFFSET_MAX:
+        verdict = "dc_offset"
+    else:
+        verdict = "ok"
+    return {
+        "sample_rate": int(sample_rate),
+        "n_samples": int(n),
+        "duration_ms": n * 1000.0 / sample_rate,
+        "peak": peak,
+        "mean_square": mean_square,
+        "dc_offset": dc_offset,
+        "clip_ratio": clip_ratio,
+        "silence_ratio": silence_ratio,
+        "verdict": verdict,
+    }

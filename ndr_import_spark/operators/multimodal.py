@@ -947,6 +947,58 @@ def audio_fingerprint_table(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(run, AUDIO_FP_SCHEMA)
 
 
+AUDIO_QUALITY_SCHEMA = (
+    "media_id long, codec string, sample_rate int, n_samples long, "
+    "duration_ms double, peak double, mean_square double, "
+    "dc_offset double, clip_ratio double, silence_ratio double, "
+    "verdict string"
+)
+
+
+def audio_quality_table(df: DataFrame, payload_col: str = "payload",
+                        id_col: str = "media_id") -> DataFrame:
+    """Audio quality scoring for training-data curation (r11) — the
+    audio twin of the Gopher text-quality gate: per payload, decode to
+    mono PCM (same dispatch as audio_fingerprint_table) and emit peak /
+    mean-square power / DC offset / clipped-sample ratio /
+    near-silence ratio plus a single routing verdict
+    (clipped > silent > dc_offset > ok, functions/audiofp.py
+    thresholds). A curation pipeline filters on `verdict` exactly as
+    the text side filters on the Gopher rules.
+
+    Arrow mapInPandas, stateless, shuffle-free; every stat is exact
+    dyadic arithmetic for power-of-two sample counts, so oracles replay
+    them bit-for-bit. Undecodable payloads yield verdict='error'."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        from ndr_import_spark.functions.audiofp import (
+            audio_codec_name,
+            audio_quality_stats,
+            decode_audio,
+        )
+
+        cols = ["sample_rate", "n_samples", "duration_ms", "peak",
+                "mean_square", "dc_offset", "clip_ratio",
+                "silence_ratio", "verdict"]
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p or b"")
+                try:
+                    codec = audio_codec_name(raw)
+                    sr, samples = decode_audio(raw)
+                    st = audio_quality_stats(sr, samples)
+                    out.append([int(mid), codec] + [st[c] for c in cols])
+                except (ValueError, IndexError, _struct.error):
+                    out.append([int(mid), "error"] + [None] * 8
+                               + ["error"])
+            yield pd.DataFrame(out, columns=["media_id", "codec"] + cols)
+
+    return df.mapInPandas(run, AUDIO_QUALITY_SCHEMA)
+
+
 ALBUM_ART_SCHEMA = (
     "media_id long, art_ix int, container string, mime string, "
     "payload binary"

@@ -139,6 +139,65 @@ class TestHelpers:
         assert pcm_digest(a) != pcm_digest(b)   # exact tier still separates
 
 
+class TestQualityStats:
+    def test_clean_signal_is_ok(self):
+        from ndr_import_spark.functions.audiofp import audio_quality_stats
+
+        st = audio_quality_stats(
+            8000, np.concatenate([np.full(512, 0.5), np.full(512, -0.5)]))
+        assert st["verdict"] == "ok"
+        assert st["peak"] == 0.5 and st["mean_square"] == 0.25
+        assert st["dc_offset"] == 0.0 and st["clip_ratio"] == 0.0
+        assert st["duration_ms"] == 128.0
+
+    def test_clipped_silent_dc_verdicts(self):
+        from ndr_import_spark.functions.audiofp import audio_quality_stats
+
+        fs = 32767.0 / 32768.0
+        clipped = np.concatenate([np.full(64, fs), np.full(960, 0.25)])
+        st = audio_quality_stats(8000, clipped)
+        assert st["verdict"] == "clipped" and st["clip_ratio"] == 64 / 1024
+        silent = np.concatenate([np.full(16, 0.5), np.zeros(1008)])
+        st = audio_quality_stats(8000, silent)
+        assert st["verdict"] == "silent"
+        assert st["silence_ratio"] == 1008 / 1024
+        dc = np.full(1024, 0.25)
+        st = audio_quality_stats(8000, dc)
+        assert st["verdict"] == "dc_offset" and st["dc_offset"] == 0.25
+
+    def test_precedence_clipped_beats_dc(self):
+        from ndr_import_spark.functions.audiofp import audio_quality_stats
+
+        fs = 32767.0 / 32768.0
+        both = np.concatenate([np.full(64, fs), np.full(960, 0.3)])
+        st = audio_quality_stats(8000, both)
+        assert abs(st["dc_offset"]) > 0.1  # would be dc_offset alone...
+        assert st["verdict"] == "clipped"  # ...but clipped wins
+
+    def test_container_independence(self, spark):
+        """The same planted-clipped signal through WAV and FLAC must
+        score identically (decode bit-parity carries to every stat)."""
+        from ndr_import_spark.operators.multimodal import (
+            audio_quality_table,
+        )
+
+        fs = 32767.0 / 32768.0
+        sig = np.concatenate([
+            np.full(32, fs), np.full(32, -fs),
+            np.full(480, 0.25), np.full(480, -0.25)])
+        df = spark.createDataFrame(
+            [(0, bytearray(encode_wav(8000, sig, bits=16))),
+             (1, bytearray(encode_flac(8000, sig))),
+             (2, bytearray(b"junk"))],
+            "media_id long, payload binary")
+        rows = {r.media_id: r for r in audio_quality_table(df).collect()}
+        for col in ("peak", "mean_square", "dc_offset", "clip_ratio",
+                    "silence_ratio", "verdict"):
+            assert getattr(rows[0], col) == getattr(rows[1], col)
+        assert rows[0].verdict == "clipped"
+        assert rows[2].verdict == "error" and rows[2].peak is None
+
+
 class TestOperator:
     def test_dedup_groups_and_error_isolation(self, spark):
         from ndr_import_spark.operators.multimodal import (
