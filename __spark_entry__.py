@@ -4479,6 +4479,148 @@ FROM d ORDER BY media_id
 """
 
 
+def q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO capstone (r11) — the audio twin of image_pipeline:
+    quality gate -> cross-codec fingerprint dedup -> linear resample
+    with a real re-encode receipt, ONE lazy plan over 60 REAL audio
+    files.
+
+    Fixture: 12 sources x 4 codec routes (WAV PCM16 / FLAC / IMA ADPCM
+    / G.711 µ-law; 48 good files) + 12 planted-bad files (clipped /
+    silent / DC-offset, 4 each). Sources are 8 constant 128-sample
+    segments at bin-center levels with the BACK HALF the exact mirror
+    of the front (l[4+j] = 15 - l[j]), so every good file has dc == 0
+    by construction and survives the quality gate that drops the 12
+    bad ones. The fingerprint collapses each source's four codec
+    routes; the kept (min-id) copy is always the WAV PCM16 route, so
+    the resample receipt — the kept payload resampled 8000 -> 16000 by
+    exact dyadic linear interpolation, re-encoded as WAV PCM16, then
+    re-scored by audio_quality_table — has CLOSED-FORM peak and
+    mean-square (255/256-weighted segment squares + the 7 boundary
+    midpoints), which the DuckDB oracle replays bit-for-bit.
+
+    100 TB shape: three stateless Arrow passes (quality, keys,
+    resample — payloads never shuffle), ONE fingerprint groupBy, two
+    broadcast semi-joins (ok-ids, kept-ids). Same discipline as
+    image_pipeline."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from ndr_import_spark.functions.adpcm import encode_ima, encode_wav_ima
+    from ndr_import_spark.functions.audiofp import g711_encode
+    from ndr_import_spark.functions.flac import encode_flac
+    from ndr_import_spark.functions.wav import encode_wav, encode_wav_g711
+    from ndr_import_spark.operators import multimodal as MM
+
+    FS = 32767.0 / 32768.0
+    rows = []
+    for i in range(60):
+        if i < 48:
+            s, k = i % 12, i // 12
+            b = _hl.md5(f"apipe{s}".encode()).digest()
+            front = [2 + (s % 12), 2 + (b[1] % 12), 2 + (b[2] % 12),
+                     2 + (b[3] % 12)]
+            levels = front + [15 - L for L in front]
+            sig = np.concatenate(
+                [np.full(128, (L + 0.5) / 8 - 1) for L in levels])
+            if k == 0:
+                payload = encode_wav(8000, sig, bits=16)
+            elif k == 1:
+                payload = encode_flac(8000, sig)
+            elif k == 2:
+                payload = encode_wav_ima(8000, encode_ima(sig, 256),
+                                         1, 256)
+            else:
+                payload = encode_wav_g711(
+                    8000, g711_encode(sig, "mulaw"), "mulaw")
+        else:
+            b = _hl.md5(f"apbad{i}".encode()).digest()
+            va = ((b[0] % 48) + 8) / 64.0
+            c = (i - 48) % 3
+            if c == 0:
+                m = 128 + (b[2] % 4) * 64
+                rest = 1024 - m
+                sig = np.concatenate([
+                    np.full(m // 2, FS), np.full(m // 2, -FS),
+                    np.full(rest // 2, va),
+                    np.full(rest - rest // 2, -va)])
+            elif c == 1:
+                kz = 16 + (b[2] % 4) * 8
+                sig = np.concatenate(
+                    [np.full(kz, va), np.zeros(1024 - kz)])
+            else:
+                sig = np.concatenate([
+                    np.full(512, 0.25 + va / 8),
+                    np.full(512, 0.25 - va / 8)])
+            payload = encode_wav(8000, sig, bits=16)
+        rows.append((i, bytearray(payload)))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary").repartition(8)
+
+    quality = MM.audio_quality_table(media)
+    ok_ids = quality.filter(F.col("verdict") == "ok").select("media_id")
+    good = media.join(F.broadcast(ok_ids), "media_id", "left_semi")
+    keys = MM.audio_fingerprint_table(good)
+    groups = keys.groupBy("fingerprint").agg(
+        F.min("media_id").alias("kept_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("codec").alias("n_codecs"),
+    )
+    survivors = good.join(
+        F.broadcast(groups.select("kept_id")),
+        good.media_id == F.col("kept_id"),
+    ).select("media_id", "payload")
+    resampled = MM.resample_audio(survivors, 16000)
+    receipt = MM.audio_quality_table(resampled).select(
+        F.col("media_id").alias("kept_id"),
+        F.col("sample_rate").alias("res_sr"),
+        F.col("n_samples").alias("res_n"),
+        F.col("duration_ms").alias("res_duration_ms"),
+        F.col("peak").alias("res_peak"),
+        F.col("mean_square").alias("res_mean_square"),
+        F.col("verdict").alias("res_verdict"),
+    )
+    return (
+        groups.join(receipt, "kept_id")
+        .select("kept_id", "n_copies", "n_codecs", "res_sr", "res_n",
+                "res_duration_ms", "res_peak", "res_mean_square",
+                "res_verdict")
+        .orderBy("kept_id")
+    )
+
+
+_ORACLE_AUDIO_PIPELINE = """
+WITH a AS (SELECT unnest(range(12)) AS s),
+d AS (SELECT s, md5('apipe' || s) AS hx FROM a),
+lv AS (
+  SELECT s,
+    (2 + (s % 12) - 7.5) / 8 AS v0,
+    (2 + (cast(('0x' || substring(hx, 3, 2)) as int) % 12) - 7.5) / 8 AS v1,
+    (2 + (cast(('0x' || substring(hx, 5, 2)) as int) % 12) - 7.5) / 8 AS v2,
+    (2 + (cast(('0x' || substring(hx, 7, 2)) as int) % 12) - 7.5) / 8 AS v3
+  FROM d
+),
+m AS (
+  SELECT s, v0, v1, v2, v3,
+    (v0 + v1) / 2 AS m0, (v1 + v2) / 2 AS m1, (v2 + v3) / 2 AS m2,
+    (v3 - v0) / 2 AS m3
+  FROM lv
+)
+SELECT s AS kept_id,
+  cast(4 as bigint) AS n_copies,
+  cast(4 as bigint) AS n_codecs,
+  cast(16000 as int) AS res_sr,
+  cast(2048 as bigint) AS res_n,
+  128.0 AS res_duration_ms,
+  greatest(abs(v0), abs(v1), abs(v2), abs(v3)) AS res_peak,
+  (255 * 2 * (v0*v0 + v1*v1 + v2*v2 + v3*v3) + v3*v3
+   + 2 * (m0*m0 + m1*m1 + m2*m2) + m3*m3) / 2048 AS res_mean_square,
+  'ok' AS res_verdict
+FROM m ORDER BY kept_id
+"""
+
+
 def q_heif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVIF/HEIC probe + GPS scrub + decode cross-check
     (functions/heif.py, r9): 20 real images — AV1 (AVIF) and HEVC
@@ -11865,6 +12007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "album_art_pipeline": q_album_art_pipeline,
         "cross_codec_audio_dedup": q_cross_codec_audio_dedup,
         "audio_quality_filter": q_audio_quality_filter,
+        "audio_pipeline": q_audio_pipeline,
     }
 
 
@@ -12092,6 +12235,7 @@ def oracle_sql() -> dict[str, str]:
         "album_art_pipeline": _ORACLE_ALBUM_ART_PIPELINE,
         "cross_codec_audio_dedup": _ORACLE_CROSS_CODEC_AUDIO,
         "audio_quality_filter": _ORACLE_AUDIO_QUALITY,
+        "audio_pipeline": _ORACLE_AUDIO_PIPELINE,
         "zorder_locality": zorder_oracle_sql(
             "events",
             "user_id",

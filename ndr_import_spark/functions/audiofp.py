@@ -40,6 +40,7 @@ __all__ = [
     "decode_audio",
     "g711_encode",
     "pcm_digest",
+    "resample_audio_linear",
 ]
 
 
@@ -189,3 +190,29 @@ def audio_quality_stats(sample_rate: int, samples: np.ndarray) -> dict:
         "silence_ratio": silence_ratio,
         "verdict": verdict,
     }
+
+
+# ---------------------------------------------------- resampling (r11)
+
+
+def resample_audio_linear(samples: np.ndarray, src_sr: int,
+                          dst_sr: int) -> np.ndarray:
+    """Linear-interpolation sample-rate conversion (the audio twin of
+    the image pipeline's nearest-neighbour resize: simple, exact,
+    receipt-friendly — not a brick-wall resampler). Output length is
+    floor(n * dst/src); position t_n = n * src/dst interpolates
+    linearly between neighbouring samples, clamped at the ends. For
+    integer upsample factors every interpolation weight is a dyadic
+    rational, so resampled values of dyadic signals stay EXACT in
+    float64 — which is what lets pipeline oracles replay the resampled
+    stats bit-for-bit."""
+    if src_sr <= 0 or dst_sr <= 0:
+        raise AudioFpError("sample rates must be positive")
+    s = np.asarray(samples, dtype=np.float64)
+    if s.size == 0:
+        raise AudioFpError("empty signal")
+    if src_sr == dst_sr:
+        return s.copy()
+    n_out = s.size * dst_sr // src_sr
+    pos = np.arange(n_out, dtype=np.float64) * (src_sr / dst_sr)
+    return np.interp(pos, np.arange(s.size, dtype=np.float64), s)

@@ -999,6 +999,51 @@ def audio_quality_table(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(run, AUDIO_QUALITY_SCHEMA)
 
 
+def resample_audio(df: DataFrame, target_sr: int,
+                   payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """(media_id, payload, sample_rate, n_samples) with every payload
+    decoded (any supported container/codec), linearly resampled to
+    `target_sr` (functions/audiofp.resample_audio_linear) and
+    re-encoded as WAV PCM16 — the audio twin of resize_images: a real
+    decode -> transform -> re-encode roundtrip whose output is a
+    playable artifact, not a stats row. Undecodable payloads are
+    DROPPED (the pipeline filters them on the quality verdict first).
+
+    Arrow mapInPandas, stateless; the resample is pure vectorised
+    interpolation, exact on dyadic signals at integer factors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        from ndr_import_spark.functions.audiofp import (
+            decode_audio,
+            resample_audio_linear,
+        )
+        from ndr_import_spark.functions.wav import encode_wav
+
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p or b"")
+                try:
+                    sr, samples = decode_audio(raw)
+                    res = resample_audio_linear(samples, sr, target_sr)
+                    out.append((int(mid),
+                                encode_wav(target_sr, res, bits=16),
+                                int(target_sr), int(res.size)))
+                except (ValueError, IndexError, _struct.error):
+                    continue
+            yield pd.DataFrame(out, columns=[
+                "media_id", "payload", "sample_rate", "n_samples"])
+
+    return df.mapInPandas(
+        run,
+        f"{id_col} long, {payload_col} binary, sample_rate int, "
+        "n_samples long",
+    )
+
+
 ALBUM_ART_SCHEMA = (
     "media_id long, art_ix int, container string, mime string, "
     "payload binary"

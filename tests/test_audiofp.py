@@ -198,6 +198,55 @@ class TestQualityStats:
         assert rows[2].verdict == "error" and rows[2].peak is None
 
 
+class TestResample:
+    def test_exact_x2_upsample_of_step(self):
+        from ndr_import_spark.functions.audiofp import (
+            resample_audio_linear,
+        )
+
+        sig = np.concatenate([np.full(4, 0.5), np.full(4, -0.25)])
+        out = resample_audio_linear(sig, 8000, 16000)
+        assert out.size == 16
+        assert out[6] == 0.5 and out[7] == 0.125  # boundary midpoint
+        assert out[-1] == -0.25                   # end clamp
+        assert resample_audio_linear(sig, 8000, 8000) is not sig
+
+    def test_downsample_takes_every_other(self):
+        from ndr_import_spark.functions.audiofp import (
+            resample_audio_linear,
+        )
+
+        sig = np.arange(16, dtype=np.float64) / 16
+        out = resample_audio_linear(sig, 16000, 8000)
+        assert out.size == 8
+        assert np.array_equal(out, sig[::2])
+
+    def test_operator_reencodes_playable_wav(self, spark):
+        """resample_audio output must decode as WAV PCM16 at the
+        target rate with the exact interpolated samples — a real
+        re-encode receipt, like resize_images' decode check."""
+        from ndr_import_spark.functions.audiofp import (
+            decode_audio,
+            resample_audio_linear,
+        )
+        from ndr_import_spark.operators.multimodal import resample_audio
+
+        sig = _sig(LEVELS)
+        df = spark.createDataFrame(
+            [(0, bytearray(encode_wav(8000, sig, bits=16))),
+             (1, bytearray(encode_flac(8000, sig))),
+             (2, bytearray(b"junk, dropped"))],
+            "media_id long, payload binary")
+        rows = {r.media_id: r for r in resample_audio(df, 16000).collect()}
+        assert set(rows) == {0, 1}  # undecodable dropped
+        exp = resample_audio_linear(sig, 8000, 16000)
+        for i in (0, 1):
+            assert rows[i].sample_rate == 16000
+            assert rows[i].n_samples == 2048
+            sr, got = decode_audio(bytes(rows[i].payload))
+            assert sr == 16000 and np.array_equal(got, exp)
+
+
 class TestOperator:
     def test_dedup_groups_and_error_isolation(self, spark):
         from ndr_import_spark.operators.multimodal import (

@@ -623,3 +623,13 @@ class TestRound11Plans:
         assert "CartesianProduct" not in p
         assert "hashpartitioning(fingerprint" in p
         assert "hashpartitioning(payload" not in p
+
+    def test_audio_pipeline_broadcast_semi_joins_no_cartesian(self, spark):
+        """The capstone claims: payload-free fingerprint groupBy plus
+        BROADCAST semi-joins for the ok-id and kept-id filters."""
+        df = entry.queries()["audio_pipeline"](spark, SF_DIR)
+        p = plan(df, "simple")
+        assert "CartesianProduct" not in p
+        assert p.count("BroadcastHashJoin") >= 2  # ok-ids + kept-ids
+        assert "hashpartitioning(fingerprint" in p
+        assert "hashpartitioning(payload" not in p
