@@ -663,6 +663,43 @@ def stream_audio_fingerprints(
     return audio_fingerprint_table(payloads)
 
 
+def stream_audio_quality(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Continuous audio quality triage (r11): the streaming twin of
+    `multimodal.audio_quality_table` over the binaryFile micro-batch
+    source — clipped / silent / DC-offset files get their routing
+    verdict ON INGEST, so a curation pipeline can quarantine bad audio
+    before it lands in the corpus (the audio analogue of the streaming
+    C4/boilerplate gates). Stateless per payload; stream == batch
+    parity pinned in tests."""
+    from ndr_import_spark.operators.multimodal import audio_quality_table
+
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path)
+    )
+    from ndr_import_spark.operators.textstats import md5_long
+
+    payloads = files.select(
+        md5_long(F.col("path")).alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    return audio_quality_table(payloads)
+
+
 def stream_c4_filter(
     docs_stream: DataFrame,
     text_col: str = "text",

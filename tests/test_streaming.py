@@ -1165,3 +1165,69 @@ class TestStreamAudioFingerprints:
             assert streamed["pcm16"].pcm_md5 == streamed["flac"].pcm_md5
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+class TestStreamAudioQuality:
+    def test_live_verdicts_match_batch(self, spark):
+        """r11: quality triage on ingest — one file per planted class
+        lands in a watched directory; every stat column of the streamed
+        result equals the batch operator's on the same payloads."""
+        import os
+        import shutil
+        import tempfile
+
+        import numpy as np
+
+        from ndr_import_spark.functions.flac import encode_flac
+        from ndr_import_spark.functions.wav import encode_wav
+        from ndr_import_spark.operators.multimodal import (
+            audio_quality_table,
+        )
+        from ndr_import_spark.streaming import stream_audio_quality
+
+        fs = 32767.0 / 32768.0
+        payloads = {
+            "ok.wav": encode_wav(8000, np.concatenate(
+                [np.full(512, 0.5), np.full(512, -0.5)]), bits=16),
+            "clip.flac": encode_flac(8000, np.concatenate(
+                [np.full(32, fs), np.full(32, -fs), np.full(960, 0.25)])),
+            "silent.wav": encode_wav(8000, np.concatenate(
+                [np.full(16, 0.5), np.zeros(1008)]), bits=16),
+            "dc.flac": encode_flac(8000, np.full(1024, 0.25)),
+        }
+        tmp = tempfile.mkdtemp()
+        try:
+            for name, data in payloads.items():
+                with open(os.path.join(tmp, name), "wb") as f:
+                    f.write(data)
+            q = (
+                stream_audio_quality(spark, tmp)
+                .writeStream.format("memory")
+                .queryName("audio_quality_stream")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(120)
+            streamed = {
+                r.verdict: r for r in
+                spark.sql("SELECT * FROM audio_quality_stream").collect()
+            }
+            batch = {
+                r.verdict: r for r in audio_quality_table(
+                    spark.createDataFrame(
+                        [(i, bytearray(d))
+                         for i, d in enumerate(payloads.values())],
+                        "media_id long, payload binary")
+                ).collect()
+            }
+            assert set(streamed) == {"ok", "clipped", "silent",
+                                     "dc_offset"}
+            for v, s in streamed.items():
+                b = batch[v]
+                assert (s.peak, s.mean_square, s.dc_offset, s.clip_ratio,
+                        s.silence_ratio, s.codec) == (
+                    b.peak, b.mean_square, b.dc_offset, b.clip_ratio,
+                    b.silence_ratio, b.codec)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
