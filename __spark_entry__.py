@@ -4621,6 +4621,83 @@ FROM m ORDER BY kept_id
 """
 
 
+def q_audio_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-boundary segmentation (r11, the audio twin of document
+    chunking): 40 REAL audio files (WAV PCM16 / FLAC alternating),
+    each three constant-amplitude voiced bursts at md5-derived offsets
+    and lengths separated by >= 128-sample silence gaps (min_gap_ms=16
+    at 8 kHz). Every output value is exact: segment boundaries are the
+    planted sample offsets (ms = samples/8, dyadic), and a constant
+    burst's mean-square is exactly its amplitude squared — so the
+    DuckDB oracle replays all 6 columns bit-for-bit from cumulative
+    md5 arithmetic. Stateless Arrow pass; ~50-byte segment rows
+    shuffle, samples never do."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from ndr_import_spark.functions.flac import encode_flac
+    from ndr_import_spark.functions.wav import encode_wav
+    from ndr_import_spark.operators import multimodal as MM
+
+    rows = []
+    for i in range(40):
+        b = _hl.md5(f"aseg{i}".encode()).digest()
+        parts = [np.zeros(128 + (b[0] % 64))]
+        for j in range(3):
+            amp = ((b[2 * j + 1] % 48) + 8) / 64.0
+            if j % 2:
+                amp = -amp
+            n = 64 + (b[2 * j + 2] % 64)
+            parts.append(np.full(n, amp))
+            parts.append(np.zeros(128 + (b[2 * j + 3] % 64)))
+        sig = np.concatenate(parts)
+        payload = (encode_wav(8000, sig, bits=16) if i % 2 == 0
+                   else encode_flac(8000, sig))
+        rows.append((i, bytearray(payload)))
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary").repartition(8)
+    return MM.segment_audio_table(df, min_gap_ms=16.0).orderBy(
+        "media_id", "seg_ix")
+
+
+_ORACLE_AUDIO_SEGMENTATION = """
+WITH a AS (SELECT unnest(range(40)) AS i),
+d AS (
+  SELECT i, md5('aseg' || i) AS hx FROM a
+),
+p AS (
+  -- byte indices mirror the fixture loop exactly: amp_j = byte 2j+1,
+  -- n_j = byte 2j+2, gap_j = byte 2j+3 — so gap_j and amp_{j+1} share
+  -- a byte (2j+3 == 2(j+1)+1); hex char offset of byte k is 2k+1
+  SELECT i,
+    128 + (cast(('0x' || substring(hx, 1, 2)) as int) % 64) AS g0,
+    ((cast(('0x' || substring(hx, 3, 2)) as int) % 48) + 8) / 64.0 AS a1,
+    64 + (cast(('0x' || substring(hx, 5, 2)) as int) % 64) AS n1,
+    128 + (cast(('0x' || substring(hx, 7, 2)) as int) % 64) AS g1,
+    ((cast(('0x' || substring(hx, 7, 2)) as int) % 48) + 8) / 64.0 AS a2,
+    64 + (cast(('0x' || substring(hx, 9, 2)) as int) % 64) AS n2,
+    128 + (cast(('0x' || substring(hx, 11, 2)) as int) % 64) AS g2,
+    ((cast(('0x' || substring(hx, 11, 2)) as int) % 48) + 8) / 64.0 AS a3,
+    64 + (cast(('0x' || substring(hx, 13, 2)) as int) % 64) AS n3
+  FROM d
+),
+segs AS (
+  SELECT i, 0 AS seg_ix, g0 AS st, n1 AS n, a1 * a1 AS ms FROM p
+  UNION ALL
+  SELECT i, 1, g0 + n1 + g1, n2, a2 * a2 FROM p
+  UNION ALL
+  SELECT i, 2, g0 + n1 + g1 + n2 + g2, n3, a3 * a3 FROM p
+)
+SELECT i AS media_id, cast(seg_ix as int) AS seg_ix,
+  st * 1000.0 / 8000 AS start_ms,
+  (st + n) * 1000.0 / 8000 AS end_ms,
+  cast(n as bigint) AS n_samples,
+  ms AS mean_square
+FROM segs ORDER BY media_id, seg_ix
+"""
+
+
 def q_heif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVIF/HEIC probe + GPS scrub + decode cross-check
     (functions/heif.py, r9): 20 real images — AV1 (AVIF) and HEVC
@@ -12008,6 +12085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_codec_audio_dedup": q_cross_codec_audio_dedup,
         "audio_quality_filter": q_audio_quality_filter,
         "audio_pipeline": q_audio_pipeline,
+        "audio_segmentation": q_audio_segmentation,
     }
 
 
@@ -12236,6 +12314,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_codec_audio_dedup": _ORACLE_CROSS_CODEC_AUDIO,
         "audio_quality_filter": _ORACLE_AUDIO_QUALITY,
         "audio_pipeline": _ORACLE_AUDIO_PIPELINE,
+        "audio_segmentation": _ORACLE_AUDIO_SEGMENTATION,
         "zorder_locality": zorder_oracle_sql(
             "events",
             "user_id",

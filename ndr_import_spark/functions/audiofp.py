@@ -41,6 +41,7 @@ __all__ = [
     "g711_encode",
     "pcm_digest",
     "resample_audio_linear",
+    "silence_segments",
 ]
 
 
@@ -216,3 +217,31 @@ def resample_audio_linear(samples: np.ndarray, src_sr: int,
     n_out = s.size * dst_sr // src_sr
     pos = np.arange(n_out, dtype=np.float64) * (src_sr / dst_sr)
     return np.interp(pos, np.arange(s.size, dtype=np.float64), s)
+
+
+# --------------------------------------------- silence segmentation (r11)
+
+
+def silence_segments(samples: np.ndarray, min_gap: int,
+                     level: float = SILENCE_LEVEL) -> list[tuple[int, int]]:
+    """Split a mono signal into voiced segments separated by silence —
+    the audio twin of document chunking for ASR-style corpus prep:
+    [(start, end)) sample ranges of maximal runs whose samples are not
+    all silent, where two voiced runs merge unless separated by at
+    least `min_gap` consecutive samples with |s| <= level. Leading and
+    trailing silence belongs to no segment. Pure integer run-length
+    arithmetic on a boolean mask — vectorised, deterministic,
+    distribution-free."""
+    if min_gap < 1:
+        raise AudioFpError("min_gap must be >= 1 sample")
+    s = np.asarray(samples, dtype=np.float64)
+    voiced = np.abs(s) > level
+    if not voiced.any():
+        return []
+    idx = np.flatnonzero(voiced)
+    # split where consecutive voiced samples are separated by a gap of
+    # at least min_gap silent samples
+    breaks = np.flatnonzero(np.diff(idx) > min_gap)
+    starts = np.concatenate(([idx[0]], idx[breaks + 1]))
+    ends = np.concatenate((idx[breaks] + 1, [idx[-1] + 1]))
+    return [(int(a), int(b)) for a, b in zip(starts, ends)]

@@ -1044,6 +1044,61 @@ def resample_audio(df: DataFrame, target_sr: int,
     )
 
 
+AUDIO_SEG_SCHEMA = (
+    "media_id long, seg_ix int, start_ms double, end_ms double, "
+    "n_samples long, mean_square double"
+)
+
+
+def segment_audio_table(df: DataFrame, min_gap_ms: float = 100.0,
+                        payload_col: str = "payload",
+                        id_col: str = "media_id") -> DataFrame:
+    """Silence-boundary audio segmentation (r11) — the audio twin of
+    document chunking for ASR-style corpus prep: one row per voiced
+    segment (functions/audiofp.silence_segments; two voiced runs merge
+    unless separated by >= min_gap_ms of silence) with exact sample
+    offsets as milliseconds and the segment's mean-square power. A
+    training pipeline joins these rows back to slice payloads, budget
+    by duration, or drop low-power segments.
+
+    Arrow mapInPandas, stateless, shuffle-free; segment rows are
+    ~50 bytes regardless of audio length. Undecodable or fully-silent
+    payloads yield no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as np
+
+        from ndr_import_spark.functions.audiofp import (
+            decode_audio,
+            silence_segments,
+        )
+
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p or b"")
+                try:
+                    sr, samples = decode_audio(raw)
+                    gap = max(1, int(sr * min_gap_ms / 1000.0))
+                    segs = silence_segments(samples, gap)
+                except (ValueError, IndexError, _struct.error):
+                    continue
+                for ix, (a, b) in enumerate(segs):
+                    seg = samples[a:b]
+                    out.append((
+                        int(mid), ix, a * 1000.0 / sr, b * 1000.0 / sr,
+                        int(b - a), float(np.mean(seg * seg)),
+                    ))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "seg_ix", "start_ms", "end_ms", "n_samples",
+                "mean_square",
+            ])
+
+    return df.mapInPandas(run, AUDIO_SEG_SCHEMA)
+
+
 ALBUM_ART_SCHEMA = (
     "media_id long, art_ix int, container string, mime string, "
     "payload binary"

@@ -247,6 +247,56 @@ class TestResample:
             assert sr == 16000 and np.array_equal(got, exp)
 
 
+class TestSilenceSegments:
+    def test_merge_vs_split_by_gap(self):
+        from ndr_import_spark.functions.audiofp import silence_segments
+
+        sig = np.concatenate([
+            np.zeros(100), np.full(50, 0.5), np.zeros(30),
+            np.full(20, -0.5), np.zeros(200), np.full(10, 0.3),
+            np.zeros(5)])
+        # 30-sample gap merges under min_gap=64, splits under 16
+        assert silence_segments(sig, 64) == [(100, 200), (400, 410)]
+        assert silence_segments(sig, 16) == [
+            (100, 150), (180, 200), (400, 410)]
+
+    def test_all_silent_and_guards(self):
+        from ndr_import_spark.functions.audiofp import (
+            AudioFpError,
+            silence_segments,
+        )
+
+        assert silence_segments(np.zeros(64), 8) == []
+        with pytest.raises(AudioFpError, match="min_gap"):
+            silence_segments(np.ones(8), 0)
+
+    def test_operator_exact_offsets_and_power(self, spark):
+        from ndr_import_spark.operators.multimodal import (
+            segment_audio_table,
+        )
+
+        sig = np.concatenate([
+            np.zeros(160), np.full(80, 0.25), np.zeros(160),
+            np.full(40, -0.5), np.zeros(160)])
+        df = spark.createDataFrame(
+            [(0, bytearray(encode_wav(8000, sig, bits=16))),
+             (1, bytearray(encode_flac(8000, sig))),
+             (2, bytearray(b"junk payload"))],
+            "media_id long, payload binary")
+        rows = segment_audio_table(df, min_gap_ms=16.0).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r.media_id, []).append(r)
+        assert set(by) == {0, 1}  # junk yields no rows
+        for mid in (0, 1):
+            segs = sorted(by[mid], key=lambda r: r.seg_ix)
+            assert [(r.start_ms, r.end_ms, r.n_samples, r.mean_square)
+                    for r in segs] == [
+                (20.0, 30.0, 80, 0.0625),
+                (50.0, 55.0, 40, 0.25),
+            ]
+
+
 class TestOperator:
     def test_dedup_groups_and_error_isolation(self, spark):
         from ndr_import_spark.operators.multimodal import (
