@@ -11882,7 +11882,7 @@ GATED = [
     'pagerank', 'bfs_reachability', 'scd2_history',
     'multimodal_mixed_codecs', 'id3_tags', 'heif_metadata',
     'image_pipeline', 'audio_tags_multi', 'webp_metadata',
-    'audio_features', 'zstd_roundtrip', 'cross_codec_dedup',
+    'audio_pipeline', 'zstd_roundtrip', 'cross_codec_dedup',
     'zstd_dict_train', 'parquet_layout', 'compaction_plan',
     'scan_prune_plan', 'hll_distinct', 'table_profile',
     'bloom_filter', 'mp3_integrity', 'bpe_tokenizer',
@@ -11926,7 +11926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pipeline": q_image_pipeline,
         "audio_tags_multi": q_audio_tags_multi,
         "webp_metadata": q_webp_metadata,
-        "audio_features": q_audio_features,
+        "audio_pipeline": q_audio_pipeline,
         "zstd_roundtrip": q_zstd_roundtrip,
         "cross_codec_dedup": q_cross_codec_dedup,
         "zstd_dict_train": q_zstd_dict_train,
@@ -12084,7 +12084,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "album_art_pipeline": q_album_art_pipeline,
         "cross_codec_audio_dedup": q_cross_codec_audio_dedup,
         "audio_quality_filter": q_audio_quality_filter,
-        "audio_pipeline": q_audio_pipeline,
+        # rotated out in r11: audio_features is strictly dominated by
+        # the in-window audio_pipeline capstone (same decode stack plus
+        # quality gate, fingerprint dedup and resample receipts)
+        "audio_features": q_audio_features,
         "audio_segmentation": q_audio_segmentation,
     }
 
