@@ -4698,6 +4698,106 @@ FROM segs ORDER BY media_id, seg_ix
 """
 
 
+def _media_router_cases():
+    """The media_router fixture: one REAL payload per container family
+    (repo encoders; stdlib gzip/bzip2/xz/zipfile) plus magic-prefix
+    rows for the two formats the engine reads but never writes (7z,
+    OLE) — honest for a PREFIX-sniffing operator. Deterministic: every
+    builder is seedless and the compressors run with fixed inputs, so
+    the oracle can be generated from this same list."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import io as _io
+    import lzma as _lzma
+    import zipfile as _zipfile
+
+    import numpy as np
+
+    from ndr_import_spark.functions.audiotags import (
+        build_m4a_tagged,
+        build_ogg_vorbis_tagged,
+    )
+    from ndr_import_spark.functions.bmp import encode_bmp
+    from ndr_import_spark.functions.flac import encode_flac
+    from ndr_import_spark.functions.gif import encode_gif
+    from ndr_import_spark.functions.jpeg import encode_jpeg
+    from ndr_import_spark.functions.png import encode_png
+    from ndr_import_spark.functions.tiff import encode_tiff
+    from ndr_import_spark.functions.wav import encode_wav
+    from ndr_import_spark.functions.webp import encode_webp
+    from ndr_import_spark.sources import mediameta as MMeta
+
+    rgb = bytes(range(48))
+    sig = np.concatenate([np.full(32, 0.25), np.full(32, -0.25)])
+    zbuf = _io.BytesIO()
+    with _zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("a.txt", "hello")
+    return [
+        ("image", "png", encode_png(4, 4, rgb)),
+        ("image", "jpeg", encode_jpeg(4, 4, rgb)),
+        ("image", "gif", encode_gif(4, 4, rgb)),
+        ("image", "bmp", encode_bmp(4, 4, rgb)),
+        ("image", "tiff", encode_tiff(4, 4, rgb)),
+        ("image", "webp", encode_webp(4, 4, rgb)),
+        ("audio", "wav", encode_wav(8000, sig, bits=16)),
+        ("audio", "flac", encode_flac(8000, sig)),
+        ("audio", "ogg", build_ogg_vorbis_tagged(44100, 2, {"TITLE": "t"})),
+        ("audio", "mp3", MMeta.build_mp3(3, 3, 9, 0, 4)),
+        ("audio", "aac-adts", MMeta.build_adts(4, 1, 2, 4)),
+        ("audio", "m4a", build_m4a_tagged(
+            MMeta.build_mp4(44100, 44100, codec="mp4a", channels=2,
+                            sample_rate=44100, n_samples=4,
+                            brand="M4A "), {"TITLE": "t"})),
+        ("video", "mp4", MMeta.build_mp4(1000, 3000, "avc1", 640, 480)),
+        ("video", "webm", MMeta.build_webm(
+            "webm", 5000.0,
+            [{"codec": "V_VP9", "type": "video",
+              "width": 640, "height": 480}])),
+        ("video", "avi", b"RIFF" + (4).to_bytes(4, "little") + b"AVI "),
+        ("document", "pdf", b"%PDF-1.4\n1 0 obj<<>>endobj\n%%EOF\n"),
+        ("document", "zip", zbuf.getvalue()),
+        ("archive", "7z", b"7z\xbc\xaf\x27\x1c" + bytes(26)),
+        ("document", "ole", b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+         + bytes(24)),
+        ("archive", "gzip", _gzip.compress(b"payload", mtime=0)),
+        ("archive", "bzip2", _bz2.compress(b"payload")),
+        ("archive", "xz", _lzma.compress(b"payload")),
+        ("text", "plain", b"plain ascii text\nwith lines\n"),
+        ("unknown", "unknown", b"\x00\x01\x02\x03binary junk"),
+    ]
+
+
+def q_media_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Front-door corpus routing (r11): 24 payloads — one per container
+    family the engine handles — through
+    operators/multimodal.route_media_payloads (magic-byte sniff,
+    sources/mediameta.sniff_media). family/container/n_bytes are
+    construction-literal, and the oracle is GENERATED from the same
+    case list the fixture uses (_media_router_cases), so the two
+    cannot drift. Prefix-sized cost: the router never reads payload
+    bodies — at 100 TB it is the cheap partition-by step that sends
+    each payload to the right probe family (extract_image_*, audio_*,
+    probe_media, archive expansion)."""
+    from ndr_import_spark.operators import multimodal as MM
+
+    rows = [(i, bytearray(p))
+            for i, (_f, _c, p) in enumerate(_media_router_cases())]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary").repartition(8)
+    return MM.route_media_payloads(df).orderBy("media_id")
+
+
+def _oracle_media_router() -> str:
+    values = ",\n  ".join(
+        f"({i}, '{f}', '{c}', {len(p)})"
+        for i, (f, c, p) in enumerate(_media_router_cases()))
+    return (
+        "SELECT media_id, family, container, cast(n_bytes as bigint) "
+        "AS n_bytes FROM (VALUES\n  " + values + "\n) AS t(media_id, "
+        "family, container, n_bytes) ORDER BY media_id"
+    )
+
+
 def q_heif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AVIF/HEIC probe + GPS scrub + decode cross-check
     (functions/heif.py, r9): 20 real images — AV1 (AVIF) and HEVC
@@ -12089,6 +12189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality gate, fingerprint dedup and resample receipts)
         "audio_features": q_audio_features,
         "audio_segmentation": q_audio_segmentation,
+        "media_router": q_media_router,
     }
 
 
@@ -12318,6 +12419,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_quality_filter": _ORACLE_AUDIO_QUALITY,
         "audio_pipeline": _ORACLE_AUDIO_PIPELINE,
         "audio_segmentation": _ORACLE_AUDIO_SEGMENTATION,
+        "media_router": _oracle_media_router(),
         "zorder_locality": zorder_oracle_sql(
             "events",
             "user_id",

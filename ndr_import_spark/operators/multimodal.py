@@ -1099,6 +1099,37 @@ def segment_audio_table(df: DataFrame, min_gap_ms: float = 100.0,
     return df.mapInPandas(run, AUDIO_SEG_SCHEMA)
 
 
+MEDIA_ROUTE_SCHEMA = (
+    "media_id long, family string, container string, n_bytes long"
+)
+
+
+def route_media_payloads(df: DataFrame, payload_col: str = "payload",
+                         id_col: str = "media_id") -> DataFrame:
+    """Front-door routing for a mixed media corpus (r11): one row per
+    payload with its (family, container) from magic bytes alone
+    (sources/mediameta.sniff_media) — image/audio/video/document/
+    archive/text/unknown. Prefix-sized cost: no box walk, no frame
+    walk, no decode; at 100 TB this is the partition-by step that
+    sends each payload to the right probe family (extract_image_*,
+    audio_*, probe_media, archive expansion) without touching payload
+    bodies. Never raises: unrecognised bytes route 'unknown'."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ndr_import_spark.sources.mediameta import sniff_media
+
+        for pdf in batches:
+            out = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p or b"")
+                family, container = sniff_media(raw)
+                out.append((int(mid), family, container, len(raw)))
+            yield pd.DataFrame(out, columns=[
+                "media_id", "family", "container", "n_bytes"])
+
+    return df.mapInPandas(run, MEDIA_ROUTE_SCHEMA)
+
+
 ALBUM_ART_SCHEMA = (
     "media_id long, art_ix int, container string, mime string, "
     "payload binary"

@@ -900,3 +900,78 @@ def probe_media(data: bytes) -> dict:
     except (struct.error, IndexError, OverflowError) as exc:
         raise MediaMetaError(f"corrupt media payload: {exc}") from exc
     raise MediaMetaError("unrecognised media container")
+
+
+# --------------------------------------------------- magic sniff (r11)
+
+
+def sniff_media(data: bytes) -> tuple[str, str]:
+    """(family, container) from magic bytes alone — the front-door
+    router of a mixed crawl: prefix-sized cost (no box walk, no frame
+    walk), so 100 TB of payloads route to the right probe/decoder
+    family before any heavy parse. Families: image / audio / video /
+    document / archive / text / unknown. ISO-BMFF splits on the ftyp
+    major brand (image for avif/heic, audio for M4A, video otherwise);
+    RIFF splits on its form type; MPEG audio sorts ADTS (layer bits
+    00) before the broader MP3 frame sync, mirroring probe_media."""
+    d = bytes(data)
+    if d[:8][:4] == b"\x89PNG":
+        return "image", "png"
+    if d[:2] == b"\xff\xd8":
+        return "image", "jpeg"
+    if d[:4] in (b"GIF8",):
+        return "image", "gif"
+    if d[:2] == b"BM":
+        return "image", "bmp"
+    if d[:4] in (b"II*\x00", b"MM\x00*"):
+        return "image", "tiff"
+    if d[:4] == b"RIFF" and len(d) >= 12:
+        form = d[8:12]
+        if form == b"WEBP":
+            return "image", "webp"
+        if form == b"WAVE":
+            return "audio", "wav"
+        if form == b"AVI ":
+            return "video", "avi"
+        return "unknown", "riff"
+    if len(d) >= 12 and d[4:8] == b"ftyp":
+        brand = d[8:12]
+        if brand in (b"avif", b"avis", b"heic", b"heix", b"mif1"):
+            return "image", "heif"
+        if brand in (b"M4A ", b"M4B "):
+            return "audio", "m4a"
+        return "video", "mp4"
+    if d[:4] == b"fLaC":
+        return "audio", "flac"
+    if d[:4] == b"OggS":
+        return "audio", "ogg"
+    if len(d) >= 2 and d[0] == 0xFF and (d[1] & 0xF6) == 0xF0:
+        return "audio", "aac-adts"
+    if d[:3] == b"ID3" or (
+        len(d) >= 2 and d[0] == 0xFF and (d[1] & 0xE0) == 0xE0
+    ):
+        return "audio", "mp3"
+    if d[:4] == b"\x1a\x45\xdf\xa3":
+        return "video", "webm"
+    if d[:5] == b"%PDF-":
+        return "document", "pdf"
+    if d[:4] == b"PK\x03\x04":
+        return "document", "zip"
+    if d[:6] == b"7z\xbc\xaf\x27\x1c":
+        return "archive", "7z"
+    if d[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
+        return "document", "ole"
+    if d[:2] == b"\x1f\x8b":
+        return "archive", "gzip"
+    if d[:4] == b"\x28\xb5\x2f\xfd":
+        return "archive", "zstd"
+    if d[:4] == b"\x04\x22\x4d\x18":
+        return "archive", "lz4"
+    if d[:3] == b"BZh":
+        return "archive", "bzip2"
+    if d[:6] == b"\xfd7zXZ\x00":
+        return "archive", "xz"
+    probe = d[:256]
+    if probe and all(c in (9, 10, 13) or 32 <= c < 127 for c in probe):
+        return "text", "plain"
+    return "unknown", "unknown"

@@ -401,3 +401,60 @@ class TestReviewRegressions:
         m = M.probe_webm(patched)
         assert m["duration_ms"] == 7.0
         assert m["codec"] == "A_OPUS"
+
+
+class TestSniffMedia:
+    """Magic-byte front-door routing (r11): prefix-only dispatch with
+    the disambiguations that matter — RIFF form types, ISO-BMFF ftyp
+    brands, ADTS-before-MP3 sync ordering, printable-vs-binary text."""
+
+    def test_riff_forms_disambiguate(self):
+        import numpy as np
+
+        from ndr_import_spark.functions.wav import encode_wav
+        from ndr_import_spark.functions.webp import encode_webp
+
+        wav = encode_wav(8000, np.full(16, 0.25), bits=16)
+        assert M.sniff_media(wav) == ("audio", "wav")
+        assert M.sniff_media(encode_webp(4, 4, bytes(48))) == (
+            "image", "webp")
+        avi = b"RIFF" + (4).to_bytes(4, "little") + b"AVI "
+        assert M.sniff_media(avi) == ("video", "avi")
+        assert M.sniff_media(b"RIFF\x04\x00\x00\x00XXXX") == (
+            "unknown", "riff")
+
+    def test_ftyp_brands_disambiguate(self):
+        m4a = M.build_mp4(44100, 44100, codec="mp4a", channels=2,
+                          sample_rate=44100, brand="M4A ")
+        assert M.sniff_media(m4a) == ("audio", "m4a")
+        mp4 = M.build_mp4(1000, 3000, "avc1", 640, 480)
+        assert M.sniff_media(mp4) == ("video", "mp4")
+        heic = (b"\x00\x00\x00\x10ftypheic" + b"\x00" * 8)
+        assert M.sniff_media(heic) == ("image", "heif")
+
+    def test_adts_sorts_before_mp3_sync(self):
+        adts = M.build_adts(1, 4, 2, 2)
+        assert M.sniff_media(adts) == ("audio", "aac-adts")
+        mp3 = M.build_mp3(3, 3, 9, 0, 2)
+        assert M.sniff_media(mp3) == ("audio", "mp3")
+
+    def test_text_vs_binary(self):
+        assert M.sniff_media(b"hello\nworld\t!") == ("text", "plain")
+        assert M.sniff_media(b"hello\x00world") == ("unknown", "unknown")
+        assert M.sniff_media(b"") == ("unknown", "unknown")
+
+    def test_router_operator_never_raises(self, spark):
+        from ndr_import_spark.operators.multimodal import (
+            route_media_payloads,
+        )
+
+        df = spark.createDataFrame(
+            [(0, bytearray(b"%PDF-1.4 x")),
+             (1, bytearray(b"\xff\xd8\xff\xe0 truncated jpeg")),
+             (2, bytearray(b"")), (3, None)],
+            "media_id long, payload binary")
+        rows = {r.media_id: r for r in route_media_payloads(df).collect()}
+        assert rows[0].family == "document" and rows[0].container == "pdf"
+        assert rows[1].family == "image"   # prefix-only: no deep parse
+        assert rows[2].family == "unknown" and rows[2].n_bytes == 0
+        assert rows[3].family == "unknown" and rows[3].n_bytes == 0
