@@ -137,6 +137,203 @@ def argmin_chain(cids: list[int], prefix: str = "d"):
     return best, chain
 
 
+def embedding_qarr(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = KMEANS_SCALE,
+) -> DataFrame:
+    """(id, qarr) COMPACT lattice quantization: one int-array row per
+    vector — n rows instead of the long form's n·d. Element d equals
+    :func:`embedding_dims`'s q for the same (id, d): the identical
+    round(double·scale) HALF_UP arithmetic runs in the JVM (quantization
+    must NOT move to numpy — np.round is half-even and the trunc(x+.5)
+    trick mis-rounds doubles like 0.49999999999999994), and rows whose
+    vector is NULL or empty are dropped to mirror the long form exactly
+    (posexplode emits no rows for them). The transform lambda is
+    interpreted, but it is ONE linear pass per element; the quadratic
+    distance/pair math runs vectorized in numpy (guide §4.2), not here."""
+    qarr = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(v.cast("double") * F.lit(float(scale))).cast("int"),
+    )
+    return df.select(F.col(id_col), qarr.alias("qarr")).where(
+        F.col("qarr").isNotNull() & (F.size("qarr") > 0)
+    )
+
+
+def _cent_matrix(cent_rows: list[tuple[int, int, int]]):
+    """(cids, dim, k×d int64 matrix) from (cid, d, c) cells, with the
+    same non-empty / non-ragged guards as :func:`_assign_wide`."""
+    import numpy as np
+
+    cids = sorted({cid for cid, _, _ in cent_rows})
+    if not cids:
+        raise ValueError(
+            "k-means assignment needs a non-empty centroid table "
+            "(got zero (cid, d, c) rows)"
+        )
+    by_d: dict[int, dict[int, int]] = {}
+    for cid, d, c in cent_rows:
+        by_d.setdefault(d, {})[cid] = c
+    for d, per_cid in by_d.items():
+        if len(per_cid) != len(cids):
+            missing = sorted(set(cids) - set(per_cid))
+            raise ValueError(
+                f"ragged centroid table: dimension {d} lacks cells for "
+                f"clusters {missing} — embedding vectors must have "
+                "uniform length"
+            )
+    dims_sorted = sorted(by_d)
+    mat = np.array(
+        [[by_d[d][cid] for d in dims_sorted] for cid in cids],
+        dtype=np.int64,
+    )
+    return cids, len(dims_sorted), mat
+
+
+def _batch_matrix(col, dim: int):
+    """n×dim int64 matrix from an Arrow list<int> column — a zero-copy
+    offsets/values reshape (the lists are uniform length by operator
+    contract; checked, with a clear error, not assumed)."""
+    import numpy as np
+
+    offs = np.asarray(col.offsets)
+    if len(offs) > 1 and not (np.diff(offs) == dim).all():
+        raise ValueError(
+            "k-means requires uniform-length embedding vectors "
+            f"(expected {dim} lattice components per row)"
+        )
+    vals = np.asarray(col.values)
+    n = len(offs) - 1
+    return vals[offs[0]: offs[0] + n * dim].reshape(n, dim).astype(np.int64)
+
+
+def _assign_np(
+    qdf: DataFrame,
+    cent_rows: list[tuple[int, int, int]],
+    id_col: str,
+    keep_qarr: bool = False,
+) -> DataFrame:
+    """(id[, qarr], cid, dist) via one vectorized Arrow pass: squared
+    lattice distances to every centroid come from ONE integer matmul per
+    batch (dist = |q|² − 2 q·Cᵀ + |c|², exact int64 — the binomial
+    expansion of the spec's Σ(q−c)²), and the argmin ties to the
+    smallest cid because np.argmin returns the FIRST minimum and the
+    centroid rows are cid-sorted. Bit-identical to :func:`_assign` /
+    :func:`_assign_wide` with zero joins and zero exchanges — the wide
+    form pays a broadcast join plus a groupBy(id) shuffle of n·d rows
+    (guide §2.4 "remove shuffles outright", §4.2 "vectorized native
+    code inside the Arrow boundary")."""
+    import numpy as np
+
+    cids, dim, cmat = _cent_matrix(cent_rows)
+    cids_np = np.array(cids, dtype=np.int32)
+    cnorm = (cmat * cmat).sum(axis=1)
+    out_type = qdf.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {out_type}"
+        + (", qarr array<int>" if keep_qarr else "")
+        + ", cid int, dist long"
+    )
+
+    def assign(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column(0)
+            qarr = b.column(1)
+            q = _batch_matrix(qarr, dim)
+            d2 = (
+                (q * q).sum(axis=1, keepdims=True)
+                - 2 * (q @ cmat.T)
+                + cnorm[None, :]
+            )
+            best = d2.argmin(axis=1)
+            dist = d2[np.arange(len(q)), best]
+            cols = [ids] + ([qarr] if keep_qarr else []) + [
+                pa.array(cids_np[best], type=pa.int32()),
+                pa.array(dist, type=pa.int64()),
+            ]
+            names = [id_col] + (["qarr"] if keep_qarr else []) + [
+                "cid", "dist"
+            ]
+            yield pa.RecordBatch.from_arrays(cols, names)
+
+    return qdf.select(id_col, "qarr").mapInArrow(assign, schema)
+
+
+def _centroid_rounds_np(
+    qdf: DataFrame, k: int, iterations: int, id_col: str
+) -> list[tuple[int, int, int]]:
+    """Bounded centroid rounds on the compact array frame. Init and
+    update arithmetic match :func:`_centroid_rounds` cell-for-cell: init
+    = the k smallest ids' lattice vectors (cid by id rank), update =
+    floor(Σq / n) per (cid, d) — the floor division runs in the SAME
+    Spark expression as before, on exact int64 sums. Per round the long
+    form paid a broadcast join plus TWO n·d-row shuffle aggregates and
+    two jobs; here assignment + per-task partial sums are one Arrow pass
+    and the only exchange carries ~tasks·k·d partial rows (the
+    map-side-combine shape, computed in numpy)."""
+    import numpy as np
+
+    rows = qdf.orderBy(id_col).limit(k).collect()
+    cent_rows = [
+        (ci, d, int(q))
+        for ci, r in enumerate(rows)
+        for d, q in enumerate(r["qarr"])
+    ]
+    for _ in range(iterations):
+        cids, dim, cmat = _cent_matrix(cent_rows)
+        cids_np = np.array(cids, dtype=np.int32)
+        cnorm = (cmat * cmat).sum(axis=1)
+        nk = len(cids)
+
+        def partials(batches, _cmat=cmat, _cnorm=cnorm, _cids=cids_np,
+                     _dim=dim, _nk=nk):
+            import pyarrow as pa
+
+            S = np.zeros((_nk, _dim), dtype=np.int64)
+            N = np.zeros(_nk, dtype=np.int64)
+            for b in batches:
+                q = _batch_matrix(b.column(1), _dim)
+                d2 = (
+                    (q * q).sum(axis=1, keepdims=True)
+                    - 2 * (q @ _cmat.T)
+                    + _cnorm[None, :]
+                )
+                best = d2.argmin(axis=1)
+                np.add.at(S, best, q)
+                N += np.bincount(best, minlength=_nk)
+            nz = np.nonzero(N)[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.repeat(_cids[nz], _dim), type=pa.int32()),
+                    pa.array(np.tile(np.arange(_dim, dtype=np.int32),
+                                     len(nz)), type=pa.int32()),
+                    pa.array(S[nz].reshape(-1), type=pa.int64()),
+                    pa.array(np.repeat(N[nz], _dim), type=pa.int64()),
+                ],
+                ["cid", "d", "_s", "_n"],
+            )
+
+        newc = (
+            qdf.select(id_col, "qarr")
+            .mapInArrow(partials, "cid int, d int, _s long, _n long")
+            .groupBy("cid", "d")
+            .agg(F.sum("_s").alias("_s"), F.sum("_n").alias("_n"))
+            .select(
+                "cid",
+                "d",
+                F.floor(F.col("_s") / F.col("_n")).cast("long").alias("c"),
+            )
+        )
+        cent_rows = [
+            (int(r["cid"]), int(r["d"]), int(r["c"])) for r in newc.collect()
+        ]
+    return cent_rows
+
+
 def _centroid_rounds(
     df: DataFrame,
     dims: DataFrame,
@@ -209,8 +406,8 @@ def kmeans_centroids(
     job persists and `streaming.stream_cluster_assign` routes against.
     k·d rows; write it with a plain `.write.parquet` and reload it for
     the stream."""
-    dims = embedding_dims(df, id_col, vec_col, scale)
-    cent_rows = _centroid_rounds(df, dims, k, iterations, id_col)
+    qdf = embedding_qarr(df, id_col, vec_col, scale)
+    cent_rows = _centroid_rounds_np(qdf, k, iterations, id_col)
     return df.sparkSession.createDataFrame(
         cent_rows, "cid int, d int, c long"
     )
@@ -226,9 +423,15 @@ def kmeans_lattice(
 ) -> DataFrame:
     """Lloyd's k-means on the integer lattice: init = the k smallest ids'
     vectors, `iterations` assign→update rounds, one final assignment.
-    Returns (cluster, n_members, wcss, min_vec_id) per non-empty cluster."""
-    dims = embedding_dims(df, id_col, vec_col, scale)
-    final = _final_assignment(df, dims, k, iterations, id_col)
+    Returns (cluster, n_members, wcss, min_vec_id) per non-empty cluster.
+
+    r11 shape: the vectorized Arrow path — the final assignment is one
+    matmul pass over (id, qarr) rows and the ONLY exchange in the output
+    plan is the k-row groupBy(cluster)."""
+    qdf = embedding_qarr(df, id_col, vec_col, scale)
+    final = _assign_np(
+        qdf, _centroid_rounds_np(qdf, k, iterations, id_col), id_col
+    )
     return final.groupBy(F.col("cid").alias("cluster")).agg(
         F.count("*").alias("n_members"),
         F.sum("dist").alias("wcss"),
@@ -270,87 +473,151 @@ def semantic_dedup_pairs(
     signature are dotted — near-identical vectors agree on every band,
     far pairs in a pathological mega-cluster are skipped instead of
     dotted. Exact within small clusters, documented-recall within capped
-    ones; pair decisions stay bit-reproducible either way."""
-    dims = embedding_dims(df, id_col, vec_col, scale)
-    assign = _final_assignment(df, dims, k, iterations, id_col).select(
-        id_col, "cid"
+    ones; pair decisions stay bit-reproducible either way.
+
+    r11 shuffle/compute shape (guide §2.3, §4.2): vectors stay ONE
+    compact (id, qarr) row each. The within-cluster pair phase is a
+    groupBy(cid) + per-cluster integer MATMUL (Q·Qᵀ in int64 — exact,
+    and |q|² norms are its diagonal): the shuffle carries n rows instead
+    of the former n·d lattice rows, and the m_c²·d pair arithmetic runs
+    vectorized instead of fanning each candidate pair out to d joined
+    rows through a groupBy(cid, a, b) (measured at sf0.1: that stage ran
+    as ONE 2.3 s task after AQE coalesced the small exchange). Only
+    pairs PASSING the threshold ever become rows."""
+    import numpy as np
+
+    qdf = embedding_qarr(df, id_col, vec_col, scale)
+    cent_rows = _centroid_rounds_np(qdf, k, iterations, id_col)
+    tagged = _assign_np(qdf, cent_rows, id_col, keep_qarr=True).select(
+        "cid", id_col, "qarr"
     )
-    tagged = dims.join(assign, id_col)
-    norms = tagged.groupBy(id_col, "cid").agg(
-        F.sum((F.col("q").cast("long")) * F.col("q")).alias("n2")
-    )
-    if max_cluster_size is None:
-        pair_src = tagged
-        cand = None
-    else:
-        # k-row sizes frame, broadcast onto the lattice
-        sizes = assign.groupBy("cid").agg(F.count("*").alias("_m"))
-        t2 = tagged.join(F.broadcast(sizes), "cid")
-        pair_src = t2.where(F.col("_m") <= max_cluster_size).drop("_m")
-        big = t2.where(F.col("_m") > max_cluster_size).drop("_m")
-        sig = (
-            big.select(
-                "cid",
-                id_col,
-                (F.col("d") % F.lit(n_bands)).alias("band"),
-                F.struct(F.col("d"), F.col("q").cast("string").alias("qs")).alias("_dq"),
-            )
-            .groupBy("cid", id_col, "band")
-            .agg(
-                F.md5(
-                    F.array_join(
-                        F.sort_array(F.collect_list("_dq")).getField("qs"), ","
-                    )
-                ).alias("sig")
-            )
-        )
-        ca = sig.select("cid", "band", "sig", F.col(id_col).alias("a_id"))
-        cb = sig.select("cid", "band", "sig", F.col(id_col).alias("b_id"))
-        cand = (
-            ca.join(cb, ["cid", "band", "sig"])
-            .where(F.col("a_id") < F.col("b_id"))
-            .select("cid", "a_id", "b_id")
-            .distinct()
-        )
-    a = pair_src.select(
-        F.col("cid"), F.col(id_col).alias("a_id"), "d", F.col("q").alias("qa")
-    )
-    b = pair_src.select(
-        F.col("cid"), F.col(id_col).alias("b_id"), "d", F.col("q").alias("qb")
-    )
-    dots = (
-        a.join(b, ["cid", "d"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .groupBy("cid", "a_id", "b_id")
-        .agg(
-            F.sum((F.col("qa").cast("long")) * F.col("qb")).alias("int_dot")
-        )
-    )
-    if cand is not None:
-        da = dims.select(F.col(id_col).alias("a_id"), "d", F.col("q").alias("qa"))
-        db = dims.select(F.col(id_col).alias("b_id"), "d", F.col("q").alias("qb"))
-        dots_big = (
-            cand.join(da, "a_id")
-            .join(db, ["b_id", "d"])
-            .groupBy("cid", "a_id", "b_id")
-            .agg(F.sum((F.col("qa").cast("long")) * F.col("qb")).alias("int_dot"))
-        )
-        dots = dots.unionByName(dots_big)
-    na = norms.select(F.col(id_col).alias("a_id"), F.col("n2").alias("_n2a"))
-    nb = norms.select(F.col(id_col).alias("b_id"), F.col("n2").alias("_n2b"))
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"cluster int, a_id {id_type}, b_id {id_type}, int_dot long"
     p2 = threshold_pct * threshold_pct
-    return (
-        dots.join(na, "a_id")
-        .join(nb, "b_id")
-        .where(
-            (F.col("int_dot") > 0)
-            & (
-                F.col("int_dot") * F.col("int_dot") * F.lit(10000)
-                >= F.lit(p2) * F.col("_n2a") * F.col("_n2b")
-            )
+
+    def cluster_pairs(pdf):
+        import pandas as pd
+
+        m = len(pdf)
+        empty = pd.DataFrame(
+            {"cluster": pd.array([], dtype="int32"),
+             "a_id": [], "b_id": [],
+             "int_dot": pd.array([], dtype="int64")}
         )
-        .select(F.col("cid").alias("cluster"), "a_id", "b_id", "int_dot")
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        q = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)
+        ids = pdf[id_col].to_numpy()
+        dots = q @ q.T
+        n2 = np.diagonal(dots)
+        ia, ib = np.triu_indices(m, 1)
+        dv = dots[ia, ib]
+        keep = (dv > 0) & (dv * dv * 10000 >= p2 * n2[ia] * n2[ib])
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "cluster": np.full(int(keep.sum()), int(pdf["cid"].iloc[0]),
+                                   dtype="int32"),
+                "a_id": ids[ia[keep]],
+                "b_id": ids[ib[keep]],
+                "int_dot": dv[keep],
+            }
+        )
+
+    if max_cluster_size is None:
+        return tagged.groupBy("cid").applyInPandas(cluster_pairs, out_schema)
+
+    # k-row sizes frame, broadcast onto the compact rows
+    sizes = tagged.groupBy("cid").agg(F.count("*").alias("_m"))
+    t2 = tagged.join(F.broadcast(sizes), "cid")
+    pair_src = t2.where(F.col("_m") <= max_cluster_size).drop("_m")
+    big = t2.where(F.col("_m") > max_cluster_size).drop("_m")
+    small_pairs = pair_src.groupBy("cid").applyInPandas(
+        cluster_pairs, out_schema
     )
+    # per-band signature: md5 of the q-values on dims ≡ b mod n_bands in
+    # ascending d order — transform/filter preserve array order, so the
+    # strings (and md5s) equal the former sort_array(collect_list) build
+    # without its groupBy shuffle
+    dq = F.transform(
+        F.col("qarr"), lambda x, i: F.struct(i.alias("d"), x.alias("q"))
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.filter(dq, lambda s: s["d"] % n_bands == b),
+                        lambda s: s["q"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("sig"),
+        )
+        for b in range(n_bands)
+    ]
+    sig = big.select(
+        "cid", id_col, F.explode(F.array(*band_structs)).alias("_bs")
+    ).select("cid", id_col, F.col("_bs.band").alias("band"),
+             F.col("_bs.sig").alias("sig"))
+    ca = sig.select("cid", "band", "sig", F.col(id_col).alias("a_id"))
+    cb = sig.select("cid", "band", "sig", F.col(id_col).alias("b_id"))
+    cand = (
+        ca.join(cb, ["cid", "band", "sig"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("cid", "a_id", "b_id")
+        .distinct()
+    )
+    # candidate pairs from capped clusters: attach both q arrays by id
+    # and dot them in one vectorized Arrow pass (norms recomputed from
+    # the same rows — exact int64 either way)
+    joined = (
+        cand.join(
+            tagged.select(F.col(id_col).alias("a_id"),
+                          F.col("qarr").alias("_qa")),
+            "a_id",
+        )
+        .join(
+            tagged.select(F.col(id_col).alias("b_id"),
+                          F.col("qarr").alias("_qb")),
+            "b_id",
+        )
+        .select("cid", "a_id", "b_id", "_qa", "_qb")
+    )
+
+    def cand_dots(batches):
+        import pyarrow as pa
+
+        dim = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            qa_col = b.column(3)
+            if dim is None:
+                offs = np.asarray(qa_col.offsets)
+                dim = int(offs[1] - offs[0])
+            qa = _batch_matrix(qa_col, dim)
+            qb = _batch_matrix(b.column(4), dim)
+            dv = (qa * qb).sum(axis=1)
+            n2a = (qa * qa).sum(axis=1)
+            n2b = (qb * qb).sum(axis=1)
+            keep = (dv > 0) & (dv * dv * 10000 >= p2 * n2a * n2b)
+            idx = np.nonzero(keep)[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0).take(pa.array(idx)),
+                    b.column(1).take(pa.array(idx)),
+                    b.column(2).take(pa.array(idx)),
+                    pa.array(dv[idx], type=pa.int64()),
+                ],
+                ["cluster", "a_id", "b_id", "int_dot"],
+            )
+
+    big_pairs = joined.mapInArrow(cand_dots, out_schema)
+    return small_pairs.unionByName(big_pairs)
 
 
 def _kmeans_ctes(k: int, iterations: int, scale: int) -> str:

@@ -232,3 +232,76 @@ def test_semantic_dedup_cap_is_default_on(spark):
     assert sorted(map(tuple, default.collect())) == sorted(
         map(tuple, uncapped.collect())
     )
+
+
+def test_np_assign_bit_identical_to_wide(spark):
+    # r11: _assign_np (vectorized Arrow matmul assignment) must agree
+    # value-for-value with _assign_wide, including the smaller-cid
+    # tie-break (np.argmin returns the FIRST minimum over cid-sorted
+    # centroid rows) — the same contract test_wide_assign_bit_identical
+    # pins between the wide form and the executable spec.
+    from ndr_import_spark.operators.clustering import (
+        _assign_np,
+        _assign_wide,
+        embedding_dims,
+        embedding_qarr,
+    )
+
+    vals = [
+        [0.1, 0.2], [0.11, 0.19], [-0.4, 0.3], [0.0, 0.0],
+        [0.5, -0.5], [-0.5, 0.5],  # symmetric: exercises ties
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<float>",
+    )
+    cent_rows = [
+        (0, 0, 13), (0, 1, 25), (1, 0, -51), (1, 1, 38), (2, 0, 0), (2, 1, 0)
+    ]
+    wide = {
+        r["vec_id"]: (r["cid"], r["dist"])
+        for r in _assign_wide(embedding_dims(df), cent_rows, "vec_id").collect()
+    }
+    arrow = {
+        r["vec_id"]: (r["cid"], r["dist"])
+        for r in _assign_np(embedding_qarr(df), cent_rows, "vec_id").collect()
+    }
+    assert wide == arrow
+
+
+def test_qarr_guards_and_invalid_rows(spark):
+    import pytest
+
+    from ndr_import_spark.operators.clustering import (
+        _assign_np,
+        embedding_qarr,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.1]), (1, None), (2, [])],
+        "vec_id long, embedding array<float>",
+    )
+    qdf = embedding_qarr(df)
+    # NULL / empty vectors are excluded exactly like posexplode's long
+    # form (no rows emitted for them)
+    assert [r["vec_id"] for r in qdf.collect()] == [0]
+    with pytest.raises(ValueError, match="non-empty centroid"):
+        _assign_np(qdf, [], "vec_id")
+    with pytest.raises(ValueError, match="ragged centroid"):
+        _assign_np(qdf, [(0, 0, 5), (1, 0, 5), (1, 1, 5)], "vec_id")
+
+
+def test_np_assignment_plan_has_no_exchange(spark):
+    # the point of the r11 Arrow path: assignment itself never shuffles —
+    # scan -> quantise -> one ArrowEvalPython-class pass, no Exchange,
+    # no join, no aggregate
+    from ndr_import_spark.operators.clustering import (
+        _assign_np,
+        embedding_qarr,
+    )
+
+    df = _emb(spark, [0.1, 0.2, 0.3])
+    asg = _assign_np(embedding_qarr(df), [(0, 0, 10), (1, 0, 50)], "vec_id")
+    plan = asg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
