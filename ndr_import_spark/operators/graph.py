@@ -85,38 +85,71 @@ def pagerank_fixed_point(
         .distinct()
     )
     outd = edges.groupBy("src").agg(F.count("*").alias("od"))
-    nn = nodes.agg(F.count("*").alias("_n"))
     teleport_num = scale * (100 - damping_pct) // 100  # exact python int
 
-    scores = nodes.crossJoin(F.broadcast(nn)).select(
-        "id", F.expr(f"CAST({scale} AS BIGINT) div _n").alias("score")
-    )
+    # r11 loop shape (guide §2.4 "remove shuffles outright"): scores stay
+    # SPARSE inside the loop — only nodes with in-links carry a row;
+    # every other node's score is the round's closed-form constant
+    # (scale div n at round 0, teleport_num div n afterwards — a node
+    # with no in-links receives exactly the teleport term), re-attached
+    # where the matvec consumes it via coalesce on a LEFT join from the
+    # edge frame. This deletes the per-round nodes-left-join (a full
+    # node-set shuffle per iteration) and the nodes subtree's repeated
+    # plan copies; the zero-fill happens ONCE after the loop. Values are
+    # bit-identical: the recurrence consumes the same score for every
+    # src either way.
+    # loop-invariant subtrees are lazily checkpointed ONCE: every round
+    # (and the final zero-fill) references a truncated plan instead of
+    # re-embedding the edge/node subtrees — without this the 5-round
+    # logical plan carries ~240 Exchange nodes and Catalyst planning
+    # time, not stage work, dominates the query (measured: 2.3 s steady
+    # with 0.6 s of stage wall at sf0.1). The join also computes only
+    # once per run instead of once per round.
+    ce = edges.join(outd, "src").localCheckpoint(eager=False)
+    nodes = nodes.localCheckpoint(eager=False)
+    nn = nodes.agg(F.count("*").alias("_n"))
+    scores = None
     for it in range(iterations):
-        contrib = (
-            edges.join(scores.withColumnRenamed("id", "src"), "src")
-            .join(outd, "src")
-            .select(
-                F.col("dst").alias("id"), F.expr("score div od").alias("_c")
-            )
+        base = scale if it == 0 else teleport_num
+        default = f"CAST({base} AS BIGINT) div _n"
+        if scores is None:  # round 0: every src holds the init constant
+            joined = ce.crossJoin(F.broadcast(nn))
+            src_score = default
+        else:
+            joined = ce.join(
+                scores.withColumnRenamed("id", "src"), "src", "left"
+            ).crossJoin(F.broadcast(nn))
+            src_score = f"coalesce(score, {default})"
+        contrib = joined.select(
+            F.col("dst").alias("id"),
+            F.expr(f"({src_score}) div od").alias("_c"),
         )
         sums = contrib.groupBy("id").agg(F.sum("_c").alias("_m"))
-        scores = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(sums, "id", "left")
-            .select(
-                "id",
-                (
-                    F.expr(f"CAST({teleport_num} AS BIGINT) div _n")
-                    + F.expr(
-                        f"({damping_pct} * coalesce(_m, CAST(0 AS BIGINT)))"
-                        " div 100"
-                    )
-                ).alias("score"),
-            )
+        scores = sums.crossJoin(F.broadcast(nn)).select(
+            "id",
+            (
+                F.expr(f"CAST({teleport_num} AS BIGINT) div _n")
+                + F.expr(f"({damping_pct} * _m) div 100")
+            ).alias("score"),
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             scores = scores.localCheckpoint(eager=False)
-    return scores
+    if scores is None:  # iterations == 0: every node sits at the init value
+        return nodes.crossJoin(F.broadcast(nn)).select(
+            "id", F.expr(f"CAST({scale} AS BIGINT) div _n").alias("score")
+        )
+    # one zero-fill at the end: nodes with no in-links hold exactly the
+    # teleport term of the final round
+    return (
+        nodes.crossJoin(F.broadcast(nn))
+        .join(scores, "id", "left")
+        .select(
+            "id",
+            F.expr(
+                f"coalesce(score, CAST({teleport_num} AS BIGINT) div _n)"
+            ).alias("score"),
+        )
+    )
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -231,18 +264,37 @@ def hits_fixed_point(
         .union(edges.select(F.col("dst")))
         .distinct()
     )
-    h = nodes.select("id", F.lit(scale).cast("long").alias("h"))
+    # loop-invariant subtrees: one lazy checkpoint each, so the four
+    # unrolled rounds reference truncated plans (same rationale as the
+    # PageRank loop above)
+    edges = edges.localCheckpoint(eager=False)
+    nodes = nodes.localCheckpoint(eager=False)
+    # r11 loop shape (guide §2.4): the hub/authority vectors stay SPARSE
+    # inside the loop. A node missing from `a` holds 0 — and a 0 row
+    # contributes exactly nothing to the next matvec's inner join, while
+    # the rescale max over the sparse aggregate equals the max over the
+    # zero-filled frame (all values are non-negative sums). So the two
+    # per-round nodes-left-joins existed only for the OUTPUT shape; they
+    # happen once after the loop now. Every src has an out-edge and
+    # every dst an in-edge by construction, so the matvec join finds a
+    # row for every edge endpoint that could carry mass — the
+    # trajectory is bit-identical. Round 1's a' = Σ h_0(src) = scale ×
+    # indegree folds the constant init vector into the aggregate, which
+    # also removes h_0's node-set materialisation.
+    h = None
     a = None
-    for _ in range(iterations):
+    for it in range(iterations):
         # a' = sum over in-edges of h(src)
-        a_raw = (
-            edges.join(h.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("h").alias("v"))
-        )
-        a_raw = nodes.join(a_raw, "id", "left").select(
-            "id", F.coalesce("v", F.lit(0)).alias("v")
-        )
+        if h is None:  # h_0 ≡ scale for every node
+            a_raw = edges.groupBy(F.col("dst").alias("id")).agg(
+                (F.count(F.lit(1)) * F.lit(scale)).cast("long").alias("v")
+            )
+        else:
+            a_raw = (
+                edges.join(h.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("h").alias("v"))
+            )
         amax = a_raw.agg(F.max("v").alias("m"))
         a = (
             a_raw.crossJoin(F.broadcast(amax))
@@ -257,9 +309,6 @@ def hits_fixed_point(
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("a").alias("v"))
         )
-        h_raw = nodes.join(h_raw, "id", "left").select(
-            "id", F.coalesce("v", F.lit(0)).alias("v")
-        )
         hmax = h_raw.agg(F.max("v").alias("m"))
         h = (
             h_raw.crossJoin(F.broadcast(hmax))
@@ -268,8 +317,17 @@ def hits_fixed_point(
                 F.expr(f"v div greatest(1, m div {scale})").alias("h"),
             )
         ).localCheckpoint(eager=False)
-    return h.join(a.withColumnRenamed("a", "authority"), "id").select(
-        "id", F.col("h").alias("hub"), "authority"
+    # one zero-fill at the end restores the dense output contract
+    return (
+        nodes.join(h, "id", "left")
+        .join(a.withColumnRenamed("a", "authority"), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("h"), F.lit(0).cast("long")).alias("hub"),
+            F.coalesce(F.col("authority"), F.lit(0).cast("long")).alias(
+                "authority"
+            ),
+        )
     )
 
 
