@@ -803,8 +803,8 @@ def _star_components(
         nodes = edges.select(F.col("src").alias("node")).unionByName(
             edges.select(F.col("dst").alias("node"))
         )
-    nodes = nodes.distinct().localCheckpoint(eager=True)
-    e = edges.localCheckpoint(eager=True)
+    nodes = nodes.distinct().localCheckpoint(eager=False)
+    e = edges.localCheckpoint(eager=False)
     prev_count = e.count()
     for _ in range(max_rounds):
         sym = e.unionByName(
@@ -835,7 +835,7 @@ def _star_components(
             .unionByName(smins.select("src", F.col("_m").alias("dst")))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         probe = (
             small.join(
@@ -946,11 +946,15 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK_DESER)
     )
+    # eager=False + immediate action: the sum aggregate's job
+    # materialises the checkpoint as it runs — one job per round instead
+    # of a checkpoint job followed by a collect job (r11; same trick in
+    # every convergence loop below)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
     for _ in range(max_iterations):
@@ -961,7 +965,7 @@ def connected_components(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         s = new.agg(F.sum("component").alias("s")).collect()[0]["s"]
         labels = new
@@ -1013,7 +1017,7 @@ def connected_components(
                 "node",
                 F.coalesce(F.col("_root"), F.col("component")).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         edges.unpersist(blocking=False)
         return final
