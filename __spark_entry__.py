@@ -232,7 +232,11 @@ def q_nontabular_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ndr_import_spark.operators.nontabular import tabulate_non_tabular
     from ndr_import_spark.plans.yaml_loader import load_mapping
 
-    orders = _t(spark, sf_dir, "orders")
+    from ndr_import_spark.operators.textstats import spread_rows
+
+    # spread the one-row-group scan before synthesising 6 lines/order —
+    # the line build + tabulation windows otherwise start single-task
+    orders = spread_rows(_t(spark, sf_dir, "orders"))
     lines = (
         orders.select(
             F.col("o_orderkey"),
@@ -2181,9 +2185,12 @@ def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing, first-occurrence ranking — and md5 of the cleaned text pins
     every decision."""
     from ndr_import_spark.operators.corpus import c4_clean
-    from ndr_import_spark.operators.textstats import tokens
+    from ndr_import_spark.operators.textstats import spread_rows, tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the one-row-group scan ahead of the page synthesis + the
+    # sentence pipeline (measured: 2.5 s of the 3.8 s steady ran in one
+    # task); no-op when the source is already parallel
+    docs = spread_rows(_t(spark, sf_dir, "documents"))
     wds = tokens(F.col("text"))
     parts = []
     for start, ln in [(1, 2), (3, 5), (8, 5), (13, 4), (17, 5),
@@ -2374,9 +2381,12 @@ def q_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     training_mix."""
     from ndr_import_spark.operators.boilerplate import extract_main_content
     from ndr_import_spark.operators.corpus import c4_clean
-    from ndr_import_spark.operators.textstats import tokens
+    from ndr_import_spark.operators.textstats import spread_rows, tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the one-row-group scan ahead of the page synthesis + the
+    # sentence pipeline (measured: 2.5 s of the 3.8 s steady ran in one
+    # task); no-op when the source is already parallel
+    docs = spread_rows(_t(spark, sf_dir, "documents"))
     wds = tokens(F.col("text"))
     sent = []
     for start, ln in [(1, 2), (3, 5), (8, 5), (13, 4),
@@ -8013,6 +8023,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_exact_copy.alias("_bang"),
         is_near_copy.alias("_shift"),
     )
+
     wds = tokens(F.col("text"))
     off = F.when(F.col("_shift"), F.lit(1)).otherwise(F.lit(0))
     sent = []

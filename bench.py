@@ -79,6 +79,18 @@ def _build_session(cpus: str):
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # CPU-dense text/decode stages run ~1-2 s per MB, so AQE's 1 MB
+        # default minPartitionSize folds small shuffle stages to 1-3
+        # tasks while the rest of the machine idles. A smaller floor is
+        # scale-adaptive by construction: coalescing never produces MORE
+        # partitions than the map side / cluster parallelism, so stages
+        # big enough to saturate the cluster are untouched at any scale;
+        # only under-parallelised small stages spread out. Parameterised
+        # for the driver's lower-core bench runs.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

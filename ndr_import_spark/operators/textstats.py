@@ -307,6 +307,10 @@ def gopher_stats_frame(
     DuckDB side."""
     t = F.col(text_col)
     wds = tokens(t)
+    # spread the scan ahead of tokenisation + the gram explode (the
+    # pipeline's CPU hot spot — measured as a 1.4 s single task on a
+    # one-row-group input); no-op when the source is already parallel
+    df = spread_rows(df.select(id_col, text_col))
     base = df.select(
         F.col(id_col).alias("_id"),
         wds.alias("_wds"),
@@ -487,3 +491,40 @@ def type_token_ratio(text: Column) -> Column:
         F.size(t) > 0,
         F.size(F.array_distinct(t)).cast("double") / F.size(t),
     ).otherwise(F.lit(1.0))
+
+
+def spread_rows(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Adaptive scan-spread for CPU-heavy per-row pipelines (the
+    `_shingle_base` rule, factored out): if the frame currently has
+    fewer partitions than the cluster has cores, round-robin
+    repartition it to `parallelism`; otherwise return it UNCHANGED.
+
+    Why: a small parquet file is one row group, one row group is one
+    scan task, and every regex/explode/gram stage stacked on that scan
+    inherits the single task — measured at sf0.1 as 1.4-2.5 s
+    single-task stages (c4_clean, gopher grams, boilerplate) while 31
+    cores idle. On a real corpus (splits ≥ cores) the condition is
+    false and no shuffle is added, so this is scale-adaptive, not a
+    local[32] tuning: it moves each projected row exactly once, and
+    only when the input layout under-parallelises the cluster (guide
+    §2.5 'input skew: one huge unsplittable file... repartition
+    immediately after the read')."""
+    if parallelism is None:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    # The repartition alone is NOT enough: the optimizer pushes filters
+    # and collapses projections straight through an Exchange, sinking
+    # the caller's regex/extract work back into the single scan task
+    # (measured on c4_clean: the page-rule regexes ran below the
+    # exchange, 2.2 s in one task, and the spread bought nothing). A
+    # one-element explode of the packed row is the established barrier
+    # (`_shingle_base`): Generate evaluates once per row and nothing is
+    # pushed through it, so per-row work stacked on the result runs on
+    # the spread partitions. Same rows, same columns, same types.
+    cols = df.columns
+    return (
+        df.repartition(parallelism)
+        .select(F.explode(F.array(F.struct(*cols))).alias("_spread"))
+        .select(*[F.col(f"_spread.{c}").alias(c) for c in cols])
+    )
