@@ -2710,8 +2710,11 @@ def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_links,
         host_link_graph,
     )
+    from ndr_import_spark.operators.textstats import spread_rows
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the scan ahead of the page/link synthesis (measured: 1.8 s
+    # of the 2.3 s steady in two single-task stages)
+    docs = spread_rows(_t(spark, sf_dir, "documents"))
     pages = _link_fixture_pages(docs)
     links = extract_links(pages)
     host_scores = (
@@ -5080,8 +5083,12 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen window pipeline + one keyed aggregate + one per-doc interval
     merge; window text never shuffles (60-bit hashes only)."""
     from ndr_import_spark.operators.corpus import duplicated_span_report
+    from ndr_import_spark.operators.textstats import spread_rows
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the one-row-group scan: the window-hash pipeline otherwise
+    # tokenises the whole corpus in a single task (measured 1.7 s of the
+    # 3.5 s steady); no-op once the source has real splits
+    docs = spread_rows(_t(spark, sf_dir, "documents"))
     return duplicated_span_report(docs, window_words=8).orderBy("doc_id")
 
 
@@ -6752,9 +6759,10 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact — the one-sided CMS error is directly visible. Sketch cells
     are engine-portable, so the oracle builds the identical sketch."""
     from ndr_import_spark.operators.sketches import cms_build, cms_estimate
-    from ndr_import_spark.operators.textstats import tokens
+    from ndr_import_spark.operators.textstats import spread_rows, tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the scan: tokenise+explode+4xmd5 ran as one 1.6 s task
+    docs = spread_rows(_t(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
     sketch = cms_build(toks, "token", depth=4, width=256)
     top = (
@@ -7412,9 +7420,11 @@ def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     every column (key), the cross-column pairs must fail. Single-shuffle
     melt shape shared with the profiler."""
     from ndr_import_spark.operators.profile import fd_discovery
+    from ndr_import_spark.operators.textstats import spread_rows
 
     pairs = [(d, p) for d, _dk, p, _pk in _FD_PAIRS]
-    return fd_discovery(_t(spark, sf_dir, "orders"), pairs).orderBy(
+    # spread the scan: the det/dep melt explode ran as one 1.4 s task
+    return fd_discovery(spread_rows(_t(spark, sf_dir, "orders")), pairs).orderBy(
         "det", "dep"
     )
 

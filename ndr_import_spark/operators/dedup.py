@@ -1322,7 +1322,14 @@ def lsh_quality_report(
         .join(ids.alias("r"), F.col("l._id") < F.col("r._id"))
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
     )
-    truth = _verify_jaccard(allp, hashed, hashed, "id_a", "id_b", threshold)
+    # truth feeds two consumers (its count + the hits semi-join) and
+    # cand three — without a barrier the all-pairs exact-Jaccard verify
+    # re-executes per reference (measured: four ~2 s 32-task stages per
+    # steady run). Both frames are pair-id-sized; one lazy checkpoint
+    # each runs the expensive verify exactly once.
+    truth = _verify_jaccard(
+        allp, hashed, hashed, "id_a", "id_b", threshold
+    ).localCheckpoint(eager=False)
     banded = _band_keys(hashed, k, bands, "mh")
     cand = (
         banded.alias("l")
@@ -1330,6 +1337,7 @@ def lsh_quality_report(
         .filter(F.col("l._id") < F.col("r._id"))
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=False)
     )
     hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
     one = (
