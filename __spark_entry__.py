@@ -1329,18 +1329,23 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     with one extra predicate — and at scale the same LSH/IVF bucketing
     drops in front unchanged."""
     from ndr_import_spark.operators.similarity import cosine_topk
+    from ndr_import_spark.operators.textstats import spread_rows
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("embedding"),
         "label",
     )
+    # spread the corpus side of the broadcast-scored join: the one-row-
+    # group scan made the crossJoin+cosine stage a single 1.4 s task
+    # (profiled); the 6-row query side stays on the unspread frame
+    corpus = spread_rows(emb)
     queries = emb.filter(F.col("vec_id") < 6).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
         F.col("label").alias("query_label"),
     )
-    scored = emb.crossJoin(F.broadcast(queries)).filter(
+    scored = corpus.crossJoin(F.broadcast(queries)).filter(
         (F.col("query_id") != F.col("vec_id"))
         & (F.col("label") != F.col("query_label"))
     )
