@@ -61,6 +61,17 @@ def train_logreg_lattice(
     w = [0] * d
     lr_d = Decimal(lr)
     traj: list[tuple[int, int, int]] = []
+    # Featurize the corpus ONCE: each GD round aggregates the same
+    # (x..., y) frame, and without a barrier every round re-runs the
+    # upstream featurization (tokenize/regex passes) per collect. The
+    # projected frame is d+1 narrow ints per doc — far smaller than the
+    # corpus at any scale — so K rounds over the cached features replace
+    # K corpus passes; MEMORY_AND_DISK spills rather than evicts.
+    from pyspark import StorageLevel
+
+    feat_df = feat_df.select(
+        *[F.col(c).cast("long").alias(c) for c in feature_cols], label_col
+    ).persist(StorageLevel.MEMORY_AND_DISK_DESER)
     for r in range(1, rounds + 1):
         margin = None
         for j, c in enumerate(feature_cols):
@@ -79,6 +90,7 @@ def train_logreg_lattice(
             step = (g * lr_d).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
             w[j] -= int(step)
         traj.extend((r, j, w[j]) for j in range(d))
+    feat_df.unpersist(blocking=False)
     return traj
 
 
