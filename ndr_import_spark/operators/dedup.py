@@ -455,6 +455,13 @@ def _banded_jaccard_pairs(
             .select("band", "key")
         )
         banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    # The self-join references `banded` twice and the hot count once more;
+    # without a barrier each reference re-reads the FAT (_id, _hs, _sig)
+    # cache and re-derives the md5 band keys (measured: the hot-count
+    # subtree inlined twice as identical stages). Persist the NARROW
+    # (_id, band, key) rows once instead — consumers read ~150 B/doc of
+    # band keys rather than the shingle-set cache, at any scale.
+    banded = scope.persist(banded)
     pairs = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "key"])
@@ -502,7 +509,10 @@ def minhash_lsh_star_edges(
     hashed = scope.persist(
         _hashed_sig_frame(_char_shingle_rows(base, shingle_n), k, "mh")
     )
-    banded = _band_keys(hashed, k, bands, "mh")
+    # referenced by the centers aggregate AND the member join — persist
+    # the narrow band-key rows so both read ~150 B/doc instead of
+    # re-deriving keys from the fat (_id, _hs, _sig) cache
+    banded = scope.persist(_band_keys(hashed, k, bands, "mh"))
     centers = banded.groupBy("band", "key").agg(
         F.min("_id").alias("_center")
     )
@@ -1140,6 +1150,9 @@ def incremental_neardup_pairs(
             .select("band", "key")
         )
         banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    # same barrier as the batch core: probe side, index side and the hot
+    # count otherwise each re-derive band keys from the fat hashed cache
+    banded = scope.persist(banded)
     pairs = (
         banded.filter(F.col("_new") == 1)
         .alias("l")
