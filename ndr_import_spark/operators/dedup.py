@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ndr_import_spark.operators.textstats import md5_long, normalize_text
+from ndr_import_spark.operators.textstats import (
+    md5_long,
+    normalize_text,
+    release_local_checkpoint,
+)
 
 __all_reexports__ = ["md5_long"]  # canonical definition lives in textstats
 
@@ -866,6 +870,9 @@ def _star_components(
         # the checkpointed shrinking edge set) instead of the former
         # count() + exceptAll().limit(1).count() pair
         converged = n == prev_count and probe["novel"] == 0
+        # probe materialised `small`; the previous round's edge
+        # checkpoint is superseded — release its blocks deterministically
+        release_local_checkpoint(e)
         e = small
         prev_count = n
         if converged:
@@ -978,6 +985,11 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         s = new.agg(F.sum("component").alias("s")).collect()[0]["s"]
+        # the sum action just materialised `new`, so last round's
+        # checkpoint blocks are dead — free them now instead of waiting
+        # for JVM GC (otherwise diameter-many label frames accumulate
+        # per run for the session lifetime)
+        release_local_checkpoint(labels)
         labels = new
         if s == prev_sum:
             break

@@ -528,3 +528,28 @@ def spread_rows(df: DataFrame, parallelism: int | None = None) -> DataFrame:
         .select(F.explode(F.array(F.struct(*cols))).alias("_spread"))
         .select(*[F.col(f"_spread.{c}").alias(c) for c in cols])
     )
+
+
+def release_local_checkpoint(df: DataFrame | None) -> None:
+    """Deterministically free the blocks of a SUPERSEDED lazy
+    localCheckpoint.
+
+    `localCheckpoint` stores its partitions as cached RDD blocks that
+    `spark.catalog.clearCache()` does NOT touch (they are not in the SQL
+    cache manager); they are reclaimed only when the JVM garbage-collects
+    the RDD. An iterative operator that checkpoints per round therefore
+    leaks every round's blocks for the session lifetime — measured:
+    repeated dedup_clusters runs in one JVM climbed 7 → 15 s as dead
+    label checkpoints filled the block manager. Callers invoke this on a
+    round's frame as soon as the NEXT round's checkpoint has been
+    materialised by an action (never on a frame a returned plan still
+    references — a released localCheckpoint cannot be recomputed).
+
+    Reaches the checkpointed RDD through the analyzed `LogicalRDD`;
+    silently a no-op for any other plan shape."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort release, never on the query path
+        pass
