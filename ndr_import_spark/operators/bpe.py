@@ -43,6 +43,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ndr_import_spark.operators.textstats import release_local_checkpoint
+
 END_OF_WORD = "</w>"
 
 
@@ -172,6 +174,7 @@ def learn_bpe(
     if parts is not None:
         init = init.coalesce(parts)
     syms = init.localCheckpoint(eager=True)
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         counts = _pair_counts(syms)
@@ -183,6 +186,11 @@ def learn_bpe(
             .limit(1)
             .collect()
         )
+        # the argmax collect materialised `syms`; the round before's
+        # checkpoint is superseded — free its blocks (nothing else
+        # references it: only the `merges` list escapes this function)
+        release_local_checkpoint(prev)
+        prev = None
         if not top or top[0]["n"] < min_pair_freq:
             break
         a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
@@ -195,7 +203,12 @@ def learn_bpe(
         # materialisation is microseconds and the next round's plan is
         # depth-1 again; still one job per round (the argmax collect
         # materialises it in the same action).
+        prev = syms
         syms = _merge_pass(syms, a, b).localCheckpoint(eager=False)
+    # no frame escapes (the return value is a plain Python list), so the
+    # final round's checkpoints are dead too
+    release_local_checkpoint(prev)
+    release_local_checkpoint(syms)
     return merges
 
 
