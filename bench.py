@@ -282,16 +282,38 @@ def main() -> int:
     # recorded load number beats dying quietly.
     max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "4.0"))
     wait_budget = [float(os.environ.get("SPARK_GRAFT_MAX_TOTAL_WAIT", "300"))]
+    # r11: guest loadavg is blind to HOST-side contention (a co-tenant
+    # phase measured 2-6x wall inflation with guest CPUs idle and steal
+    # ~0 — the r10 "suite-wide drift" signature). A fixed single-core
+    # probe vs the session's best detects it directly; >max_slowdown
+    # counts as loaded for the same bounded wait.
+    max_slowdown = float(os.environ.get("SPARK_GRAFT_MAX_CPU_SLOWDOWN", "1.4"))
+    _probe_best = [float("inf")]
+
+    def cpu_probe_ratio() -> float:
+        import hashlib
+
+        t0 = time.perf_counter()
+        h = b"x" * 4096
+        for _ in range(20000):
+            h = hashlib.md5(h).digest() + b"y" * 4064
+        dt = time.perf_counter() - t0
+        if dt < _probe_best[0]:
+            _probe_best[0] = dt
+        return dt / _probe_best[0]
 
     def wait_quiet() -> float:
         load = os.getloadavg()[0]
-        while load > max_load and wait_budget[0] > 0:
+        slow = cpu_probe_ratio()
+        while (load > max_load or slow > max_slowdown) and wait_budget[0] > 0:
             time.sleep(10.0)
             wait_budget[0] -= 10.0
             load = os.getloadavg()[0]
-        if load > max_load:
+            slow = cpu_probe_ratio()
+        if load > max_load or slow > max_slowdown:
             sys.stderr.write(
-                f"bench: proceeding at load {load:.1f} > {max_load} "
+                f"bench: proceeding at load {load:.1f} (max {max_load}) "
+                f"cpu_slowdown {slow:.2f}x (max {max_slowdown}) "
                 f"(suite wait budget exhausted) — numbers may be contended\n"
             )
         return load
@@ -402,7 +424,18 @@ def main() -> int:
     # 95% keep batch amortisation. Skipped when the budget is gone —
     # a complete batched artifact beats a dead one.
     heavy_thresh = float(os.environ.get("SPARK_GRAFT_HEAVY_SOLO_SEC", "4.0"))
-    heavies = [k for k, v in timings.items() if v == v and v > heavy_thresh]
+    # worst-first (r11): when the pacing budget is nearly spent the loop
+    # below breaks early, so order decides WHICH heavies get their solo
+    # repair. Registry order let a transient-load victim early in the
+    # registry burn the budget while a 6x-inflated cold-only number late
+    # in it kept its batched value; descending order repairs the most
+    # distorted measurements first. Cold-only entries (pacing locked out
+    # every steady run) are already in `timings` and qualify like any
+    # other heavy.
+    heavies = sorted(
+        (k for k, v in timings.items() if v == v and v > heavy_thresh),
+        key=lambda k: -timings[k],
+    )
     for nm in heavies:
         time_left = deadline - time.monotonic()
         if time_left < 60.0:
