@@ -208,6 +208,8 @@ def main() -> int:
     )
 
     load_seen: dict[str, float] = {}
+    slow_seen: list[float] = []
+    wait_budget = [float(os.environ.get("SPARK_GRAFT_MAX_TOTAL_WAIT", "300"))]
 
     def emit() -> None:
         payload = json.dumps(
@@ -230,6 +232,19 @@ def main() -> int:
                 # numbers because the driver's contract is {"q": sec}.
                 "samples": samples,
                 "start_load1": load_seen,
+                # suite-level contention note (r10 VERDICT ask 1): the
+                # worst fork-start load and CPU-probe slowdown observed,
+                # so a round-over-round total shift can be read against
+                # the box state without forensics on per-query columns
+                "load_note": {
+                    "max_start_load1": round(max(load_seen.values()), 2)
+                    if load_seen
+                    else None,
+                    "max_cpu_slowdown": round(max(slow_seen), 2)
+                    if slow_seen
+                    else None,
+                    "wait_budget_left_sec": round(wait_budget[0], 1),
+                },
             },
             allow_nan=False,
         )
@@ -281,7 +296,6 @@ def main() -> int:
     # box burned the driver's whole window in r7/r8. Finishing with a
     # recorded load number beats dying quietly.
     max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "4.0"))
-    wait_budget = [float(os.environ.get("SPARK_GRAFT_MAX_TOTAL_WAIT", "300"))]
     # r11: guest loadavg is blind to HOST-side contention (a co-tenant
     # phase measured 2-6x wall inflation with guest CPUs idle and steal
     # ~0 — the r10 "suite-wide drift" signature). A fixed single-core
@@ -305,11 +319,13 @@ def main() -> int:
     def wait_quiet() -> float:
         load = os.getloadavg()[0]
         slow = cpu_probe_ratio()
+        slow_seen.append(slow)
         while (load > max_load or slow > max_slowdown) and wait_budget[0] > 0:
             time.sleep(10.0)
             wait_budget[0] -= 10.0
             load = os.getloadavg()[0]
             slow = cpu_probe_ratio()
+            slow_seen.append(slow)
         if load > max_load or slow > max_slowdown:
             sys.stderr.write(
                 f"bench: proceeding at load {load:.1f} (max {max_load}) "
