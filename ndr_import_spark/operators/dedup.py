@@ -819,7 +819,6 @@ def _star_components(
         )
     nodes = nodes.distinct().localCheckpoint(eager=False)
     e = edges.localCheckpoint(eager=False)
-    prev_count = e.count()
     for _ in range(max_rounds):
         sym = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -852,29 +851,31 @@ def _star_components(
             .localCheckpoint(eager=False)
         )
         probe = (
-            small.join(
-                e.withColumn("_in_prev", F.lit(1)), ["src", "dst"], "left"
-            )
+            small.withColumn("_in_new", F.lit(1))
+            .join(e.withColumn("_in_prev", F.lit(1)), ["src", "dst"], "full")
             .agg(
-                F.count(F.lit(1)).alias("n"),
                 F.coalesce(
                     F.sum(F.when(F.col("_in_prev").isNull(), 1).otherwise(0)),
                     F.lit(0),
                 ).alias("novel"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_in_new").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("gone"),
             )
             .first()
         )
-        n = probe["n"]
-        # both frames are distinct(): set equality == same size + no edge
-        # outside the previous set — ONE action (a left join + aggregate on
-        # the checkpointed shrinking edge set) instead of the former
-        # count() + exceptAll().limit(1).count() pair
-        converged = n == prev_count and probe["novel"] == 0
+        # both frames are distinct(): set equality == no edge on either
+        # side of the symmetric difference — ONE full-outer probe per
+        # round with NO pre-loop count() job (r11: the former
+        # n == prev_count test needed count(e₀) before round 1, a whole
+        # extra barrier + pass over the edge set; novel==0 AND gone==0
+        # is the same set equality measured entirely inside the round)
+        converged = probe["novel"] == 0 and probe["gone"] == 0
         # probe materialised `small`; the previous round's edge
         # checkpoint is superseded — release its blocks deterministically
         release_local_checkpoint(e)
         e = small
-        prev_count = n
         if converged:
             break
     else:
@@ -973,7 +974,7 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("component").alias("s")).collect()[0]["s"]
+    prev_sum = None
     for _ in range(max_iterations):
         msgs = edges.join(labels, F.col("dst") == F.col("node")).select(
             F.col("src").alias("node"), F.col("component")
@@ -984,7 +985,18 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=False)
         )
-        s = new.agg(F.sum("component").alias("s")).collect()[0]["s"]
+        row = new.agg(
+            F.sum("component").alias("s"), F.sum("node").alias("s0")
+        ).collect()[0]
+        s = row["s"]
+        if prev_sum is None:
+            # labels₀ is (node, node), so its component-sum equals the
+            # node-id sum — and every round preserves the node set (the
+            # groupBy over labels ∪ msgs keeps all labels rows), so
+            # round 1's aggregate yields BOTH sums and the former
+            # pre-loop sum action (a whole job + pass over the node
+            # set) is folded away (r11)
+            prev_sum = row["s0"]
         # the sum action just materialised `new`, so last round's
         # checkpoint blocks are dead — free them now instead of waiting
         # for JVM GC (otherwise diameter-many label frames accumulate
