@@ -1106,7 +1106,9 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + threshold filter — the 'keep good training docs'
     pipeline stage."""
     from ndr_import_spark.operators import textstats as ts
-    docs = _t(spark, sf_dir, "documents")
+    # spread the one-row-group scan: the quality regexes otherwise run as
+    # ONE 1.8 s scan task (profiled: 1.79 s of 1.88 s total stage wall)
+    docs = ts.spread_rows(_t(spark, sf_dir, "documents"))
     return (
         docs.select(
             "doc_id", "source", ts.quality_score(F.col("text")).alias("quality")
