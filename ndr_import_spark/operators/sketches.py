@@ -198,10 +198,20 @@ def kmv_jaccard(
         16,
         10,
     ).cast("long")
+    # the distinct (split, key) frame feeds FOUR consumers (the sketch,
+    # both exact-Jaccard sides, the split sizes) and the k-row sketch
+    # another four (both pair sides, the pair-name grid twice); without
+    # a barrier each reference re-plans — and can re-execute — the
+    # dedup shuffle / double-window subtree (r11: the initial plan
+    # carried 32 corpus scans and 156 Window nodes). One lazy
+    # localCheckpoint each: the first action materialises them once and
+    # every consumer reads the stored partitions (same pattern as
+    # training_mix's kept/kept2 and lsh_quality's truth frame).
     pairs = (
         df.select(F.col(split_col).alias("_split"), F.col(key_col))
         .distinct()
         .withColumn("_h", hash60)
+        .localCheckpoint(eager=False)
     )
     # bounded two-phase k-min per split (same shape as kmv_distinct)
     salted = pairs.withColumn("_salt", F.pmod(F.col("_h"), F.lit(salt_buckets)))
@@ -213,6 +223,7 @@ def kmv_jaccard(
         .withColumn("_rn2", F.row_number().over(w2))
         .filter(F.col("_rn2") <= k)
         .select("_split", "_h")
+        .localCheckpoint(eager=False)
     )
     # per-pair union of the two sketches with membership flags; sketches
     # are <= k rows per split, so every join below is sketch-sized
@@ -266,8 +277,12 @@ def kmv_jaccard(
         .agg(F.count(F.lit(1)).alias("_n_inter"))
     )
     sizes = pairs.groupBy("_split").agg(F.count(F.lit(1)).alias("_n"))
+    # pair_names ≡ est's key set (every split's sketch is non-empty, so
+    # every pair survives the outer join into est), and the final inner
+    # join re-filters anyway — referencing pair_names here instead of
+    # est keeps the whole est subtree out of the exact branch's plan
     exact = (
-        est.select("split_a", "split_b")
+        pair_names
         .join(
             F.broadcast(sizes.select(F.col("_split").alias("split_a"), F.col("_n").alias("_na"))),
             "split_a",
