@@ -1597,18 +1597,31 @@ def source_lexical_divergence(
         F.col(source_col).alias("_src"),
         F.explode(tokens(F.col(text_col))).alias("_w"),
     )
-    vocab = (
-        toks.groupBy("_w")
+    # ONE corpus pass (r11): aggregate (source, token) counts first —
+    # a vocabulary-breadth-sized frame — and derive BOTH the global
+    # top-V vocabulary (sum over sources == the global count) and the
+    # per-source counts from it. The previous form ran the tokenising
+    # explode twice (once for the vocabulary, once for the counts), and
+    # every un-barriered reference to `dense` re-planned the whole
+    # corpus subtree (initial plan: 32 corpus scans). The checkpoint is
+    # sources x distinct-tokens — bounded by vocabulary breadth, never
+    # by corpus length.
+    full = (
+        toks.groupBy("_src", "_w")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        full.groupBy("_w")
+        .agg(F.sum("_c").alias("_c"))
         .orderBy(F.col("_c").desc(), F.col("_w").asc())
         .limit(V)
         .select("_w")
     )
-    cnt = (
-        toks.join(F.broadcast(vocab), "_w")
-        .groupBy("_src", "_w")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
+    cnt = full.join(F.broadcast(vocab), "_w").select("_src", "_w", "_c")
+    # from the table, NOT from `full`: a source whose documents tokenise
+    # to nothing must still appear in the drift map (oracle semantics);
+    # this is a column-pruned one-column scan, not a tokenising pass
     srcs = df.select(F.col(source_col).alias("_src")).distinct()
     dense = (
         srcs.crossJoin(F.broadcast(vocab))
@@ -1616,10 +1629,15 @@ def source_lexical_divergence(
         .select("_src", "_w", F.coalesce(F.col("_c"), F.lit(0)).alias("_c"))
     )
     tot = dense.groupBy("_src").agg(F.sum("_c").alias("_t"))
-    dense = dense.join(tot, "_src").select(
-        "_src", "_w",
-        (F.col("_c") + 1).cast("long").alias("_a"),
-        (F.col("_t") + V).cast("long").alias("_d"),
+    dense = (
+        dense.join(tot, "_src")
+        .select(
+            "_src", "_w",
+            (F.col("_c") + 1).cast("long").alias("_a"),
+            (F.col("_t") + V).cast("long").alias("_d"),
+        )
+        # sources x V rows; consumed by both pair sides below
+        .localCheckpoint(eager=False)
     )
     a = dense.select(
         F.col("_src").alias("source_a"), "_w",
