@@ -447,8 +447,9 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = KMEANS_SCALE,
-    max_cluster_size: int | None = 65536,
+    max_cluster_size: int | None = 8192,
     n_bands: int = 4,
+    pair_block_elems: int = 1 << 23,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means first, then near-duplicate
     pairs ONLY within each cluster — the clustering bounds the pairwise
@@ -473,7 +474,17 @@ def semantic_dedup_pairs(
     signature are dotted — near-identical vectors agree on every band,
     far pairs in a pathological mega-cluster are skipped instead of
     dotted. Exact within small clusters, documented-recall within capped
-    ones; pair decisions stay bit-reproducible either way.
+    ones; pair decisions stay bit-reproducible either way. The default
+    cap is 8192 (r12, was 65536): with the blockwise pair scan the
+    in-task MEMORY is bounded at any m, but the m²·d pair arithmetic
+    still runs inside one task per cluster, and 8192²·d ≈ 4·10¹² int ops
+    is the most a single task can defensibly hold; 65536² was 64× that.
+
+    ``pair_block_elems`` bounds the within-cluster pair scan's working
+    set: the Q·Qᵀ matmul runs in row blocks of ⌊pair_block_elems / m⌋
+    rows so no m×m matrix ever materialises (peak ≈ 4 block buffers ·
+    8 B · pair_block_elems ≈ 256 MB at the 2²³ default) — output
+    bit-identical to the full matrix, see cluster_pairs below.
 
     r11 shuffle/compute shape (guide §2.3, §4.2): vectors stay ONE
     compact (id, qarr) row each. The within-cluster pair phase is a
@@ -509,22 +520,43 @@ def semantic_dedup_pairs(
         pdf = pdf.sort_values(id_col, kind="mergesort")
         q = np.stack(pdf["qarr"].to_numpy()).astype(np.int64)
         ids = pdf[id_col].to_numpy()
-        dots = q @ q.T
-        n2 = np.diagonal(dots)
-        ia, ib = np.triu_indices(m, 1)
-        dv = dots[ia, ib]
-        keep = (dv > 0) & (dv * dv * 10000 >= p2 * n2[ia] * n2[ib])
-        if not keep.any():
+        n2 = np.einsum("ij,ij->i", q, q)
+        cid = int(pdf["cid"].iloc[0])
+        # Blockwise Q·Qᵀ (r11 VERDICT item 1): one task receives a WHOLE
+        # cluster here, and the full m×m int64 dots matrix plus
+        # triu_indices(m) needs ~70 GB at m = 65536 — guaranteed worker
+        # OOM at scale. Row-blocks of b rows against the full Q bound the
+        # peak at O(b·m) (b sized so each block buffer is ~pair_block_elems
+        # int64s) while the arithmetic, the threshold predicate and the
+        # row-major (i asc, j asc) output order stay bit-identical to the
+        # full-matrix form: nonzero() is C-order, and ascending blocks
+        # concatenate in the same global order triu_indices walked.
+        bsz = max(1, min(m, pair_block_elems // m))
+        cols = np.arange(m)
+        outs = []
+        for i0 in range(0, m - 1, bsz):
+            i1 = min(i0 + bsz, m)
+            dv = q[i0:i1] @ q.T
+            keep = (
+                (cols[None, :] > np.arange(i0, i1)[:, None])
+                & (dv > 0)
+                & (dv * dv * 10000 >= p2 * n2[i0:i1, None] * n2[None, :])
+            )
+            if not keep.any():
+                continue
+            ra, cb = np.nonzero(keep)
+            kv = dv[ra, cb]
+            outs.append(pd.DataFrame(
+                {
+                    "cluster": np.full(len(kv), cid, dtype="int32"),
+                    "a_id": ids[ra + i0],
+                    "b_id": ids[cb],
+                    "int_dot": kv,
+                }
+            ))
+        if not outs:
             return empty
-        return pd.DataFrame(
-            {
-                "cluster": np.full(int(keep.sum()), int(pdf["cid"].iloc[0]),
-                                   dtype="int32"),
-                "a_id": ids[ia[keep]],
-                "b_id": ids[ib[keep]],
-                "int_dot": dv[keep],
-            }
-        )
+        return outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
 
     if max_cluster_size is None:
         return tagged.groupBy("cid").applyInPandas(cluster_pairs, out_schema)

@@ -213,14 +213,18 @@ def test_capped_equals_uncapped_when_under_cap(spark):
 
 def test_semantic_dedup_cap_is_default_on(spark):
     """r6 VERDICT item 2: the scale guard must be opt-OUT. The default
-    max_cluster_size is finite (65536) so an unread-docs caller gets the
-    bounded shape; None is the explicit uncapped escape hatch."""
+    max_cluster_size is finite so an unread-docs caller gets the bounded
+    shape; None is the explicit uncapped escape hatch. r12 lowered the
+    default 65536 -> 8192 (r11 VERDICT item 1): the blockwise pair scan
+    bounds MEMORY at any m, but one task still runs the whole cluster's
+    m²·d arithmetic, and 65536² ≈ 2.7·10¹⁴ int ops is not a defensible
+    single-task bound."""
     import inspect
 
     from ndr_import_spark.operators.clustering import semantic_dedup_pairs
 
     sig = inspect.signature(semantic_dedup_pairs)
-    assert sig.parameters["max_cluster_size"].default == 65536
+    assert sig.parameters["max_cluster_size"].default == 8192
 
     # behavioural pin: with a tiny corpus the default equals uncapped
     rows = [(i, [float(i % 3 + 1), 2.0, 1.0]) for i in range(12)]
@@ -232,6 +236,41 @@ def test_semantic_dedup_cap_is_default_on(spark):
     assert sorted(map(tuple, default.collect())) == sorted(
         map(tuple, uncapped.collect())
     )
+
+
+def test_pair_scan_blockwise_equals_full_matrix(spark):
+    """r11 VERDICT item 1: the uncapped within-cluster pair phase must
+    never materialise the m×m dots matrix — one task holds a whole
+    cluster, and m = 65536 would need ~70 GB for it. The scan now runs
+    in row blocks of ⌊pair_block_elems / m⌋ rows. Force 1-row blocks on
+    a 50-member mega-cluster (50 ≫ block size — 49 block boundaries
+    exercised) and pin the output identical to the single-block run,
+    which IS the former full-matrix computation."""
+    from ndr_import_spark.operators.clustering import semantic_dedup_pairs
+
+    m = 50
+    rows = [
+        (i, [1.0 + 0.001 * i, 2.0 - 0.002 * i, 1.0 + 0.003 * (i % 7), 2.0])
+        for i in range(m)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # pair_block_elems=64 with m=50 -> 1-row blocks (64 // 50 = 1)
+    blocked = semantic_dedup_pairs(
+        df, k=1, iterations=1, threshold_pct=90,
+        max_cluster_size=None, pair_block_elems=64,
+    )
+    single = semantic_dedup_pairs(
+        df, k=1, iterations=1, threshold_pct=90,
+        max_cluster_size=None, pair_block_elems=1 << 23,
+    )
+    got_blocked = sorted(map(tuple, blocked.collect()))
+    got_single = sorted(map(tuple, single.collect()))
+    assert got_blocked == got_single
+    # the near-parallel vectors must actually produce pairs, and each
+    # row carries the exact integer dot (sanity that the blocked path
+    # emits real values, not placeholders)
+    assert len(got_blocked) > 100
+    assert all(r[3] > 0 for r in got_blocked)
 
 
 def test_np_assign_bit_identical_to_wide(spark):
