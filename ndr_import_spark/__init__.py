@@ -17,8 +17,14 @@ Everything compiles to Catalyst expressions; UDFs only where unavoidable
 materialisation outside header validation, no unnecessary shuffles.
 """
 
-from ndr_import_spark.engine import Engine
+from ndr_import_spark.engine import Engine, recommended_session_conf
 from ndr_import_spark.plans.model import TableMapping, ColumnMapping, FieldMapping
 
-__all__ = ["Engine", "TableMapping", "ColumnMapping", "FieldMapping"]
+__all__ = [
+    "Engine",
+    "TableMapping",
+    "ColumnMapping",
+    "FieldMapping",
+    "recommended_session_conf",
+]
 __version__ = "0.1.0"
