@@ -8134,7 +8134,15 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pool = clean.where(F.col("source") != "src0")
     target = clean.where(F.col("source") == "src0")
-    lw = dsir_log_weights(pool, target, text_col="clean_text")
+    # lw feeds BOTH the pool-mean stats aggregate and the importance
+    # filter below; without a barrier the whole DSIR scoring subtree
+    # (featurize + bucket counts + llr join) re-executes per consumer
+    # (r12: the profile showed its stages twice). Narrow (doc_id,
+    # decimal) rows — corpus-row-sized at any scale, the right shape to
+    # materialise once.
+    lw = dsir_log_weights(
+        pool, target, text_col="clean_text"
+    ).localCheckpoint(eager=False)
     # importance FILTER at the pool mean: w*n > Σw is exact decimal
     # arithmetic ((20,9)x(10,0) -> (31,9) vs the (38,9) sum — no
     # division, so the threshold is bit-identical on any engine) and

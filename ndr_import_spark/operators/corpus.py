@@ -1382,27 +1382,31 @@ def dsir_log_weights(
     m = int(buckets)
 
     def feats(df: DataFrame) -> DataFrame:
+        # ONE tokenize + ONE explode per side (r12, guide §2.3): the
+        # former uni/big UNION re-ran the scan + tokens() regex once per
+        # leg (two full corpus passes per featurized side — measured as
+        # twin byte-identical map stages in training_pipeline's profile).
+        # Concatenating the unigram array with the bigram array and
+        # exploding once yields the same gram MULTISET per document
+        # (order differs; every consumer aggregates), so bucket counts
+        # are bit-identical.
         toked = df.select(
             F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_t")
         )
-        uni = toked.select("_id", F.explode("_t").alias("_g"))
-        big = toked.select(
-            "_id",
-            F.explode(
-                F.when(
-                    F.size("_t") >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("_t") - 1),
-                        lambda i: F.concat_ws(
-                            " ",
-                            F.element_at("_t", i),
-                            F.element_at("_t", i + 1),
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("_g"),
+        big = F.when(
+            F.size("_t") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("_t", i),
+                    F.element_at("_t", i + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = toked.select(
+            "_id", F.explode(F.concat(F.col("_t"), big)).alias("_g")
         )
-        grams = uni.unionByName(big)
         return grams.select("_id", (md5_long(F.col("_g")) % m).alias("_b"))
 
     # the featurize explode is the expensive stage: checkpoint each

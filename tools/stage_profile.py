@@ -124,6 +124,30 @@ def main() -> int:
         print(f"{'dur_s':>7} {'id':>4} {'tasks':>5} {'input':>10} {'shRead':>10} {'shWrite':>10}  name")
         for dur, sid, nt, inp, rd, wr, nm in rows[:25]:
             print(f"{dur:7.2f} {sid:>4} {nt:>5} {inp:>10,} {rd:>10,} {wr:>10,}  {nm}")
+        if os.environ.get("NIS_PROFILE_JOBS"):
+            # per-JOB breakdown (r12, VERDICT item 3): the job-ROUND
+            # count, not stage wall, dominates the composed pipelines —
+            # attribute each job round to its first stage's call site so
+            # the sequential-latency floor has names on it.
+            def _t(ts: str) -> float:
+                return time.mktime(
+                    time.strptime(ts[:19], "%Y-%m-%dT%H:%M:%S")
+                ) + int(ts[20:23]) / 1000.0
+
+            print(f"{'job':>5} {'dur_s':>7} {'stages':>6} {'skip':>4}  first-stage name")
+            for j in sorted(jobs, key=lambda j: j["jobId"]):
+                dur = (
+                    _t(j["completionTime"]) - _t(j["submissionTime"])
+                    if j.get("completionTime")
+                    else float("nan")
+                )
+                sids = j.get("stageIds", [])
+                live = [s for s in stages if s["stageId"] in sids]
+                nm = (live or [{}])[0].get("name", "?").splitlines()[0][:80]
+                nskip = len(sids) - len(live)
+                print(
+                    f"{j['jobId']:>5} {dur:7.2f} {len(live):>6} {nskip:>4}  {nm}"
+                )
     spark.stop()
     return 0
 
