@@ -8456,15 +8456,20 @@ def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
 
     def stage(prev: DataFrame | None, etype: str, out: str) -> DataFrame:
+        # each stage emits ONLY (user_id, its own min-ts): the next stage
+        # filters on prev.columns[-1] and the reach counts read nothing
+        # else. The former re-join with `prev` (to carry every earlier
+        # stage's timestamp forward) was 1:1 row-preserving — `joined`'s
+        # user set is a subset of prev's unique user key by construction
+        # — but doubled the previous stage's whole subtree per level
+        # (r12: 22 events scans in the initial plan, 2^level growth).
         ev = events.filter(F.col("event_type") == etype).select(
             "user_id", F.col("ts").alias("_ts")
         )
         if prev is None:
             return ev.groupBy("user_id").agg(F.min("_ts").alias(out))
         joined = ev.join(prev, "user_id").filter(F.col("_ts") > F.col(prev.columns[-1]))
-        return joined.groupBy("user_id").agg(F.min("_ts").alias(out)).join(
-            prev, "user_id"
-        ).select("user_id", *prev.columns[1:], out)
+        return joined.groupBy("user_id").agg(F.min("_ts").alias(out))
 
     s1 = stage(None, "view", "t_view")
     s2 = stage(s1, "click", "t_click")
