@@ -764,6 +764,12 @@ def unigram_surprisal(
                 F.col("_s").cast("double") / F.col("n_tokens").cast("double"), 6
             ).alias("surprisal"),
         )
+        # consumed twice (the union below AND the empties anti-join);
+        # without a barrier the whole tokenize-join-aggregate subtree
+        # re-plans per consumer (r12: 16 corpus scans in the initial
+        # plan). Doc-count-sized narrow rows — the standard shape this
+        # repo materialises once (kmv/lexical-drift pattern).
+        .localCheckpoint(eager=False)
     )
     # empty documents never appear in `toks`; restore them at 0.0
     empties = (
@@ -1066,7 +1072,15 @@ def split_leakage_report(
 
     if weights is None:
         weights = {"train": 8, "val": 1, "test": 1}
-    labels = hash_split(df, weights, id_col).select(id_col, "split")
+    # both pair endpoints join the SAME label frame; un-barriered, each
+    # side replans the md5-bucket subtree and its corpus scan (r12:
+    # split_leakage's initial plan carried 11 scans / 36 Exchanges).
+    # Narrow (id, split) rows — materialise once.
+    labels = (
+        hash_split(df, weights, id_col)
+        .select(id_col, "split")
+        .localCheckpoint(eager=False)
+    )
     pairs = minhash_lsh_pairs(
         df, text_col, id_col, k=k, bands=bands,
         verify_threshold=threshold, shingle_n=shingle_n,

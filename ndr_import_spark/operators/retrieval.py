@@ -274,10 +274,17 @@ def bm25_batch_scores(
     same tf frame + a count-only scan. Scoring then joins the term →
     query mapping (broadcast) and folds per (query, doc) — volume is
     bounded by the query terms' document frequency, never N×queries."""
+    # queries feeds the vocab distinct AND the scoring join; dl feeds the
+    # corpus stats aggregate AND the per-doc length join. Un-barriered,
+    # each consumer re-plans the subtree — for dl that is a SECOND full
+    # corpus tokenise pass (r12: retrieval_self_eval's initial plan
+    # carried 14 scans). queries is query-batch-sized; dl is narrow
+    # (id, int) rows — both the right shape to materialise once.
+    queries = queries.localCheckpoint(eager=False)
     vocab = queries.select(F.col("term").alias("_t")).distinct()
     dl = docs.select(
         F.col(id_col), F.size(tokens(F.col(text_col))).alias("_dl")
-    )
+    ).localCheckpoint(eager=False)
     stats = dl.agg(
         F.count(F.lit(1)).alias("_n"),
         F.avg("_dl").alias("_avgdl"),

@@ -530,8 +530,14 @@ def histogram_quantiles(
 
     n = hist.agg(F.sum("cnt").alias("_n"))
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("cnt").over(w)).crossJoin(
-        F.broadcast(n)
+    # one consumer per requested quantile: un-barriered, each replans the
+    # sketch's whole corpus-scale aggregate + window (r12:
+    # quantile_sketch_eval's initial plan carried 6 Windows / 14 scans).
+    # <= 64 rows — materialise once, each quantile reads the stored bins.
+    cum = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(n))
+        .localCheckpoint(eager=False)
     )
     parts = []
     for q in qs:

@@ -78,6 +78,11 @@ def delete_cascade(
         deletes.select(F.col(id_col).alias("_del"))
         .distinct()
         .withColumn("_hit", F.lit(1))
+        # one artifact join per entry re-plans the delete list's whole
+        # subtree (r12: q_delete_propagation's initial plan carried the
+        # documents scan once PER artifact). Takedown-list-sized narrow
+        # rows — materialise once, every artifact joins the stored frame.
+        .localCheckpoint(eager=False)
     )
     parts = []
     for name, df, key in artifacts:
