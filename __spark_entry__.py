@@ -8100,7 +8100,12 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
               '<a href="/p">Privacy</a></div></body></html>'),
     )
     pages = docs.select("doc_id", html.alias("html"))
-    mc = extract_main_content(pages).localCheckpoint(eager=False)
+    # NO barrier here (r12): mc has exactly one consumer (uc), and
+    # clean_unicode / c4_clean each consume their input once before
+    # c4_clean's own internal sentence checkpoint — the former
+    # localCheckpoint materialised a full main_text corpus copy and paid
+    # a whole job round to protect nothing.
+    mc = extract_main_content(pages)
     uc = clean_unicode(
         mc.select("doc_id", F.col("main_text").alias("text"))
     )
