@@ -208,11 +208,11 @@ def learn_bpe(
     distributed loop remains the path for uncapped vocabularies, whose
     size grows with corpus breadth. Both paths are pinned identical to
     the pure-Python reference in tests/test_bpe.py. Character split:
-    the driver loop splits by code point — the semantics of the DuckDB
-    oracle and the test reference; the distributed `split(word, '')`
-    splits JVM UTF-16 code units, which differs only for non-BMP
-    characters (surrogate pairs), where the distributed form already
-    disagreed with the declared oracle semantics."""
+    both paths split by CODE POINT — the driver loop via Python
+    iteration, the distributed path via `split(word, '')`, whose Java
+    empty-pattern regex advances code-point-wise (a surrogate pair
+    stays one symbol; pinned by the non-BMP parity test in
+    tests/test_bpe.py)."""
     vocab = word_frequencies(df, text_col)
     if max_vocab is not None:
         vocab = (

@@ -1586,6 +1586,46 @@ def train_zstd_dictionary(
     )
 
 
+def _drift_token_counts(
+    df: DataFrame, text_col: str, source_col: str, V: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(full, vocab, cnt) — source_lexical_divergence's pre-barrier
+    composition, factored out so the plan audit
+    (tests/test_plan_audit.py) asserts the broadcast vocabulary prune on
+    the operator's REAL subtree instead of a hand-rebuilt copy (r11
+    ADVICE item 2).
+
+    ONE corpus pass (r11): aggregate (source, token) counts first — a
+    vocabulary-breadth-sized frame — and derive BOTH the global top-V
+    vocabulary (sum over sources == the global count) and the per-source
+    counts from it. The previous form ran the tokenising explode twice
+    (once for the vocabulary, once for the counts), and every
+    un-barriered reference to the dense frame re-planned the whole
+    corpus subtree (initial plan: 32 corpus scans). The checkpoint is
+    sources x distinct-tokens — bounded by vocabulary breadth, never by
+    corpus length."""
+    from ndr_import_spark.operators.textstats import tokens
+
+    toks = df.select(
+        F.col(source_col).alias("_src"),
+        F.explode(tokens(F.col(text_col))).alias("_w"),
+    )
+    full = (
+        toks.groupBy("_src", "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        full.groupBy("_w")
+        .agg(F.sum("_c").alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("_w").asc())
+        .limit(V)
+        .select("_w")
+    )
+    cnt = full.join(F.broadcast(vocab), "_w").select("_src", "_w", "_c")
+    return full, vocab, cnt
+
+
 def source_lexical_divergence(
     df: DataFrame,
     text_col: str = "text",
@@ -1612,35 +1652,8 @@ def source_lexical_divergence(
     groupBy(source, token) pruned by the broadcast top-V vocabulary; the
     densify and pairwise join are sources² x V — bounded frames that
     never touch the corpus again."""
-    from ndr_import_spark.operators.textstats import tokens
-
     V = int(vocab_k)
-    toks = df.select(
-        F.col(source_col).alias("_src"),
-        F.explode(tokens(F.col(text_col))).alias("_w"),
-    )
-    # ONE corpus pass (r11): aggregate (source, token) counts first —
-    # a vocabulary-breadth-sized frame — and derive BOTH the global
-    # top-V vocabulary (sum over sources == the global count) and the
-    # per-source counts from it. The previous form ran the tokenising
-    # explode twice (once for the vocabulary, once for the counts), and
-    # every un-barriered reference to `dense` re-planned the whole
-    # corpus subtree (initial plan: 32 corpus scans). The checkpoint is
-    # sources x distinct-tokens — bounded by vocabulary breadth, never
-    # by corpus length.
-    full = (
-        toks.groupBy("_src", "_w")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=False)
-    )
-    vocab = (
-        full.groupBy("_w")
-        .agg(F.sum("_c").alias("_c"))
-        .orderBy(F.col("_c").desc(), F.col("_w").asc())
-        .limit(V)
-        .select("_w")
-    )
-    cnt = full.join(F.broadcast(vocab), "_w").select("_src", "_w", "_c")
+    full, vocab, cnt = _drift_token_counts(df, text_col, source_col, V)
     # from the table, NOT from `full`: a source whose documents tokenise
     # to nothing must still appear in the drift map (oracle semantics);
     # this is a column-pruned one-column scan, not a tokenising pass

@@ -207,6 +207,11 @@ def kmv_jaccard(
     # localCheckpoint each: the first action materialises them once and
     # every consumer reads the stored partitions (same pattern as
     # training_mix's kept/kept2 and lsh_quality's truth frame).
+    # Lifetime: the blocks live until the RETURNED DataFrame is
+    # garbage-collected, then the ContextCleaner reclaims them —
+    # probed r12: six repeated invocations in one JVM hold a FLAT 4
+    # resident checkpoint RDDs / 0.15 MB after GC (no accumulation);
+    # callers that pin many results alive pin their blocks too.
     pairs = (
         df.select(F.col(split_col).alias("_split"), F.col(key_col))
         .distinct()

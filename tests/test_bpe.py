@@ -128,6 +128,23 @@ class TestLearnBpe:
         assert local == dist
         assert len(local) == 8
 
+    def test_non_bmp_split_identical_on_both_paths(self, spark):
+        # r11 ADVICE: the driver loop splits words by Python code point
+        # while the distributed path uses split(word, ''). Verified on
+        # this engine: Spark/Java's empty-pattern split is ALSO
+        # code-point aware (a surrogate pair stays one symbol), so both
+        # paths share one semantics — pin it on a corpus whose only
+        # interesting merges involve a non-BMP character (U+1D11E).
+        df = spark.createDataFrame(
+            [("a\U0001d11eb a\U0001d11eb a\U0001d11eb c\U0001d11e",)],
+            "text string",
+        )
+        local = learn_bpe(df, n_merges=4, max_vocab=16)
+        dist = learn_bpe(df, n_merges=4, max_vocab=16, collect_threshold=0)
+        assert local == dist
+        # the first merge must treat 𝄞 as ONE symbol: ('a', '𝄞') x3
+        assert local[0][1:] == ("a", "\U0001d11e", 3)
+
     def test_driver_path_early_stop_and_ties(self, spark):
         # early stop + argmax tie-break exercised on the driver path
         df = spark.createDataFrame(

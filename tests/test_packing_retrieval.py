@@ -126,6 +126,26 @@ class TestKmvJaccard:
         assert ac["n_both"] == 0 and ac["exact_jaccard"] == 0.0
         assert ("b", "a") not in out  # unordered pairs only
 
+    def test_emits_every_pair_exactly_once(self, spark):
+        # r11 ADVICE: the exact branch joins pair_names instead of
+        # re-deriving est's key set, which relies on every split's
+        # sketch being non-empty. Pin the invariant: n splits (some with
+        # single-token vocabularies) -> exactly C(n, 2) output rows.
+        rows = (
+            [("a", f"w{i}") for i in range(30)]
+            + [("b", f"w{i}") for i in range(10, 40)]
+            + [("c", "only-token")]          # 1-key vocabulary
+            + [("d", "only-token"), ("d", "other")]
+        )
+        df = spark.createDataFrame(rows, "split string, key string")
+        got = kmv_jaccard(df, "key", "split", k=16).collect()
+        pairs = {(r["split_a"], r["split_b"]) for r in got}
+        assert len(got) == 6  # C(4, 2)
+        assert pairs == {
+            ("a", "b"), ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"), ("c", "d"),
+        }
+
     def test_estimate_tracks_exact_when_sketched(self, spark):
         rows = [("a", f"k{i}") for i in range(500)] + [
             ("b", f"k{i}") for i in range(250, 750)

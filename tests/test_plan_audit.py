@@ -561,20 +561,14 @@ class TestR8PlanShapes:
         assert "Scan parquet" not in p  # bounded RDDs only
         assert "Scan ExistingRDD" in p
 
-        from ndr_import_spark.operators.textstats import tokens as _toks
+        # the REAL pre-barrier subtree (r11 ADVICE: no hand-rebuilt
+        # copy — if the operator drops the broadcast hint or
+        # restructures the join, this audit must fail)
+        from ndr_import_spark.operators.corpus import _drift_token_counts
 
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        toks = docs.select(
-            F.col("source").alias("_src"),
-            F.explode(_toks(F.col("text"))).alias("_w"),
-        )
-        full = toks.groupBy("_src", "_w").agg(F.count(F.lit(1)).alias("_c"))
-        vocab = (
-            full.groupBy("_w").agg(F.sum("_c").alias("_c"))
-            .orderBy(F.col("_c").desc(), F.col("_w").asc()).limit(200)
-            .select("_w")
-        )
-        inner = plan(full.join(F.broadcast(vocab), "_w"), "simple")
+        _full, _vocab, cnt = _drift_token_counts(docs, "text", "source", 200)
+        inner = plan(cnt, "simple")
         assert "BroadcastHashJoin" in inner or "BroadcastExchange" in inner
 
     def test_scan_prune_plan_reads_no_data_bytes(self, spark):
