@@ -17,7 +17,7 @@ Hashes are md5-hex→bigint so a DuckDB oracle can reproduce values exactly
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ndr_import_spark.operators.textstats import (
@@ -517,11 +517,20 @@ def minhash_lsh_star_edges(
     # the narrow band-key rows so both read ~150 B/doc instead of
     # re-deriving keys from the fat (_id, _hs, _sig) cache
     banded = scope.persist(_band_keys(hashed, k, bands, "mh"))
-    centers = banded.groupBy("band", "key").agg(
-        F.min("_id").alias("_center")
-    )
+    # anchor via ONE window over a single (band, key) exchange (r12,
+    # guide §2.4 share-the-exchange): the former groupBy(min) + join-back
+    # shuffled the banded rows by (band, key) TWICE — the aggregate's
+    # exchange and the join's cannot ReusedExchange because their
+    # children differ (partial agg vs bare scan); SQL-node metrics
+    # showed the two 868 KiB / 19170-record twins in training_mix.
+    # min-over-partition attaches each bucket's anchor row-for-row
+    # identically (the inner join kept every row: every banded row's
+    # bucket has a min), and the unordered window needs no sort beyond
+    # the exchange the aggregate already paid. Per-bucket state is
+    # bounded by bucket size, same as the aggregate's groups.
+    wb = Window.partitionBy("band", "key")
     edges = (
-        banded.join(centers, ["band", "key"])
+        banded.withColumn("_center", F.min("_id").over(wb))
         .where(F.col("_id") != F.col("_center"))
         .select(F.col("_center").alias("id_a"), F.col("_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
